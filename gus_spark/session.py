@@ -1,0 +1,74 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference re-reads every model file and the whole storage file per
+request (reference: src/cli/server/model.rs:146-156,
+src/cli/server/model/storage_handler/json/mod.rs:45-80). The Spark-native
+design instead holds one long-lived session; per-query costs are parquet
+footer/row-group pruning, not whole-database deserialization.
+
+Defaults are chosen for correctness-vs-oracle and for scale-out behavior:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting) so the
+  same plans survive a 100x scale-up without retuning.
+- ``spark.sql.session.timeZone=UTC`` — DuckDB (the correctness oracle) uses
+  UTC-naive timestamps; Spark timestamps are session-TZ.
+- Arrow enabled — every Pandas UDF / ``applyInPandas`` batch crosses the
+  JVM/Python boundary as Arrow, not pickled rows.
+- ``shuffle.partitions`` defaults to the local core count; on a real cluster
+  AQE coalesces from a deliberately high initial number instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def get_spark(
+    app_name: str = "gus_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Load every testdata table from ``sf_dir`` and register temp views.
+
+    Returns ``{name: DataFrame}``. Reads are lazy; Catalyst prunes columns
+    and pushes filters into the parquet scans of downstream queries.
+    """
+    dfs = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            dfs[name] = df
+    return dfs

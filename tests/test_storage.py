@@ -1,0 +1,136 @@
+"""CRUD round-trips on the parquet store — ports the storage-handler tests
+(src/cli/server/model/storage_handler/json/mod.rs:144-325) plus the HTTP
+integration semantics (src/cli/server.rs:272-464)."""
+
+import pytest
+
+from gus_spark.errors import DuplicateKeyError, NotFoundError
+from gus_spark.model.types import ModelDefinition
+from gus_spark.storage.parquet_store import ParquetStore
+
+RECORD = {
+    "id": 1,
+    "name": "Natural Born Killers",
+    "year": 1994,
+    "actors": ["Woody Harrelson", "Juliette Lewis"],
+    "recommended": True,
+}
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ParquetStore(spark, str(tmp_path / "warehouse"))
+
+
+def test_create_and_read(store, movie_model):  # json/mod.rs:218-243, 245-269
+    created = store.create_one(movie_model, RECORD)
+    assert created["name"] == RECORD["name"]
+    got = store.read_one(movie_model, "1")
+    assert got == {
+        "id": 1,
+        "actors": ["Woody Harrelson", "Juliette Lewis"],
+        "name": "Natural Born Killers",
+        "recommended": True,
+        "year": 1994,
+    }
+
+
+def test_duplicate_create_rejected(store, movie_model):  # json/mod.rs:88-90
+    store.create_one(movie_model, RECORD)
+    with pytest.raises(DuplicateKeyError):
+        store.create_one(movie_model, RECORD)
+
+
+def test_read_missing(store, movie_model):  # json/mod.rs:103
+    with pytest.raises(NotFoundError):
+        store.read_one(movie_model, "99")
+    store.create_one(movie_model, RECORD)
+    with pytest.raises(NotFoundError):
+        store.read_one(movie_model, "99")
+
+
+def test_update_patch_semantics(store, movie_model):  # model.rs:68-89
+    store.create_one(movie_model, RECORD)
+    updated = store.update_one(movie_model, "1", {"year": 2000})
+    assert updated["year"] == 2000
+    assert updated["name"] == RECORD["name"]          # untouched attr kept
+    got = store.read_one(movie_model, "1")
+    assert got["year"] == 2000 and got["actors"] == RECORD["actors"]
+
+
+def test_update_pk_in_body_ignored(store, movie_model):  # model.rs:85-86
+    store.create_one(movie_model, RECORD)
+    updated = store.update_one(movie_model, "1", {"id": 42, "year": 2001})
+    assert updated["id"] == 1  # "id doesn't matter" (server.rs:393-398)
+    assert store.read_one(movie_model, "1")["year"] == 2001
+    with pytest.raises(NotFoundError):
+        store.read_one(movie_model, "42")
+
+
+def test_update_missing(store, movie_model):  # json/mod.rs:117
+    with pytest.raises(NotFoundError):
+        store.update_one(movie_model, "1", {"year": 2000})
+
+
+def test_update_null_clears_optional(store, movie_model):
+    store.create_one(movie_model, RECORD)
+    updated = store.update_one(movie_model, "1", {"year": None})
+    assert updated["year"] is None
+
+
+def test_delete_returns_record(store, movie_model):  # json/mod.rs:126-138
+    store.create_one(movie_model, RECORD)
+    removed = store.delete_one(movie_model, "1")
+    assert removed["name"] == RECORD["name"]
+    with pytest.raises(NotFoundError):
+        store.read_one(movie_model, "1")
+    with pytest.raises(NotFoundError):
+        store.delete_one(movie_model, "1")  # json/mod.rs:131-133
+
+
+def test_string_pk_roundtrip(store):  # json/mod.rs:257; server movie.json
+    model = ModelDefinition.from_json(
+        {
+            "model_name": "book",
+            "attributes": {"id": "String", "title": "String"},
+            "primary_key": "id",
+            "required": ["id"],
+        }
+    )
+    store.create_one(model, {"id": "get", "title": "t"})
+    assert store.read_one(model, "get")["id"] == "get"
+    store.delete_one(model, "get")
+
+
+def test_boolean_pk_roundtrip(store):  # json/mod.rs:283-312
+    model = ModelDefinition.from_json(
+        {
+            "model_name": "flag",
+            "attributes": {"id": "Boolean", "note": "String"},
+            "primary_key": "id",
+            "required": ["id"],
+        }
+    )
+    store.create_one(model, {"id": True, "note": "yes"})
+    assert store.read_one(model, "true")["note"] == "yes"
+
+
+def test_batch_insert_and_compact(store, movie_model):
+    store.create_many(
+        movie_model,
+        [dict(RECORD, id=i, name=f"m{i}") for i in range(2, 12)],
+    )
+    store.create_one(movie_model, RECORD)
+    assert store.count(movie_model) == 11
+    store.compact(movie_model)
+    assert store.count(movie_model) == 11
+    assert store.read_one(movie_model, "5")["name"] == "m5"
+
+
+def test_multiple_snapshots_isolated(store, movie_model):
+    store.create_one(movie_model, RECORD)
+    df_before = store.read_df(movie_model)
+    store.create_one(movie_model, dict(RECORD, id=2))
+    # the previously-resolved snapshot still reads consistently
+    assert df_before.count() == 1
+    assert store.count(movie_model) == 2
