@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the `noop` sink (full computation,
+no driver-side result serialization). The O(n²) all-pairs verification
+queries are excluded — their scalable twins (minhash LSH, ANN LSH) are
+benchmarked instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "topk_expensive_lineitems",
+    "window_top_orders_per_customer",
+    "monthly_revenue_trend",
+    "events_hourly_rollup",
+    "events_sessionization",
+    "dedup_exact_representatives",
+    "dedup_minhash_lsh",
+    "text_token_counts",
+    "text_language_id",
+    "similarity_topk_for_vec0",
+    "similarity_ann_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from gus_spark.queries import catalog
+    from gus_spark.session import get_spark
+
+    spark = get_spark(app_name="gus_spark-bench")
+    specs = catalog()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

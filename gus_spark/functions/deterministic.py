@@ -1,0 +1,49 @@
+"""Deterministic floating-point aggregation.
+
+Summing doubles is order-dependent; Spark's partial/final aggregation
+order varies with partitioning, so ``SUM(double)`` is not reproducible
+bit-for-bit across engines (or even across runs). The engine's contract
+with its correctness oracle is exact value equality, so every floating
+aggregate is computed as
+
+    CAST(SUM(CAST(x AS DECIMAL(25, s))) AS DOUBLE)
+
+Decimal addition is exact and associative -> the sum is independent of
+partition order; the final single cast to double is deterministic. The
+double->decimal rounding step is itself engine-agnostic because a tie
+(exactly .5 at the rounding digit) would require the true binary double
+to sit on a decimal boundary it cannot represent.
+
+DECIMAL(25, s) leaves 25-s integer digits — at s=6 that is 1e19, far
+above any 100-TB-scale sum of prices (sf100 lineitem sums ~1e14).
+
+The same helpers emit the matching SQL text so Spark and oracle stay in
+lock-step by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PRECISION = 25
+
+
+def dsum(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent SUM over a floating column -> double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({PRECISION},{scale})")).cast("double")
+
+
+def davg(col: Column | str, scale: int = 6) -> Column:
+    """Deterministic AVG: exact decimal sum / count, divided in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c, scale) / F.count(c)
+
+
+def sql_dsum(expr: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL({PRECISION},{scale}))) AS DOUBLE)"
+
+
+def sql_davg(expr: str, scale: int = 6) -> str:
+    return f"{sql_dsum(expr, scale)} / COUNT({expr})"

@@ -1,0 +1,217 @@
+"""Approximate near-duplicate detection: MinHash+LSH and SimHash.
+
+Custom operators the reference lacks entirely, built as pure DataFrame
+compositions (no Python UDFs — shingling, hashing, banding and bucketing
+are all JVM-side column expressions), so they whole-stage-codegen and
+shuffle only on band-hash / signature keys.
+
+Scale design (the 100-TB path):
+- MinHash signatures are O(docs × shingles) map-side work; the only
+  shuffles are the per-doc signature aggregation and the band-bucket
+  groupBy. Bucket keys are uniform hashes -> no skew.
+- Candidate verification joins token sets back only for bucket-collided
+  pairs (tiny vs n²).
+- SimHash is one explode + two keyed aggregations; signatures are
+  64-bit longs, so the dedup join is a cheap equi/band join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# MinHash banding: 32 permutations in 8 bands of 4 rows. Collision
+# probability 1-(1-j^4)^8 — ~0.5 at j≈0.59, >0.99 at j≥0.84 — a generous
+# candidate net for a 0.8 Jaccard threshold.
+NUM_PERMS = 32
+NUM_BANDS = 8
+ROWS_PER_BAND = NUM_PERMS // NUM_BANDS
+SHINGLE_SIZE = 3
+
+
+def tokenize(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles(text: Column, n: int = SHINGLE_SIZE) -> Column:
+    """Distinct word n-gram shingles; short docs fall back to tokens."""
+    ws = tokenize(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(F.when(F.size(ws) >= n, grams).otherwise(ws))
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, minhash_0..k-1): min over shingles of xxhash64(perm, shingle).
+
+    One explode + one groupBy(id) with k min-aggregates — map-side
+    partial mins collapse each doc before the shuffle.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"mh_{k}")
+        for k in range(NUM_PERMS)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, jaccard) with exact-Jaccard
+    verification of LSH candidates.
+
+    candidate generation: band the k minhashes, hash each band, explode
+    to (band_id, band_hash), self-join per bucket. Only bucket-collided
+    pairs are verified.
+    """
+    sig = minhash_signature(df, id_col, text_col)
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh_{b * ROWS_PER_BAND + r}")
+                                for r in range(ROWS_PER_BAND)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokenize(F.col(text_col))).alias("ts")
+    )
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    inter = F.size(F.array_intersect(F.col("ta.ts"), F.col("tb.ts")))
+    union = F.size(F.col("ta.ts")) + F.size(F.col("tb.ts")) - inter
+    return (
+        candidates.join(ta, candidates.id_a == F.col(f"ta.{id_col}"))
+        .join(tb, candidates.id_b == F.col(f"tb.{id_col}"))
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document.
+
+    explode(tokens) -> per-(doc, bit) vote sums -> signature long.
+    Bit votes: +1 where xxhash64(token) has the bit set, else -1; the
+    signature sets each bit whose vote sum is positive.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = (
+        toks.select(
+            id_col,
+            F.posexplode(
+                F.array(
+                    *[
+                        F.when(
+                            F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1
+                        ).otherwise(-1)
+                        for i in range(64)
+                    ]
+                )
+            ).alias("bit", "vote"),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("votes"))
+    )
+    return (
+        votes.groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("votes") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+                ).otherwise(0)
+            ).alias("simhash")
+        )
+        .select(F.col(id_col), F.col("simhash"))
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash pairs within ``max_hamming`` bits, bucketed by 16-bit
+    signature chunks (a pair within hamming<=8 of 64 bits must agree
+    exactly on at least one of 4+ chunks when max_hamming < chunks)."""
+    sig = simhash_signatures(df, id_col, text_col)
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(0xFFFF)
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.chunk_id", "ch.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(xor).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

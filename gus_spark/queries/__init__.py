@@ -1,0 +1,77 @@
+"""Query registry — the engine's `readMany` completion surface.
+
+The reference declares but never implements the scan path (readMany is
+`todo!()`, reference: src/cli/server/model/graphql.rs:382). This package
+is that completion: every analytical operator the engine supports is a
+named query with
+
+- a Spark implementation ``(spark, sf_dir) -> DataFrame`` (declarative
+  DataFrame plans — Catalyst does pushdown/pruning/join-selection), and
+- where SQL-expressible, an ANSI-SQL oracle string for DuckDB, used by
+  the driver's correctness harness.
+
+Determinism contract (the oracle comparison hashes values):
+- floating aggregates are summed as DECIMAL (exact, order-independent)
+  then cast to double — identical bits on Spark and DuckDB regardless of
+  partition order. See gus_spark/functions/deterministic.py.
+- top-k queries always carry a unique tiebreak column in the sort.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def catalog() -> dict[str, QuerySpec]:
+    # import side-effect population
+    from gus_spark.queries import (  # noqa: F401
+        dedup,
+        events,
+        relational,
+        similarity,
+        text,
+    )
+
+    return dict(_REGISTRY)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    df = _read(spark, f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) parquet read as long nanos (nanosAsLong);
+        # integer-DIV to micros (exact — double division would lose
+        # precision at 1e18 ns) matches DuckDB's ns->us truncation.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        return spark.read.parquet(path)
+    except Exception:  # driver-owned session without the nanos flag
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)

@@ -1,0 +1,139 @@
+"""Deduplication operators over the `documents` table.
+
+Four tiers, from exact to approximate — the standard large-corpus dedup
+ladder:
+
+1. exact: hash-groupBy on content digest (md5) — one shuffle on the
+   digest, representative row kept by min(doc_id);
+2. n-gram Jaccard: exact pairwise similarity on token sets — correct but
+   O(n²); serves as the verification oracle for the approximate tiers;
+3. MinHash + LSH (gus_spark.operators.dedup): shingle → k minhashes →
+   band-bucket join — candidate generation is a groupBy on band hash, so
+   cost is O(n·k) + bucket-local pairs, the 100-TB path;
+4. SimHash (gus_spark.operators.dedup): 64-bit signature + hamming
+   bucketing.
+
+Tiers 3-4 are Spark-only queries (no SQL oracle — the driver records a
+rows-only check); their candidate sets are validated in tests against
+tier 2's exact pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gus_spark.queries import register, table
+
+JACCARD_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_exact_representatives",
+    oracle="""
+    SELECT md5(text) AS content_fp,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the lowest doc_id.
+    At scale this is one hash shuffle on the digest (uniformly
+    distributed — no skew) with map-side partial aggregation."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_fp"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
+    FROM documents
+    """,
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplication summary."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text"))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        (F.count("*") - F.countDistinct(fp)).alias("n_dupes"),
+    )
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(TRIM(text), '\\s+')) AS ts
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(LENGTH(list_intersect(a.ts, b.ts)) AS DOUBLE)
+             / (LENGTH(a.ts) + LENGTH(b.ts)
+                - LENGTH(list_intersect(a.ts, b.ts))) AS jaccard
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE CAST(LENGTH(list_intersect(a.ts, b.ts)) AS DOUBLE)
+            / (LENGTH(a.ts) + LENGTH(b.ts)
+               - LENGTH(list_intersect(a.ts, b.ts))) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise token-set Jaccard >= 0.8 (near-duplicate pairs).
+    O(n²) by construction — the ground truth the MinHash/LSH tier is
+    validated against; at 100 TB only the LSH tier runs."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("ts"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register("dedup_minhash_lsh")  # Spark-only: cross-engine hash functions differ
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs verified by exact Jaccard — the
+    scalable near-dup path. No SQL oracle (xxhash64 has no DuckDB
+    equivalent); tests validate candidates against dedup_jaccard_pairs."""
+    from gus_spark.operators.dedup import minhash_lsh_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, id_col="doc_id", text_col="text",
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+@register("dedup_simhash")  # Spark-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures per document (rows-only check); tests
+    assert near-dup pairs land within small hamming distance."""
+    from gus_spark.operators.dedup import simhash_signatures
+
+    d = table(spark, sf_dir, "documents")
+    return simhash_signatures(d, id_col="doc_id", text_col="text")

@@ -1,0 +1,186 @@
+"""Event-stream analytics in batch form: JSON extraction, time-bucketed
+rollups, sessionization, lag/lead. The same plans run under Structured
+Streaming (gus_spark.streaming) — this module is their batch/oracle twin,
+completing the reference's absent Subscription surface (reference:
+src/cli/server/model/graphql.rs:193, 251-253, 353 — declared, `todo!()`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gus_spark.functions.deterministic import dsum, sql_dsum
+from gus_spark.queries import register, table
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events WHERE event_id <= 500
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column access (the `events.props` column) —
+    JVM-side get_json_object, no Python in the loop."""
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") <= 500)
+        .select(
+            "event_id",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        )
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch twin of the streaming windowed agg)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "events_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           LAG(event_type) OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS DOUBLE) / 1000000
+             AS secs_since_prev
+    FROM events
+    WHERE user_id <= 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD over per-user event timelines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        # integer-micros difference divided once — identical double bits
+        # to the oracle's (epoch_us(a) - epoch_us(b)) / 1e6
+        (
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+            .cast("double")
+            / F.lit(1000000.0)
+        ).alias("secs_since_prev"),
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           {sql_dsum('value')} AS session_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag -> new-session flag -> running sum
+    as session id -> per-session aggregates. One shuffle on user_id; the
+    window and the aggregation reuse the same partitioning."""
+    order = [F.col("ts"), F.col("event_id")]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = table(spark, sf_dir, "events")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_lag)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessions = marked.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.sum("is_new").over(w_run).cast("long").alias("session_seq"),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value").alias("session_value"),
+    )
+
+
+@register(
+    "events_user_funnel",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           CASE WHEN COUNT(*) FILTER (WHERE event_type = 'view') > 0
+                 AND COUNT(*) FILTER (WHERE event_type = 'purchase') > 0
+                THEN 1 ELSE 0 END AS converted
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel counts (conditional aggregation)."""
+    e = table(spark, sf_dir, "events")
+    n_view = F.count(F.when(F.col("event_type") == "view", 1))
+    n_purchase = F.count(F.when(F.col("event_type") == "purchase", 1))
+    return e.groupBy("user_id").agg(
+        n_view.alias("n_view"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        n_purchase.alias("n_purchase"),
+        F.when((n_view > 0) & (n_purchase > 0), 1).otherwise(0).alias("converted"),
+    )

@@ -1,0 +1,812 @@
+"""Relational operator surface: scan/filter/project, joins (inner, semi,
+anti, multi-way), aggregation (hash agg, distinct, rollup/cube,
+conditional), sort/limit/top-k, window functions, set ops, subqueries,
+scalar functions.
+
+This is the completion of the reference's stubbed scan path (readMany,
+reference: src/cli/server/model/graphql.rs:336-343, 382) into the full
+analytics surface. Every query is a declarative DataFrame plan: filters
+and projections reach the parquet scan (Catalyst pushdown), small
+dimension tables broadcast, aggregations are partial+final map-side
+combines — no driver-side loops, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gus_spark.functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from gus_spark.queries import register, table
+
+
+# --------------------------------------------------------------------------
+# Scan / filter / project
+# --------------------------------------------------------------------------
+@register(
+    "point_lookup_order",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders WHERE o_orderkey = 7
+    """,
+)
+def point_lookup_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_one analogue on a big table: pk equality predicate is pushed
+    into the parquet scan (row-group min/max pruning at scale)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 7)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate")
+    )
+
+
+@register(
+    "filter_project_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-07-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def filter_project_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection pushdown showcase (TPC-H Q6's filter shape):
+    the scan reads 4 columns and skips row groups outside the date range."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-07-01")))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: fully pushed-down filter + single deterministic agg —
+    no shuffle at all beyond the final 1-row reduce."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation
+# --------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the canonical wide hash aggregation. Map-side partial
+    aggregation collapses 600k rows to ~6 groups before the shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_global_lineitem",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           {sql_dsum('l_quantity')} AS total_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    """,
+)
+def agg_global_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregate incl. two exact distincts (expand + two-phase)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        dsum("l_quantity").alias("total_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "group_distinct_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def group_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped count-distinct (per-group exact distinct)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "rollup_returns",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (grand total + per-flag + per-pair)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 4 grouping sets in one pass."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "conditional_agg_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+           {sql_dsum('o_totalprice')} AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def conditional_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot expressed as conditional aggregation (single-pass, no
+    per-pivot-value shuffle)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+@register(
+    "having_big_orders",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: filtered 3-way join + agg + top-10. customer is small
+    after the segment filter -> broadcast; lineitem never shuffles for
+    the join (only for the final agg). Unique tiebreak (l_orderkey)
+    keeps the LIMIT deterministic."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15"))
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_regional_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way join. All dimension sides (region, nation,
+    customer, supplier) broadcast; the single big shuffle is
+    lineitem⋈orders on orderkey, which AQE handles at scale."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    dims = (
+        c.join(F.broadcast(n.join(F.broadcast(r),
+                                  n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == F.col("n_nationkey"))
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(s),
+              (li.l_suppkey == s.s_suppkey)
+              & (s.s_nationkey == F.col("n_nationkey")))
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue per customer, top 20."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "join_part_lineitem_brand",
+    oracle=f"""
+    SELECT p.p_brand, COUNT(*) AS n_lines,
+           {sql_dsum('l.l_extendedprice')} AS revenue,
+           {sql_davg('l.l_quantity')} AS avg_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 40
+    GROUP BY p.p_brand
+    """,
+)
+def join_part_lineitem_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dimension with dimension-side filter: part (filtered) is
+    broadcast so lineitem is never shuffled for the join."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("l_extendedprice").alias("revenue"),
+            davg("l_quantity").alias("avg_qty"),
+        )
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+    """,
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): no payload duplication, no fanout."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join_idle_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) — the engine's internal dup-check and
+    delete primitive exposed as a query."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "outer_join_nation_counts",
+    oracle="""
+    SELECT n.n_name, COUNT(c.c_custkey) AS n_customers
+    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def outer_join_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving empty dimension rows."""
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "in_subquery_parts",
+    oracle=f"""
+    SELECT COUNT(*) AS n_lines, {sql_dsum('l_extendedprice')} AS revenue
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 25)
+    """,
+)
+def in_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery = semi join against a filtered key set."""
+    li = table(spark, sf_dir, "lineitem")
+    keys = table(spark, sf_dir, "part").filter(F.col("p_size") == 25).select(
+        "p_partkey"
+    )
+    return (
+        li.join(F.broadcast(keys), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .agg(F.count("*").alias("n_lines"),
+             dsum("l_extendedprice").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / top-k
+# --------------------------------------------------------------------------
+@register(
+    "topk_expensive_lineitems",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def topk_expensive_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps + driver merge of k rows, never a full sort."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@register(
+    "top_customers_by_revenue",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY revenue DESC, o_custkey
+    LIMIT 20
+    """,
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-top-k."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+@register(
+    "window_top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ROW_NUMBER (the standard grouped-top-k plan:
+    one hash shuffle on the partition key, per-partition sort)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_revenue
+    FROM orders WHERE o_custkey <= 200
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per customer; decimal accumulation keeps
+    the window sum order-independent for the oracle comparison."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_revenue"),
+        )
+    )
+
+
+@register(
+    "window_rank_parts_by_price",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rnk, drnk
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             RANK() OVER (PARTITION BY p_brand
+                          ORDER BY p_retailprice DESC) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC) AS drnk
+      FROM part
+    ) WHERE rnk <= 5
+    """,
+)
+def window_rank_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK with ties (rank functions are tie-stable, so no
+    tiebreak column is needed for determinism)."""
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return (
+        table(spark, sf_dir, "part")
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+@register(
+    "union_trading_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def union_trading_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct)."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+@register(
+    "intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@register(
+    "except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (customer nations with no supplier)."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)
+
+
+# --------------------------------------------------------------------------
+# Scalar functions
+# --------------------------------------------------------------------------
+@register(
+    "scalar_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           LOWER(p_type) AS type_lower,
+           LENGTH(p_name) AS name_len,
+           SUBSTRING(p_type, 1, 5) AS type_prefix,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_name, ' ', '_') AS name_snake,
+           TRIM(p_name) AS name_trim
+    FROM part WHERE p_partkey <= 100
+    """,
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function library (all JVM-side, whole-stage codegen)."""
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 100)
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.lower("p_type").alias("type_lower"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_type", 1, 5).alias("type_prefix"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+            F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+            F.trim("p_name").alias("name_trim"),
+        )
+    )
+
+
+@register(
+    "scalar_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS order_year,
+           EXTRACT(month FROM o_orderdate) AS order_month,
+           EXTRACT(day FROM o_orderdate) AS order_day,
+           EXTRACT(quarter FROM o_orderdate) AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function library."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+    )
+
+
+@register(
+    "math_case_expressions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price,
+           ABS(l_discount - l_tax) AS disc_tax_gap,
+           CASE WHEN l_quantity >= 40 THEN 'bulk'
+                WHEN l_quantity >= 15 THEN 'mid'
+                ELSE 'small' END AS qty_band,
+           GREATEST(l_discount, l_tax) AS max_rate,
+           LEAST(l_discount, l_tax) AS min_rate
+    FROM lineitem WHERE l_orderkey <= 400
+    """,
+)
+def math_case_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic, ROUND/ABS, CASE WHEN, GREATEST/LEAST."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 400)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # round at 4 decimals: the product of 2-dp price × 2-dp discount is
+        # exactly 4-dp, so no engine-dependent half-way rounding can occur
+        # (at 2 dp Spark's shortest-repr HALF_UP and DuckDB's binary round
+        # disagree on .xx5 values).
+        F.round(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 4)
+        .alias("net_price"),
+        F.abs(F.col("l_discount") - F.col("l_tax")).alias("disc_tax_gap"),
+        F.when(F.col("l_quantity") >= 40, "bulk")
+        .when(F.col("l_quantity") >= 15, "mid")
+        .otherwise("small")
+        .alias("qty_band"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@register(
+    "monthly_revenue_trend",
+    oracle=f"""
+    SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+           EXTRACT(month FROM o_orderdate) AS order_month,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (the hypertable-rollup shape)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        )
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
