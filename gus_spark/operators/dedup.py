@@ -33,9 +33,13 @@ def tokenize(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
-def shingles(text: Column, n: int = SHINGLE_SIZE) -> Column:
-    """Distinct word n-gram shingles; short docs fall back to tokens."""
+def shingles(text: Column, n: int = 1) -> Column:
+    """Distinct word n-gram shingles (n=1 -> token set); short docs fall
+    back to tokens. The shingle unit must match the exact-Jaccard tier it
+    is validated against (unigrams for dedup_jaccard_pairs)."""
     ws = tokenize(text)
+    if n == 1:
+        return F.array_distinct(ws)
     grams = F.transform(
         F.sequence(F.lit(0), F.size(ws) - n),
         lambda i: F.concat_ws(
@@ -45,14 +49,17 @@ def shingles(text: Column, n: int = SHINGLE_SIZE) -> Column:
     return F.array_distinct(F.when(F.size(ws) >= n, grams).otherwise(ws))
 
 
-def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 1
+) -> DataFrame:
     """(id, minhash_0..k-1): min over shingles of xxhash64(perm, shingle).
 
     One explode + one groupBy(id) with k min-aggregates — map-side
     partial mins collapse each doc before the shuffle.
     """
     sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle")
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), ngram)).alias("shingle"),
     )
     aggs = [
         F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"mh_{k}")
@@ -66,6 +73,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    ngram: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a, id_b, jaccard) with exact-Jaccard
     verification of LSH candidates.
@@ -74,7 +82,7 @@ def minhash_lsh_pairs(
     to (band_id, band_hash), self-join per bucket. Only bucket-collided
     pairs are verified.
     """
-    sig = minhash_signature(df, id_col, text_col)
+    sig = minhash_signature(df, id_col, text_col, ngram)
     bands = sig.select(
         F.col(id_col),
         F.explode(
@@ -110,9 +118,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    toks = df.select(
-        F.col(id_col), F.array_distinct(tokenize(F.col(text_col))).alias("ts")
-    )
+    # verification uses the same shingle unit as candidate generation
+    toks = df.select(F.col(id_col), shingles(F.col(text_col), ngram).alias("ts"))
     ta, tb = toks.alias("ta"), toks.alias("tb")
     inter = F.size(F.array_intersect(F.col("ta.ts"), F.col("tb.ts")))
     union = F.size(F.col("ta.ts")) + F.size(F.col("tb.ts")) - inter
@@ -129,16 +136,19 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
 ) -> DataFrame:
-    """64-bit SimHash per document.
+    """64-bit SimHash per document over word n-gram features.
 
-    explode(tokens) -> per-(doc, bit) vote sums -> signature long.
-    Bit votes: +1 where xxhash64(token) has the bit set, else -1; the
+    explode(shingles) -> per-(doc, bit) vote sums -> signature long.
+    Bit votes: +1 where xxhash64(shingle) has the bit set, else -1; the
     signature sets each bit whose vote sum is positive.
     """
     toks = df.select(
-        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+        F.col(id_col), F.explode(shingles(F.col(text_col), ngram)).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     votes = (
         toks.select(
@@ -176,11 +186,14 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
+    ngram: int = 3,
 ) -> DataFrame:
-    """SimHash pairs within ``max_hamming`` bits, bucketed by 16-bit
-    signature chunks (a pair within hamming<=8 of 64 bits must agree
-    exactly on at least one of 4+ chunks when max_hamming < chunks)."""
-    sig = simhash_signatures(df, id_col, text_col)
+    """SimHash pairs within ``max_hamming`` bits, bucketed by 8-bit
+    signature chunks: a pair within hamming h must agree exactly on at
+    least one chunk whenever h < n_chunks (pigeonhole), so 8 chunks
+    guarantee recall for h <= 7 and catch most pairs below
+    ``max_hamming``."""
+    sig = simhash_signatures(df, id_col, text_col, ngram)
     chunks = sig.select(
         id_col,
         "simhash",
@@ -189,11 +202,11 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(0xFFFF)
+                        F.shiftright(F.col("simhash"), c * 8)
+                        .bitwiseAND(0xFF)
                         .alias("chunk"),
                     )
-                    for c in range(4)
+                    for c in range(8)
                 ]
             )
         ).alias("ch"),

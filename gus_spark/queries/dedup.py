@@ -76,33 +76,41 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_jaccard_pairs",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id,
-             list_distinct(string_split_regex(TRIM(text), '\\s+')) AS ts
+      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ws
       FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) >= 3
+               THEN list_transform(range(1, len(ws)-1),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+               ELSE ws END) AS ss
+      FROM toks
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(LENGTH(list_intersect(a.ts, b.ts)) AS DOUBLE)
-             / (LENGTH(a.ts) + LENGTH(b.ts)
-                - LENGTH(list_intersect(a.ts, b.ts))) AS jaccard
-    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
-    WHERE CAST(LENGTH(list_intersect(a.ts, b.ts)) AS DOUBLE)
-            / (LENGTH(a.ts) + LENGTH(b.ts)
-               - LENGTH(list_intersect(a.ts, b.ts))) >= {JACCARD_THRESHOLD}
+           CAST(LENGTH(list_intersect(a.ss, b.ss)) AS DOUBLE)
+             / (LENGTH(a.ss) + LENGTH(b.ss)
+                - LENGTH(list_intersect(a.ss, b.ss))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(LENGTH(list_intersect(a.ss, b.ss)) AS DOUBLE)
+            / (LENGTH(a.ss) + LENGTH(b.ss)
+               - LENGTH(list_intersect(a.ss, b.ss))) >= {JACCARD_THRESHOLD}
     """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise token-set Jaccard >= 0.8 (near-duplicate pairs).
+    """Exact pairwise 3-gram-shingle Jaccard >= 0.8 (near-duplicate
+    pairs). Word n-grams, not unigram sets: on low-vocabulary corpora
+    unigram-set Jaccard saturates (most doc pairs share most words),
+    while order-sensitive shingles cleanly separate true near-dups.
     O(n²) by construction — the ground truth the MinHash/LSH tier is
     validated against; at 100 TB only the LSH tier runs."""
+    from gus_spark.operators.dedup import shingles
+
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("ts"),
-    )
+    toks = d.select("doc_id", shingles(F.col("text"), 3).alias("ss"))
     a = toks.alias("a")
     b = toks.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
-    union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - inter
+    inter = F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss")))
+    union = F.size(F.col("a.ss")) + F.size(F.col("b.ss")) - inter
     jac = inter.cast("double") / union
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
@@ -125,7 +133,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         d, id_col="doc_id", text_col="text",
-        threshold=JACCARD_THRESHOLD,
+        threshold=JACCARD_THRESHOLD, ngram=3,
     )
 
 

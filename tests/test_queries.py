@@ -1,0 +1,63 @@
+"""Query-surface tests: every registered query runs and returns its
+declared shape at sf0.001; a representative subset is value-checked
+against DuckDB inline (the full 48-query sweep lives in
+tests/oracle_harness.py and the driver's gate)."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from conftest import SF_DIR, SF_DIR_ORACLE
+from oracle_harness import TABLES, frame_key
+
+from gus_spark.queries import catalog
+
+# value-checked inline (fast, high signal); chosen to cover each module
+SPOT_CHECK = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "window_top_orders_per_customer",
+    "events_sessionization",
+    "text_token_counts",
+    "dedup_exact_stats",
+    "similarity_topk_for_vec0",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR_ORACLE}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(catalog()))
+def test_query_runs(spark, name):
+    spec = catalog()[name]
+    df = spec.fn(spark, SF_DIR)
+    assert df.columns, name
+    assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", SPOT_CHECK)
+def test_query_matches_oracle(spark, duck, name):
+    spec = catalog()[name]
+    assert spec.oracle is not None
+    sdf = spec.fn(spark, SF_DIR_ORACLE).toPandas()
+    odf = duck.execute(spec.oracle).df()
+    assert frame_key(sdf) == frame_key(odf)
+
+
+def test_every_oracle_is_valid_duckdb(duck):
+    """Every declared oracle parses and runs on DuckDB (cheap guard
+    against SQL drift before the driver round runs)."""
+    for name, spec in catalog().items():
+        if spec.oracle is not None:
+            duck.execute(f"SELECT * FROM ({spec.oracle}) LIMIT 1")
