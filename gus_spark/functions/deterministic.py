@@ -14,8 +14,12 @@ double->decimal rounding step is itself engine-agnostic because a tie
 (exactly .5 at the rounding digit) would require the true binary double
 to sit on a decimal boundary it cannot represent.
 
-DECIMAL(25, s) leaves 25-s integer digits — at s=6 that is 1e19, far
-above any 100-TB-scale sum of prices (sf100 lineitem sums ~1e14).
+Input precision is DECIMAL(18, s): 18 digits keeps Spark's Decimal in
+its compact unscaled-long representation (~20% faster aggregation than
+precision > 18, which forces BigDecimal); per-value range at s=6 is
+1e12, far above any row-level price. The SUM result type grows to
+precision 28+ automatically in both engines, so accumulated sums do not
+overflow at scale (sf100 lineitem sums ~1e14).
 
 The same helpers emit the matching SQL text so Spark and oracle stay in
 lock-step by construction.
@@ -26,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-PRECISION = 25
+PRECISION = 18
 
 
 def dsum(col: Column | str, scale: int = 6) -> Column:

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gus_spark.operators.util import ensure_parallelism
+
 # MinHash banding: 32 permutations in 8 bands of 4 rows. Collision
 # probability 1-(1-j^4)^8 — ~0.5 at j≈0.59, >0.99 at j≥0.84 — a generous
 # candidate net for a 0.8 Jaccard threshold.
@@ -57,6 +59,7 @@ def minhash_signature(
     One explode + one groupBy(id) with k min-aggregates — map-side
     partial mins collapse each doc before the shuffle.
     """
+    df = ensure_parallelism(df)
     sh = df.select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), ngram)).alias("shingle"),
@@ -82,6 +85,7 @@ def minhash_lsh_pairs(
     to (band_id, band_hash), self-join per bucket. Only bucket-collided
     pairs are verified.
     """
+    df = ensure_parallelism(df)  # both branches (signature + verify) share it
     sig = minhash_signature(df, id_col, text_col, ngram)
     bands = sig.select(
         F.col(id_col),
@@ -147,6 +151,7 @@ def simhash_signatures(
     Bit votes: +1 where xxhash64(shingle) has the bit set, else -1; the
     signature sets each bit whose vote sum is positive.
     """
+    df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), ngram)).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))

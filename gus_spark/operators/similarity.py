@@ -15,6 +15,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gus_spark.operators.util import ensure_parallelism
+
 NUM_PLANES = 12
 DIM = 64
 
@@ -68,6 +70,7 @@ def ann_lsh_topk(
     NUM_PLANES for finer buckets / lower recall).
     """
     planes = _plane_matrix(NUM_PLANES, DIM)
+    df = ensure_parallelism(df)
     v = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("bucket", bucket_signature(F.col("v"), planes))

@@ -571,7 +571,7 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
     "window_running_revenue",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -594,7 +594,7 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_orderdate",
-            F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .over(w)
             .cast("double")
             .alias("running_revenue"),
