@@ -1,0 +1,194 @@
+"""GraphQL shell: schema generation from the model registry + execution
+over the parquet store.
+
+Ports the observable behavior of the reference's GraphQL layer
+(reference: src/cli/server/model/graphql.rs):
+
+- SDL generation (graphql.rs:188-258): one object type per model named
+  by the camelized singular model name; field order is pk first, then
+  alphabetical (graphql.rs:207-216); required attributes render as
+  non-null ``!``; per model the operations are ``readOne<M>(pk!)``
+  (Query) and ``addOne<M>(...)`` / ``updateOne<M>(pk!, ...)`` /
+  ``deleteOne<M>(pk!)`` (Mutation) (graphql.rs:229-240).
+- Execution uses a published GraphQL library for parse/validate the way
+  the reference uses apollo-compiler (graphql.rs:274-283): graphql-core
+  here. Selection sets, aliases, named/inline fragments, ``__typename``
+  and full introspection come from the library's executor — the
+  behaviors gus implements by hand in resolve_selection_set_order
+  (graphql.rs:415-442) and resolve_type_system (graphql.rs:444-562).
+- Error model (graphql.rs:118-157): ``{data?, errors?}`` with partial
+  success allowed.
+
+Unlike the reference — which rebuilds and re-parses the schema on every
+request (graphql.rs:274) — the schema is built once per registry
+generation and reused.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from gus_spark.errors import GusError
+from gus_spark.inflect import camelize
+from gus_spark.model.registry import ModelRegistry
+from gus_spark.model.types import AttrType, ModelDefinition
+from gus_spark.storage.parquet_store import ParquetStore
+
+try:
+    import graphql as gql
+except ImportError:  # pragma: no cover - graphql-core is expected here
+    gql = None
+
+# gus type -> GraphQL scalar (types.rs:46-50; Float is the engine's
+# completion of the reference's commented-out Float).
+_SCALARS = {
+    "Integer": "Int",
+    "String": "String",
+    "Boolean": "Boolean",
+    "Float": "Float",
+}
+
+
+def _gql_type(attr: AttrType, required: bool) -> str:
+    base = _SCALARS[attr.primitive]
+    if attr.is_array:
+        # array elements are never null (model.rs:259-278)
+        base = f"[{base}!]"
+    return f"{base}!" if required else base
+
+
+def _type_name(model: ModelDefinition) -> str:
+    return camelize(model.model_name, upper_first=True)
+
+
+def _fields(model: ModelDefinition, with_types: bool = True) -> list[str]:
+    out = []
+    for name in model.field_order:  # pk first, then alphabetical
+        t = _gql_type(model.attributes[name], name in model.required)
+        out.append(f"{name}: {t}")
+    return out
+
+
+def generate_sdl(registry: ModelRegistry) -> str:
+    """Build the SDL string (the shape create_schema emits,
+    graphql.rs:188-258)."""
+    types, queries, mutations = [], [], []
+    for model in sorted(registry, key=lambda m: m.model_name):
+        tname = _type_name(model)
+        fields = "\n  ".join(_fields(model))
+        types.append(f"type {tname} {{\n  {fields}\n}}")
+        pk = model.primary_key
+        pk_t = _gql_type(model.attributes[pk], True)
+        args_all = ", ".join(_fields(model))
+        patch_fields = [
+            f"{n}: {_gql_type(model.attributes[n], False)}"
+            for n in model.field_order
+            if n != pk
+        ]
+        args_patch = ", ".join([f"{pk}: {pk_t}"] + patch_fields)
+        queries.append(f"readOne{tname}({pk}: {pk_t}): {tname}")
+        mutations.append(f"addOne{tname}({args_all}): {tname}")
+        mutations.append(f"updateOne{tname}({args_patch}): {tname}")
+        mutations.append(f"deleteOne{tname}({pk}: {pk_t}): {tname}")
+    parts = types
+    if queries:
+        parts.append("type Query {\n  " + "\n  ".join(queries) + "\n}")
+        parts.append("type Mutation {\n  " + "\n  ".join(mutations) + "\n}")
+    return "\n\n".join(parts) + "\n"
+
+
+class GraphQLApi:
+    """Executable GraphQL endpoint over a registry + store."""
+
+    def __init__(self, registry: ModelRegistry, store: ParquetStore):
+        if gql is None:
+            raise RuntimeError("graphql-core is not available")
+        self.registry = registry
+        self.store = store
+        self.sdl = generate_sdl(registry)
+        self.schema = gql.build_schema(self.sdl)
+        self._wire_resolvers()
+
+    # -- resolver wiring ---------------------------------------------------
+    def _wire_resolvers(self) -> None:
+        query_type = self.schema.query_type
+        mutation_type = self.schema.mutation_type
+        for model in self.registry:
+            tname = _type_name(model)
+            if query_type and f"readOne{tname}" in query_type.fields:
+                query_type.fields[f"readOne{tname}"].resolve = self._read_one(model)
+            if mutation_type:
+                mutation_type.fields[f"addOne{tname}"].resolve = self._add_one(model)
+                mutation_type.fields[f"updateOne{tname}"].resolve = (
+                    self._update_one(model)
+                )
+                mutation_type.fields[f"deleteOne{tname}"].resolve = (
+                    self._delete_one(model)
+                )
+
+    def _read_one(self, model: ModelDefinition):
+        def resolve(_obj, _info, **args):
+            return self._wrap(
+                lambda: self.store.read_one(model, _pk_str(model, args))
+            )
+
+        return resolve
+
+    def _add_one(self, model: ModelDefinition):
+        def resolve(_obj, _info, **args):
+            return self._wrap(lambda: self.store.create_one(model, args))
+
+        return resolve
+
+    def _update_one(self, model: ModelDefinition):
+        def resolve(_obj, _info, **args):
+            pk = _pk_str(model, args)
+            patch = {k: v for k, v in args.items() if k != model.primary_key}
+            return self._wrap(lambda: self.store.update_one(model, pk, patch))
+
+        return resolve
+
+    def _delete_one(self, model: ModelDefinition):
+        def resolve(_obj, _info, **args):
+            return self._wrap(
+                lambda: self.store.delete_one(model, _pk_str(model, args))
+            )
+
+        return resolve
+
+    @staticmethod
+    def _wrap(fn):
+        try:
+            return fn()
+        except GusError as e:  # engine error -> GraphQL error entry
+            raise gql.GraphQLError(str(e)) from e
+
+    # -- execution ---------------------------------------------------------
+    def execute(
+        self,
+        query: str,
+        variables: dict | None = None,
+        operation_name: str | None = None,
+    ) -> dict[str, Any]:
+        """Run one GraphQL request; returns ``{data?, errors?}`` (the
+        GraphQLReturn shape, graphql.rs:118-157)."""
+        result = gql.graphql_sync(
+            self.schema,
+            query,
+            variable_values=variables,
+            operation_name=operation_name,
+        )
+        out: dict[str, Any] = {}
+        if result.data is not None:
+            out["data"] = result.data
+        if result.errors:
+            out["errors"] = [e.formatted for e in result.errors]
+        return out
+
+
+def _pk_str(model: ModelDefinition, args: dict) -> str:
+    import json
+
+    value = args[model.primary_key]
+    # parse_uri_id expects the URI-string form (model.rs:110-129)
+    return value if isinstance(value, str) else json.dumps(value)

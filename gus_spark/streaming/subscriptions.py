@@ -1,0 +1,140 @@
+"""Structured Streaming surface — the completion of the reference's
+Subscription stub (reference: src/cli/server/model/graphql.rs:193,
+251-253 generate an empty Subscription type; execution is `todo!()` at
+graphql.rs:353).
+
+Each helper returns a *streaming* DataFrame transformation; the same
+expressions power the batch twins in gus_spark.queries.events, so batch
+and stream results agree (verified in tests via the file source +
+``processAllAvailable``). Scale notes:
+
+- watermarks bound state: the windowed aggregations keep only windows
+  newer than (max event time - watermark), so state size is
+  O(active windows × groups), independent of stream length;
+- ``dropDuplicatesWithinWatermark`` keeps one key per watermark horizon
+  — the streaming form of the exact-dedup operator;
+- ``session_window`` merges gap-contiguous events in state, the
+  streaming twin of the batch lag/cumsum sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gus_spark.functions.deterministic import dsum
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events table (one file per trigger —
+    the local stand-in for a Kafka topic partition feed)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # glob form: the file stream source requires a directory/glob base
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{sf_dir}/events.parquet*")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling/sliding event-time window aggregation with late-data
+    tolerance = ``watermark``. Streaming twin of events_hourly_rollup."""
+    win = (
+        F.window("ts", window)
+        if slide is None
+        else F.window("ts", window, slide)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_aggregates(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session windows (gap-merged in state). Streaming twin of
+    the batch lag/cumsum sessionization."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: first event per key within the watermark
+    horizon survives; state for keys older than the horizon is dropped."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
+    """Drive a streaming DataFrame to completion against the memory sink
+    (synchronous; for tests/smoke). Returns the stopped query; results
+    are in the ``name`` in-memory table."""
+    query = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return query

@@ -1,0 +1,216 @@
+"""API-shell tests — port the reference's HTTP integration matrix
+(src/cli/server.rs:272-464) and GraphQL behaviors (selection order,
+aliases, fragments, __typename, introspection; graphql.rs tests)."""
+
+import json
+
+import pytest
+
+from gus_spark.api.graphql import GraphQLApi, generate_sdl
+from gus_spark.api.rest import RestApi
+from gus_spark.model.registry import ModelRegistry
+from gus_spark.model.types import ModelDefinition
+from gus_spark.storage.parquet_store import ParquetStore
+
+MOVIE = {
+    "model_name": "movie",
+    "attributes": {
+        "id": "String",
+        "name": "String",
+        "year": "Integer",
+        "actors": ["String"],
+        "recommended": "Boolean",
+    },
+    "primary_key": "id",
+    "required": ["id"],
+}
+
+
+@pytest.fixture(scope="module")
+def api(spark, tmp_path_factory):
+    registry = ModelRegistry()
+    registry.register(ModelDefinition.from_json(MOVIE))
+    store = ParquetStore(
+        spark, str(tmp_path_factory.mktemp("api") / "warehouse")
+    )
+    gql_api = GraphQLApi(registry, store)
+    rest = RestApi(registry, store, graphql_api=gql_api)
+    # seed like server.rs:287-298
+    rest.handle("POST", "/api/rest/movie", json.dumps({"id": "get"}))
+    rest.handle("POST", "/api/rest/movie", json.dumps({"id": "put"}))
+    rest.handle("POST", "/api/rest/movie", json.dumps({"id": "delete"}))
+    return rest
+
+
+def test_sdl_shape(api):
+    sdl = generate_sdl(api.registry)
+    assert "type Movie {" in sdl
+    # pk first, then alphabetical (graphql.rs:207-216)
+    body = sdl.split("type Movie {", 1)[1].split("}", 1)[0]
+    names = [line.strip().split(":")[0] for line in body.strip().splitlines()]
+    assert names == ["id", "actors", "name", "recommended", "year"]
+    assert "readOneMovie(id: String!): Movie" in sdl
+    assert "addOneMovie" in sdl and "deleteOneMovie" in sdl
+
+
+# --- REST matrix (server.rs:304-463) ---------------------------------------
+def test_rest_get(api):
+    status, payload = api.handle("GET", "/api/rest/movie/get")
+    assert status == 200
+    assert payload["data"]["id"] == "get"
+    assert payload["data"]["year"] is None  # null-padded full schema
+
+
+def test_rest_get_invalid(api):
+    assert api.handle("GET", "/api/rest/movie/nope")[0] == 400
+    assert api.handle("GET", "/api/rest/movies/get")[0] == 400  # plural
+    assert api.handle("GET", "/api/rest/movie")[0] == 400
+    assert api.handle("GET", "/elsewhere")[0] == 400
+
+
+def test_rest_post_and_duplicate(api):
+    status, payload = api.handle(
+        "POST", "/api/rest/movie", json.dumps({"id": "new", "year": 2000})
+    )
+    assert status == 201 and payload["data"]["year"] == 2000
+    status, payload = api.handle(
+        "POST", "/api/rest/movie", json.dumps({"id": "new"})
+    )
+    assert status == 400 and "error" in payload
+
+
+def test_rest_post_invalid_body(api):
+    assert api.handle("POST", "/api/rest/movie", "not json")[0] == 400
+    assert api.handle(
+        "POST", "/api/rest/movie", json.dumps({"id": "x", "zzz": 1})
+    )[0] == 400
+
+
+def test_rest_put_patch(api):
+    status, payload = api.handle(
+        "PUT", "/api/rest/movie/put", json.dumps({"year": 1999})
+    )
+    assert status == 200 and payload["data"]["year"] == 1999
+    # pk in body ignored ("id doesn't matter", server.rs:393-398)
+    status, payload = api.handle(
+        "PUT", "/api/rest/movie/put", json.dumps({"id": "other", "year": 1998})
+    )
+    assert status == 200 and payload["data"]["id"] == "put"
+    assert api.handle("PUT", "/api/rest/movie/ghost", "{}")[0] == 400
+
+
+def test_rest_delete(api):
+    status, payload = api.handle("DELETE", "/api/rest/movie/delete")
+    assert status == 200 and payload["data"]["id"] == "delete"
+    assert api.handle("DELETE", "/api/rest/movie/delete")[0] == 400
+
+
+# --- GraphQL ---------------------------------------------------------------
+def test_graphql_read_with_alias_fragment_typename(api):
+    status, payload = api.handle(
+        "POST",
+        "/api/graphql",
+        json.dumps(
+            {
+                "query": """
+                query {
+                  m: readOneMovie(id: "get") {
+                    __typename
+                    theId: id
+                    ...rest
+                  }
+                }
+                fragment rest on Movie { year recommended }
+                """
+            }
+        ),
+    )
+    assert status == 200, payload
+    m = payload["data"]["m"]
+    # selection order preserved incl. alias + fragment expansion
+    assert list(m) == ["__typename", "theId", "year", "recommended"]
+    assert m["__typename"] == "Movie" and m["theId"] == "get"
+
+
+def test_graphql_mutations_roundtrip(api):
+    q = """
+    mutation {
+      addOneMovie(id: "gql", year: 2024) { id year }
+    }
+    """
+    status, payload = api.handle("POST", "/api/graphql", json.dumps({"query": q}))
+    assert status == 200, payload
+    assert payload["data"]["addOneMovie"] == {"id": "gql", "year": 2024}
+    q2 = 'mutation { updateOneMovie(id: "gql", year: 2025) { year } }'
+    _, p2 = api.handle("POST", "/api/graphql", json.dumps({"query": q2}))
+    assert p2["data"]["updateOneMovie"]["year"] == 2025
+    q3 = 'mutation { deleteOneMovie(id: "gql") { id } }'
+    _, p3 = api.handle("POST", "/api/graphql", json.dumps({"query": q3}))
+    assert p3["data"]["deleteOneMovie"]["id"] == "gql"
+
+
+def test_graphql_variables(api):
+    """The reference parses but never substitutes variables
+    (graphql.rs:164) — the engine completes them."""
+    q = "query($id: String!) { readOneMovie(id: $id) { id } }"
+    status, payload = api.handle(
+        "POST",
+        "/api/graphql",
+        json.dumps({"query": q, "variables": {"id": "get"}}),
+    )
+    assert status == 200 and payload["data"]["readOneMovie"]["id"] == "get"
+
+
+def test_graphql_errors(api):
+    status, payload = api.handle(
+        "POST", "/api/graphql", json.dumps({"query": "{ nope }"})
+    )
+    assert status == 400 and payload["errors"]
+    status, payload = api.handle(
+        "POST",
+        "/api/graphql",
+        json.dumps({"query": '{ readOneMovie(id: "ghost") { id } }'}),
+    )
+    # partial success: data with null + errors (graphql.rs:403-412)
+    assert payload.get("errors")
+
+
+def test_graphql_introspection(api):
+    q = '{ __type(name: "Movie") { name fields { name } } }'
+    status, payload = api.handle("POST", "/api/graphql", json.dumps({"query": q}))
+    assert status == 200
+    t = payload["data"]["__type"]
+    assert t["name"] == "Movie"
+    assert {f["name"] for f in t["fields"]} == {
+        "id", "actors", "name", "recommended", "year"
+    }
+
+
+def test_http_server_roundtrip(api):
+    """Drive the stdlib HTTP server end-to-end on a real socket."""
+    import threading
+    import urllib.request
+
+    from gus_spark.api.rest import serve
+
+    server = serve(api, port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/rest/movie/get"
+        ) as resp:
+            assert resp.status == 200
+            assert json.loads(resp.read())["data"]["id"] == "get"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/graphql",
+            data=json.dumps(
+                {"query": '{ readOneMovie(id: "get") { id } }'}
+            ).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert json.loads(resp.read())["data"]["readOneMovie"]["id"] == "get"
+    finally:
+        server.shutdown()
