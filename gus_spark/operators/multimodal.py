@@ -1,0 +1,185 @@
+"""Multimodal (image/audio/video) column operators.
+
+Convention: media travels as an opaque ``binary`` column plus a typed
+metadata struct — the pattern that scales to 100 TB because Spark never
+interprets the bytes until an explicitly-requested decode stage, and
+parquet stores/prunes the binary column independently of the metadata.
+
+    MEDIA_SCHEMA: media_id long, content binary,
+                  meta struct<mime string, width int, height int,
+                             duration_ms int, sample_rate int>
+
+Decode/feature-extraction run as Arrow-batched ``mapInPandas`` stages:
+one Python process per partition consumes record batches (never a
+per-row UDF), so throughput is bounded by codec speed, not serde.
+
+The actual codecs (PIL/opencv/ffmpeg) are NOT available in this
+environment, so the decode kernels are STUBS:
+
+- with ``GUS_MULTIMODAL_FAKE_DECODE=1`` (and in tests) a deterministic
+  fake decoder derives pixel/sample statistics from the content hash —
+  exercising the full Spark plumbing (schema, batching, partitioning);
+- otherwise the kernels raise NotImplementedError("requires PIL/...")
+  at first batch, surfacing the missing dependency loudly rather than
+  silently corrupting a pipeline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gus_spark.operators.util import ensure_parallelism
+
+META_SCHEMA = StructType(
+    [
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), nullable=False),
+        StructField("content", BinaryType()),
+        StructField("meta", META_SCHEMA),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("mean_luma", StringType()),  # hex-digest stub feature
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def _fake_decode_allowed() -> bool:
+    return os.environ.get("GUS_MULTIMODAL_FAKE_DECODE") == "1"
+
+
+def decode_image_features(
+    df: DataFrame, batch_hint: int = 256, fake: bool | None = None
+) -> DataFrame:
+    """Per-image feature extraction over Arrow batches.
+
+    Real implementation would PIL-open each buffer; the stub derives
+    deterministic pseudo-features from the md5 of the bytes.
+    """
+    df = ensure_parallelism(df)
+    # resolve driver-side: executor workers do not see env changes made
+    # after JVM start, and the decision belongs in the plan anyway
+    allow_fake = _fake_decode_allowed() if fake is None else fake
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not allow_fake:
+                raise NotImplementedError(
+                    "image decode requires PIL/opencv — not available in "
+                    "this environment; set GUS_MULTIMODAL_FAKE_DECODE=1 "
+                    "for the deterministic stub"
+                )
+            out = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "n_bytes": [],
+                "mean_luma": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                digest = hashlib.md5(bytes(content or b"")).digest()
+                out["media_id"].append(mid)
+                out["width"].append(int.from_bytes(digest[0:2], "big") % 4096)
+                out["height"].append(int.from_bytes(digest[2:4], "big") % 4096)
+                out["n_bytes"].append(len(content or b""))
+                out["mean_luma"].append(digest.hex()[:8])
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, fake: bool | None = None
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame.
+
+    The stub emits one fake frame per full second of declared duration,
+    slicing bytes deterministically — the fan-out shape (1 video row ->
+    N frame rows via mapInPandas) is the real contract.
+    """
+    df = ensure_parallelism(df)
+    allow_fake = _fake_decode_allowed() if fake is None else fake
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not allow_fake:
+                raise NotImplementedError(
+                    "video decode requires ffmpeg — not available; set "
+                    "GUS_MULTIMODAL_FAKE_DECODE=1 for the stub"
+                )
+            rows = {"media_id": [], "frame_index": [], "frame": []}
+            for mid, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                duration = (meta or {}).get("duration_ms")
+                # Arrow hands nullable ints to pandas as floats (NaN=null)
+                duration = 0 if duration is None or duration != duration \
+                    else int(duration)
+                content = bytes(content or b"")
+                for i in range(max(duration // every_ms, 0)):
+                    lo = (i * 16) % max(len(content), 1)
+                    rows["media_id"].append(mid)
+                    rows["frame_index"].append(i)
+                    rows["frame"].append(content[lo : lo + 16])
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content", "meta").mapInPandas(
+        kernel, schema=FRAME_SCHEMA
+    )
+
+
+def media_summary(df: DataFrame) -> DataFrame:
+    """Pure-JVM metadata rollup (no decode): bytes and dimensions per
+    mime type — the triage query a pipeline runs before spending decode
+    cycles."""
+    return (
+        df.groupBy(F.col("meta.mime").alias("mime"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.length("content")).alias("total_bytes"),
+            F.avg("meta.width").alias("avg_width"),
+            F.avg("meta.height").alias("avg_height"),
+        )
+    )
