@@ -1,0 +1,82 @@
+"""Command-line entry point — parity with the reference's CLI
+(reference: src/cli.rs, src/cli/index.rs).
+
+``gus server -m <models-path> [-p port] [-w warehouse]`` starts the
+HTTP server exposing the REST + GraphQL APIs over a ParquetStore. Arg
+validation ports cli/index.rs:115-179: the port must be a valid u16 > 0
+and the models path must be an existing directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="gus_spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+    server = sub.add_parser("server", help="serve REST + GraphQL APIs")
+    server.add_argument(
+        "-m", "--models-path", required=True,
+        help="directory of model definition JSON files",
+    )
+    server.add_argument("-p", "--port", type=int, default=8080)
+    server.add_argument(
+        "-w", "--warehouse", default="./warehouse",
+        help="table storage directory",
+    )
+    server.add_argument("--host", default="127.0.0.1")
+    return parser
+
+
+def validate(args) -> str | None:
+    """Returns an error string, or None (cli/index.rs:115-179 rules)."""
+    if not 0 < args.port < 65536:
+        return f"invalid port {args.port}: must be in 1..65535"
+    if not os.path.isdir(args.models_path):
+        return f"models path {args.models_path!r} is not a directory"
+    return None
+
+
+def build_app(args):
+    """Construct (registry, store, rest_api) without serving."""
+    from gus_spark.api.graphql import GraphQLApi
+    from gus_spark.api.rest import RestApi
+    from gus_spark.model.registry import ModelRegistry
+    from gus_spark.session import get_spark
+    from gus_spark.storage.parquet_store import ParquetStore
+
+    spark = get_spark(app_name="gus_spark-server")
+    registry = ModelRegistry(args.models_path)
+    store = ParquetStore(spark, args.warehouse)
+    gql_api = GraphQLApi(registry, store) if registry.names() else None
+    return registry, store, RestApi(registry, store, graphql_api=gql_api)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    error = validate(args)
+    if error:
+        print(error, file=sys.stderr)
+        return 2
+    if args.command == "server":
+        from gus_spark.api.rest import serve
+
+        registry, _store, api = build_app(args)
+        server = serve(api, host=args.host, port=args.port)
+        print(
+            f"serving models {registry.names()} on "
+            f"http://{args.host}:{server.server_address[1]}"
+        )
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            server.shutdown()
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -47,6 +47,7 @@ def register(name: str, oracle: str | None = None):
 def catalog() -> dict[str, QuerySpec]:
     # import side-effect population
     from gus_spark.queries import (  # noqa: F401
+        advanced,
         dedup,
         events,
         relational,

@@ -1,0 +1,159 @@
+"""Advanced relational operators: as-of join, explode/unnest, exact
+percentiles, regexp extraction, array functions, approximate sketches.
+
+The as-of join is the canonical "operator Spark lacks natively"
+(reference has nothing comparable either): expressed here as a running
+conditional MAX over an event-time window — one shuffle on the
+partition key, no point-in-time self-join blowup, the formulation that
+survives 100 TB. (The alternative — per-group ``merge_asof`` via
+applyInPandas — is only preferable when the lookup side is a separate
+table too large to window.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gus_spark.queries import register, table
+
+
+@register(
+    "asof_last_purchase",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type,
+           MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_ts
+    FROM events
+    WHERE user_id <= 40
+    """,
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join of each event against the latest
+    purchase event at-or-before it, per user — a running conditional
+    MAX, not an O(n²) inequality self-join."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 40)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .over(w)
+        .alias("last_purchase_ts"),
+    )
+
+
+@register(
+    "explode_top_tokens",
+    oracle="""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(string_split_regex(TRIM(text), '\\s+')) AS tok
+          FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def explode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode/unnest + frequency top-k (corpus vocabulary head)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "median_price_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS median_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation — Spark `percentile`
+    and DuckDB `quantile_cont` share the definition)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("median_price"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+    )
+
+
+@register(
+    "regexp_extract_brands",
+    oracle="""
+    SELECT CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT)
+             AS brand_num,
+           COUNT(*) AS n_parts,
+           MIN(p_name) AS first_name
+    FROM part
+    GROUP BY 1
+    """,
+)
+def regexp_extract_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp extraction + group-by on the derived key."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.groupBy(
+            F.regexp_extract("p_brand", "([0-9]+)", 1)
+            .cast("long")
+            .alias("brand_num")
+        )
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("p_name").alias("first_name"),
+        )
+    )
+
+
+@register(
+    "array_stats_embeddings",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           list_min(CAST(embedding AS DOUBLE[])) AS min_val,
+           list_max(CAST(embedding AS DOUBLE[])) AS max_val
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+)
+def array_stats_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function library over the vector column (size/min/max are
+    element selection — exact across engines, unlike arithmetic)."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.array_min(as_double).alias("min_val"),
+        F.array_max(as_double).alias("max_val"),
+    )
+
+
+@register("approx_distinct_sketch")  # Spark-only: HLL++ vs DuckDB's HLL differ
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per order status — the
+    sketch path for 100-TB cardinalities. No oracle: sketch estimates
+    are algorithm-specific; tests bound the relative error instead."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )

@@ -1,0 +1,70 @@
+"""Physical-plan assertions: the properties that make these queries
+scale are part of the contract, not an accident — filters reach the
+parquet scan, dimension joins broadcast, aggregations have a map-side
+partial phase. A regression here means a 100x slowdown at cluster
+scale even when results stay correct."""
+
+import contextlib
+import io
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from conftest import SF_DIR
+
+from gus_spark.queries import catalog
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    df = catalog()[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_q6_filter_and_projection_pushdown(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert "PushedFilters:" in plan
+    # the shipdate range predicate reaches the scan
+    assert "l_shipdate" in plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    # projection pruning: the scan must not read unused wide columns
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_returnflag" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_point_lookup_pushes_equality(spark):
+    plan = plan_of(spark, "point_lookup_order")
+    pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert "EqualTo(o_orderkey,7)" in pushed.replace(" ", "").replace(
+        "IsNotNull(o_orderkey),", ""
+    )
+
+
+@pytest.mark.parametrize(
+    "name", ["q3_shipping_priority", "q5_regional_revenue", "q10_returned_items"]
+)
+def test_star_joins_broadcast(spark, name):
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan
+    # q3/q10 must not shuffle the fact table for any join
+    if name != "q5_regional_revenue":
+        assert "SortMergeJoin" not in plan
+
+
+def test_q1_has_partial_aggregation(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "topk_expensive_lineitems")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_operators(spark):
+    assert "LeftSemi" in plan_of(spark, "semi_join_active_customers")
+    assert "LeftAnti" in plan_of(spark, "anti_join_idle_customers")
