@@ -63,3 +63,51 @@ def test_dedup_stream_unique_ids(spark, events_stream):
     assert df.filter(F.col("n") > 1).count() == 0
     total = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").first().n
     assert total > 0
+
+
+def test_stateful_running_totals(spark, events_stream):
+    import time
+
+    from gus_spark.streaming.stateful import running_user_totals
+
+    # ProcessingTimeTimeout + availableNow never self-terminates (Spark
+    # cannot prove no further timeouts will fire), so poll the sink for
+    # the evicted rows and stop the query explicitly.
+    query = (
+        running_user_totals(events_stream, timeout_ms=1000)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        expected = {
+            r.user_id: r.n
+            for r in table(spark, SF_DIR, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        deadline = time.time() + 120
+        evicted = 0
+        while time.time() < deadline and evicted < len(expected):
+            time.sleep(2)
+            evicted = (
+                spark.sql(
+                    "SELECT COUNT(DISTINCT user_id) AS n FROM stateful_out "
+                    "WHERE status = 'timed_out'"
+                )
+                .first()
+                .n
+            )
+    finally:
+        query.stop()
+    assert evicted == len(expected), f"only {evicted} users evicted"
+    got = {
+        r.user_id: r.n
+        for r in spark.sql(
+            "SELECT user_id, MAX(n_events) AS n FROM stateful_out GROUP BY 1"
+        ).collect()
+    }
+    assert got == expected
