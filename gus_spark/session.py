@@ -35,6 +35,7 @@ def get_spark(
     app_name: str = "gus_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's defaults."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -58,6 +59,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
     return builder.getOrCreate()
 
 

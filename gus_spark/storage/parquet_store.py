@@ -65,10 +65,13 @@ class ParquetStore:
 
     def _commit(self, model: ModelDefinition, manifest: dict) -> None:
         """Atomic snapshot swap: write manifest, then os.replace the
-        CURRENT pointer (atomic on POSIX)."""
+        CURRENT pointer (atomic on POSIX). Manifests are numbered, kept,
+        and readable via ``read_df(model, at=seq)`` (time travel) until
+        ``expire_snapshots`` drops them."""
         table = self._table_dir(model)
         os.makedirs(table, exist_ok=True)
-        name = f"manifest-{uuid.uuid4().hex}.json"
+        seq = manifest["seq"] = self._current_manifest(model).get("seq", 0) + 1
+        name = f"manifest-{seq:08d}-{uuid.uuid4().hex}.json"
         with open(os.path.join(table, name), "w", encoding="utf-8") as fh:
             json.dump(manifest, fh)
         tmp = os.path.join(table, f".CURRENT.{uuid.uuid4().hex}")
@@ -98,13 +101,57 @@ class ParquetStore:
             entries.append({"path": path, "lo": stats["lo"], "hi": stats["hi"]})
         return entries
 
-    def read_df(self, model: ModelDefinition) -> DataFrame:
-        """The current snapshot as a DataFrame (empty if never written)."""
-        manifest = self._current_manifest(model)
+    def read_df(
+        self, model: ModelDefinition, at: int | None = None
+    ) -> DataFrame:
+        """A snapshot as a DataFrame (empty if never written).
+
+        ``at`` time-travels to a historical snapshot by its sequence
+        number (see ``history``); default is the current snapshot.
+        """
+        if at is None:
+            manifest = self._current_manifest(model)
+        else:
+            matches = [n for s, n in self.history(model) if s == at]
+            if not matches:
+                raise StorageError(
+                    f"no snapshot {at} for {model.model_name}; "
+                    f"have {[s for s, _ in self.history(model)]}"
+                )
+            with open(
+                os.path.join(self._table_dir(model), matches[0]),
+                encoding="utf-8",
+            ) as fh:
+                manifest = json.load(fh)
         files = [f["path"] for f in manifest["files"]]
         if not files:
             return self.spark.createDataFrame([], model.to_struct_type())
         return self.spark.read.schema(model.to_struct_type()).parquet(*files)
+
+    def history(self, model: ModelDefinition) -> list[tuple[int, str]]:
+        """Committed snapshots as (seq, manifest_name), oldest first."""
+        table = self._table_dir(model)
+        if not os.path.isdir(table):
+            return []
+        out = []
+        for entry in os.listdir(table):
+            if entry.startswith("manifest-") and entry.endswith(".json"):
+                try:
+                    out.append((int(entry.split("-")[1]), entry))
+                except (IndexError, ValueError):
+                    continue
+        return sorted(out)
+
+    def expire_snapshots(self, model: ModelDefinition, keep: int = 1) -> None:
+        """Drop all but the newest ``keep`` snapshots, then GC data files
+        no remaining manifest references (the Iceberg-style maintenance
+        pair to ``compact``)."""
+        history = self.history(model)
+        for _seq, name in history[:-keep] if keep else history:
+            current = self._current_pointer(model)
+            if name != current:
+                os.remove(os.path.join(self._table_dir(model), name))
+        self._gc(model)
 
     def _records_to_df(
         self, records: Iterable[dict], model: ModelDefinition
@@ -236,13 +283,22 @@ class ParquetStore:
         self._commit(model, manifest)
         self._gc(model)
 
+    def _current_pointer(self, model: ModelDefinition) -> str | None:
+        pointer = os.path.join(self._table_dir(model), "CURRENT")
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer, encoding="utf-8") as fh:
+            return fh.read().strip()
+
     def _gc(self, model: ModelDefinition) -> None:
-        """Remove data dirs no longer referenced by the current manifest."""
+        """Remove data dirs referenced by NO retained manifest (history
+        is retained for time travel until expire_snapshots drops it)."""
         table = self._table_dir(model)
-        live = {
-            os.path.dirname(f["path"])
-            for f in self._current_manifest(model)["files"]
-        }
+        live: set[str] = set()
+        for _seq, name in self.history(model):
+            with open(os.path.join(table, name), encoding="utf-8") as fh:
+                for f in json.load(fh)["files"]:
+                    live.add(os.path.dirname(f["path"]))
         for entry in os.listdir(table):
             path = os.path.join(table, entry)
             if entry.startswith("data-") and path not in live:

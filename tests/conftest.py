@@ -13,9 +13,18 @@ SF_DIR_ORACLE = os.environ.get("GUS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 def spark():
     from gus_spark.session import get_spark
 
+    import tempfile
+
     os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
-    spark = get_spark(app_name="gus_spark-tests", master="local[4]",
-                      shuffle_partitions=4)
+    spark = get_spark(
+        app_name="gus_spark-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            # static conf: needed by the bucketed-table tests
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="gus-wh-"),
+        },
+    )
     yield spark
 
 

@@ -134,3 +134,23 @@ def test_multiple_snapshots_isolated(store, movie_model):
     # the previously-resolved snapshot still reads consistently
     assert df_before.count() == 1
     assert store.count(movie_model) == 2
+
+
+def test_time_travel_and_expiry(store, movie_model):
+    store.create_one(movie_model, RECORD)                     # snapshot 1
+    store.create_one(movie_model, dict(RECORD, id=2))         # snapshot 2
+    store.delete_one(movie_model, "1")                        # snapshot 3
+    history = store.history(movie_model)
+    assert [s for s, _ in history] == [1, 2, 3]
+    assert store.read_df(movie_model, at=1).count() == 1
+    assert store.read_df(movie_model, at=2).count() == 2
+    assert store.read_df(movie_model).count() == 1            # current
+    store.expire_snapshots(movie_model, keep=1)
+    assert len(store.history(movie_model)) == 1
+    assert store.read_df(movie_model).count() == 1            # still reads
+    import pytest as _pytest
+
+    from gus_spark.errors import StorageError
+
+    with _pytest.raises(StorageError):
+        store.read_df(movie_model, at=1)
