@@ -61,6 +61,10 @@ def catalog() -> dict[str, QuerySpec]:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    # engine contract: timestamps are UTC (the oracle is UTC-naive);
+    # enforce even on driver-owned sessions that skipped get_spark()
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = _read(spark, f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read as long nanos (nanosAsLong);

@@ -157,3 +157,91 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
     )
+
+
+@register(
+    "events_daily_from_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', hour_start) AS TIMESTAMP) AS day_start,
+           event_type,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(total_value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value
+    FROM hourly
+    GROUP BY 1, 2
+    """,
+)
+def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (hypertable-style) rollup: the daily aggregate is
+    computed FROM the hourly pre-aggregate, not from raw events — the
+    continuous-aggregate pattern where each coarser granularity reads
+    the finer one (24x less input at scale). The hourly totals are
+    exact 2-dp decimals, so re-aggregating through DECIMAL(18,2) stays
+    lossless and order-independent."""
+    from pyspark.sql import functions as F
+
+    from gus_spark.functions.deterministic import dsum
+    from gus_spark.queries import table as t
+
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour_start")).alias("day_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            dsum("total_value", scale=2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "null_semantics",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(NULLIF(l_discount, 0.0)) AS n_discounted,
+           CAST(SUM(CASE WHEN l_tax IS NOT DISTINCT FROM l_discount
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tax_eq_disc,
+           CAST(SUM(CASE WHEN COALESCE(NULLIF(l_discount, 0.0), -1.0) = -1.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_no_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling function library: NULLIF / COALESCE / null-safe
+    equality (<=> vs IS NOT DISTINCT FROM), counted per group."""
+    from pyspark.sql import functions as F
+
+    from gus_spark.queries import table as t
+
+    li = t(spark, sf_dir, "lineitem")
+    nullif_disc = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count(nullif_disc).alias("n_discounted"),
+        F.sum(
+            F.when(F.col("l_tax").eqNullSafe(F.col("l_discount")), 1).otherwise(0)
+        ).alias("n_tax_eq_disc"),
+        F.sum(
+            F.when(F.coalesce(nullif_disc, F.lit(-1.0)) == -1.0, 1).otherwise(0)
+        ).alias("n_no_discount"),
+    )
