@@ -110,6 +110,9 @@ def parse_record(
     for attr in req:
         if attr not in record:
             raise RecordValidationError(f"missing required attribute {attr!r}")
+    from gus_spark.model.constraints import check_constraints
+
+    check_constraints(record, model)
     return add_null_values(record, model)
 
 

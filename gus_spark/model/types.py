@@ -106,7 +106,7 @@ class ModelDefinition:
     primary_key: str
     required: list[str]
     storage_type: str = "parquet"
-    constraints: list = field(default_factory=list)
+    constraints: dict = field(default_factory=dict)
 
     @classmethod
     def from_json(cls, obj: dict) -> "ModelDefinition":
@@ -121,7 +121,7 @@ class ModelDefinition:
                 primary_key=obj["primary_key"],
                 required=list(obj["required"]),
                 storage_type=obj.get("storage_type", "parquet"),
-                constraints=list(obj.get("constraints", [])),
+                constraints=dict(obj.get("constraints") or {}),
             )
         except (KeyError, TypeError, AttributeError) as e:
             raise ModelValidationError(f"malformed model definition: {e}") from e
@@ -179,3 +179,8 @@ def validate_model_definition(model: ModelDefinition) -> None:
     for req in model.required:
         if req not in model.attributes:
             raise ModelValidationError(f"required attribute {req!r} does not exist")
+    # engine completion of the reference's constraint shells
+    # (types.rs:83-104; check is a no-op there, model.rs:300-302)
+    from gus_spark.model.constraints import validate_constraints
+
+    validate_constraints(model)
