@@ -39,6 +39,10 @@ from pyspark.sql.types import (
 from gus_spark.errors import ModelValidationError
 from gus_spark.inflect import has_distinct_plural
 
+# storage_handler.rs:40-42 — the reference's enum admits only `json`;
+# `parquet` is this engine's scale path and default.
+STORAGE_TYPES = {"json", "parquet"}
+
 # types.rs:46-50 — the primitive universe (Float enabled here; see module doc).
 PRIMITIVES: dict[str, DataType] = {
     "Integer": LongType(),
@@ -153,6 +157,11 @@ class ModelDefinition:
 def validate_model_definition(model: ModelDefinition) -> None:
     """Port of validate_model_definition (types.rs:147-174)."""
     name = model.model_name
+    if model.storage_type not in STORAGE_TYPES:
+        # fixture invalid_storage.json must be rejected
+        raise ModelValidationError(
+            f"unknown storage type {model.storage_type!r}"
+        )
     if not is_valid_identifier(name):
         # types.rs:219-246 — enforced during deserialization there
         raise ModelValidationError(f"invalid model name {name!r}")
