@@ -245,3 +245,110 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.coalesce(nullif_disc, F.lit(-1.0)) == -1.0, 1).otherwise(0)
         ).alias("n_no_discount"),
     )
+
+
+@register(
+    "cheapest_line_per_part",
+    oracle="""
+    WITH f AS (SELECT * FROM lineitem WHERE l_partkey <= 500),
+    mins AS (SELECT l_partkey, MIN(l_extendedprice) AS min_price
+             FROM f GROUP BY l_partkey)
+    SELECT f.l_partkey, MIN(f.l_suppkey) AS l_suppkey,
+           f.l_extendedprice
+    FROM f JOIN mins ON f.l_partkey = mins.l_partkey
+                    AND f.l_extendedprice = mins.min_price
+    GROUP BY f.l_partkey, f.l_extendedprice
+    """,
+)
+def cheapest_line_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-min correlated subquery (TPC-H Q2's shape): the cheapest
+    lineitem per part, suppkey tiebreak. Spark plans it as one window
+    rank over a single hash shuffle — no correlated re-scan per row."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 500)
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_extendedprice", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        "l_partkey", "l_suppkey", "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .distinct()
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: HAVING-filtered IN-subquery feeding a 3-way join.
+    The subquery's aggregate is a semi-join key set (small after the
+    HAVING filter -> broadcast)."""
+    from gus_spark.functions.deterministic import dsum
+
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "text_bpe_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_subtokens,
+           CAST(LENGTH(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+             AS n_numbers,
+           CAST(LENGTH(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
+             AS n_symbols
+    FROM documents
+    """,
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subtoken counting: alpha runs, digit runs, and symbols as
+    separate tokens (the pre-tokenizer regex shape real BPE vocabs use),
+    all via JVM regexp_extract_all — no Python tokenizer in the loop."""
+    d = table(spark, sf_dir, "documents")
+
+    def n_matches(pattern):
+        return F.size(F.regexp_extract_all("text", F.lit(pattern), F.lit(0))).cast(
+            "long"
+        )
+
+    return d.select(
+        "doc_id",
+        n_matches("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]").alias("n_subtokens"),
+        n_matches("[0-9]+").alias("n_numbers"),
+        n_matches("[^A-Za-z0-9 ]").alias("n_symbols"),
+    )
