@@ -112,8 +112,15 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: the canonical wide hash aggregation. Map-side partial
-    aggregation collapses 600k rows to ~6 groups before the shuffle."""
-    li = table(spark, sf_dir, "lineitem")
+    aggregation collapses 600k rows to ~6 groups before the shuffle.
+
+    ensure_parallelism: the local testdata ships one row group per
+    table, which would serialize the decimal aggregation onto one core;
+    at cluster scale inputs arrive with >= slots partitions and the
+    guard is a no-op (no extra shuffle)."""
+    from gus_spark.operators.util import ensure_parallelism
+
+    li = ensure_parallelism(table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     charge = disc_price * (F.lit(1) + F.col("l_tax"))
     return (

@@ -59,6 +59,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local"):
+        # local profile: testdata parquet files are single small files;
+        # 8 MB splits parallelize their scans (~15% on join queries).
+        # Cluster deployments keep Spark's 128 MB default — at real file
+        # counts small splits would explode the task count.
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)),
+        )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()

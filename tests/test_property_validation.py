@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis) for the pure-Python validation
+layer — extending the reference's example-based matrix (SURVEY §5: the
+reference has no property/randomized testing) with generated inputs.
+No SparkSession needed: these run in milliseconds.
+"""
+
+import json
+
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gus_spark.errors import RecordValidationError
+from gus_spark.model.record import add_null_values, parse_record, parse_uri_id
+from gus_spark.model.types import ModelDefinition
+
+MODEL = ModelDefinition.from_json(
+    {
+        "model_name": "movie",
+        "attributes": {
+            "id": "Integer",
+            "name": "String",
+            "year": "Integer",
+            "rating": "Float",
+            "actors": ["String"],
+            "recommended": "Boolean",
+        },
+        "primary_key": "id",
+        "required": ["id", "name"],
+    }
+)
+
+I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+valid_records = st.fixed_dictionaries(
+    {"id": I64, "name": st.text(max_size=50)},
+    optional={
+        "year": st.none() | I64,
+        "rating": st.none() | st.floats(allow_nan=False, allow_infinity=False),
+        "actors": st.none() | st.lists(st.text(max_size=20), max_size=5),
+        "recommended": st.none() | st.booleans(),
+    },
+)
+
+
+@given(valid_records)
+@settings(max_examples=200)
+def test_valid_records_always_accepted(record):
+    parsed = parse_record(record, MODEL)
+    # full schema, canonical order, supplied values preserved
+    assert list(parsed) == MODEL.field_order
+    for key, value in record.items():
+        assert parsed[key] == value
+    # add_null_values is idempotent
+    assert add_null_values(parsed, MODEL) == parsed
+    # JSON-string form parses identically (the REST body path)
+    assert parse_record(json.dumps(parsed), MODEL) == parsed
+
+
+wrong_typed = st.one_of(
+    st.fixed_dictionaries(
+        {"id": st.text(), "name": st.text()}  # string-for-Integer
+    ),
+    st.fixed_dictionaries(
+        {"id": I64, "name": st.integers()}  # int-for-String
+    ),
+    st.fixed_dictionaries(
+        {"id": st.booleans(), "name": st.text()}  # bool-for-Integer
+    ),
+    st.fixed_dictionaries(
+        {"id": I64, "name": st.text(),
+         "actors": st.lists(st.integers(), min_size=1)}  # int[] for String[]
+    ),
+    st.fixed_dictionaries(
+        {"id": I64, "name": st.text(),
+         "actors": st.lists(st.none(), min_size=1)}  # null element
+    ),
+    st.fixed_dictionaries(
+        {"id": I64, "name": st.text(), "zzz": st.integers()}  # unknown attr
+    ),
+)
+
+
+@given(wrong_typed)
+@settings(max_examples=200)
+def test_invalid_records_always_rejected(record):
+    with pytest.raises(RecordValidationError):
+        parse_record(record, MODEL)
+
+
+@given(I64)
+@settings(max_examples=200)
+def test_uri_id_roundtrip_integer(value):
+    assert parse_uri_id(str(value), MODEL) == value
+
+
+@given(st.floats(allow_nan=False) | st.text(st.characters(codec="ascii")))
+@settings(max_examples=200)
+def test_uri_id_non_integers_rejected(value):
+    text = str(value)
+    try:
+        as_int = json.loads(text)
+        is_int = isinstance(as_int, int) and not isinstance(as_int, bool)
+    except (ValueError, TypeError):
+        is_int = False
+    if is_int:
+        assert parse_uri_id(text, MODEL) == as_int
+    else:
+        with pytest.raises(RecordValidationError):
+            parse_uri_id(text, MODEL)
+
+
+@given(
+    st.integers(min_value=1800, max_value=2200),
+    st.integers(min_value=1900, max_value=2100),
+    st.integers(min_value=1900, max_value=2100),
+)
+@settings(max_examples=200)
+def test_constraint_min_max_boundary(year, lo, hi):
+    if lo > hi:
+        lo, hi = hi, lo
+    model = ModelDefinition.from_json(
+        {
+            "model_name": "movie",
+            "attributes": {"id": "Integer", "year": "Integer"},
+            "primary_key": "id",
+            "required": ["id"],
+            "constraints": {"year": {"min": lo, "max": hi}},
+        }
+    )
+    record = {"id": 1, "year": year}
+    if lo <= year <= hi:
+        assert parse_record(record, model)["year"] == year
+    else:
+        with pytest.raises(RecordValidationError):
+            parse_record(record, model)
