@@ -29,7 +29,7 @@ from __future__ import annotations
 from typing import Any
 
 from gus_spark.errors import GusError
-from gus_spark.inflect import camelize
+from gus_spark.inflect import camelize, plural_camel
 from gus_spark.model.registry import ModelRegistry
 from gus_spark.model.types import AttrType, ModelDefinition
 from gus_spark.storage.parquet_store import ParquetStore
@@ -87,6 +87,20 @@ def generate_sdl(registry: ModelRegistry) -> str:
         ]
         args_patch = ", ".join([f"{pk}: {pk_t}"] + patch_fields)
         queries.append(f"readOne{tname}({pk}: {pk_t}): {tname}")
+        # readMany — the reference declares this plural field in its
+        # dispatch (graphql.rs:336-343) but never emits it in the schema
+        # and panics if reached (graphql.rs:382 `todo!()`); the engine
+        # completes it: paginated scan with an optional per-attribute
+        # equality filter.
+        filter_args = ", ".join(
+            f"{n}: {_gql_type(model.attributes[n], False).rstrip('!')}"
+            for n in model.field_order
+            if not model.attributes[n].is_array
+        )
+        queries.append(
+            f"{plural_camel(model.model_name)}"
+            f"(limit: Int, offset: Int, {filter_args}): [{tname}!]"
+        )
         mutations.append(f"addOne{tname}({args_all}): {tname}")
         mutations.append(f"updateOne{tname}({args_patch}): {tname}")
         mutations.append(f"deleteOne{tname}({pk}: {pk_t}): {tname}")
@@ -117,6 +131,9 @@ class GraphQLApi:
             tname = _type_name(model)
             if query_type and f"readOne{tname}" in query_type.fields:
                 query_type.fields[f"readOne{tname}"].resolve = self._read_one(model)
+            plural = plural_camel(model.model_name)
+            if query_type and plural in query_type.fields:
+                query_type.fields[plural].resolve = self._read_many(model)
             if mutation_type:
                 mutation_type.fields[f"addOne{tname}"].resolve = self._add_one(model)
                 mutation_type.fields[f"updateOne{tname}"].resolve = (
@@ -131,6 +148,33 @@ class GraphQLApi:
             return self._wrap(
                 lambda: self.store.read_one(model, _pk_str(model, args))
             )
+
+        return resolve
+
+    def _read_many(self, model: ModelDefinition):
+        """The completed scan path: equality filters push into the
+        parquet scan; pk-ordered pagination keeps pages deterministic."""
+
+        def resolve(_obj, _info, **args):
+            from pyspark.sql import functions as F
+
+            from gus_spark.model.record import add_null_values
+
+            limit = args.pop("limit", 100) or 100
+            offset = args.pop("offset", 0) or 0
+
+            def run():
+                df = self.store.read_df(model)
+                for attr, value in args.items():
+                    df = df.filter(F.col(attr) == F.lit(value))
+                rows = (
+                    df.orderBy(model.primary_key)
+                    .limit(limit + offset)
+                    .collect()[offset:]
+                )
+                return [add_null_values(r.asDict(), model) for r in rows]
+
+            return self._wrap(run)
 
         return resolve
 

@@ -352,3 +352,36 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_matches("[0-9]+").alias("n_numbers"),
         n_matches("[^A-Za-z0-9 ]").alias("n_symbols"),
     )
+
+
+@register(
+    "date_arithmetic_shipping",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           date_diff('day', o.o_orderdate, l.l_shipdate) AS days_to_ship,
+           CAST(o.o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS ship_deadline,
+           CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                THEN 1 ELSE 0 END AS is_late
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_orderkey <= 300
+    """,
+)
+def date_arithmetic_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic: shipping lag in days, deadline =
+    orderdate + 90 days, lateness flag."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
+    o = table(spark, sf_dir, "orders")
+    deadline = F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("days_to_ship"),
+            deadline.alias("ship_deadline"),
+            F.when(F.col("l_shipdate") > deadline, 1).otherwise(0)
+            .alias("is_late"),
+        )
+    )

@@ -214,3 +214,21 @@ def test_http_server_roundtrip(api):
             assert json.loads(resp.read())["data"]["readOneMovie"]["id"] == "get"
     finally:
         server.shutdown()
+
+
+def test_graphql_read_many(api):
+    """The completed readMany (the reference's graphql.rs:382 todo!())."""
+    q = '{ movies(limit: 2) { id } }'
+    status, payload = api.handle("POST", "/api/graphql", json.dumps({"query": q}))
+    assert status == 200, payload
+    rows = payload["data"]["movies"]
+    assert len(rows) == 2
+    assert rows == sorted(rows, key=lambda r: r["id"])  # pk-ordered pages
+    # offset pagination
+    q2 = '{ movies(limit: 1, offset: 1) { id } }'
+    _, p2 = api.handle("POST", "/api/graphql", json.dumps({"query": q2}))
+    assert p2["data"]["movies"][0]["id"] == rows[1]["id"]
+    # equality filter on an attribute
+    q3 = '{ movies(id: "get") { id year } }'
+    _, p3 = api.handle("POST", "/api/graphql", json.dumps({"query": q3}))
+    assert [r["id"] for r in p3["data"]["movies"]] == ["get"]
