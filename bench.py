@@ -48,9 +48,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = specs[name].fn
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
-        t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: absorbs codegen/JIT + host noise
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

@@ -385,3 +385,63 @@ def date_arithmetic_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_late"),
         )
     )
+
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_totalprice' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(o_totalprice) AS n_non_null,
+           COUNT(DISTINCT o_totalprice) AS n_distinct,
+           CAST(MIN(o_totalprice) AS VARCHAR) AS min_val,
+           CAST(MAX(o_totalprice) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling: per-column row/null/distinct counts and
+    min/max — the triage pass a pipeline runs before training ingest.
+    One scan per profiled column here; an production profiler fuses
+    them into a single pass with grouping sets."""
+    o = table(spark, sf_dir, "orders")
+
+    def profile(col, numeric):
+        cast = (lambda c: c.cast("string")) if numeric else (lambda c: c)
+        return o.agg(
+            F.lit(col).alias("column_name"),
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_non_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            cast(F.min(col)).alias("min_val"),
+            cast(F.max(col)).alias("max_val"),
+        )
+
+    return (
+        profile("o_totalprice", True)
+        .unionByName(profile("o_orderstatus", False))
+        .unionByName(profile("o_custkey", True))
+    )
+
+
+@register("stratified_sample_orders")  # Spark-only: sampling RNGs differ
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by order status (seeded, reproducible within
+    Spark): the class-balancing primitive for training-set construction.
+    No oracle — sampling RNG streams are engine-specific; tests bound
+    the per-stratum rates instead."""
+    o = table(spark, sf_dir, "orders")
+    fractions = {"F": 0.1, "O": 0.1, "P": 1.0}
+    return o.sampleBy("o_orderstatus", fractions, seed=42).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )

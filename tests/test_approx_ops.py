@@ -80,3 +80,22 @@ def test_ann_lsh_recall_vs_brute_force(spark):
         # (same bucket) for most pairs
         hits = sum(1 for p in near if p in got)
         assert hits / len(near) >= 0.5, f"ANN near-dup hit rate {hits/len(near)}"
+
+
+def test_stratified_sample_rates(spark):
+    """Per-stratum sample rates should track the requested fractions."""
+    from pyspark.sql import functions as F
+
+    base = table(spark, SF_DIR_ORACLE, "orders")
+    sample = catalog()["stratified_sample_orders"].fn(spark, SF_DIR_ORACLE)
+    totals = {r.o_orderstatus: r.n for r in
+              base.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    got = {r.o_orderstatus: r.n for r in
+           sample.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    assert got.get("P", 0) == totals["P"]  # fraction 1.0 keeps every row
+    for status, frac in [("F", 0.1), ("O", 0.1)]:
+        rate = got.get(status, 0) / totals[status]
+        assert abs(rate - frac) < 0.05, (status, rate)
+    # reproducible with the same seed
+    again = catalog()["stratified_sample_orders"].fn(spark, SF_DIR_ORACLE)
+    assert again.count() == sample.count()
