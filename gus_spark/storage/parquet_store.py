@@ -273,6 +273,58 @@ class ParquetStore:
         self._commit(model, manifest)
         self._gc(model)
 
+    def upsert_many(
+        self, model: ModelDefinition, bodies: Iterable[str | dict]
+    ) -> list[dict]:
+        """Batch MERGE (full-record upsert): new keys insert, existing
+        keys are replaced — one atomic snapshot commit."""
+        records = [parse_record(b, model) for b in bodies]
+        return self.apply_changes(model, upserts=records)
+
+    def apply_changes(
+        self,
+        model: ModelDefinition,
+        upserts: list[dict] | None = None,
+        deletes: list[Any] | None = None,
+    ) -> list[dict]:
+        """CDC apply: upserts + deletes in ONE commit (the Delta
+        ``MERGE WHEN MATCHED/NOT MATCHED`` shape).
+
+        Only data files whose pk [min,max] range overlaps an affected
+        key are rewritten; all others carry into the new manifest by
+        reference — at scale a batch touching one key range rewrites
+        one file out of millions. ``upserts`` must be pre-validated
+        records (``parse_record`` output).
+        """
+        upserts = list(upserts or [])
+        deletes = list(deletes or [])
+        pk = model.primary_key
+        keys = [r[pk] for r in upserts] + deletes
+        if len(set(keys)) != len(keys):
+            raise DuplicateKeyError("conflicting keys within change batch")
+        manifest = self._current_manifest(model)
+        touched = [
+            f for f in manifest["files"] if any(_contains(f, k) for k in keys)
+        ]
+        keep = [f for f in manifest["files"] if f not in touched]
+        new_files = list(keep)
+        survivors = None
+        if touched:
+            df = self.spark.read.schema(model.to_struct_type()).parquet(
+                *[f["path"] for f in touched]
+            )
+            survivors = df.filter(~F.col(pk).isin(keys))
+        if upserts:
+            fresh = self._records_to_df(upserts, model)
+            survivors = (
+                fresh if survivors is None else survivors.unionByName(fresh)
+            )
+        if survivors is not None and survivors.limit(1).collect():
+            new_files += self._write_data_file(survivors, model)
+        manifest["files"] = new_files
+        self._commit(model, manifest)
+        return upserts
+
     # ------------------------------------------------------------ maintenance
     def compact(self, model: ModelDefinition, target_files: int = 1) -> None:
         """Fold delta files into ``target_files`` evenly-sized files."""

@@ -207,3 +207,47 @@ def test_get_handler_dispatch(spark, tmp_path):
     )
     with pytest.raises(StorageError):
         get_handler(spark, bad)
+
+
+def test_upsert_many_insert_and_replace(store, movie_model):
+    store.create_many(
+        movie_model, [dict(RECORD, id=i, name=f"m{i}") for i in (1, 2, 3)]
+    )
+    store.upsert_many(
+        movie_model,
+        [dict(RECORD, id=2, name="replaced"), dict(RECORD, id=9, name="new")],
+    )
+    assert store.count(movie_model) == 4
+    assert store.read_one(movie_model, "2")["name"] == "replaced"
+    assert store.read_one(movie_model, "9")["name"] == "new"
+    assert store.read_one(movie_model, "1")["name"] == "m1"
+
+
+def test_apply_changes_single_commit(store, movie_model):
+    store.create_many(
+        movie_model, [dict(RECORD, id=i, name=f"m{i}") for i in (1, 2, 3)]
+    )
+    before = store.history(movie_model)[-1][0]
+    store.apply_changes(
+        movie_model,
+        upserts=[
+            {k: v for k, v in dict(RECORD, id=4, name="ins").items()}
+        ],
+        deletes=[1],
+    )
+    history = store.history(movie_model)
+    assert history[-1][0] == before + 1  # exactly one new snapshot
+    assert store.count(movie_model) == 3
+    with pytest.raises(NotFoundError):
+        store.read_one(movie_model, "1")
+    assert store.read_one(movie_model, "4")["name"] == "ins"
+    # time travel still shows the pre-merge state
+    assert store.read_df(movie_model, at=before).count() == 3
+
+
+def test_apply_changes_conflicting_keys(store, movie_model):
+    store.create_one(movie_model, RECORD)
+    with pytest.raises(DuplicateKeyError):
+        store.apply_changes(
+            movie_model, upserts=[dict(RECORD, id=5)], deletes=[5]
+        )
