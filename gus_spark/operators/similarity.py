@@ -103,3 +103,84 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = "label",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors.
+
+    Coarse quantizer: per-``label_col`` centroids (deterministic — no
+    iterative k-means state; a production build would Lloyd-iterate the
+    same DataFrame shape). Every vector is assigned to its ``nprobe``
+    nearest cells; candidates are vector pairs sharing a cell; exact
+    cosine ranks them. Scale shape: centroids are a broadcast of
+    O(cells × dim); the only row-scaled shuffle is the cell-key
+    self-join — cost O(n²/cells) instead of O(n²), tunable by cell
+    count, recall by ``nprobe``.
+    """
+    v = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
+        F.col(label_col).alias("cell_seed"),
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0),
+            lambda acc, x_: acc + x_,
+        )
+
+    # coarse quantizer: centroid per seed cell (mean per dimension)
+    centroids = (
+        v.select("cell_seed", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cell_seed", "dim")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("cell_seed")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("pairs"))
+        .select(
+            F.col("cell_seed").alias("cell"),
+            F.transform("pairs", lambda p: p["c"]).alias("cv"),
+        )
+    )
+    # assign each vector to its nprobe nearest centroids (cosine)
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        "id", "v", "cell",
+        (
+            dot(F.col("v"), F.col("cv"))
+            / (F.sqrt(dot(F.col("v"), F.col("v")))
+               * F.sqrt(dot(F.col("cv"), F.col("cv"))))
+        ).alias("cell_sim"),
+    )
+    w_assign = Window.partitionBy("id").orderBy(F.desc("cell_sim"), "cell")
+    assigned = (
+        scored.withColumn("probe_rank", F.row_number().over(w_assign))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("id", "v", "cell")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(dot(F.col("a.v"), F.col("a.v")))
+        * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    )
+    pairs = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("b.id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .distinct()  # a pair can share several probed cells
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim",
+                F.col("rank").cast("long").alias("rank"))
+    )

@@ -151,3 +151,14 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(e, id_col="vec_id", vec_col="embedding", k=10)
+
+
+@register("similarity_ann_ivf")  # Spark-only
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbors (label-seeded coarse
+    quantizer, nprobe=2). Rows-only check; recall vs brute force
+    asserted in tests."""
+    from gus_spark.operators.similarity import ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, id_col="vec_id", vec_col="embedding", k=10)

@@ -99,3 +99,19 @@ def test_stratified_sample_rates(spark):
     # reproducible with the same seed
     again = catalog()["stratified_sample_orders"].fn(spark, SF_DIR_ORACLE)
     assert again.count() == sample.count()
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from gus_spark.operators.similarity import ivf_topk
+
+    e = table(spark, SF_DIR_ORACLE, "embeddings")
+    ivf = ivf_topk(e, k=5, nprobe=2)
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    assert got, "IVF produced no neighbors"
+    brute = catalog()["similarity_neardup_pairs"].fn(spark, SF_DIR_ORACLE)
+    near = {(r.vec_a, r.vec_b) for r in brute.collect()}
+    near |= {(b, a) for a, b in near}
+    if near:
+        hits = sum(1 for p in near if p in got)
+        recall = hits / len(near)
+        assert recall >= 0.8, f"IVF near-dup recall {recall}"
