@@ -92,14 +92,23 @@ def generate_sdl(registry: ModelRegistry) -> str:
         # and panics if reached (graphql.rs:382 `todo!()`); the engine
         # completes it: paginated scan with an optional per-attribute
         # equality filter.
-        filter_args = ", ".join(
-            f"{n}: {_gql_type(model.attributes[n], False).rstrip('!')}"
-            for n in model.field_order
-            if not model.attributes[n].is_array
-        )
+        filter_args = []
+        for n in model.field_order:
+            attr = model.attributes[n]
+            if attr.is_array:
+                continue
+            base = _gql_type(attr, False).rstrip("!")
+            filter_args.append(f"{n}: {base}")  # equality
+            if attr.primitive in ("Integer", "Float"):
+                filter_args += [
+                    f"{n}_gt: {base}", f"{n}_gte: {base}",
+                    f"{n}_lt: {base}", f"{n}_lte: {base}",
+                ]
+            elif attr.primitive == "String":
+                filter_args.append(f"{n}_like: String")  # SQL LIKE pattern
         queries.append(
             f"{plural_camel(model.model_name)}"
-            f"(limit: Int, offset: Int, {filter_args}): [{tname}!]"
+            f"(limit: Int, offset: Int, {', '.join(filter_args)}): [{tname}!]"
         )
         mutations.append(f"addOne{tname}({args_all}): {tname}")
         mutations.append(f"updateOne{tname}({args_patch}): {tname}")
@@ -163,10 +172,24 @@ class GraphQLApi:
             limit = args.pop("limit", 100) or 100
             offset = args.pop("offset", 0) or 0
 
+            ops = {
+                "gt": lambda c, v: c > v,
+                "gte": lambda c, v: c >= v,
+                "lt": lambda c, v: c < v,
+                "lte": lambda c, v: c <= v,
+                "like": lambda c, v: c.like(v),
+            }
+
             def run():
                 df = self.store.read_df(model)
                 for attr, value in args.items():
-                    df = df.filter(F.col(attr) == F.lit(value))
+                    name, _, suffix = attr.rpartition("_")
+                    if suffix in ops and name in model.attributes:
+                        # raw python value: Column.like requires a plain
+                        # string; comparisons lift literals themselves
+                        df = df.filter(ops[suffix](F.col(name), value))
+                    else:
+                        df = df.filter(F.col(attr) == F.lit(value))
                 rows = (
                     df.orderBy(model.primary_key)
                     .limit(limit + offset)

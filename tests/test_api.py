@@ -232,3 +232,24 @@ def test_graphql_read_many(api):
     q3 = '{ movies(id: "get") { id year } }'
     _, p3 = api.handle("POST", "/api/graphql", json.dumps({"query": q3}))
     assert [r["id"] for r in p3["data"]["movies"]] == ["get"]
+
+
+def test_graphql_read_many_operators(api):
+    """Range and LIKE operators in the readMany where-grammar."""
+    # seed rows with years exist from prior tests; add two known ones
+    api.handle("POST", "/api/rest/movie",
+               json.dumps({"id": "y1", "year": 1950}))
+    api.handle("POST", "/api/rest/movie",
+               json.dumps({"id": "y2", "year": 2020}))
+    q = '{ movies(year_gte: 2000, limit: 50) { id year } }'
+    _, p = api.handle("POST", "/api/graphql", json.dumps({"query": q}))
+    rows = p["data"]["movies"]
+    assert all(r["year"] >= 2000 for r in rows)
+    assert "y2" in {r["id"] for r in rows} and "y1" not in {r["id"] for r in rows}
+    q2 = '{ movies(id_like: "y%", limit: 50) { id } }'
+    _, p2 = api.handle("POST", "/api/graphql", json.dumps({"query": q2}))
+    assert {r["id"] for r in p2["data"]["movies"]} == {"y1", "y2"}
+    # unknown arg is a validation error, not a silent scan
+    q3 = '{ movies(bogus: 1) { id } }'
+    status, p3 = api.handle("POST", "/api/graphql", json.dumps({"query": q3}))
+    assert status == 400 and p3["errors"]
