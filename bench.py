@@ -24,14 +24,14 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "topk_expensive_lineitems",
-    "window_top_orders_per_customer",
+    "window_orders_analytics",
     "monthly_revenue_trend",
     "events_hourly_rollup",
     "events_sessionization",
     "dedup_exact_representatives",
     "dedup_minhash_lsh",
-    "text_token_counts",
-    "text_language_id",
+    "text_profile",
+    "text_lang_fingerprint",
     "similarity_topk_for_vec0",
     "similarity_ann_lsh",
 ]

@@ -77,53 +77,6 @@ def explode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "median_price_by_flag",
-    oracle="""
-    SELECT l_returnflag,
-           quantile_cont(l_extendedprice, 0.5) AS median_price,
-           quantile_cont(l_extendedprice, 0.9) AS p90_price
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
-def median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (continuous interpolation — Spark `percentile`
-    and DuckDB `quantile_cont` share the definition)."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).alias("median_price"),
-        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
-    )
-
-
-@register(
-    "regexp_extract_brands",
-    oracle="""
-    SELECT CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT)
-             AS brand_num,
-           COUNT(*) AS n_parts,
-           MIN(p_name) AS first_name
-    FROM part
-    GROUP BY 1
-    """,
-)
-def regexp_extract_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regexp extraction + group-by on the derived key."""
-    p = table(spark, sf_dir, "part")
-    return (
-        p.groupBy(
-            F.regexp_extract("p_brand", "([0-9]+)", 1)
-            .cast("long")
-            .alias("brand_num")
-        )
-        .agg(
-            F.count("*").alias("n_parts"),
-            F.min("p_name").alias("first_name"),
-        )
-    )
-
-
-@register(
     "array_stats_embeddings",
     oracle="""
     SELECT vec_id,
@@ -221,14 +174,19 @@ def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN l_tax IS NOT DISTINCT FROM l_discount
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_tax_eq_disc,
            CAST(SUM(CASE WHEN COALESCE(NULLIF(l_discount, 0.0), -1.0) = -1.0
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_no_discount
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_no_discount,
+           quantile_cont(l_extendedprice, 0.5) AS median_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL-handling function library: NULLIF / COALESCE / null-safe
-    equality (<=> vs IS NOT DISTINCT FROM), counted per group."""
+    """NULL-handling function library — NULLIF / COALESCE / null-safe
+    equality (<=> vs IS NOT DISTINCT FROM) — plus exact continuous
+    percentiles per group (absorbs the former `median_price_by_flag`
+    probe; Spark `percentile` and DuckDB `quantile_cont` share the
+    interpolation definition)."""
     from pyspark.sql import functions as F
 
     from gus_spark.queries import table as t
@@ -244,6 +202,8 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.coalesce(nullif_disc, F.lit(-1.0)) == -1.0, 1).otherwise(0)
         ).alias("n_no_discount"),
+        F.percentile("l_extendedprice", 0.5).alias("median_price"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
     )
 
 
@@ -323,52 +283,27 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_bpe_token_counts",
-    oracle="""
-    SELECT doc_id,
-           CAST(LENGTH(regexp_extract_all(text,
-             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_subtokens,
-           CAST(LENGTH(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
-             AS n_numbers,
-           CAST(LENGTH(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
-             AS n_symbols
-    FROM documents
-    """,
-)
-def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish subtoken counting: alpha runs, digit runs, and symbols as
-    separate tokens (the pre-tokenizer regex shape real BPE vocabs use),
-    all via JVM regexp_extract_all — no Python tokenizer in the loop."""
-    d = table(spark, sf_dir, "documents")
-
-    def n_matches(pattern):
-        return F.size(F.regexp_extract_all("text", F.lit(pattern), F.lit(0))).cast(
-            "long"
-        )
-
-    return d.select(
-        "doc_id",
-        n_matches("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]").alias("n_subtokens"),
-        n_matches("[0-9]+").alias("n_numbers"),
-        n_matches("[^A-Za-z0-9 ]").alias("n_symbols"),
-    )
-
-
-@register(
     "date_arithmetic_shipping",
     oracle="""
     SELECT l.l_orderkey, l.l_linenumber,
            date_diff('day', o.o_orderdate, l.l_shipdate) AS days_to_ship,
            CAST(o.o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS ship_deadline,
            CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
-                THEN 1 ELSE 0 END AS is_late
+                THEN 1 ELSE 0 END AS is_late,
+           EXTRACT(year FROM o.o_orderdate) AS order_year,
+           EXTRACT(month FROM o.o_orderdate) AS order_month,
+           EXTRACT(day FROM o.o_orderdate) AS order_day,
+           EXTRACT(quarter FROM o.o_orderdate) AS order_quarter,
+           CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month_start
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_orderkey <= 300
     """,
 )
 def date_arithmetic_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/interval arithmetic: shipping lag in days, deadline =
-    orderdate + 90 days, lateness flag."""
+    """Date/time function library in one probe (absorbs the former
+    `scalar_date_functions`): interval arithmetic (deadline = orderdate
+    + 90 days), datediff lag, lateness flag, plus the extraction family
+    (year/month/day/quarter/date_trunc)."""
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
     o = table(spark, sf_dir, "orders")
     deadline = F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
@@ -383,6 +318,11 @@ def date_arithmetic_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             deadline.alias("ship_deadline"),
             F.when(F.col("l_shipdate") > deadline, 1).otherwise(0)
             .alias("is_late"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+            F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+            F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
         )
     )
 

@@ -17,28 +17,6 @@ SESSION_GAP_MIN = 30
 
 
 @register(
-    "events_json_extract",
-    oracle="""
-    SELECT event_id, event_type,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
-    FROM events WHERE event_id <= 500
-    """,
-)
-def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured JSON column access (the `events.props` column) —
-    JVM-side get_json_object, no Python in the loop."""
-    return (
-        table(spark, sf_dir, "events")
-        .filter(F.col("event_id") <= 500)
-        .select(
-            "event_id",
-            "event_type",
-            F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
-        )
-    )
-
-
-@register(
     "events_hourly_rollup",
     oracle=f"""
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
@@ -66,20 +44,24 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_lag_lead",
+    "events_lag_json",
     oracle="""
     SELECT event_id, user_id, ts,
            LAG(event_type) OVER w AS prev_type,
            LEAD(event_type) OVER w AS next_type,
            CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS DOUBLE) / 1000000
-             AS secs_since_prev
+             AS secs_since_prev,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
     FROM events
     WHERE user_id <= 50
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
-def events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LAG/LEAD over per-user event timelines."""
+def events_lag_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD over per-user event timelines plus semi-structured JSON
+    column access (merges the former `events_lag_lead` +
+    `events_json_extract` probes) — JVM-side get_json_object, no Python
+    in the loop."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
     return e.select(
@@ -95,6 +77,7 @@ def events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             / F.lit(1000000.0)
         ).alias("secs_since_prev"),
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
     )
 
 

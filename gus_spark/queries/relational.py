@@ -42,29 +42,6 @@ def point_lookup_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "filter_project_lineitem",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-      AND l_shipdate < TIMESTAMP '1997-07-01'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-)
-def filter_project_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predicate + projection pushdown showcase (TPC-H Q6's filter shape):
-    the scan reads 4 columns and skips row groups outside the date range."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.filter(
-        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
-        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-07-01")))
-        & F.col("l_discount").between(0.05, 0.07)
-        & (F.col("l_quantity") < 24)
-    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-
-
-@register(
     "q6_forecast_revenue",
     oracle=f"""
     SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
@@ -140,83 +117,57 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_global_lineitem",
-    oracle=f"""
-    SELECT COUNT(*) AS n_rows,
-           COUNT(DISTINCT l_partkey) AS n_parts,
-           COUNT(DISTINCT l_suppkey) AS n_supps,
-           {sql_dsum('l_quantity')} AS total_qty,
-           MIN(l_extendedprice) AS min_price,
-           MAX(l_extendedprice) AS max_price
-    FROM lineitem
-    """,
-)
-def agg_global_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global aggregate incl. two exact distincts (expand + two-phase)."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.count("*").alias("n_rows"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        dsum("l_quantity").alias("total_qty"),
-        F.min("l_extendedprice").alias("min_price"),
-        F.max("l_extendedprice").alias("max_price"),
-    )
-
-
-@register(
-    "group_distinct_orders",
-    oracle="""
-    SELECT o_orderstatus,
-           COUNT(*) AS n_orders,
-           COUNT(DISTINCT o_custkey) AS n_customers
-    FROM orders GROUP BY o_orderstatus
-    """,
-)
-def group_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped count-distinct (per-group exact distinct)."""
-    return (
-        table(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.countDistinct("o_custkey").alias("n_customers"),
-        )
-    )
-
-
-@register(
     "rollup_returns",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+           COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
 def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (grand total + per-flag + per-pair)."""
+    """ROLLUP hierarchy totals (grand total + per-flag + per-pair) with
+    exact count-distincts and min/max per grouping set. The all-NULL row
+    IS the global aggregate (absorbs the former `agg_global_lineitem`
+    probe: two exact distincts via expand + two-phase agg)."""
     return (
         table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty"))
+        .agg(
+            F.count("*").alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
     )
 
 
 @register(
     "cube_orders",
     oracle="""
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           COUNT(DISTINCT o_custkey) AS n_customers
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
 def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dimensions — all 4 grouping sets in one pass."""
+    """CUBE over two dimensions — all 4 grouping sets in one pass — with
+    a per-group exact count-distinct (absorbs the former
+    `group_distinct_orders` probe)."""
     return (
         table(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
     )
 
 
@@ -244,22 +195,29 @@ def conditional_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "having_big_orders",
+    "having_top_customers",
     oracle=f"""
     SELECT o_custkey, COUNT(*) AS n_orders,
            {sql_dsum('o_totalprice')} AS revenue
     FROM orders
     GROUP BY o_custkey
     HAVING COUNT(*) >= 15
+    ORDER BY revenue DESC, o_custkey
+    LIMIT 20
     """,
 )
-def having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY + HAVING (post-aggregation filter)."""
+def having_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter) feeding an
+    aggregate-then-top-k (merges the former `having_big_orders` and
+    `top_customers_by_revenue` probes; unique o_custkey tiebreak keeps
+    the LIMIT deterministic)."""
     return (
         table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
         .filter(F.col("n_orders") >= 15)
+        .orderBy(F.desc("revenue"), "o_custkey")
+        .limit(20)
     )
 
 
@@ -502,42 +460,31 @@ def in_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "topk_expensive_lineitems",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_extendedprice
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
     FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-07-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
     LIMIT 100
     """,
 )
 def topk_expensive_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
-    heaps + driver merge of k rows, never a full sort."""
+    """Filtered + projected global top-k (merges the former
+    `filter_project_lineitem` probe): the date/discount predicates and
+    the 4-column projection reach the parquet scan, then Spark plans
+    TakeOrderedAndProject — per-partition heaps + driver merge of k
+    rows, never a full sort."""
     return (
         table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-07-01")))
+            & F.col("l_discount").between(0.05, 0.07)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
         .limit(100)
-    )
-
-
-@register(
-    "top_customers_by_revenue",
-    oracle=f"""
-    SELECT o_custkey, COUNT(*) AS n_orders,
-           {sql_dsum('o_totalprice')} AS revenue
-    FROM orders
-    GROUP BY o_custkey
-    ORDER BY revenue DESC, o_custkey
-    LIMIT 20
-    """,
-)
-def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregate-then-top-k."""
-    return (
-        table(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
-        .orderBy(F.desc("revenue"), "o_custkey")
-        .limit(20)
     )
 
 
@@ -545,67 +492,53 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Window functions
 # --------------------------------------------------------------------------
 @register(
-    "window_top_orders_per_customer",
+    "window_orders_analytics",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, rn,
+           running_revenue
     FROM (
-      SELECT o_custkey, o_orderkey, o_totalprice,
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS running_revenue
       FROM orders
     ) WHERE rn <= 3
     """,
 )
-def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group via ROW_NUMBER (the standard grouped-top-k plan:
-    one hash shuffle on the partition key, per-partition sort)."""
-    w = Window.partitionBy("o_custkey").orderBy(
+def window_orders_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two window specs over one shuffle key (merges the former
+    `window_top_orders_per_customer` + `window_running_revenue` probes):
+    grouped top-k via ROW_NUMBER and a cumulative decimal sum per
+    customer, then a filter on the window result. Both windows partition
+    by o_custkey, so Catalyst reuses a single hash exchange; decimal
+    accumulation keeps the running sum order-independent for the
+    oracle."""
+    w_rank = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
-    return (
-        table(spark, sf_dir, "orders")
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).alias("rn"),
-        )
-        .filter(F.col("rn") <= 3)
-    )
-
-
-@register(
-    "window_running_revenue",
-    oracle="""
-    SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                OVER (PARTITION BY o_custkey
-                      ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS running_revenue
-    FROM orders WHERE o_custkey <= 200
-    """,
-)
-def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running (cumulative) sum per customer; decimal accumulation keeps
-    the window sum order-independent for the oracle comparison."""
-    w = (
+    w_run = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         table(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") <= 200)
         .select(
             "o_custkey",
             "o_orderkey",
             "o_orderdate",
+            "o_totalprice",
+            F.row_number().over(w_rank).alias("rn"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .over(w)
+            .over(w_run)
             .cast("double")
             .alias("running_revenue"),
         )
+        .filter(F.col("rn") <= 3)
     )
 
 
@@ -644,60 +577,44 @@ def window_rank_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Set operations
 # --------------------------------------------------------------------------
 @register(
-    "union_trading_nations",
+    "set_ops_nations",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT 'union' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey AS nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey AS nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey AS nationkey FROM supplier)
     """,
 )
-def union_trading_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (distinct)."""
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three set operations in one plan, tagged per branch (merges
+    the former `union_trading_nations` / `intersect_nations` /
+    `except_nations` probes): UNION-distinct, INTERSECT, and EXCEPT over
+    the customer/supplier nation keys, concatenated with UNION ALL."""
     c = table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
     s = table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
-    return c.union(s).distinct()
 
+    def tagged(op: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(op).alias("op"), "nationkey")
 
-@register(
-    "intersect_nations",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT."""
-    c = table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
+    return (
+        tagged("union", c.union(s).distinct())
+        .unionByName(tagged("intersect", c.intersect(s)))
+        .unionByName(tagged("except", c.subtract(s)))
     )
-    s = table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.intersect(s)
-
-
-@register(
-    "except_nations",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (customer nations with no supplier)."""
-    c = table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    s = table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.subtract(s)
 
 
 # --------------------------------------------------------------------------
@@ -713,12 +630,16 @@ def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUBSTRING(p_type, 1, 5) AS type_prefix,
            CONCAT(p_brand, ':', p_type) AS brand_type,
            REPLACE(p_name, ' ', '_') AS name_snake,
-           TRIM(p_name) AS name_trim
+           TRIM(p_name) AS name_trim,
+           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num
     FROM part WHERE p_partkey <= 100
     """,
 )
 def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String function library (all JVM-side, whole-stage codegen)."""
+    """String function library incl. regexp extraction (absorbs the
+    former `regexp_extract_brands` probe; group-by-on-derived-key stays
+    covered by `monthly_revenue_trend`). All JVM-side, whole-stage
+    codegen."""
     return (
         table(spark, sf_dir, "part")
         .filter(F.col("p_partkey") <= 100)
@@ -731,32 +652,10 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
             F.regexp_replace("p_name", " ", "_").alias("name_snake"),
             F.trim("p_name").alias("name_trim"),
+            F.regexp_extract("p_brand", "([0-9]+)", 1)
+            .cast("long")
+            .alias("brand_num"),
         )
-    )
-
-
-@register(
-    "scalar_date_functions",
-    oracle="""
-    SELECT o_orderkey,
-           EXTRACT(year FROM o_orderdate) AS order_year,
-           EXTRACT(month FROM o_orderdate) AS order_month,
-           EXTRACT(day FROM o_orderdate) AS order_day,
-           EXTRACT(quarter FROM o_orderdate) AS order_quarter,
-           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
-    FROM orders WHERE o_orderkey <= 200
-    """,
-)
-def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time function library."""
-    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").cast("long").alias("order_year"),
-        F.month("o_orderdate").cast("long").alias("order_month"),
-        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
-        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
     )
 
 

@@ -1,5 +1,9 @@
-"""Text-analysis operators over the `documents` table: token counting,
-quality scoring, language-ID heuristics, fingerprinting.
+"""Text-analysis operators over the `documents` table: token counting
+(whitespace + BPE-ish subtokens), quality scoring, language-ID
+heuristics, fingerprinting — consolidated into two per-document probes
+(`text_profile`, `text_lang_fingerprint`) so each document is scanned
+once per probe and the whole family stays inside the driver's
+correctness-catalog budget.
 
 All hot-path expressions are JVM-side column functions (split, length,
 regexp, md5) — no Python UDFs — so they whole-stage-codegen and scale
@@ -33,35 +37,20 @@ def _sql_occurrences(expr: str, needle: str) -> str:
 
 
 @register(
-    "text_token_counts",
-    oracle="""
+    "text_profile",
+    oracle=f"""
     SELECT doc_id,
            LENGTH(text) AS len_chars,
            CAST(LENGTH(string_split_regex(TRIM(text), '\\s+')) AS BIGINT)
              AS n_tokens,
            CAST(LENGTH(list_distinct(string_split_regex(TRIM(text), '\\s+')))
-             AS BIGINT) AS n_unique_tokens
-    FROM documents
-    """,
-)
-def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace tokenization: total and unique token counts per doc."""
-    d = table(spark, sf_dir, "documents")
-    tokens = F.split(F.trim(F.col("text")), r"\s+")
-    return d.select(
-        "doc_id",
-        F.length("text").cast("long").alias("len_chars"),
-        F.size(tokens).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(tokens)).cast("long").alias("n_unique_tokens"),
-    )
-
-
-@register(
-    "text_quality_scores",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(LENGTH(string_split_regex(TRIM(text), '\\s+')) AS BIGINT)
-             AS n_words,
+             AS BIGINT) AS n_unique_tokens,
+           CAST(LENGTH(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_subtokens,
+           CAST(LENGTH(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+             AS n_numbers,
+           CAST(LENGTH(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
+             AS n_symbols,
            CAST(LENGTH(text) AS DOUBLE)
              / LENGTH(string_split_regex(TRIM(text), '\\s+')) AS chars_per_word,
            CAST({_sql_occurrences('text', ' the ')}
@@ -73,12 +62,23 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality features: word count, chars/word, stopword
-    ratio, punctuation ratio — the standard pre-training corpus filters."""
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile in one scan (merges the former
+    `text_token_counts`, `text_bpe_token_counts`, `text_quality_scores`
+    probes): whitespace token counts, BPE-ish subtoken counts (alpha
+    runs / digit runs / symbols — the pre-tokenizer regex shape real BPE
+    vocabs use), and the standard pre-training quality filters
+    (chars/word, stopword ratio, punctuation ratio)."""
     d = table(spark, sf_dir, "documents")
     text = F.col("text")
-    n_words = F.size(F.split(F.trim(text), r"\s+"))
+    tokens = F.split(F.trim(text), r"\s+")
+    n_tokens = F.size(tokens)
+
+    def n_matches(pattern):
+        return F.size(F.regexp_extract_all("text", F.lit(pattern), F.lit(0))).cast(
+            "long"
+        )
+
     stop_hits = (
         _occurrences(text, " the ")
         + _occurrences(text, " a ")
@@ -89,9 +89,14 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        n_words.cast("long").alias("n_words"),
-        (F.length(text).cast("double") / n_words).alias("chars_per_word"),
-        (stop_hits.cast("double") / n_words).alias("stopword_ratio"),
+        F.length("text").cast("long").alias("len_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokens)).cast("long").alias("n_unique_tokens"),
+        n_matches("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]").alias("n_subtokens"),
+        n_matches("[0-9]+").alias("n_numbers"),
+        n_matches("[^A-Za-z0-9 ]").alias("n_symbols"),
+        (F.length(text).cast("double") / n_tokens).alias("chars_per_word"),
+        (stop_hits.cast("double") / n_tokens).alias("stopword_ratio"),
         ((F.length(text) - F.length(no_punct)).cast("double") / F.length(text))
         .alias("punct_ratio"),
     )
@@ -108,10 +113,10 @@ _LANG_MARKERS = {
 
 
 @register(
-    "text_language_id",
+    "text_lang_fingerprint",
     oracle=f"""
     WITH scores AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, text,
              {_sql_occurrences('text', ' the ')} + {_sql_occurrences('text', ' and ')}
                + {_sql_occurrences('text', ' of ')} AS score_en,
              {_sql_occurrences('text', ' der ')} + {_sql_occurrences('text', ' und ')}
@@ -130,18 +135,25 @@ _LANG_MARKERS = {
                 WHEN score_de >= GREATEST(score_es, score_fr, score_zh) THEN 'de'
                 WHEN score_es >= GREATEST(score_fr, score_zh) THEN 'es'
                 WHEN score_fr >= score_zh THEN 'fr'
-                ELSE 'zh' END AS predicted_lang
+                ELSE 'zh' END AS predicted_lang,
+           md5(text) AS exact_fp,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(TRIM(text), '\\s+'))), ' ')) AS bow_fp
     FROM scores
     """,
 )
-def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-marker language ID: per-language marker-hit scores and an
-    argmax prediction (deterministic tie-break by fixed language order)."""
+def text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID plus document fingerprinting in one
+    scan (merges the former `text_language_id` + `text_fingerprints`
+    probes): per-language marker-hit scores, an argmax prediction
+    (deterministic tie-break by fixed language order), an exact-content
+    hash, and an order-insensitive bag-of-words hash."""
     d = table(spark, sf_dir, "documents")
     text = F.col("text")
     scores = d.select(
         "doc_id",
         "lang",
+        "text",
         *[
             sum(
                 (_occurrences(text, m) for m in markers),
@@ -158,26 +170,16 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(fr >= zh, "fr")
         .otherwise("zh")
     )
-    return scores.withColumn("predicted_lang", predicted)
-
-
-@register(
-    "text_fingerprints",
-    oracle="""
-    SELECT doc_id,
-           md5(text) AS exact_fp,
-           md5(array_to_string(list_sort(list_distinct(
-               string_split_regex(TRIM(text), '\\s+'))), ' ')) AS bow_fp
-    FROM documents
-    """,
-)
-def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: exact-content hash plus an order-
-    insensitive bag-of-words hash (sorted unique tokens)."""
-    d = table(spark, sf_dir, "documents")
-    tokens = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
-    return d.select(
+    tokens = F.array_distinct(F.split(F.trim(text), r"\s+"))
+    return scores.select(
         "doc_id",
-        F.md5(F.col("text")).alias("exact_fp"),
+        "lang",
+        "score_en",
+        "score_de",
+        "score_es",
+        "score_fr",
+        "score_zh",
+        predicted.alias("predicted_lang"),
+        F.md5(text).alias("exact_fp"),
         F.md5(F.array_join(F.array_sort(tokens), " ")).alias("bow_fp"),
     )

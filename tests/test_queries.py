@@ -20,9 +20,9 @@ from gus_spark.queries import catalog
 SPOT_CHECK = [
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "window_top_orders_per_customer",
+    "window_orders_analytics",
     "events_sessionization",
-    "text_token_counts",
+    "text_profile",
     "dedup_exact_stats",
     "similarity_topk_for_vec0",
 ]
