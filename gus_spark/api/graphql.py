@@ -100,15 +100,27 @@ def generate_sdl(registry: ModelRegistry) -> str:
             base = _gql_type(attr, False).rstrip("!")
             filter_args.append(f"{n}: {base}")  # equality
             if attr.primitive in ("Integer", "Float"):
-                filter_args += [
-                    f"{n}_gt: {base}", f"{n}_gte: {base}",
-                    f"{n}_lt: {base}", f"{n}_lte: {base}",
-                ]
+                op_names = [f"{n}_gt", f"{n}_gte", f"{n}_lt", f"{n}_lte"]
             elif attr.primitive == "String":
-                filter_args.append(f"{n}_like: String")  # SQL LIKE pattern
+                op_names = [f"{n}_like"]  # SQL LIKE pattern
+            else:
+                op_names = []
+            # a real attribute literally named e.g. `score_gt` owns the
+            # name; emitting the operator arg too would duplicate the
+            # argument and break build_schema for the whole registry
+            filter_args += [
+                f"{op}: {'String' if op.endswith('_like') else base}"
+                for op in op_names
+                if op not in model.attributes
+            ]
+        # keyset pagination: `after` returns rows with pk > after in pk
+        # order — the cursor compiles to a pushed-down range predicate,
+        # unlike `offset` (kept for API compat) which is O(offset+limit)
+        pk_base = _gql_type(model.attributes[pk], False).rstrip("!")
         queries.append(
             f"{plural_camel(model.model_name)}"
-            f"(limit: Int, offset: Int, {', '.join(filter_args)}): [{tname}!]"
+            f"(limit: Int, offset: Int, after: {pk_base}, "
+            f"{', '.join(filter_args)}): [{tname}!]"
         )
         mutations.append(f"addOne{tname}({args_all}): {tname}")
         mutations.append(f"updateOne{tname}({args_patch}): {tname}")
@@ -162,44 +174,81 @@ class GraphQLApi:
 
     def _read_many(self, model: ModelDefinition):
         """The completed scan path: equality filters push into the
-        parquet scan; pk-ordered pagination keeps pages deterministic."""
+        parquet scan; pk-ordered pagination keeps pages deterministic.
+
+        Pagination is keyset-first: ``after`` compiles to a ``pk >
+        $after`` predicate that reaches the scan, so page N costs the
+        same as page 1 at any table size. ``offset`` is kept for API
+        compatibility but is O(offset+limit) by nature — clients paging
+        deep should switch to the cursor."""
 
         def resolve(_obj, _info, **args):
-            from pyspark.sql import functions as F
-
             from gus_spark.model.record import add_null_values
 
-            limit = args.pop("limit", 100) or 100
-            offset = args.pop("offset", 0) or 0
-
-            ops = {
-                "gt": lambda c, v: c > v,
-                "gte": lambda c, v: c >= v,
-                "lt": lambda c, v: c < v,
-                "lte": lambda c, v: c <= v,
-                "like": lambda c, v: c.like(v),
-            }
+            limit = args.pop("limit", None)
+            limit = 100 if limit is None else limit  # explicit 0 is honored
+            offset = args.pop("offset", None) or 0
+            after = args.pop("after", None)
+            if limit < 0 or offset < 0:
+                raise gql.GraphQLError("limit/offset must be >= 0")
 
             def run():
-                df = self.store.read_df(model)
-                for attr, value in args.items():
-                    name, _, suffix = attr.rpartition("_")
-                    if suffix in ops and name in model.attributes:
-                        # raw python value: Column.like requires a plain
-                        # string; comparisons lift literals themselves
-                        df = df.filter(ops[suffix](F.col(name), value))
-                    else:
-                        df = df.filter(F.col(attr) == F.lit(value))
-                rows = (
-                    df.orderBy(model.primary_key)
-                    .limit(limit + offset)
-                    .collect()[offset:]
-                )
+                df = self.read_many_df(model, args, limit, after)
+                if after is not None:
+                    rows = df.collect()  # keyset page: no skip-slice
+                else:
+                    rows = df.limit(limit + offset).collect()[offset:]
                 return [add_null_values(r.asDict(), model) for r in rows]
 
             return self._wrap(run)
 
         return resolve
+
+    def read_many_df(
+        self,
+        model: ModelDefinition,
+        args: dict,
+        limit: int,
+        after: Any | None = None,
+    ):
+        """The readMany scan as a DataFrame (exposed so tests can assert
+        the physical plan): attribute filters and the keyset cursor both
+        compile to pushed-down predicates; the page is pk-ordered.
+
+        When ``after`` is None the caller applies offset slicing itself
+        (legacy path) — the returned frame is unlimited in that case."""
+        from pyspark.sql import functions as F
+
+        ops = {
+            "gt": lambda c, v: c > v,
+            "gte": lambda c, v: c >= v,
+            "lt": lambda c, v: c < v,
+            "lte": lambda c, v: c <= v,
+            "like": lambda c, v: c.like(v),
+        }
+        pk = model.primary_key
+        df = self.store.read_df(model)
+        for attr, value in args.items():
+            name, _, suffix = attr.rpartition("_")
+            if (
+                suffix in ops
+                and name in model.attributes
+                and attr not in model.attributes
+            ):
+                # raw python value: Column.like requires a plain string;
+                # comparisons lift literals themselves. An attribute
+                # literally named `<x>_<op>` keeps equality semantics
+                # (the attr owns the name).
+                df = df.filter(ops[suffix](F.col(name), value))
+            else:
+                df = df.filter(F.col(attr) == F.lit(value))
+        if after is not None:
+            # keyset cursor: pushed range predicate, no skip-scan —
+            # page N costs the same as page 1 at any table size
+            df = df.filter(F.col(pk) > F.lit(after)).orderBy(pk).limit(limit)
+        else:
+            df = df.orderBy(pk)
+        return df
 
     def _add_one(self, model: ModelDefinition):
         def resolve(_obj, _info, **args):

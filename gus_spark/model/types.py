@@ -52,12 +52,15 @@ PRIMITIVES: dict[str, DataType] = {
 }
 
 # types.rs:248-262 — accepted identifier casings: PascalCase, camelCase,
-# snake_case, spinal-case.
+# snake_case, spinal-case. Strictly alphabetic, exactly like the
+# reference's validate_attr_name: a digit-bearing name ('user2') must be
+# rejected here too, or model JSON round-tripped from this engine would
+# fail to load on the reference.
 _NAME_PATTERNS = [
-    re.compile(r"^[A-Z][a-z0-9]*([A-Z][a-z0-9]*)*$"),   # PascalCase
-    re.compile(r"^[a-z][a-z0-9]*([A-Z][a-z0-9]*)*$"),   # camelCase
-    re.compile(r"^[a-z][a-z0-9]*(_[a-z0-9]+)*$"),       # snake_case
-    re.compile(r"^[a-z][a-z0-9]*(-[a-z0-9]+)*$"),       # spinal-case
+    re.compile(r"^[A-Z][a-z]*([A-Z][a-z]*)*$"),   # PascalCase
+    re.compile(r"^[a-z]+([A-Z][a-z]*)*$"),        # camelCase
+    re.compile(r"^[a-z]+(_[a-z]+)*$"),            # snake_case
+    re.compile(r"^[a-z]+(-[a-z]+)*$"),            # spinal-case
 ]
 
 

@@ -10,7 +10,11 @@ like a miniature table format:
 - a table is a directory of immutable parquet data files plus manifest
   JSON files; ``CURRENT`` names the active manifest;
 - readers resolve ``CURRENT`` once and only ever see one consistent
-  snapshot (the reference's race is structurally impossible);
+  snapshot (the reference's reader race is structurally impossible);
+- writers serialize through an exclusive per-table file lock
+  (``fcntl.flock``) held across read-manifest → write-data → swap, so
+  two concurrent mutations cannot lose an update (on non-POSIX
+  platforms the store degrades to documented single-writer);
 - ``create_one``/``create_many`` are O(new rows): they write ONE new
   parquet delta file and a new manifest referencing old files + the new
   one — not a table rewrite (the reference is O(database) per insert);
@@ -31,7 +35,13 @@ import json
 import os
 import shutil
 import uuid
+from contextlib import contextmanager
 from typing import Any, Iterable
+
+try:  # POSIX-only; on other platforms the store is single-writer by doc
+    import fcntl
+except ImportError:  # pragma: no cover
+    fcntl = None  # type: ignore[assignment]
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,6 +62,28 @@ class ParquetStore:
     # ------------------------------------------------------------------ paths
     def _table_dir(self, model: ModelDefinition) -> str:
         return os.path.join(self.warehouse, model.model_name)
+
+    @contextmanager
+    def _write_lock(self, model: ModelDefinition):
+        """Exclusive per-table writer lock held across the whole
+        read-manifest → write-files → swap-CURRENT sequence. Without it
+        two concurrent mutations both read manifest seq N and the second
+        CURRENT swap silently drops the first commit's files (lost
+        update). Readers never take it — snapshot isolation comes from
+        the immutable manifests. Not re-entrant: only public mutation
+        entry points acquire it."""
+        table = self._table_dir(model)
+        os.makedirs(table, exist_ok=True)
+        if fcntl is None:  # pragma: no cover - non-POSIX: single-writer
+            yield
+            return
+        fd = os.open(os.path.join(table, ".write.lock"), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     def _current_manifest(self, model: ModelDefinition) -> dict:
         table = self._table_dir(model)
@@ -95,9 +127,17 @@ class ParquetStore:
             path = os.path.join(out, fname)
             stats = (
                 self.spark.read.parquet(path)
-                .agg(F.min(pk).alias("lo"), F.max(pk).alias("hi"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min(pk).alias("lo"),
+                    F.max(pk).alias("hi"),
+                )
                 .first()
             )
+            if stats["n"] == 0:
+                # a zero-row file has no stats, so _contains would treat
+                # it as must-scan forever; never manifest it
+                continue
             entries.append({"path": path, "lo": stats["lo"], "hi": stats["hi"]})
         return entries
 
@@ -146,12 +186,13 @@ class ParquetStore:
         """Drop all but the newest ``keep`` snapshots, then GC data files
         no remaining manifest references (the Iceberg-style maintenance
         pair to ``compact``)."""
-        history = self.history(model)
-        for _seq, name in history[:-keep] if keep else history:
-            current = self._current_pointer(model)
-            if name != current:
-                os.remove(os.path.join(self._table_dir(model), name))
-        self._gc(model)
+        with self._write_lock(model):
+            history = self.history(model)
+            for _seq, name in history[:-keep] if keep else history:
+                current = self._current_pointer(model)
+                if name != current:
+                    os.remove(os.path.join(self._table_dir(model), name))
+            self._gc(model)
 
     def _records_to_df(
         self, records: Iterable[dict], model: ModelDefinition
@@ -169,25 +210,28 @@ class ParquetStore:
     ) -> list[dict]:
         """Batch insert: one delta file + one manifest commit for N rows."""
         records = [parse_record(b, model) for b in bodies]
+        if not records:  # avoid committing a stat-less empty delta file
+            return []
         pk = model.primary_key
         keys = [r[pk] for r in records]
         if len(set(keys)) != len(keys):
             raise DuplicateKeyError("duplicate primary keys within batch")
-        existing = self.read_df(model)
-        # dup check = semi-join against the new keys; at scale this prunes
-        # to files whose [lo,hi] overlaps the inserted keys.
-        clash = existing.filter(F.col(pk).isin(keys)).limit(1).collect()
-        if clash:
-            raise DuplicateKeyError(
-                f"record with primary key already exists, use PUT to update"
-                f" (key={clash[0][pk]!r})"
+        with self._write_lock(model):
+            existing = self.read_df(model)
+            # dup check = semi-join against the new keys; at scale this
+            # prunes to files whose [lo,hi] overlaps the inserted keys.
+            clash = existing.filter(F.col(pk).isin(keys)).limit(1).collect()
+            if clash:
+                raise DuplicateKeyError(
+                    f"record with primary key already exists, use PUT to"
+                    f" update (key={clash[0][pk]!r})"
+                )
+            manifest = self._current_manifest(model)
+            new_files = self._write_data_file(
+                self._records_to_df(records, model), model
             )
-        manifest = self._current_manifest(model)
-        new_files = self._write_data_file(
-            self._records_to_df(records, model), model
-        )
-        manifest["files"] = manifest["files"] + new_files
-        self._commit(model, manifest)
+            manifest["files"] = manifest["files"] + new_files
+            self._commit(model, manifest)
         return records
 
     def read_one(self, model: ModelDefinition, id_str: str) -> dict:
@@ -221,7 +265,6 @@ class ParquetStore:
         required-ness is enforced only for supplied attrs (model.rs:73-84).
         """
         key = parse_uri_id(id_str, model)
-        stored = self.read_one(model, id_str)  # NotFoundError if absent
         supplied = parse_record(body, model, required=[])
         raw = body if isinstance(body, dict) else json.loads(body)
         patch_attrs = [a for a in raw if a in model.attributes]
@@ -231,18 +274,21 @@ class ParquetStore:
             model,
             required=[a for a in model.required if a in raw],
         )
-        merged = dict(stored)
-        for attr in patch_attrs:
-            merged[attr] = supplied[attr]
-        merged[model.primary_key] = key  # URI wins (model.rs:85-86)
-        self._rewrite_key(model, key, replacement=merged)
+        with self._write_lock(model):
+            stored = self.read_one(model, id_str)  # NotFoundError if absent
+            merged = dict(stored)
+            for attr in patch_attrs:
+                merged[attr] = supplied[attr]
+            merged[model.primary_key] = key  # URI wins (model.rs:85-86)
+            self._rewrite_key(model, key, replacement=merged)
         return add_null_values(merged, model)
 
     def delete_one(self, model: ModelDefinition, id_str: str) -> dict:
         """Remove by pk and return the removed record (json/mod.rs:126-138)."""
         key = parse_uri_id(id_str, model)
-        stored = self.read_one(model, id_str)
-        self._rewrite_key(model, key, replacement=None)
+        with self._write_lock(model):
+            stored = self.read_one(model, id_str)
+            self._rewrite_key(model, key, replacement=None)
         return stored
 
     def _rewrite_key(
@@ -298,42 +344,48 @@ class ParquetStore:
         """
         upserts = list(upserts or [])
         deletes = list(deletes or [])
+        if not upserts and not deletes:
+            return []
         pk = model.primary_key
         keys = [r[pk] for r in upserts] + deletes
         if len(set(keys)) != len(keys):
             raise DuplicateKeyError("conflicting keys within change batch")
-        manifest = self._current_manifest(model)
-        touched = [
-            f for f in manifest["files"] if any(_contains(f, k) for k in keys)
-        ]
-        keep = [f for f in manifest["files"] if f not in touched]
-        new_files = list(keep)
-        survivors = None
-        if touched:
-            df = self.spark.read.schema(model.to_struct_type()).parquet(
-                *[f["path"] for f in touched]
-            )
-            survivors = df.filter(~F.col(pk).isin(keys))
-        if upserts:
-            fresh = self._records_to_df(upserts, model)
-            survivors = (
-                fresh if survivors is None else survivors.unionByName(fresh)
-            )
-        if survivors is not None and survivors.limit(1).collect():
-            new_files += self._write_data_file(survivors, model)
-        manifest["files"] = new_files
-        self._commit(model, manifest)
+        with self._write_lock(model):
+            manifest = self._current_manifest(model)
+            touched = [
+                f
+                for f in manifest["files"]
+                if any(_contains(f, k) for k in keys)
+            ]
+            keep = [f for f in manifest["files"] if f not in touched]
+            new_files = list(keep)
+            survivors = None
+            if touched:
+                df = self.spark.read.schema(model.to_struct_type()).parquet(
+                    *[f["path"] for f in touched]
+                )
+                survivors = df.filter(~F.col(pk).isin(keys))
+            if upserts:
+                fresh = self._records_to_df(upserts, model)
+                survivors = (
+                    fresh if survivors is None else survivors.unionByName(fresh)
+                )
+            if survivors is not None:
+                new_files += self._write_data_file(survivors, model)
+            manifest["files"] = new_files
+            self._commit(model, manifest)
         return upserts
 
     # ------------------------------------------------------------ maintenance
     def compact(self, model: ModelDefinition, target_files: int = 1) -> None:
         """Fold delta files into ``target_files`` evenly-sized files."""
-        df = self.read_df(model).repartition(target_files)
-        new_files = self._write_data_file(df, model)
-        manifest = self._current_manifest(model)
-        manifest["files"] = new_files
-        self._commit(model, manifest)
-        self._gc(model)
+        with self._write_lock(model):
+            df = self.read_df(model).repartition(target_files)
+            new_files = self._write_data_file(df, model)
+            manifest = self._current_manifest(model)
+            manifest["files"] = new_files
+            self._commit(model, manifest)
+            self._gc(model)
 
     def _current_pointer(self, model: ModelDefinition) -> str | None:
         pointer = os.path.join(self._table_dir(model), "CURRENT")

@@ -253,3 +253,93 @@ def test_graphql_read_many_operators(api):
     q3 = '{ movies(bogus: 1) { id } }'
     status, p3 = api.handle("POST", "/api/graphql", json.dumps({"query": q3}))
     assert status == 400 and p3["errors"]
+
+
+def test_graphql_limit_zero_and_negative(api):
+    """An explicit limit: 0 means zero rows — not the default page."""
+    q = "{ movies(limit: 0) { id } }"
+    status, payload = api.handle("POST", "/api/graphql", json.dumps({"query": q}))
+    assert status == 200, payload
+    assert payload["data"]["movies"] == []
+    status, payload = api.handle(
+        "POST", "/api/graphql", json.dumps({"query": "{ movies(limit: -1) { id } }"})
+    )
+    assert payload.get("errors")
+
+
+def test_graphql_keyset_pagination(api):
+    """`after` cursor: page 2 = rows with pk > last-seen, pk-ordered,
+    and the cursor compiles to a scan-pushed range predicate (the only
+    pagination that stays O(page) at any table size)."""
+    q = "{ movies(limit: 2) { id } }"
+    _, p1 = api.handle("POST", "/api/graphql", json.dumps({"query": q}))
+    page1 = [r["id"] for r in p1["data"]["movies"]]
+    cursor = page1[-1]
+    q2 = f'{{ movies(limit: 2, after: "{cursor}") {{ id }} }}'
+    _, p2 = api.handle("POST", "/api/graphql", json.dumps({"query": q2}))
+    page2 = [r["id"] for r in p2["data"]["movies"]]
+    assert page2 and all(i > cursor for i in page2)
+    assert not set(page1) & set(page2)
+    # offset twin returns the same rows (cross-check)
+    q3 = "{ movies(limit: 2, offset: 2) { id } }"
+    _, p3 = api.handle("POST", "/api/graphql", json.dumps({"query": q3}))
+    assert [r["id"] for r in p3["data"]["movies"]] == page2
+
+
+def test_keyset_predicate_reaches_scan(api):
+    """The page-2 plan pushes `pk > cursor` into the parquet scan and
+    contains no offset-collect — the VERDICT's keyset 'done' gate."""
+    import contextlib
+    import io
+
+    model = next(iter(api.registry))
+    gql_api = api.graphql_api
+    df = gql_api.read_many_df(model, {}, limit=2, after="get")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert "GreaterThan(id,get)" in pushed.replace(" ", "").replace(
+        "IsNotNull(id),", ""
+    )
+
+
+def test_operator_suffix_attribute_collision(spark, tmp_path):
+    """An attribute literally named `score_gt` owns its name: SDL emits
+    it once (no duplicate argument -> build_schema survives) and
+    filtering on it is equality, not a range op on sibling `score`."""
+    registry = ModelRegistry()
+    registry.register(
+        ModelDefinition.from_json(
+            {
+                "model_name": "player",
+                "attributes": {
+                    "id": "String",
+                    "score": "Integer",
+                    "score_gt": "Integer",
+                },
+                "primary_key": "id",
+                "required": ["id"],
+            }
+        )
+    )
+    store = ParquetStore(spark, str(tmp_path / "warehouse"))
+    gql_api = GraphQLApi(registry, store)  # duplicate args would raise here
+    sdl = generate_sdl(registry)
+    plural_line = next(
+        line for line in sdl.splitlines() if line.strip().startswith("players(")
+    )
+    assert plural_line.count("score_gt:") == 1
+    model = next(iter(registry))
+    store.create_many(
+        model,
+        [
+            {"id": "a", "score": 10, "score_gt": 1},
+            {"id": "b", "score": 1, "score_gt": 10},
+        ],
+    )
+    r = gql_api.execute("{ players(score_gt: 10) { id } }")
+    # equality on the attribute itself: only 'b' has score_gt == 10;
+    # a range-op misread would instead return rows with score > 10
+    assert [row["id"] for row in r["data"]["players"]] == ["b"]

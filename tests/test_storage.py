@@ -251,3 +251,39 @@ def test_apply_changes_conflicting_keys(store, movie_model):
         store.apply_changes(
             movie_model, upserts=[dict(RECORD, id=5)], deletes=[5]
         )
+
+
+def test_empty_create_many_is_noop(store, movie_model):
+    """An empty batch must not commit a stat-less empty delta file that
+    every later lookup would scan forever."""
+    assert store.create_many(movie_model, []) == []
+    assert store.history(movie_model) == []  # no manifest committed
+    store.create_one(movie_model, RECORD)
+    manifest = store._current_manifest(movie_model)
+    assert all(f["lo"] is not None for f in manifest["files"])
+
+
+def test_concurrent_writers_no_lost_update(store, movie_model):
+    """Two threads inserting disjoint batches must both survive: the
+    per-table writer lock serializes read-manifest -> write -> swap
+    (without it, last-writer-wins drops one commit's files)."""
+    import threading
+
+    errors = []
+
+    def insert(lo: int):
+        try:
+            store.create_many(
+                movie_model,
+                [dict(RECORD, id=i, name=f"m{i}") for i in range(lo, lo + 5)],
+            )
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    threads = [threading.Thread(target=insert, args=(lo,)) for lo in (100, 200)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert store.count(movie_model) == 10
