@@ -1,0 +1,104 @@
+"""Recall@k-vs-brute-force bench for the ANN operators at sf0.1.
+
+Samples Q query vectors, computes their EXACT cosine top-k by scanning
+the full corpus (Q×n dot products — cheap for a sample, unlike the
+O(n²) all-pairs), then measures what fraction of those exact neighbors
+the approximate indexes (multi-probe LSH, IVF) return.
+
+Run: python tools/ann_recall_bench.py [sf_dir]
+Prints one JSON line: {"sf": .., "n": .., "recall_lsh": .., "recall_ivf": ..,
+"secs_lsh": .., "secs_ivf": ..}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+K = 5
+N_QUERIES = 100
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    from gus_spark.operators.similarity import _as_double, ann_lsh_topk, ivf_topk
+    from gus_spark.queries import table
+    from gus_spark.session import get_spark
+
+    spark = get_spark(app_name="ann-recall-bench")
+    e = table(spark, sf_dir, "embeddings")
+    n = e.count()
+    v = e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    # deterministic query sample: lowest N_QUERIES xxhash64 ids
+    qids = [
+        r.vec_id
+        for r in v.select("vec_id")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(N_QUERIES)
+        .collect()
+    ]
+    q = v.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, r: p * r), F.lit(0.0), lambda acc, x_: acc + x_
+        )
+
+    cos = dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    exact = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+    )
+    exact_rows = exact.collect()
+    truth = {(r.query_id, r.vec_id) for r in exact_rows}
+    # graded tiers: hyperplane LSH's contract is high-similarity
+    # retrieval — sign-bit agreement probability is 1 - angle/pi per
+    # plane, so a cos~0.35 "nearest" neighbor of a weakly-clustered
+    # vector is fundamentally hard for any bucketing scheme, while
+    # cos>=0.8 neighbors are exactly what dedup/similarity pipelines ask
+    # for. Report both so the trade is visible.
+    truth_hi = {
+        (r.query_id, r.vec_id) for r in exact_rows if r.cos_sim >= 0.8
+    }
+
+    results = {"sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1], "n": n, "k": K}
+    for name, fn in (
+        ("lsh", lambda: ann_lsh_topk(e, k=K)),
+        ("ivf_p2", lambda: ivf_topk(e, k=K, nprobe=2)),
+        ("ivf_p4", lambda: ivf_topk(e, k=K, nprobe=4)),
+    ):
+        t0 = time.time()
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in fn().filter(F.col("query_id").isin(qids)).collect()
+        }
+        results[f"secs_{name}"] = round(time.time() - t0, 2)
+        results[f"recall_{name}"] = (
+            round(len(truth & approx) / len(truth), 4) if truth else None
+        )
+        results[f"recall_hi_{name}"] = (
+            round(len(truth_hi & approx) / len(truth_hi), 4)
+            if truth_hi
+            else None
+        )
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
