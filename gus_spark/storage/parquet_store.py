@@ -138,7 +138,14 @@ class ParquetStore:
                 # a zero-row file has no stats, so _contains would treat
                 # it as must-scan forever; never manifest it
                 continue
-            entries.append({"path": path, "lo": stats["lo"], "hi": stats["hi"]})
+            entries.append(
+                {
+                    "path": path,
+                    "lo": stats["lo"],
+                    "hi": stats["hi"],
+                    "rows": stats["n"],
+                }
+            )
         return entries
 
     def read_df(
@@ -375,6 +382,31 @@ class ParquetStore:
             manifest["files"] = new_files
             self._commit(model, manifest)
         return upserts
+
+    def append_df(
+        self, model: ModelDefinition, df: DataFrame, _locked: bool = False
+    ) -> int:
+        """Append a pre-validated DataFrame as delta files in one
+        commit — the bulk-ingest fast path: no per-row Python, rows
+        flow executor→parquet directly. Callers are responsible for
+        validation and dup-checks (see sources.ingest.bulk_ingest);
+        ``_locked=True`` means the caller already holds the table's
+        write lock. Returns the number of rows appended."""
+        if _locked:
+            return self._append_df_locked(model, df)
+        with self._write_lock(model):
+            return self._append_df_locked(model, df)
+
+    def _append_df_locked(self, model: ModelDefinition, df: DataFrame) -> int:
+        manifest = self._current_manifest(model)
+        new_files = self._write_data_file(
+            df.select(*model.field_order), model
+        )
+        if not new_files:
+            return 0
+        manifest["files"] = manifest["files"] + new_files
+        self._commit(model, manifest)
+        return sum(f["rows"] for f in new_files)
 
     # ------------------------------------------------------------ maintenance
     def compact(self, model: ModelDefinition, target_files: int = 1) -> None:
