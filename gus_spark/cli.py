@@ -1,10 +1,14 @@
 """Command-line entry point — parity with the reference's CLI
-(reference: src/cli.rs, src/cli/index.rs).
+(reference: src/cli.rs:8-25, src/cli/index.rs).
 
-``gus server -m <models-path> [-p port] [-w warehouse]`` starts the
-HTTP server exposing the REST + GraphQL APIs over a ParquetStore. Arg
-validation ports cli/index.rs:115-179: the port must be a valid u16 > 0
-and the models path must be an existing directory.
+- ``gus_spark server -m <models-path> [-p port] [-w warehouse]`` starts
+  the HTTP server exposing the REST + GraphQL APIs over a ParquetStore.
+  Arg validation ports cli/index.rs:115-179: the port must be a valid
+  u16 > 0 and the models path must be an existing directory.
+- ``gus_spark create-model -m <models-path>`` runs the interactive
+  model-authoring wizard (model_cli.rs:36-205).
+- ``gus_spark configure-storages -s <file>`` runs the storage-config
+  dialogue (storage_handler.rs:102-138).
 """
 
 from __future__ import annotations
@@ -27,16 +31,36 @@ def build_parser() -> argparse.ArgumentParser:
         "-w", "--warehouse", default="./warehouse",
         help="table storage directory",
     )
+    server.add_argument(
+        "-s", "--storage-definitions", default=None,
+        help="storage config JSON (configure-storages output); its"
+        " parquet.warehouse_dir overrides --warehouse",
+    )
     server.add_argument("--host", default="127.0.0.1")
+    create = sub.add_parser(
+        "create-model", help="interactive model definition wizard"
+    )
+    create.add_argument(
+        "-m", "--models-path", required=True,
+        help="directory the wizard writes <name>.json into",
+    )
+    storages = sub.add_parser(
+        "configure-storages", help="interactive storage configuration"
+    )
+    storages.add_argument(
+        "-s", "--storage-definitions", required=True,
+        help="path of the storage config JSON to create/update",
+    )
     return parser
 
 
 def validate(args) -> str | None:
     """Returns an error string, or None (cli/index.rs:115-179 rules)."""
-    if not 0 < args.port < 65536:
+    if args.command in ("server", "create-model"):
+        if not os.path.isdir(args.models_path):
+            return f"models path {args.models_path!r} is not a directory"
+    if args.command == "server" and not 0 < args.port < 65536:
         return f"invalid port {args.port}: must be in 1..65535"
-    if not os.path.isdir(args.models_path):
-        return f"models path {args.models_path!r} is not a directory"
     return None
 
 
@@ -48,9 +72,18 @@ def build_app(args):
     from gus_spark.session import get_spark
     from gus_spark.storage.parquet_store import ParquetStore
 
+    warehouse = args.warehouse
+    if getattr(args, "storage_definitions", None):
+        from gus_spark.model_cli import load_storage_config
+
+        parquet_cfg = load_storage_config(args.storage_definitions).get(
+            "parquet"
+        )
+        if parquet_cfg and parquet_cfg.get("warehouse_dir"):
+            warehouse = parquet_cfg["warehouse_dir"]
     spark = get_spark(app_name="gus_spark-server")
     registry = ModelRegistry(args.models_path)
-    store = ParquetStore(spark, args.warehouse)
+    store = ParquetStore(spark, warehouse)
     gql_api = GraphQLApi(registry, store) if registry.names() else None
     return registry, store, RestApi(registry, store, graphql_api=gql_api)
 
@@ -61,6 +94,18 @@ def main(argv: list[str] | None = None) -> int:
     if error:
         print(error, file=sys.stderr)
         return 2
+    if args.command == "create-model":
+        from gus_spark.model_cli import create_model
+
+        model = create_model(args.models_path)
+        print(f"wrote model {model.model_name!r} to {args.models_path}")
+        return 0
+    if args.command == "configure-storages":
+        from gus_spark.model_cli import configure_storages
+
+        configure_storages(args.storage_definitions)
+        print(f"wrote storage config to {args.storage_definitions}")
+        return 0
     if args.command == "server":
         from gus_spark.api.rest import serve
 
