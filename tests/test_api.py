@@ -343,3 +343,70 @@ def test_operator_suffix_attribute_collision(spark, tmp_path):
     # equality on the attribute itself: only 'b' has score_gt == 10;
     # a range-op misread would instead return rows with score > 10
     assert [row["id"] for row in r["data"]["players"]] == ["b"]
+
+
+def test_subscription_sdl_shape(api):
+    sdl = generate_sdl(api.registry)
+    assert "type Subscription {" in sdl
+    assert "movies(pollIntervalMs: Int): [Movie!]!" in sdl
+
+
+def test_subscription_delivers_insert(api):
+    """Insert during an open subscription -> event delivered (completes
+    the reference's graphql.rs:353 todo!() surface end-to-end)."""
+    import asyncio
+
+    gql_api = api.graphql_api
+
+    async def run():
+        sub = await gql_api.subscribe(
+            "subscription { movies(pollIntervalMs: 20) { id year } }"
+        )
+        assert hasattr(sub, "__aiter__"), sub  # not an immediate error
+
+        async def first_event():
+            async for ev in sub:
+                return ev
+
+        task = asyncio.ensure_future(first_event())
+        await asyncio.sleep(0.1)  # feed anchored; no event yet
+        assert not task.done()
+        # insert through the REST surface while the subscription is open
+        await asyncio.get_event_loop().run_in_executor(
+            None,
+            lambda: api.handle(
+                "POST", "/api/rest/movie",
+                json.dumps({"id": "sub-live", "year": 2031}),
+            ),
+        )
+        event = await asyncio.wait_for(task, timeout=30)
+        await sub.aclose()
+        return event
+
+    event = asyncio.run(run())
+    assert event.errors is None, event.errors
+    batch = event.data["movies"]
+    assert {"id": "sub-live", "year": 2031} in [
+        {"id": r["id"], "year": r["year"]} for r in batch
+    ]
+
+
+def test_change_feed_cursor(spark, tmp_path):
+    """ChangeFeed yields exactly the inserted records per commit, reads
+    only the new delta files, and an idle poll is manifest-only."""
+    from gus_spark.api.subscriptions import ChangeFeed
+    from gus_spark.model.types import ModelDefinition
+
+    model = ModelDefinition.from_json(MOVIE)
+    store = ParquetStore(spark, str(tmp_path / "wh"))
+    store.create_many(model, [{"id": "a"}, {"id": "b"}])
+    feed = ChangeFeed(store, model)
+    assert feed.poll() == []  # anchored after the first commit
+    store.create_many(model, [{"id": "c"}, {"id": "d"}])
+    got = feed.poll()
+    assert [r["id"] for r in got] == ["c", "d"]
+    assert feed.poll() == []
+    # two commits between polls -> both batches' records arrive
+    store.create_one(model, {"id": "e"})
+    store.create_one(model, {"id": "f"})
+    assert {r["id"] for r in feed.poll()} == {"e", "f"}
