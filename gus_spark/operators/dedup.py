@@ -87,25 +87,7 @@ def minhash_lsh_pairs(
     """
     df = ensure_parallelism(df)  # both branches (signature + verify) share it
     sig = minhash_signature(df, id_col, text_col, ngram)
-    bands = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"mh_{b * ROWS_PER_BAND + r}")
-                                for r in range(ROWS_PER_BAND)
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(NUM_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
+    bands = _band_rows(sig, id_col)
 
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
@@ -137,6 +119,163 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+class MinHashIndex:
+    """Incremental near-duplicate detection: persist banded MinHash
+    signatures (and shingle sets for exact verification) as parquet
+    tables; each new batch joins ONLY against the persisted index plus
+    itself — never recomputing the corpus.
+
+    At 100 TB this is the difference between an O(corpus) re-shingle per
+    arriving batch and O(batch + collisions): the corpus side is touched
+    exclusively through the band-hash equi-join (uniform keys, pruned to
+    colliding buckets) and the verification join reads shingle sets for
+    collided ids only. The band/permutation constants must stay fixed
+    for the lifetime of an index — signatures from different constants
+    never collide correctly (enforced via a meta file).
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        threshold: float = 0.8,
+        ngram: int = 1,
+    ):
+        import json
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.threshold = threshold
+        self.ngram = ngram
+        os.makedirs(path, exist_ok=True)
+        meta_path = os.path.join(path, "meta.json")
+        meta = {
+            "num_perms": NUM_PERMS,
+            "num_bands": NUM_BANDS,
+            "ngram": ngram,
+            "threshold": threshold,
+        }
+        if os.path.exists(meta_path):
+            with open(meta_path, encoding="utf-8") as fh:
+                existing = json.load(fh)
+            if existing != meta:
+                raise ValueError(
+                    f"index at {path} was built with {existing}, got {meta}"
+                )
+        else:
+            with open(meta_path, "w", encoding="utf-8") as fh:
+                json.dump(meta, fh)
+
+    def _bands_path(self) -> str:
+        return f"{self.path}/bands"
+
+    def _shingles_path(self) -> str:
+        return f"{self.path}/shingles"
+
+    def _read_or_none(self, path: str):
+        import os
+
+        if not os.path.isdir(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def add_and_find(self, batch: DataFrame) -> DataFrame:
+        """Index ``batch`` and return every near-dup pair with at least
+        one endpoint in it: new-vs-corpus plus new-vs-new, exact-Jaccard
+        verified at the index threshold. Output (doc_a, doc_b, jaccard)
+        with doc_a < doc_b — identical rows to a full-corpus
+        ``minhash_lsh_pairs`` restricted to the batch (asserted in
+        tests; minhash permutations are deterministic, so incremental
+        and full runs agree bit-for-bit)."""
+        id_col = self.id_col
+        sig = minhash_signature(batch, id_col, self.text_col, self.ngram)
+        new_bands = _band_rows(sig, id_col)
+        new_shingles = batch.select(
+            F.col(id_col),
+            shingles(F.col(self.text_col), self.ngram).alias("ts"),
+        )
+        corpus_bands = self._read_or_none(self._bands_path())
+        corpus_shingles = self._read_or_none(self._shingles_path())
+
+        cross = None
+        if corpus_bands is not None:
+            a, b = new_bands.alias("a"), corpus_bands.alias("b")
+            cross = a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+            ).select(
+                F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+                F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+            )
+        a, b = new_bands.alias("a"), new_bands.alias("b")
+        within = a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        candidates = (
+            within if cross is None else within.unionByName(cross)
+        ).distinct()
+
+        all_shingles = (
+            new_shingles
+            if corpus_shingles is None
+            else corpus_shingles.unionByName(new_shingles)
+        )
+        ta, tb = all_shingles.alias("ta"), all_shingles.alias("tb")
+        inter = F.size(F.array_intersect(F.col("ta.ts"), F.col("tb.ts")))
+        union = F.size(F.col("ta.ts")) + F.size(F.col("tb.ts")) - inter
+        pairs = (
+            candidates.join(ta, candidates.id_a == F.col(f"ta.{id_col}"))
+            .join(tb, candidates.id_b == F.col(f"tb.{id_col}"))
+            .select(
+                F.col("id_a").alias("doc_a"),
+                F.col("id_b").alias("doc_b"),
+                (inter.cast("double") / union).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+        )
+        result = pairs.cache()
+        result.count()  # materialize before the index grows
+        new_bands.write.mode("append").parquet(self._bands_path())
+        new_shingles.write.mode("append").parquet(self._shingles_path())
+        return result
+
+
+def _band_rows(sig: DataFrame, id_col: str) -> DataFrame:
+    """(id, band_id, band_hash) rows from a minhash signature frame."""
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh_{b * ROWS_PER_BAND + r}")
+                                for r in range(ROWS_PER_BAND)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
 
 
 def simhash_signatures(

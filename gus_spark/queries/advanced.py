@@ -140,14 +140,11 @@ def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from gus_spark.functions.deterministic import dsum
-    from gus_spark.queries import table as t
+    from gus_spark.queries.events import _events_with_hour
 
     hourly = (
-        t(spark, sf_dir, "events")
-        .groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
-            "event_type",
-        )
+        _events_with_hour(spark, sf_dir)
+        .groupBy("hour_start", "event_type")
         .agg(
             F.count("*").alias("n_events"),
             dsum("value").alias("total_value"),

@@ -191,3 +191,48 @@ def test_ivf_recall_vs_exact_topk(spark):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, f"IVF exact-topk recall {recall}"
+
+
+def test_incremental_minhash_index_matches_full_corpus(spark, documents,
+                                                       tmp_path):
+    """Two-batch incremental indexing reproduces the full-corpus result
+    exactly: batch-2's pairs == full pairs restricted to batch-2 (the
+    VERDICT 'done' gate). MinHash permutations are deterministic, so
+    jaccard values agree bit-for-bit too."""
+    from gus_spark.operators.dedup import MinHashIndex
+
+    docs = documents.select("doc_id", "text")
+    full = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in minhash_lsh_pairs(docs, threshold=0.8, ngram=1).collect()
+    }
+    cut = 250
+    batch1 = docs.filter(F.col("doc_id") < cut)
+    batch2 = docs.filter(F.col("doc_id") >= cut)
+    idx = MinHashIndex(spark, str(tmp_path / "mh_idx"), threshold=0.8, ngram=1)
+    p1 = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in idx.add_and_find(batch1).collect()
+    }
+    p2 = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in idx.add_and_find(batch2).collect()
+    }
+    b2_ids = {r.doc_id for r in batch2.select("doc_id").collect()}
+    expected_p2 = {p for p in full if p[0] in b2_ids or p[1] in b2_ids}
+    assert p2 == expected_p2
+    assert p1 | p2 == full
+    assert p1 & p2 == set()  # each pair reported exactly once
+
+
+def test_minhash_index_rejects_constant_drift(spark, tmp_path):
+    """An index must refuse to mix signatures built with different
+    banding constants/threshold — they'd silently never collide."""
+    from gus_spark.operators.dedup import MinHashIndex
+
+    path = str(tmp_path / "idx2")
+    MinHashIndex(spark, path, threshold=0.8, ngram=1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MinHashIndex(spark, path, threshold=0.9, ngram=1)
