@@ -84,6 +84,20 @@ def serve(api: RestApi, host: str = "127.0.0.1", port: int = 8080):
 
     class Handler(BaseHTTPRequestHandler):
         def _run(self, method: str):
+            if method == "GET":
+                # static view surface first (server.rs:88-116): /,
+                # /robots.txt, /view/*, GET /api/graphql -> console
+                from gus_spark.api.view import get_view_file
+
+                found = get_view_file(self.path)
+                if found is not None:
+                    data, content_type = found
+                    self.send_response(200)
+                    self.send_header("Content-Type", content_type)
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
             length = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(length).decode("utf-8") if length else None
             status, payload = api.handle(method, self.path, body)

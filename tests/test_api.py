@@ -410,3 +410,40 @@ def test_change_feed_cursor(spark, tmp_path):
     store.create_one(model, {"id": "e"})
     store.create_one(model, {"id": "f"})
     assert {r["id"] for r in feed.poll()} == {"e", "f"}
+
+
+def test_static_view_surface(api):
+    """GET / serves the embedded model browser, GET /api/graphql the
+    query console, /robots.txt and /view/* the asset map (the
+    reference's server.rs:88-116 routing) — API routes untouched."""
+    import threading
+    import urllib.request
+
+    from gus_spark.api.rest import serve
+    from gus_spark.api.view import get_view_file
+
+    assert get_view_file("/")[1].startswith("text/html")
+    assert get_view_file("/robots.txt")[0].startswith(b"User-agent")
+    assert get_view_file("/view/index.html") is not None
+    assert get_view_file("/view/ghost.js") is None
+    assert get_view_file("/api/rest/movie/get") is None  # API passthrough
+
+    server = serve(api, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/html")
+            assert b"gus_spark" in resp.read()
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/graphql"
+        ) as resp:  # GET -> console page; POST still executes queries
+            assert b"GraphQL console" in resp.read()
+        # the JSON API still wins for non-view paths
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/rest/movie/get"
+        ) as resp:
+            assert json.loads(resp.read())["data"]["id"] == "get"
+    finally:
+        server.shutdown()
