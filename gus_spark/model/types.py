@@ -114,6 +114,12 @@ class ModelDefinition:
     required: list[str]
     storage_type: str = "parquet"
     constraints: dict = field(default_factory=dict)
+    # engine extension (the reference has no FK concept): attr name ->
+    # referenced model name; the attr's values must exist as that
+    # model's primary keys. Enforced on demand via
+    # storage.references.referential_violations (a distributed
+    # anti-join), not per-write — the warehouse norm at scale.
+    references: dict = field(default_factory=dict)
 
     @classmethod
     def from_json(cls, obj: dict) -> "ModelDefinition":
@@ -129,6 +135,7 @@ class ModelDefinition:
                 required=list(obj["required"]),
                 storage_type=obj.get("storage_type", "parquet"),
                 constraints=dict(obj.get("constraints") or {}),
+                references=dict(obj.get("references") or {}),
             )
         except (KeyError, TypeError, AttributeError) as e:
             raise ModelValidationError(f"malformed model definition: {e}") from e
@@ -196,3 +203,21 @@ def validate_model_definition(model: ModelDefinition) -> None:
     from gus_spark.model.constraints import validate_constraints
 
     validate_constraints(model)
+    # references: each FK attr must exist and be scalar (the referenced
+    # model's existence is checked at query time — load order is free)
+    if not isinstance(model.references, dict):
+        raise ModelValidationError("references must be an object")
+    for attr, target in model.references.items():
+        attr_type = model.attributes.get(attr)
+        if attr_type is None:
+            raise ModelValidationError(
+                f"reference on unknown attribute {attr!r}"
+            )
+        if attr_type.is_array:
+            raise ModelValidationError(
+                f"reference attribute {attr!r} must not be an Array"
+            )
+        if not isinstance(target, str) or not is_valid_identifier(target):
+            raise ModelValidationError(
+                f"reference target for {attr!r} must be a model name"
+            )
