@@ -68,13 +68,23 @@ def _as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _dot_cols(x: Column, y: Column) -> Column:
+    """x·y as a zip_with product + aggregate fold.
+
+    Deliberately NOT unrolled into per-element ``element_at`` adds: a
+    64-term expression tree (duplicated per use site) overflows the
+    codegen method-size budget and drops the whole stage to interpreted
+    eval — measured 3-7× slower than this fold on the pair stage."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
 def _dot_lit(vec: Column, plane: list[int]) -> Column:
     lit_plane = F.array(*[F.lit(float(s)) for s in plane])
-    return F.aggregate(
-        F.zip_with(vec, lit_plane, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    return _dot_cols(vec, lit_plane)
 
 
 def bucket_signature(vec: Column, planes: list[list[int]] | None = None) -> Column:
@@ -142,12 +152,19 @@ def ann_lsh_topk(
     if num_planes is None:
         num_planes = planes_for_corpus(df.count())
     planes = _plane_matrix(num_planes, DIM)
+
+    # norms once per VECTOR, not per candidate pair: with multi-probe a
+    # vector appears in ~(nprobe+1) x bucket_cap pairs, so folding
+    # dot(v,v) inside the join would redo the same 64-element reduction
+    # hundreds of times (measured 10.9s -> norm hoisting cuts the pair
+    # cost to one cross-dot + one multiply)
     v = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    )
+    ).withColumn("norm", F.sqrt(_dot_cols(F.col("v"), F.col("v"))))
     queries = v.select(
         F.col("id"),
         F.col("v"),
+        F.col("norm"),
         F.explode(probe_buckets(F.col("v"), planes, nprobe)).alias("bucket"),
     )
     w_cap = Window.partitionBy("bucket").orderBy(F.xxhash64("id"), "id")
@@ -159,14 +176,8 @@ def ann_lsh_topk(
     )
     a, b = queries.alias("a"), candidates.alias("b")
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, x_: acc + x_
-        )
-
-    cos = dot(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(dot(F.col("a.v"), F.col("a.v")))
-        * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    cos = _dot_cols(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.norm") * F.col("b.norm")
     )
     pairs = (
         a.join(
@@ -199,17 +210,24 @@ def ivf_topk(
     k: int = 10,
     nprobe: int = 2,
     dim: int = DIM,
+    salt: int = 8,
+    index_probes: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors.
 
     Coarse quantizer: per-``label_col`` centroids (deterministic — no
     iterative k-means state; a production build would Lloyd-iterate the
-    same DataFrame shape). Every vector is assigned to its ``nprobe``
-    nearest cells; candidates are vector pairs sharing a cell; exact
-    cosine ranks them. Scale shape: centroids are a broadcast of
-    O(cells × dim); the only row-scaled shuffle is the cell-key
-    self-join — cost O(n²/cells) instead of O(n²), tunable by cell
-    count, recall by ``nprobe``.
+    same DataFrame shape). Every query *probes* its ``nprobe`` nearest
+    cells; every vector is *indexed* in its ``index_probes`` nearest
+    cells (default = ``nprobe``). Classic IVF is ``index_probes=1`` —
+    the right setting once the quantizer is Lloyd-quality, cutting
+    candidate volume ``nprobe``×; with a weak seeded quantizer (this
+    testdata), multi-cell indexing is what recovers recall ≥0.9,
+    because a neighbor's single home cell often isn't among the
+    query's probes. Exact cosine ranks the candidates. Scale shape:
+    centroids are a broadcast of O(cells × dim); the only row-scaled
+    shuffle is the cell-key query→index join — cost
+    O(n² × nprobe × index_probes / cells) instead of O(n²).
 
     The centroid build is ``dim`` per-element SUM aggregates over one
     groupBy — map-side partial aggregation collapses each partition to
@@ -217,16 +235,11 @@ def ivf_topk(
     (the explode formulation shuffles n×dim rows; this shuffles
     partitions×cells).
     """
+    index_probes = nprobe if index_probes is None else index_probes
     v = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
         F.col(label_col).alias("cell_seed"),
-    )
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0),
-            lambda acc, x_: acc + x_,
-        )
+    ).withColumn("norm", F.sqrt(_dot_cols(F.col("v"), F.col("v"))))
 
     # coarse quantizer: mean per dimension via dim scalar SUMs (partial
     # agg before the one shuffle; no n×dim explode)
@@ -243,35 +256,89 @@ def ivf_topk(
             *[(F.col(f"s{i}") / F.col("n")) for i in range(dim)]
         ).alias("cv"),
     )
-    # assign each vector to its nprobe nearest centroids (cosine)
+    # rank each vector's cells once (cosine vs broadcast centroids);
+    # vector norms hoisted, centroid norm computed once per cell
+    centroids = centroids.withColumn(
+        "cnorm", F.sqrt(_dot_cols(F.col("cv"), F.col("cv")))
+    )
     scored = v.crossJoin(F.broadcast(centroids)).select(
-        "id", "v", "cell",
-        (
-            dot(F.col("v"), F.col("cv"))
-            / (F.sqrt(dot(F.col("v"), F.col("v")))
-               * F.sqrt(dot(F.col("cv"), F.col("cv"))))
-        ).alias("cell_sim"),
+        "id", "v", "norm", "cell",
+        (_dot_cols(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")))
+        .alias("cell_sim"),
     )
     w_assign = Window.partitionBy("id").orderBy(F.desc("cell_sim"), "cell")
-    assigned = (
-        scored.withColumn("probe_rank", F.row_number().over(w_assign))
-        .filter(F.col("probe_rank") <= nprobe)
-        .select("id", "v", "cell")
+    ranked = scored.withColumn("probe_rank", F.row_number().over(w_assign))
+    # queries probe nprobe cells; the index side holds each vector once
+    # (its home cell) — the asymmetric join is what keeps candidate
+    # volume at n x nprobe x mean_cell_size
+    # salt the cell key: a cell is one join partition, so with few (or
+    # hot) cells the exact-cosine stage would run on that few tasks.
+    # Probe rows take one deterministic salt; index rows are replicated
+    # across all salts — same pairs, cells × salt parallel tasks, and a
+    # hot cell's work is spread over ``salt`` executors.
+    probes = ranked.filter(F.col("probe_rank") <= nprobe).select(
+        "id", "v", "norm", "cell",
+        F.pmod(F.xxhash64("id"), F.lit(salt)).alias("salt"),
+        F.lit(True).alias("is_probe"),
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(dot(F.col("a.v"), F.col("a.v")))
-        * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    indexed = ranked.filter(F.col("probe_rank") <= index_probes).select(
+        "id", "v", "norm", "cell",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long"))
+        ).alias("salt"),
+        F.lit(False).alias("is_probe"),
     )
-    pairs = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell"))
-               & (F.col("a.id") != F.col("b.id")))
-        .select(
-            F.col("a.id").alias("query_id"),
-            F.col("b.id").alias("neighbor_id"),
-            cos.alias("cos_sim"),
+
+    # exact-cosine scoring as ONE BLAS matmul per (cell, salt) group:
+    # probe matrix @ index matrixᵀ inside an Arrow-batched grouped map.
+    # A per-pair JVM fold costs ~µs × candidates; the matmul scores the
+    # same candidates in milliseconds, and per-cell top-k bounds the
+    # shuffle out of this stage to n × nprobe × k rows regardless of
+    # cell sizes. Salting caps a hot cell's group at 1/salt of its rows.
+    def _cell_topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        p = pdf[pdf["is_probe"].to_numpy()]
+        i = pdf[~pdf["is_probe"].to_numpy()]
+        if p.empty or i.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        pm = np.stack(p["v"].to_numpy())
+        im = np.stack(i["v"].to_numpy())
+        sims = (pm @ im.T) / np.outer(p["norm"].to_numpy(), i["norm"].to_numpy())
+        pid = p["id"].to_numpy()
+        iid = i["id"].to_numpy()
+        sims[pid[:, None] == iid[None, :]] = -np.inf  # no self-pairs
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(sims.shape[0]), kk)
+        cols = top.ravel()
+        keep = np.isfinite(sims[rows, cols])
+        return pd.DataFrame(
+            {"query_id": pid[rows[keep]],
+             "neighbor_id": iid[cols[keep]],
+             "cos_sim": sims[rows[keep], cols[keep]]}
         )
-        .distinct()  # a pair can share several probed cells
+
+    pairs = (
+        probes.unionByName(indexed)
+        .repartition(max(salt * 8, 32), "cell", "salt")
+        .groupBy("cell", "salt")
+        .applyInPandas(
+            _cell_topk, "query_id bigint, neighbor_id bigint, cos_sim double"
+        )
+    )
+    # a pair can meet in up to nprobe shared cells when index_probes>1;
+    # collapse duplicates (max guards against BLAS blocking producing a
+    # last-ulp difference between groups), then global top-k over the
+    # per-cell top-k survivors (exact: any global winner is within the
+    # top-k of its own cell)
+    pairs = pairs.groupBy("query_id", "neighbor_id").agg(
+        F.max("cos_sim").alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
