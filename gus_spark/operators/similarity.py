@@ -202,6 +202,117 @@ def ann_lsh_topk(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_col: str | None = "label",
+    k_cells: int = 16,
+    iters: int = 3,
+    dim: int = DIM,
+) -> DataFrame:
+    """Lloyd-iterated spherical k-means coarse quantizer.
+
+    Returns a small (cell: long, cv: array<double>) frame suitable for
+    broadcasting as an IVF quantizer. Init is deterministic — the
+    per-``seed_col`` means (the honest stand-in ivf_topk used alone
+    before), or a ``pmod(xxhash64(id), k_cells)`` hash partition when no
+    seed column exists; no RNG state anywhere, so results are stable
+    across runs and resumable.
+
+    Scale shape (the Spark MLlib KMeans shape): centroids live
+    driver-side between iterations — k × dim doubles, broadcast each
+    pass. One iteration is ONE scan of the data: an Arrow-batched
+    kernel assigns every batch with a single ``n_batch × dim @ dim × k``
+    matmul and emits per-batch partial (cell, count, sum-vector) rows —
+    at most cells × batches rows total, independent of n — which the
+    driver combines. No per-row shuffle exists at any point; total cost
+    is ``iters`` scans, the canonical Lloyd cost. (A 100 TB production
+    fit would k-means||-init on a sample first; the seeded init plays
+    that role deterministically here.)
+
+    Empty cells keep their previous centroid (standard Lloyd fallback),
+    so the cell count never silently shrinks.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    key = (
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(k_cells))
+        if seed_col is None
+        else F.col(seed_col).cast("long")
+    )
+    v = df.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        key.alias("cell0"),
+    )
+    # init: per-key mean via dim scalar SUMs (partial agg before the one
+    # tiny shuffle — same no-explode shape as the ivf_topk seed build)
+    init_rows = (
+        v.groupBy("cell0")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+        )
+        .collect()
+    )
+    init_rows.sort(key=lambda r: r["cell0"])
+    centers = np.array(
+        [[r[f"s{i}"] / r["n"] for i in range(dim)] for r in init_rows],
+        dtype="float64",
+    )
+
+    data = v.select("v")
+    for _ in range(iters):
+        norms = np.linalg.norm(centers, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = centers / norms[:, None]
+        bc = spark.sparkContext.broadcast(unit)
+
+        def _partials(batches, _bc=bc):
+            import numpy as np  # noqa: PLC0415 — runs on executors
+            import pandas as pd
+
+            cn = _bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.stack(pdf["v"].to_numpy())
+                # cosine argmax: query norm is cell-invariant, so plain
+                # dot vs unit centroids suffices; ties -> lowest cell
+                cell = (m @ cn.T).argmax(axis=1)
+                order = np.argsort(cell, kind="stable")
+                ms, cs = m[order], cell[order]
+                uc, starts = np.unique(cs, return_index=True)
+                sums = np.add.reduceat(ms, starts, axis=0)
+                counts = np.diff(np.append(starts, len(cs)))
+                yield pd.DataFrame(
+                    {
+                        "cell": uc.astype("int64"),
+                        "n": counts.astype("int64"),
+                        "s": [row.tolist() for row in sums],
+                    }
+                )
+
+        partials = data.mapInPandas(
+            _partials, "cell long, n long, s array<double>"
+        ).collect()
+        counts = np.zeros(len(centers), dtype="int64")
+        sums = np.zeros_like(centers)
+        for r in partials:
+            counts[r["cell"]] += r["n"]
+            sums[r["cell"]] += np.asarray(r["s"])
+        occupied = counts > 0
+        centers = centers.copy()
+        centers[occupied] = sums[occupied] / counts[occupied, None]
+
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(centers)],
+        "cell long, cv array<double>",
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -212,12 +323,15 @@ def ivf_topk(
     dim: int = DIM,
     salt: int = 8,
     index_probes: int | None = None,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors.
 
-    Coarse quantizer: per-``label_col`` centroids (deterministic — no
-    iterative k-means state; a production build would Lloyd-iterate the
-    same DataFrame shape). Every query *probes* its ``nprobe`` nearest
+    Coarse quantizer: per-``label_col`` centroids (deterministic), or —
+    with ``lloyd_iters > 0`` — those same seeds refined through
+    :func:`kmeans_fit` spherical Lloyd iterations (each iteration one
+    scan, centroids driver-held; the quality that makes classic
+    ``index_probes=1`` viable). Every query *probes* its ``nprobe`` nearest
     cells; every vector is *indexed* in its ``index_probes`` nearest
     cells (default = ``nprobe``). Classic IVF is ``index_probes=1`` —
     the right setting once the quantizer is Lloyd-quality, cutting
@@ -241,21 +355,27 @@ def ivf_topk(
         F.col(label_col).alias("cell_seed"),
     ).withColumn("norm", F.sqrt(_dot_cols(F.col("v"), F.col("v"))))
 
-    # coarse quantizer: mean per dimension via dim scalar SUMs (partial
-    # agg before the one shuffle; no n×dim explode)
-    sums = v.groupBy("cell_seed").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
-            for i in range(dim)
-        ],
-    )
-    centroids = sums.select(
-        F.col("cell_seed").alias("cell"),
-        F.array(
-            *[(F.col(f"s{i}") / F.col("n")) for i in range(dim)]
-        ).alias("cv"),
-    )
+    if lloyd_iters > 0:
+        centroids = kmeans_fit(
+            df, id_col=id_col, vec_col=vec_col, seed_col=label_col,
+            iters=lloyd_iters, dim=dim,
+        )
+    else:
+        # coarse quantizer: mean per dimension via dim scalar SUMs
+        # (partial agg before the one shuffle; no n×dim explode)
+        sums = v.groupBy("cell_seed").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        centroids = sums.select(
+            F.col("cell_seed").alias("cell"),
+            F.array(
+                *[(F.col(f"s{i}") / F.col("n")) for i in range(dim)]
+            ).alias("cv"),
+        )
     # rank each vector's cells once (cosine vs broadcast centroids);
     # vector norms hoisted, centroid norm computed once per cell
     centroids = centroids.withColumn(

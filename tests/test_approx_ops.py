@@ -236,3 +236,91 @@ def test_minhash_index_rejects_constant_drift(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         MinHashIndex(spark, path, threshold=0.9, ngram=1)
+
+
+@pytest.fixture(scope="module")
+def exact_top5(spark):
+    """Full exact cosine top-5 ground truth, computed driver-side (500
+    vectors at sf0.01 — trivially in-memory; the operators under test
+    are the distributed path)."""
+    import numpy as np
+
+    from gus_spark.operators.similarity import _as_double
+
+    e = table(spark, SF_DIR_ORACLE, "embeddings")
+    rows = e.select("vec_id", _as_double(F.col("embedding")).alias("v")).collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.stack([np.array(r.v) for r in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    np.fill_diagonal(sims, -np.inf)
+    truth = set()
+    for qi in range(len(ids)):
+        for t in np.argsort(-sims[qi])[:5]:
+            truth.add((int(ids[qi]), int(ids[t])))
+    return truth
+
+
+def test_kmeans_fit_refines_seed_quantizer(spark):
+    """Lloyd iterations must not worsen — and here measurably improve —
+    the quantizer: mean cosine of every vector to its nearest centroid
+    rises vs the raw label-seeded means (iters=0 returns the init)."""
+    import numpy as np
+
+    from gus_spark.operators.similarity import _as_double, kmeans_fit
+
+    e = table(spark, SF_DIR_ORACLE, "embeddings")
+    v = np.stack(
+        [
+            np.array(r.v)
+            for r in e.select(_as_double(F.col("embedding")).alias("v")).collect()
+        ]
+    )
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+
+    def mean_best_cos(centroids_df):
+        c = np.stack([np.array(r.cv) for r in centroids_df.collect()])
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        return float((vn @ cn.T).max(axis=1).mean())
+
+    init = mean_best_cos(kmeans_fit(e, iters=0))
+    fit = mean_best_cos(kmeans_fit(e, iters=3))
+    assert fit >= init, (fit, init)
+    assert fit - init > 0.01, f"Lloyd gained only {fit - init:.4f}"
+
+
+def test_kmeans_fit_hash_init_without_seed_col(spark):
+    """No seed column -> deterministic hash-partition init still yields
+    k_cells finite centroids (and a second fit is bit-identical)."""
+    import math
+
+    from gus_spark.operators.similarity import kmeans_fit
+
+    e = table(spark, SF_DIR_ORACLE, "embeddings")
+    c1 = kmeans_fit(e, seed_col=None, k_cells=8, iters=2).collect()
+    assert len(c1) == 8
+    assert all(math.isfinite(x) for r in c1 for x in r.cv)
+    c2 = kmeans_fit(e, seed_col=None, k_cells=8, iters=2).collect()
+    assert sorted(map(tuple, (r.cv for r in c1))) == sorted(
+        map(tuple, (r.cv for r in c2))
+    )
+
+
+def test_ivf_lloyd_quantizer_halves_index_probes(spark, exact_top5):
+    """The point of a refined quantizer: with Lloyd iterations,
+    index_probes=2 crosses recall 0.88 — candidate volume HALF of the
+    index_probes=4 config the unrefined quantizer needs for the same
+    recall — and strictly beats the unrefined quantizer at identical
+    settings."""
+    from gus_spark.operators.similarity import ivf_topk
+
+    e = table(spark, SF_DIR_ORACLE, "embeddings")
+
+    def recall(lloyd_iters):
+        df = ivf_topk(e, k=5, nprobe=4, index_probes=2, lloyd_iters=lloyd_iters)
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(exact_top5 & got) / len(exact_top5)
+
+    refined, raw = recall(3), recall(0)
+    assert refined >= 0.88, f"Lloyd-refined recall {refined}"
+    assert refined > raw, (refined, raw)
