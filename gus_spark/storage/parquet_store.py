@@ -410,9 +410,23 @@ class ParquetStore:
 
     # ------------------------------------------------------------ maintenance
     def compact(self, model: ModelDefinition, target_files: int = 1) -> None:
-        """Fold delta files into ``target_files`` evenly-sized files."""
+        """Fold delta files into ``target_files`` pk-range-partitioned,
+        pk-sorted files.
+
+        Range partitioning (not round-robin) is the point: every
+        compacted file covers a DISJOINT pk interval, so the manifest's
+        per-file [lo, hi] stats prune a point lookup to exactly one
+        file — after arbitrary CRUD churn, reads are back to O(one
+        file). Sorting within each file additionally tightens parquet
+        row-group stats so the scan skips pages inside that file too.
+        """
         with self._write_lock(model):
-            df = self.read_df(model).repartition(target_files)
+            pk = model.primary_key
+            df = (
+                self.read_df(model)
+                .repartitionByRange(target_files, pk)
+                .sortWithinPartitions(pk)
+            )
             new_files = self._write_data_file(df, model)
             manifest = self._current_manifest(model)
             manifest["files"] = new_files

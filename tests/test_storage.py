@@ -287,3 +287,29 @@ def test_concurrent_writers_no_lost_update(store, movie_model):
         t.join()
     assert not errors
     assert store.count(movie_model) == 10
+
+
+def test_compact_produces_disjoint_pk_ranges(store, movie_model):
+    """Compaction must leave pk-range-partitioned files: every file's
+    manifest [lo, hi] interval is disjoint, so a point lookup prunes to
+    EXACTLY one candidate file — the whole point of compacting after
+    CRUD churn leaves overlapping deltas behind."""
+    store.create_many(
+        movie_model,
+        [dict(RECORD, id=i, name=f"m{i}") for i in range(1, 41)],
+    )
+    # churn: updates + deletes leave overlapping delta files behind
+    store.update_one(movie_model, "7", {"name": "patched"})
+    store.delete_one(movie_model, "13")
+    store.compact(movie_model, target_files=4)
+
+    files = store._current_manifest(movie_model)["files"]
+    assert len(files) == 4
+    spans = sorted((f["lo"], f["hi"]) for f in files)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo_next, f"overlapping compacted files: {spans}"
+    # point lookup now has exactly one candidate file
+    for key in (1, 7, 25, 40):
+        assert sum(1 for f in files if f["lo"] <= key <= f["hi"]) == 1
+    assert store.count(movie_model) == 39
+    assert store.read_one(movie_model, "7")["name"] == "patched"
