@@ -1,0 +1,118 @@
+"""End-to-end training-data curation over the `documents` table — the
+composition a large-scale pre-training pipeline runs, as ONE declarative
+plan: profile → quality gate → language gate → exact dedup → split.
+
+This is the flagship of the LLM-data-pipeline family: the individual
+stages exist as standalone probes (text_profile, dedup_exact_*,
+stratified sampling), but what a corpus team actually ships is the
+composition, and composing it as a single DataFrame expression is what
+lets Catalyst collapse it into ONE scan + ONE shuffle:
+
+- the profile metrics, quality predicate, and language predicate are
+  all JVM column expressions over the same scan (no materialization
+  between "stages" — stage fusion is free because the pipeline is
+  declared, not executed step-by-step);
+- filters run BEFORE the dedup shuffle, so the only exchange hashes the
+  survivors' content digests — at 100 TB the quality/language gates
+  typically drop 30-60% of rows before anything crosses the network;
+- the train/val split is a deterministic doc_id residue (a production
+  pipeline salts a hash; the residue keeps the DuckDB oracle exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gus_spark.queries import register, table
+from gus_spark.queries.text import _occurrences, _sql_occurrences
+
+MIN_TOKENS = 20          # quality gate: drop the shortest ~10% of docs
+VAL_RESIDUE = 19         # doc_id % 20 == 19 -> validation split (5%)
+
+
+@register(
+    "curate_documents",
+    oracle=f"""
+    WITH profiled AS (
+      SELECT doc_id, lang, source, text,
+             CAST(LENGTH(string_split_regex(TRIM(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(LENGTH(text) AS DOUBLE)
+               / LENGTH(string_split_regex(TRIM(text), '\\s+'))
+               AS chars_per_word,
+             {_sql_occurrences('text', ' the ')}
+               + {_sql_occurrences('text', ' and ')}
+               + {_sql_occurrences('text', ' of ')} AS en_marker_hits
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM profiled
+      WHERE n_tokens >= {MIN_TOKENS} AND en_marker_hits > 0
+    ),
+    deduped AS (
+      SELECT *,
+             md5(text) AS content_fp,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+               AS copy_rank
+      FROM gated
+    )
+    SELECT doc_id, lang, source, n_tokens, chars_per_word,
+           en_marker_hits, content_fp,
+           CASE WHEN doc_id % 20 = {VAL_RESIDUE} THEN 'val' ELSE 'train' END
+             AS split
+    FROM deduped
+    WHERE copy_rank = 1
+    """,
+)
+def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated English training corpus in one plan: per-doc profile
+    metrics (token count, chars/word, English-stopword marker hits),
+    quality gate (>= MIN_TOKENS tokens), language gate (at least one
+    English marker hit — on this corpus the zero-hit docs are exactly
+    the non-English ones), exact content dedup keeping the lowest
+    doc_id per md5 digest, and a deterministic train/val assignment.
+
+    Physical shape: one documents scan with every metric and both
+    gates fused into it (WholeStageCodegen), then a single exchange on
+    content_fp for the dedup window. The gates run pre-shuffle, so the
+    exchange carries only surviving rows."""
+    d = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    tokens = F.split(F.trim(text), r"\s+")
+    n_tokens = F.size(tokens).cast("long")
+    en_hits = (
+        _occurrences(text, " the ")
+        + _occurrences(text, " and ")
+        + _occurrences(text, " of ")
+    )
+    profiled = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        n_tokens.alias("n_tokens"),
+        (F.length(text).cast("double") / F.size(tokens)).alias("chars_per_word"),
+        en_hits.alias("en_marker_hits"),
+    )
+    gated = profiled.filter(
+        (F.col("n_tokens") >= MIN_TOKENS) & (F.col("en_marker_hits") > 0)
+    )
+    w = Window.partitionBy("content_fp").orderBy("doc_id")
+    return (
+        gated.withColumn("content_fp", F.md5(text))
+        .withColumn("copy_rank", F.row_number().over(w))
+        .filter(F.col("copy_rank") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            "chars_per_word",
+            "en_marker_hits",
+            "content_fp",
+            F.when(F.col("doc_id") % 20 == VAL_RESIDUE, "val")
+            .otherwise("train")
+            .alias("split"),
+        )
+    )

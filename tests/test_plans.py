@@ -68,3 +68,15 @@ def test_topk_uses_take_ordered(spark):
 def test_semi_anti_join_operators(spark):
     assert "LeftSemi" in plan_of(spark, "semi_join_active_customers")
     assert "LeftAnti" in plan_of(spark, "anti_join_idle_customers")
+
+
+def test_curation_pipeline_fuses_to_one_exchange(spark):
+    """The five curation 'stages' (profile, quality gate, language
+    gate, dedup, split) must compile to ONE scan and ONE exchange (the
+    dedup window's hash on content_fp): the gates are fused into the
+    scan stage and run before anything shuffles. A second Exchange
+    means stage fusion broke and the pipeline materializes between
+    steps — the difference between one and two passes over 100 TB."""
+    plan = plan_of(spark, "curate_documents", mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
