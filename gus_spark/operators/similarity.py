@@ -128,6 +128,70 @@ def probe_buckets(
     return F.concat(F.array(sig), flipped)
 
 
+def _grouped_topk_matmul(
+    union_df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact-cosine top-k inside each candidate group as ONE BLAS
+    matmul (probe matrix @ index matrixᵀ) per group, via an
+    Arrow-batched grouped map.
+
+    Input: (*group_cols, id, v, norm, is_probe) — probe rows are the
+    queries, non-probe rows the candidate index. A per-pair JVM fold
+    costs ~µs × candidates; the matmul scores the same candidates in
+    milliseconds, and per-group top-k bounds this stage's output to
+    n × groups_per_query × k rows regardless of group sizes. Output:
+    (query_id, neighbor_id, cos_sim) with cross-group duplicates
+    collapsed by max (guards against BLAS blocking producing last-ulp
+    differences between groups); callers apply the global top-k window
+    — exact, because any global winner is within the top-k of its own
+    group."""
+
+    def _group_topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        p = pdf[pdf["is_probe"].to_numpy()]
+        i = pdf[~pdf["is_probe"].to_numpy()]
+        if p.empty or i.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        pm = np.stack(p["v"].to_numpy())
+        im = np.stack(i["v"].to_numpy())
+        sims = (pm @ im.T) / np.outer(p["norm"].to_numpy(), i["norm"].to_numpy())
+        pid = p["id"].to_numpy()
+        iid = i["id"].to_numpy()
+        sims[pid[:, None] == iid[None, :]] = -np.inf  # no self-pairs
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(sims.shape[0]), kk)
+        cols = top.ravel()
+        keep = np.isfinite(sims[rows, cols])
+        return pd.DataFrame(
+            {"query_id": pid[rows[keep]],
+             "neighbor_id": iid[cols[keep]],
+             "cos_sim": sims[rows[keep], cols[keep]]}
+        )
+
+    grouped = union_df
+    if num_partitions is not None:
+        # few/hot groups: AQE would byte-size-coalesce the tiny shuffle
+        # input onto ~1 task and serialize the compute-heavy kernel; an
+        # explicit count keeps groups × salt parallel tasks
+        grouped = grouped.repartition(num_partitions, *group_cols)
+    pairs = grouped.groupBy(*group_cols).applyInPandas(
+        _group_topk, "query_id bigint, neighbor_id bigint, cos_sim double"
+    )
+    return pairs.groupBy("query_id", "neighbor_id").agg(
+        F.max("cos_sim").alias("cos_sim")
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -174,26 +238,15 @@ def ann_lsh_topk(
         .filter(F.col("cap_rn") <= bucket_cap)
         .drop("cap_rn")
     )
-    a, b = queries.alias("a"), candidates.alias("b")
-
-    cos = _dot_cols(F.col("a.v"), F.col("b.v")) / (
-        F.col("a.norm") * F.col("b.norm")
+    # score per bucket with the shared BLAS kernel: probes (exploded
+    # multi-probe rows) vs the capped home-bucket index; a pair meeting
+    # in several probed buckets is collapsed inside the helper. Bucket
+    # count is 2^num_planes (thousands), so the default hash
+    # partitioning already spreads groups — no salt needed.
+    union = queries.withColumn("is_probe", F.lit(True)).unionByName(
+        candidates.withColumn("is_probe", F.lit(False))
     )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") != F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("query_id"),
-            F.col("b.id").alias("neighbor_id"),
-            cos.alias("cos_sim"),
-        )
-        # a pair can meet in several probed buckets; cosine is computed
-        # identically each time, so distinct() collapses them exactly
-        .distinct()
-    )
+    pairs = _grouped_topk_matmul(union, ["bucket"], k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -409,56 +462,15 @@ def ivf_topk(
         F.lit(False).alias("is_probe"),
     )
 
-    # exact-cosine scoring as ONE BLAS matmul per (cell, salt) group:
-    # probe matrix @ index matrixᵀ inside an Arrow-batched grouped map.
-    # A per-pair JVM fold costs ~µs × candidates; the matmul scores the
-    # same candidates in milliseconds, and per-cell top-k bounds the
-    # shuffle out of this stage to n × nprobe × k rows regardless of
-    # cell sizes. Salting caps a hot cell's group at 1/salt of its rows.
-    def _cell_topk(pdf):
-        import numpy as np
-        import pandas as pd
-
-        p = pdf[pdf["is_probe"].to_numpy()]
-        i = pdf[~pdf["is_probe"].to_numpy()]
-        if p.empty or i.empty:
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype="int64"),
-                 "neighbor_id": pd.Series(dtype="int64"),
-                 "cos_sim": pd.Series(dtype="float64")}
-            )
-        pm = np.stack(p["v"].to_numpy())
-        im = np.stack(i["v"].to_numpy())
-        sims = (pm @ im.T) / np.outer(p["norm"].to_numpy(), i["norm"].to_numpy())
-        pid = p["id"].to_numpy()
-        iid = i["id"].to_numpy()
-        sims[pid[:, None] == iid[None, :]] = -np.inf  # no self-pairs
-        kk = min(k, sims.shape[1])
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows = np.repeat(np.arange(sims.shape[0]), kk)
-        cols = top.ravel()
-        keep = np.isfinite(sims[rows, cols])
-        return pd.DataFrame(
-            {"query_id": pid[rows[keep]],
-             "neighbor_id": iid[cols[keep]],
-             "cos_sim": sims[rows[keep], cols[keep]]}
-        )
-
-    pairs = (
-        probes.unionByName(indexed)
-        .repartition(max(salt * 8, 32), "cell", "salt")
-        .groupBy("cell", "salt")
-        .applyInPandas(
-            _cell_topk, "query_id bigint, neighbor_id bigint, cos_sim double"
-        )
-    )
-    # a pair can meet in up to nprobe shared cells when index_probes>1;
-    # collapse duplicates (max guards against BLAS blocking producing a
-    # last-ulp difference between groups), then global top-k over the
-    # per-cell top-k survivors (exact: any global winner is within the
-    # top-k of its own cell)
-    pairs = pairs.groupBy("query_id", "neighbor_id").agg(
-        F.max("cos_sim").alias("cos_sim")
+    # exact-cosine scoring via the shared per-group BLAS kernel; the
+    # explicit partition count keeps cells × salt parallel tasks even
+    # though the shuffle input is only a few MB (AQE would otherwise
+    # byte-size-coalesce the compute-heavy stage onto ~1 task)
+    pairs = _grouped_topk_matmul(
+        probes.unionByName(indexed),
+        ["cell", "salt"],
+        k,
+        num_partitions=max(salt * 8, 32),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
