@@ -20,7 +20,7 @@ from pyspark.sql.types import StringType, StructField, StructType
 from gus_spark.errors import StorageError
 from gus_spark.model.types import ModelDefinition
 
-_FORMATS = {"csv", "json", "parquet"}
+_FORMATS = {"csv", "json", "parquet", "orc"}
 
 
 def read_table(
@@ -36,8 +36,11 @@ def read_table(
         raise StorageError(f"unsupported source format {fmt!r}")
     schema = model.to_struct_type()
     reader = spark.read
-    if fmt == "parquet":
-        return reader.schema(schema).parquet(path)
+    if fmt in ("parquet", "orc"):
+        # columnar formats carry their own types; the declared schema
+        # still applies (projection + type check), and predicate
+        # pushdown / column pruning work identically for both
+        return getattr(reader.schema(schema), fmt)(path)
     mode = "PERMISSIVE" if permissive else "FAILFAST"
     if permissive:
         schema = StructType(

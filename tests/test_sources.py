@@ -82,3 +82,22 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert "o_orderstatus" in line  # the filter prunes directories
     expected = orders.filter(F.col("o_orderstatus") == "F").count()
     assert df.count() == expected
+
+
+def test_orc_roundtrip_declared_schema(spark, tmp_path):
+    """ORC joins the columnar formats: write via write_partitioned,
+    read back through the declared model schema, with predicate
+    pushdown reaching the ORC scan like parquet."""
+    src = spark.createDataFrame(
+        [(1, "a", 1990), (2, "b", 2000), (3, "c", 2010)],
+        MODEL.to_struct_type(),
+    )
+    out = str(tmp_path / "movies_orc")
+    write_partitioned(src, out, ["year"], fmt="orc")
+    df = read_table(spark, MODEL, out, fmt="orc")
+    assert {r.id for r in df.collect()} == {1, 2, 3}
+    # partition pruning: a year filter must prune directories
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.filter(F.col("year") == 2000).explain(mode="formatted")
+    assert "PartitionFilters" in buf.getvalue()
