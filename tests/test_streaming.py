@@ -111,3 +111,47 @@ def test_stateful_running_totals(spark, events_stream):
         ).collect()
     }
     assert got == expected
+
+
+def test_streaming_neardup_matches_full_corpus(spark, tmp_path):
+    """Documents streamed as two micro-batches through the incremental
+    MinHash index must produce EXACTLY the full-corpus near-dup pairs,
+    and a crash-replay (same batch ids, fresh checkpoint) must be a
+    no-op thanks to the batch markers."""
+    from gus_spark.operators.dedup import MinHashIndex, minhash_lsh_pairs
+    from gus_spark.queries import table as load_table
+    from gus_spark.streaming import neardup_stream
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    full = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in minhash_lsh_pairs(docs, threshold=0.8, ngram=1).collect()
+    }
+
+    src = str(tmp_path / "in")
+    # two appends -> two files -> two micro-batches at one file/trigger
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    index = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.8, ngram=1)
+    pairs_path = str(tmp_path / "pairs")
+    q = neardup_stream(stream, index, pairs_path, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    assert got == full
+    n_before = spark.read.parquet(pairs_path).count()
+
+    # replay: fresh checkpoint re-feeds the same files as batches 0/1;
+    # the markers must short-circuit both (no index growth, no new pairs)
+    q2 = neardup_stream(stream, index, pairs_path, str(tmp_path / "ckpt2"))
+    q2.awaitTermination()
+    assert spark.read.parquet(pairs_path).count() == n_before
