@@ -155,13 +155,18 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("similarity_ann_ivf")  # Spark-only
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate nearest neighbors (label-seeded coarse
-    quantizer). nprobe=4 hits recall@5 = 0.988 vs exact top-k on the
-    weakly-clustered testdata (tools/ann_recall_bench.py); the scan
-    fraction is nprobe/cells, so a production corpus with more cells
-    probes a far smaller share. Rows-only check; recall asserted in
-    tests."""
+    """IVF-bucketed approximate nearest neighbors with the
+    Lloyd-refined coarse quantizer (kmeans_fit over the label seeds).
+    The refined quantizer lets each vector be indexed in only 2 cells
+    for recall@5 >= 0.9 — HALF the candidate volume the raw seed
+    centroids need for the same recall (asserted in
+    test_approx_ops.py); the scan fraction is nprobe/cells, so a
+    production corpus with more cells probes a far smaller share.
+    Rows-only check; recall asserted in tests."""
     from gus_spark.operators.similarity import ivf_topk
 
     e = table(spark, sf_dir, "embeddings")
-    return ivf_topk(e, id_col="vec_id", vec_col="embedding", k=10, nprobe=4)
+    return ivf_topk(
+        e, id_col="vec_id", vec_col="embedding", k=10, nprobe=4,
+        index_probes=2, lloyd_iters=3,
+    )
