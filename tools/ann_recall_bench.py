@@ -77,11 +77,30 @@ def main() -> None:
         (r.query_id, r.vec_id) for r in exact_rows if r.cos_sim >= 0.8
     }
 
+    def pq_two_stage():
+        from gus_spark.operators.quantization import (
+            pq_encode,
+            pq_fit,
+            pq_topk_rerank,
+        )
+
+        cb = pq_fit(e, m=16, iters=3)
+        enc = pq_encode(e, cb)
+        queries = [
+            (int(r.query_id), list(r.qv)) for r in q.collect()
+        ]
+        return pq_topk_rerank(e, enc, queries, cb, k=K, shortlist=5 * K)
+
     results = {"sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1], "n": n, "k": K}
     for name, fn in (
         ("lsh", lambda: ann_lsh_topk(e, k=K)),
         ("ivf_p2", lambda: ivf_topk(e, k=K, nprobe=2)),
         ("ivf_p4", lambda: ivf_topk(e, k=K, nprobe=4)),
+        # Lloyd-refined quantizer at HALF the index volume of ivf_p4
+        ("ivf_lloyd", lambda: ivf_topk(
+            e, k=K, nprobe=4, index_probes=2, lloyd_iters=3)),
+        # PQ two-stage: ADC shortlist over 16-byte codes, exact re-rank
+        ("pq", pq_two_stage),
     ):
         t0 = time.time()
         approx = {
