@@ -54,6 +54,66 @@ def bucketed_join(
     )
 
 
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 6
+) -> DataFrame:
+    """Append ``_zkey``: the Morton (bit-interleaved) code of each
+    row's per-column quantile buckets.
+
+    Sorting/range-partitioning by ``_zkey`` clusters rows so that
+    EVERY listed column's values are locally narrow inside each file —
+    the property multi-column data skipping needs. A single-column
+    sort gives perfect min/max pruning on that column and none on the
+    others; the z-curve trades a little of the first column's locality
+    for bounded spans on all of them.
+
+    Quantile bucketing (``approxQuantile`` per column, one distributed
+    pass each, relative error 1e-3) rather than uniform min/max
+    buckets, so skewed columns still fill all 2^bits buckets — the
+    same per-column range-id construction Delta's OPTIMIZE ZORDER
+    uses. The bucket lookup compiles to a when-chain (2^bits - 1
+    comparisons, whole-stage-codegen'd); bits=6 × 2 columns = a 4096-
+    cell curve, plenty to cluster any practical file count.
+    """
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        n_buckets = 1 << bits
+        probs = [j / n_buckets for j in range(1, n_buckets)]
+        bounds = df.approxQuantile(c, probs, 1e-3)
+        bucket = F.lit(0)
+        for b, bound in enumerate(bounds):
+            bucket = F.when(F.col(c) > F.lit(bound), b + 1).otherwise(bucket)
+        for b in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(bucket.cast("long"), b).bitwiseAND(F.lit(1)),
+                b * len(cols) + i,
+            )
+    return df.withColumn("_zkey", key)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 6,
+) -> None:
+    """Write ``df`` as ``n_files`` z-order-clustered parquet files:
+    range-partitioned and sorted by the Morton key of ``cols``, then
+    the key dropped. Point/range predicates on ANY of ``cols`` skip
+    most files via footer min/max stats — the layout lever when one
+    table serves several access paths (the single-access-path case is
+    plain pk-range compaction)."""
+    keyed = zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def salted_sum(
     df: DataFrame,
     key: str,

@@ -58,3 +58,57 @@ def test_salted_sum_equals_plain(spark):
     for k in plain:
         assert salted[k][1] == plain[k][1]
         assert abs(salted[k][0] - plain[k][0]) < 1e-4
+
+
+def test_zorder_bounds_every_columns_file_span(spark, tmp_path):
+    """The measurable property z-ordering exists for: after clustering
+    orders by (o_custkey, o_totalprice), EVERY file's min/max span is
+    narrow on BOTH columns, where a single-column sort leaves the
+    second column's per-file span at ~the full range (no skipping)."""
+    from gus_spark.operators.partitioning import write_zordered
+
+    orders = table(spark, SF_DIR, "orders").select("o_custkey", "o_totalprice")
+
+    def mean_spans(path):
+        import glob
+
+        spans = {"o_custkey": [], "o_totalprice": []}
+        lo = orders.agg(F.min("o_custkey"), F.min("o_totalprice")).first()
+        hi = orders.agg(F.max("o_custkey"), F.max("o_totalprice")).first()
+        full = {
+            "o_custkey": float(hi[0] - lo[0]),
+            "o_totalprice": float(hi[1] - lo[1]),
+        }
+        for f in glob.glob(f"{path}/*.parquet"):
+            row = (
+                spark.read.parquet(f)
+                .agg(
+                    F.min("o_custkey"), F.max("o_custkey"),
+                    F.min("o_totalprice"), F.max("o_totalprice"),
+                )
+                .first()
+            )
+            spans["o_custkey"].append(float(row[1] - row[0]) / full["o_custkey"])
+            spans["o_totalprice"].append(
+                float(row[3] - row[2]) / full["o_totalprice"]
+            )
+        return {c: sum(v) / len(v) for c, v in spans.items()}
+
+    linear = str(tmp_path / "linear")
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(linear)
+    )
+    zpath = str(tmp_path / "zorder")
+    write_zordered(orders, zpath, ["o_custkey", "o_totalprice"], n_files=16)
+
+    lin, zo = mean_spans(linear), mean_spans(zpath)
+    # linear: near-perfect on the sort column, useless on the other
+    assert lin["o_custkey"] < 0.15, lin
+    assert lin["o_totalprice"] > 0.8, lin
+    # z-order: BOTH columns' mean spans bounded well under full range
+    assert zo["o_custkey"] < 0.5, zo
+    assert zo["o_totalprice"] < 0.5, zo
+    # row preservation
+    assert spark.read.parquet(zpath).count() == orders.count()
