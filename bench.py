@@ -30,6 +30,7 @@ HEADLINE = [
     "events_sessionization",
     "dedup_exact_representatives",
     "dedup_minhash_lsh",
+    "curate_documents",
     "text_profile",
     "text_lang_fingerprint",
     "similarity_topk_for_vec0",
