@@ -28,6 +28,7 @@ materialization at any point.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -275,6 +276,20 @@ def pq_topk_rerank(
     cand = pq_topk(encoded, queries, codebooks, k=shortlist).select(
         "query_id", "neighbor_id"
     )
+    return _exact_rerank(df, cand, queries, k, id_col, vec_col)
+
+
+def _exact_rerank(
+    df: DataFrame,
+    cand: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, neighbor_id) shortlist:
+    broadcast the tiny candidate set + query vectors against the full
+    vectors — no corpus shuffle — and take the top-k window."""
     spark = df.sparkSession
     import numpy as np
 
@@ -299,6 +314,254 @@ def pq_topk_rerank(
         .select("query_id", "neighbor_id", "cos_sim",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+class IvfPqModel:
+    """Fitted IVF-PQ state, driver-held like a model object:
+    ``centroids`` (cells × dim) from the Lloyd coarse quantizer and
+    residual ``codebooks`` (m × codes × dim/m). ~0.5 MB at 10 cells +
+    16×256×4 codes — broadcast per job, persisted at the caller's
+    choice."""
+
+    def __init__(self, centroids, codebooks):
+        self.centroids = centroids
+        self.codebooks = codebooks
+
+
+def ivf_pq_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_col: str | None = "label",
+    m: int = 16,
+    codes: int = 256,
+    iters: int = 3,
+    dim: int = DIM,
+) -> IvfPqModel:
+    """The FAISS IVF-PQ architecture on DataFrames: a Lloyd coarse
+    quantizer routes vectors to cells, and PQ codebooks are trained on
+    the RESIDUALS (x − centroid[cell]) — residuals are much smaller
+    than raw vectors, so the same code budget quantizes them far more
+    accurately. Same scale shape as kmeans_fit/pq_fit: driver-held
+    state, one Arrow-batched partial-sum scan per Lloyd iteration, no
+    per-row shuffle."""
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    spark = df.sparkSession
+    from gus_spark.operators.similarity import kmeans_fit
+
+    cent_rows = kmeans_fit(
+        df, id_col=id_col, vec_col=vec_col, seed_col=seed_col,
+        iters=iters, dim=dim,
+    ).collect()
+    cent_rows.sort(key=lambda r: r["cell"])
+    centroids = np.stack([np.asarray(r["cv"]) for r in cent_rows])
+
+    v = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cb = None  # iteration 0 initializes from id-residue partitions
+    for it in range(iters + 1):
+        bc = spark.sparkContext.broadcast((cn, centroids, cb))
+
+        def _partials(batches, _bc=bc):
+            import numpy as np  # noqa: PLC0415 — executor-side
+            import pandas as pd
+
+            cn_, cent_, cb_ = _bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.stack(pdf["v"].to_numpy())
+                cell = (x @ cn_.T).argmax(axis=1)
+                r = x - cent_[cell]
+                out_sub, out_code, out_n, out_s = [], [], [], []
+                for j, sub in enumerate(_subspace_views(r, m)):
+                    if cb_ is None:  # deterministic init partition
+                        code = pdf["id"].to_numpy() % codes
+                    else:
+                        cc_sq = (cb_[j] ** 2).sum(axis=1)
+                        code = (cc_sq[None, :] - 2.0 * (sub @ cb_[j].T)).argmin(
+                            axis=1
+                        )
+                    order = np.argsort(code, kind="stable")
+                    ss, cs = sub[order], code[order]
+                    uc, starts = np.unique(cs, return_index=True)
+                    sums = np.add.reduceat(ss, starts, axis=0)
+                    counts = np.diff(np.append(starts, len(cs)))
+                    out_sub.extend([j] * len(uc))
+                    out_code.extend(int(u) for u in uc)
+                    out_n.extend(counts.tolist())
+                    out_s.extend(row.tolist() for row in sums)
+                yield pd.DataFrame(
+                    {"sub": out_sub, "code": out_code, "n": out_n, "s": out_s}
+                )
+
+        partials = v.mapInPandas(
+            _partials, "sub int, code int, n long, s array<double>"
+        ).collect()
+        counts = np.zeros((m, codes), dtype="int64")
+        sums = np.zeros((m, codes, dsub))
+        for row in partials:
+            counts[row["sub"], row["code"]] += row["n"]
+            sums[row["sub"], row["code"]] += np.asarray(row["s"])
+        new_cb = np.zeros((m, codes, dsub)) if cb is None else cb.copy()
+        occupied = counts > 0
+        new_cb[occupied] = sums[occupied] / counts[occupied][:, None]
+        cb = new_cb
+    return IvfPqModel(centroids, cb)
+
+
+def ivf_pq_encode(
+    df: DataFrame,
+    model: IvfPqModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, codes array<int>, rnorm): home cell, residual PQ
+    codes, and the reconstructed vector's norm — stored at encode time
+    (8 bytes/vector) so query-time cosine needs NO per-cell cross-term
+    tables (those are cells × m × codes and stop fitting in a broadcast
+    once the cell count grows; the stored norm is also exactly the
+    reconstruction's norm, cross terms included)."""
+    spark = df.sparkSession
+    cn = model.centroids / np.linalg.norm(
+        model.centroids, axis=1, keepdims=True
+    )
+    bc = spark.sparkContext.broadcast((cn, model.centroids, model.codebooks))
+
+    def _encode(batches):
+        import numpy as np  # noqa: PLC0415 — executor-side
+        import pandas as pd
+
+        cn_, cent_, cb_ = bc.value
+        mm = cb_.shape[0]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["v"].to_numpy())
+            cell = (x @ cn_.T).argmax(axis=1)
+            r = x - cent_[cell]
+            recon = cent_[cell].copy()
+            code_cols = []
+            for j, sub in enumerate(_subspace_views(r, mm)):
+                cc_sq = (cb_[j] ** 2).sum(axis=1)
+                code = (cc_sq[None, :] - 2.0 * (sub @ cb_[j].T)).argmin(axis=1)
+                code_cols.append(code)
+                recon[:, j * sub.shape[1] : (j + 1) * sub.shape[1]] += cb_[j][
+                    code
+                ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cell": cell.astype("int32"),
+                    "codes": list(np.stack(code_cols, axis=1).tolist()),
+                    "rnorm": np.linalg.norm(recon, axis=1),
+                }
+            )
+
+    v = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    )
+    return v.mapInPandas(_encode, "id bigint, cell int, codes array<int>, rnorm double")
+
+
+def ivf_pq_shortlist(
+    encoded: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    model: IvfPqModel,
+    k: int,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ADC shortlist over cell-routed codes: each query scores ONLY
+    rows in its ``nprobe`` nearest cells — the scan fraction is
+    nprobe/cells of the code bytes, and the floats never move.
+    approx_ip(q̂, x̂) = q̂·centroid[cell] (a Q × cells table) + Σ_j
+    LUT[q, j, code_j] (the residual table); cosine divides by the
+    stored reconstruction norm. Output (query_id, neighbor_id,
+    adc_sim)."""
+    spark = encoded.sparkSession
+    qids = np.array([q[0] for q in queries], dtype="int64")
+    qvecs = np.stack([np.asarray(q[1], dtype="float64") for q in queries])
+    qvecs = qvecs / np.linalg.norm(qvecs, axis=1, keepdims=True)
+    cn = model.centroids / np.linalg.norm(
+        model.centroids, axis=1, keepdims=True
+    )
+    cell_sim = qvecs @ cn.T  # (Q, cells) — ranks probes
+    probe_mask = np.zeros_like(cell_sim, dtype=bool)
+    order = np.argsort(-cell_sim, axis=1)[:, :nprobe]
+    np.put_along_axis(probe_mask, order, True, axis=1)
+    qcent = qvecs @ model.centroids.T  # (Q, cells) — scoring term
+    mm = model.codebooks.shape[0]
+    lut = np.einsum(
+        "qjd,jcd->qjc", np.stack(_subspace_views(qvecs, mm), axis=1),
+        model.codebooks,
+    )
+    bc = spark.sparkContext.broadcast((qids, probe_mask, qcent, lut))
+
+    def _score(batches):
+        import numpy as np  # noqa: PLC0415 — executor-side
+        import pandas as pd
+
+        ids_q, mask_, qcent_, lut_ = bc.value
+        j_idx = np.arange(lut_.shape[1])
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cells = pdf["cell"].to_numpy()
+            codes_mat = np.stack(pdf["codes"].to_numpy())
+            nids = pdf["id"].to_numpy()
+            rnorm = pdf["rnorm"].to_numpy().copy()
+            rnorm[rnorm == 0.0] = 1.0
+            res_ip = lut_[:, j_idx[None, :], codes_mat].sum(axis=2)
+            sims = (qcent_[:, cells] + res_ip) / rnorm[None, :]
+            sims[~mask_[:, cells]] = -np.inf  # unprobed cells skipped
+            sims[ids_q[:, None] == nids[None, :]] = -np.inf
+            kk = min(int(k), sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(sims.shape[0]), kk)
+            cols = top.ravel()
+            keep = np.isfinite(sims[rows, cols])
+            yield pd.DataFrame(
+                {"query_id": ids_q[rows[keep]],
+                 "neighbor_id": nids[cols[keep]],
+                 "adc_sim": sims[rows[keep], cols[keep]]}
+            )
+
+    partial = ensure_parallelism(encoded).mapInPandas(
+        _score, "query_id bigint, neighbor_id bigint, adc_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_sim"), "neighbor_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    encoded: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    model: IvfPqModel,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full FAISS-style retrieval: cell-routed ADC shortlist (reads
+    nprobe/cells of the CODE bytes only) → exact re-rank of the tiny
+    candidate set. Output (query_id, neighbor_id, cos_sim, rank)."""
+    shortlist = 5 * k if shortlist is None else shortlist
+    cand = ivf_pq_shortlist(encoded, queries, model, shortlist, nprobe).select(
+        "query_id", "neighbor_id"
+    )
+    return _exact_rerank(df, cand, queries, k, id_col, vec_col)
 
 
 def pq_reconstruction_mse(

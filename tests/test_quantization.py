@@ -96,3 +96,77 @@ def test_pq_adc_rerank_is_near_exact(spark, embeddings, ground_truth):
         adc_got.setdefault(r.query_id, set()).add(r.neighbor_id)
     adc_hits = sum(len(truth[q] & adc_got.get(q, set())) for q in truth)
     assert adc_hits <= hits
+
+
+@pytest.fixture(scope="module")
+def ivfpq(spark, embeddings):
+    from gus_spark.operators.quantization import ivf_pq_encode, ivf_pq_fit
+
+    model = ivf_pq_fit(embeddings, m=16, iters=3)
+    return model, ivf_pq_encode(embeddings, model)
+
+
+def test_ivf_pq_encode_contract(spark, embeddings, ivfpq):
+    """Stored form: home cell + m residual codes + the reconstruction
+    norm (stored at encode time so query-time cosine needs no
+    cells×m×codes cross-term broadcast)."""
+    model, enc = ivfpq
+    rows = enc.collect()
+    assert enc.columns == ["id", "cell", "codes", "rnorm"]
+    assert len(rows) == embeddings.count()
+    n_cells = model.centroids.shape[0]
+    assert all(0 <= r.cell < n_cells for r in rows)
+    assert all(len(r.codes) == 16 for r in rows)
+    assert all(r.rnorm > 0 for r in rows)
+
+
+def test_ivf_pq_shortlist_respects_cell_routing(spark, ivfpq, ground_truth):
+    """The scan-bound invariant IVF-PQ exists for: a query's ADC
+    candidates come ONLY from its nprobe nearest cells — zero
+    exceptions."""
+    import numpy as np
+
+    from gus_spark.operators.quantization import ivf_pq_shortlist
+
+    model, enc = ivfpq
+    _, queries = ground_truth
+    sl = ivf_pq_shortlist(enc, queries, model, k=25, nprobe=4)
+    cells = {r.id: r.cell for r in enc.select("id", "cell").collect()}
+    qv = np.stack([np.asarray(q[1]) for q in queries])
+    qvn = qv / np.linalg.norm(qv, axis=1, keepdims=True)
+    cn = model.centroids / np.linalg.norm(
+        model.centroids, axis=1, keepdims=True
+    )
+    probed = {
+        queries[i][0]: set(np.argsort(-(qvn[i] @ cn.T))[:4].tolist())
+        for i in range(len(queries))
+    }
+    for r in sl.collect():
+        assert cells[r.neighbor_id] in probed[r.query_id], r
+
+
+def test_ivf_pq_recall_scales_with_nprobe(spark, embeddings, ivfpq,
+                                          ground_truth):
+    """Recall must rise monotonically with probed cells (the IVF-PQ
+    accuracy knob) and reach >=0.7 at nprobe=4 of 10 cells on this
+    weakly-clustered corpus — the single-home-cell routing ceiling
+    (plain IVF at index_probes=1 measures the same; measured curve
+    0.456/0.732/0.884/0.948 at nprobe 2/4/6/8)."""
+    from gus_spark.operators.quantization import ivf_pq_topk
+
+    model, enc = ivfpq
+    truth, queries = ground_truth
+
+    def recall(nprobe):
+        res = ivf_pq_topk(
+            embeddings, enc, queries, model, k=5, nprobe=nprobe, shortlist=25
+        )
+        got: dict[int, set[int]] = {}
+        for r in res.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        return hits / sum(len(v) for v in truth.values())
+
+    r2, r4 = recall(2), recall(4)
+    assert r4 >= 0.7, r4
+    assert r4 > r2, (r2, r4)
