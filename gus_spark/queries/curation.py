@@ -31,6 +31,34 @@ MIN_TOKENS = 20          # quality gate: drop the shortest ~10% of docs
 VAL_RESIDUE = 19         # doc_id % 20 == 19 -> validation split (5%)
 
 
+def profile_and_gate(d: DataFrame) -> DataFrame:
+    """The stateless prefix of the curation pipeline — per-doc metrics,
+    quality gate, language gate, content fingerprint — as pure column
+    expressions over one scan. Shared by the batch query below and the
+    streaming form (gus_spark.streaming.curation), so both gate
+    identically by construction."""
+    text = F.col("text")
+    tokens = F.split(F.trim(text), r"\s+")
+    n_tokens = F.size(tokens).cast("long")
+    en_hits = (
+        _occurrences(text, " the ")
+        + _occurrences(text, " and ")
+        + _occurrences(text, " of ")
+    )
+    profiled = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        n_tokens.alias("n_tokens"),
+        (F.length(text).cast("double") / F.size(tokens)).alias("chars_per_word"),
+        en_hits.alias("en_marker_hits"),
+    )
+    return profiled.filter(
+        (F.col("n_tokens") >= MIN_TOKENS) & (F.col("en_marker_hits") > 0)
+    ).withColumn("content_fp", F.md5(text))
+
+
 @register(
     "curate_documents",
     oracle=f"""
@@ -77,31 +105,10 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates fused into it (WholeStageCodegen), then a single exchange on
     content_fp for the dedup window. The gates run pre-shuffle, so the
     exchange carries only surviving rows."""
-    d = table(spark, sf_dir, "documents")
-    text = F.col("text")
-    tokens = F.split(F.trim(text), r"\s+")
-    n_tokens = F.size(tokens).cast("long")
-    en_hits = (
-        _occurrences(text, " the ")
-        + _occurrences(text, " and ")
-        + _occurrences(text, " of ")
-    )
-    profiled = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        n_tokens.alias("n_tokens"),
-        (F.length(text).cast("double") / F.size(tokens)).alias("chars_per_word"),
-        en_hits.alias("en_marker_hits"),
-    )
-    gated = profiled.filter(
-        (F.col("n_tokens") >= MIN_TOKENS) & (F.col("en_marker_hits") > 0)
-    )
+    gated = profile_and_gate(table(spark, sf_dir, "documents"))
     w = Window.partitionBy("content_fp").orderBy("doc_id")
     return (
-        gated.withColumn("content_fp", F.md5(text))
-        .withColumn("copy_rank", F.row_number().over(w))
+        gated.withColumn("copy_rank", F.row_number().over(w))
         .filter(F.col("copy_rank") == 1)
         .select(
             "doc_id",

@@ -1,3 +1,4 @@
+from gus_spark.streaming.curation import curate_stream  # noqa: F401
 from gus_spark.streaming.neardup import neardup_stream  # noqa: F401
 from gus_spark.streaming.subscriptions import (  # noqa: F401
     dedup_stream,

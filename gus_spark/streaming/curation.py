@@ -1,0 +1,90 @@
+"""Streaming corpus curation: the `curate_documents` pipeline applied
+to a document stream, micro-batch by micro-batch.
+
+The gates (quality, language, metrics, fingerprint) are the SAME column
+expressions as the batch query — imported from queries.curation, so
+batch and stream cannot drift — and they are stateless, so they fuse
+into each micro-batch's scan exactly as in the batch plan. The one
+stateful stage is exact dedup, which in a stream means "have I ever
+seen this content fingerprint": that state is a persisted fp table (the
+MinHashIndex pattern), maintained in ``foreachBatch`` — each batch
+dedups within itself (min doc_id per fp), anti-joins the fp table, and
+appends the survivors + their fps.
+
+Semantics: first-arrival-wins across batches (within a batch: lowest
+doc_id). When documents arrive in doc_id order this equals the batch
+query's global min-doc_id-per-fp result row-for-row; under out-of-order
+arrival the kept representative may differ, but the curated CONTENT set
+(the fps) is always identical — asserted in tests. State size is one
+row per distinct fp, the same cardinality the batch dedup shuffles;
+the anti-join prunes on the fp hash, so each batch touches O(batch)
+index rows, not the corpus.
+
+Crash-replay: per-batch done-markers (as in streaming.neardup) make
+replayed batch ids no-ops, keeping output and fp table exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from gus_spark.queries.curation import VAL_RESIDUE, profile_and_gate
+
+_OUT_COLS = [
+    "doc_id", "lang", "source", "n_tokens", "chars_per_word",
+    "en_marker_hits", "content_fp", "split",
+]
+
+
+def curate_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    out_path: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """Start curating ``docs_stream`` (documents schema); curated rows
+    (the batch query's column set) append to ``out_path`` as parquet,
+    seen-fingerprint state persists under ``state_dir``."""
+    os.makedirs(state_dir, exist_ok=True)
+    fp_path = os.path.join(state_dir, "fps")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(state_dir, f"_batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        spark = batch_df.sparkSession
+        gated = profile_and_gate(batch_df)
+        w = Window.partitionBy("content_fp").orderBy("doc_id")
+        batch_kept = (
+            gated.withColumn("copy_rank", F.row_number().over(w))
+            .filter(F.col("copy_rank") == 1)
+            .select(
+                "doc_id", "lang", "source", "n_tokens", "chars_per_word",
+                "en_marker_hits", "content_fp",
+                F.when(F.col("doc_id") % 20 == VAL_RESIDUE, "val")
+                .otherwise("train")
+                .alias("split"),
+            )
+        )
+        if os.path.isdir(fp_path):
+            seen = spark.read.parquet(fp_path)
+            batch_kept = batch_kept.join(seen, "content_fp", "left_anti")
+        # two actions consume this frame (rows + fps); materialize once
+        batch_kept = batch_kept.cache()
+        if batch_kept.take(1):
+            batch_kept.select(*_OUT_COLS).write.mode("append").parquet(out_path)
+            batch_kept.select("content_fp").write.mode("append").parquet(fp_path)
+        batch_kept.unpersist()
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write("done")
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -155,3 +155,39 @@ def test_streaming_neardup_matches_full_corpus(spark, tmp_path):
     q2 = neardup_stream(stream, index, pairs_path, str(tmp_path / "ckpt2"))
     q2.awaitTermination()
     assert spark.read.parquet(pairs_path).count() == n_before
+
+
+def test_streaming_curation_matches_batch(spark, tmp_path):
+    """Documents streamed as two doc_id-ordered micro-batches through
+    curate_stream must reproduce the batch curate_documents result
+    row-for-row (same gates by construction — shared expressions; same
+    dedup winner because arrival follows doc_id order)."""
+    from gus_spark.queries import catalog
+    from gus_spark.streaming import curate_stream
+
+    batch = {
+        tuple(r) for r in catalog()["curate_documents"].fn(spark, SF_DIR).collect()
+    }
+    docs = table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "in")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "curated")
+    q = curate_stream(stream, str(tmp_path / "state"), out,
+                      str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == batch
+    # replay with a fresh checkpoint: markers short-circuit both batches
+    n = spark.read.parquet(out).count()
+    q2 = curate_stream(stream, str(tmp_path / "state"), out,
+                       str(tmp_path / "ckpt2"))
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n
