@@ -433,6 +433,64 @@ class ParquetStore:
             self._commit(model, manifest)
             self._gc(model)
 
+    def table_health(self, model: ModelDefinition) -> dict:
+        """Manifest-derived layout health, computed WITHOUT touching
+        data files (metadata only — safe to poll):
+
+        - ``n_files`` / ``n_rows``: current snapshot size;
+        - ``overlap_fraction``: share of files whose pk range overlaps
+          the previous file's in lo-sorted order — 0.0 right after
+          ``compact`` (disjoint ranges), approaching 1.0 as CRUD churn
+          accumulates deltas that all straddle each other, which is
+          exactly when point lookups stop pruning;
+        - ``n_snapshots``: retained manifests (time-travel state that
+          ``expire_snapshots`` trims).
+        """
+        manifest = self._current_manifest(model)
+        files = manifest["files"]
+        spans = sorted(
+            ((f["lo"], f["hi"]) for f in files if f["lo"] is not None),
+        )
+        overlapping = sum(
+            1
+            for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:])
+            if lo_next <= hi_prev
+        )
+        return {
+            "n_files": len(files),
+            "n_rows": sum(f.get("rows", 0) for f in files),
+            "overlap_fraction": (
+                overlapping / (len(spans) - 1) if len(spans) > 1 else 0.0
+            ),
+            "n_snapshots": len(self.history(model)),
+        }
+
+    def maintain(
+        self,
+        model: ModelDefinition,
+        max_files: int = 16,
+        max_overlap: float = 0.25,
+        keep_snapshots: int = 3,
+        target_files: int = 4,
+    ) -> dict:
+        """The auto-OPTIMIZE loop a deployment schedules: read health
+        (metadata only), compact when the layout has degraded past the
+        thresholds (too many files OR overlapping pk ranges), then trim
+        snapshot history. A healthy table is a cheap no-op — one
+        manifest read — so this can run after every N commits or on a
+        timer without thinking. Returns the health plus the actions
+        taken."""
+        health = self.table_health(model)
+        compacted = health["n_files"] > max_files or (
+            health["overlap_fraction"] > max_overlap and health["n_files"] > 1
+        )
+        if compacted:
+            self.compact(model, target_files=target_files)
+        expired = health["n_snapshots"] > keep_snapshots
+        if expired:
+            self.expire_snapshots(model, keep=keep_snapshots)
+        return {**health, "compacted": compacted, "expired": expired}
+
     def _current_pointer(self, model: ModelDefinition) -> str | None:
         pointer = os.path.join(self._table_dir(model), "CURRENT")
         if not os.path.exists(pointer):

@@ -313,3 +313,31 @@ def test_compact_produces_disjoint_pk_ranges(store, movie_model):
         assert sum(1 for f in files if f["lo"] <= key <= f["hi"]) == 1
     assert store.count(movie_model) == 39
     assert store.read_one(movie_model, "7")["name"] == "patched"
+
+
+def test_maintain_compacts_only_when_degraded(store, movie_model):
+    """The auto-OPTIMIZE loop: churn degrades the manifest (overlapping
+    delta ranges), maintain() detects it from metadata alone and
+    compacts + trims history; a second maintain() on the now-healthy
+    table is a no-op (manifest seq unchanged by compaction)."""
+    store.create_many(
+        movie_model,
+        [dict(RECORD, id=i, name=f"m{i}") for i in range(1, 31)],
+    )
+    # churn: each update rewrites a wide-range file -> overlapping spans
+    for key in ("5", "15", "25"):
+        store.update_one(movie_model, key, {"name": "patched"})
+    before = store.table_health(movie_model)
+    assert before["overlap_fraction"] > 0.25, before
+
+    report = store.maintain(movie_model, keep_snapshots=2)
+    assert report["compacted"] is True
+    after = store.table_health(movie_model)
+    assert after["overlap_fraction"] == 0.0, after
+    assert after["n_snapshots"] <= 3  # 2 kept + the compaction commit
+
+    seq_before = store._current_manifest(movie_model)["seq"]
+    report2 = store.maintain(movie_model, keep_snapshots=2)
+    assert report2["compacted"] is False
+    assert store._current_manifest(movie_model)["seq"] == seq_before
+    assert store.count(movie_model) == 30
