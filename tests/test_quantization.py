@@ -170,3 +170,47 @@ def test_ivf_pq_recall_scales_with_nprobe(spark, embeddings, ivfpq,
     r2, r4 = recall(2), recall(4)
     assert r4 >= 0.7, r4
     assert r4 > r2, (r2, r4)
+
+
+def test_vector_index_incremental_add_matches_one_shot(spark, embeddings,
+                                                       ground_truth,
+                                                       tmp_path):
+    """The persisted-index lifecycle: fit once, add the corpus in two
+    batches, search — results must be IDENTICAL to encoding everything
+    in one shot against the same model (frozen-quantizer determinism),
+    and the index must refuse a re-fit that would orphan codes."""
+    from gus_spark.errors import StorageError
+    from gus_spark.operators.quantization import ivf_pq_encode, ivf_pq_topk
+    from gus_spark.operators.vector_index import VectorIndex
+
+    truth, queries = ground_truth
+    idx = VectorIndex(spark, str(tmp_path / "vidx"), m=16, iters=3)
+    idx.fit(embeddings)
+    assert idx.add(embeddings.filter(F.col("vec_id") < 250)) == 250
+    assert idx.add(embeddings.filter(F.col("vec_id") >= 250)) == 250
+
+    got = {
+        (r.query_id, r.neighbor_id, round(r.cos_sim, 9))
+        for r in idx.search(
+            queries, k=5, nprobe=4, shortlist=25, rerank_df=embeddings
+        ).collect()
+    }
+    model = idx._load_model()
+    one_shot = ivf_pq_topk(
+        embeddings, ivf_pq_encode(embeddings, model), queries, model,
+        k=5, nprobe=4, shortlist=25,
+    )
+    expected = {
+        (r.query_id, r.neighbor_id, round(r.cos_sim, 9))
+        for r in one_shot.collect()
+    }
+    assert got == expected
+
+    with pytest.raises(StorageError):
+        idx.fit(embeddings)  # codes exist -> refusal, not silent orphaning
+    stats = idx.stats()
+    assert stats["n_rows"] == 500
+    assert 0 < stats["max_cell_fraction"] < 1
+    # param drift guard (the MinHashIndex contract)
+    with pytest.raises(ValueError):
+        VectorIndex(spark, str(tmp_path / "vidx"), m=8)
