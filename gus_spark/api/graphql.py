@@ -69,6 +69,15 @@ def _fields(model: ModelDefinition, with_types: bool = True) -> list[str]:
     return out
 
 
+def _numeric_attrs(model: ModelDefinition) -> list[str]:
+    return [
+        n
+        for n in model.field_order
+        if model.attributes[n].primitive in ("Integer", "Float")
+        and not model.attributes[n].is_array
+    ]
+
+
 def generate_sdl(registry: ModelRegistry) -> str:
     """Build the SDL string (the shape create_schema emits,
     graphql.rs:188-258)."""
@@ -122,6 +131,22 @@ def generate_sdl(registry: ModelRegistry) -> str:
             f"(limit: Int, offset: Int, after: {pk_base}, "
             f"{', '.join(filter_args)}): [{tname}!]"
         )
+        # aggregate surface — beyond the reference (which has no scan
+        # path at all): one Stats type per model, grouped or global
+        stat_fields = ["groupValue: String", "count: Int!"]
+        for n in _numeric_attrs(model):
+            cam = camelize(n, upper_first=True)
+            stat_fields += [
+                f"sum{cam}: Float", f"avg{cam}: Float",
+                f"min{cam}: Float", f"max{cam}: Float",
+            ]
+        types.append(
+            f"type {tname}Stats {{\n  " + "\n  ".join(stat_fields) + "\n}"
+        )
+        queries.append(
+            f"{plural_camel(model.model_name)}Stats"
+            f"(groupBy: String, {', '.join(filter_args)}): [{tname}Stats!]!"
+        )
         mutations.append(f"addOne{tname}({args_all}): {tname}")
         mutations.append(f"updateOne{tname}({args_patch}): {tname}")
         mutations.append(f"deleteOne{tname}({pk}: {pk_t}): {tname}")
@@ -167,6 +192,8 @@ class GraphQLApi:
             plural = plural_camel(model.model_name)
             if query_type and plural in query_type.fields:
                 query_type.fields[plural].resolve = self._read_many(model)
+            if query_type and f"{plural}Stats" in query_type.fields:
+                query_type.fields[f"{plural}Stats"].resolve = self._stats(model)
             if mutation_type:
                 mutation_type.fields[f"addOne{tname}"].resolve = self._add_one(model)
                 mutation_type.fields[f"updateOne{tname}"].resolve = (
@@ -235,6 +262,24 @@ class GraphQLApi:
         (legacy path) — the returned frame is unlimited in that case."""
         from pyspark.sql import functions as F
 
+        pk = model.primary_key
+        df = self._apply_filters(self.store.read_df(model), model, args)
+        if after is not None:
+            # keyset cursor: pushed range predicate, no skip-scan —
+            # page N costs the same as page 1 at any table size
+            df = df.filter(F.col(pk) > F.lit(after)).orderBy(pk).limit(limit)
+        else:
+            df = df.orderBy(pk)
+        return df
+
+    @staticmethod
+    def _apply_filters(df, model: ModelDefinition, args: dict):
+        """Compile readMany/stats filter args to pushed-down predicates:
+        `<attr>` = equality, `<attr>_<op>` = range/LIKE — unless a real
+        attribute literally owns the suffixed name (it keeps equality
+        semantics then)."""
+        from pyspark.sql import functions as F
+
         ops = {
             "gt": lambda c, v: c > v,
             "gte": lambda c, v: c >= v,
@@ -242,8 +287,6 @@ class GraphQLApi:
             "lte": lambda c, v: c <= v,
             "like": lambda c, v: c.like(v),
         }
-        pk = model.primary_key
-        df = self.store.read_df(model)
         for attr, value in args.items():
             name, _, suffix = attr.rpartition("_")
             if (
@@ -252,19 +295,57 @@ class GraphQLApi:
                 and attr not in model.attributes
             ):
                 # raw python value: Column.like requires a plain string;
-                # comparisons lift literals themselves. An attribute
-                # literally named `<x>_<op>` keeps equality semantics
-                # (the attr owns the name).
+                # comparisons lift literals themselves
                 df = df.filter(ops[suffix](F.col(name), value))
             else:
                 df = df.filter(F.col(attr) == F.lit(value))
-        if after is not None:
-            # keyset cursor: pushed range predicate, no skip-scan —
-            # page N costs the same as page 1 at any table size
-            df = df.filter(F.col(pk) > F.lit(after)).orderBy(pk).limit(limit)
-        else:
-            df = df.orderBy(pk)
         return df
+
+    def _stats(self, model: ModelDefinition):
+        """Resolver for `<plural>Stats`: the analytics surface through
+        the API — one aggregation plan over the store snapshot (filters
+        push into the scan; partial aggregation before the single
+        shuffle, or no shuffle at all for the global row)."""
+
+        def resolve(_obj, _info, **args):
+            from pyspark.sql import functions as F
+
+            group_by = args.pop("groupBy", None)
+            if group_by is not None and (
+                group_by not in model.attributes
+                or model.attributes[group_by].is_array
+            ):
+                raise gql.GraphQLError(
+                    f"groupBy must name a scalar attribute of "
+                    f"{model.model_name}, got {group_by!r}"
+                )
+
+            def run():
+                df = self._apply_filters(
+                    self.store.read_df(model), model, args
+                )
+                aggs = [F.count("*").alias("count")]
+                for n in _numeric_attrs(model):
+                    c = camelize(n, upper_first=True)
+                    aggs += [
+                        F.sum(n).cast("double").alias(f"sum{c}"),
+                        F.avg(n).cast("double").alias(f"avg{c}"),
+                        F.min(n).cast("double").alias(f"min{c}"),
+                        F.max(n).cast("double").alias(f"max{c}"),
+                    ]
+                if group_by is None:
+                    rows = df.agg(*aggs).collect()
+                    return [{"groupValue": None, **rows[0].asDict()}]
+                grouped = (
+                    df.groupBy(F.col(group_by).cast("string").alias("groupValue"))
+                    .agg(*aggs)
+                    .orderBy("groupValue")
+                )
+                return [r.asDict() for r in grouped.collect()]
+
+            return self._wrap(run)
+
+        return resolve
 
     def _add_one(self, model: ModelDefinition):
         def resolve(_obj, _info, **args):

@@ -447,3 +447,44 @@ def test_static_view_surface(api):
             assert json.loads(resp.read())["data"]["id"] == "get"
     finally:
         server.shutdown()
+
+
+def test_graphql_stats_aggregate_surface(spark, tmp_path_factory):
+    """`<plural>Stats`: grouped and global aggregations through the
+    API, sharing the readMany filter grammar; invalid groupBy is a
+    GraphQL error, not a Spark failure."""
+    registry = ModelRegistry()
+    registry.register(ModelDefinition.from_json(MOVIE))
+    store = ParquetStore(
+        spark, str(tmp_path_factory.mktemp("stats") / "warehouse")
+    )
+    gapi = GraphQLApi(registry, store)
+    store.create_many(
+        registry.get("movie"),
+        [
+            {"id": "a", "year": 1990, "recommended": True},
+            {"id": "b", "year": 2000, "recommended": True},
+            {"id": "c", "year": 2010, "recommended": False},
+        ],
+    )
+
+    out = gapi.execute("{ moviesStats { groupValue count avgYear minYear } }")
+    assert "errors" not in out, out
+    assert out["data"]["moviesStats"] == [
+        {"groupValue": None, "count": 3, "avgYear": 2000.0, "minYear": 1990.0}
+    ]
+
+    out = gapi.execute(
+        '{ moviesStats(groupBy: "recommended", year_gte: 2000) '
+        "{ groupValue count maxYear } }"
+    )
+    assert "errors" not in out, out
+    assert out["data"]["moviesStats"] == [
+        {"groupValue": "false", "count": 1, "maxYear": 2010.0},
+        {"groupValue": "true", "count": 1, "maxYear": 2000.0},
+    ]
+
+    out = gapi.execute('{ moviesStats(groupBy: "actors") { count } }')
+    assert out["errors"]
+    out = gapi.execute('{ moviesStats(groupBy: "nope") { count } }')
+    assert out["errors"]
