@@ -1,5 +1,6 @@
 from gus_spark.streaming.curation import curate_stream  # noqa: F401
 from gus_spark.streaming.neardup import neardup_stream  # noqa: F401
+from gus_spark.streaming.vectors import vector_index_stream  # noqa: F401
 from gus_spark.streaming.subscriptions import (  # noqa: F401
     dedup_stream,
     run_to_memory,

@@ -1,0 +1,56 @@
+"""Streaming embedding ingest into the persisted vector index: arriving
+batches encode against the frozen quantizer and append their codes —
+the similarity twin of streaming.neardup (documents → MinHashIndex).
+
+Each micro-batch costs O(batch): the corpus codes are never read, and
+encoding is deterministic against the frozen model, so a drained stream
+produces an index bit-identical to batch ``add`` calls of the same rows
+(asserted in tests). Replay protection is the shared done-marker
+pattern: the marker is written after the code append commits, so a
+crash between them re-runs the batch — re-appending duplicate code rows
+for those ids, which ``VectorIndex.search`` tolerates (duplicate
+candidates collapse in the top-k window) and a compaction of the codes
+table can drop.
+
+Re-fit policy stays with the operator: watch ``index.stats()`` cell
+skew and rebuild a fresh index when the corpus has drifted — a stream
+must never silently re-fit (that would orphan every code row written
+so far).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from gus_spark.operators.vector_index import VectorIndex
+
+
+def vector_index_stream(
+    vec_stream: DataFrame,
+    index: VectorIndex,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """Start draining ``vec_stream`` (the index's id/vector columns)
+    into ``index``. The index must already be fitted — fitting needs a
+    corpus sample, which a stream by definition doesn't have yet."""
+    index._load_model()  # fail fast before any batch arrives
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(index.path, f"_batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        if not batch_df.take(1):
+            return
+        index.add(batch_df)
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write("done")
+
+    return (
+        vec_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

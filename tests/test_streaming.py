@@ -191,3 +191,61 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
                        str(tmp_path / "ckpt2"))
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == n
+
+
+def test_streaming_vector_ingest_matches_batch_adds(spark, tmp_path):
+    """Embeddings streamed as two micro-batches into a fitted
+    VectorIndex must yield search results identical to batch add()
+    calls of the same rows (frozen-model encoding is deterministic),
+    and an unfitted index must refuse the stream up front."""
+    from gus_spark.errors import StorageError
+    from gus_spark.operators.similarity import _as_double
+    from gus_spark.operators.vector_index import VectorIndex
+    from gus_spark.streaming import vector_index_stream
+
+    e = table(spark, SF_DIR, "embeddings")
+    queries = [
+        (int(r.vec_id), list(r.v))
+        for r in e.select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        ).limit(10).collect()
+    ]
+
+    batch_idx = VectorIndex(spark, str(tmp_path / "batch_idx"), iters=2)
+    batch_idx.fit(e)
+    batch_idx.add(e.filter(F.col("vec_id") < 250))
+    batch_idx.add(e.filter(F.col("vec_id") >= 250))
+    expected = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in batch_idx.search(queries, k=5, nprobe=4).collect()
+    }
+
+    # same fitted model, streamed codes: copy the model files only
+    import shutil
+
+    stream_dir = tmp_path / "stream_idx"
+    stream_idx = VectorIndex(spark, str(stream_dir), iters=2)
+    for name in ("centroids.npy", "codebooks.npy"):
+        shutil.copy(tmp_path / "batch_idx" / name, stream_dir / name)
+
+    src = str(tmp_path / "in")
+    e.filter(F.col("vec_id") < 250).coalesce(1).write.mode("append").parquet(src)
+    e.filter(F.col("vec_id") >= 250).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = vector_index_stream(stream, stream_idx, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in stream_idx.search(queries, k=5, nprobe=4).collect()
+    }
+    assert got == expected
+    assert stream_idx.stats() == batch_idx.stats()
+
+    unfitted = VectorIndex(spark, str(tmp_path / "empty_idx"), iters=2)
+    with pytest.raises(StorageError):
+        vector_index_stream(stream, unfitted, str(tmp_path / "ckpt2"))
