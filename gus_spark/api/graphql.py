@@ -78,6 +78,12 @@ def _numeric_attrs(model: ModelDefinition) -> list[str]:
     ]
 
 
+def _scalar_attrs(model: ModelDefinition) -> list[str]:
+    return [
+        n for n in model.field_order if not model.attributes[n].is_array
+    ]
+
+
 def generate_sdl(registry: ModelRegistry) -> str:
     """Build the SDL string (the shape create_schema emits,
     graphql.rs:188-258)."""
@@ -139,7 +145,12 @@ def generate_sdl(registry: ModelRegistry) -> str:
             stat_fields += [
                 f"sum{cam}: Float", f"avg{cam}: Float",
                 f"min{cam}: Float", f"max{cam}: Float",
+                f"median{cam}: Float",
             ]
+        for n in _scalar_attrs(model):
+            stat_fields.append(
+                f"distinct{camelize(n, upper_first=True)}: Int"
+            )
         types.append(
             f"type {tname}Stats {{\n  " + "\n  ".join(stat_fields) + "\n}"
         )
@@ -332,7 +343,14 @@ class GraphQLApi:
                         F.avg(n).cast("double").alias(f"avg{c}"),
                         F.min(n).cast("double").alias(f"min{c}"),
                         F.max(n).cast("double").alias(f"max{c}"),
+                        F.median(n).cast("double").alias(f"median{c}"),
                     ]
+                for n in _scalar_attrs(model):
+                    aggs.append(
+                        F.countDistinct(n).alias(
+                            f"distinct{camelize(n, upper_first=True)}"
+                        )
+                    )
                 if group_by is None:
                     rows = df.agg(*aggs).collect()
                     return [{"groupValue": None, **rows[0].asDict()}]

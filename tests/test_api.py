@@ -468,10 +468,14 @@ def test_graphql_stats_aggregate_surface(spark, tmp_path_factory):
         ],
     )
 
-    out = gapi.execute("{ moviesStats { groupValue count avgYear minYear } }")
+    out = gapi.execute(
+        "{ moviesStats { groupValue count avgYear minYear medianYear "
+        "distinctRecommended } }"
+    )
     assert "errors" not in out, out
     assert out["data"]["moviesStats"] == [
-        {"groupValue": None, "count": 3, "avgYear": 2000.0, "minYear": 1990.0}
+        {"groupValue": None, "count": 3, "avgYear": 2000.0,
+         "minYear": 1990.0, "medianYear": 2000.0, "distinctRecommended": 2}
     ]
 
     out = gapi.execute(
