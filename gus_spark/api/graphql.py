@@ -135,6 +135,7 @@ def generate_sdl(registry: ModelRegistry) -> str:
         queries.append(
             f"{plural_camel(model.model_name)}"
             f"(limit: Int, offset: Int, after: {pk_base}, "
+            f"orderBy: String, afterSort: String, "
             f"{', '.join(filter_args)}): [{tname}!]"
         )
         # aggregate surface — beyond the reference (which has no scan
@@ -243,11 +244,33 @@ class GraphQLApi:
             limit = 100 if limit is None else limit  # explicit 0 is honored
             offset = args.pop("offset", None) or 0
             after = args.pop("after", None)
+            order_by = args.pop("orderBy", None)
+            after_sort = args.pop("afterSort", None)
             if limit < 0 or offset < 0:
                 raise gql.GraphQLError("limit/offset must be >= 0")
+            if order_by is not None and (
+                order_by not in model.attributes
+                or model.attributes[order_by].is_array
+            ):
+                raise gql.GraphQLError(
+                    f"orderBy must name a scalar attribute of "
+                    f"{model.model_name}, got {order_by!r}"
+                )
+            if after_sort is not None and (order_by is None or after is None):
+                raise gql.GraphQLError(
+                    "afterSort requires both orderBy and after "
+                    "(the composite cursor is (sort value, pk))"
+                )
+            if order_by is not None and after is not None and after_sort is None:
+                raise gql.GraphQLError(
+                    "paging an orderBy result needs the composite cursor: "
+                    "pass afterSort (last sort value) with after (last pk)"
+                )
 
             def run():
-                df = self.read_many_df(model, args, limit, after)
+                df = self.read_many_df(
+                    model, args, limit, after, order_by, after_sort
+                )
                 if after is not None:
                     rows = df.collect()  # keyset page: no skip-slice
                 else:
@@ -264,10 +287,17 @@ class GraphQLApi:
         args: dict,
         limit: int,
         after: Any | None = None,
+        order_by: str | None = None,
+        after_sort: Any | None = None,
     ):
         """The readMany scan as a DataFrame (exposed so tests can assert
         the physical plan): attribute filters and the keyset cursor both
-        compile to pushed-down predicates; the page is pk-ordered.
+        compile to pushed-down predicates; the page is pk-ordered — or
+        (order_by, pk)-ordered with the composite cursor
+        ``(afterSort, after)``, the standard keyset shape for paginating
+        a non-unique sort: ``sort > v OR (sort = v AND pk > after)``
+        stays a pushed-down predicate, so deep pages under any sort
+        order cost the same as page 1.
 
         When ``after`` is None the caller applies offset slicing itself
         (legacy path) — the returned frame is unlimited in that case."""
@@ -275,7 +305,18 @@ class GraphQLApi:
 
         pk = model.primary_key
         df = self._apply_filters(self.store.read_df(model), model, args)
-        if after is not None:
+        if order_by is not None:
+            if after_sort is not None:
+                sv = _parse_scalar(model.attributes[order_by], after_sort)
+                sort_col = F.col(order_by)
+                df = df.filter(
+                    (sort_col > F.lit(sv))
+                    | ((sort_col == F.lit(sv)) & (F.col(pk) > F.lit(after)))
+                )
+            df = df.orderBy(order_by, pk)
+            if after_sort is not None:
+                df = df.limit(limit)
+        elif after is not None:
             # keyset cursor: pushed range predicate, no skip-scan —
             # page N costs the same as page 1 at any table size
             df = df.filter(F.col(pk) > F.lit(after)).orderBy(pk).limit(limit)
@@ -452,6 +493,21 @@ class GraphQLApi:
         if result.errors:
             out["errors"] = [e.formatted for e in result.errors]
         return out
+
+
+def _parse_scalar(attr: AttrType, value: Any) -> Any:
+    """Coerce a stringly-typed cursor value to the attribute's type
+    (the afterSort arg is String in SDL — one arg serves every sort
+    column)."""
+    if not isinstance(value, str):
+        return value
+    if attr.primitive == "Integer":
+        return int(value)
+    if attr.primitive == "Float":
+        return float(value)
+    if attr.primitive == "Boolean":
+        return value.lower() == "true"
+    return value
 
 
 def _pk_str(model: ModelDefinition, args: dict) -> str:

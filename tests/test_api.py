@@ -492,3 +492,63 @@ def test_graphql_stats_aggregate_surface(spark, tmp_path_factory):
     assert out["errors"]
     out = gapi.execute('{ moviesStats(groupBy: "nope") { count } }')
     assert out["errors"]
+
+
+def test_graphql_composite_keyset_pagination(spark, tmp_path_factory):
+    """Paginating a NON-unique sort order with the composite
+    (afterSort, after) cursor: pages tile the (year, id)-sorted order
+    exactly — including across duplicate years — and the cursor
+    compiles to a pushed-down predicate. Ambiguous cursor combos are
+    GraphQL errors."""
+    registry = ModelRegistry()
+    registry.register(ModelDefinition.from_json(MOVIE))
+    store = ParquetStore(
+        spark, str(tmp_path_factory.mktemp("cursor") / "warehouse")
+    )
+    gapi = GraphQLApi(registry, store)
+    model = registry.get("movie")
+    store.create_many(
+        model,
+        [
+            {"id": "a", "year": 2000},
+            {"id": "b", "year": 1990},
+            {"id": "c", "year": 2000},
+            {"id": "d", "year": 1990},
+            {"id": "e", "year": 2010},
+        ],
+    )
+    expected = [("b", 1990), ("d", 1990), ("a", 2000), ("c", 2000),
+                ("e", 2010)]
+
+    pages, cursor = [], None
+    while True:
+        if cursor is None:
+            q = '{ movies(limit: 2, orderBy: "year") { id year } }'
+        else:
+            q = (
+                f'{{ movies(limit: 2, orderBy: "year", '
+                f'afterSort: "{cursor[1]}", after: "{cursor[0]}") '
+                "{ id year } }"
+            )
+        out = gapi.execute(q)
+        assert "errors" not in out, out
+        rows = out["data"]["movies"]
+        if not rows:
+            break
+        pages.extend((r["id"], r["year"]) for r in rows)
+        cursor = (rows[-1]["id"], rows[-1]["year"])
+    assert pages == expected
+
+    # the composite predicate reaches the plan
+    df = gapi.read_many_df(model, {}, 2, after="d", order_by="year",
+                           after_sort="1990")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "year" in plan and "1990" in plan
+
+    # ambiguous cursors are errors, not silent full scans
+    out = gapi.execute('{ movies(orderBy: "year", after: "a") { id } }')
+    assert out["errors"]
+    out = gapi.execute('{ movies(afterSort: "1990") { id } }')
+    assert out["errors"]
+    out = gapi.execute('{ movies(orderBy: "actors") { id } }')
+    assert out["errors"]
