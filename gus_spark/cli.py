@@ -51,12 +51,26 @@ def build_parser() -> argparse.ArgumentParser:
         "-s", "--storage-definitions", required=True,
         help="path of the storage config JSON to create/update",
     )
+    maintain = sub.add_parser(
+        "maintain",
+        help="compact degraded tables + expire old snapshots "
+        "(metadata-only no-op when healthy)",
+    )
+    maintain.add_argument("-m", "--models-path", required=True)
+    maintain.add_argument("-w", "--warehouse", default="./warehouse")
+    maintain.add_argument(
+        "--model", default=None,
+        help="maintain one model (default: every registered model)",
+    )
+    maintain.add_argument("--max-files", type=int, default=16)
+    maintain.add_argument("--max-overlap", type=float, default=0.25)
+    maintain.add_argument("--keep-snapshots", type=int, default=3)
     return parser
 
 
 def validate(args) -> str | None:
     """Returns an error string, or None (cli/index.rs:115-179 rules)."""
-    if args.command in ("server", "create-model"):
+    if args.command in ("server", "create-model", "maintain"):
         if not os.path.isdir(args.models_path):
             return f"models path {args.models_path!r} is not a directory"
     if args.command == "server" and not 0 < args.port < 65536:
@@ -105,6 +119,29 @@ def main(argv: list[str] | None = None) -> int:
 
         configure_storages(args.storage_definitions)
         print(f"wrote storage config to {args.storage_definitions}")
+        return 0
+    if args.command == "maintain":
+        import json
+
+        from gus_spark.model.registry import ModelRegistry
+        from gus_spark.session import get_spark
+        from gus_spark.storage.parquet_store import ParquetStore
+
+        spark = get_spark(app_name="gus_spark-maintain")
+        registry = ModelRegistry(args.models_path)
+        store = ParquetStore(spark, args.warehouse)
+        names = [args.model] if args.model else registry.names()
+        for name in names:
+            if name not in registry.names():
+                print(f"unknown model {name!r}", file=sys.stderr)
+                return 2
+            report = store.maintain(
+                registry.get(name),
+                max_files=args.max_files,
+                max_overlap=args.max_overlap,
+                keep_snapshots=args.keep_snapshots,
+            )
+            print(json.dumps({"model": name, **report}))
         return 0
     if args.command == "server":
         from gus_spark.api.rest import serve

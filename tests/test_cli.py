@@ -181,3 +181,48 @@ def test_server_uses_storage_definitions_warehouse(spark, tmp_path):
     )
     _registry, store, _api = build_app(args)
     assert store.warehouse == str(wh)
+
+
+def test_maintain_command_reports_and_compacts(spark, tmp_path, capsys):
+    """`gus_spark maintain`: churn a table, run the command, and the
+    printed JSON report shows a compaction; a second run is a healthy
+    no-op."""
+    from gus_spark.cli import main
+    from gus_spark.model.registry import ModelRegistry
+    from gus_spark.storage.parquet_store import ParquetStore
+
+    models = tmp_path / "models"
+    models.mkdir()
+    (models / "movie.json").write_text(
+        json.dumps(
+            {
+                "model_name": "movie",
+                "attributes": {"id": "Integer", "name": "String"},
+                "primary_key": "id",
+                "required": ["id"],
+            }
+        )
+    )
+    wh = str(tmp_path / "wh")
+    registry = ModelRegistry(str(models))
+    store = ParquetStore(spark, wh)
+    store.create_many(
+        registry.get("movie"),
+        [{"id": i, "name": f"m{i}"} for i in range(1, 21)],
+    )
+    store.update_one(registry.get("movie"), "10", {"name": "x"})
+
+    # churn left >4 delta files; a max-files threshold of 4 must
+    # trigger compaction (overlap alone is layout-dependent here)
+    assert main(["maintain", "-m", str(models), "-w", wh,
+                 "--max-files", "4"]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["model"] == "movie" and report["compacted"] is True
+    assert report["n_files"] > 4
+
+    assert main(["maintain", "-m", str(models), "-w", wh,
+                 "--max-files", "4"]) == 0
+    report2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report2["compacted"] is False
+    assert main(["maintain", "-m", str(models), "-w", wh,
+                 "--model", "ghost"]) == 2
