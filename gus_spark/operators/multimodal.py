@@ -128,6 +128,56 @@ def decode_image_features(
     )
 
 
+def media_embeddings(
+    df: DataFrame, dim: int = 64, fake: bool | None = None
+) -> DataFrame:
+    """Per-media embedding vectors (media_id, embedding array<double>)
+    — the bridge from the multimodal family into similarity search:
+    the output feeds operators.vector_index.VectorIndex / the ANN
+    operators directly.
+
+    A real implementation runs a vision/audio encoder over the decoded
+    media (the batched Arrow shape here is exactly what that needs);
+    the environment stub derives a deterministic unit vector from the
+    content digest — stable across runs and machines, so downstream
+    index tests are exact. Same gating as the other kernels:
+    NotImplementedError unless the fake decoder is allowed.
+    """
+    df = ensure_parallelism(df)
+    allow_fake = _fake_decode_allowed() if fake is None else fake
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not allow_fake:
+                raise NotImplementedError(
+                    "media embedding requires an encoder model — not "
+                    "available in this environment; set "
+                    "GUS_MULTIMODAL_FAKE_DECODE=1 for the stub"
+                )
+            ids, vecs = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content or b"")
+                # expand the 16-byte digest into dim deterministic
+                # floats via counter-mode re-hashing
+                buf = b"".join(
+                    hashlib.md5(raw + i.to_bytes(4, "big")).digest()
+                    for i in range((dim * 4 + 15) // 16)
+                )
+                v = np.frombuffer(buf[: dim * 4], dtype=">u4").astype("float64")
+                v = v / 2**32 - 0.5
+                v /= np.linalg.norm(v) or 1.0
+                ids.append(mid)
+                vecs.append(v.tolist())
+            yield pd.DataFrame({"media_id": ids, "embedding": vecs})
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, schema="media_id long, embedding array<double>"
+    )
+
+
 def sample_frames(
     df: DataFrame, every_ms: int = 1000, fake: bool | None = None
 ) -> DataFrame:

@@ -72,3 +72,38 @@ def test_decode_raises_without_stub_flag(spark, media, monkeypatch):
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+def test_media_embeddings_feed_the_vector_index(spark, media, tmp_path):
+    """The multimodal → similarity bridge: deterministic unit
+    embeddings from the (stub) encoder flow straight into a
+    VectorIndex; search returns each media item's neighbors. Also the
+    loud-failure contract when no encoder is available."""
+    import numpy as np
+
+    from gus_spark.operators.multimodal import media_embeddings
+    from gus_spark.operators.vector_index import VectorIndex
+
+    emb = media_embeddings(media)
+    rows = emb.collect()
+    assert {r.media_id for r in rows} == set(range(10))
+    for r in rows:
+        assert len(r.embedding) == 64
+        assert abs(np.linalg.norm(r.embedding) - 1.0) < 1e-9
+    # bit-stable across runs (downstream index tests depend on it)
+    again = {r.media_id: r.embedding for r in media_embeddings(media).collect()}
+    assert all(again[r.media_id] == r.embedding for r in rows)
+
+    idx = VectorIndex(
+        spark, str(tmp_path / "midx"),
+        id_col="media_id", vec_col="embedding", iters=1,
+    )
+    idx.fit(emb, seed_col=None)
+    idx.add(emb)
+    queries = [(int(rows[0].media_id), list(rows[0].embedding))]
+    res = idx.search(queries, k=3, nprobe=4, rerank_df=emb)
+    assert res.count() == 3
+    assert all(r.neighbor_id != rows[0].media_id for r in res.collect())
+
+    with pytest.raises(Exception, match="encoder"):
+        media_embeddings(media, fake=False).collect()
