@@ -552,3 +552,47 @@ def test_graphql_composite_keyset_pagination(spark, tmp_path_factory):
     assert out["errors"]
     out = gapi.execute('{ movies(orderBy: "actors") { id } }')
     assert out["errors"]
+
+
+def test_composite_cursor_tiles_exactly_under_heavy_duplicates(
+    spark, tmp_path_factory
+):
+    """Pagination safety property: for a sort column where nearly every
+    value is duplicated (3 distinct years over 30 rows), walking pages
+    of several sizes must reproduce the exact (year, id) order with no
+    gaps, duplicates, or early termination."""
+    registry = ModelRegistry()
+    registry.register(ModelDefinition.from_json(MOVIE))
+    store = ParquetStore(
+        spark, str(tmp_path_factory.mktemp("tile") / "warehouse")
+    )
+    gapi = GraphQLApi(registry, store)
+    rows = [
+        {"id": f"r{i:02d}", "year": 1990 + (i * 7) % 3} for i in range(30)
+    ]
+    store.create_many(registry.get("movie"), rows)
+    expected = sorted((r["year"], r["id"]) for r in rows)
+
+    for page_size in (1, 2, 3, 7, 30, 50):
+        walked, cursor = [], None
+        for _ in range(100):  # hard stop against infinite loops
+            if cursor is None:
+                q = (
+                    f'{{ movies(limit: {page_size}, orderBy: "year") '
+                    "{ id year } }"
+                )
+            else:
+                q = (
+                    f'{{ movies(limit: {page_size}, orderBy: "year", '
+                    f'afterSort: "{cursor[0]}", after: "{cursor[1]}") '
+                    "{ id year } }"
+                )
+            out = gapi.execute(q)
+            assert "errors" not in out, out
+            page = out["data"]["movies"]
+            if not page:
+                break
+            assert len(page) <= page_size
+            walked.extend((r["year"], r["id"]) for r in page)
+            cursor = (page[-1]["year"], page[-1]["id"])
+        assert walked == expected, f"page_size={page_size}"
