@@ -80,3 +80,27 @@ def test_curation_pipeline_fuses_to_one_exchange(spark):
     plan = plan_of(spark, "curate_documents", mode="simple")
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_ivf_kernel_keeps_explicit_salted_partitioning(spark):
+    """The IVF scoring stage must sit on an EXPLICIT user partition
+    count (REPARTITION_BY_NUM on (cell, salt)), not an
+    ENSURE_REQUIREMENTS exchange: the shuffle input is only a few MB,
+    so AQE's byte-based coalescing would otherwise collapse the
+    compute-heavy matmul kernel onto ~1 task (measured 3-5x slower)."""
+    import re
+
+    from gus_spark.operators.similarity import ivf_topk
+    from gus_spark.queries import table
+
+    e = table(spark, SF_DIR, "embeddings")
+    df = ivf_topk(e, k=5, nprobe=2, salt=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="extended")
+    plan = buf.getvalue()
+    assert "FlatMapGroupsInPandas" in plan
+    assert re.search(
+        r"hashpartitioning\(cell#\d+, salt#\d+L?, 64\), REPARTITION_BY_NUM",
+        plan,
+    ), plan
