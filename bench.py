@@ -50,7 +50,8 @@ def main() -> None:
         fn = specs[name].fn
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
         best = float("inf")
-        for _ in range(2):  # min-of-2: absorbs codegen/JIT + host noise
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+        for _ in range(reps):  # min-of-N: absorbs codegen/JIT + host noise
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
