@@ -62,10 +62,6 @@ def catalog() -> dict[str, QuerySpec]:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    # engine contract: timestamps are UTC (the oracle is UTC-naive);
-    # enforce even on driver-owned sessions that skipped get_spark()
-    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = _read(spark, f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read as long nanos (nanosAsLong);
@@ -76,8 +72,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _read(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    # engine contract: timestamps are UTC (the oracle is UTC-naive);
+    # enforce even on driver-owned sessions that skipped get_spark()
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) would otherwise arrive as
+    # TIMESTAMP_NTZ, which time-arithmetic builtins (unix_micros, ...)
+    # reject and which would break pushdown if fixed by a post-scan cast.
+    # Engine contract: instant semantics in a UTC session — identical
+    # wall-clock values to DuckDB's naive timestamps, so reading them as
+    # TIMESTAMP is lossless and keeps range filters at the scan.
     try:
-        return spark.read.parquet(path)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass  # conf absent on this Spark build — the cast below covers it
+    try:
+        df = spark.read.parquet(path)
     except Exception:  # driver-owned session without the nanos flag
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+    # Fallback for sessions where the NTZ-inference conf didn't take:
+    # cast any remaining NTZ columns (lossless in a UTC session).
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df

@@ -55,6 +55,11 @@ def get_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark reads it
         # as long nanos under this flag (converted in queries.table()).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet TIMESTAMP(isAdjustedToUTC=false) reads as TIMESTAMP, not
+        # TIMESTAMP_NTZ: the engine contract is instant semantics in a UTC
+        # session (matches DuckDB's naive timestamps), and the typed scan
+        # keeps timestamp range filters pushed down.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
