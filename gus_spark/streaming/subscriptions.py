@@ -27,14 +27,19 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from gus_spark.functions.deterministic import dsum
 
+# Same normalization contract as the batch reader (queries._read): events.ts
+# is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false); in a UTC session it is
+# lossless to read it as TIMESTAMP, and declaring the type in the source
+# schema keeps the streamed values bit-identical to the batch `table()` path.
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -47,15 +52,19 @@ def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """File-source stream over the events table (one file per trigger —
-    the local stand-in for a Kafka topic partition feed)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    the local stand-in for a Kafka topic partition feed).
+
+    Batch/stream parity: the declared TIMESTAMP schema plus the UTC
+    session timezone makes streamed ``ts`` values identical to the batch
+    ``queries.table()`` read (asserted in tests)."""
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     # glob form: the file stream source requires a directory/glob base
-    raw = (
+    return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(f"{sf_dir}/events.parquet*")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def windowed_rollup(

@@ -26,25 +26,50 @@ def events_stream(spark):
     return stream_events(spark, SF_DIR)
 
 
+def test_stream_ts_matches_batch_table(spark, events_stream):
+    """The streamed ts column must be bit-identical to the batch
+    ``table()`` read (same TIMESTAMP(MICROS) normalization contract)."""
+    run_to_memory(
+        events_stream.groupBy().agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi"),
+            F.count("*").alias("n"),
+        ),
+        "ts_probe",
+        mode="complete",
+    )
+    got = spark.sql("SELECT * FROM ts_probe").first()
+    exp = (
+        table(spark, SF_DIR, "events")
+        .groupBy()
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"),
+             F.count("*").alias("n"))
+        .first()
+    )
+    assert (got.lo, got.hi, got.n) == (exp.lo, exp.hi, exp.n)
+    # sanity: not the micros-as-nanos 1970 corruption
+    assert got.lo.year > 1990
+
+
 def test_windowed_rollup_matches_batch(spark, events_stream):
     run_to_memory(windowed_rollup(events_stream), "rollup_out", mode="append")
     got = {
         (r.window_start, r.event_type): (r.n_events, r.total_value)
         for r in spark.sql("SELECT * FROM rollup_out").collect()
     }
-    batch = (
-        table(spark, SF_DIR, "events")
-        .groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
-        )
-        .agg(F.count("*").alias("n"))
-    )
-    expected = {(r.window_start, r.event_type): r.n for r in batch.collect()}
+    # parity vs the batch catalog query (hash-matched against DuckDB by
+    # the driver's correctness harness)
+    from gus_spark.queries import catalog
+
+    batch = catalog()["events_hourly_rollup"].fn(spark, SF_DIR)
+    expected = {
+        (r.hour_start, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
     # watermark may hold back the final windows in append mode; everything
-    # emitted must match the batch counts exactly
+    # emitted must match the batch rollup exactly (counts AND sums)
     assert got, "stream emitted nothing"
-    for key, (n, _) in got.items():
-        assert expected.get(key) == n, key
+    for key, val in got.items():
+        assert expected.get(key) == val, key
 
 
 def test_session_aggregates_run(spark, events_stream):
