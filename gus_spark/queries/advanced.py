@@ -255,8 +255,11 @@ def cheapest_line_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: HAVING-filtered IN-subquery feeding a 3-way join.
-    The subquery's aggregate is a semi-join key set (small after the
-    HAVING filter -> broadcast)."""
+    Only the subquery's aggregate keeps a broadcast hint — it is a
+    provably bounded keyset (orders with >150 total quantity, a highly
+    selective HAVING). orders and customer are row-scaled and carry no
+    hint; the post-semi-join lineitem is small, so AQE broadcasts IT
+    into the orders join at runtime instead."""
     from gus_spark.functions.deterministic import dsum
 
     li = table(spark, sf_dir, "lineitem")
@@ -270,8 +273,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     return (
         li.join(F.broadcast(big), "l_orderkey", "left_semi")
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
         .agg(dsum("l_quantity").alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
@@ -301,11 +304,14 @@ def date_arithmetic_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     `scalar_date_functions`): interval arithmetic (deadline = orderdate
     + 90 days), datediff lag, lateness flag, plus the extraction family
     (year/month/day/quarter/date_trunc)."""
+    # lineitem is bounded by the orderkey<=300 probe filter, orders is
+    # row-scaled: no hint on orders — AQE broadcasts the small (filtered
+    # lineitem) side at runtime.
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
     o = table(spark, sf_dir, "orders")
     deadline = F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             "l_orderkey",
             "l_linenumber",

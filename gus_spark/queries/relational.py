@@ -242,10 +242,12 @@ def having_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: filtered 3-way join + agg + top-10. customer is small
-    after the segment filter -> broadcast; lineitem never shuffles for
-    the join (only for the final agg). Unique tiebreak (l_orderkey)
-    keeps the LIMIT deterministic."""
+    """TPC-H Q3: filtered 3-way join + agg + top-10. customer and orders
+    are row-scaled (customer keeps ~1/5 after the segment filter, orders
+    ~19% after the date filter), so neither carries a broadcast hint —
+    a forced broadcast that fits at sf0.1 is an OOM at 100 TB. AQE still
+    broadcasts at runtime whenever the built side is genuinely small.
+    Unique tiebreak (l_orderkey) keeps the LIMIT deterministic."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))
@@ -255,7 +257,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
-        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        li.join(o.join(c, o.o_custkey == c.c_custkey),
                 li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue).alias("revenue"))
@@ -283,9 +285,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: 6-way join. All dimension sides (region, nation,
-    customer, supplier) broadcast; the single big shuffle is
-    lineitem⋈orders on orderkey, which AQE handles at scale."""
+    """TPC-H Q5: 6-way join. True dimensions (region, nation, supplier —
+    fixed-size or tiny) carry broadcast hints; customer is row-scaled so
+    its join gets no hint — the customer-side exchange shuffles on
+    custkey and AQE demotes it to a broadcast only when actually small.
+    The single big shuffle is lineitem⋈orders on orderkey."""
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = table(spark, sf_dir, "nation")
     c = table(spark, sf_dir, "customer")
@@ -303,7 +307,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
+        .join(dims, o.o_custkey == F.col("c_custkey"))
         .join(F.broadcast(s),
               (li.l_suppkey == s.s_suppkey)
               & (s.s_nationkey == F.col("n_nationkey")))
@@ -331,7 +335,11 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10: returned-item revenue per customer, top 20."""
+    """TPC-H Q10: returned-item revenue per customer, top 20. orders
+    (even date-filtered to ~4%) and customer scale with the data, so
+    those joins carry no broadcast hint; only nation (25 rows, fixed)
+    is hint-broadcast. AQE picks broadcast at runtime when the filtered
+    orders slice is actually small."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
@@ -341,8 +349,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(revenue).alias("revenue"))

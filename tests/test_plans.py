@@ -48,11 +48,39 @@ def test_point_lookup_pushes_equality(spark):
     "name", ["q3_shipping_priority", "q5_regional_revenue", "q10_returned_items"]
 )
 def test_star_joins_broadcast(spark, name):
+    """At test scale every join side is tiny, so the size-based planner
+    (NOT a hint) must still pick broadcast joins — proving hint removal
+    didn't cost the small-data plan anything."""
     plan = plan_of(spark, name)
     assert "BroadcastHashJoin" in plan
     # q3/q10 must not shuffle the fact table for any join
     if name != "q5_regional_revenue":
         assert "SortMergeJoin" not in plan
+
+
+# joins over row-scaled tables (orders/customer/lineitem sides) may not
+# carry a FORCED broadcast hint: a hint that fits at sf0.1 is a
+# driver/executor OOM at 100 TB and overrides both the 64 MB threshold
+# and AQE's runtime judgment. Hints are allowed only on provably bounded
+# sides: fixed dimensions (region=5, nation=25, supplier/part sub-scaled)
+# and post-HAVING keysets. The counts below are exactly those bounded
+# sides; a count bump means someone hinted a row-scaled table.
+ALLOWED_BROADCAST_HINTS = {
+    "q3_shipping_priority": 0,       # customer+orders row-scaled: no hints
+    "q5_regional_revenue": 3,        # region->nation, nation-chain, supplier
+    "q10_returned_items": 1,         # nation only
+    "q18_large_volume_customers": 1, # post-HAVING orderkey keyset only
+    "date_arithmetic_shipping": 0,   # AQE broadcasts the probe-filtered side
+}
+
+
+@pytest.mark.parametrize("name", sorted(ALLOWED_BROADCAST_HINTS))
+def test_no_forced_broadcast_on_row_scaled_sides(spark, name):
+    plan = plan_of(spark, name, mode="extended")
+    opt = plan.split("== Optimized Logical Plan ==", 1)[1].split(
+        "== Physical Plan =="
+    )[0]
+    assert opt.count("strategy=broadcast") == ALLOWED_BROADCAST_HINTS[name], opt
 
 
 def test_q1_has_partial_aggregation(spark):
