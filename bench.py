@@ -38,6 +38,13 @@ HEADLINE = [
 ]
 
 
+def bench_reps() -> int:
+    """Min-of-N repetition count. Clamped to >=1: reps<=0 would leave
+    best=inf, and json.dumps(inf) emits non-standard `Infinity`,
+    breaking the one-line-JSON contract for downstream parsers."""
+    return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from gus_spark.queries import catalog
@@ -46,11 +53,11 @@ def main() -> None:
     spark = get_spark(app_name="gus_spark-bench")
     specs = catalog()
     timings: dict[str, float] = {}
+    reps = bench_reps()
     for name in HEADLINE:
         fn = specs[name].fn
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
         best = float("inf")
-        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
         for _ in range(reps):  # min-of-N: absorbs codegen/JIT + host noise
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()

@@ -179,30 +179,69 @@ class MinHashIndex:
     def _shingles_path(self) -> str:
         return f"{self.path}/shingles"
 
-    def _read_or_none(self, path: str):
+    @staticmethod
+    def _has_parquet(path: str) -> bool:
+        import os
+
+        return any(
+            f.endswith(".parquet")
+            for _root, _dirs, files in os.walk(path)
+            for f in files
+        )
+
+    def _read_or_none(self, path: str, exclude_key: str | None = None):
+        """Read every per-batch delta dir under ``path`` — minus the one
+        named by ``exclude_key``, so a crash-replayed batch sees exactly
+        the corpus its first run saw (its own half-committed delta must
+        not count as corpus)."""
         import os
 
         if not os.path.isdir(path):
             return None
-        return self.spark.read.parquet(path)
+        deltas = [
+            os.path.join(path, d)
+            for d in sorted(os.listdir(path))
+            if d.startswith("delta-") and d != f"delta-{exclude_key}"
+            and self._has_parquet(os.path.join(path, d))
+        ]
+        if not deltas:
+            return None
+        return self.spark.read.parquet(*deltas)
 
-    def add_and_find(self, batch: DataFrame) -> DataFrame:
+    def add_and_find(
+        self, batch: DataFrame, batch_key: str | None = None
+    ) -> DataFrame:
         """Index ``batch`` and return every near-dup pair with at least
         one endpoint in it: new-vs-corpus plus new-vs-new, exact-Jaccard
         verified at the index threshold. Output (doc_a, doc_b, jaccard)
         with doc_a < doc_b — identical rows to a full-corpus
         ``minhash_lsh_pairs`` restricted to the batch (asserted in
         tests; minhash permutations are deterministic, so incremental
-        and full runs agree bit-for-bit)."""
+        and full runs agree bit-for-bit).
+
+        Durability/idempotence contract: the pair result is written to
+        parquet under the index dir BEFORE the band/shingle tables grow,
+        so an executor loss after the index mutation can never recompute
+        the returned frame against the grown corpus (which would emit
+        each batch-vs-corpus pair twice). ``batch_key`` names the delta
+        directories and switches them to overwrite semantics, making a
+        crash-replay of the same batch a clean overwrite of its own
+        earlier output instead of a duplicate append."""
+        import os
+        import uuid
+
         id_col = self.id_col
+        key = batch_key if batch_key is not None else uuid.uuid4().hex
         sig = minhash_signature(batch, id_col, self.text_col, self.ngram)
         new_bands = _band_rows(sig, id_col)
         new_shingles = batch.select(
             F.col(id_col),
             shingles(F.col(self.text_col), self.ngram).alias("ts"),
         )
-        corpus_bands = self._read_or_none(self._bands_path())
-        corpus_shingles = self._read_or_none(self._shingles_path())
+        corpus_bands = self._read_or_none(self._bands_path(), exclude_key=key)
+        corpus_shingles = self._read_or_none(
+            self._shingles_path(), exclude_key=key
+        )
 
         cross = None
         if corpus_bands is not None:
@@ -248,11 +287,19 @@ class MinHashIndex:
             )
             .filter(F.col("jaccard") >= self.threshold)
         )
-        result = pairs.cache()
-        result.count()  # materialize before the index grows
-        new_bands.write.mode("append").parquet(self._bands_path())
-        new_shingles.write.mode("append").parquet(self._shingles_path())
-        return result
+        # durable materialization FIRST: a cached frame is not durable
+        # (executor loss -> recompute against the already-grown index)
+        pairs_dest = os.path.join(self.path, "pairs_log", f"delta-{key}")
+        pairs.write.mode("overwrite").parquet(pairs_dest)
+        new_bands.write.mode("overwrite").parquet(
+            os.path.join(self._bands_path(), f"delta-{key}")
+        )
+        new_shingles.write.mode("overwrite").parquet(
+            os.path.join(self._shingles_path(), f"delta-{key}")
+        )
+        if not self._has_parquet(pairs_dest):  # zero pairs, zero files
+            return self.spark.createDataFrame([], pairs.schema)
+        return self.spark.read.parquet(pairs_dest)
 
 
 def _band_rows(sig: DataFrame, id_col: str) -> DataFrame:

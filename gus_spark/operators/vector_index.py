@@ -37,6 +37,19 @@ from gus_spark.operators.quantization import (
 )
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count of every parquet file under ``path`` from footer
+    metadata only — no Spark job, no data read."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
 class VectorIndex:
     def __init__(
         self,
@@ -106,16 +119,40 @@ class VectorIndex:
         np.save(cpath, model.centroids)
         np.save(bpath, model.codebooks)
 
-    def add(self, batch: DataFrame) -> int:
+    def _read_codes(self) -> DataFrame:
+        # codes live in per-add delta directories (idempotent replay
+        # unit); recursiveFileLookup reads them all without inferring
+        # partition columns from the directory names
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(self._codes_path())
+        )
+
+    def add(self, batch: DataFrame, batch_key: str | None = None) -> int:
         """Encode ``batch`` against the frozen model and append its
-        codes. Returns rows added. O(batch) — the existing corpus is
-        never read, let alone re-encoded."""
+        codes as one delta directory. Returns rows added. O(batch) —
+        the existing corpus is never read, let alone re-encoded.
+
+        ``batch_key`` makes the append IDEMPOTENT: the delta directory
+        is named by the key and written with overwrite semantics, so a
+        crash-replay of the same batch (streaming foreachBatch re-runs
+        after a failure between sink write and checkpoint commit)
+        replaces its own earlier output instead of duplicating rows.
+        Without a key a fresh unique delta is written.
+        """
+        import uuid
+
         model = self._load_model()
         enc = ivf_pq_encode(
             batch, model, id_col=self.id_col, vec_col=self.vec_col
         )
-        enc.write.mode("append").parquet(self._codes_path())
-        return enc.count()
+        key = batch_key if batch_key is not None else uuid.uuid4().hex
+        dest = os.path.join(self._codes_path(), f"delta-{key}")
+        enc.write.mode("overwrite").parquet(dest)
+        # row count from the written files' parquet footers — the Arrow
+        # encode kernel runs exactly once (the write); a .count() on enc
+        # would re-execute the whole encode a second time
+        return _parquet_rows(dest)
 
     def search(
         self,
@@ -130,7 +167,7 @@ class VectorIndex:
         two-stage production path; without it, ADC scores rank directly
         (columns adc_sim instead of cos_sim)."""
         model = self._load_model()
-        encoded = self.spark.read.parquet(self._codes_path())
+        encoded = self._read_codes()
         if rerank_df is not None:
             return ivf_pq_topk(
                 rerank_df, encoded, queries, model, k=k, nprobe=nprobe,
@@ -141,6 +178,11 @@ class VectorIndex:
 
         sl = ivf_pq_shortlist(encoded, queries, model, k=shortlist or 5 * k,
                               nprobe=nprobe)
+        # collapse duplicate candidates (e.g. the same id added twice)
+        # BEFORE ranking — otherwise a duplicate occupies two ranks and
+        # evicts a legitimate neighbor from the top k. Same key as the
+        # ranking window, so AQE plans a single query_id exchange.
+        sl = sl.dropDuplicates(["query_id", "neighbor_id"])
         w = Window.partitionBy("query_id").orderBy(
             F.desc("adc_sim"), "neighbor_id"
         )
@@ -158,7 +200,7 @@ class VectorIndex:
 
         if not os.path.isdir(self._codes_path()):
             return {"n_rows": 0, "n_cells": 0, "max_cell_fraction": 0.0}
-        enc = self.spark.read.parquet(self._codes_path())
+        enc = self._read_codes()
         per_cell = enc.groupBy("cell").count().collect()
         total = sum(r["count"] for r in per_cell)
         return {

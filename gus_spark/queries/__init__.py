@@ -95,6 +95,9 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
         df = spark.read.parquet(path)
     # Fallback for sessions where the NTZ-inference conf didn't take:
     # cast any remaining NTZ columns (lossless in a UTC session).
+    # Known limit: only top-level columns are walked — an NTZ field
+    # nested inside a struct/array would slip through; acceptable while
+    # every testdata schema keeps timestamps flat.
     ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))

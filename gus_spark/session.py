@@ -83,12 +83,19 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
 
     Returns ``{name: DataFrame}``. Reads are lazy; Catalyst prunes columns
     and pushes filters into the parquet scans of downstream queries.
+
+    Routed through ``queries.table()`` so every entry point — including
+    driver-owned sessions that never called ``get_spark`` — shares the
+    one timestamp-normalization contract (UTC session, TIMESTAMP not
+    NTZ, the events.ts nanos fallback).
     """
+    from gus_spark.queries import table
+
     dfs = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = table(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             dfs[name] = df
     return dfs

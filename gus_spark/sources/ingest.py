@@ -58,9 +58,11 @@ def bulk_ingest(
     - invalid rows (failed constraint / missing required) are counted,
       optionally written to ``quarantine_path``, and never committed;
     - ``on_conflict``: 'error' raises if any pk already exists or is
-      duplicated within the batch (create_many semantics), 'skip' drops
-      conflicting rows and loads the rest (first-in-batch wins, ties
-      broken deterministically by the full row ordering).
+      duplicated within the batch (create_many semantics), 'skip' loads
+      exactly one row per batch-duplicated key — the winner is the
+      deterministic minimum under the full-row ordering (a distributed
+      batch has no arrival order, so "first" must be defined by value) —
+      and drops every row whose key already exists in the store.
 
     One snapshot commit; the plan contains no Python stage — assert
     with ``explain()``: no BatchEvalPython / ArrowEvalPython.
@@ -97,9 +99,22 @@ def bulk_ingest(
                 f"{n_conflicts} conflicting primary keys (e.g. {sample});"
                 f" use on_conflict='skip' to load the rest"
             )
-        # no broadcast hint: conflict sets are usually tiny (AQE picks
-        # broadcast then) but a full re-load would make them huge
-        loadable = valid.join(conflict_keys, pk, "left_anti")
+        # one deterministic winner per batch-duplicated key (min under
+        # the full-row ordering); keys already in the store drop whole.
+        # no broadcast hint on the anti-join: conflict sets are usually
+        # tiny (AQE picks broadcast then) but a full re-load would make
+        # them huge
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(pk).orderBy(
+            *[F.col(c) for c in model.field_order]
+        )
+        loadable = (
+            valid.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .join(clash.distinct(), pk, "left_anti")
+        )
         n_loaded = store.append_df(model, loadable, _locked=True)
     return {
         "loaded": n_loaded,

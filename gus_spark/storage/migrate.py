@@ -73,6 +73,13 @@ def plan_migration(
             if attr in new.required:
                 plan.newly_required.append(attr)
             continue
+        # an EXISTING attribute promoted to required is also
+        # newly_required: stored rows may hold nulls that the new schema
+        # forbids, so the promotion must back-fill (or prove no nulls) —
+        # silently treating it as metadata-only would leave the table
+        # violating its own declared schema
+        if attr in new.required and attr not in old.required:
+            plan.newly_required.append(attr)
         if old_type != new_type:
             if (
                 old_type.is_array != new_type.is_array
@@ -106,11 +113,37 @@ def migrate(
     """
     defaults = defaults or {}
     plan = plan_migration(old, new)
-    missing = [a for a in plan.newly_required if a not in defaults]
+    # newly-ADDED required attributes always need a default (no stored
+    # values exist). PROMOTED attributes (existed before, now required)
+    # may omit one iff the stored column is already null-free — checked
+    # against the data below, never assumed.
+    missing = [
+        a for a in plan.newly_required
+        if a not in defaults and a not in old.attributes
+    ]
     if missing:
         raise ModelValidationError(
             f"newly-required attributes need defaults: {missing}"
         )
+    promoted_no_default = [
+        a for a in plan.newly_required
+        if a not in defaults and a in old.attributes
+    ]
+    if promoted_no_default:
+        null_pred = None
+        for a in promoted_no_default:
+            p = F.col(a).isNull()
+            null_pred = p if null_pred is None else (null_pred | p)
+        if store.read_df(old).filter(null_pred).take(1):
+            raise ModelValidationError(
+                "promoting to required with stored nulls present needs "
+                f"defaults: {promoted_no_default}"
+            )
+        # null-free promotion + no other rewrite work = metadata-only
+        if not plan.retyped and not [
+            a for a in plan.newly_required if a not in promoted_no_default
+        ]:
+            return plan
     if not plan.requires_rewrite:
         return plan  # the declared-schema read path does the rest
     with store._write_lock(old):

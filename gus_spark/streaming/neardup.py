@@ -11,15 +11,14 @@ pattern for sinks whose write path is richer than an append (here: an
 index mutation + a pair append).
 
 Exactly-once story: Structured Streaming replays a micro-batch after a
-crash between the sink write and the checkpoint commit. The index
-mutation is NOT naturally idempotent (a replayed batch would re-append
-its band rows), so each processed batch drops a ``_batch-<id>.done``
-marker inside the index directory, written AFTER the index append —
-a replayed batch id short-circuits to a no-op. Marker + append are not
-atomic (a crash exactly between them duplicates one batch's bands;
-band-join candidates are then duplicated but ``distinct()`` inside
-add_and_find collapses them, and pair output for that batch was never
-committed — so results stay exact).
+crash between the sink write and the checkpoint commit. Every write the
+batch performs is keyed by the batch id with overwrite semantics — the
+index's band/shingle deltas (``add_and_find(batch_key=...)``) and the
+pair output (a ``batch=<id>`` subdirectory of ``pairs_path``) — so a
+replay overwrites its own earlier output instead of appending
+duplicates; no marker/append atomicity window exists. The
+``_batch-<id>.done`` marker remains purely as a cheap skip for
+already-finished batches.
 """
 
 from __future__ import annotations
@@ -49,8 +48,12 @@ def neardup_stream(
             return
         if not batch_df.take(1):
             return
-        pairs = index.add_and_find(batch_df)
-        pairs.write.mode("append").parquet(pairs_path)
+        pairs = index.add_and_find(batch_df, batch_key=f"batch-{batch_id}")
+        # batch=<id> partition dir + overwrite = idempotent on replay;
+        # a vanilla spark.read.parquet(pairs_path) still discovers it
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_path, f"batch={batch_id}")
+        )
         with open(marker, "w", encoding="utf-8") as fh:
             fh.write("done")
 

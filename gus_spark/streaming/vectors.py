@@ -5,12 +5,13 @@ the similarity twin of streaming.neardup (documents → MinHashIndex).
 Each micro-batch costs O(batch): the corpus codes are never read, and
 encoding is deterministic against the frozen model, so a drained stream
 produces an index bit-identical to batch ``add`` calls of the same rows
-(asserted in tests). Replay protection is the shared done-marker
-pattern: the marker is written after the code append commits, so a
-crash between them re-runs the batch — re-appending duplicate code rows
-for those ids, which ``VectorIndex.search`` tolerates (duplicate
-candidates collapse in the top-k window) and a compaction of the codes
-table can drop.
+(asserted in tests). Replay protection: each micro-batch appends through
+``index.add(batch_key=...)``, which writes the batch's codes to a delta
+directory NAMED BY THE BATCH ID with overwrite semantics — a
+crash-replay of the same batch id replaces its own earlier output
+instead of duplicating code rows, so the append is idempotent without
+any marker/append atomicity requirement. The done-marker remains as a
+cheap skip for already-finished batches.
 
 Re-fit policy stays with the operator: watch ``index.stats()`` cell
 skew and rebuild a fresh index when the corpus has drifted — a stream
@@ -44,7 +45,7 @@ def vector_index_stream(
             return
         if not batch_df.take(1):
             return
-        index.add(batch_df)
+        index.add(batch_df, batch_key=f"batch-{batch_id}")
         with open(marker, "w", encoding="utf-8") as fh:
             fh.write("done")
 

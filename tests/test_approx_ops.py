@@ -225,6 +225,41 @@ def test_incremental_minhash_index_matches_full_corpus(spark, documents,
     assert p1 & p2 == set()  # each pair reported exactly once
 
 
+def test_minhash_index_pairs_are_durable_and_replay_idempotent(
+    spark, documents, tmp_path
+):
+    """The returned pair frame must be backed by durable parquet (an
+    executor loss can't recompute it against the grown index), and a
+    crash-replayed batch_key must overwrite its own earlier band/shingle
+    deltas instead of appending duplicates."""
+    import os
+
+    from gus_spark.operators.dedup import MinHashIndex
+
+    docs = documents.select("doc_id", "text")
+    cut = 250
+    idx = MinHashIndex(spark, str(tmp_path / "mh"), threshold=0.8, ngram=1)
+    idx.add_and_find(docs.filter(F.col("doc_id") < cut), batch_key="b0")
+    p1 = idx.add_and_find(docs.filter(F.col("doc_id") >= cut), batch_key="b1")
+    pairs1 = {(r.doc_a, r.doc_b, round(r.jaccard, 12)) for r in p1.collect()}
+    # durable: the frame reads back identically from the persisted log
+    log = os.path.join(str(tmp_path / "mh"), "pairs_log", "delta-b1")
+    persisted = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in spark.read.parquet(log).collect()
+    }
+    assert persisted == pairs1 and pairs1
+
+    n_bands = idx._read_or_none(idx._bands_path()).count()
+    # replay batch b1: same key -> overwrite, not duplicate
+    p1_replay = idx.add_and_find(
+        docs.filter(F.col("doc_id") >= cut), batch_key="b1"
+    )
+    got = {(r.doc_a, r.doc_b, round(r.jaccard, 12)) for r in p1_replay.collect()}
+    assert got == pairs1
+    assert idx._read_or_none(idx._bands_path()).count() == n_bands
+
+
 def test_minhash_index_rejects_constant_drift(spark, tmp_path):
     """An index must refuse to mix signatures built with different
     banding constants/threshold — they'd silently never collide."""

@@ -93,6 +93,29 @@ def test_bulk_ingest_conflict_modes(spark, store, model, fixture_path):
     assert store.count(model) == 5  # no duplicates introduced
 
 
+def test_bulk_ingest_skip_keeps_one_winner_per_dup_key(spark, store, model,
+                                                       tmp_path):
+    """'skip' semantics on a batch-internal duplicate key: exactly one
+    row survives, and the winner is the deterministic minimum under the
+    full-row ordering — not zero rows, not an arbitrary pick."""
+    rows = [
+        (1, 20.5, "oslo"),
+        (1, 20.5, "bergen"),  # same pk, later under full-row ordering
+        (2, -10.0, "nuuk"),
+    ]
+    path = str(tmp_path / "dups")
+    spark.createDataFrame(rows, model.to_struct_type()).write.parquet(path)
+    with pytest.raises(DuplicateKeyError):
+        bulk_ingest(spark, store, model, path)
+    result = bulk_ingest(spark, store, model, path, on_conflict="skip")
+    assert result == {"loaded": 2, "quarantined": 0, "conflicts": 1}
+    assert store.count(model) == 2
+    assert store.read_one(model, "1")["site"] == "bergen"  # min row wins
+    # already-stored keys still drop whole on a re-load
+    again = bulk_ingest(spark, store, model, path, on_conflict="skip")
+    assert again["loaded"] == 0 and store.count(model) == 2
+
+
 def test_bulk_plan_has_no_python_stage(spark, store, model, fixture_path):
     """The validation predicate must stay JVM-side: the plan for the
     valid-rows frame contains no Python evaluation operator."""

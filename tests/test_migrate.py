@@ -90,6 +90,33 @@ def test_retype_and_new_required_rewrite(store, seeded):
     assert old_df.count() == 2
 
 
+def test_promote_existing_attr_to_required(store, seeded):
+    """Promoting an EXISTING attribute to required is not silently
+    metadata-only: stored nulls block the promotion unless a default
+    back-fills them; a null-free column promotes without a rewrite."""
+    promoted = _model(required=["id", "site"])
+    assert plan_migration(seeded, promoted).newly_required == ["site"]
+
+    # store holds a null site -> promotion without default must raise
+    store.create_one(seeded, {"id": 3, "value": 30})
+    with pytest.raises(ModelValidationError, match="defaults"):
+        migrate(store, seeded, promoted)
+    # with a default the nulls back-fill and the promotion commits
+    plan = migrate(store, seeded, promoted, defaults={"site": "x"})
+    assert plan.newly_required == ["site"]
+    assert store.read_one(promoted, "3")["site"] == "x"
+    assert store.read_one(promoted, "1")["site"] == "a"  # untouched
+
+
+def test_promote_null_free_attr_is_metadata_only(store, seeded):
+    promoted = _model(required=["id", "value", "site"])
+    before = store.history(seeded)
+    plan = migrate(store, seeded, promoted)  # no defaults needed
+    assert set(plan.newly_required) == {"value", "site"}
+    assert store.history(seeded) == before  # proved null-free, no commit
+    assert store.read_one(promoted, "1")["site"] == "a"
+
+
 def test_unsupported_changes_rejected(seeded):
     with pytest.raises(ModelValidationError, match="retype"):
         plan_migration(

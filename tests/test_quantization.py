@@ -216,6 +216,66 @@ def test_vector_index_incremental_add_matches_one_shot(spark, embeddings,
         VectorIndex(spark, str(tmp_path / "vidx"), m=8)
 
 
+def test_vector_index_add_runs_encode_exactly_once(spark, embeddings,
+                                                   tmp_path, monkeypatch):
+    """add() must execute the Arrow encode kernel ONCE (the write) —
+    the old write-then-count ran the whole pipeline twice. Counted via
+    an accumulator bumped by every row that flows through the kernel."""
+    from gus_spark.operators import vector_index as vi
+
+    acc = spark.sparkContext.accumulator(0)
+    real_encode = vi.ivf_pq_encode
+
+    def counting_encode(*args, **kwargs):
+        df = real_encode(*args, **kwargs)
+
+        def bump(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        return df.mapInPandas(bump, df.schema)
+
+    monkeypatch.setattr(vi, "ivf_pq_encode", counting_encode)
+    idx = vi.VectorIndex(spark, str(tmp_path / "once"), m=16, iters=2)
+    idx.fit(embeddings)
+    n = idx.add(embeddings)
+    assert n == 500
+    assert acc.value == 500  # 1000 would mean the encode ran twice
+
+
+def test_vector_index_keyed_add_is_idempotent(spark, embeddings, tmp_path):
+    """A crash-replayed micro-batch re-adds with the SAME batch_key:
+    the delta overwrites its earlier output, so row counts and search
+    results are unchanged — and duplicate candidates collapse before
+    ranking even if an unkeyed double-add sneaks duplicates in."""
+    from gus_spark.operators.vector_index import VectorIndex
+
+    idx = VectorIndex(spark, str(tmp_path / "keyed"), m=16, iters=2)
+    idx.fit(embeddings)
+    idx.add(embeddings, batch_key="b0")
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in embeddings.limit(3).collect()
+    ]
+    before = {(r.query_id, r.neighbor_id, r.rank)
+              for r in idx.search(queries, k=5).collect()}
+    idx.add(embeddings, batch_key="b0")  # replay
+    assert idx.stats()["n_rows"] == 500
+    after = {(r.query_id, r.neighbor_id, r.rank)
+             for r in idx.search(queries, k=5).collect()}
+    assert after == before
+
+    # UNkeyed duplicate add: rows double, but ranked output stays
+    # duplicate-free (pre-rank dropDuplicates) with unique ranks
+    idx.add(embeddings)
+    assert idx.stats()["n_rows"] == 1000
+    dup = idx.search(queries, k=5).collect()
+    seen = [(r.query_id, r.neighbor_id) for r in dup]
+    assert len(seen) == len(set(seen))
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in dup} == before
+
+
 def test_opq_rotation_improves_quantization(spark, embeddings):
     """OPQ's alternating Lloyd/Procrustes fit must (a) produce an
     orthogonal rotation to machine precision and (b) beat unrotated PQ
