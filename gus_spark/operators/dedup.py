@@ -330,17 +330,33 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 3,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document over word n-gram features.
 
     explode(shingles) -> per-(doc, bit) vote sums -> signature long.
-    Bit votes: +1 where xxhash64(shingle) has the bit set, else -1; the
+    Bit votes: +1 where hash(shingle) has the bit set, else -1; the
     signature sets each bit whose vote sum is positive.
+
+    ``token_hash``: 'xxhash64' (default — fastest, JVM-side) or 'md5'
+    (first 60 bits of the md5 digest; ~equally uniform but portable —
+    every engine computes the same md5 bytes, so an external oracle can
+    reproduce the signatures bit-for-bit; bits 60-63 are always 0).
     """
     df = ensure_parallelism(df)
+    if token_hash == "xxhash64":
+        h = F.xxhash64("tok")
+    elif token_hash == "md5":
+        # conv() parses the 15-hex-char prefix (60 bits) to a decimal
+        # string; the long cast is exact (< 2^63, never negative)
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast(
+            "long"
+        )
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     toks = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), ngram)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", h)
     votes = (
         toks.select(
             id_col,

@@ -123,11 +123,43 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh")  # Spark-only: cross-engine hash functions differ
+@register(
+    "dedup_minhash_lsh",
+    # The oracle is the EXACT O(n²) Jaccard ground truth (same SQL as
+    # dedup_jaccard_pairs). That is a meaningful equality, not a tautology:
+    # candidates are exact-Jaccard-verified (so output ⊆ truth always), and
+    # with 32 bands × 4 rows a true pair at the 0.8 threshold escapes every
+    # band with probability (1-0.8⁴)³² ≈ 5e-8 — and the minhash permutations
+    # are fixed constants, so on given data the result is deterministic.
+    # A hash mismatch here would mean the LSH tier actually dropped a true
+    # pair, which is exactly what the check should catch.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) >= 3
+               THEN list_transform(range(1, len(ws)-1),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+               ELSE ws END) AS ss
+      FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(LENGTH(list_intersect(a.ss, b.ss)) AS DOUBLE)
+             / (LENGTH(a.ss) + LENGTH(b.ss)
+                - LENGTH(list_intersect(a.ss, b.ss))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(LENGTH(list_intersect(a.ss, b.ss)) AS DOUBLE)
+            / (LENGTH(a.ss) + LENGTH(b.ss)
+               - LENGTH(list_intersect(a.ss, b.ss))) >= {JACCARD_THRESHOLD}
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs verified by exact Jaccard — the
-    scalable near-dup path. No SQL oracle (xxhash64 has no DuckDB
-    equivalent); tests validate candidates against dedup_jaccard_pairs."""
+    scalable near-dup path (banded signatures + bucket join; never
+    all-pairs). Oracle-checked against the exact ground truth: see the
+    register() comment for why the match is deterministic."""
     from gus_spark.operators.dedup import minhash_lsh_pairs
 
     d = table(spark, sf_dir, "documents")
@@ -137,11 +169,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # Spark-only
+@register(
+    "dedup_simhash",
+    # Full SQL mirror of the simhash computation with the portable md5
+    # token hash: 3-gram shingles -> 60-bit hash per shingle (first 15
+    # md5 hex chars; DuckDB parses '0x…' casts) -> per-bit ±1 vote sums
+    # -> signature = bits with a strictly positive vote. All-integer
+    # arithmetic, so the two engines agree exactly.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(ws) >= 3
+               THEN list_transform(range(1, len(ws)-1),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+               ELSE ws END)) AS tok
+      FROM toks
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM sh
+    ), votes AS (
+      SELECT doc_id, bits.bit,
+             SUM(CASE WHEN (h >> bits.bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+      FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) bits
+      GROUP BY doc_id, bits.bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << bit)
+                    ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures per document (rows-only check); tests
-    assert near-dup pairs land within small hamming distance."""
+    """64-bit SimHash signatures per document, using the portable md5
+    token hash so the DuckDB oracle reproduces every signature exactly
+    (the xxhash64 default stays the max-throughput path for operator
+    use); tests assert near-dup pairs land within small hamming
+    distance."""
     from gus_spark.operators.dedup import simhash_signatures
 
     d = table(spark, sf_dir, "documents")
-    return simhash_signatures(d, id_col="doc_id", text_col="text")
+    return simhash_signatures(
+        d, id_col="doc_id", text_col="text", token_hash="md5"
+    )
