@@ -95,11 +95,23 @@ class ParquetStore:
         with open(os.path.join(table, name), encoding="utf-8") as fh:
             return json.load(fh)
 
-    def _commit(self, model: ModelDefinition, manifest: dict) -> None:
+    def _commit(
+        self, model: ModelDefinition, manifest: dict, op: str = "rewrite"
+    ) -> None:
         """Atomic snapshot swap: write manifest, then os.replace the
         CURRENT pointer (atomic on POSIX). Manifests are numbered, kept,
         and readable via ``read_df(model, at=seq)`` (time travel) until
-        ``expire_snapshots`` drops them."""
+        ``expire_snapshots`` drops them.
+
+        ``op`` records the commit's provenance for change-feed pruning:
+        'insert'  — new files contain ONLY records absent from the
+                    previous snapshot (create_many / append_df);
+        'layout'  — new files contain ONLY records present in the
+                    previous snapshot, rearranged (compact / z-order);
+        'rewrite' — anything else (update/delete/merge/migrate); a
+                    consumer must diff against the previous snapshot.
+        """
+        manifest["op"] = op
         table = self._table_dir(model)
         os.makedirs(table, exist_ok=True)
         seq = manifest["seq"] = self._current_manifest(model).get("seq", 0) + 1
@@ -238,7 +250,7 @@ class ParquetStore:
                 self._records_to_df(records, model), model
             )
             manifest["files"] = manifest["files"] + new_files
-            self._commit(model, manifest)
+            self._commit(model, manifest, op="insert")
         return records
 
     def read_one(self, model: ModelDefinition, id_str: str) -> dict:
@@ -405,7 +417,7 @@ class ParquetStore:
         if not new_files:
             return 0
         manifest["files"] = manifest["files"] + new_files
-        self._commit(model, manifest)
+        self._commit(model, manifest, op="insert")
         return sum(f["rows"] for f in new_files)
 
     # ------------------------------------------------------------ maintenance
@@ -430,7 +442,7 @@ class ParquetStore:
             new_files = self._write_data_file(df, model)
             manifest = self._current_manifest(model)
             manifest["files"] = new_files
-            self._commit(model, manifest)
+            self._commit(model, manifest, op="layout")
             self._gc(model)
 
     def table_health(self, model: ModelDefinition) -> dict:

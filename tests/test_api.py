@@ -5,6 +5,7 @@ aliases, fragments, __typename, introspection; graphql.rs tests)."""
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from gus_spark.api.graphql import GraphQLApi, generate_sdl
 from gus_spark.api.rest import RestApi
@@ -410,6 +411,82 @@ def test_change_feed_cursor(spark, tmp_path):
     store.create_one(model, {"id": "e"})
     store.create_one(model, {"id": "f"})
     assert {r["id"] for r in feed.poll()} == {"e", "f"}
+
+
+def test_change_feed_insert_commits_skip_anti_join(spark, tmp_path,
+                                                   monkeypatch):
+    """After a bulk ingest (an 'insert' commit), a poll must scan ONLY
+    the new delta files: no previous-snapshot read, no pk anti-join —
+    and delivery is paged with a bounded keyset cursor."""
+    from gus_spark.api.subscriptions import ChangeFeed
+    from gus_spark.model.types import ModelDefinition
+
+    model = ModelDefinition.from_json(
+        {
+            "model_name": "click",
+            "attributes": {"id": "Integer", "v": "Integer"},
+            "primary_key": "id",
+            "required": ["id"],
+        }
+    )
+    store = ParquetStore(spark, str(tmp_path / "wh"))
+    store.create_many(model, [{"id": 0, "v": 0}])
+    feed = ChangeFeed(store, model, page_size=1000)
+    assert feed.poll() == []
+
+    n = 100_000
+    df = spark.range(1, n + 1).select(
+        F.col("id").cast("long"), F.col("id").cast("long").alias("v")
+    )
+    assert store.append_df(model, df) == n
+
+    # the pure-insert path must never look at the previous snapshot
+    def _boom(self):
+        raise AssertionError("anti-join path used for a pure-insert delta")
+
+    monkeypatch.setattr(ChangeFeed, "_previous_keys", _boom)
+    page = feed.poll()
+    assert len(page) == 1000 and [r["id"] for r in page] == list(range(1, 1001))
+    page2 = feed.poll()  # keyset continues, snapshot cursor not advanced yet
+    assert [r["id"] for r in page2] == list(range(1001, 2001))
+    # drain the rest; every page is bounded and nothing repeats
+    seen = 2000
+    while True:
+        p = feed.poll()
+        if not p:
+            break
+        assert len(p) <= 1000
+        assert p[0]["id"] == seen + 1
+        seen += len(p)
+    assert seen == n
+    assert feed.poll() == []  # drained -> idle polls are manifest-only
+
+
+def test_change_feed_layout_commits_are_free(spark, tmp_path, monkeypatch):
+    """A compaction rewrites every file but inserts nothing: the feed
+    must advance past it without reading any data file."""
+    from gus_spark.api.subscriptions import ChangeFeed
+    from gus_spark.model.types import ModelDefinition
+
+    model = ModelDefinition.from_json(MOVIE)
+    store = ParquetStore(spark, str(tmp_path / "wh"))
+    store.create_many(model, [{"id": "a"}, {"id": "b"}])
+    store.create_many(model, [{"id": "c"}])
+    feed = ChangeFeed(store, model)
+    assert feed.poll() == []
+    store.compact(model)
+    monkeypatch.setattr(
+        ChangeFeed,
+        "_next_page",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("layout-only delta triggered a data scan")
+        ),
+    )
+    assert feed.poll() == []
+    # and records landing AFTER the compaction still arrive exactly once
+    monkeypatch.undo()
+    store.create_one(model, {"id": "d"})
+    assert [r["id"] for r in feed.poll()] == ["d"]
 
 
 def test_static_view_surface(api):
