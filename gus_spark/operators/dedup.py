@@ -302,6 +302,65 @@ class MinHashIndex:
         return self.spark.read.parquet(pairs_dest)
 
 
+    # ------------------------------------------------------------ maintenance
+    def health(self) -> dict:
+        """Band/shingle layout health from filesystem metadata only —
+        the MinHashIndex twin of ParquetStore.table_health."""
+        import os
+
+        from gus_spark.storage.deltas import count_parquet_files
+
+        out = {}
+        for name, base in (
+            ("bands", self._bands_path()),
+            ("shingles", self._shingles_path()),
+        ):
+            out[f"{name}_files"] = (
+                count_parquet_files(base) if os.path.isdir(base) else 0
+            )
+            out[f"{name}_deltas"] = (
+                sum(1 for d in os.listdir(base) if d.startswith("delta-"))
+                if os.path.isdir(base)
+                else 0
+            )
+        return out
+
+    def maintain(self, max_files: int = 16, target_files: int = 4) -> dict:
+        """Compact the per-batch band/shingle deltas once either table
+        exceeds ``max_files`` parquet files — each streamed micro-batch
+        appends one delta, which unchecked is small-file death. Bands
+        compact range-partitioned + sorted on (band_id, band_hash) so
+        the candidate bucket join's scan prunes by row-group stats;
+        shingles on the id column for the verification join. Results
+        are unchanged: both consumers are row-order-independent, and
+        add_and_find's replay exclusion keys (delta-<batch>) never
+        collide with the compacted delta's name. Schedule this from the
+        same maintenance loop as ParquetStore.maintain — not
+        concurrently with an in-flight add."""
+        import os
+
+        from gus_spark.storage.deltas import compact_deltas
+
+        health = self.health()
+        compacted = (
+            health["bands_files"] > max_files
+            or health["shingles_files"] > max_files
+        )
+        if compacted:
+            if os.path.isdir(self._bands_path()):
+                compact_deltas(
+                    self.spark, self._bands_path(), target_files,
+                    range_cols=["band_id", "band_hash"],
+                )
+            if os.path.isdir(self._shingles_path()):
+                compact_deltas(
+                    self.spark, self._shingles_path(), target_files,
+                    range_cols=[self.id_col],
+                )
+        return {"before": health, "compacted": compacted,
+                "after": self.health()}
+
+
 def _band_rows(sig: DataFrame, id_col: str) -> DataFrame:
     """(id, band_id, band_hash) rows from a minhash signature frame."""
     return sig.select(

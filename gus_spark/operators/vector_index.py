@@ -193,6 +193,44 @@ class VectorIndex:
                     F.col("rank").cast("long").alias("rank"))
         )
 
+    # ------------------------------------------------------------ maintenance
+    def health(self) -> dict:
+        """Codes-table layout health from filesystem metadata only (no
+        Spark job) — the VectorIndex twin of ParquetStore.table_health."""
+        from gus_spark.storage.deltas import count_parquet_files
+
+        base = self._codes_path()
+        if not os.path.isdir(base):
+            return {"n_files": 0, "n_deltas": 0}
+        return {
+            "n_files": count_parquet_files(base),
+            "n_deltas": sum(
+                1 for d in os.listdir(base) if d.startswith("delta-")
+            ),
+        }
+
+    def maintain(self, max_files: int = 16, target_files: int = 4) -> dict:
+        """Compact the per-add code deltas once they exceed
+        ``max_files`` — streaming ingest appends one delta per
+        micro-batch, which unchecked is small-file death. Compacted
+        output is range-partitioned AND sorted on ``cell`` so a search's
+        nprobe cell filter prunes to the files/row-groups holding those
+        cells. A healthy table is a metadata-only no-op, so this can
+        run on a timer like ParquetStore.maintain. Search results are
+        unchanged: the codes row set is identical, and every consumer
+        is order-independent."""
+        from gus_spark.storage.deltas import compact_deltas
+
+        health = self.health()
+        compacted = health["n_files"] > max_files
+        if compacted:
+            compact_deltas(
+                self.spark, self._codes_path(), target_files,
+                range_cols=["cell"],
+            )
+        return {"before": health, "compacted": compacted,
+                "after": self.health()}
+
     def stats(self) -> dict:
         """Index health: total rows + per-cell occupancy spread (a
         drifting corpus skews cells; re-fit when the ratio degrades)."""

@@ -1,0 +1,104 @@
+"""Index-table maintenance: streaming-style incremental adds append one
+delta per batch (small-file death at 100x ingest rates); maintain() must
+fold them to the target layout WITHOUT changing a single result."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from conftest import SF_DIR
+
+from gus_spark.queries import table
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return table(spark, SF_DIR, "embeddings")
+
+
+def test_vector_index_maintain_compacts_without_changing_results(
+    spark, embeddings, tmp_path
+):
+    from gus_spark.operators.vector_index import VectorIndex
+
+    idx = VectorIndex(spark, str(tmp_path / "vidx"), m=16, iters=2)
+    idx.fit(embeddings)
+    # 50 streaming-sized adds -> >=50 delta dirs of tiny files
+    for lo in range(0, 500, 10):
+        idx.add(
+            embeddings.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 10)
+            ),
+            batch_key=f"b{lo}",
+        )
+    health = idx.health()
+    assert health["n_deltas"] == 50
+    assert health["n_files"] >= 50
+
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in embeddings.limit(8).collect()
+    ]
+    before = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.adc_sim, 12))
+        for r in idx.search(queries, k=5, nprobe=4).collect()
+    }
+    report = idx.maintain(max_files=16, target_files=4)
+    assert report["compacted"]
+    assert report["after"]["n_files"] <= 4
+    assert report["after"]["n_deltas"] == 1
+    after = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.adc_sim, 12))
+        for r in idx.search(queries, k=5, nprobe=4).collect()
+    }
+    assert after == before
+    assert idx.stats()["n_rows"] == 500
+    # healthy table -> metadata-only no-op
+    report2 = idx.maintain(max_files=16, target_files=4)
+    assert not report2["compacted"]
+
+
+def test_minhash_index_maintain_compacts_without_changing_results(
+    spark, tmp_path
+):
+    from gus_spark.operators.dedup import MinHashIndex, minhash_lsh_pairs
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    full = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in minhash_lsh_pairs(docs, threshold=0.8, ngram=1).collect()
+    }
+
+    idx = MinHashIndex(spark, str(tmp_path / "mh"), threshold=0.8, ngram=1)
+    seen = set()
+    # 10 incremental batches, collecting every reported pair
+    for i, lo in enumerate(range(0, 500, 50)):
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 50)
+        )
+        seen |= {
+            (r.doc_a, r.doc_b, round(r.jaccard, 12))
+            for r in idx.add_and_find(batch, batch_key=f"b{i}").collect()
+        }
+    assert seen == full
+    assert idx.health()["bands_deltas"] == 10
+
+    report = idx.maintain(max_files=8, target_files=2)
+    assert report["compacted"]
+    assert report["after"]["bands_files"] <= 2
+    assert report["after"]["shingles_files"] <= 2
+
+    # post-compaction adds still see the whole corpus: re-adding a doc
+    # slice as a NEW batch must rediscover exactly its pairs vs corpus
+    probe = docs.filter(F.col("doc_id") < 20)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in idx.add_and_find(probe, batch_key="probe").collect()
+    }
+    expected = {
+        (a, b) for a, b, _ in full if a < 20 or b < 20
+    }
+    assert got >= expected
