@@ -58,12 +58,24 @@ def main() -> None:
     spark = get_spark(app_name="gus_spark-scaling-bench")
     specs = catalog()
     sfs = [sf for sf in SFS if os.path.isdir(f"{TESTDATA}/sf{sf}")]
+    dirs = {sf: f"{TESTDATA}/sf{sf}" for sf in sfs}
+    # one decade beyond the shipped testdata: a synthesized,
+    # key-consistent 10x scale-up of sf0.1 (tools/make_sf1.py) — the
+    # point where data cost starts to beat fixed cost locally
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/gus_sf1")
+    if "1" not in sfs:
+        if not os.path.isdir(sf1_dir):
+            from tools.make_sf1 import make_sf1
+
+            make_sf1(spark, sf1_dir)
+        sfs.append("1")
+        dirs["1"] = sf1_dir
     out: dict[str, dict] = {}
     for name in QUERIES:
         fn = specs[name].fn
         secs: dict[str, float] = {}
         for sf in sfs:
-            sf_dir = f"{TESTDATA}/sf{sf}"
+            sf_dir = dirs[sf]
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = float("inf")
             for _ in range(2):
