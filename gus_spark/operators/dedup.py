@@ -22,11 +22,17 @@ from pyspark.sql import functions as F
 
 from gus_spark.operators.util import ensure_parallelism
 
-# MinHash banding: 32 permutations in 8 bands of 4 rows. Collision
-# probability 1-(1-j^4)^8 — ~0.5 at j≈0.59, >0.99 at j≥0.84 — a generous
-# candidate net for a 0.8 Jaccard threshold.
-NUM_PERMS = 32
-NUM_BANDS = 8
+# MinHash banding: 128 permutations in 32 bands of 4 rows. Collision
+# probability 1-(1-j^4)^32 — ~0.5 at j≈0.38, >0.99 at j≥0.61, and a true
+# pair AT the 0.8 verify threshold escapes every band with probability
+# (1-0.8^4)^32 ≈ 5e-8 — so candidate recall at the threshold is a
+# near-certainty, not a corpus-dependent bet. (32 perms in 8 bands, the
+# previous config, leaves a 1.5e-2 escape at j=0.8 — too fragile for the
+# exact-equality oracle in queries/dedup.py.) Cost of the wider net is
+# the signature width (linear in perms, map-side) plus more low-jaccard
+# candidates, all killed by exact verification.
+NUM_PERMS = 128
+NUM_BANDS = 32
 ROWS_PER_BAND = NUM_PERMS // NUM_BANDS
 SHINGLE_SIZE = 3
 

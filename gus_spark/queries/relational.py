@@ -285,11 +285,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: 6-way join. True dimensions (region, nation, supplier —
-    fixed-size or tiny) carry broadcast hints; customer is row-scaled so
-    its join gets no hint — the customer-side exchange shuffles on
-    custkey and AQE demotes it to a broadcast only when actually small.
-    The single big shuffle is lineitem⋈orders on orderkey."""
+    """TPC-H Q5: 6-way join. Only the fixed dimensions (region=5 rows,
+    nation=25 rows) carry broadcast hints. customer AND supplier scale
+    linearly with SF (supplier = 10k×SF is ~150 GB at the sf100k design
+    point), so neither join is hinted — the size-based planner / AQE
+    broadcasts them at runtime only when actually small. The single big
+    shuffle is lineitem⋈orders on orderkey."""
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = table(spark, sf_dir, "nation")
     c = table(spark, sf_dir, "customer")
@@ -308,7 +309,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(dims, o.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(s),
+        .join(s,
               (li.l_suppkey == s.s_suppkey)
               & (s.s_nationkey == F.col("n_nationkey")))
         .groupBy("n_name")
@@ -372,12 +373,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_part_lineitem_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact⋈dimension with dimension-side filter: part (filtered) is
-    broadcast so lineitem is never shuffled for the join."""
+    """Fact⋈dimension with dimension-side filter. part is row-scaled
+    (200k×SF — ~3 TB at sf100k), so the join carries no forced hint:
+    the size-based planner / AQE broadcasts the filtered slice when it
+    is actually small (test_star_joins proves it does at test scale),
+    and falls back to a shuffle join when it is not."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_lines"),

@@ -39,7 +39,7 @@ def test_minhash_lsh_finds_exact_pairs(spark, documents, exact_pairs):
     }
     # verification step makes every returned pair truly >= threshold
     assert got <= exact_pairs
-    # banding (8 bands of 4) catches >=0.8-Jaccard pairs w.h.p.
+    # banding (32 bands of 4) catches >=0.8-Jaccard pairs w.h.p.
     if exact_pairs:
         recall = len(got & exact_pairs) / len(exact_pairs)
         assert recall >= 0.9, f"LSH recall {recall}"

@@ -45,7 +45,13 @@ def test_point_lookup_pushes_equality(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["q3_shipping_priority", "q5_regional_revenue", "q10_returned_items"]
+    "name",
+    [
+        "q3_shipping_priority",
+        "q5_regional_revenue",
+        "q10_returned_items",
+        "join_part_lineitem_brand",
+    ],
 )
 def test_star_joins_broadcast(spark, name):
     """At test scale every join side is tiny, so the size-based planner
@@ -53,24 +59,27 @@ def test_star_joins_broadcast(spark, name):
     didn't cost the small-data plan anything."""
     plan = plan_of(spark, name)
     assert "BroadcastHashJoin" in plan
-    # q3/q10 must not shuffle the fact table for any join
+    # q3/q10/brand must not shuffle the fact table for any join
     if name != "q5_regional_revenue":
         assert "SortMergeJoin" not in plan
 
 
-# joins over row-scaled tables (orders/customer/lineitem sides) may not
-# carry a FORCED broadcast hint: a hint that fits at sf0.1 is a
-# driver/executor OOM at 100 TB and overrides both the 64 MB threshold
-# and AQE's runtime judgment. Hints are allowed only on provably bounded
-# sides: fixed dimensions (region=5, nation=25, supplier/part sub-scaled)
+# joins over row-scaled tables may not carry a FORCED broadcast hint:
+# a hint that fits at sf0.1 is a driver/executor OOM at 100 TB and
+# overrides both the 64 MB threshold and AQE's runtime judgment. In
+# TPC-H *every* non-region/nation table scales linearly with SF —
+# including supplier (10k rows/SF, ~150 GB at sf100k) and part
+# (200k rows/SF, ~3 TB at sf100k) — so hints are allowed only on
+# provably bounded sides: the fixed dimensions (region=5, nation=25)
 # and post-HAVING keysets. The counts below are exactly those bounded
 # sides; a count bump means someone hinted a row-scaled table.
 ALLOWED_BROADCAST_HINTS = {
     "q3_shipping_priority": 0,       # customer+orders row-scaled: no hints
-    "q5_regional_revenue": 3,        # region->nation, nation-chain, supplier
+    "q5_regional_revenue": 2,        # region->nation, nation-chain only
     "q10_returned_items": 1,         # nation only
     "q18_large_volume_customers": 1, # post-HAVING orderkey keyset only
     "date_arithmetic_shipping": 0,   # AQE broadcasts the probe-filtered side
+    "join_part_lineitem_brand": 0,   # part row-scaled: no hint
 }
 
 
