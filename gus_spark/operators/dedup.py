@@ -204,6 +204,15 @@ class MinHashIndex:
 
         if not os.path.isdir(path):
             return None
+        flat = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if flat:
+            # a flat file silently excluded = corpus rows invisibly
+            # missing from every future dedup — refuse loudly instead
+            raise ValueError(
+                f"legacy flat-layout parquet under {path} (e.g. {flat[0]}):"
+                " this index predates the delta-<key> layout; rebuild it"
+                " or move each file into its own delta-<name>/ subdir"
+            )
         deltas = [
             os.path.join(path, d)
             for d in sorted(os.listdir(path))
@@ -320,6 +329,7 @@ class MinHashIndex:
         for name, base in (
             ("bands", self._bands_path()),
             ("shingles", self._shingles_path()),
+            ("pairs", os.path.join(self.path, "pairs_log")),
         ):
             out[f"{name}_files"] = (
                 count_parquet_files(base) if os.path.isdir(base) else 0
@@ -331,7 +341,12 @@ class MinHashIndex:
             )
         return out
 
-    def maintain(self, max_files: int = 16, target_files: int = 4) -> dict:
+    def maintain(
+        self,
+        max_files: int = 16,
+        target_files: int = 4,
+        pairs_retain: int = 8,
+    ) -> dict:
         """Compact the per-batch band/shingle deltas once either table
         exceeds ``max_files`` parquet files — each streamed micro-batch
         appends one delta, which unchecked is small-file death. Bands
@@ -340,10 +355,21 @@ class MinHashIndex:
         shingles on the id column for the verification join. Results
         are unchanged: both consumers are row-order-independent, and
         add_and_find's replay exclusion keys (delta-<batch>) never
-        collide with the compacted delta's name. Schedule this from the
-        same maintenance loop as ParquetStore.maintain — not
-        concurrently with an in-flight add."""
+        collide with the compacted delta's name.
+
+        pairs_log deltas exist only for in-flight crash-replay
+        durability (add_and_find writes them BEFORE the index grows);
+        once a batch's result has been consumed they are dead weight,
+        so all but the ``pairs_retain`` most recent are deleted —
+        retention, not compaction, because no reader ever scans the
+        log as a whole. A replay of a pruned batch just recomputes and
+        rewrites its own delta, which is the normal replay path.
+
+        Schedule this from the same maintenance loop as
+        ParquetStore.maintain — not concurrently with an in-flight
+        add."""
         import os
+        import shutil
 
         from gus_spark.storage.deltas import compact_deltas
 
@@ -363,8 +389,18 @@ class MinHashIndex:
                     self.spark, self._shingles_path(), target_files,
                     range_cols=[self.id_col],
                 )
+        pairs_dir = os.path.join(self.path, "pairs_log")
+        pruned = 0
+        if os.path.isdir(pairs_dir):
+            deltas = sorted(
+                (d for d in os.listdir(pairs_dir) if d.startswith("delta-")),
+                key=lambda d: os.path.getmtime(os.path.join(pairs_dir, d)),
+            )
+            for d in deltas[: max(0, len(deltas) - pairs_retain)]:
+                shutil.rmtree(os.path.join(pairs_dir, d))
+                pruned += 1
         return {"before": health, "compacted": compacted,
-                "after": self.health()}
+                "pairs_pruned": pruned, "after": self.health()}
 
 
 def _band_rows(sig: DataFrame, id_col: str) -> DataFrame:

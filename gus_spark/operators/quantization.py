@@ -420,7 +420,15 @@ def _exact_rerank(
 ) -> DataFrame:
     """Exact-cosine re-rank of a (query_id, neighbor_id) shortlist:
     broadcast the tiny candidate set + query vectors against the full
-    vectors — no corpus shuffle — and take the top-k window."""
+    vectors — no corpus shuffle — and take the top-k window.
+
+    The shortlist is collapsed on (query_id, neighbor_id) first: the
+    delta-table crash contract (storage/deltas.py) allows duplicate
+    rows to reach a reader, and without the collapse a duplicated id
+    would occupy two ranks and evict a legitimate neighbor from the
+    top-k — the ADC branch (vector_index search) already collapses; the
+    rerank branch must tolerate the same."""
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     spark = df.sparkSession
     import numpy as np
 

@@ -115,7 +115,13 @@ def bulk_ingest(
             .drop("_rn")
             .join(clash.distinct(), pk, "left_anti")
         )
-        n_loaded = store.append_df(model, loadable, _locked=True)
+        # keys_are_new is PROVEN here: batch-internal dups collapsed to
+        # one winner, store-conflicting keys anti-joined out above — so
+        # the commit may carry op='insert' and ChangeFeed's pure-insert
+        # fast path stays valid.
+        n_loaded = store.append_df(
+            model, loadable, _locked=True, keys_are_new=True
+        )
     return {
         "loaded": n_loaded,
         "quarantined": n_quarantined,

@@ -129,24 +129,31 @@ def migrate(
         a for a in plan.newly_required
         if a not in defaults and a in old.attributes
     ]
-    if promoted_no_default:
-        null_pred = None
-        for a in promoted_no_default:
-            p = F.col(a).isNull()
-            null_pred = p if null_pred is None else (null_pred | p)
-        if store.read_df(old).filter(null_pred).take(1):
-            raise ModelValidationError(
-                "promoting to required with stored nulls present needs "
-                f"defaults: {promoted_no_default}"
-            )
-        # null-free promotion + no other rewrite work = metadata-only
-        if not plan.retyped and not [
-            a for a in plan.newly_required if a not in promoted_no_default
-        ]:
-            return plan
-    if not plan.requires_rewrite:
+    if not promoted_no_default and not plan.requires_rewrite:
         return plan  # the declared-schema read path does the rest
+    # ONE lock spans the null-free-promotion proof, the metadata-only
+    # decision, and any rewrite: checked outside the lock, a concurrent
+    # writer could commit a null into the promoted column between the
+    # proof and the decision, leaving the table violating its newly
+    # declared required-ness.
     with store._write_lock(old):
+        if promoted_no_default:
+            null_pred = None
+            for a in promoted_no_default:
+                p = F.col(a).isNull()
+                null_pred = p if null_pred is None else (null_pred | p)
+            if store.read_df(old).filter(null_pred).take(1):
+                raise ModelValidationError(
+                    "promoting to required with stored nulls present needs "
+                    f"defaults: {promoted_no_default}"
+                )
+            # null-free promotion + no other rewrite work = metadata-only
+            if not plan.retyped and not [
+                a for a in plan.newly_required if a not in promoted_no_default
+            ]:
+                return plan
+        if not plan.requires_rewrite:
+            return plan
         df = store.read_df(old)
         cols = []
         for attr in new.field_order:

@@ -396,20 +396,35 @@ class ParquetStore:
         return upserts
 
     def append_df(
-        self, model: ModelDefinition, df: DataFrame, _locked: bool = False
+        self,
+        model: ModelDefinition,
+        df: DataFrame,
+        _locked: bool = False,
+        keys_are_new: bool = False,
     ) -> int:
         """Append a pre-validated DataFrame as delta files in one
         commit — the bulk-ingest fast path: no per-row Python, rows
         flow executor→parquet directly. Callers are responsible for
         validation and dup-checks (see sources.ingest.bulk_ingest);
         ``_locked=True`` means the caller already holds the table's
-        write lock. Returns the number of rows appended."""
-        if _locked:
-            return self._append_df_locked(model, df)
-        with self._write_lock(model):
-            return self._append_df_locked(model, df)
+        write lock. Returns the number of rows appended.
 
-    def _append_df_locked(self, model: ModelDefinition, df: DataFrame) -> int:
+        ``keys_are_new=True`` is a CONTRACT, not a hint: it commits
+        with op='insert', which ChangeFeed.poll trusts to skip its
+        anti-join against the previous snapshot — a caller that passes
+        it without having proven pk-newness (as bulk_ingest's
+        anti-join does) makes subscribers re-deliver existing keys as
+        inserts. The default commits op='append' (key-newness
+        unproven), which keeps the feed on its conservative anti-join
+        path at the cost of one snapshot pk scan per delivered delta."""
+        if _locked:
+            return self._append_df_locked(model, df, keys_are_new)
+        with self._write_lock(model):
+            return self._append_df_locked(model, df, keys_are_new)
+
+    def _append_df_locked(
+        self, model: ModelDefinition, df: DataFrame, keys_are_new: bool = False
+    ) -> int:
         manifest = self._current_manifest(model)
         new_files = self._write_data_file(
             df.select(*model.field_order), model
@@ -417,7 +432,8 @@ class ParquetStore:
         if not new_files:
             return 0
         manifest["files"] = manifest["files"] + new_files
-        self._commit(model, manifest, op="insert")
+        self._commit(model, manifest,
+                     op="insert" if keys_are_new else "append")
         return sum(f["rows"] for f in new_files)
 
     # ------------------------------------------------------------ maintenance

@@ -438,7 +438,10 @@ def test_change_feed_insert_commits_skip_anti_join(spark, tmp_path,
     df = spark.range(1, n + 1).select(
         F.col("id").cast("long"), F.col("id").cast("long").alias("v")
     )
-    assert store.append_df(model, df) == n
+    # keys_are_new=True is what bulk_ingest passes after PROVING
+    # newness (ids 1..n vs existing id 0 here) — it is what makes this
+    # an op='insert' commit eligible for the fast path at all
+    assert store.append_df(model, df, keys_are_new=True) == n
 
     # the pure-insert path must never look at the previous snapshot
     def _boom(self):
@@ -460,6 +463,29 @@ def test_change_feed_insert_commits_skip_anti_join(spark, tmp_path,
         seen += len(p)
     assert seen == n
     assert feed.poll() == []  # drained -> idle polls are manifest-only
+
+
+def test_change_feed_unproven_append_keeps_anti_join(spark, tmp_path):
+    """append_df WITHOUT keys_are_new commits op='append': the feed
+    must keep its conservative anti-join, so re-appended existing pks
+    are suppressed instead of re-delivered as inserts (the regression
+    an untrusted 'insert' tag would cause)."""
+    from gus_spark.api.subscriptions import ChangeFeed
+    from gus_spark.model.types import ModelDefinition
+
+    model = ModelDefinition.from_json(MOVIE)
+    store = ParquetStore(spark, str(tmp_path / "wh"))
+    store.create_many(model, [{"id": "a"}, {"id": "b"}])
+    feed = ChangeFeed(store, model)
+    assert feed.poll() == []
+
+    dup = store.spark.createDataFrame(
+        [{"id": "a"}, {"id": "z"}], store.read_df(model).schema
+    )
+    store.append_df(model, dup)  # default: key-newness unproven
+    got = feed.poll()
+    assert [r["id"] for r in got] == ["z"]  # 'a' suppressed, not re-sent
+    assert feed.poll() == []
 
 
 def test_change_feed_layout_commits_are_free(spark, tmp_path, monkeypatch):

@@ -102,3 +102,42 @@ def test_minhash_index_maintain_compacts_without_changing_results(
         (a, b) for a, b, _ in full if a < 20 or b < 20
     }
     assert got >= expected
+
+
+def test_minhash_pairs_log_retention_and_legacy_rejection(spark, tmp_path):
+    """pairs_log must not grow one delta per batch forever: maintain()
+    prunes drained batches down to pairs_retain. And a legacy
+    flat-layout parquet file in a band/shingle dir must be rejected
+    loudly, not silently excluded from the corpus."""
+    from gus_spark.operators.dedup import MinHashIndex
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = MinHashIndex(spark, str(tmp_path / "mh"), threshold=0.8, ngram=1)
+    for i, lo in enumerate(range(0, 120, 20)):
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 20)
+        )
+        idx.add_and_find(batch, batch_key=f"b{i}")
+    assert idx.health()["pairs_deltas"] == 6
+
+    report = idx.maintain(max_files=10_000, pairs_retain=2)  # no compaction
+    assert report["pairs_pruned"] == 4
+    assert report["after"]["pairs_deltas"] == 2
+    # the two NEWEST batches survive
+    pairs_dir = tmp_path / "mh" / "pairs_log"
+    assert sorted(d.name for d in pairs_dir.iterdir()) == [
+        "delta-b4", "delta-b5"
+    ]
+    # a pruned batch replays cleanly (recompute + rewrite its delta)
+    replay = idx.add_and_find(
+        docs.filter(F.col("doc_id") < 20), batch_key="b0"
+    )
+    assert replay.count() >= 0 and (pairs_dir / "delta-b0").is_dir()
+
+    # legacy flat layout: a stray .parquet directly under bands/
+    flat = tmp_path / "mh" / "bands" / "part-legacy.parquet"
+    flat.write_bytes(b"not really parquet")
+    with pytest.raises(ValueError, match="legacy flat-layout"):
+        idx.add_and_find(
+            docs.filter(F.col("doc_id") < 5), batch_key="b9"
+        )

@@ -275,6 +275,17 @@ def test_vector_index_keyed_add_is_idempotent(spark, embeddings, tmp_path):
     assert len(seen) == len(set(seen))
     assert {(r.query_id, r.neighbor_id, r.rank) for r in dup} == before
 
+    # the RERANK branch must tolerate the same duplicates: the exact
+    # re-rank collapses (query_id, neighbor_id) before its window, so a
+    # duplicated id cannot occupy two ranks and evict a real neighbor
+    rr = idx.search(queries, k=5, rerank_df=embeddings).collect()
+    rr_seen = [(r.query_id, r.neighbor_id) for r in rr]
+    assert len(rr_seen) == len(set(rr_seen))
+    ranks = {}
+    for r in rr:
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, 6)) for v in ranks.values())
+
 
 def test_opq_rotation_improves_quantization(spark, embeddings):
     """OPQ's alternating Lloyd/Procrustes fit must (a) produce an
