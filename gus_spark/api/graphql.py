@@ -39,6 +39,12 @@ try:
 except ImportError:  # pragma: no cover - graphql-core is expected here
     gql = None
 
+# Deepest offset-paged row: offset paging materializes limit+offset
+# rows driver-side, so the cap bounds the worst collect at
+# MAX_OFFSET + limit rows; keyset paging (after/afterSort) has no cap
+# because its cost is depth-independent.
+MAX_OFFSET = 10_000
+
 # gus type -> GraphQL scalar (types.rs:46-50; Float is the engine's
 # completion of the reference's commented-out Float).
 _SCALARS = {
@@ -248,6 +254,16 @@ class GraphQLApi:
             after_sort = args.pop("afterSort", None)
             if limit < 0 or offset < 0:
                 raise gql.GraphQLError("limit/offset must be >= 0")
+            if offset > MAX_OFFSET:
+                # offset paging collects limit+offset rows to the
+                # driver; unbounded, that is a driver-OOM lever any
+                # client can pull. Deep pages belong to the keyset
+                # cursor, whose cost does not grow with page depth.
+                raise gql.GraphQLError(
+                    f"offset {offset} exceeds the maximum {MAX_OFFSET}; "
+                    "page deep results with the keyset cursor instead "
+                    "(after/afterSort, see readMany docs)"
+                )
             if order_by is not None and (
                 order_by not in model.attributes
                 or model.attributes[order_by].is_array

@@ -33,7 +33,6 @@ from typing import Any
 
 from pyspark.sql import functions as F
 
-from gus_spark.errors import StorageError
 from gus_spark.model.record import add_null_values
 from gus_spark.model.types import ModelDefinition
 from gus_spark.storage.parquet_store import ParquetStore
@@ -60,6 +59,9 @@ class ChangeFeed:
         manifest = store._current_manifest(model)
         self.last_seq: int = manifest.get("seq", 0)
         self.last_paths: set[str] = {f["path"] for f in manifest["files"]}
+        #: previous-snapshot files read by the last anti-join fallback
+        #: (after pk-range pruning) — observability for tests/ops
+        self.last_anti_files: int = 0
         # in-flight delta being paged out: set when a poll finds more
         # rows than one page, cleared when the delta drains
         self._pending: dict | None = None
@@ -85,17 +87,24 @@ class ChangeFeed:
             # the cursor without touching a single data file
             self.last_seq, self.last_paths = seq, paths
             return False
-        new_paths = [
-            f["path"] for f in manifest["files"]
+        new_files = [
+            f for f in manifest["files"]
             if f["path"] not in self.last_paths
         ]
-        if not new_paths:
+        if not new_files:
             self.last_seq, self.last_paths = seq, paths
             return False
+        # combined pk range of the new files (manifest stats, no scan):
+        # lets the anti-join fallback prune the previous snapshot to
+        # overlapping files only. None when any stat is missing.
+        los = [f.get("lo") for f in new_files]
+        his = [f.get("hi") for f in new_files]
+        have_stats = all(x is not None for x in los + his)
         self._pending = {
             "seq": seq,
             "paths": paths,
-            "new_paths": new_paths,
+            "new_paths": [f["path"] for f in new_files],
+            "new_range": (min(los), max(his)) if have_stats else None,
             # anti-join needed unless EVERY commit in range is an insert
             "need_anti": not (ops and all(op in _INSERT_OPS for op in ops)),
             "after_key": None,
@@ -129,7 +138,7 @@ class ChangeFeed:
             *p["new_paths"]
         )
         if p["need_anti"]:
-            prev_keys = self._previous_keys()
+            prev_keys = self._previous_keys(p["new_range"])
             if prev_keys is not None:
                 fresh = fresh.join(prev_keys, pk, "left_anti")
         if p["after_key"] is not None:
@@ -145,16 +154,39 @@ class ChangeFeed:
             p["after_key"] = page[-1][pk]
         return [add_null_values(r.asDict(), model) for r in page]
 
-    def _previous_keys(self):
-        """pk frame of the snapshot this cursor last saw; None when
-        there was no snapshot (or history has been expired — then every
-        row in the new files counts as an insert, which is correct for
-        a fresh table and conservative otherwise)."""
+    def _previous_keys(self, new_range=None):
+        """pk frame of the snapshot this cursor last saw, pruned by
+        manifest pk-range stats to the files that can actually collide
+        with the delta: a previous file whose [lo, hi] doesn't overlap
+        ``new_range`` cannot contain any of the new files' keys, so a
+        point update against a compacted (range-partitioned) table
+        anti-joins O(1) files instead of the whole snapshot. Returns
+        None when there was no snapshot (or history has been expired —
+        then every row in the new files counts as an insert, which is
+        correct for a fresh table and conservative otherwise)."""
         if self.last_seq == 0:
             return None
-        try:
-            return self.store.read_df(self.model, at=self.last_seq).select(
-                self.model.primary_key
-            )
-        except StorageError:  # expired by expire_snapshots
+        store, model = self.store, self.model
+        matches = [n for s, n in store.history(model) if s == self.last_seq]
+        if not matches:  # expired by expire_snapshots
             return None
+        with open(
+            os.path.join(store._table_dir(model), matches[0]),
+            encoding="utf-8",
+        ) as fh:
+            prev_files = json.load(fh)["files"]
+        if new_range is not None:
+            lo, hi = new_range
+            prev_files = [
+                f for f in prev_files
+                if f.get("lo") is None or f.get("hi") is None
+                or (f["lo"] <= hi and f["hi"] >= lo)
+            ]
+        self.last_anti_files = len(prev_files)  # observability (tests)
+        if not prev_files:
+            return None
+        return (
+            store.spark.read.schema(model.to_struct_type())
+            .parquet(*[f["path"] for f in prev_files])
+            .select(model.primary_key)
+        )

@@ -68,8 +68,15 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes): whitespace token counts, BPE-ish subtoken counts (alpha
     runs / digit runs / symbols — the pre-tokenizer regex shape real BPE
     vocabs use), and the standard pre-training quality filters
-    (chars/word, stopword ratio, punctuation ratio)."""
-    d = table(spark, sf_dir, "documents")
+    (chars/word, stopword ratio, punctuation ratio).
+
+    ensure_parallelism: the regex battery is the cost here, and the
+    local documents table ships as ONE row group — unspread, the whole
+    battery runs on a single core. At scale inputs arrive with >= slots
+    row groups and this is a no-op."""
+    from gus_spark.operators.util import ensure_parallelism
+
+    d = ensure_parallelism(table(spark, sf_dir, "documents"))
     text = F.col("text")
     tokens = F.split(F.trim(text), r"\s+")
     n_tokens = F.size(tokens)
@@ -147,8 +154,13 @@ def text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (merges the former `text_language_id` + `text_fingerprints`
     probes): per-language marker-hit scores, an argmax prediction
     (deterministic tie-break by fixed language order), an exact-content
-    hash, and an order-insensitive bag-of-words hash."""
-    d = table(spark, sf_dir, "documents")
+    hash, and an order-insensitive bag-of-words hash.
+
+    ensure_parallelism for the same reason as text_profile: 15 marker
+    scans + two hashes per document on a one-row-group local input."""
+    from gus_spark.operators.util import ensure_parallelism
+
+    d = ensure_parallelism(table(spark, sf_dir, "documents"))
     text = F.col("text")
     scores = d.select(
         "doc_id",

@@ -268,6 +268,22 @@ def test_graphql_limit_zero_and_negative(api):
     assert payload.get("errors")
 
 
+def test_graphql_offset_is_capped(api):
+    """offset paging collects limit+offset rows driver-side, so depth
+    is capped; the error names the keyset alternative. The cap itself
+    (offset == MAX_OFFSET) still works."""
+    from gus_spark.api.graphql import MAX_OFFSET
+
+    q = f"{{ movies(limit: 1, offset: {MAX_OFFSET + 1}) {{ id }} }}"
+    _, payload = api.handle("POST", "/api/graphql", json.dumps({"query": q}))
+    assert payload.get("errors")
+    assert "keyset" in payload["errors"][0]["message"]
+    q_ok = f"{{ movies(limit: 1, offset: {MAX_OFFSET}) {{ id }} }}"
+    _, payload = api.handle("POST", "/api/graphql", json.dumps({"query": q_ok}))
+    assert not payload.get("errors")
+    assert payload["data"]["movies"] == []  # past the tiny fixture table
+
+
 def test_graphql_keyset_pagination(api):
     """`after` cursor: page 2 = rows with pk > last-seen, pk-ordered,
     and the cursor compiles to a scan-pushed range predicate (the only
@@ -486,6 +502,37 @@ def test_change_feed_unproven_append_keeps_anti_join(spark, tmp_path):
     got = feed.poll()
     assert [r["id"] for r in got] == ["z"]  # 'a' suppressed, not re-sent
     assert feed.poll() == []
+
+
+def test_change_feed_rewrite_fallback_prunes_by_pk_range(spark, tmp_path):
+    """A point update against a compacted (range-partitioned) table
+    must anti-join O(1) previous files, not the whole snapshot: the
+    manifest pk-range stats prune every non-overlapping file."""
+    from gus_spark.api.subscriptions import ChangeFeed
+    from gus_spark.model.types import ModelDefinition
+
+    model = ModelDefinition.from_json(
+        {
+            "model_name": "click",
+            "attributes": {"id": "Integer", "v": "Integer"},
+            "primary_key": "id",
+            "required": ["id"],
+        }
+    )
+    store = ParquetStore(spark, str(tmp_path / "wh"))
+    store.create_many(model, [{"id": i, "v": i} for i in range(100)])
+    store.compact(model, target_files=4)  # disjoint pk ranges
+    feed = ChangeFeed(store, model)
+    assert feed.poll() == []
+
+    store.update_one(model, "5", {"v": -1})  # rewrite commit, one file
+    got = feed.poll()
+    assert got == []  # an update inserts nothing new
+    # ...but the anti-join only read the ONE overlapping previous file
+    assert feed.last_anti_files == 1
+    # inserts mixed into the rewrite range still arrive
+    store.create_one(model, {"id": 101, "v": 0})
+    assert [r["id"] for r in feed.poll()] == [101]
 
 
 def test_change_feed_layout_commits_are_free(spark, tmp_path, monkeypatch):

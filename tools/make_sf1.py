@@ -103,7 +103,12 @@ def make_sf1(spark: SparkSession, dest: str, src: str = SRC) -> None:
         out = copies[0]
         for c in copies[1:]:
             out = out.unionByName(c)
-        out.coalesce(4).write.mode("overwrite").parquet(
+        # 32 files, not 4: a real sf1 table arrives with >= slots row
+        # groups, and scan parallelism IS the thing the sf1 timing
+        # point exists to measure — 4 files would cap every map-only
+        # query at 4 of 32 cores and report scheduler starvation as if
+        # it were compute scaling.
+        out.repartition(32).write.mode("overwrite").parquet(
             f"{dest}/{t}.parquet"
         )
 
