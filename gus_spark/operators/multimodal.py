@@ -13,14 +13,19 @@ Decode/feature-extraction run as Arrow-batched ``mapInPandas`` stages:
 one Python process per partition consumes record batches (never a
 per-row UDF), so throughput is bounded by codec speed, not serde.
 
-The actual codecs (PIL/opencv/ffmpeg) are NOT available in this
-environment, so the decode kernels are STUBS:
+Codec reality in this environment, per media type:
 
-- with ``GUS_MULTIMODAL_FAKE_DECODE=1`` (and in tests) a deterministic
+- **PNG images decode for REAL**: ``operators.png`` is a pure-stdlib
+  (zlib/struct) PNG codec, so ``decode_image_features`` extracts true
+  width/height/mean-luminance from genuine PNG bytes with no PIL —
+  tested end-to-end against encoded-then-decoded real files.
+- Other image formats and audio/video codecs (JPEG/opencv/ffmpeg) are
+  NOT available, so those paths are gated STUBS:
+  with ``GUS_MULTIMODAL_FAKE_DECODE=1`` (and in tests) a deterministic
   fake decoder derives pixel/sample statistics from the content hash —
   exercising the full Spark plumbing (schema, batching, partitioning);
-- otherwise the kernels raise NotImplementedError("requires PIL/...")
-  at first batch, surfacing the missing dependency loudly rather than
+  otherwise the kernels raise NotImplementedError("requires ...") at
+  first batch, surfacing the missing dependency loudly rather than
   silently corrupting a pipeline.
 """
 
@@ -89,8 +94,11 @@ def decode_image_features(
 ) -> DataFrame:
     """Per-image feature extraction over Arrow batches.
 
-    Real implementation would PIL-open each buffer; the stub derives
-    deterministic pseudo-features from the md5 of the bytes.
+    PNG buffers are decoded for REAL (operators.png, pure stdlib):
+    width/height from IHDR, mean_luma as the actual BT.601 luminance
+    mean formatted to 3 decimals. Non-PNG buffers fall back to the
+    gated stub (deterministic pseudo-features from the md5 of the
+    bytes) or NotImplementedError when the stub is not allowed.
     """
     df = ensure_parallelism(df)
     # resolve driver-side: executor workers do not see env changes made
@@ -100,13 +108,9 @@ def decode_image_features(
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from gus_spark.operators import png
+
         for pdf in batches:
-            if not allow_fake:
-                raise NotImplementedError(
-                    "image decode requires PIL/opencv — not available in "
-                    "this environment; set GUS_MULTIMODAL_FAKE_DECODE=1 "
-                    "for the deterministic stub"
-                )
             out = {
                 "media_id": [],
                 "width": [],
@@ -115,11 +119,29 @@ def decode_image_features(
                 "mean_luma": [],
             }
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                digest = hashlib.md5(bytes(content or b"")).digest()
+                raw = bytes(content or b"")
+                if png.is_png(raw):
+                    w, h, ch, pixels = png.decode_png(raw)
+                    out["media_id"].append(mid)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_bytes"].append(len(raw))
+                    out["mean_luma"].append(
+                        f"{png.mean_luma(w, h, ch, pixels):.3f}"
+                    )
+                    continue
+                if not allow_fake:
+                    raise NotImplementedError(
+                        "non-PNG image decode requires PIL/opencv — not "
+                        "available in this environment; set "
+                        "GUS_MULTIMODAL_FAKE_DECODE=1 for the "
+                        "deterministic stub (PNG decodes for real)"
+                    )
+                digest = hashlib.md5(raw).digest()
                 out["media_id"].append(mid)
                 out["width"].append(int.from_bytes(digest[0:2], "big") % 4096)
                 out["height"].append(int.from_bytes(digest[2:4], "big") % 4096)
-                out["n_bytes"].append(len(content or b""))
+                out["n_bytes"].append(len(raw))
                 out["mean_luma"].append(digest.hex()[:8])
             yield pd.DataFrame(out)
 

@@ -168,7 +168,15 @@ def _grouped_topk_matmul(
         iid = i["id"].to_numpy()
         sims[pid[:, None] == iid[None, :]] = -np.inf  # no self-pairs
         kk = min(k, sims.shape[1])
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # top-k with a DETERMINISTIC (-sim, neighbor_id) tie-break:
+        # argpartition would pick an arbitrary kk among equal-cosine
+        # candidates (exact duplicates produce whole ties at cos=1.0),
+        # which both breaks run-to-run determinism and loses recall
+        # against an id-tie-broken exact ground truth. lexsort's last
+        # key is primary. Buckets are cap-bounded, so the O(b log b)
+        # over argpartition's O(b) is noise.
+        iid_rows = np.broadcast_to(iid, sims.shape)
+        top = np.lexsort((iid_rows, -sims), axis=1)[:, :kk]
         rows = np.repeat(np.arange(sims.shape[0]), kk)
         cols = top.ravel()
         keep = np.isfinite(sims[rows, cols])

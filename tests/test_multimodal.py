@@ -107,3 +107,106 @@ def test_media_embeddings_feed_the_vector_index(spark, media, tmp_path):
 
     with pytest.raises(Exception, match="encoder"):
         media_embeddings(media, fake=False).collect()
+
+
+# ---------------------------------------------------------------- real PNG
+
+
+def _filtered_png(width, height, pixels, filters):
+    """Build a grayscale PNG whose row y uses filter type filters[y] —
+    applying the FORWARD filter per the spec, so a correct decoder must
+    invert each one to recover `pixels`."""
+    import struct
+    import zlib
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    stride = width
+    raw = bytearray()
+    for y in range(height):
+        row = pixels[y * stride:(y + 1) * stride]
+        prev = pixels[(y - 1) * stride: y * stride] if y else bytes(stride)
+        f = filters[y]
+        raw.append(f)
+        for x in range(stride):
+            left = row[x - 1] if x else 0
+            up = prev[x]
+            ul = prev[x - 1] if x else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = row[x] - left
+            elif f == 2:
+                v = row[x] - up
+            elif f == 3:
+                v = row[x] - ((left + up) >> 1)
+            else:
+                v = row[x] - paeth(left, up, ul)
+            raw.append(v & 0xFF)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def test_png_codec_roundtrip_and_all_filters():
+    from gus_spark.operators import png
+
+    # grayscale and RGB round-trips through our own encoder
+    gray = bytes((x * 7 + y * 13) % 256 for y in range(5) for x in range(4))
+    data = png.encode_png(4, 5, gray, channels=1)
+    assert png.is_png(data)
+    assert png.decode_png(data) == (4, 5, 1, gray)
+
+    rgb = bytes((i * 31) % 256 for i in range(6 * 3 * 3))
+    w, h, ch, px = png.decode_png(png.encode_png(6, 3, rgb, channels=3))
+    assert (w, h, ch, px) == (6, 3, 3, rgb)
+
+    # a PNG a REAL encoder might emit: every standard filter type used
+    pixels = bytes((x * x + 3 * y) % 256 for y in range(5) for x in range(8))
+    foreign = _filtered_png(8, 5, pixels, filters=[0, 1, 2, 3, 4])
+    assert png.decode_png(foreign) == (8, 5, 1, pixels)
+
+    # corruption is loud
+    with pytest.raises(ValueError, match="CRC"):
+        png.decode_png(data[:40] + bytes([data[40] ^ 0xFF]) + data[41:])
+    with pytest.raises(ValueError, match="signature"):
+        png.decode_png(b"JFIF" + data)
+
+
+def test_decode_image_features_real_png_no_stub(spark, monkeypatch):
+    """End-to-end real decode: genuine PNG bytes through the Arrow
+    kernel WITHOUT the fake-decode flag — width/height/mean_luma are
+    the true values, proving the plumbing runs a real codec."""
+    from pyspark.sql import Row
+
+    from gus_spark.operators import png
+
+    monkeypatch.delenv("GUS_MULTIMODAL_FAKE_DECODE", raising=False)
+    imgs = {}
+    rows = []
+    for i, (w, h) in enumerate([(3, 2), (16, 16), (1, 1)]):
+        pix = bytes((i * 40 + j) % 256 for j in range(w * h))
+        imgs[i] = (w, h, pix)
+        rows.append(
+            Row(media_id=i, content=png.encode_png(w, h, pix),
+                meta=Row(mime="image/png", width=None, height=None,
+                         duration_ms=None, sample_rate=None))
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in
+           decode_image_features(media, fake=False).collect()}
+    assert len(out) == 3
+    for i, (w, h, pix) in imgs.items():
+        assert (out[i].width, out[i].height) == (w, h)
+        assert out[i].mean_luma == f"{sum(pix) / (w * h):.3f}"
+        assert out[i].n_bytes == len(png.encode_png(w, h, pix))
