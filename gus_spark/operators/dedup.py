@@ -110,7 +110,12 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # verification uses the same shingle unit as candidate generation
+    # verification uses the same shingle unit as candidate generation.
+    # (A semi-join prune of toks to collided ids was tried and reverted:
+    # it duplicates the signature/banding lineage into the prune branch,
+    # which costs more than shingling the corpus. The incremental path —
+    # MinHashIndex.add_and_find — materializes candidates durably and
+    # verifies only collided ids, which is the scale answer.)
     toks = df.select(F.col(id_col), shingles(F.col(text_col), ngram).alias("ts"))
     ta, tb = toks.alias("ta"), toks.alias("tb")
     inter = F.size(F.array_intersect(F.col("ta.ts"), F.col("tb.ts")))
