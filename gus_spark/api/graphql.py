@@ -45,6 +45,12 @@ except ImportError:  # pragma: no cover - graphql-core is expected here
 # because its cost is depth-independent.
 MAX_OFFSET = 10_000
 
+# Most groups a single <plural>Stats call may return: groups collect to
+# the driver, so unbounded high-cardinality groupBys are the aggregate
+# twin of deep offset paging. The resolver's orderBy+limit compiles to
+# TakeOrderedAndProject, so the bound is enforced executor-side.
+MAX_STATS_GROUPS = 10_000
+
 # gus type -> GraphQL scalar (types.rs:46-50; Float is the engine's
 # completion of the reference's commented-out Float).
 _SCALARS = {
@@ -153,6 +159,7 @@ def generate_sdl(registry: ModelRegistry) -> str:
                 f"sum{cam}: Float", f"avg{cam}: Float",
                 f"min{cam}: Float", f"max{cam}: Float",
                 f"median{cam}: Float",
+                f"p25{cam}: Float", f"p75{cam}: Float", f"p95{cam}: Float",
             ]
         for n in _scalar_attrs(model):
             stat_fields.append(
@@ -161,9 +168,14 @@ def generate_sdl(registry: ModelRegistry) -> str:
         types.append(
             f"type {tname}Stats {{\n  " + "\n  ".join(stat_fields) + "\n}"
         )
+        # havingMinCount = HAVING count(*) >= N (distributed, pre-
+        # collect); groupLimit bounds the driver transfer for
+        # high-cardinality groupBys the same way MAX_OFFSET bounds
+        # offset paging
         queries.append(
             f"{plural_camel(model.model_name)}Stats"
-            f"(groupBy: String, {', '.join(filter_args)}): [{tname}Stats!]!"
+            f"(groupBy: String, havingMinCount: Int, groupLimit: Int, "
+            f"{', '.join(filter_args)}): [{tname}Stats!]!"
         )
         mutations.append(f"addOne{tname}({args_all}): {tname}")
         mutations.append(f"updateOne{tname}({args_patch}): {tname}")
@@ -379,6 +391,11 @@ class GraphQLApi:
             from pyspark.sql import functions as F
 
             group_by = args.pop("groupBy", None)
+            having_min_count = args.pop("havingMinCount", None)
+            group_limit = args.pop("groupLimit", None)
+            group_limit = (
+                MAX_STATS_GROUPS if group_limit is None else group_limit
+            )
             if group_by is not None and (
                 group_by not in model.attributes
                 or model.attributes[group_by].is_array
@@ -386,6 +403,10 @@ class GraphQLApi:
                 raise gql.GraphQLError(
                     f"groupBy must name a scalar attribute of "
                     f"{model.model_name}, got {group_by!r}"
+                )
+            if not 0 < group_limit <= MAX_STATS_GROUPS:
+                raise gql.GraphQLError(
+                    f"groupLimit must be in 1..{MAX_STATS_GROUPS}"
                 )
 
             def run():
@@ -401,6 +422,12 @@ class GraphQLApi:
                         F.min(n).cast("double").alias(f"min{c}"),
                         F.max(n).cast("double").alias(f"max{c}"),
                         F.median(n).cast("double").alias(f"median{c}"),
+                        F.percentile(n, F.lit(0.25))
+                        .cast("double").alias(f"p25{c}"),
+                        F.percentile(n, F.lit(0.75))
+                        .cast("double").alias(f"p75{c}"),
+                        F.percentile(n, F.lit(0.95))
+                        .cast("double").alias(f"p95{c}"),
                     ]
                 for n in _scalar_attrs(model):
                     aggs.append(
@@ -414,9 +441,18 @@ class GraphQLApi:
                 grouped = (
                     df.groupBy(F.col(group_by).cast("string").alias("groupValue"))
                     .agg(*aggs)
-                    .orderBy("groupValue")
                 )
-                return [r.asDict() for r in grouped.collect()]
+                if having_min_count is not None:
+                    # true HAVING: applied to the aggregated frame
+                    # BEFORE collect, so pruned groups never reach the
+                    # driver
+                    grouped = grouped.filter(
+                        F.col("count") >= having_min_count
+                    )
+                # orderBy+limit compiles to TakeOrderedAndProject:
+                # bounded driver transfer at any group cardinality
+                rows = grouped.orderBy("groupValue").limit(group_limit)
+                return [r.asDict() for r in rows.collect()]
 
             return self._wrap(run)
 

@@ -19,3 +19,38 @@ def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def parquet_row_count(path: str, max_footer_files: int = 256) -> int | None:
+    """Exact row count of a parquet table from its file footers, read
+    driver-side with no Spark job — the same count a table format
+    serves from its manifest. Returns None (caller should fall back to
+    a distributed count) when the path isn't local parquet or the file
+    list is large: footer reads here are sequential, so at thousands
+    of files the metadata-only distributed count() wins.
+
+    For callers that need n only to SIZE something (e.g. the adaptive
+    LSH plane count, a log2) over a KNOWN bare table path — never for
+    a transformed DataFrame, whose row count differs from its scan's.
+    """
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        p = path.removeprefix("file:")
+        if os.path.isdir(p):
+            files = [
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            ]
+        elif os.path.isfile(p) and p.endswith(".parquet"):
+            files = [p]
+        else:
+            return None
+        if not files or len(files) > max_footer_files:
+            return None
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None

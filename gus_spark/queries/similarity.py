@@ -146,11 +146,21 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("similarity_ann_lsh")  # Spark-only
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors (random-hyperplane
-    signs). Rows-only check; recall vs brute force asserted in tests."""
-    from gus_spark.operators.similarity import ann_lsh_topk
+    signs). Rows-only check; recall vs brute force asserted in tests.
+
+    The adaptive plane count needs only n (a log2): served from the
+    parquet footers driver-side — no count job — since this is a known
+    bare table path. The operator's own count() fallback covers
+    arbitrary frames."""
+    from gus_spark.operators.similarity import ann_lsh_topk, planes_for_corpus
+    from gus_spark.operators.util import parquet_row_count
 
     e = table(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(e, id_col="vec_id", vec_col="embedding", k=10)
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    return ann_lsh_topk(
+        e, id_col="vec_id", vec_col="embedding", k=10,
+        num_planes=None if n is None else planes_for_corpus(n),
+    )
 
 
 @register("similarity_ann_ivf")  # Spark-only

@@ -643,6 +643,34 @@ def test_graphql_stats_aggregate_surface(spark, tmp_path_factory):
     out = gapi.execute('{ moviesStats(groupBy: "nope") { count } }')
     assert out["errors"]
 
+    # percentiles: exact interpolated percentile over [1990, 2000, 2010]
+    out = gapi.execute("{ moviesStats { p25Year p75Year p95Year } }")
+    assert "errors" not in out, out
+    assert out["data"]["moviesStats"] == [
+        {"p25Year": 1995.0, "p75Year": 2005.0, "p95Year": 2009.0}
+    ]
+
+    # havingMinCount is a real HAVING: groups pruned before collect
+    out = gapi.execute(
+        '{ moviesStats(groupBy: "recommended", havingMinCount: 2) '
+        "{ groupValue count } }"
+    )
+    assert "errors" not in out, out
+    assert out["data"]["moviesStats"] == [
+        {"groupValue": "true", "count": 2}
+    ]
+
+    # groupLimit bounds the driver transfer; out-of-range is an error
+    out = gapi.execute(
+        '{ moviesStats(groupBy: "id", groupLimit: 2) { groupValue } }'
+    )
+    assert "errors" not in out, out
+    assert [g["groupValue"] for g in out["data"]["moviesStats"]] == ["a", "b"]
+    out = gapi.execute(
+        '{ moviesStats(groupBy: "id", groupLimit: 999999) { groupValue } }'
+    )
+    assert out["errors"]
+
 
 def test_graphql_composite_keyset_pagination(spark, tmp_path_factory):
     """Paginating a NON-unique sort order with the composite
