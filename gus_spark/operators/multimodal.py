@@ -242,6 +242,88 @@ def sample_frames(
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_width: int,
+    target_height: int,
+    fake: bool | None = None,
+) -> DataFrame:
+    """Batch image resize: (media_id, width, height, content) with
+    content re-encoded at the target size.
+
+    PNG buffers resize for REAL — decode via the in-tree codec
+    (operators.png), nearest-neighbor sample with one vectorized numpy
+    gather (no per-pixel Python), re-encode PNG. The nearest-neighbor
+    choice is deliberate: deterministic, integer-exact across
+    platforms, and the standard cheap pre-filter before a training
+    pipeline's learned resizer. Non-PNG buffers fall back to the gated
+    stub (content sliced, dimensions faked) or NotImplementedError —
+    same contract as decode_image_features.
+    """
+    df = ensure_parallelism(df)
+    allow_fake = _fake_decode_allowed() if fake is None else fake
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from gus_spark.operators import png
+
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "content": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content or b"")
+                if png.is_png(raw):
+                    w, h, ch, pixels = png.decode_png(raw)
+                    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+                        h, w, ch
+                    )
+                    ys = np.minimum(
+                        (np.arange(target_height) * h) // target_height, h - 1
+                    )
+                    xs = np.minimum(
+                        (np.arange(target_width) * w) // target_width, w - 1
+                    )
+                    resized = arr[ys][:, xs]
+                    out["media_id"].append(mid)
+                    out["width"].append(target_width)
+                    out["height"].append(target_height)
+                    out["content"].append(
+                        png.encode_png(
+                            target_width,
+                            target_height,
+                            resized.tobytes(),
+                            channels=ch,
+                        )
+                    )
+                    continue
+                if not allow_fake:
+                    raise NotImplementedError(
+                        "non-PNG resize requires PIL/opencv — not "
+                        "available; set GUS_MULTIMODAL_FAKE_DECODE=1 "
+                        "for the stub (PNG resizes for real)"
+                    )
+                out["media_id"].append(mid)
+                out["width"].append(target_width)
+                out["height"].append(target_height)
+                out["content"].append(raw[: target_width * target_height])
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, schema=RESIZED_SCHEMA
+    )
+
+
 def media_summary(df: DataFrame) -> DataFrame:
     """Pure-JVM metadata rollup (no decode): bytes and dimensions per
     mime type — the triage query a pipeline runs before spending decode

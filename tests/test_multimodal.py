@@ -210,3 +210,56 @@ def test_decode_image_features_real_png_no_stub(spark, monkeypatch):
         assert (out[i].width, out[i].height) == (w, h)
         assert out[i].mean_luma == f"{sum(pix) / (w * h):.3f}"
         assert out[i].n_bytes == len(png.encode_png(w, h, pix))
+
+
+def test_resize_images_real_png(spark, monkeypatch):
+    """Real resize end-to-end: PNG in, smaller PNG out, pixel values
+    verifiable as exact nearest-neighbor samples of the source."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from gus_spark.operators import png
+    from gus_spark.operators.multimodal import resize_images
+
+    monkeypatch.delenv("GUS_MULTIMODAL_FAKE_DECODE", raising=False)
+    w, h = 8, 6
+    src = bytes((x * 16 + y * 32) % 256 for y in range(h) for x in range(w))
+    media = spark.createDataFrame(
+        [Row(media_id=1, content=png.encode_png(w, h, src),
+             meta=Row(mime="image/png", width=w, height=h,
+                      duration_ms=None, sample_rate=None))],
+        MEDIA_SCHEMA,
+    )
+    out = resize_images(media, 4, 3, fake=False).collect()
+    assert len(out) == 1 and (out[0].width, out[0].height) == (4, 3)
+    rw, rh, ch, rpix = png.decode_png(bytes(out[0].content))
+    assert (rw, rh, ch) == (4, 3, 1)
+    arr = np.frombuffer(src, dtype=np.uint8).reshape(h, w)
+    expect = arr[[0, 2, 4]][:, [0, 2, 4, 6]]  # (y*6)//3, (x*8)//4
+    assert bytes(out[0].content) != bytes(media.first().content)
+    assert rpix == expect.tobytes()
+
+    # RGB source round-trips through the same kernel
+    rgb = bytes((i * 7) % 256 for i in range(4 * 4 * 3))
+    media3 = spark.createDataFrame(
+        [Row(media_id=2, content=png.encode_png(4, 4, rgb, channels=3),
+             meta=Row(mime="image/png", width=4, height=4,
+                      duration_ms=None, sample_rate=None))],
+        MEDIA_SCHEMA,
+    )
+    out3 = resize_images(media3, 2, 2, fake=False).collect()
+    rw, rh, ch, rpix = png.decode_png(bytes(out3[0].content))
+    assert (rw, rh, ch) == (2, 2, 3)
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(4, 4, 3)
+    assert rpix == a[[0, 2]][:, [0, 2]].tobytes()
+
+    # non-PNG without the stub flag still fails loudly
+    junk = spark.createDataFrame(
+        [Row(media_id=3, content=b"\xff\xd8jpeg-ish", meta=None)],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception) as exc:
+        resize_images(junk, 2, 2, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
