@@ -15,12 +15,17 @@ per-row UDF), so throughput is bounded by codec speed, not serde.
 
 Codec reality in this environment, per media type:
 
-- **PNG images decode for REAL**: ``operators.png`` is a pure-stdlib
-  (zlib/struct) PNG codec, so ``decode_image_features`` extracts true
-  width/height/mean-luminance from genuine PNG bytes with no PIL —
-  tested end-to-end against encoded-then-decoded real files.
-- Other image formats and audio/video codecs (JPEG/opencv/ffmpeg) are
-  NOT available, so those paths are gated STUBS:
+- **PNG images decode AND resize for REAL**: ``operators.png`` is a
+  pure-stdlib (zlib/struct) PNG codec, so ``decode_image_features``
+  extracts true width/height/mean-luminance and ``resize_images``
+  produces true nearest-neighbor thumbnails from genuine PNG bytes
+  with no PIL — tested end-to-end against encoded-then-decoded files.
+- **PCM WAV audio decodes for REAL**: ``audio_features`` reads
+  RIFF/WAVE buffers with the stdlib ``wave`` module — exact sample
+  counts, RMS and peak over the 16-bit samples.
+- Other image formats and compressed audio/video codecs
+  (JPEG/opencv/mp3/ffmpeg) are NOT available, so those paths are
+  gated STUBS:
   with ``GUS_MULTIMODAL_FAKE_DECODE=1`` (and in tests) a deterministic
   fake decoder derives pixel/sample statistics from the content hash —
   exercising the full Spark plumbing (schema, batching, partitioning);
@@ -239,6 +244,95 @@ def sample_frames(
 
     return df.select("media_id", "content", "meta").mapInPandas(
         kernel, schema=FRAME_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("rms", StringType()),   # formatted, like mean_luma
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame, fake: bool | None = None) -> DataFrame:
+    """Per-clip audio statistics over Arrow batches.
+
+    WAV (RIFF/PCM) buffers decode for REAL via the stdlib ``wave``
+    module — sample rate, channel count, exact sample count, duration,
+    RMS and peak amplitude computed with one vectorized numpy pass over
+    the 16-bit samples. Compressed codecs (mp3/ogg/aac need ffmpeg)
+    fall back to the gated stub / NotImplementedError, the same
+    contract as the image kernels.
+    """
+    df = ensure_parallelism(df)
+    allow_fake = _fake_decode_allowed() if fake is None else fake
+
+    def kernel(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "n_channels": [],
+                "n_samples": [], "duration_ms": [], "rms": [], "peak": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content or b"")
+                if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                    with wave.open(io.BytesIO(raw)) as w:
+                        if w.getsampwidth() != 2:
+                            raise ValueError(
+                                f"only 16-bit PCM WAV supported, got "
+                                f"{8 * w.getsampwidth()}-bit"
+                            )
+                        rate = w.getframerate()
+                        nch = w.getnchannels()
+                        frames = w.getnframes()
+                        samples = np.frombuffer(
+                            w.readframes(frames), dtype="<i2"
+                        ).astype("float64")
+                    out["media_id"].append(mid)
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(nch)
+                    out["n_samples"].append(frames)
+                    out["duration_ms"].append(int(frames * 1000 / rate))
+                    rms = (
+                        float(np.sqrt(np.mean(samples**2)))
+                        if len(samples)
+                        else 0.0
+                    )
+                    out["rms"].append(f"{rms:.3f}")
+                    out["peak"].append(
+                        int(np.max(np.abs(samples))) if len(samples) else 0
+                    )
+                    continue
+                if not allow_fake:
+                    raise NotImplementedError(
+                        "compressed audio decode requires ffmpeg — not "
+                        "available; set GUS_MULTIMODAL_FAKE_DECODE=1 for "
+                        "the stub (PCM WAV decodes for real)"
+                    )
+                digest = hashlib.md5(raw).digest()
+                out["media_id"].append(mid)
+                out["sample_rate"].append(44100)
+                out["n_channels"].append(1 + digest[0] % 2)
+                out["n_samples"].append(len(raw))
+                out["duration_ms"].append(len(raw) * 1000 // 44100)
+                out["rms"].append(digest.hex()[:8])
+                out["peak"].append(int.from_bytes(digest[1:3], "big"))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, schema=AUDIO_FEATURES_SCHEMA
     )
 
 

@@ -263,3 +263,56 @@ def test_resize_images_real_png(spark, monkeypatch):
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+def test_audio_features_real_wav(spark, monkeypatch):
+    """Real WAV decode end-to-end without the stub flag: a stdlib-
+    written 16-bit PCM clip comes back with exact rate/sample counts
+    and numerically verifiable RMS/peak."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from pyspark.sql import Row
+
+    from gus_spark.operators.multimodal import audio_features
+
+    monkeypatch.delenv("GUS_MULTIMODAL_FAKE_DECODE", raising=False)
+    rate, n = 8000, 800  # 100 ms
+    samples = [
+        int(10000 * math.sin(2 * math.pi * 440 * i / rate)) for i in range(n)
+    ]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{n}h", *samples))
+    wav = buf.getvalue()
+    media = spark.createDataFrame(
+        [Row(media_id=7, content=wav,
+             meta=Row(mime="audio/wav", width=None, height=None,
+                      duration_ms=None, sample_rate=rate))],
+        MEDIA_SCHEMA,
+    )
+    out = audio_features(media, fake=False).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.sample_rate, r.n_channels, r.n_samples, r.duration_ms) == (
+        rate, 1, n, 100
+    )
+    rms = math.sqrt(sum(s * s for s in samples) / n)
+    assert r.rms == f"{rms:.3f}"
+    assert r.peak == max(abs(s) for s in samples)
+
+    # compressed audio without the stub flag fails loudly
+    mp3ish = spark.createDataFrame(
+        [Row(media_id=8, content=b"\xff\xfb\x90mp3-ish", meta=None)],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception) as exc:
+        audio_features(mp3ish, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
