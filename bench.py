@@ -41,8 +41,11 @@ HEADLINE = [
 def bench_reps() -> int:
     """Min-of-N repetition count. Clamped to >=1: reps<=0 would leave
     best=inf, and json.dumps(inf) emits non-standard `Infinity`,
-    breaking the one-line-JSON contract for downstream parsers."""
-    return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    breaking the one-line-JSON contract for downstream parsers.
+    Default 3: round-5 profiling measured the same commit swinging
+    ±15% run-to-run from host contention alone; min-of-3 absorbs most
+    of it for ~12 s of extra wall clock."""
+    return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 
 def main() -> None:
