@@ -136,3 +136,50 @@ def test_constraint_min_max_boundary(year, lo, hi):
     else:
         with pytest.raises(RecordValidationError):
             parse_record(record, model)
+
+
+# ---------------------------------------------------------------- PNG codec
+# Property round-trip for the in-tree pure-stdlib PNG codec: encode →
+# decode must be the identity for any 8-bit gray/RGB image — the
+# invariant every consumer (decode_image_features, resize_images)
+# depends on. No SparkSession needed.
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    channels=st.sampled_from([1, 3]),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, channels, data):
+    from gus_spark.operators import png
+
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * channels,
+                max_size=w * h * channels,
+            )
+        )
+    )
+    encoded = png.encode_png(w, h, pixels, channels=channels)
+    assert png.is_png(encoded)
+    assert png.decode_png(encoded) == (w, h, channels, pixels)
+    # luma stays inside the pixel range
+    luma = png.mean_luma(w, h, channels, pixels)
+    assert 0.0 <= luma <= 255.0
+
+
+@given(junk=st.binary(min_size=0, max_size=64))
+@settings(max_examples=40, deadline=None)
+def test_png_decode_rejects_junk(junk):
+    """Arbitrary non-PNG bytes never crash with anything but the
+    documented ValueError."""
+    from gus_spark.operators import png
+
+    if junk[:8] == b"\x89PNG\r\n\x1a\n":
+        return  # astronomically unlikely, but then it's a PNG prefix
+    with pytest.raises(ValueError):
+        png.decode_png(junk)
