@@ -45,6 +45,11 @@ except ImportError:  # pragma: no cover - graphql-core is expected here
 # because its cost is depth-independent.
 MAX_OFFSET = 10_000
 
+# Largest single page: every readMany path (offset AND keyset) collects
+# `limit` rows to the driver, so the page size itself needs the same
+# bound the offset has.
+MAX_LIMIT = 10_000
+
 # Most groups a single <plural>Stats call may return: groups collect to
 # the driver, so unbounded high-cardinality groupBys are the aggregate
 # twin of deep offset paging. The resolver's orderBy+limit compiles to
@@ -266,6 +271,15 @@ class GraphQLApi:
             after_sort = args.pop("afterSort", None)
             if limit < 0 or offset < 0:
                 raise gql.GraphQLError("limit/offset must be >= 0")
+            if limit > MAX_LIMIT:
+                # every page path collects `limit` rows driver-side
+                # (keyset included), so an uncapped limit is the same
+                # OOM lever as an uncapped offset
+                raise gql.GraphQLError(
+                    f"limit {limit} exceeds the maximum {MAX_LIMIT}; "
+                    "page large results with the keyset cursor "
+                    "(after/afterSort)"
+                )
             if offset > MAX_OFFSET:
                 # offset paging collects limit+offset rows to the
                 # driver; unbounded, that is a driver-OOM lever any
@@ -437,7 +451,16 @@ class GraphQLApi:
                     )
                 if group_by is None:
                     rows = df.agg(*aggs).collect()
-                    return [{"groupValue": None, **rows[0].asDict()}]
+                    row = rows[0].asDict()
+                    # HAVING over the single global group — silently
+                    # returning a row the predicate excludes would be
+                    # wrong data, not a convenience
+                    if (
+                        having_min_count is not None
+                        and row["count"] < having_min_count
+                    ):
+                        return []
+                    return [{"groupValue": None, **row}]
                 grouped = (
                     df.groupBy(F.col(group_by).cast("string").alias("groupValue"))
                     .agg(*aggs)

@@ -126,16 +126,31 @@ def decode_image_features(
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content or b"")
                 if png.is_png(raw):
-                    w, h, ch, pixels = png.decode_png(raw)
-                    out["media_id"].append(mid)
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["n_bytes"].append(len(raw))
-                    out["mean_luma"].append(
-                        f"{png.mean_luma(w, h, ch, pixels):.3f}"
-                    )
-                    continue
-                if not allow_fake:
+                    # only 8-bit gray/RGB decode; RGBA/palette/16-bit/
+                    # interlaced/corrupt buffers must NOT kill the
+                    # whole stage — fall through to the stub (or the
+                    # loud gate) like any other undecodable format,
+                    # carrying the reason in the error when gated
+                    try:
+                        w, h, ch, pixels = png.decode_png(raw)
+                    except ValueError as e:
+                        if not allow_fake:
+                            raise NotImplementedError(
+                                f"media_id={mid}: PNG variant this "
+                                f"environment cannot decode ({e}); "
+                                "set GUS_MULTIMODAL_FAKE_DECODE=1 to "
+                                "stub undecodable buffers"
+                            ) from e
+                    else:
+                        out["media_id"].append(mid)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["n_bytes"].append(len(raw))
+                        out["mean_luma"].append(
+                            f"{png.mean_luma(w, h, ch, pixels):.3f}"
+                        )
+                        continue
+                elif not allow_fake:
                     raise NotImplementedError(
                         "non-PNG image decode requires PIL/opencv — not "
                         "available in this environment; set "
@@ -288,34 +303,54 @@ def audio_features(df: DataFrame, fake: bool | None = None) -> DataFrame:
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content or b"")
                 if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
-                    with wave.open(io.BytesIO(raw)) as w:
-                        if w.getsampwidth() != 2:
-                            raise ValueError(
-                                f"only 16-bit PCM WAV supported, got "
-                                f"{8 * w.getsampwidth()}-bit"
-                            )
-                        rate = w.getframerate()
-                        nch = w.getnchannels()
-                        frames = w.getnframes()
-                        samples = np.frombuffer(
-                            w.readframes(frames), dtype="<i2"
-                        ).astype("float64")
-                    out["media_id"].append(mid)
-                    out["sample_rate"].append(rate)
-                    out["n_channels"].append(nch)
-                    out["n_samples"].append(frames)
-                    out["duration_ms"].append(int(frames * 1000 / rate))
-                    rms = (
-                        float(np.sqrt(np.mean(samples**2)))
-                        if len(samples)
-                        else 0.0
-                    )
-                    out["rms"].append(f"{rms:.3f}")
-                    out["peak"].append(
-                        int(np.max(np.abs(samples))) if len(samples) else 0
-                    )
-                    continue
-                if not allow_fake:
+                    # malformed headers / non-16-bit PCM must not kill
+                    # the stage: fall through to the stub (or the loud
+                    # gate) exactly like the image kernel
+                    try:
+                        with wave.open(io.BytesIO(raw)) as w:
+                            if w.getsampwidth() != 2:
+                                raise ValueError(
+                                    f"only 16-bit PCM WAV supported, got "
+                                    f"{8 * w.getsampwidth()}-bit"
+                                )
+                            rate = w.getframerate()
+                            if rate <= 0:
+                                raise ValueError("non-positive frame rate")
+                            nch = w.getnchannels()
+                            frames = w.getnframes()
+                            samples = np.frombuffer(
+                                w.readframes(frames), dtype="<i2"
+                            ).astype("float64")
+                    # wave delegates to the chunk module, which raises
+                    # EOFError/RuntimeError/struct.error on malformed
+                    # bodies besides wave.Error — ANY parse failure of
+                    # an untrusted buffer routes to the fallback
+                    except Exception as e:
+                        if not allow_fake:
+                            raise NotImplementedError(
+                                f"media_id={mid}: WAV variant this "
+                                f"environment cannot decode ({e}); set "
+                                "GUS_MULTIMODAL_FAKE_DECODE=1 to stub "
+                                "undecodable buffers"
+                            ) from e
+                    else:
+                        out["media_id"].append(mid)
+                        out["sample_rate"].append(rate)
+                        out["n_channels"].append(nch)
+                        out["n_samples"].append(frames)
+                        out["duration_ms"].append(int(frames * 1000 / rate))
+                        rms = (
+                            float(np.sqrt(np.mean(samples**2)))
+                            if len(samples)
+                            else 0.0
+                        )
+                        out["rms"].append(f"{rms:.3f}")
+                        out["peak"].append(
+                            int(np.max(np.abs(samples))) if len(samples)
+                            else 0
+                        )
+                        continue
+                elif not allow_fake:
                     raise NotImplementedError(
                         "compressed audio decode requires ffmpeg — not "
                         "available; set GUS_MULTIMODAL_FAKE_DECODE=1 for "
@@ -364,6 +399,11 @@ def resize_images(
     stub (content sliced, dimensions faked) or NotImplementedError —
     same contract as decode_image_features.
     """
+    if target_width < 1 or target_height < 1:
+        raise ValueError(
+            f"target size must be >= 1x1, got "
+            f"{target_width}x{target_height}"
+        )
     df = ensure_parallelism(df)
     allow_fake = _fake_decode_allowed() if fake is None else fake
 
@@ -378,7 +418,25 @@ def resize_images(
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content or b"")
                 if png.is_png(raw):
-                    w, h, ch, pixels = png.decode_png(raw)
+                    # undecodable PNG variants: stub or loud gate, same
+                    # contract as decode_image_features
+                    try:
+                        w, h, ch, pixels = png.decode_png(raw)
+                    except ValueError as e:
+                        if not allow_fake:
+                            raise NotImplementedError(
+                                f"media_id={mid}: PNG variant this "
+                                f"environment cannot decode ({e}); set "
+                                "GUS_MULTIMODAL_FAKE_DECODE=1 to stub "
+                                "undecodable buffers"
+                            ) from e
+                        out["media_id"].append(mid)
+                        out["width"].append(target_width)
+                        out["height"].append(target_height)
+                        out["content"].append(
+                            raw[: target_width * target_height]
+                        )
+                        continue
                     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
                         h, w, ch
                     )

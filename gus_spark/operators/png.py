@@ -73,7 +73,20 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG to (width, height, channels, raw row-major pixels).
 
     Accepts 8-bit non-interlaced grayscale/RGB with any standard
-    scanline filter; rejects everything else loudly."""
+    scanline filter; rejects everything else loudly — ALWAYS as
+    ValueError (struct/zlib errors from truncated or corrupt files are
+    normalized so callers have one exception type to handle)."""
+    try:
+        return _decode_png(data)
+    except ValueError:
+        raise
+    except Exception as e:  # struct.error, zlib.error, IndexError, ...
+        raise ValueError(f"corrupt or truncated PNG: {e}") from e
+
+
+def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    import numpy as np
+
     if not is_png(data):
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -116,46 +129,61 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(
             f"decompressed length {len(raw)} != {(stride + 1) * height}"
         )
-    out = bytearray(stride * height)
+    # unfiltering: the hot cases vectorize — None is a copy, Up is one
+    # uint8 add against the previous reconstructed row, Sub is a
+    # per-channel prefix sum mod 256 (cumsum in uint8 wraps exactly).
+    # Average/Paeth carry a left-neighbor dependency on RECONSTRUCTED
+    # bytes, so they stay per-byte loops (our own encoder emits filter
+    # 0 only; foreign encoders' Paeth rows take the slow path).
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = arr[:, 0]
+    bad = ftypes[ftypes > 4]
+    if bad.size:
+        raise ValueError(f"unknown filter type {int(bad[0])}")
+    rows = arr[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
     bpp = channels
+    zero_prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        prev = out[(y - 1) * stride : y * stride] if y else bytes(stride)
+        ftype = int(ftypes[y])
+        row = rows[y].copy()
+        prev = out[y - 1] if y else zero_prev
         if ftype == 0:  # None
             pass
-        elif ftype == 1:  # Sub
-            for x in range(bpp, stride):
-                row[x] = (row[x] + row[x - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for x in range(stride):
-                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 1:  # Sub: prefix sum per channel, wraps in uint8
+            row = np.cumsum(
+                row.reshape(-1, bpp), axis=0, dtype=np.uint8
+            ).reshape(-1)
+        elif ftype == 2:  # Up: one vector add
+            row += prev
         elif ftype == 3:  # Average
             for x in range(stride):
-                left = row[x - bpp] if x >= bpp else 0
-                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        else:  # Paeth
             for x in range(stride):
-                left = row[x - bpp] if x >= bpp else 0
-                ul = prev[x - bpp] if x >= bpp else 0
-                row[x] = (row[x] + _paeth(left, prev[x], ul)) & 0xFF
-        else:
-            raise ValueError(f"unknown filter type {ftype} on row {y}")
-        out[y * stride : (y + 1) * stride] = row
-    return width, height, channels, bytes(out)
+                left = int(row[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                row[x] = (
+                    int(row[x]) + _paeth(left, int(prev[x]), ul)
+                ) & 0xFF
+        out[y] = row
+    return width, height, channels, out.tobytes()
 
 
 def mean_luma(width: int, height: int, channels: int, pixels: bytes) -> float:
     """Mean luminance in [0, 255]: the pixel mean for grayscale, the
-    ITU-R BT.601 weighting for RGB."""
+    ITU-R BT.601 weighting for RGB. One vectorized numpy pass — this
+    runs per image inside the corpus-scale decode kernel."""
+    import numpy as np
+
     n = width * height
     if n == 0:
         return 0.0
+    arr = np.frombuffer(pixels, dtype=np.uint8)
     if channels == 1:
-        return sum(pixels) / n
-    total = 0.0
-    for i in range(0, len(pixels), 3):
-        total += (
-            0.299 * pixels[i] + 0.587 * pixels[i + 1] + 0.114 * pixels[i + 2]
-        )
-    return total / n
+        return float(arr.mean())
+    return float(
+        (arr.reshape(-1, 3).astype(np.float64)
+         @ np.array([0.299, 0.587, 0.114])).mean()
+    )

@@ -283,6 +283,14 @@ def test_graphql_offset_is_capped(api):
     assert not payload.get("errors")
     assert payload["data"]["movies"] == []  # past the tiny fixture table
 
+    # limit is the same driver-OOM lever: capped too, keyset included
+    from gus_spark.api.graphql import MAX_LIMIT
+
+    q_big = f"{{ movies(limit: {MAX_LIMIT + 1}) {{ id }} }}"
+    _, payload = api.handle("POST", "/api/graphql", json.dumps({"query": q_big}))
+    assert payload.get("errors")
+    assert "keyset" in payload["errors"][0]["message"]
+
 
 def test_graphql_keyset_pagination(api):
     """`after` cursor: page 2 = rows with pk > last-seen, pk-ordered,
@@ -659,6 +667,13 @@ def test_graphql_stats_aggregate_surface(spark, tmp_path_factory):
     assert out["data"]["moviesStats"] == [
         {"groupValue": "true", "count": 2}
     ]
+
+    # ...and it applies to the GLOBAL row too, not only grouped calls
+    out = gapi.execute("{ moviesStats(havingMinCount: 1000) { count } }")
+    assert "errors" not in out, out
+    assert out["data"]["moviesStats"] == []
+    out = gapi.execute("{ moviesStats(havingMinCount: 3) { count } }")
+    assert out["data"]["moviesStats"] == [{"count": 3}]
 
     # groupLimit bounds the driver transfer; out-of-range is an error
     out = gapi.execute(

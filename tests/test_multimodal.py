@@ -316,3 +316,64 @@ def test_audio_features_real_wav(spark, monkeypatch):
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+def test_undecodable_media_variants_fall_back_not_crash(spark, monkeypatch):
+    """A PNG/WAV variant the minimal codecs can't decode (RGBA PNG,
+    24-bit WAV, truncated buffers) must not kill the stage: with the
+    stub flag it falls back to fake features; without it the error is
+    a loud NotImplementedError naming the media_id — either way, never
+    an unhandled struct/zlib/wave error."""
+    import struct
+    import zlib
+
+    from pyspark.sql import Row
+
+    from gus_spark.operators.multimodal import audio_features, resize_images
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    # color type 6 = RGBA: valid PNG, unsupported by the minimal codec
+    rgba = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x01" * 8 + b"\x00"
+                                           + b"\x02" * 8))
+            + chunk(b"IEND", b""))
+    truncated = rgba[:20]
+    # RIFF/WAVE magic with a corrupt body
+    badwav = b"RIFF" + b"\x10\x00\x00\x00" + b"WAVE" + b"garbage!"
+    rows = [
+        Row(media_id=1, content=rgba, meta=None),
+        Row(media_id=2, content=truncated, meta=None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    wavs = spark.createDataFrame(
+        [Row(media_id=3, content=badwav, meta=None)], MEDIA_SCHEMA
+    )
+
+    # stub allowed: every row comes back with deterministic features
+    monkeypatch.setenv("GUS_MULTIMODAL_FAKE_DECODE", "1")
+    assert len(decode_image_features(media, fake=True).collect()) == 2
+    assert len(resize_images(media, 2, 2, fake=True).collect()) == 2
+    assert len(audio_features(wavs, fake=True).collect()) == 1
+
+    # gated: loud NotImplementedError naming the id, not struct/zlib
+    for op in (
+        lambda: decode_image_features(media, fake=False).collect(),
+        lambda: resize_images(media, 2, 2, fake=False).collect(),
+        lambda: audio_features(wavs, fake=False).collect(),
+    ):
+        with pytest.raises(Exception) as exc:
+            op()
+        assert "NotImplementedError" in str(exc.value) or isinstance(
+            exc.value, NotImplementedError
+        )
+        assert "media_id=" in str(exc.value)
+
+    # target validation is at the API boundary, not mid-kernel
+    with pytest.raises(ValueError, match="target size"):
+        resize_images(media, 0, 2)
+    with pytest.raises(ValueError, match="target size"):
+        resize_images(media, 4, -1)

@@ -183,3 +183,16 @@ def test_png_decode_rejects_junk(junk):
         return  # astronomically unlikely, but then it's a PNG prefix
     with pytest.raises(ValueError):
         png.decode_png(junk)
+
+
+@given(junk=st.binary(min_size=0, max_size=64))
+@settings(max_examples=40, deadline=None)
+def test_png_decode_rejects_signature_prefixed_junk(junk):
+    """The ValueError-only contract must hold INSIDE the parser too:
+    a valid signature followed by arbitrary bytes (truncated chunks,
+    bad lengths, non-zlib IDAT) must normalize struct/zlib errors to
+    ValueError, never leak them."""
+    from gus_spark.operators import png
+
+    with pytest.raises(ValueError):
+        png.decode_png(b"\x89PNG\r\n\x1a\n" + junk)
