@@ -48,6 +48,7 @@ QUERIES = [
     "dedup_minhash_lsh",
     "similarity_ann_lsh",
     "text_profile",
+    "curate_documents",
 ]
 
 
