@@ -176,10 +176,13 @@ def generate_sdl(registry: ModelRegistry) -> str:
         # havingMinCount = HAVING count(*) >= N (distributed, pre-
         # collect); groupLimit bounds the driver transfer for
         # high-cardinality groupBys the same way MAX_OFFSET bounds
-        # offset paging
+        # offset paging; after/pageSize scope the aggregation to the
+        # SAME pk-keyset window a readMany page would return, so a
+        # paging dashboard gets page stats for one bounded scan
         queries.append(
             f"{plural_camel(model.model_name)}Stats"
             f"(groupBy: String, havingMinCount: Int, groupLimit: Int, "
+            f"after: {pk_base}, pageSize: Int, "
             f"{', '.join(filter_args)}): [{tname}Stats!]!"
         )
         mutations.append(f"addOne{tname}({args_all}): {tname}")
@@ -410,6 +413,12 @@ class GraphQLApi:
             group_limit = (
                 MAX_STATS_GROUPS if group_limit is None else group_limit
             )
+            after = args.pop("after", None)
+            page_size = args.pop("pageSize", None)
+            if page_size is not None and not 0 < page_size <= MAX_LIMIT:
+                raise gql.GraphQLError(
+                    f"pageSize must be in 1..{MAX_LIMIT}"
+                )
             if group_by is not None and (
                 group_by not in model.attributes
                 or model.attributes[group_by].is_array
@@ -427,6 +436,16 @@ class GraphQLApi:
                 df = self._apply_filters(
                     self.store.read_df(model), model, args
                 )
+                if after is not None or page_size is not None:
+                    # aggregate exactly the rows the matching readMany
+                    # keyset page returns: pk > after, pk-ordered, next
+                    # pageSize rows. The limit compiles to
+                    # TakeOrderedAndProject, so the aggregation input
+                    # is bounded regardless of table size.
+                    pk = model.primary_key
+                    if after is not None:
+                        df = df.filter(F.col(pk) > F.lit(after))
+                    df = df.orderBy(pk).limit(page_size or 100)
                 aggs = [F.count("*").alias("count")]
                 for n in _numeric_attrs(model):
                     c = camelize(n, upper_first=True)

@@ -686,6 +686,22 @@ def test_graphql_stats_aggregate_surface(spark, tmp_path_factory):
     )
     assert out["errors"]
 
+    # stats over a keyset page: aggregate exactly the rows the matching
+    # readMany page (after="a", pageSize=2) would return -> b and c
+    out = gapi.execute(
+        '{ moviesStats(after: "a", pageSize: 2) '
+        "{ count minYear maxYear } }"
+    )
+    assert "errors" not in out, out
+    assert out["data"]["moviesStats"] == [
+        {"count": 2, "minYear": 2000.0, "maxYear": 2010.0}
+    ]
+    # pageSize alone = stats of page 1
+    out = gapi.execute("{ moviesStats(pageSize: 1) { count maxYear } }")
+    assert out["data"]["moviesStats"] == [{"count": 1, "maxYear": 1990.0}]
+    out = gapi.execute("{ moviesStats(pageSize: 0) { count } }")
+    assert out["errors"]
+
 
 def test_graphql_composite_keyset_pagination(spark, tmp_path_factory):
     """Paginating a NON-unique sort order with the composite
