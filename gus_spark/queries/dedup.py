@@ -1,21 +1,21 @@
 """Deduplication operators over the `documents` table.
 
-Four tiers, from exact to approximate — the standard large-corpus dedup
+Five tiers, from exact to approximate — the standard large-corpus dedup
 ladder:
 
 1. exact: hash-groupBy on content digest (md5) — one shuffle on the
    digest, representative row kept by min(doc_id);
-2. n-gram Jaccard: exact pairwise similarity on token sets — correct but
+2. rolling-hash fingerprints (MOSS winnowing): localized verbatim-run
+   detection — pure map + one uniform-key equi-join, oracle-checked
+   against a full DuckDB mirror;
+3. n-gram Jaccard: exact pairwise similarity on token sets — correct but
    O(n²); serves as the verification oracle for the approximate tiers;
-3. MinHash + LSH (gus_spark.operators.dedup): shingle → k minhashes →
+4. MinHash + LSH (gus_spark.operators.dedup): shingle → k minhashes →
    band-bucket join — candidate generation is a groupBy on band hash, so
-   cost is O(n·k) + bucket-local pairs, the 100-TB path;
-4. SimHash (gus_spark.operators.dedup): 64-bit signature + hamming
-   bucketing.
-
-Tiers 3-4 are Spark-only queries (no SQL oracle — the driver records a
-rows-only check); their candidate sets are validated in tests against
-tier 2's exact pairs.
+   cost is O(n·k) + bucket-local pairs, the 100-TB path (oracle-checked
+   vs tier 3 with the 5e-8 escape-probability argument);
+5. SimHash (gus_spark.operators.dedup): 64-bit signature + hamming
+   bucketing (oracle-checked via a portable md5 SQL mirror).
 """
 
 from __future__ import annotations
@@ -53,23 +53,55 @@ def dedup_exact_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_exact_stats",
+    "dedup_winnow_pairs",
+    # Full SQL mirror of the MOSS winnowing scheme with the portable
+    # 60-bit md5 gram hash (same trick as dedup_simhash): k=25 char
+    # grams -> window-16 minima -> distinct fingerprints -> pairs
+    # sharing >= 2. All-integer selection, so both engines pick the
+    # identical fingerprint positions and the counts match exactly.
+    # DuckDB range(a,b) is [a,b) and list slices are 1-based inclusive;
+    # both aligned to Spark's sequence/slice below.
     oracle="""
-    SELECT COUNT(*) AS n_docs,
-           COUNT(DISTINCT md5(text)) AS n_unique,
-           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
-    FROM documents
+    WITH t AS (
+      SELECT doc_id, TRIM(text) AS s FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(s) >= 25
+               THEN list_transform(range(1, LENGTH(s) - 25 + 2),
+                 i -> CAST(('0x' || substr(md5(substr(s, i, 25)), 1, 15))
+                          AS BIGINT))
+               ELSE [CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)]
+             END AS hs
+      FROM t
+    ), fps AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(range(1, GREATEST(len(hs) - 15, 1) + 1),
+                 j -> list_min(hs[j : j + 15]))
+             )) AS fingerprint
+      FROM grams
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*) AS shared_fingerprints
+    FROM fps a JOIN fps b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
     """,
 )
-def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level duplication summary."""
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (MOSS winnowing,
+    Schleimer/Wilkerson/Aiken SIGMOD'03) and its match step: document
+    pairs sharing >= 2 selected k-gram window minima — i.e. pairs with
+    verbatim-copied text runs of >= k+window-1 = 40 chars, localized
+    rather than set-similar (the tier between exact-md5 dedup and
+    MinHash). Pure map until one uniform-key equi-join; replaces the
+    former dedup_exact_stats probe (redundant with
+    dedup_exact_representatives)."""
+    from gus_spark.operators.dedup import winnow_overlap_pairs
+
     d = table(spark, sf_dir, "documents")
-    fp = F.md5(F.col("text"))
-    return d.agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct(fp).alias("n_unique"),
-        (F.count("*") - F.countDistinct(fp)).alias("n_dupes"),
-    )
+    return winnow_overlap_pairs(d, token_hash="md5")
 
 
 @register(

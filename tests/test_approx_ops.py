@@ -359,3 +359,86 @@ def test_ivf_lloyd_quantizer_halves_index_probes(spark, exact_top5):
     refined, raw = recall(3), recall(0)
     assert refined >= 0.88, f"Lloyd-refined recall {refined}"
     assert refined > raw, (refined, raw)
+
+
+# ------------------------------------------------------------- winnowing
+
+
+def test_winnowing_guarantee_and_sparsity(spark):
+    """The MOSS contract: two docs sharing a substring of length >=
+    k+window-1 share at least one fingerprint; and winnowing keeps far
+    fewer hashes than the full k-gram set."""
+    from pyspark.sql import Row
+
+    from gus_spark.operators.dedup import winnow_fingerprints
+
+    k, window = 5, 4
+    shared = "the quick brown fox jumps over the lazy dog"  # 44 chars
+    rows = [
+        Row(doc_id=1, text=f"AAA {shared} BBB"),
+        Row(doc_id=2, text=f"xyz123 {shared} qqq"),
+        Row(doc_id=3, text="completely different content with no overlap"),
+        Row(doc_id=4, text="zz"),  # shorter than k: whole-text hash
+    ]
+    df = spark.createDataFrame(rows)
+    fp = winnow_fingerprints(df, k=k, window=window)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    # guarantee: docs 1 and 2 share the 44-char run >= k+window-1=8
+    assert by_doc[1] & by_doc[2]
+    # the unrelated doc shares nothing with either
+    assert not (by_doc[3] & by_doc[1]) and not (by_doc[3] & by_doc[2])
+    # short doc still fingerprinted (single whole-text hash)
+    assert len(by_doc[4]) == 1
+    # sparsity: selected fingerprints ~ 2/(window+1) of gram count
+    n_grams = len(rows[0].text) - k + 1
+    assert len(by_doc[1]) < n_grams * 0.75
+    # determinism
+    again = {
+        r.doc_id: r.fingerprint for r in fp.collect() if r.doc_id == 4
+    }
+    assert again[4] in by_doc[4]
+
+
+def test_winnow_overlap_finds_near_dups(spark, documents, exact_pairs):
+    """Near-dup documents (high Jaccard) share long text runs, so the
+    MOSS match step must surface every exact-Jaccard pair; candidates
+    are bounded by fingerprint collisions, never all-pairs."""
+    from gus_spark.operators.dedup import winnow_overlap_pairs
+
+    pairs = winnow_overlap_pairs(documents)  # tuned defaults
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got >= exact_pairs
+    # and it is selective: tens of candidates, not all-pairs (the
+    # k=25 default exists exactly because k=5 degenerates to ~124k)
+    assert len(got) < 100
+
+
+def test_winnow_md5_hash_is_portable(spark):
+    """The md5 token-hash variant selects the same POSITIONS as any
+    engine computing the same 60-bit md5 prefix would — fingerprints
+    are reproducible outside Spark (the oracle trick)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from gus_spark.operators.dedup import winnow_fingerprints
+
+    text = "abcdefghij"
+    k, window = 3, 2
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    got = {
+        r.fingerprint
+        for r in winnow_fingerprints(
+            df, k=k, window=window, token_hash="md5"
+        ).collect()
+    }
+    grams = [text[i:i + k] for i in range(len(text) - k + 1)]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+    ]
+    expect = {
+        min(hs[j:j + window]) for j in range(len(hs) - window + 1)
+    }
+    assert got == expect

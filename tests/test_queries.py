@@ -23,7 +23,7 @@ SPOT_CHECK = [
     "window_orders_analytics",
     "events_sessionization",
     "text_profile",
-    "dedup_exact_stats",
+    "dedup_winnow_pairs",
     "similarity_topk_for_vec0",
 ]
 
