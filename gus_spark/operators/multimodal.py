@@ -418,8 +418,10 @@ def resize_images(
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content or b"")
                 if png.is_png(raw):
-                    # undecodable PNG variants: stub or loud gate, same
-                    # contract as decode_image_features
+                    # undecodable PNG variants: fall through to the
+                    # SHARED stub block below (or the loud gate) — same
+                    # try/except/else shape as decode_image_features,
+                    # so the two stub emissions can never drift
                     try:
                         w, h, ch, pixels = png.decode_png(raw)
                     except ValueError as e:
@@ -430,36 +432,32 @@ def resize_images(
                                 "GUS_MULTIMODAL_FAKE_DECODE=1 to stub "
                                 "undecodable buffers"
                             ) from e
+                    else:
+                        arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+                            h, w, ch
+                        )
+                        ys = np.minimum(
+                            (np.arange(target_height) * h)
+                            // target_height, h - 1
+                        )
+                        xs = np.minimum(
+                            (np.arange(target_width) * w)
+                            // target_width, w - 1
+                        )
+                        resized = arr[ys][:, xs]
                         out["media_id"].append(mid)
                         out["width"].append(target_width)
                         out["height"].append(target_height)
                         out["content"].append(
-                            raw[: target_width * target_height]
+                            png.encode_png(
+                                target_width,
+                                target_height,
+                                resized.tobytes(),
+                                channels=ch,
+                            )
                         )
                         continue
-                    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
-                        h, w, ch
-                    )
-                    ys = np.minimum(
-                        (np.arange(target_height) * h) // target_height, h - 1
-                    )
-                    xs = np.minimum(
-                        (np.arange(target_width) * w) // target_width, w - 1
-                    )
-                    resized = arr[ys][:, xs]
-                    out["media_id"].append(mid)
-                    out["width"].append(target_width)
-                    out["height"].append(target_height)
-                    out["content"].append(
-                        png.encode_png(
-                            target_width,
-                            target_height,
-                            resized.tobytes(),
-                            channels=ch,
-                        )
-                    )
-                    continue
-                if not allow_fake:
+                elif not allow_fake:
                     raise NotImplementedError(
                         "non-PNG resize requires PIL/opencv — not "
                         "available; set GUS_MULTIMODAL_FAKE_DECODE=1 "

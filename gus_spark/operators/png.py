@@ -80,7 +80,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         return _decode_png(data)
     except ValueError:
         raise
-    except Exception as e:  # struct.error, zlib.error, IndexError, ...
+    except (struct.error, zlib.error, IndexError, OverflowError) as e:
+        # the parse-failure modes of malformed INPUT, normalized so
+        # callers have one exception type; anything else (MemoryError
+        # from a zlib bomb, a genuine codec bug) propagates untouched —
+        # rebranding those as "corrupt input" would mask them
         raise ValueError(f"corrupt or truncated PNG: {e}") from e
 
 

@@ -92,12 +92,16 @@ def dedup_exact_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting (MOSS winnowing,
     Schleimer/Wilkerson/Aiken SIGMOD'03) and its match step: document
-    pairs sharing >= 2 selected k-gram window minima — i.e. pairs with
-    verbatim-copied text runs of >= k+window-1 = 40 chars, localized
-    rather than set-similar (the tier between exact-md5 dedup and
-    MinHash). Pure map until one uniform-key equi-join; replaces the
-    former dedup_exact_stats probe (redundant with
-    dedup_exact_representatives)."""
+    pairs sharing >= 2 selected k-gram window minima. The MOSS
+    guarantee is that a shared run of >= k+window-1 = 40 chars shares
+    at least ONE fingerprint; min_shared=2 deliberately trades that
+    single-run floor for precision (a lone 40-char collision can be
+    coincidence; two selected minima almost never are), so pairs whose
+    only overlap selects exactly one fingerprint are dropped by
+    design. Localized rather than set-similar — the tier between
+    exact-md5 dedup and MinHash. Pure map until one uniform-key
+    equi-join; replaces the former dedup_exact_stats probe (redundant
+    with dedup_exact_representatives)."""
     from gus_spark.operators.dedup import winnow_overlap_pairs
 
     d = table(spark, sf_dir, "documents")
