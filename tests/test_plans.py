@@ -141,3 +141,18 @@ def test_ivf_kernel_keeps_explicit_salted_partitioning(spark):
         r"hashpartitioning\(cell#\d+, salt#\d+L?, 64\), REPARTITION_BY_NUM",
         plan,
     ), plan
+
+
+def test_winnow_match_step_is_equi_join(spark):
+    """The MOSS match step must be a hash/merge EQUI-join on the
+    fingerprint key — a CartesianProduct or BroadcastNestedLoopJoin
+    here would mean the id_a < id_b predicate absorbed the equality
+    and the operator silently went O(n²)."""
+    plan = plan_of(spark, "dedup_winnow_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+    # and the aggregation keeps a map-side partial
+    assert plan.count("HashAggregate") >= 2

@@ -45,6 +45,7 @@ QUERIES = [
     "events_hourly_rollup",
     "events_sessionization",
     "dedup_exact_representatives",
+    "dedup_winnow_pairs",
     "dedup_minhash_lsh",
     "similarity_ann_lsh",
     "text_profile",
