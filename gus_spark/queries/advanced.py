@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gus_spark.functions.deterministic import sql_davg, sql_dsum
 from gus_spark.queries import register, table
 
 
@@ -283,7 +284,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "date_arithmetic_shipping",
+    "scalar_function_suite",
     oracle="""
     SELECT l.l_orderkey, l.l_linenumber,
            date_diff('day', o.o_orderdate, l.l_shipdate) AS days_to_ship,
@@ -291,27 +292,51 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
                 THEN 1 ELSE 0 END AS is_late,
            EXTRACT(year FROM o.o_orderdate) AS order_year,
-           EXTRACT(month FROM o.o_orderdate) AS order_month,
-           EXTRACT(day FROM o.o_orderdate) AS order_day,
            EXTRACT(quarter FROM o.o_orderdate) AS order_quarter,
-           CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month_start
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month_start,
+           ROUND(l.l_extendedprice * (1 - l.l_discount), 4) AS net_price,
+           ABS(l.l_discount - l.l_tax) AS disc_tax_gap,
+           CASE WHEN l.l_quantity >= 40 THEN 'bulk'
+                WHEN l.l_quantity >= 15 THEN 'mid'
+                ELSE 'small' END AS qty_band,
+           GREATEST(l.l_discount, l.l_tax) AS max_rate,
+           LEAST(l.l_discount, l.l_tax) AS min_rate,
+           UPPER(p.p_brand) AS brand_upper,
+           LOWER(p.p_type) AS type_lower,
+           LENGTH(p.p_name) AS name_len,
+           SUBSTRING(p.p_type, 1, 5) AS type_prefix,
+           CONCAT(p.p_brand, ':', p.p_type) AS brand_type,
+           REPLACE(p.p_name, ' ', '_') AS name_snake,
+           TRIM(p.p_name) AS name_trim,
+           CAST(regexp_extract(p.p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_orderkey <= 300
     """,
 )
-def date_arithmetic_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time function library in one probe (absorbs the former
-    `scalar_date_functions`): interval arithmetic (deadline = orderdate
-    + 90 days), datediff lag, lateness flag, plus the extraction family
-    (year/month/day/quarter/date_trunc)."""
-    # lineitem is bounded by the orderkey<=300 probe filter, orders is
-    # row-scaled: no hint on orders — AQE broadcasts the small (filtered
-    # lineitem) side at runtime.
+def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole scalar-function library in one fused probe (merges the
+    former `date_arithmetic_shipping` + `math_case_expressions` +
+    `scalar_string_functions`, freeing catalog slots for the deep TPC-H
+    shapes): date family (interval arithmetic, datediff lag, lateness
+    flag, year/quarter extraction, date_trunc), math family (ROUND at
+    the exactly-representable 4 dp — at 2 dp Spark's shortest-repr
+    HALF_UP and DuckDB's binary round disagree on .xx5 — plus ABS, CASE
+    WHEN bands, GREATEST/LEAST), and string family (upper/lower/length/
+    substring/concat/replace/trim plus regexp extraction). All JVM-side
+    whole-stage codegen; one select, zero shuffles beyond the probe
+    joins."""
+    # lineitem is bounded by the orderkey<=300 probe filter; orders and
+    # part are row-scaled: no hints — AQE broadcasts the small
+    # (filtered-lineitem) side at runtime.
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
     o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part")
     deadline = F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -322,11 +347,77 @@ def date_arithmetic_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_shipdate") > deadline, 1).otherwise(0)
             .alias("is_late"),
             F.year("o_orderdate").cast("long").alias("order_year"),
-            F.month("o_orderdate").cast("long").alias("order_month"),
-            F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
             F.quarter("o_orderdate").cast("long").alias("order_quarter"),
             F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            F.round(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 4
+            ).alias("net_price"),
+            F.abs(F.col("l_discount") - F.col("l_tax")).alias("disc_tax_gap"),
+            F.when(F.col("l_quantity") >= 40, "bulk")
+            .when(F.col("l_quantity") >= 15, "mid")
+            .otherwise("small")
+            .alias("qty_band"),
+            F.greatest("l_discount", "l_tax").alias("max_rate"),
+            F.least("l_discount", "l_tax").alias("min_rate"),
+            F.upper("p_brand").alias("brand_upper"),
+            F.lower("p_type").alias("type_lower"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_type", 1, 5).alias("type_prefix"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+            F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+            F.trim("p_name").alias("name_trim"),
+            F.regexp_extract("p_brand", "([0-9]+)", 1)
+            .cast("long")
+            .alias("brand_num"),
         )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l.l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN (
+      SELECT l_partkey, 0.2 * ({sql_davg('l_quantity')}) AS qty_thr
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_brand = 'Brand#11')
+      GROUP BY l_partkey
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE l.l_quantity < t.qty_thr
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): a correlated scalar
+    subquery — ``l_quantity < 0.2 * (SELECT AVG(l_quantity) WHERE
+    l2.l_partkey = p.p_partkey)`` — expressed in its decorrelated form,
+    exactly the rewrite Catalyst's RewriteCorrelatedScalarSubquery
+    performs: semi-join lineitem to the brand's parts FIRST (so the
+    per-part average aggregates only the ~1/25 brand slice, not all of
+    lineitem), aggregate the per-part threshold, join it back, filter,
+    and reduce. The brand keyset is row-scaled (part = 200k×SF) so no
+    side is hinted. Threshold determinism: davg is an exact decimal sum
+    divided by count in double, so 0.2×avg has identical bits on both
+    engines and the strict `<` admits identical rows. The divide-by-7
+    annualization is TPC-H's constant (the corpus spans ~7 order
+    years)."""
+    from gus_spark.functions.deterministic import davg, dsum
+
+    p_keys = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    li_brand = li.join(p_keys, li.l_partkey == F.col("p_partkey"), "left_semi")
+    thr = li_brand.groupBy("l_partkey").agg(
+        (F.lit(0.2) * davg("l_quantity")).alias("qty_thr")
+    )
+    return (
+        li_brand.join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
     )
 
 

@@ -194,33 +194,6 @@ def conditional_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "having_top_customers",
-    oracle=f"""
-    SELECT o_custkey, COUNT(*) AS n_orders,
-           {sql_dsum('o_totalprice')} AS revenue
-    FROM orders
-    GROUP BY o_custkey
-    HAVING COUNT(*) >= 15
-    ORDER BY revenue DESC, o_custkey
-    LIMIT 20
-    """,
-)
-def having_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY + HAVING (post-aggregation filter) feeding an
-    aggregate-then-top-k (merges the former `having_big_orders` and
-    `top_customers_by_revenue` probes; unique o_custkey tiebreak keeps
-    the LIMIT deterministic)."""
-    return (
-        table(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
-        .filter(F.col("n_orders") >= 15)
-        .orderBy(F.desc("revenue"), "o_custkey")
-        .limit(20)
-    )
-
-
 # --------------------------------------------------------------------------
 # Joins
 # --------------------------------------------------------------------------
@@ -314,6 +287,153 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
               & (s.s_nationkey == F.col("n_nationkey")))
         .groupBy("n_name")
         .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_dsum('volume')} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                             AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): 6-way join where nation plays TWO
+    roles (supplier side and customer side) with an OR'd cross-pair
+    predicate that only becomes checkable after both roles are bound.
+    Each nation role is pre-filtered to the 2-nation pair and broadcast
+    (fixed 25-row dimension — the only allowed hints), which prunes
+    supplier and customer before the fact joins; supplier/customer/
+    orders are row-scaled and carry no hint. The one big shuffle is
+    lineitem⋈orders on orderkey."""
+    pair = ("NATION_3", "NATION_7")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    n1 = n.select(F.col("n_nationkey").alias("s_nkey"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nkey"),
+                  F.col("n_name").alias("cust_nation"))
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+    c = table(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.to_timestamp(F.lit("1996-01-01")),
+            F.to_timestamp(F.lit("1997-12-31")),
+        )
+    )
+    o = table(spark, sf_dir, "orders")
+    volume = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(volume).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           {sql_dsum("CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END")}
+           / {sql_dsum('volume')} AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                              AND TIMESTAMP '1997-12-31'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the deepest join in the
+    catalog — 8 relations, nation again in two roles (customer-region
+    gate and supplier tagging) — feeding a conditional-ratio aggregate
+    share = Σ(volume | supp_nation=X) / Σ(volume). Hints only on the
+    bounded sides (region=5, the region-pruned customer-nation chain,
+    and the 25-row supplier-nation tag); part/supplier/customer/orders
+    are row-scaled and unhinted. Both sums are exact decimal (dsum) cast
+    to double, so the final double division is bit-identical to the
+    oracle regardless of partition order."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n = table(spark, sf_dir, "nation")
+    n1 = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("c_nkey"))
+    )
+    n2 = n.select(F.col("n_nationkey").alias("s_nkey"),
+                  F.col("n_name").alias("supp_nation"))
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.to_timestamp(F.lit("1996-01-01")),
+            F.to_timestamp(F.lit("1997-12-31")),
+        )
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    volume = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    nation_volume = F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(p, li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"), "left_semi")
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            dsum(nation_volume).alias("nation_rev"),
+            dsum(volume).alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_rev") / F.col("total_rev")).alias("mkt_share"),
+        )
     )
 
 
@@ -631,82 +751,9 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Scalar functions
+# (string/math/date families live in one fused probe,
+#  advanced.scalar_function_suite; derived-key grouping below)
 # --------------------------------------------------------------------------
-@register(
-    "scalar_string_functions",
-    oracle="""
-    SELECT p_partkey,
-           UPPER(p_brand) AS brand_upper,
-           LOWER(p_type) AS type_lower,
-           LENGTH(p_name) AS name_len,
-           SUBSTRING(p_type, 1, 5) AS type_prefix,
-           CONCAT(p_brand, ':', p_type) AS brand_type,
-           REPLACE(p_name, ' ', '_') AS name_snake,
-           TRIM(p_name) AS name_trim,
-           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num
-    FROM part WHERE p_partkey <= 100
-    """,
-)
-def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String function library incl. regexp extraction (absorbs the
-    former `regexp_extract_brands` probe; group-by-on-derived-key stays
-    covered by `monthly_revenue_trend`). All JVM-side, whole-stage
-    codegen."""
-    return (
-        table(spark, sf_dir, "part")
-        .filter(F.col("p_partkey") <= 100)
-        .select(
-            "p_partkey",
-            F.upper("p_brand").alias("brand_upper"),
-            F.lower("p_type").alias("type_lower"),
-            F.length("p_name").alias("name_len"),
-            F.substring("p_type", 1, 5).alias("type_prefix"),
-            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
-            F.regexp_replace("p_name", " ", "_").alias("name_snake"),
-            F.trim("p_name").alias("name_trim"),
-            F.regexp_extract("p_brand", "([0-9]+)", 1)
-            .cast("long")
-            .alias("brand_num"),
-        )
-    )
-
-
-@register(
-    "math_case_expressions",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price,
-           ABS(l_discount - l_tax) AS disc_tax_gap,
-           CASE WHEN l_quantity >= 40 THEN 'bulk'
-                WHEN l_quantity >= 15 THEN 'mid'
-                ELSE 'small' END AS qty_band,
-           GREATEST(l_discount, l_tax) AS max_rate,
-           LEAST(l_discount, l_tax) AS min_rate
-    FROM lineitem WHERE l_orderkey <= 400
-    """,
-)
-def math_case_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arithmetic, ROUND/ABS, CASE WHEN, GREATEST/LEAST."""
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 400)
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        # round at 4 decimals: the product of 2-dp price × 2-dp discount is
-        # exactly 4-dp, so no engine-dependent half-way rounding can occur
-        # (at 2 dp Spark's shortest-repr HALF_UP and DuckDB's binary round
-        # disagree on .xx5 values).
-        F.round(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 4)
-        .alias("net_price"),
-        F.abs(F.col("l_discount") - F.col("l_tax")).alias("disc_tax_gap"),
-        F.when(F.col("l_quantity") >= 40, "bulk")
-        .when(F.col("l_quantity") >= 15, "mid")
-        .otherwise("small")
-        .alias("qty_band"),
-        F.greatest("l_discount", "l_tax").alias("max_rate"),
-        F.least("l_discount", "l_tax").alias("min_rate"),
-    )
-
-
 @register(
     "monthly_revenue_trend",
     oracle=f"""

@@ -76,9 +76,12 @@ def test_star_joins_broadcast(spark, name):
 ALLOWED_BROADCAST_HINTS = {
     "q3_shipping_priority": 0,       # customer+orders row-scaled: no hints
     "q5_regional_revenue": 2,        # region->nation, nation-chain only
+    "q7_volume_shipping": 2,         # the two 25-row nation roles only
+    "q8_market_share": 3,            # region, nation-chain, nation tag only
     "q10_returned_items": 1,         # nation only
+    "q17_small_quantity_revenue": 0, # part keyset + per-part agg row-scaled
     "q18_large_volume_customers": 1, # post-HAVING orderkey keyset only
-    "date_arithmetic_shipping": 0,   # AQE broadcasts the probe-filtered side
+    "scalar_function_suite": 0,      # AQE broadcasts the probe-filtered side
     "join_part_lineitem_brand": 0,   # part row-scaled: no hint
 }
 

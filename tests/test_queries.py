@@ -1,6 +1,6 @@
 """Query-surface tests: every registered query runs and returns its
 declared shape at sf0.001; a representative subset is value-checked
-against DuckDB inline (the full 48-query sweep lives in
+against DuckDB inline (the full catalog sweep lives in
 tests/oracle_harness.py and the driver's gate)."""
 
 import os
