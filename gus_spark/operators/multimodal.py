@@ -15,17 +15,22 @@ per-row UDF), so throughput is bounded by codec speed, not serde.
 
 Codec reality in this environment, per media type:
 
-- **PNG images decode AND resize for REAL**: ``operators.png`` is a
-  pure-stdlib (zlib/struct) PNG codec, so ``decode_image_features``
-  extracts true width/height/mean-luminance and ``resize_images``
-  produces true nearest-neighbor thumbnails from genuine PNG bytes
-  with no PIL — tested end-to-end against encoded-then-decoded files.
+- **PNG and baseline JPEG images decode AND resize for REAL**:
+  ``operators.png`` is a pure-stdlib (zlib/struct) PNG codec and
+  ``operators.jpeg`` a pure-Python baseline sequential JPEG codec
+  (Annex K tables, 4:4:4 + 4:2:0, restart markers), so
+  ``decode_image_features`` extracts true width/height/mean-luminance
+  and ``resize_images`` produces true nearest-neighbor thumbnails from
+  genuine PNG/JPEG bytes with no PIL — tested end-to-end against
+  encoded-then-decoded files. JPEG thumbnails re-encode as PNG:
+  lossless and bit-deterministic, so downstream dedup/index tests stay
+  exact (a second lossy generation would also compound quality loss).
 - **PCM WAV audio decodes for REAL**: ``audio_features`` reads
   RIFF/WAVE buffers with the stdlib ``wave`` module — exact sample
   counts, RMS and peak over the 16-bit samples.
 - Other image formats and compressed audio/video codecs
-  (JPEG/opencv/mp3/ffmpeg) are NOT available, so those paths are
-  gated STUBS:
+  (webp/opencv/mp3/ffmpeg, progressive JPEG) are NOT available, so
+  those paths are gated STUBS:
   with ``GUS_MULTIMODAL_FAKE_DECODE=1`` (and in tests) a deterministic
   fake decoder derives pixel/sample statistics from the content hash —
   exercising the full Spark plumbing (schema, batching, partitioning);
@@ -99,11 +104,12 @@ def decode_image_features(
 ) -> DataFrame:
     """Per-image feature extraction over Arrow batches.
 
-    PNG buffers are decoded for REAL (operators.png, pure stdlib):
-    width/height from IHDR, mean_luma as the actual BT.601 luminance
-    mean formatted to 3 decimals. Non-PNG buffers fall back to the
-    gated stub (deterministic pseudo-features from the md5 of the
-    bytes) or NotImplementedError when the stub is not allowed.
+    PNG and baseline JPEG buffers are decoded for REAL (operators.png /
+    operators.jpeg, pure Python): width/height from the container,
+    mean_luma as the actual BT.601 luminance mean formatted to 3
+    decimals. Other formats fall back to the gated stub (deterministic
+    pseudo-features from the md5 of the bytes) or NotImplementedError
+    when the stub is not allowed.
     """
     df = ensure_parallelism(df)
     # resolve driver-side: executor workers do not see env changes made
@@ -113,7 +119,8 @@ def decode_image_features(
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from gus_spark.operators import png
+        from gus_spark.operators import jpeg, png
+        from gus_spark.operators.png import mean_luma
 
         for pdf in batches:
             out = {
@@ -125,20 +132,29 @@ def decode_image_features(
             }
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content or b"")
-                if png.is_png(raw):
-                    # only 8-bit gray/RGB decode; RGBA/palette/16-bit/
-                    # interlaced/corrupt buffers must NOT kill the
+                codec = (
+                    png if png.is_png(raw)
+                    else jpeg if jpeg.is_jpeg(raw)
+                    else None
+                )
+                if codec is not None:
+                    # only the documented subsets decode; RGBA/palette/
+                    # progressive/corrupt buffers must NOT kill the
                     # whole stage — fall through to the stub (or the
                     # loud gate) like any other undecodable format,
                     # carrying the reason in the error when gated
                     try:
-                        w, h, ch, pixels = png.decode_png(raw)
+                        w, h, ch, pixels = (
+                            png.decode_png(raw) if codec is png
+                            else jpeg.decode_jpeg(raw)
+                        )
                     except ValueError as e:
                         if not allow_fake:
                             raise NotImplementedError(
-                                f"media_id={mid}: PNG variant this "
-                                f"environment cannot decode ({e}); "
-                                "set GUS_MULTIMODAL_FAKE_DECODE=1 to "
+                                f"media_id={mid}: {codec.__name__} "
+                                f"variant this environment cannot "
+                                f"decode ({e}); set "
+                                "GUS_MULTIMODAL_FAKE_DECODE=1 to "
                                 "stub undecodable buffers"
                             ) from e
                     else:
@@ -147,15 +163,16 @@ def decode_image_features(
                         out["height"].append(h)
                         out["n_bytes"].append(len(raw))
                         out["mean_luma"].append(
-                            f"{png.mean_luma(w, h, ch, pixels):.3f}"
+                            f"{mean_luma(w, h, ch, pixels):.3f}"
                         )
                         continue
                 elif not allow_fake:
                     raise NotImplementedError(
-                        "non-PNG image decode requires PIL/opencv — not "
-                        "available in this environment; set "
+                        "non-PNG/JPEG image decode requires PIL/opencv "
+                        "— not available in this environment; set "
                         "GUS_MULTIMODAL_FAKE_DECODE=1 for the "
-                        "deterministic stub (PNG decodes for real)"
+                        "deterministic stub (PNG/baseline JPEG decode "
+                        "for real)"
                     )
                 digest = hashlib.md5(raw).digest()
                 out["media_id"].append(mid)
@@ -390,14 +407,18 @@ def resize_images(
     """Batch image resize: (media_id, width, height, content) with
     content re-encoded at the target size.
 
-    PNG buffers resize for REAL — decode via the in-tree codec
-    (operators.png), nearest-neighbor sample with one vectorized numpy
-    gather (no per-pixel Python), re-encode PNG. The nearest-neighbor
-    choice is deliberate: deterministic, integer-exact across
-    platforms, and the standard cheap pre-filter before a training
-    pipeline's learned resizer. Non-PNG buffers fall back to the gated
-    stub (content sliced, dimensions faked) or NotImplementedError —
-    same contract as decode_image_features.
+    PNG and baseline JPEG buffers resize for REAL — decode via the
+    in-tree codecs (operators.png / operators.jpeg), nearest-neighbor
+    sample with one vectorized numpy gather (no per-pixel Python),
+    re-encode PNG. The nearest-neighbor choice is deliberate:
+    deterministic, integer-exact across platforms, and the standard
+    cheap pre-filter before a training pipeline's learned resizer.
+    Thumbnails are ALWAYS re-encoded as PNG — lossless and
+    bit-deterministic even for JPEG input, so downstream exact-dedup /
+    index tests hold (and a second lossy generation is avoided). Other
+    formats fall back to the gated stub (content sliced, dimensions
+    faked) or NotImplementedError — same contract as
+    decode_image_features.
     """
     if target_width < 1 or target_height < 1:
         raise ValueError(
@@ -411,24 +432,33 @@ def resize_images(
         import numpy as np
         import pandas as pd
 
-        from gus_spark.operators import png
+        from gus_spark.operators import jpeg, png
 
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "content": []}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content or b"")
-                if png.is_png(raw):
-                    # undecodable PNG variants: fall through to the
+                codec = (
+                    png if png.is_png(raw)
+                    else jpeg if jpeg.is_jpeg(raw)
+                    else None
+                )
+                if codec is not None:
+                    # undecodable variants: fall through to the
                     # SHARED stub block below (or the loud gate) — same
                     # try/except/else shape as decode_image_features,
                     # so the two stub emissions can never drift
                     try:
-                        w, h, ch, pixels = png.decode_png(raw)
+                        w, h, ch, pixels = (
+                            png.decode_png(raw) if codec is png
+                            else jpeg.decode_jpeg(raw)
+                        )
                     except ValueError as e:
                         if not allow_fake:
                             raise NotImplementedError(
-                                f"media_id={mid}: PNG variant this "
-                                f"environment cannot decode ({e}); set "
+                                f"media_id={mid}: {codec.__name__} "
+                                f"variant this environment cannot "
+                                f"decode ({e}); set "
                                 "GUS_MULTIMODAL_FAKE_DECODE=1 to stub "
                                 "undecodable buffers"
                             ) from e
@@ -459,9 +489,10 @@ def resize_images(
                         continue
                 elif not allow_fake:
                     raise NotImplementedError(
-                        "non-PNG resize requires PIL/opencv — not "
+                        "non-PNG/JPEG resize requires PIL/opencv — not "
                         "available; set GUS_MULTIMODAL_FAKE_DECODE=1 "
-                        "for the stub (PNG resizes for real)"
+                        "for the stub (PNG/baseline JPEG resize for "
+                        "real)"
                     )
                 out["media_id"].append(mid)
                 out["width"].append(target_width)

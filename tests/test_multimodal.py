@@ -377,3 +377,146 @@ def test_undecodable_media_variants_fall_back_not_crash(spark, monkeypatch):
         resize_images(media, 0, 2)
     with pytest.raises(ValueError, match="target size"):
         resize_images(media, 4, -1)
+
+
+# --------------------------------------------------------------- real JPEG
+
+
+def test_jpeg_codec_roundtrip_variants():
+    """Baseline JPEG round-trips within lossy tolerance across the
+    supported matrix: grayscale/RGB, 4:4:4/4:2:0, odd (MCU-padded)
+    dimensions, restart markers, tiny images. Dimensions and channel
+    counts are exact; pixels are within the quantization error a q=90
+    encode admits."""
+    import numpy as np
+
+    from gus_spark.operators import jpeg
+
+    cases = [
+        (37, 23, 1, False, 0),   # odd gray
+        (32, 16, 3, False, 0),   # RGB 4:4:4
+        (29, 21, 3, True, 0),    # RGB 4:2:0, odd (chroma padding)
+        (64, 48, 3, True, 3),    # restart markers every 3 MCUs
+        (50, 34, 1, False, 2),   # gray + restarts
+        (1, 1, 1, False, 0),
+        (3, 2, 3, False, 0),
+    ]
+    for w, h, ch, sub, rst in cases:
+        yy, xx = np.mgrid[0:h, 0:w]
+        if ch == 3:
+            img = np.stack(
+                [xx * 5 % 256, yy * 7 % 256, (xx + yy) * 3 % 256], -1
+            ).astype(np.uint8)
+        else:
+            img = ((xx * 4 + yy * 9) % 256).astype(np.uint8)[..., None]
+        buf = jpeg.encode_jpeg(
+            w, h, img.tobytes(), channels=ch, quality=90,
+            subsample=sub, restart_interval=rst,
+        )
+        assert jpeg.is_jpeg(buf)
+        w2, h2, c2, out = jpeg.decode_jpeg(buf)
+        assert (w2, h2, c2) == (w, h, ch)
+        got = np.frombuffer(out, np.uint8).reshape(h, w, ch).astype(int)
+        err = np.abs(img.astype(int) - got).mean()
+        # smooth gradients at q=90: tight for 4:4:4, looser for the
+        # chroma-subsampled cases (information genuinely discarded)
+        assert err < (12.0 if sub else 5.0), (w, h, ch, sub, rst, err)
+        # deterministic encode: byte-identical on re-encode
+        assert buf == jpeg.encode_jpeg(
+            w, h, img.tobytes(), channels=ch, quality=90,
+            subsample=sub, restart_interval=rst,
+        )
+
+
+def test_jpeg_decode_rejects_nonbaseline_and_junk():
+    import struct
+
+    from gus_spark.operators import jpeg
+
+    good = jpeg.encode_jpeg(8, 8, bytes(range(64)), channels=1)
+    for bad in [b"", b"\xff\xd8\xff", good[:40], b"GIF89a" + bytes(50),
+                good[:-5]]:
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(bad)
+    # progressive (SOF2) must be rejected BY NAME, not mis-decoded
+    sof0 = good.index(b"\xff\xc0")
+    progressive = good[:sof0] + b"\xff\xc2" + good[sof0 + 2:]
+    with pytest.raises(ValueError, match="non-baseline"):
+        jpeg.decode_jpeg(progressive)
+    # 4-component (CMYK-style) frame header
+    (seglen,) = struct.unpack(">H", good[sof0 + 2: sof0 + 4])
+    with pytest.raises(ValueError, match="component"):
+        jpeg.decode_jpeg(
+            good[:sof0 + 9] + b"\x04" + good[sof0 + 10:]
+        )
+
+
+def test_decode_image_features_real_jpeg_no_stub(spark, monkeypatch):
+    """Genuine JPEG bytes through the Arrow kernel WITHOUT the
+    fake-decode flag: width/height are the true values and mean_luma
+    matches a reference decode of the same buffer exactly (the kernel
+    and the reference share the deterministic in-tree codec)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from gus_spark.operators import jpeg
+    from gus_spark.operators.png import mean_luma
+
+    monkeypatch.delenv("GUS_MULTIMODAL_FAKE_DECODE", raising=False)
+    rows, expected = [], {}
+    for i, (w, h, ch, sub) in enumerate(
+        [(24, 18, 3, True), (16, 16, 1, False), (9, 7, 3, False)]
+    ):
+        rng = np.random.default_rng(42 + i)
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        buf = jpeg.encode_jpeg(
+            w, h, img.tobytes(), channels=ch, quality=85, subsample=sub
+        )
+        dw, dh, dch, dpix = jpeg.decode_jpeg(buf)
+        expected[i] = (w, h, f"{mean_luma(dw, dh, dch, dpix):.3f}", len(buf))
+        rows.append(
+            Row(media_id=i, content=buf,
+                meta=Row(mime="image/jpeg", width=None, height=None,
+                         duration_ms=None, sample_rate=None))
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in
+           decode_image_features(media, fake=False).collect()}
+    assert len(out) == 3
+    for i, (w, h, luma, nbytes) in expected.items():
+        assert (out[i].width, out[i].height) == (w, h)
+        assert out[i].mean_luma == luma
+        assert out[i].n_bytes == nbytes
+
+
+def test_resize_images_real_jpeg_emits_png(spark, monkeypatch):
+    """JPEG in -> PNG thumbnail out: the resize kernel decodes the
+    lossy source once and re-encodes losslessly, so the output pixels
+    are EXACT nearest-neighbor samples of the decoded JPEG."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from gus_spark.operators import jpeg, png
+    from gus_spark.operators.multimodal import resize_images
+
+    monkeypatch.delenv("GUS_MULTIMODAL_FAKE_DECODE", raising=False)
+    w, h = 16, 12
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([xx * 15 % 256, yy * 20 % 256, (xx * yy) % 256],
+                   -1).astype(np.uint8)
+    buf = jpeg.encode_jpeg(w, h, img.tobytes(), channels=3, quality=92)
+    media = spark.createDataFrame(
+        [Row(media_id=1, content=buf,
+             meta=Row(mime="image/jpeg", width=w, height=h,
+                      duration_ms=None, sample_rate=None))],
+        MEDIA_SCHEMA,
+    )
+    out = resize_images(media, 4, 3, fake=False).collect()
+    assert len(out) == 1 and (out[0].width, out[0].height) == (4, 3)
+    rw, rh, ch, rpix = png.decode_png(bytes(out[0].content))
+    assert (rw, rh, ch) == (4, 3, 3)
+    _, _, _, dpix = jpeg.decode_jpeg(buf)
+    arr = np.frombuffer(dpix, np.uint8).reshape(h, w, 3)
+    ys = (np.arange(3) * h) // 3
+    xs = (np.arange(4) * w) // 4
+    assert rpix == arr[ys][:, xs].tobytes()

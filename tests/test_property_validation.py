@@ -196,3 +196,50 @@ def test_png_decode_rejects_signature_prefixed_junk(junk):
 
     with pytest.raises(ValueError):
         png.decode_png(b"\x89PNG\r\n\x1a\n" + junk)
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    channels=st.sampled_from([1, 3]),
+    quality=st.integers(60, 100),
+    data=st.data(),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_roundtrip_property(w, h, channels, quality, data):
+    """Lossy round-trip invariants that hold for ARBITRARY pixel
+    content (not just smooth gradients): exact dimensions/channels,
+    output stays in byte range, and encoding is deterministic."""
+    from gus_spark.operators import jpeg
+
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * channels,
+                max_size=w * h * channels,
+            )
+        )
+    )
+    encoded = jpeg.encode_jpeg(w, h, pixels, channels=channels,
+                               quality=quality)
+    assert jpeg.is_jpeg(encoded)
+    w2, h2, c2, out = jpeg.decode_jpeg(encoded)
+    assert (w2, h2, c2) == (w, h, channels)
+    assert len(out) == w * h * channels
+    assert encoded == jpeg.encode_jpeg(w, h, pixels, channels=channels,
+                                       quality=quality)
+
+
+@given(junk=st.binary(min_size=0, max_size=64))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_decode_rejects_junk(junk):
+    """Arbitrary bytes (and SOI-prefixed arbitrary bytes) never crash
+    with anything but the documented ValueError — the same single-
+    exception contract as the PNG codec."""
+    from gus_spark.operators import jpeg
+
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(junk)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\xff\xd8\xff" + junk)

@@ -72,6 +72,16 @@ def main() -> None:
             make_sf1(spark, sf1_dir)
         sfs.append("1")
         dirs["1"] = sf1_dir
+    # a FIFTH decade, opt-in (generation + timing cost ~20 min): an
+    # sf10 corpus composed by re-applying the same 10x scale-up to the
+    # sf1 output (tools/make_sf1.make_sf1 with src=sf1; the word salt
+    # composes to `word_i_j`, keeping copies shingle-disjoint). Present
+    # only when the directory already exists — the default run stays
+    # four points so driver-invoked runs keep their budget.
+    sf10_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/gus_sf10")
+    if "10" not in sfs and os.path.isdir(sf10_dir):
+        sfs.append("10")
+        dirs["10"] = sf10_dir
     out: dict[str, dict] = {}
     for name in QUERIES:
         fn = specs[name].fn
