@@ -39,9 +39,9 @@ SHINGLE_SIZE = 3
 # Universal-hash "permutations": h_k(x) = (a_k * x32 + b_k) mod p over
 # the 32-bit base hash of a shingle, p = 2^61-1 (the datasketch/Broder
 # construction). The string is xxhash64'd ONCE per exploded row and the
-# 128 permutations are integer multiply-add-mods — measured ~3x cheaper
-# map-side than 128 independent xxhash64(string) calls, identical
-# banding math. Constants are fixed (seeded) so signatures are stable
+# 128 permutations are integer multiply-add-mods — measured 26% faster
+# on the whole signature aggregation stage at sf1 than 128 independent
+# xxhash64(string) calls, identical banding math. Constants are fixed (seeded) so signatures are stable
 # across sessions — persisted MinHashIndex tables depend on that.
 # Ranges keep every intermediate inside SIGNED 64-bit so the plan is
 # ANSI-mode-safe: a < 2^30, x32 < 2^32 -> a*x32 < 2^62; b < 2^61.

@@ -315,13 +315,10 @@ def encode_jpeg(
     vmax = max(v for _, v in samp)
     coefs = []
     for plane, (sh, sv), quant in zip(planes, samp, quants):
-        # pad so every component tiles the SAME MCU grid
-        mcu_w, mcu_h = 8 * hmax // 1, 8 * vmax // 1
         target_w = -(-width * sh // hmax)
         target_h = -(-height * sv // vmax)
         p = np.clip(np.round(plane[:target_h, :target_w]), 0, 255)
-        p = _pad_to(p, 1)
-        # pad to full blocks covering the MCU grid
+        # pad so every component tiles the SAME MCU grid in full blocks
         mcus_x = -(-width // (8 * hmax))
         mcus_y = -(-height // (8 * vmax))
         full_w, full_h = mcus_x * 8 * sh, mcus_y * 8 * sv

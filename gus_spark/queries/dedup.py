@@ -165,11 +165,13 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_jaccard_pairs). That is a meaningful equality, not a tautology:
     # candidates are exact-Jaccard-verified (so output ⊆ truth always), and
     # the operator uses NUM_PERMS=128 in NUM_BANDS=32 bands of 4 rows
-    # (operators/dedup.py:28-38), so a true pair AT the 0.8 threshold
+    # (operators/dedup.py:25-51), so a true pair AT the 0.8 threshold
     # escapes every band with probability (1-0.8⁴)³² ≈ 5e-8 — for ANY
     # corpus, not just one whose planted pairs sit far above threshold —
-    # and the minhash permutations are fixed constants, so on given data
-    # the result is deterministic. A hash mismatch here would mean the LSH
+    # and the minhash permutations are fixed seeded universal-hash
+    # constants (the escape formula treats them as independent; the
+    # (a·x+b) mod p family is the standard min-wise approximation of
+    # that), so on given data the result is deterministic. A hash mismatch here would mean the LSH
     # tier actually dropped a true pair, which is exactly what the check
     # should catch.
     oracle=f"""
