@@ -566,24 +566,40 @@ def outer_join_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "in_subquery_parts",
-    oracle=f"""
-    SELECT COUNT(*) AS n_lines, {sql_dsum('l_extendedprice')} AS revenue
-    FROM lineitem
-    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 25)
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
     """,
 )
-def in_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN-subquery = semi join against a filtered key set."""
-    li = table(spark, sf_dir, "lineitem")
-    keys = table(spark, sf_dir, "part").filter(F.col("p_size") == 25).select(
-        "p_partkey"
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join
+    with a predicate in the ON clause — the right side is filtered
+    BEFORE the join so zero-order customers survive with c_count = 0
+    (a WHERE-clause filter would silently drop them: the classic
+    outer-join trap this probe pins) — feeding an aggregation OF an
+    aggregation (per-customer counts, then the count-of-counts
+    histogram). Adapted from the reference shape only in the filter
+    column (the testdata has no o_comment; priority <> '1-URGENT'
+    plays the same role). Two shuffles by design: custkey (join + first
+    agg share one exchange) and the ~tens-of-values c_count key."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
     )
-    return (
-        li.join(F.broadcast(keys), li.l_partkey == F.col("p_partkey"), "left_semi")
-        .agg(F.count("*").alias("n_lines"),
-             dsum("l_extendedprice").alias("revenue"))
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
     )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
 
 
 # --------------------------------------------------------------------------

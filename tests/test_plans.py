@@ -79,6 +79,7 @@ ALLOWED_BROADCAST_HINTS = {
     "q7_volume_shipping": 2,         # the two 25-row nation roles only
     "q8_market_share": 3,            # region, nation-chain, nation tag only
     "q10_returned_items": 1,         # nation only
+    "q13_customer_distribution": 0,  # customer+orders row-scaled: no hints
     "q17_small_quantity_revenue": 0, # part keyset + per-part agg row-scaled
     "q18_large_volume_customers": 1, # post-HAVING orderkey keyset only
     "scalar_function_suite": 0,      # AQE broadcasts the probe-filtered side
