@@ -446,26 +446,44 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profiling: per-column row/null/distinct counts and
     min/max — the triage pass a pipeline runs before training ingest.
-    One scan per profiled column here; an production profiler fuses
-    them into a single pass with grouping sets."""
+    ONE scan for all profiled columns (asserted in test_plans.py): a
+    single wide aggregation computes every measure — the three exact
+    count-distincts share one Expand pass — and a post-agg explode
+    pivots the 1-row result into one row per column. At 100 TB the
+    difference vs one-agg-per-column is reading the table once vs
+    once per profiled column."""
     o = table(spark, sf_dir, "orders")
+    cols = [("o_totalprice", True), ("o_orderstatus", False),
+            ("o_custkey", True)]
 
-    def profile(col, numeric):
+    def measures(col: str, numeric: bool) -> list:
         cast = (lambda c: c.cast("string")) if numeric else (lambda c: c)
-        return o.agg(
-            F.lit(col).alias("column_name"),
-            F.count("*").alias("n_rows"),
-            F.count(col).alias("n_non_null"),
-            F.countDistinct(col).alias("n_distinct"),
-            cast(F.min(col)).alias("min_val"),
-            cast(F.max(col)).alias("max_val"),
-        )
+        return [
+            F.count(col).alias(f"nn_{col}"),
+            F.countDistinct(col).alias(f"nd_{col}"),
+            cast(F.min(col)).alias(f"mn_{col}"),
+            cast(F.max(col)).alias(f"mx_{col}"),
+        ]
 
-    return (
-        profile("o_totalprice", True)
-        .unionByName(profile("o_orderstatus", False))
-        .unionByName(profile("o_custkey", True))
+    wide = o.agg(
+        F.count("*").alias("n_rows"),
+        *[m for col, num in cols for m in measures(col, num)],
     )
+    return wide.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(col).alias("column_name"),
+                    F.col("n_rows").alias("n_rows"),
+                    F.col(f"nn_{col}").alias("n_non_null"),
+                    F.col(f"nd_{col}").alias("n_distinct"),
+                    F.col(f"mn_{col}").alias("min_val"),
+                    F.col(f"mx_{col}").alias("max_val"),
+                )
+                for col, _num in cols
+            ])
+        ).alias("p")
+    ).select("p.*")
 
 
 #: per-stratum keep fractions, realized as a 16-bit md5-prefix cut so

@@ -96,6 +96,14 @@ def test_no_forced_broadcast_on_row_scaled_sides(spark, name):
     assert opt.count("strategy=broadcast") == ALLOWED_BROADCAST_HINTS[name], opt
 
 
+def test_profile_is_single_scan(spark):
+    """The column profiler must read the table ONCE for all profiled
+    columns — a per-column agg-union reads it once per column, which
+    at 100 TB is the whole cost of the query."""
+    plan = plan_of(spark, "profile_orders_columns", mode="simple")
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_q1_has_partial_aggregation(spark):
     plan = plan_of(spark, "q1_pricing_summary")
     assert plan.count("HashAggregate") >= 2  # partial + final
