@@ -53,27 +53,44 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "explode_top_tokens",
+    "decontaminate_docs",
     oracle="""
-    SELECT tok, COUNT(*) AS n
-    FROM (SELECT unnest(string_split_regex(TRIM(text), '\\s+')) AS tok
-          FROM documents)
-    GROUP BY tok
-    ORDER BY n DESC, tok
-    LIMIT 20
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(TRIM(text), '\\s+') AS ws
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(CASE WHEN len(ws) >= 13
+               THEN list_transform(range(1, len(ws) - 11),
+                    i -> array_to_string(list_slice(ws, i, i + 12), ' '))
+               ELSE [array_to_string(ws, ' ')] END)) AS g
+      FROM toks
+    )
+    SELECT d.doc_id AS doc_id, b.doc_id AS bench_id,
+           COUNT(*) AS shared_ngrams
+    FROM (SELECT doc_id, g FROM grams WHERE source <> 'src0') d
+    JOIN (SELECT doc_id, g FROM grams WHERE source = 'src0') b USING (g)
+    GROUP BY 1, 2
     """,
 )
-def explode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """explode/unnest + frequency top-k (corpus vocabulary head)."""
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination (the GPT-3/PaLM 13-gram rule):
+    corpus documents sharing a verbatim 13-token n-gram with any
+    "benchmark" document — here source='src0' plays the eval suite —
+    with the count of distinct shared grams per pair. The n-gram
+    explode is map-side (and absorbs the former `explode_top_tokens`
+    generator probe); the join is a uniform-key equi-join on gram
+    hashes whose benchmark side AQE broadcasts when small. The oracle
+    joins on the gram STRINGS; the operator joins on xxhash64 of them
+    (8-byte shuffle keys), equal up to a ~1e-12 collision bound —
+    operators/decontaminate.py."""
+    from gus_spark.operators.decontaminate import ngram_contamination
+
     d = table(spark, sf_dir, "documents")
-    return (
-        d.select(
-            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
-        )
-        .groupBy("tok")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "tok")
-        .limit(20)
+    return ngram_contamination(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n=13,
     )
 
 

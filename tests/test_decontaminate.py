@@ -1,0 +1,111 @@
+"""Decontamination operator: n-gram overlap detection against an eval
+set (operators.decontaminate) — planted-overlap recall, short-doc
+whole-sequence semantics, min_hits precision knob, and the anti-join
+pipeline step."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import Row
+
+from gus_spark.operators.decontaminate import (
+    decontaminate,
+    ngram_contamination,
+)
+
+VOCAB = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+
+
+def _text(seed: int, n_tokens: int = 40) -> str:
+    # deterministic pseudo-text over a small vocabulary
+    return " ".join(VOCAB[(seed * 7 + i * 3) % len(VOCAB)] for i in range(n_tokens))
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    bench_sentence = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec papa oscar november"  # 13 tokens
+    docs = [
+        # 0: clean
+        Row(doc_id=0, text=_text(0)),
+        # 1: contains the benchmark 13-gram verbatim mid-document
+        Row(doc_id=1, text=_text(1, 10) + " " + bench_sentence + " " + _text(2, 10)),
+        # 2: contains 12 of the 13 tokens (no full 13-gram) — clean
+        Row(doc_id=2, text=_text(3, 10) + " " + " ".join(bench_sentence.split()[:12])),
+        # 3: the benchmark text verbatim twice (still ONE distinct gram per window set)
+        Row(doc_id=3, text=bench_sentence + " " + bench_sentence),
+        # 4: short doc (< 13 tokens), not a benchmark item — clean
+        Row(doc_id=4, text="alpha bravo charlie"),
+        # 5: short doc equal to a SHORT benchmark item — contaminated via whole-seq gram
+        Row(doc_id=5, text="golf hotel india"),
+        # 6: contains the LONG benchmark item verbatim (8 shared grams)
+        Row(doc_id=6, text=_text(5, 6) + " " + " ".join(VOCAB * 2) + " " + _text(6, 6)),
+    ]
+    bench = [
+        Row(doc_id=100, text=bench_sentence),
+        Row(doc_id=101, text="golf hotel india"),  # short eval item
+        Row(doc_id=102, text=" ".join(VOCAB * 2)),  # 20-token eval item
+    ]
+    return spark.createDataFrame(docs), spark.createDataFrame(bench)
+
+
+def test_contamination_detects_planted_overlap(spark, corpora):
+    docs, bench = corpora
+    hits = {
+        (r.doc_id, r.bench_id): r.shared_ngrams
+        for r in ngram_contamination(docs, bench).collect()
+    }
+    # doc 1 shares the full window set of the benchmark sentence
+    assert (1, 100) in hits
+    # doc 3 contains it twice -> more distinct grams (the doubled text
+    # spans extra windows), but at least the sentence's own 1 gram
+    assert (3, 100) in hits
+    # short doc == short benchmark item: whole-sequence gram matches
+    assert hits[(5, 101)] == 1
+    # near-miss (12 of 13 tokens), clean, and unrelated-short stay out
+    assert not any(d in (0, 2, 4) for d, _b in hits)
+
+
+def test_short_tokens_never_contaminate(spark, corpora):
+    """A stray shared token must not flag a document: doc 4 shares
+    'alpha'/'bravo'/'charlie' tokens with doc texts but no 13-gram or
+    whole-short-sequence, so it is clean."""
+    docs, bench = corpora
+    clean_ids = {r.doc_id for r in decontaminate(docs, bench).collect()}
+    assert clean_ids == {0, 2, 4}
+
+
+def test_min_hits_precision_knob(spark, corpora):
+    docs, bench = corpora
+    # a 13-token benchmark item IS one gram, so every overlap with it
+    # counts exactly 1 shared gram — min_hits=2 keeps only overlaps
+    # with longer eval items (doc 6 ⊇ the 20-token item = 8 windows)
+    strict = ngram_contamination(docs, bench, min_hits=2)
+    pairs = {(r.doc_id, r.bench_id): r.shared_ngrams for r in strict.collect()}
+    assert (5, 101) not in pairs and (1, 100) not in pairs
+    assert pairs[(6, 102)] == 8
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError, match="n must be"):
+        ngram_contamination(None, None, n=0)
+    with pytest.raises(ValueError, match="min_hits"):
+        ngram_contamination(None, None, min_hits=0)
+
+
+def test_no_cartesian_in_plan(spark, corpora):
+    """The gram match must stay an equi-join — a nested-loop or
+    cartesian here is the O(corpus x benchmark) failure mode."""
+    import contextlib
+    import io
+
+    docs, bench = corpora
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ngram_contamination(docs, bench).explain()
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
