@@ -2,6 +2,8 @@ from gus_spark.streaming.curation import curate_stream  # noqa: F401
 from gus_spark.streaming.neardup import neardup_stream  # noqa: F401
 from gus_spark.streaming.vectors import vector_index_stream  # noqa: F401
 from gus_spark.streaming.subscriptions import (  # noqa: F401
+    attribution_join,
+    click_purchase_attribution,
     dedup_stream,
     run_to_memory,
     session_aggregates,

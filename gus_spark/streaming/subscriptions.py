@@ -133,6 +133,70 @@ def dedup_stream(
     )
 
 
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "2 hours",
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: attribute each purchase to
+    every click by the same user within ``horizon`` before it — the
+    canonical two-stream event-time interval join.
+
+    Scale shape: both sides carry watermarks AND the join condition
+    bounds purchase_ts to [click_ts, click_ts + horizon], which is what
+    lets the state store evict — each side buffers at most
+    watermark + horizon of events per user, independent of stream
+    length. State partitions by the user_id equi-key across executors;
+    without the time bound the buffers would grow forever (Spark
+    rejects unbounded stream-stream outer joins for the same reason)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+            ),
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "click_ts",
+            "purchase_id",
+            "purchase_ts",
+            "purchase_value",
+        )
+    )
+
+
+def click_purchase_attribution(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Split one event stream into click/purchase sub-streams and join
+    them (the common single-topic form of `attribution_join`)."""
+    return attribution_join(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+        watermark=watermark,
+        horizon=horizon,
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     """Drive a streaming DataFrame to completion against the memory sink
     (synchronous; for tests/smoke). Returns the stopped query; results

@@ -274,3 +274,52 @@ def test_streaming_vector_ingest_matches_batch_adds(spark, tmp_path):
     unfitted = VectorIndex(spark, str(tmp_path / "empty_idx"), iters=2)
     with pytest.raises(StorageError):
         vector_index_stream(stream, unfitted, str(tmp_path / "ckpt2"))
+
+
+def test_stream_stream_attribution_matches_batch(spark, events_stream):
+    """Stream-stream interval join parity: the watermarked click ⋈
+    purchase attribution over the file-sourced stream must produce
+    EXACTLY the rows the same join computes in batch. (Watermarks can
+    only drop LATE data; availableNow processes the whole table, so
+    any missing/extra row means the join condition or state eviction
+    is wrong.)"""
+    from gus_spark.streaming import click_purchase_attribution
+
+    run_to_memory(
+        click_purchase_attribution(events_stream), "attr", mode="append"
+    )
+    got = {
+        tuple(r)
+        for r in spark.table("attr")
+        .select("user_id", "click_id", "purchase_id", "purchase_ts")
+        .collect()
+    }
+
+    ev = table(spark, SF_DIR, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        tuple(r)
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id", "purchase_id", "purchase_ts",
+        )
+        .collect()
+    }
+    assert len(want) > 0  # the corpus genuinely exercises the join
+    assert got == want
