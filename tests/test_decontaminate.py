@@ -109,3 +109,42 @@ def test_no_cartesian_in_plan(spark, corpora):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_random_corpus_matches_python_bruteforce(spark):
+    """Randomized cross-check: 40 random docs x 6 random eval items
+    over a tiny vocabulary at n=3 (dense accidental overlaps), compared
+    pair-for-pair and count-for-count against a pure-Python set
+    brute force — catches any drift between the hash-join counting and
+    true distinct-gram semantics."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = "red green blue gold gray pink".split()
+
+    def mk(n_tokens):
+        return " ".join(rng.choice(vocab) for _ in range(n_tokens))
+
+    docs = [(i, mk(rng.randint(1, 30))) for i in range(40)]
+    bench = [(100 + i, mk(rng.randint(1, 12))) for i in range(6)]
+
+    def grams(text, n=3):
+        ws = text.split()
+        if len(ws) < n:
+            return {" ".join(ws)}
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    want = {}
+    for did, dt in docs:
+        for bid, bt in bench:
+            shared = len(grams(dt) & grams(bt))
+            if shared >= 1:
+                want[(did, bid)] = shared
+
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    b = spark.createDataFrame(bench, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.bench_id): r.shared_ngrams
+        for r in ngram_contamination(d, b, n=3).collect()
+    }
+    assert got == want and len(want) > 0
