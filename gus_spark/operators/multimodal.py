@@ -28,6 +28,10 @@ Codec reality in this environment, per media type:
 - **PCM WAV audio decodes for REAL**: ``audio_features`` reads
   RIFF/WAVE buffers with the stdlib ``wave`` module — exact sample
   counts, RMS and peak over the 16-bit samples.
+- **MP4/MOV container metadata parses for REAL**: ``video_metadata``
+  reads ISO BMFF boxes with the in-tree stdlib parser
+  (``operators.mp4``) — duration, track count, video dimensions —
+  the pre-decode triage pass; only frame DECODE needs ffmpeg.
 - Other image formats and compressed audio/video codecs
   (webp/opencv/mp3/ffmpeg, progressive JPEG) are NOT available, so
   those paths are gated STUBS:
@@ -502,6 +506,83 @@ def resize_images(
 
     return df.select("media_id", "content").mapInPandas(
         kernel, schema=RESIZED_SCHEMA
+    )
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("n_tracks", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def video_metadata(df: DataFrame, fake: bool | None = None) -> DataFrame:
+    """Per-clip container metadata over Arrow batches — the triage a
+    pipeline runs BEFORE spending decode cycles (drop zero-duration
+    clips, bucket by resolution, size the frame-sample fan-out).
+
+    MP4/MOV (ISO BMFF) buffers parse for REAL via the in-tree stdlib
+    box parser (operators.mp4): duration from mvhd timescale, track
+    count, video-track presentation dimensions. Frame DECODE still
+    requires ffmpeg and remains gated in sample_frames; metadata does
+    not. Non-BMFF containers fall back to the gated stub /
+    NotImplementedError — same contract as the image kernels.
+    """
+    df = ensure_parallelism(df)
+    allow_fake = _fake_decode_allowed() if fake is None else fake
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from gus_spark.operators import mp4
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "duration_ms": [], "n_tracks": [],
+                "width": [], "height": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content or b"")
+                if mp4.is_mp4(raw):
+                    try:
+                        meta = mp4.parse_mp4(raw)
+                    except ValueError as e:
+                        if not allow_fake:
+                            raise NotImplementedError(
+                                f"media_id={mid}: BMFF variant this "
+                                f"environment cannot parse ({e}); set "
+                                "GUS_MULTIMODAL_FAKE_DECODE=1 to stub "
+                                "unparsable buffers"
+                            ) from e
+                    else:
+                        out["media_id"].append(mid)
+                        out["duration_ms"].append(meta["duration_ms"])
+                        out["n_tracks"].append(meta["n_tracks"])
+                        out["width"].append(meta["width"])
+                        out["height"].append(meta["height"])
+                        continue
+                elif not allow_fake:
+                    raise NotImplementedError(
+                        "non-MP4 container parsing requires ffmpeg — not "
+                        "available; set GUS_MULTIMODAL_FAKE_DECODE=1 for "
+                        "the stub (ISO BMFF metadata parses for real)"
+                    )
+                digest = hashlib.md5(raw).digest()
+                out["media_id"].append(mid)
+                out["duration_ms"].append(
+                    int.from_bytes(digest[0:3], "big") % 600000
+                )
+                out["n_tracks"].append(1 + digest[3] % 3)
+                out["width"].append(int.from_bytes(digest[4:6], "big") % 4096)
+                out["height"].append(int.from_bytes(digest[6:8], "big") % 4096)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, schema=VIDEO_META_SCHEMA
     )
 
 

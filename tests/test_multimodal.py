@@ -520,3 +520,78 @@ def test_resize_images_real_jpeg_emits_png(spark, monkeypatch):
     ys = (np.arange(3) * h) // 3
     xs = (np.arange(4) * w) // 4
     assert rpix == arr[ys][:, xs].tobytes()
+
+
+# ---------------------------------------------------------------- real MP4
+
+
+def test_mp4_parser_roundtrip_and_variants():
+    from gus_spark.operators import mp4
+
+    # v0 header, one 640x360 video track
+    buf = mp4.encode_mp4(90_500, timescale=600, tracks=[(640, 360)])
+    assert mp4.is_mp4(buf)
+    meta = mp4.parse_mp4(buf)
+    assert meta["duration_ms"] == 90_500
+    assert meta["timescale"] == 600
+    assert (meta["n_tracks"], meta["width"], meta["height"]) == (1, 640, 360)
+
+    # v1 (64-bit) header, audio track (0x0) before the video track:
+    # dimensions must come from the video one
+    buf = mp4.encode_mp4(
+        3_600_000, timescale=90_000, tracks=[(0, 0), (1920, 1080)],
+        version=1,
+    )
+    meta = mp4.parse_mp4(buf)
+    assert meta["duration_ms"] == 3_600_000
+    assert (meta["n_tracks"], meta["width"], meta["height"]) == (2, 1920, 1080)
+
+    # audio-only reports 0x0, not an error
+    meta = mp4.parse_mp4(mp4.encode_mp4(1000, tracks=[(0, 0)]))
+    assert (meta["width"], meta["height"]) == (0, 0)
+
+    # malformed input: always ValueError
+    import pytest as _pytest
+    good = mp4.encode_mp4(1000)
+    for bad in [b"", b"\x00\x00\x00\x08ftyp", good[:20], good[:-4],
+                b"RIFF" + good]:
+        with _pytest.raises(ValueError):
+            mp4.parse_mp4(bad)
+
+
+def test_video_metadata_real_mp4_no_stub(spark, monkeypatch):
+    """Genuine BMFF bytes through the Arrow kernel WITHOUT the
+    fake-decode flag: duration/tracks/dimensions are the true parsed
+    values, while a non-MP4 buffer still fails loudly."""
+    from pyspark.sql import Row
+
+    from gus_spark.operators import mp4
+    from gus_spark.operators.multimodal import video_metadata
+
+    monkeypatch.delenv("GUS_MULTIMODAL_FAKE_DECODE", raising=False)
+    rows = [
+        Row(media_id=1, content=mp4.encode_mp4(12_000, tracks=[(320, 240)]),
+            meta=Row(mime="video/mp4", width=None, height=None,
+                     duration_ms=None, sample_rate=None)),
+        Row(media_id=2,
+            content=mp4.encode_mp4(48_000, timescale=90_000,
+                                   tracks=[(0, 0), (1280, 720)], version=1),
+            meta=Row(mime="video/mp4", width=None, height=None,
+                     duration_ms=None, sample_rate=None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in video_metadata(media, fake=False).collect()}
+    assert (out[1].duration_ms, out[1].n_tracks, out[1].width,
+            out[1].height) == (12_000, 1, 320, 240)
+    assert (out[2].duration_ms, out[2].n_tracks, out[2].width,
+            out[2].height) == (48_000, 2, 1280, 720)
+
+    junk = spark.createDataFrame(
+        [Row(media_id=3, content=b"\x1aE\xdf\xa3webm-ish", meta=None)],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception) as exc:
+        video_metadata(junk, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
