@@ -595,3 +595,42 @@ def test_video_metadata_real_mp4_no_stub(spark, monkeypatch):
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+def test_jpeg_decodes_foreign_custom_tables():
+    """A hand-assembled JPEG using CUSTOM quantization and Huffman
+    tables (not the Annex K set our encoder writes) must decode — the
+    generality real-world files require. The stream encodes one 8x8
+    block whose only coefficient is DC diff=4 against an all-16 quant
+    table: dequantized DC 64 -> IDCT uniform 64/8 -> level-shifted 136
+    across every pixel."""
+    import struct
+
+    import numpy as np
+
+    from gus_spark.operators import jpeg
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    # custom tables: DC {symbol 3 -> code '0'}, AC {EOB -> code '0'}
+    dht_dc = bytes([0x00]) + bytes([1] + [0] * 15) + bytes([3])
+    dht_ac = bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00])
+    dqt = bytes([0x00]) + bytes([16] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+    # entropy bits: DC code '0', magnitude '100' (=4), EOB '0',
+    # padded with 1s -> 0b01000111
+    data = (
+        b"\xff\xd8"
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC0, sof)
+        + seg(0xFFC4, dht_dc)
+        + seg(0xFFC4, dht_ac)
+        + seg(0xFFDA, sos)
+        + bytes([0b01000111])
+        + b"\xff\xd9"
+    )
+    w, h, ch, pix = jpeg.decode_jpeg(data)
+    assert (w, h, ch) == (8, 8, 1)
+    assert np.frombuffer(pix, np.uint8).tolist() == [136] * 64
