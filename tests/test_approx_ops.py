@@ -381,7 +381,9 @@ def test_winnowing_guarantee_and_sparsity(spark):
         Row(doc_id=4, text="zz"),  # shorter than k: whole-text hash
     ]
     df = spark.createDataFrame(rows)
-    fp = winnow_fingerprints(df, k=k, window=window)
+    # pinned to the JVM expression path: the default ('rolling') has
+    # its own reference-parity + guarantee tests below
+    fp = winnow_fingerprints(df, k=k, window=window, token_hash="xxhash64")
     by_doc = {}
     for r in fp.collect():
         by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
@@ -407,7 +409,9 @@ def test_winnow_overlap_finds_near_dups(spark, documents, exact_pairs):
     are bounded by fingerprint collisions, never all-pairs."""
     from gus_spark.operators.dedup import winnow_overlap_pairs
 
-    pairs = winnow_overlap_pairs(documents)  # tuned defaults
+    # tuned defaults, pinned to the JVM path (the 'rolling' default
+    # has its own overlap test below)
+    pairs = winnow_overlap_pairs(documents, token_hash="xxhash64")
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got >= exact_pairs
     # and it is selective: tens of candidates, not all-pairs (the
@@ -442,3 +446,97 @@ def test_winnow_md5_hash_is_portable(spark):
         min(hs[j:j + window]) for j in range(len(hs) - window + 1)
     }
     assert got == expect
+
+
+def test_winnow_rolling_matches_python_reference(spark):
+    """The 'rolling' kernel (vectorized Rabin-Karp + splitmix64 over a
+    concatenated batch buffer) selects exactly the fingerprints a
+    straightforward per-document Python implementation of the same hash
+    selects — boundary cancellation, short-doc fallbacks and the
+    whole-text tier included."""
+    from pyspark.sql import Row
+
+    from gus_spark.operators.dedup import (
+        _ROLL_R,
+        winnow_fingerprints,
+    )
+
+    k, window = 5, 4
+    rows = [
+        Row(doc_id=1, text="AAA the quick brown fox jumps BBB"),
+        Row(doc_id=2, text="unicode héllo wörld ünïcode padding text"),
+        Row(doc_id=3, text="zz"),          # < k: whole-text hash
+        Row(doc_id=4, text="medium12"),    # k <= len < k+window-1
+        Row(doc_id=5, text="   "),         # trims to empty
+    ]
+
+    def splitmix(z):
+        m = (1 << 64) - 1
+        z ^= z >> 30
+        z = (z * 0xBF58476D1CE4E5B9) & m
+        z ^= z >> 27
+        z = (z * 0x94D049BB133111EB) & m
+        z ^= z >> 31
+        return z
+
+    def poly(bs):
+        h = 0
+        for ch in bs:
+            h = (h * _ROLL_R + ch) & ((1 << 64) - 1)
+        return splitmix(h)
+
+    def ref(text):
+        b = text.strip().encode("utf-8")
+        if len(b) < k:
+            return {poly(b) if b else splitmix(0)}
+        g = [poly(b[i:i + k]) for i in range(len(b) - k + 1)]
+        n_w = max(len(g) - window + 1, 1)
+        return {min(g[j:j + window]) for j in range(n_w)}
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    fp = winnow_fingerprints(
+        spark.createDataFrame(rows), k=k, window=window,
+        token_hash="rolling",
+    )
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    for row in rows:
+        expect = {signed(v) for v in ref(row.text)}
+        assert by_doc[row.doc_id] == expect, row.doc_id
+
+
+def test_winnow_rolling_partition_and_batch_invariant(spark, documents):
+    """Fingerprints are a pure per-document map: the batch-buffer
+    concatenation trick must not leak state across documents, so the
+    output set is identical however rows are grouped into partitions
+    (and hence Arrow batches)."""
+    from gus_spark.operators.dedup import winnow_fingerprints
+
+    one = {
+        (r.doc_id, r.fingerprint)
+        for r in winnow_fingerprints(
+            documents.coalesce(1), token_hash="rolling"
+        ).collect()
+    }
+    many = {
+        (r.doc_id, r.fingerprint)
+        for r in winnow_fingerprints(
+            documents.repartition(16), token_hash="rolling"
+        ).collect()
+    }
+    assert one == many and len(one) > 0
+
+
+def test_winnow_rolling_overlap_finds_near_dups(spark, documents, exact_pairs):
+    """The O(len) rolling kernel upholds the same match-step contract
+    as the JVM paths: every exact-Jaccard near-dup pair surfaces, and
+    candidates stay bounded by fingerprint collisions."""
+    from gus_spark.operators.dedup import winnow_overlap_pairs
+
+    pairs = winnow_overlap_pairs(documents, token_hash="rolling")
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got >= exact_pairs
+    assert len(got) < 100
