@@ -1,4 +1,8 @@
 from gus_spark.streaming.curation import curate_stream  # noqa: F401
+from gus_spark.streaming.stateful import (  # noqa: F401
+    per_key_quota_stream,
+    running_user_totals,
+)
 from gus_spark.streaming.neardup import neardup_stream  # noqa: F401
 from gus_spark.streaming.vectors import vector_index_stream  # noqa: F401
 from gus_spark.streaming.subscriptions import (  # noqa: F401

@@ -1,4 +1,4 @@
-"""Custom stateful streaming operator via applyInPandasWithState.
+"""Custom stateful streaming operators via applyInPandasWithState.
 
 Per-user running session state the built-in operators can't express:
 each user carries (event count, value sum, last event time) across
@@ -96,4 +96,66 @@ def running_user_totals(
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def per_key_quota_stream(
+    df: DataFrame,
+    key_col: str = "user_id",
+    quota: int = 100,
+    reset_ms: int | None = None,
+) -> DataFrame:
+    """Streaming per-key admission quota: pass rows through until a key
+    has emitted ``quota`` rows, then drop the rest — the per-source cap
+    a training-data pipeline applies so no domain/feed over-contributes
+    to a corpus (C4/Pile-style source balancing), expressed as a
+    streaming operator instead of a post-hoc groupBy.
+
+    No built-in streaming operator can express this: it needs a running
+    per-key count that both GATES and passes through rows. State is one
+    long per key; with ``reset_ms`` the counter state times out and the
+    quota re-opens — a rolling rate limit instead of a lifetime cap.
+    Admission is first-come in arrival order, the contract a quota
+    wants; output preserves the input schema.
+
+    Scale shape: the only shuffle is the groupBy on ``key_col``; each
+    executor holds one long per key in its range, so state partitions
+    horizontally and an over-quota key costs O(batch rows), never
+    O(history).
+
+    (Implementation note: written against the v1 arbitrary-state API
+    — applyInPandasWithState — because the v2 successor,
+    transformWithStateInPandas, needs the protobuf package at runtime,
+    which this environment does not ship. The operator contract is
+    API-version-independent.)
+    """
+    out_schema = df.schema
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if reset_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+    def _gate(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()  # quota window expired: re-open
+            return
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdf_iter:
+            if n >= quota:
+                continue  # keep draining the iterator
+            take = min(len(pdf), quota - n)
+            if take:
+                n += take
+                yield pdf.iloc[:take]
+        state.update((n,))
+        if reset_ms is not None:
+            state.setTimeoutDuration(reset_ms)
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        _gate,
+        outputStructType=out_schema,
+        stateStructType=StructType([StructField("n", LongType())]),
+        outputMode="append",
+        timeoutConf=timeout,
     )

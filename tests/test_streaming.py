@@ -323,3 +323,53 @@ def test_stream_stream_attribution_matches_batch(spark, events_stream):
     }
     assert len(want) > 0  # the corpus genuinely exercises the join
     assert got == want
+
+
+def test_quota_gate_caps_per_key(spark):
+    """per_key_quota_stream admits at most `quota` rows per key across
+    ALL micro-batches (state carries the count), passes rows through
+    unmodified, and under-quota keys keep every row. One file per
+    trigger forces multi-batch accumulation — the state, not the
+    batch, must enforce the cap."""
+    from gus_spark.streaming import (
+        per_key_quota_stream,
+        run_to_memory,
+        stream_events,
+    )
+
+    sf_small = "/root/testdata/sf0.001"
+    quota = 5
+    run_to_memory(
+        per_key_quota_stream(
+            stream_events(spark, sf_small), key_col="user_id", quota=quota
+        ),
+        "quota_out",
+    )
+    got = {
+        r.user_id: r.n
+        for r in spark.sql(
+            "SELECT user_id, COUNT(*) AS n FROM quota_out GROUP BY 1"
+        ).collect()
+    }
+    expected = {
+        r.user_id: min(r.n, quota)
+        for r in table(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
+    # pass-through integrity: every emitted row is a real event row
+    emitted = {
+        (r.user_id, r.event_id)
+        for r in spark.sql(
+            "SELECT user_id, event_id FROM quota_out"
+        ).collect()
+    }
+    real = {
+        (r.user_id, r.event_id)
+        for r in table(spark, sf_small, "events")
+        .select("user_id", "event_id")
+        .collect()
+    }
+    assert emitted <= real and len(emitted) == sum(got.values())
