@@ -211,6 +211,89 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    # Oracle: exact-Jaccard pairs (the same ground truth the LSH tier
+    # hash-matches) fed to a recursive reachability CTE; each node's
+    # cluster representative is the minimum doc_id it can reach —
+    # exactly what the large-star/small-star operator converges to.
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) >= 3
+               THEN list_transform(range(1, len(ws)-1),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+               ELSE ws END) AS ss
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(LENGTH(list_intersect(a.ss, b.ss)) AS DOUBLE)
+              / (LENGTH(a.ss) + LENGTH(b.ss)
+                 - LENGTH(list_intersect(a.ss, b.ss))) >= {JACCARD_THRESHOLD}
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(n, m) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+    ), lab AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.m), d.doc_id)) AS cluster_rep
+      FROM documents d LEFT JOIN reach r ON r.n = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT l.doc_id, l.cluster_rep, s.cluster_size,
+           l.doc_id = l.cluster_rep AS keep
+    FROM lab l
+    JOIN (SELECT cluster_rep, COUNT(*) AS cluster_size
+          FROM lab GROUP BY cluster_rep) s
+      ON l.cluster_rep = s.cluster_rep
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: the MinHash+LSH pair graph resolved to
+    connected components (alternating large-star/small-star — see
+    operators/graph.py) and every document assigned (cluster_rep,
+    cluster_size, keep). This is the step that turns pairwise dedup
+    output into an actionable keep/drop decision: pipelines keep
+    ``keep = true`` rows, which retains exactly one representative (the
+    minimum doc_id — deterministic) per duplicate cluster and every
+    singleton. Pairs come from the LSH tier (oracle-grade per the 5e-8
+    escape argument); the oracle recomputes clusters from the exact
+    O(n²) ground truth with a recursive reachability CTE."""
+    from gus_spark.operators.dedup import minhash_lsh_pairs
+    from gus_spark.operators.graph import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, id_col="doc_id", text_col="text",
+        threshold=JACCARD_THRESHOLD, ngram=3,
+    )
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    lab = (
+        d.select("doc_id")
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_rep"),
+        )
+    )
+    sizes = lab.groupBy("cluster_rep").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return lab.join(sizes, "cluster_rep").select(
+        "doc_id",
+        "cluster_rep",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_rep")).alias("keep"),
+    )
+
+
+@register(
     "dedup_simhash",
     # Full SQL mirror of the simhash computation with the portable md5
     # token hash: 3-gram shingles -> 60-bit hash per shingle (first 15

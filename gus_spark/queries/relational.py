@@ -643,11 +643,15 @@ def topk_expensive_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_orders_analytics",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, rn,
-           running_revenue
+           rnk, drnk, running_revenue
     FROM (
       SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC) AS drnk,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                   OVER (PARTITION BY o_custkey
                         ORDER BY o_orderdate, o_orderkey
@@ -658,16 +662,19 @@ def topk_expensive_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_orders_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two window specs over one shuffle key (merges the former
-    `window_top_orders_per_customer` + `window_running_revenue` probes):
-    grouped top-k via ROW_NUMBER and a cumulative decimal sum per
-    customer, then a filter on the window result. Both windows partition
-    by o_custkey, so Catalyst reuses a single hash exchange; decimal
-    accumulation keeps the running sum order-independent for the
-    oracle."""
+    """The ranking-function suite over one shuffle key (merges the
+    former `window_top_orders_per_customer` + `window_running_revenue`
+    + `window_rank_parts_by_price` probes): grouped top-k via
+    ROW_NUMBER, tie-aware RANK/DENSE_RANK (tie-stable, so no tiebreak
+    column needed), and a cumulative decimal sum per customer, then a
+    filter on the window result. All four windows partition by
+    o_custkey, so Catalyst reuses a single hash exchange (the rank
+    specs even share the row_number sort); decimal accumulation keeps
+    the running sum order-independent for the oracle."""
     w_rank = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
+    w_ties = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
     w_run = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -681,43 +688,14 @@ def window_orders_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate",
             "o_totalprice",
             F.row_number().over(w_rank).alias("rn"),
+            F.rank().over(w_ties).alias("rnk"),
+            F.dense_rank().over(w_ties).alias("drnk"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .over(w_run)
             .cast("double")
             .alias("running_revenue"),
         )
         .filter(F.col("rn") <= 3)
-    )
-
-
-@register(
-    "window_rank_parts_by_price",
-    oracle="""
-    SELECT p_brand, p_partkey, p_retailprice, rnk, drnk
-    FROM (
-      SELECT p_brand, p_partkey, p_retailprice,
-             RANK() OVER (PARTITION BY p_brand
-                          ORDER BY p_retailprice DESC) AS rnk,
-             DENSE_RANK() OVER (PARTITION BY p_brand
-                                ORDER BY p_retailprice DESC) AS drnk
-      FROM part
-    ) WHERE rnk <= 5
-    """,
-)
-def window_rank_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANK / DENSE_RANK with ties (rank functions are tie-stable, so no
-    tiebreak column is needed for determinism)."""
-    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
-    return (
-        table(spark, sf_dir, "part")
-        .select(
-            "p_brand",
-            "p_partkey",
-            "p_retailprice",
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-        )
-        .filter(F.col("rnk") <= 5)
     )
 
 
