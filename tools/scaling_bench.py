@@ -47,6 +47,7 @@ QUERIES = [
     "dedup_exact_representatives",
     "dedup_winnow_pairs",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "decontaminate_docs",
     "similarity_ann_lsh",
     "text_profile",
