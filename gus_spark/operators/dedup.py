@@ -72,23 +72,99 @@ def shingles(text: Column, n: int = 1) -> Column:
     return F.array_distinct(F.when(F.size(ws) >= n, grams).otherwise(ws))
 
 
+def _mh_perms_kernel():
+    """Arrow-vectorized 128-permutation min kernel: pandas_udf mapping a
+    per-doc x32 array column to the 128-long signature array, computing
+    EXACTLY (a_k*x + b_k) mod p in uint64 numpy — bit-identical to the
+    JVM expression formulation (asserted by tests), so persisted
+    MinHashIndex tables built by either engine interoperate and the
+    escape-probability math in queries/dedup.py is untouched.
+
+    Why it exists: `transform`/`array_min` are higher-order functions,
+    which Spark evaluates INTERPRETED (no whole-stage codegen) — the
+    128 permutation passes measured ~115 ns per multiply-add-mod at
+    sf0.1 (~3.8 s for 33M ops on 32 cores). The numpy kernel does the
+    same ops vectorized in ~0.5 s including the Arrow exchange.
+    Doc groups are chunked so the (128 × shingles) intermediate stays
+    ~128 MB regardless of Arrow batch size."""
+    import numpy as np
+    import pandas as pd
+
+    a = np.array(_PERM_A, dtype=np.uint64)
+    b = np.array(_PERM_B, dtype=np.uint64)
+    p = np.uint64(_MERSENNE_P)
+    chunk_shingles = 128 * 1024
+
+    @F.pandas_udf("array<long>")
+    def mh_perms(xs):
+        arrs = [
+            None if x is None else np.asarray(x, dtype=np.uint64) for x in xs
+        ]
+        out = [None] * len(arrs)
+        group: list[int] = []
+        pending = 0
+
+        def flush():
+            nonlocal pending
+            if not group:
+                return
+            idx = [i for i in group if arrs[i] is not None and len(arrs[i])]
+            if idx:
+                lens = np.array([len(arrs[i]) for i in idx], dtype=np.int64)
+                flat = np.concatenate([arrs[i] for i in idx])
+                m = flat[None, :] * a[:, None]
+                m += b[:, None]
+                m %= p
+                offs = np.zeros(len(idx), dtype=np.int64)
+                np.cumsum(lens[:-1], out=offs[1:])
+                res = np.minimum.reduceat(m, offs, axis=1)
+                for j, i in enumerate(idx):
+                    out[i] = res[:, j].astype(np.int64)
+            group.clear()
+            pending = 0
+
+        for i, arr in enumerate(arrs):
+            group.append(i)
+            pending += 0 if arr is None else len(arr)
+            if pending >= chunk_shingles:
+                flush()
+        flush()
+        return pd.Series(out)
+
+    return mh_perms
+
+
 def minhash_signature(
-    df: DataFrame, id_col: str, text_col: str, ngram: int = 1
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 1,
+    engine: str = "arrow",
 ) -> DataFrame:
     """(id, minhash_0..k-1): min over shingles of the k-th universal
     hash of the shingle's 32-bit base hash.
 
-    ZERO shuffles: the shingle array stays an array (no explode), each
-    string is hashed once into a per-doc x32 array, and every
-    permutation is an `array_min(transform(...))` over that
-    materialized column — all inside one whole-stage-codegen
-    projection. (The previous explode + groupBy(id) + 128-min-agg
-    formulation produced the same values but paid a 48×-row explode
-    and a hash-aggregate shuffle; measured ~35% slower at sf0.1.)
-    The x32 array is materialized as a column FIRST — referencing the
-    hash expression inside the 128 permutation lambdas would re-inline
-    and recompute the string hashing 128 times per doc.
+    ZERO shuffles in either engine: the shingle array stays an array
+    (no explode) and each string is xxhash64'd once into a per-doc x32
+    array column. ``engine`` picks how the 128 permutation mins are
+    computed from that column — the VALUES are bit-identical:
+
+    - ``'arrow'`` (default): one vectorized numpy pandas_udf
+      (`_mh_perms_kernel`) returning the signature array, unpacked to
+      mh_k columns by codegen'd `element_at`s. ~2.5× faster end-to-end
+      at sf0.1 (the HOF passes below are interpreted per element).
+    - ``'jvm'``: 128 × `array_min(transform(...))` — no Python worker
+      in the plan, for contexts where an all-JVM pipeline matters more
+      than the kernel speedup.
+
+    (An explode + groupBy(id) + 128-min-agg formulation was measured
+    ~35% slower than the jvm path and shuffles; both current engines
+    shuffle nothing.) The x32 array is materialized as a column FIRST —
+    referencing the hash expression inside the 128 permutation lambdas
+    would re-inline and recompute the string hashing 128 times per doc.
     """
+    if engine not in ("arrow", "jvm"):
+        raise ValueError(f"unknown engine {engine!r}")
     df = ensure_parallelism(df)
     # null-text guard on the RAW column, before xs exists (the explode
     # formulation dropped those docs implicitly). Filtering on
@@ -104,6 +180,15 @@ def minhash_signature(
             lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)),
         ).alias("xs"),
     )
+    if engine == "arrow":
+        mh = _mh_perms_kernel()
+        return xs_df.select(F.col(id_col), mh("xs").alias("_mh")).select(
+            F.col(id_col),
+            *[
+                F.element_at(F.col("_mh"), k + 1).alias(f"mh_{k}")
+                for k in range(NUM_PERMS)
+            ],
+        )
     return xs_df.select(
         F.col(id_col),
         *[

@@ -45,6 +45,34 @@ def test_minhash_lsh_finds_exact_pairs(spark, documents, exact_pairs):
         assert recall >= 0.9, f"LSH recall {recall}"
 
 
+def test_minhash_engines_bit_identical(spark, documents):
+    """The arrow numpy kernel and the jvm expression path must produce
+    bit-identical signatures — persisted MinHashIndex tables built by
+    either engine interoperate ONLY under exact equality (same meta,
+    no version bump), and the oracle's escape-probability math assumes
+    one fixed hash family. Includes null/empty-text edges."""
+    from gus_spark.operators.dedup import minhash_signature
+
+    edge = spark.createDataFrame(
+        [("e0", "x y z w"), ("e1", None), ("e2", ""), ("e3", "a")],
+        ["doc_id", "text"],
+    )
+    for frame in (documents.limit(50), edge):
+        a = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in minhash_signature(
+                frame, "doc_id", "text", ngram=3, engine="arrow"
+            ).collect()
+        }
+        j = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in minhash_signature(
+                frame, "doc_id", "text", ngram=3, engine="jvm"
+            ).collect()
+        }
+        assert a == j
+
+
 def test_simhash_signature_shape(spark, documents):
     sig = simhash_signatures(documents)
     rows = sig.collect()
