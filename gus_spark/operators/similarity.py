@@ -128,6 +128,68 @@ def probe_buckets(
     return F.concat(F.array(sig), flipped)
 
 
+def _sig_probe_kernel(planes: list[list[int]], nprobe: int):
+    """Arrow-vectorized signature + multi-probe kernel: mapInPandas over
+    (id, v) emitting one candidate row (home bucket, is_probe=false)
+    plus ``nprobe+1`` probe rows (home + lowest-|margin| bit flips) per
+    vector. All plane dot products for a batch are ONE numpy matmul —
+    the JVM formulation evaluates each 64-element `aggregate(zip_with)`
+    fold interpreted (higher-order functions don't codegen), measured
+    ~15 µs per dot; the matmul does the same work in microseconds per
+    batch and the margins/bit-packing are vectorized alongside.
+
+    Sign parity with the JVM expressions: float addition order differs
+    (sequential fold vs blocked matmul), so a dot within rounding error
+    of zero can land on the other side — bucket ASSIGNMENT may differ
+    for such borderline vectors between engines, which multi-probe is
+    designed to absorb (recall asserted in tests); within one engine
+    the kernel is deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    pm = np.array(planes, dtype=np.float64)  # (planes, dim)
+    n_planes = pm.shape[0]
+    n_flip = min(nprobe, n_planes)
+
+    def emit(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.stack(pdf["v"].to_numpy())  # (n, dim)
+            ids = pdf["id"].to_numpy()
+            norms = np.sqrt(np.einsum("ij,ij->i", vm, vm))
+            dots = vm @ pm.T  # (n, planes)
+            bits = (dots > 0).astype(np.int64)
+            sig = (bits << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+            # lowest-|margin| planes first — stable ties on plane index
+            flip_idx = np.argsort(np.abs(dots), axis=1, kind="stable")[
+                :, :n_flip
+            ]
+            probe_sigs = np.concatenate(
+                [sig[:, None], sig[:, None] ^ (np.int64(1) << flip_idx)],
+                axis=1,
+            )  # (n, nprobe+1)
+            reps = n_flip + 2  # candidate row + home probe + flips
+            v_rep = pdf["v"].to_numpy().repeat(reps)
+            buckets = np.concatenate(
+                [sig[:, None], probe_sigs], axis=1
+            ).ravel()
+            is_probe = np.tile(
+                np.array([False] + [True] * (reps - 1)), len(ids)
+            )
+            yield pd.DataFrame(
+                {
+                    "id": ids.repeat(reps),
+                    "v": v_rep,
+                    "norm": norms.repeat(reps),
+                    "bucket": buckets,
+                    "is_probe": is_probe,
+                }
+            )
+
+    return emit
+
+
 def _grouped_topk_matmul(
     union_df: DataFrame,
     group_cols: list[str],
@@ -208,6 +270,7 @@ def ann_lsh_topk(
     num_planes: int | None = None,
     nprobe: int = 8,
     bucket_cap: int = 256,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k neighbors for every vector via multi-probe LSH.
     Output: (query_id, neighbor_id, cos_sim, rank).
@@ -219,11 +282,57 @@ def ann_lsh_topk(
     vectors still retrieve candidates; the candidate side is capped at
     ``bucket_cap`` rows per bucket (deterministic xxhash64 order) to
     bound skew. Within-probe pairs are ranked by exact cosine.
+
+    ``engine='arrow'`` (default) computes signatures/probes in one
+    numpy mapInPandas pass (`_sig_probe_kernel`) and caps candidates
+    with a running-count window whose hashpartitioning(bucket) is
+    REUSED by the scoring groupBy — one shuffle of the probe/candidate
+    rows total. ``engine='jvm'`` keeps the all-expression formulation
+    (interpreted HOF dot folds, two shuffles); same statistical
+    behavior, borderline-margin bucket assignments may differ (see
+    kernel docstring).
     """
+    if engine not in ("arrow", "jvm"):
+        raise ValueError(f"unknown engine {engine!r}")
     df = ensure_parallelism(df)
     if num_planes is None:
         num_planes = planes_for_corpus(df.count())
     planes = _plane_matrix(num_planes, DIM)
+
+    if engine == "arrow":
+        vin = df.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        union = vin.mapInPandas(
+            _sig_probe_kernel(planes, nprobe),
+            "id bigint, v array<double>, norm double, "
+            "bucket bigint, is_probe boolean",
+        )
+        # cap candidates per bucket WITHOUT a dedicated shuffle: order
+        # candidates first (is_probe false < true), running-count them,
+        # and let the scoring groupBy reuse this window's
+        # hashpartitioning(bucket) exchange
+        w_cap = Window.partitionBy("bucket").orderBy(
+            "is_probe", F.xxhash64("id"), "id"
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cand_rank = F.sum(
+            F.when(~F.col("is_probe"), 1).otherwise(0)
+        ).over(w_cap)
+        union = union.withColumn("_cr", cand_rank).filter(
+            F.col("is_probe") | (F.col("_cr") <= bucket_cap)
+        ).drop("_cr")
+        pairs = _grouped_topk_matmul(union, ["bucket"], k)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), "neighbor_id"
+        )
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id", "cos_sim",
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
 
     # norms once per VECTOR, not per candidate pair: with multi-probe a
     # vector appears in ~(nprobe+1) x bucket_cap pairs, so folding
