@@ -9,9 +9,11 @@ Scale design (the 100-TB path):
 - MinHash signatures are O(docs × shingles) map-side work with ZERO
   shuffles (per-doc array transforms, no explode/agg); the ONE shuffle
   in candidate generation is the band-bucket groupBy. Bucket keys are
-  uniform hashes -> no skew.
-- Candidate verification joins token sets back only for bucket-collided
-  pairs (tiny vs n²).
+  uniform hashes -> no skew. Tokens are hashed once per doc and every
+  downstream value (shingle mix, permutations, verification sets) is
+  integer math — no n-gram strings are materialized anywhere.
+- Candidate verification joins 61-bit shingle-hash sets back only for
+  bucket-collided pairs (tiny vs n²).
 - SimHash is one explode + two keyed aggregations; signatures are
   64-bit longs, so the dedup join is a cheap equi/band join.
 """
@@ -50,6 +52,14 @@ _MERSENNE_P = (1 << 61) - 1
 _rng = __import__("random").Random(0x6775735F)  # "gus_"
 _PERM_A = [_rng.randrange(1, 1 << 30) for _ in range(NUM_PERMS)]
 _PERM_B = [_rng.randrange(0, _MERSENNE_P) for _ in range(NUM_PERMS)]
+#: shingle-mix coefficients (v3 family): an n-gram shingle's hash is the
+#: polynomial (sum_i t_{j+i} * C_i) mod p over the 32-bit token hashes —
+#: pure integer math any engine reproduces exactly, instead of building
+#: the n-gram STRING and hashing it (string construction was ~80% of
+#: the signature stage at sf1). C_i < 2^28 keeps every term < 2^60 and
+#: a <=4-term sum < 2^62, inside signed 64-bit for ANSI-safe JVM eval.
+_MIX_MAX_N = 4
+_MIX_C = [_rng.randrange(1, 1 << 28) for _ in range(_MIX_MAX_N)]
 
 
 def tokenize(text: Column) -> Column:
@@ -72,33 +82,101 @@ def shingles(text: Column, n: int = 1) -> Column:
     return F.array_distinct(F.when(F.size(ws) >= n, grams).otherwise(ws))
 
 
-def _mh_perms_kernel():
-    """Arrow-vectorized 128-permutation min kernel: pandas_udf mapping a
-    per-doc x32 array column to the 128-long signature array, computing
-    EXACTLY (a_k*x + b_k) mod p in uint64 numpy — bit-identical to the
-    JVM expression formulation (asserted by tests), so persisted
-    MinHashIndex tables built by either engine interoperate and the
-    escape-probability math in queries/dedup.py is untouched.
+def token_hashes(text: Column) -> Column:
+    """32-bit xxhash64 per token — the one string→integer boundary of
+    the minhash pipeline (v3 family). Everything downstream (shingle
+    mixing, permutations, verification sets) is integer math."""
+    return F.transform(
+        tokenize(text),
+        lambda w: F.xxhash64(w).bitwiseAND(F.lit(0xFFFFFFFF)),
+    )
 
-    Why it exists: `transform`/`array_min` are higher-order functions,
-    which Spark evaluates INTERPRETED (no whole-stage codegen) — the
-    128 permutation passes measured ~115 ns per multiply-add-mod at
-    sf0.1 (~3.8 s for 33M ops on 32 cores). The numpy kernel does the
-    same ops vectorized in ~0.5 s including the Arrow exchange.
-    Doc groups are chunked so the (128 × shingles) intermediate stays
-    ~128 MB regardless of Arrow batch size."""
+
+def shingle_hashes(text: Column, n: int = 1) -> Column:
+    """Per-doc array of 61-bit n-gram shingle hashes (v3 family,
+    duplicates kept): hash each token once, then mix each n-window of
+    token hashes with the `_MIX_C` polynomial mod 2^61-1. Short docs
+    fall back to the raw token hashes, mirroring `shingles`.
+
+    Replaces hash-of-concatenated-n-gram-string: building the shingle
+    strings (concat_ws over element_ats, interpreted per element) was
+    ~4 s of the ~5 s signature stage at sf1; the integer mix over the
+    token-hash array is ~1 s and engine-portable (the same polynomial
+    is computable in numpy, JVM expressions, or an external oracle).
+
+    Collision regime: 61-bit values, so a corpus needs ~2^30 distinct
+    shingles before birthday collisions appear; a verification pair
+    with ~100-shingle sets has a ~1e-14 chance of any cross-collision
+    perturbing its exact-Jaccard value (the banding escape probability,
+    5e-8, dominates every correctness argument by six orders)."""
+    if n > _MIX_MAX_N:
+        raise ValueError(f"ngram {n} exceeds mix support {_MIX_MAX_N}")
+    th = token_hashes(text)
+    if n == 1:
+        return th
+    mixed = F.transform(
+        F.sequence(F.lit(0), F.size(th) - n),
+        lambda j: sum(
+            (
+                F.element_at(th, (j + i + 1).cast("int")) * F.lit(_MIX_C[i])
+                for i in range(1, n)
+            ),
+            start=F.element_at(th, (j + 1).cast("int")) * F.lit(_MIX_C[0]),
+        )
+        % F.lit(_MERSENNE_P),
+    )
+    return F.when(F.size(th) >= n, mixed).otherwise(th)
+
+
+def _mix_np(t, n: int):
+    """numpy twin of `shingle_hashes`' polynomial: uint64 token-hash
+    array -> 61-bit shingle-hash array, EXACTLY the values the JVM
+    expression computes (uint64 products < 2^60, <=4-term sums < 2^62,
+    mod exact). Short docs fall back to the raw token hashes."""
+    import numpy as np
+
+    if n == 1 or len(t) < n:
+        return t
+    m = len(t) - n + 1
+    acc = t[:m] * np.uint64(_MIX_C[0])
+    for i in range(1, n):
+        acc = acc + t[i : m + i] * np.uint64(_MIX_C[i])
+    return acc % np.uint64(_MERSENNE_P)
+
+
+def _mh_perms_kernel(ngram: int = 1):
+    """Arrow-vectorized signature kernel: pandas_udf mapping a per-doc
+    TOKEN-hash array to the 128-long minhash signature — shingle mixing
+    (`_mix_np`), 32-bit masking and all (a_k*x + b_k) mod p permutation
+    mins happen in uint64 numpy, bit-identical to the JVM expression
+    formulation (asserted by tests), so persisted MinHashIndex tables
+    built by either engine interoperate and the escape-probability math
+    in queries/dedup.py is untouched.
+
+    Why it exists: `transform`/`sequence`/`array_min` are higher-order
+    functions, which Spark evaluates INTERPRETED (no whole-stage
+    codegen) — both the n-gram construction and the 128 permutation
+    passes measured ~5 s EACH at sf1, for integer work numpy does in
+    well under a second. Only the per-token xxhash64 stays JVM-side
+    (the one string→integer boundary, ~0.3 s at sf1). Docs are chunked
+    so the (128 × shingles) intermediate stays ~128 MB regardless of
+    Arrow batch size."""
     import numpy as np
     import pandas as pd
 
     a = np.array(_PERM_A, dtype=np.uint64)
     b = np.array(_PERM_B, dtype=np.uint64)
     p = np.uint64(_MERSENNE_P)
+    mask32 = np.uint64(0xFFFFFFFF)
     chunk_shingles = 128 * 1024
 
     @F.pandas_udf("array<long>")
-    def mh_perms(xs):
+    def mh_perms(ths):
         arrs = [
-            None if x is None else np.asarray(x, dtype=np.uint64) for x in xs
+            None
+            if t is None
+            else _mix_np(np.asarray(t, dtype=np.uint64), ngram) & mask32
+            for t in ths
         ]
         out = [None] * len(arrs)
         group: list[int] = []
@@ -134,6 +212,45 @@ def _mh_perms_kernel():
     return mh_perms
 
 
+def _verify_sets_kernel(ngram: int = 1):
+    """Arrow twin of ``array_distinct(shingle_hashes(...))``: token-hash
+    array -> sorted DISTINCT 61-bit shingle-hash array (np.unique sorts;
+    element order is irrelevant to the set-intersection consumers, and
+    both engines produce the same SET — asserted by tests)."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("array<long>")
+    def verify_sets(ths):
+        return pd.Series(
+            [
+                None
+                if t is None
+                else np.unique(
+                    _mix_np(np.asarray(t, dtype=np.uint64), ngram)
+                ).astype(np.int64)
+                for t in ths
+            ]
+        )
+
+    return verify_sets
+
+
+def _shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, ngram: int, engine: str
+) -> DataFrame:
+    """(id, ts): distinct 61-bit shingle-hash sets for exact-Jaccard
+    verification, via the numpy kernel ('arrow') or the expression
+    formulation ('jvm') — same sets either way."""
+    if engine == "arrow":
+        vs = _verify_sets_kernel(ngram)
+        return df.select(F.col(id_col), vs(token_hashes(F.col(text_col))).alias("ts"))
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(shingle_hashes(F.col(text_col), ngram)).alias("ts"),
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,
@@ -142,53 +259,65 @@ def minhash_signature(
     engine: str = "arrow",
 ) -> DataFrame:
     """(id, minhash_0..k-1): min over shingles of the k-th universal
-    hash of the shingle's 32-bit base hash.
+    hash of the shingle's 32-bit basis (low bits of its v3 mix hash).
 
-    ZERO shuffles in either engine: the shingle array stays an array
-    (no explode) and each string is xxhash64'd once into a per-doc x32
-    array column. ``engine`` picks how the 128 permutation mins are
-    computed from that column — the VALUES are bit-identical:
+    ZERO shuffles in either engine: tokens are xxhash64'd once per doc
+    (`token_hashes`), n-gram shingle hashes are the integer `_MIX_C`
+    polynomial over that array (`shingle_hashes` — no shingle STRINGS
+    are ever built; string construction was ~80% of this stage at sf1),
+    and signatures never explode. Duplicate shingles are NOT removed:
+    min over a multiset equals min over its set, so the array_distinct
+    the verification sets need would be pure cost here. ``engine``
+    picks how the 128 permutation mins are computed — the VALUES are
+    bit-identical:
 
     - ``'arrow'`` (default): one vectorized numpy pandas_udf
-      (`_mh_perms_kernel`) returning the signature array, unpacked to
-      mh_k columns by codegen'd `element_at`s. ~2.5× faster end-to-end
-      at sf0.1 (the HOF passes below are interpreted per element).
-    - ``'jvm'``: 128 × `array_min(transform(...))` — no Python worker
-      in the plan, for contexts where an all-JVM pipeline matters more
-      than the kernel speedup.
+      (`_mh_perms_kernel`) fed the token-hash array, returning the
+      signature array, unpacked to mh_k columns by codegen'd
+      `element_at`s. ~2.5× faster end-to-end at sf0.1 and ~4× on the
+      signature stage at sf1 (the HOF passes are interpreted per
+      element).
+    - ``'jvm'``: expression `shingle_hashes` + 128 ×
+      `array_min(transform(...))` — no Python worker in the plan, for
+      contexts where an all-JVM pipeline matters more than the kernel
+      speedup.
 
     (An explode + groupBy(id) + 128-min-agg formulation was measured
     ~35% slower than the jvm path and shuffles; both current engines
-    shuffle nothing.) The x32 array is materialized as a column FIRST —
-    referencing the hash expression inside the 128 permutation lambdas
-    would re-inline and recompute the string hashing 128 times per doc.
+    shuffle nothing.) The hash arrays are materialized as columns FIRST
+    — referencing the hash expression inside the permutation lambdas
+    would re-inline and recompute the token hashing 128 times per doc.
     """
     if engine not in ("arrow", "jvm"):
         raise ValueError(f"unknown engine {engine!r}")
     df = ensure_parallelism(df)
-    # null-text guard on the RAW column, before xs exists (the explode
-    # formulation dropped those docs implicitly). Filtering on
-    # isNotNull(xs) instead would push the predicate through the xs
-    # projection and duplicate the whole shingle-hashing expression
-    # into the filter — measured 6.5x slower.
-    xs_df = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.transform(
-            shingles(F.col(text_col), ngram),
-            # 32-bit base: bitwise AND keeps it non-negative and bounds
-            # the universal-hash intermediates in signed 64-bit (ANSI)
-            lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)),
-        ).alias("xs"),
-    )
+    # null-text guard on the RAW column, before the hash column exists
+    # (the explode formulation dropped those docs implicitly).
+    # Filtering on isNotNull(hashes) instead would push the predicate
+    # through the projection and duplicate the whole token-hashing
+    # expression into the filter — measured 6.5x slower.
+    live = df.filter(F.col(text_col).isNotNull())
     if engine == "arrow":
-        mh = _mh_perms_kernel()
-        return xs_df.select(F.col(id_col), mh("xs").alias("_mh")).select(
+        mh = _mh_perms_kernel(ngram)
+        th_df = live.select(
+            F.col(id_col), token_hashes(F.col(text_col)).alias("th")
+        )
+        return th_df.select(F.col(id_col), mh("th").alias("_mh")).select(
             F.col(id_col),
             *[
                 F.element_at(F.col("_mh"), k + 1).alias(f"mh_{k}")
                 for k in range(NUM_PERMS)
             ],
         )
+    xs_df = live.select(
+        F.col(id_col),
+        F.transform(
+            shingle_hashes(F.col(text_col), ngram),
+            # 32-bit basis: bitwise AND keeps it non-negative and bounds
+            # the universal-hash intermediates in signed 64-bit (ANSI)
+            lambda m: m.bitwiseAND(F.lit(0xFFFFFFFF)),
+        ).alias("xs"),
+    )
     return xs_df.select(
         F.col(id_col),
         *[
@@ -210,6 +339,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     ngram: int = 1,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a, id_b, jaccard) with exact-Jaccard
     verification of LSH candidates.
@@ -219,17 +349,25 @@ def minhash_lsh_pairs(
     pairs are verified.
     """
     df = ensure_parallelism(df)  # both branches (signature + verify) share it
-    sig = minhash_signature(df, id_col, text_col, ngram)
+    sig = minhash_signature(df, id_col, text_col, ngram, engine=engine)
     bands = _band_rows(sig, id_col)
     candidates = _bucket_pairs(bands, id_col)
 
-    # verification uses the same shingle unit as candidate generation.
+    # verification uses the same shingle unit as candidate generation,
+    # as SETS of the 61-bit shingle hashes: |∩|/|∪| over the hash sets
+    # equals the string-shingle Jaccard unless two distinct shingles of
+    # a verified pair collide in 61 bits (~1e-14 per pair — see
+    # shingle_hashes; the banding escape probability dominates by six
+    # orders), and skips rebuilding the n-gram strings a second time.
     # (A semi-join prune of toks to collided ids was tried and reverted:
     # it duplicates the signature/banding lineage into the prune branch,
-    # which costs more than shingling the corpus. The incremental path —
+    # which costs more than hashing the corpus. The incremental path —
     # MinHashIndex.add_and_find — materializes candidates durably and
     # verifies only collided ids, which is the scale answer.)
-    toks = df.select(F.col(id_col), shingles(F.col(text_col), ngram).alias("ts"))
+    toks = _shingle_sets(
+        df.filter(F.col(text_col).isNotNull()),
+        id_col, text_col, ngram, engine,
+    )
     ta, tb = toks.alias("ta"), toks.alias("tb")
     inter = F.size(F.array_intersect(F.col("ta.ts"), F.col("tb.ts")))
     union = F.size(F.col("ta.ts")) + F.size(F.col("tb.ts")) - inter
@@ -286,10 +424,10 @@ class MinHashIndex:
             "ngram": ngram,
             "threshold": threshold,
             # signature scheme version: bands from different hash
-            # families never collide correctly, so an index built
-            # before the universal-hash signatures must reject loudly
-            # (its meta lacks this key -> the equality check fails)
-            "hash": "x32-affine-mersenne61-v2",
+            # families never collide correctly (and v3 shingle tables
+            # store hash sets, not strings), so an index built under an
+            # older family must reject loudly on the equality check
+            "hash": "tokmix-affine-mersenne61-v3",
         }
         if os.path.exists(meta_path):
             with open(meta_path, encoding="utf-8") as fh:
@@ -372,9 +510,12 @@ class MinHashIndex:
         key = batch_key if batch_key is not None else uuid.uuid4().hex
         sig = minhash_signature(batch, id_col, self.text_col, self.ngram)
         new_bands = _band_rows(sig, id_col)
-        new_shingles = batch.select(
-            F.col(id_col),
-            shingles(F.col(self.text_col), self.ngram).alias("ts"),
+        # persisted verification sets are the 61-bit shingle hashes
+        # (v3): integer sets join/intersect cheaper than the n-gram
+        # strings and the Jaccard value is identical (shingle_hashes)
+        new_shingles = _shingle_sets(
+            batch.filter(F.col(self.text_col).isNotNull()),
+            id_col, self.text_col, self.ngram, "arrow",
         )
         corpus_bands = self._read_or_none(self._bands_path(), exclude_key=key)
         corpus_shingles = self._read_or_none(

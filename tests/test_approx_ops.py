@@ -73,6 +73,24 @@ def test_minhash_engines_bit_identical(spark, documents):
         assert a == j
 
 
+def test_shingle_set_engines_same_sets(spark, documents):
+    """Verification shingle-hash SETS must agree between the numpy
+    kernel and the expression path (element order may differ —
+    np.unique sorts; set intersection consumers don't care)."""
+    from gus_spark.operators.dedup import _shingle_sets
+
+    frame = documents.limit(50)
+    a = {
+        r["doc_id"]: sorted(r["ts"])
+        for r in _shingle_sets(frame, "doc_id", "text", 3, "arrow").collect()
+    }
+    j = {
+        r["doc_id"]: sorted(r["ts"])
+        for r in _shingle_sets(frame, "doc_id", "text", 3, "jvm").collect()
+    }
+    assert a == j
+
+
 def test_simhash_signature_shape(spark, documents):
     sig = simhash_signatures(documents)
     rows = sig.collect()

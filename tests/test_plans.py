@@ -155,6 +155,29 @@ def test_ivf_kernel_keeps_explicit_salted_partitioning(spark):
     ), plan
 
 
+def test_ann_lsh_single_bucket_exchange(spark):
+    """The ANN LSH arrow path must shuffle the probe/candidate rows on
+    bucket exactly ONCE: the cap window's hashpartitioning(bucket) is
+    reused by the scoring groupBy. A second bucket exchange means the
+    running-count cap formulation regressed to the two-shuffle
+    cap-then-regroup shape — double the dominant shuffle at scale."""
+    import re
+
+    from gus_spark.operators.similarity import ann_lsh_topk
+    from gus_spark.queries import table
+
+    e = table(spark, SF_DIR, "embeddings")
+    df = ann_lsh_topk(e, k=5, num_planes=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bucket_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(bucket" in ln
+    ]
+    assert len(bucket_ex) == 1, plan
+    # and the signature/probe stage is the Arrow kernel, not HOF folds
+    assert "MapInPandas" in plan or "mapInPandas" in plan, plan
+
+
 def test_winnow_match_step_is_equi_join(spark):
     """The MOSS match step must be a hash/merge EQUI-join on the
     fingerprint key — a CartesianProduct or BroadcastNestedLoopJoin
