@@ -155,6 +155,14 @@ def _sig_probe_kernel(planes: list[list[int]], nprobe: int):
         for pdf in batches:
             if pdf.empty:
                 continue
+            # a null embedding can't be bucketed or matched — drop the
+            # row (the jvm path carries it as a null-bucket row that
+            # the scoring kernel would reject anyway)
+            live = pdf["v"].notna().to_numpy()
+            if not live.all():
+                pdf = pdf[live]
+                if pdf.empty:
+                    continue
             vm = np.stack(pdf["v"].to_numpy())  # (n, dim)
             ids = pdf["id"].to_numpy()
             norms = np.sqrt(np.einsum("ij,ij->i", vm, vm))
