@@ -12,7 +12,7 @@ Scale design (the 100-TB path):
   uniform hashes -> no skew. Tokens are hashed once per doc and every
   downstream value (shingle mix, permutations, verification sets) is
   integer math — no n-gram strings are materialized anywhere.
-- Candidate verification joins 61-bit shingle-hash sets back only for
+- Candidate verification joins 64-bit shingle-hash sets back only for
   bucket-collided pairs (tiny vs n²).
 - SimHash is one explode + two keyed aggregations; signatures are
   64-bit longs, so the dedup join is a cheap equi/band join.
@@ -52,14 +52,16 @@ _MERSENNE_P = (1 << 61) - 1
 _rng = __import__("random").Random(0x6775735F)  # "gus_"
 _PERM_A = [_rng.randrange(1, 1 << 30) for _ in range(NUM_PERMS)]
 _PERM_B = [_rng.randrange(0, _MERSENNE_P) for _ in range(NUM_PERMS)]
-#: shingle-mix coefficients (v3 family): an n-gram shingle's hash is the
-#: polynomial (sum_i t_{j+i} * C_i) mod p over the 32-bit token hashes —
-#: pure integer math any engine reproduces exactly, instead of building
-#: the n-gram STRING and hashing it (string construction was ~80% of
-#: the signature stage at sf1). C_i < 2^28 keeps every term < 2^60 and
-#: a <=4-term sum < 2^62, inside signed 64-bit for ANSI-safe JVM eval.
+#: shingle-combine rotations (v3 family): an n-gram shingle's hash is
+#: the XOR of per-position bit-rotations of the full 64-bit token
+#: hashes (position 0 unrotated) — pure bit math any engine reproduces
+#: exactly, instead of building the n-gram STRING and hashing it
+#: (string construction was ~80% of the signature stage at sf1).
+#: Distinct rotations make the combine position-sensitive; as a linear
+#: map over random 64-bit token hashes, distinct windows collide with
+#: probability 2^-64 (see shingle_hashes).
 _MIX_MAX_N = 4
-_MIX_C = [_rng.randrange(1, 1 << 28) for _ in range(_MIX_MAX_N)]
+_MIX_ROT = [0, 21, 42, 11]
 
 
 def tokenize(text: Column) -> Column:
@@ -83,65 +85,83 @@ def shingles(text: Column, n: int = 1) -> Column:
 
 
 def token_hashes(text: Column) -> Column:
-    """32-bit xxhash64 per token — the one string→integer boundary of
-    the minhash pipeline (v3 family). Everything downstream (shingle
-    mixing, permutations, verification sets) is integer math."""
-    return F.transform(
-        tokenize(text),
-        lambda w: F.xxhash64(w).bitwiseAND(F.lit(0xFFFFFFFF)),
-    )
+    """Full 64-bit xxhash64 per token — the one string→integer boundary
+    of the minhash pipeline (v3 family). Everything downstream (shingle
+    mixing, permutations, verification sets) is integer math. The full
+    width matters: verification-set exactness rests on 64-bit token
+    collisions being ~2^-64 events; masking here would cap the whole
+    family at the mask width (at 10^6 distinct tokens a 32-bit mask
+    already expects ~100 colliding token pairs — enough to fabricate a
+    false near-dup pair)."""
+    return F.transform(tokenize(text), lambda w: F.xxhash64(w))
 
 
 def shingle_hashes(text: Column, n: int = 1) -> Column:
-    """Per-doc array of 61-bit n-gram shingle hashes (v3 family,
-    duplicates kept): hash each token once, then mix each n-window of
-    token hashes with the `_MIX_C` polynomial mod 2^61-1. Short docs
+    """Per-doc array of 64-bit n-gram shingle hashes (v3 family,
+    duplicates kept): hash each token once, then combine each n-window
+    by XOR of per-position bit-rotations,
+    ``m_j = t_j ^ rot(t_{j+1}, 21) ^ rot(t_{j+2}, 42) ...`` —
+    position-dependent rotations keep (A,B,C) ≠ (C,B,A). Short docs
     fall back to the raw token hashes, mirroring `shingles`.
 
     Replaces hash-of-concatenated-n-gram-string: building the shingle
     strings (concat_ws over element_ats, interpreted per element) was
-    ~4 s of the ~5 s signature stage at sf1; the integer mix over the
-    token-hash array is ~1 s and engine-portable (the same polynomial
-    is computable in numpy, JVM expressions, or an external oracle).
+    ~4 s of the ~5 s signature stage at sf1; the rotate-xor combine
+    over the token-hash array is far cheaper and engine-portable (the
+    same bit ops are computable in numpy, JVM expressions, or an
+    external oracle; shifts/xor have no overflow semantics to trip
+    ANSI mode, unlike a multiply-based polynomial over 64-bit inputs).
 
-    Collision regime: 61-bit values, so a corpus needs ~2^30 distinct
-    shingles before birthday collisions appear; a verification pair
-    with ~100-shingle sets has a ~1e-14 chance of any cross-collision
-    perturbing its exact-Jaccard value (the banding escape probability,
-    5e-8, dominates every correctness argument by six orders)."""
+    Collision regime: the combine is a LINEAR map over the token-hash
+    bits, so two DISTINCT shingle windows collide iff their token
+    hashes satisfy one specific 64-bit linear relation — probability
+    2^-64 for xxhash64-distributed tokens, including windows that share
+    tokens (the relation then constrains the non-shared ones). A
+    verification pair with ~100-shingle sets therefore has ~10^4
+    cross-window chances at 2^-64 ≈ 5e-16 of any collision perturbing
+    its exact-Jaccard value — the banding escape probability (5e-8)
+    dominates every correctness argument by seven orders."""
     if n > _MIX_MAX_N:
         raise ValueError(f"ngram {n} exceeds mix support {_MIX_MAX_N}")
     th = token_hashes(text)
     if n == 1:
         return th
+
+    def _rot(c: Column, r: int) -> Column:
+        if r == 0:
+            return c
+        return F.shiftleft(c, r).bitwiseOR(F.shiftrightunsigned(c, 64 - r))
+
     mixed = F.transform(
         F.sequence(F.lit(0), F.size(th) - n),
-        lambda j: sum(
-            (
-                F.element_at(th, (j + i + 1).cast("int")) * F.lit(_MIX_C[i])
-                for i in range(1, n)
+        lambda j: __import__("functools").reduce(
+            lambda acc, i: acc.bitwiseXOR(
+                _rot(F.element_at(th, (j + i + 1).cast("int")), _MIX_ROT[i])
             ),
-            start=F.element_at(th, (j + 1).cast("int")) * F.lit(_MIX_C[0]),
-        )
-        % F.lit(_MERSENNE_P),
+            range(1, n),
+            F.element_at(th, (j + 1).cast("int")),
+        ),
     )
     return F.when(F.size(th) >= n, mixed).otherwise(th)
 
 
 def _mix_np(t, n: int):
-    """numpy twin of `shingle_hashes`' polynomial: uint64 token-hash
-    array -> 61-bit shingle-hash array, EXACTLY the values the JVM
-    expression computes (uint64 products < 2^60, <=4-term sums < 2^62,
-    mod exact). Short docs fall back to the raw token hashes."""
+    """numpy twin of `shingle_hashes`' rotate-xor combine: uint64
+    token-hash array -> 64-bit shingle-hash array, EXACTLY the values
+    the JVM expression computes (shifts/xor are bit-identical between
+    uint64 numpy and JVM longs). Short docs fall back to the raw
+    token hashes."""
     import numpy as np
 
     if n == 1 or len(t) < n:
         return t
     m = len(t) - n + 1
-    acc = t[:m] * np.uint64(_MIX_C[0])
+    acc = t[:m].copy()
     for i in range(1, n):
-        acc = acc + t[i : m + i] * np.uint64(_MIX_C[i])
-    return acc % np.uint64(_MERSENNE_P)
+        w = t[i : m + i]
+        r = _MIX_ROT[i]
+        acc ^= (w << np.uint64(r)) | (w >> np.uint64(64 - r))
+    return acc
 
 
 def _mh_perms_kernel(ngram: int = 1):
@@ -164,6 +184,10 @@ def _mh_perms_kernel(ngram: int = 1):
     import numpy as np
     import pandas as pd
 
+    if ngram > _MIX_MAX_N:  # driver-side, like the expression path —
+        # without this the error would surface as an opaque executor
+        # IndexError mid-job
+        raise ValueError(f"ngram {ngram} exceeds mix support {_MIX_MAX_N}")
     a = np.array(_PERM_A, dtype=np.uint64)
     b = np.array(_PERM_B, dtype=np.uint64)
     p = np.uint64(_MERSENNE_P)
@@ -214,11 +238,15 @@ def _mh_perms_kernel(ngram: int = 1):
 
 def _verify_sets_kernel(ngram: int = 1):
     """Arrow twin of ``array_distinct(shingle_hashes(...))``: token-hash
-    array -> sorted DISTINCT 61-bit shingle-hash array (np.unique sorts;
+    array -> sorted DISTINCT 64-bit shingle-hash array (np.unique sorts
+    in unsigned order;
     element order is irrelevant to the set-intersection consumers, and
     both engines produce the same SET — asserted by tests)."""
     import numpy as np
     import pandas as pd
+
+    if ngram > _MIX_MAX_N:  # driver-side, mirroring _mh_perms_kernel
+        raise ValueError(f"ngram {ngram} exceeds mix support {_MIX_MAX_N}")
 
     @F.pandas_udf("array<long>")
     def verify_sets(ths):
@@ -239,7 +267,7 @@ def _verify_sets_kernel(ngram: int = 1):
 def _shingle_sets(
     df: DataFrame, id_col: str, text_col: str, ngram: int, engine: str
 ) -> DataFrame:
-    """(id, ts): distinct 61-bit shingle-hash sets for exact-Jaccard
+    """(id, ts): distinct 64-bit shingle-hash sets for exact-Jaccard
     verification, via the numpy kernel ('arrow') or the expression
     formulation ('jvm') — same sets either way."""
     if engine == "arrow":
@@ -263,7 +291,7 @@ def minhash_signature(
 
     ZERO shuffles in either engine: tokens are xxhash64'd once per doc
     (`token_hashes`), n-gram shingle hashes are the integer `_MIX_C`
-    polynomial over that array (`shingle_hashes` — no shingle STRINGS
+    rotate-xor combine over that array (`shingle_hashes` — no shingle STRINGS
     are ever built; string construction was ~80% of this stage at sf1),
     and signatures never explode. Duplicate shingles are NOT removed:
     min over a multiset equals min over its set, so the array_distinct
@@ -354,11 +382,12 @@ def minhash_lsh_pairs(
     candidates = _bucket_pairs(bands, id_col)
 
     # verification uses the same shingle unit as candidate generation,
-    # as SETS of the 61-bit shingle hashes: |∩|/|∪| over the hash sets
+    # as SETS of the 64-bit shingle hashes: |∩|/|∪| over the hash sets
     # equals the string-shingle Jaccard unless two distinct shingles of
-    # a verified pair collide in 61 bits (~1e-14 per pair — see
-    # shingle_hashes; the banding escape probability dominates by six
-    # orders), and skips rebuilding the n-gram strings a second time.
+    # a verified pair satisfy the combine's 64-bit linear relation
+    # (~5e-16 per pair — see shingle_hashes; the banding escape
+    # probability dominates by seven orders), and skips rebuilding the
+    # n-gram strings a second time.
     # (A semi-join prune of toks to collided ids was tried and reverted:
     # it duplicates the signature/banding lineage into the prune branch,
     # which costs more than hashing the corpus. The incremental path —
@@ -427,7 +456,7 @@ class MinHashIndex:
             # families never collide correctly (and v3 shingle tables
             # store hash sets, not strings), so an index built under an
             # older family must reject loudly on the equality check
-            "hash": "tokmix-affine-mersenne61-v3",
+            "hash": "tokxor-affine-mersenne61-v3",
         }
         if os.path.exists(meta_path):
             with open(meta_path, encoding="utf-8") as fh:
@@ -510,7 +539,7 @@ class MinHashIndex:
         key = batch_key if batch_key is not None else uuid.uuid4().hex
         sig = minhash_signature(batch, id_col, self.text_col, self.ngram)
         new_bands = _band_rows(sig, id_col)
-        # persisted verification sets are the 61-bit shingle hashes
+        # persisted verification sets are the 64-bit shingle hashes
         # (v3): integer sets join/intersect cheaper than the n-gram
         # strings and the Jaccard value is identical (shingle_hashes)
         new_shingles = _shingle_sets(

@@ -156,8 +156,8 @@ def _sig_probe_kernel(planes: list[list[int]], nprobe: int):
             if pdf.empty:
                 continue
             # a null embedding can't be bucketed or matched — drop the
-            # row (the jvm path carries it as a null-bucket row that
-            # the scoring kernel would reject anyway)
+            # row (ann_lsh_topk also filters these upstream for both
+            # engines; this guard keeps the kernel total on direct use)
             live = pdf["v"].notna().to_numpy()
             if not live.all():
                 pdf = pdf[live]
@@ -302,7 +302,10 @@ def ann_lsh_topk(
     """
     if engine not in ("arrow", "jvm"):
         raise ValueError(f"unknown engine {engine!r}")
-    df = ensure_parallelism(df)
+    # null embeddings can't be bucketed or matched; dropped up front so
+    # both engines agree (unfiltered, the jvm path would feed a None
+    # vector to the scoring kernel's np.stack and fail the job)
+    df = ensure_parallelism(df).filter(F.col(vec_col).isNotNull())
     if num_planes is None:
         num_planes = planes_for_corpus(df.count())
     planes = _plane_matrix(num_planes, DIM)

@@ -172,12 +172,13 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constants (the escape formula treats them as independent; the
     # (a·x+b) mod p family is the standard min-wise approximation of
     # that), so on given data the result is deterministic. Verification
-    # computes the exact Jaccard over 61-bit shingle-HASH sets (v3
+    # computes the exact Jaccard over 64-bit shingle-HASH sets (v3
     # family, operators/dedup.py shingle_hashes): the value equals the
-    # string-shingle Jaccard this oracle computes unless two distinct
-    # shingles of a verified pair collide in 61 bits (~1e-14 per pair —
-    # six orders below the 5e-8 banding escape that already bounds the
-    # check). A hash mismatch here would mean the LSH tier actually
+    # string-shingle Jaccard this oracle computes unless the full
+    # 64-bit token hashes of two distinct shingles of a verified pair
+    # satisfy the rotate-xor combine's linear relation (~5e-16 per
+    # pair — seven orders below the 5e-8 banding escape that already
+    # bounds the check). A hash mismatch here would mean the LSH tier actually
     # dropped a true pair, which is exactly what the check should catch.
     oracle=f"""
     WITH toks AS (
