@@ -1,9 +1,12 @@
 """Approximate near-duplicate detection: MinHash+LSH and SimHash.
 
-Custom operators the reference lacks entirely, built as pure DataFrame
-compositions (no Python UDFs — shingling, hashing, banding and bucketing
-are all JVM-side column expressions), so they whole-stage-codegen and
-shuffle only on band-hash / signature keys.
+Custom operators the reference lacks entirely, built as DataFrame
+compositions that shuffle only on band-hash / signature keys. The
+per-doc integer math (shingle mixing, permutation mins, verification
+sets) runs by default in vectorized numpy Arrow kernels — Spark's
+higher-order functions evaluate interpreted, ~100 ns per scalar op —
+with bit-identical all-JVM expression twins behind ``engine='jvm'``;
+banding, bucketing and every join/agg stay JVM-side expressions.
 
 Scale design (the 100-TB path):
 - MinHash signatures are O(docs × shingles) map-side work with ZERO
@@ -19,6 +22,8 @@ Scale design (the 100-TB path):
 """
 
 from __future__ import annotations
+
+import functools
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -40,11 +45,12 @@ ROWS_PER_BAND = NUM_PERMS // NUM_BANDS
 SHINGLE_SIZE = 3
 
 # Universal-hash "permutations": h_k(x) = (a_k * x32 + b_k) mod p over
-# the 32-bit base hash of a shingle, p = 2^61-1 (the datasketch/Broder
-# construction). The string is xxhash64'd ONCE per exploded row and the
-# 128 permutations are integer multiply-add-mods — measured 26% faster
-# on the whole signature aggregation stage at sf1 than 128 independent
-# xxhash64(string) calls, identical banding math. Constants are fixed (seeded) so signatures are stable
+# the 32-bit permutation basis (low bits of the shingle's 64-bit
+# rotate-xor hash), p = 2^61-1 (the datasketch/Broder construction).
+# Each token is xxhash64'd ONCE per doc; the 128 permutations are
+# integer multiply-add-mods over the derived basis — identical banding
+# math to hashing each shingle string 128 times, at a fraction of the
+# hashing work. Constants are fixed (seeded) so signatures are stable
 # across sessions — persisted MinHashIndex tables depend on that.
 # Ranges keep every intermediate inside SIGNED 64-bit so the plan is
 # ANSI-mode-safe: a < 2^30, x32 < 2^32 -> a*x32 < 2^62; b < 2^61.
@@ -134,7 +140,7 @@ def shingle_hashes(text: Column, n: int = 1) -> Column:
 
     mixed = F.transform(
         F.sequence(F.lit(0), F.size(th) - n),
-        lambda j: __import__("functools").reduce(
+        lambda j: functools.reduce(
             lambda acc, i: acc.bitwiseXOR(
                 _rot(F.element_at(th, (j + i + 1).cast("int")), _MIX_ROT[i])
             ),
