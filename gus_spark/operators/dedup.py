@@ -77,15 +77,28 @@ def tokenize(text: Column) -> Column:
 def shingles(text: Column, n: int = 1) -> Column:
     """Distinct word n-gram shingles (n=1 -> token set); short docs fall
     back to tokens. The shingle unit must match the exact-Jaccard tier it
-    is validated against (unigrams for dedup_jaccard_pairs)."""
+    is validated against (unigrams for dedup_jaccard_pairs).
+
+    Built with zip_with over shifted slices: each array argument is
+    evaluated once per ROW. (The previous sequence+element_at
+    formulation re-evaluated the inline split PER ELEMENT ACCESS under
+    interpreted HOF eval — O(tokens²) on long documents; same class of
+    bug fixed in the minhash jvm path, see _mix_expr.) Trailing
+    zip_with null-padding is sliced off, so the gram list and its
+    order are identical to the old formulation."""
     ws = tokenize(text)
     if n == 1:
         return F.array_distinct(ws)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]
-        ),
+    grams = ws
+    for k in range(1, n):
+        shifted = F.slice(
+            ws, k + 1, F.greatest(F.size(ws) - k, F.lit(0))
+        )
+        grams = F.zip_with(
+            grams, shifted, lambda g, w: F.concat(g, F.lit(" "), w)
+        )
+    grams = F.slice(
+        grams, 1, F.greatest(F.size(ws) - n + 1, F.lit(0))
     )
     return F.array_distinct(F.when(F.size(ws) >= n, grams).otherwise(ws))
 
@@ -126,10 +139,24 @@ def shingle_hashes(text: Column, n: int = 1) -> Column:
     verification pair with ~100-shingle sets therefore has ~10^4
     cross-window chances at 2^-64 ≈ 5e-16 of any collision perturbing
     its exact-Jaccard value — the banding escape probability (5e-8)
-    dominates every correctness argument by seven orders."""
+    dominates every correctness argument by seven orders.
+
+    NOTE: this convenience composition inlines the token-hash transform
+    into every element_at of the combine, which interpreted HOF eval
+    re-evaluates PER ACCESS — O(len²) hashing on long documents. The
+    internal jvm paths materialize the token-hash array as a column
+    first and apply `_mix_expr` to the column reference (O(len));
+    prefer that two-step shape anywhere doc length is unbounded."""
+    return _mix_expr(token_hashes(text), n)
+
+
+def _mix_expr(th: Column, n: int) -> Column:
+    """Rotate-xor combine over a token-hash array column. ``th`` should
+    be a MATERIALIZED column reference (see shingle_hashes' note): a
+    column access is O(1) per element_at, an inline expression is
+    re-evaluated per access."""
     if n > _MIX_MAX_N:
         raise ValueError(f"ngram {n} exceeds mix support {_MIX_MAX_N}")
-    th = token_hashes(text)
     if n == 1:
         return th
 
@@ -279,9 +306,12 @@ def _shingle_sets(
     if engine == "arrow":
         vs = _verify_sets_kernel(ngram)
         return df.select(F.col(id_col), vs(token_hashes(F.col(text_col))).alias("ts"))
-    return df.select(
+    th_df = df.select(
+        F.col(id_col), token_hashes(F.col(text_col)).alias("th")
+    )
+    return th_df.select(
         F.col(id_col),
-        F.array_distinct(shingle_hashes(F.col(text_col), ngram)).alias("ts"),
+        F.array_distinct(_mix_expr(F.col("th"), ngram)).alias("ts"),
     )
 
 
@@ -344,9 +374,11 @@ def minhash_signature(
             ],
         )
     xs_df = live.select(
+        F.col(id_col), token_hashes(F.col(text_col)).alias("th")
+    ).select(
         F.col(id_col),
         F.transform(
-            shingle_hashes(F.col(text_col), ngram),
+            _mix_expr(F.col("th"), ngram),
             # 32-bit basis: bitwise AND keeps it non-negative and bounds
             # the universal-hash intermediates in signed 64-bit (ANSI)
             lambda m: m.bitwiseAND(F.lit(0xFFFFFFFF)),

@@ -73,6 +73,98 @@ def test_minhash_engines_bit_identical(spark, documents):
         assert a == j
 
 
+def test_minhash_engine_parity_on_randomized_texts(spark):
+    """Cross-engine parity on a seeded adversarial batch: unicode,
+    repeated tokens, exotic whitespace runs, token counts straddling
+    the ngram fallback (0..5 tokens), long docs. One frame, two jobs —
+    any arrow/jvm divergence (masking, rotation, fallback, dedup)
+    shows as a signature or set mismatch on some row."""
+    import random
+
+    from gus_spark.operators.dedup import _shingle_sets, minhash_signature
+
+    rng = random.Random(0xBEEF)
+    vocab = ["a", "bb", "œufs", "日本語", "x" * 50, "1.5", "-", "🦆"]
+    texts = ["", " ", "\t\n ", "solo", "a b", "a b c", "a a a a"]
+    for _ in range(150):
+        n = rng.randrange(0, 40)
+        sep = rng.choice([" ", "  ", "\t", " \n "])
+        texts.append(sep.join(rng.choice(vocab) for _ in range(n)))
+    frame = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for ngram in (1, 3):
+        a = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in minhash_signature(
+                frame, "doc_id", "text", ngram=ngram, engine="arrow"
+            ).collect()
+        }
+        j = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in minhash_signature(
+                frame, "doc_id", "text", ngram=ngram, engine="jvm"
+            ).collect()
+        }
+        assert a == j, f"signature divergence at ngram={ngram}"
+        sa = {
+            r["doc_id"]: sorted(r["ts"])
+            for r in _shingle_sets(
+                frame, "doc_id", "text", ngram, "arrow"
+            ).collect()
+        }
+        sj = {
+            r["doc_id"]: sorted(r["ts"])
+            for r in _shingle_sets(
+                frame, "doc_id", "text", ngram, "jvm"
+            ).collect()
+        }
+        assert sa == sj, f"verify-set divergence at ngram={ngram}"
+
+
+def test_minhash_kernel_chunked_flush_parity(spark):
+    """Force the signature kernel past its 128k-shingle chunk boundary
+    (long docs, several flushes inside one Arrow batch, including a
+    doc group that straddles a flush) and assert bit-parity with the
+    unchunked jvm expression path."""
+    import random
+
+    from gus_spark.operators.dedup import minhash_signature
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):
+        n = rng.choice([5, 6000, 9000])
+        rows.append((i, " ".join(f"w{rng.randrange(2000)}" for _ in range(n))))
+    frame = spark.createDataFrame(rows, "doc_id long, text string")
+    # drive the kernel DIRECTLY on one partition (minhash_signature's
+    # ensure_parallelism would re-spread the rows and shrink every
+    # batch below the chunk threshold): one Arrow batch of ~200k
+    # shingles forces several mid-batch flushes, including doc groups
+    # straddling a flush boundary
+    from pyspark.sql import functions as F2
+
+    from gus_spark.operators.dedup import _mh_perms_kernel, token_hashes
+
+    th = frame.coalesce(1).select(
+        "doc_id", token_hashes(F2.col("text")).alias("th")
+    )
+    mh = _mh_perms_kernel(3)
+    a = {
+        r["doc_id"]: tuple(r["_mh"])
+        for r in th.select("doc_id", mh("th").alias("_mh")).collect()
+    }
+    # jvm side is row-wise independent -> keep it parallel (a
+    # single-partition interpreted run would dominate the wall clock)
+    j = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in minhash_signature(
+            frame.repartition(32), "doc_id", "text", ngram=3, engine="jvm"
+        ).collect()
+    }
+    assert a == j
+
+
 def test_shingle_set_engines_same_sets(spark, documents):
     """Verification shingle-hash SETS must agree between the numpy
     kernel and the expression path (element order may differ —
