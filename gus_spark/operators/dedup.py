@@ -24,6 +24,7 @@ Scale design (the 100-TB path):
 from __future__ import annotations
 
 import functools
+import random as _random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -55,7 +56,7 @@ SHINGLE_SIZE = 3
 # Ranges keep every intermediate inside SIGNED 64-bit so the plan is
 # ANSI-mode-safe: a < 2^30, x32 < 2^32 -> a*x32 < 2^62; b < 2^61.
 _MERSENNE_P = (1 << 61) - 1
-_rng = __import__("random").Random(0x6775735F)  # "gus_"
+_rng = _random.Random(0x6775735F)  # "gus_"
 _PERM_A = [_rng.randrange(1, 1 << 30) for _ in range(NUM_PERMS)]
 _PERM_B = [_rng.randrange(0, _MERSENNE_P) for _ in range(NUM_PERMS)]
 #: shingle-combine rotations (v3 family): an n-gram shingle's hash is
@@ -85,22 +86,32 @@ def shingles(text: Column, n: int = 1) -> Column:
     interpreted HOF eval — O(tokens²) on long documents; same class of
     bug fixed in the minhash jvm path, see _mix_expr.) Trailing
     zip_with null-padding is sliced off, so the gram list and its
-    order are identical to the old formulation."""
-    ws = tokenize(text)
+    order are identical to the old formulation. The token array is
+    bound ONCE through a single-element transform lambda — the gram
+    construction references it ~2n+3 times, and as an inline split
+    expression each reference would re-tokenize the document."""
     if n == 1:
-        return F.array_distinct(ws)
-    grams = ws
-    for k in range(1, n):
-        shifted = F.slice(
-            ws, k + 1, F.greatest(F.size(ws) - k, F.lit(0))
+        return F.array_distinct(tokenize(text))
+
+    def grams_of(ws: Column) -> Column:
+        grams = ws
+        for k in range(1, n):
+            shifted = F.slice(
+                ws, k + 1, F.greatest(F.size(ws) - k, F.lit(0))
+            )
+            grams = F.zip_with(
+                grams, shifted, lambda g, w: F.concat(g, F.lit(" "), w)
+            )
+        grams = F.slice(
+            grams, 1, F.greatest(F.size(ws) - n + 1, F.lit(0))
         )
-        grams = F.zip_with(
-            grams, shifted, lambda g, w: F.concat(g, F.lit(" "), w)
+        return F.array_distinct(
+            F.when(F.size(ws) >= n, grams).otherwise(ws)
         )
-    grams = F.slice(
-        grams, 1, F.greatest(F.size(ws) - n + 1, F.lit(0))
+
+    return F.element_at(
+        F.transform(F.array(tokenize(text)), grams_of), 1
     )
-    return F.array_distinct(F.when(F.size(ws) >= n, grams).otherwise(ws))
 
 
 def token_hashes(text: Column) -> Column:
@@ -338,9 +349,9 @@ def minhash_signature(
     - ``'arrow'`` (default): one vectorized numpy pandas_udf
       (`_mh_perms_kernel`) fed the token-hash array, returning the
       signature array, unpacked to mh_k columns by codegen'd
-      `element_at`s. ~2.5× faster end-to-end at sf0.1 and ~4× on the
-      signature stage at sf1 (the HOF passes are interpreted per
-      element).
+      `element_at`s. Several times faster than the expression path on
+      the signature stage (HOF passes are interpreted per element; the
+      vectorized kernel pays only the Arrow exchange).
     - ``'jvm'``: expression `shingle_hashes` + 128 ×
       `array_min(transform(...))` — no Python worker in the plan, for
       contexts where an all-JVM pipeline matters more than the kernel
