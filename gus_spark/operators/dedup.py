@@ -66,9 +66,18 @@ _PERM_B = [_rng.randrange(0, _MERSENNE_P) for _ in range(NUM_PERMS)]
 #: (string construction was ~80% of the signature stage at sf1).
 #: Distinct rotations make the combine position-sensitive; as a linear
 #: map over random 64-bit token hashes, distinct windows collide with
-#: probability 2^-64 (see shingle_hashes).
-_MIX_MAX_N = 4
-_MIX_ROT = [0, 21, 42, 11]
+#: probability 2^-64 (see shingle_hashes). Any distinct rotations work;
+#: the first four are FROZEN (persisted MinHashIndex signatures depend
+#: on them), later entries extend the supported ngram range. n-grams
+#: beyond _MIX_MAX_N raise ValueError — extend this list to lift it.
+_MIX_ROT = [0, 21, 42, 11, 53, 27, 7, 36]
+_MIX_MAX_N = len(_MIX_ROT)
+
+#: flush-group cap for the Arrow signature kernel: bounds the
+#: (128 × shingles) permutation intermediate (~128 MB at the default).
+#: Module-level so tests can shrink it to exercise the oversized-doc
+#: chunked path cheaply.
+_CHUNK_SHINGLES = 128 * 1024
 
 
 def tokenize(text: Column) -> Column:
@@ -152,13 +161,19 @@ def shingle_hashes(text: Column, n: int = 1) -> Column:
     its exact-Jaccard value — the banding escape probability (5e-8)
     dominates every correctness argument by seven orders.
 
-    NOTE: this convenience composition inlines the token-hash transform
-    into every element_at of the combine, which interpreted HOF eval
-    re-evaluates PER ACCESS — O(len²) hashing on long documents. The
-    internal jvm paths materialize the token-hash array as a column
-    first and apply `_mix_expr` to the column reference (O(len));
-    prefer that two-step shape anywhere doc length is unbounded."""
-    return _mix_expr(token_hashes(text), n)
+    Supported n is bounded by the rotation table (``n <= _MIX_MAX_N``,
+    currently 8); larger n raises ValueError — extend ``_MIX_ROT`` with
+    any distinct rotations to lift the bound.
+
+    The token-hash array is bound ONCE through a single-element
+    transform lambda (the same trick as `shingles`): the combine
+    references it per element_at, and interpreted HOF eval re-runs an
+    INLINE expression per access — O(len²) hashing on long documents;
+    binding through the lambda variable makes each access O(1)."""
+    return F.element_at(
+        F.transform(F.array(token_hashes(text)), lambda th: _mix_expr(th, n)),
+        1,
+    )
 
 
 def _mix_expr(th: Column, n: int) -> Column:
@@ -222,9 +237,11 @@ def _mh_perms_kernel(ngram: int = 1):
     codegen) — both the n-gram construction and the 128 permutation
     passes measured ~5 s EACH at sf1, for integer work numpy does in
     well under a second. Only the per-token xxhash64 stays JVM-side
-    (the one string→integer boundary, ~0.3 s at sf1). Docs are chunked
-    so the (128 × shingles) intermediate stays ~128 MB regardless of
-    Arrow batch size."""
+    (the one string→integer boundary, ~0.3 s at sf1). Docs are grouped
+    into ≤chunk_shingles flushes, and a single doc larger than a chunk
+    is itself processed in chunked permutation passes (elementwise min
+    is associative), so the (128 × shingles) intermediate stays ~128 MB
+    regardless of Arrow batch size AND of the largest document."""
     import numpy as np
     import pandas as pd
 
@@ -236,7 +253,7 @@ def _mh_perms_kernel(ngram: int = 1):
     b = np.array(_PERM_B, dtype=np.uint64)
     p = np.uint64(_MERSENNE_P)
     mask32 = np.uint64(0xFFFFFFFF)
-    chunk_shingles = 128 * 1024
+    chunk_shingles = _CHUNK_SHINGLES
 
     @F.pandas_udf("array<long>")
     def mh_perms(ths):
@@ -249,6 +266,19 @@ def _mh_perms_kernel(ngram: int = 1):
         out = [None] * len(arrs)
         group: list[int] = []
         pending = 0
+
+        def sig_chunked(arr):
+            # One oversized doc: permutation mins over ≤chunk_shingles
+            # slices, combined by elementwise min (associative) — the
+            # (128 × shingles) intermediate never exceeds one chunk.
+            res = None
+            for s in range(0, len(arr), chunk_shingles):
+                m = arr[None, s : s + chunk_shingles] * a[:, None]
+                m += b[:, None]
+                m %= p
+                pm = m.min(axis=1)
+                res = pm if res is None else np.minimum(res, pm)
+            return res.astype(np.int64)
 
         def flush():
             nonlocal pending
@@ -270,6 +300,9 @@ def _mh_perms_kernel(ngram: int = 1):
             pending = 0
 
         for i, arr in enumerate(arrs):
+            if arr is not None and len(arr) > chunk_shingles:
+                out[i] = sig_chunked(arr)
+                continue
             group.append(i)
             pending += 0 if arr is None else len(arr)
             if pending >= chunk_shingles:
@@ -362,6 +395,10 @@ def minhash_signature(
     shuffle nothing.) The hash arrays are materialized as columns FIRST
     — referencing the hash expression inside the permutation lambdas
     would re-inline and recompute the token hashing 128 times per doc.
+
+    ``ngram`` is bounded by the integer-combine rotation table
+    (``ngram <= _MIX_MAX_N``, currently 8; ValueError beyond) — extend
+    ``_MIX_ROT`` with any distinct rotations to lift it.
     """
     if engine not in ("arrow", "jvm"):
         raise ValueError(f"unknown engine {engine!r}")
@@ -424,6 +461,10 @@ def minhash_lsh_pairs(
     candidate generation: band the k minhashes, hash each band, explode
     to (band_id, band_hash), self-join per bucket. Only bucket-collided
     pairs are verified.
+
+    ``ngram`` is bounded by the integer-combine rotation table
+    (``ngram <= _MIX_MAX_N``, currently 8; ValueError beyond) — extend
+    ``_MIX_ROT`` with any distinct rotations to lift it.
     """
     df = ensure_parallelism(df)  # both branches (signature + verify) share it
     sig = minhash_signature(df, id_col, text_col, ngram, engine=engine)

@@ -165,6 +165,107 @@ def test_minhash_kernel_chunked_flush_parity(spark):
     assert a == j
 
 
+def test_minhash_kernel_oversized_doc_chunked_parity(spark, monkeypatch):
+    """A single doc whose shingle array exceeds the kernel's flush chunk
+    takes the chunked single-doc path (partial permutation mins combined
+    by elementwise min); shrink the chunk constant so a ~300-token doc
+    exercises it, and assert bit-parity with the jvm expression path."""
+    import gus_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "_CHUNK_SHINGLES", 64)
+    rows = [
+        (0, " ".join(f"w{i % 97}" for i in range(300))),  # >> 64 shingles
+        (1, "small doc here"),
+        (2, " ".join(f"v{i}" for i in range(70))),  # just past the chunk
+    ]
+    frame = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in dd.minhash_signature(
+            frame, "doc_id", "text", ngram=3, engine="arrow"
+        ).collect()
+    }
+    j = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in dd.minhash_signature(
+            frame, "doc_id", "text", ngram=3, engine="jvm"
+        ).collect()
+    }
+    assert a == j
+
+
+def test_minhash_extended_ngram_range(spark):
+    """ngram 5..8 are served by the extended rotation table with full
+    arrow/jvm parity; beyond _MIX_MAX_N both engines raise ValueError
+    driver-side. The first four rotations stay frozen so persisted
+    ngram<=4 signatures are unchanged."""
+    import pytest as _pytest
+
+    from gus_spark.operators.dedup import _MIX_ROT, minhash_signature
+
+    assert _MIX_ROT[:4] == [0, 21, 42, 11]
+    assert len(set(_MIX_ROT)) == len(_MIX_ROT)
+    frame = spark.createDataFrame(
+        [(0, " ".join(f"t{i % 13}" for i in range(40))), (1, "a b c")],
+        "doc_id long, text string",
+    )
+    for ngram in (5, 8):
+        a = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in minhash_signature(
+                frame, "doc_id", "text", ngram=ngram, engine="arrow"
+            ).collect()
+        }
+        j = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in minhash_signature(
+                frame, "doc_id", "text", ngram=ngram, engine="jvm"
+            ).collect()
+        }
+        assert a == j, f"divergence at ngram={ngram}"
+    for engine in ("arrow", "jvm"):
+        with _pytest.raises(ValueError, match="mix support"):
+            minhash_signature(frame, "doc_id", "text", ngram=9, engine=engine)
+
+
+def test_shingle_hashes_public_path_matches_two_step(spark):
+    """The exported shingle_hashes() convenience must equal the internal
+    materialize-then-mix shape (it now binds the token-hash array once
+    through a transform lambda, closing the O(len^2) interpreted
+    re-evaluation trap for external callers)."""
+    from pyspark.sql import functions as F2
+
+    from gus_spark.operators.dedup import (
+        _mix_expr,
+        shingle_hashes,
+        token_hashes,
+    )
+
+    frame = spark.createDataFrame(
+        [
+            (0, " ".join(f"w{i % 31}" for i in range(200))),
+            (1, "a b"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    pub = {
+        r["doc_id"]: r["sh"]
+        for r in frame.select(
+            "doc_id", shingle_hashes(F2.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    two = {
+        r["doc_id"]: r["sh"]
+        for r in frame.select(
+            "doc_id", token_hashes(F2.col("text")).alias("th")
+        )
+        .select("doc_id", _mix_expr(F2.col("th"), 3).alias("sh"))
+        .collect()
+    }
+    assert pub == two
+
+
 def test_shingle_set_engines_same_sets(spark, documents):
     """Verification shingle-hash SETS must agree between the numpy
     kernel and the expression path (element order may differ —
