@@ -482,86 +482,244 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_part_lineitem_brand",
+    "q19_discounted_revenue",
     oracle=f"""
-    SELECT p.p_brand, COUNT(*) AS n_lines,
-           {sql_dsum('l.l_extendedprice')} AS revenue,
-           {sql_davg('l.l_quantity')} AS avg_qty
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE p.p_size >= 40
-    GROUP BY p.p_brand
+    SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
     """,
 )
-def join_part_lineitem_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact⋈dimension with dimension-side filter. part is row-scaled
-    (200k×SF — ~3 TB at sf100k), so the join carries no forced hint:
-    the size-based planner / AQE broadcasts the filtered slice when it
-    is actually small (test_star_joins proves it does at test scale),
-    and falls back to a shuffle join when it is not."""
-    li = table(spark, sf_dir, "lineitem")
-    p = table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (disjunctive predicates): fact⋈dimension where the
+    filter is an OR of cross-table conjunct groups, so no single
+    disjunct can be pushed whole to either scan (replaces the
+    plain dimension-filtered `join_part_lineitem_brand`, whose
+    fact⋈filtered-dimension shape this subsumes). The classic
+    optimization is applied explicitly: each table gets the IMPLIED
+    single-table envelope of the disjunction (part: the brand keyset +
+    size ≤ 15; lineitem: quantity ≤ 30) pushed to its scan, and the
+    residual OR runs as the join filter over the pre-shrunk sides.
+    part is row-scaled (200k×SF — ~3 TB at sf100k) so the join carries
+    no forced hint; AQE broadcasts the brand-filtered slice when it is
+    actually small. (The reference's shipmode/shipinstruct conjuncts
+    are dropped — those columns don't exist in the testdata — keeping
+    the brand/size/quantity disjunction structure intact.)"""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+        & F.col("p_size").between(1, 15)
+    )
+    disjunction = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .groupBy("p_brand")
+        li.join(p, (li.l_partkey == p.p_partkey) & disjunction)
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking): correlated EXISTS whose
+    predicate compares columns from BOTH relations (the lineitem
+    shipped >60 days after its order date — the testdata's analogue of
+    the reference's commitdate<receiptdate lateness test), planned as a
+    LEFT SEMI join with a mixed equi + inequality condition — no
+    fanout, no payload duplication (replaces the plain equi-semi-join
+    `semi_join_active_customers`, whose shape this subsumes). The date
+    range is pushed to the orders scan; both sides are row-scaled so
+    the semi join carries no hint — the filtered quarter of orders is
+    small, so AQE broadcasts it at runtime."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-07-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-10-01")))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle=f"""
+    SELECT CAST(c.c_nationkey AS BIGINT) AS cntrycode,
+           COUNT(*) AS numcust,
+           {sql_dsum('c.c_acctbal')} AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT {sql_davg('c2.c_acctbal')}
+                         FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): an UNCORRELATED scalar
+    subquery (global average positive account balance) gating customers,
+    composed with a NOT EXISTS anti join against recent orders
+    (customers idle since 1998 — the testdata keeps every customer
+    active over all time, so the reference's no-orders-in-7-years
+    window becomes a recency window; nationkey plays cntrycode's role,
+    c_phone not existing). Replaces the plain equi-anti-join
+    `anti_join_idle_customers`, whose shape this subsumes. Plan shape:
+    the scalar aggregate is ONE row, joined in as a broadcast
+    cross-join (bounded by construction — the one hint class always
+    allowed); the anti join runs on row-scaled sides unhinted, with the
+    date filter pushed to the orders scan so the anti side is a thin
+    recent slice, not all of orders. Threshold determinism: davg is an
+    exact decimal sum divided by count in double — identical bits on
+    both engines, so the strict > admits identical customers."""
+    c = table(spark, sf_dir, "customer")
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("1998-01-01")))
+        .select("o_custkey")
+    )
+    rich = c.join(F.broadcast(thr)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        idle.groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
         .agg(
-            F.count("*").alias("n_lines"),
-            dsum("l_extendedprice").alias("revenue"),
-            davg("l_quantity").alias("avg_qty"),
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
         )
     )
 
 
 @register(
-    "semi_join_active_customers",
+    "q21_suppliers_waiting",
     oracle="""
-    SELECT c_custkey, c_name FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey
-                    AND o.o_totalprice > 400000)
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_3'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
     """,
 )
-def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT SEMI join (EXISTS): no payload duplication, no fanout."""
-    c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name"
+def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): the sole-late-
+    supplier-on-a-multi-supplier-order shape — EXISTS another supplier
+    on the order, NOT EXISTS another LATE supplier ("late" = shipped
+    >60 days after order date, the testdata's lateness analogue; see
+    q4). The textbook formulation self-joins lineitem twice; at 100 TB
+    that is two extra fact shuffles, so the Spark plan computes the
+    per-order facts ONCE — distinct suppliers and distinct late
+    suppliers per order — and filters late lineitems against them:
+    EXISTS ⇔ n_supp > 1, NOT EXISTS ⇔ n_late_supp = 1 (the row's own
+    supplier is late, so it is the one). Both facts come from MIN/MAX
+    window aggregates over ONE l_orderkey partitioning — another
+    supplier exists ⇔ min(suppkey) ≠ max(suppkey); exactly one late
+    supplier ⇔ min(late suppkey) = max(late suppkey) (the row's own
+    supplier is in the late set, so the singleton is it). A
+    two-countDistinct groupBy would trigger Spark's Expand-based
+    multi-distinct rewrite (two extra fact exchanges, plan-asserted
+    against); the windows share one exchange with nothing else
+    shuffling on the fact but the final suppkey agg. Supplier is
+    row-scaled (unhinted); nation (25 rows, fixed) gates it via a
+    broadcast semi join. Replaces `outer_join_nation_counts` — its
+    outer-join-preserving-empty-groups shape stays covered by
+    q13_customer_distribution's ON-clause-filtered LEFT JOIN."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
     )
-
-
-@register(
-    "anti_join_idle_customers",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (NOT EXISTS) — the engine's internal dup-check and
-    delete primitive exposed as a query."""
-    c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
     )
-
-
-@register(
-    "outer_join_nation_counts",
-    oracle="""
-    SELECT n.n_name, COUNT(c.c_custkey) AS n_customers
-    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
-    GROUP BY n.n_name
-    """,
-)
-def outer_join_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER join preserving empty dimension rows."""
-    n = table(spark, sf_dir, "nation")
-    c = table(spark, sf_dir, "customer")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("is_late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    late_sk = F.when(F.col("is_late"), F.col("l_suppkey"))
+    waits = lo.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.min("l_suppkey").over(w).alias("min_sk"),
+        F.max("l_suppkey").over(w).alias("max_sk"),
+        F.min(late_sk).over(w).alias("min_late_sk"),
+        F.max(late_sk).over(w).alias("max_late_sk"),
+    ).filter(
+        F.col("is_late")
+        & (F.col("min_sk") != F.col("max_sk"))
+        & (F.col("min_late_sk") == F.col("max_late_sk"))
+    )
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
     return (
-        n.join(c, c.c_nationkey == n.n_nationkey, "left")
-        .groupBy("n_name")
-        .agg(F.count("c_custkey").alias("n_customers"))
+        waits.join(s, waits.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
     )
 
 

@@ -50,7 +50,7 @@ def test_point_lookup_pushes_equality(spark):
         "q3_shipping_priority",
         "q5_regional_revenue",
         "q10_returned_items",
-        "join_part_lineitem_brand",
+        "q19_discounted_revenue",
     ],
 )
 def test_star_joins_broadcast(spark, name):
@@ -83,7 +83,10 @@ ALLOWED_BROADCAST_HINTS = {
     "q17_small_quantity_revenue": 0, # part keyset + per-part agg row-scaled
     "q18_large_volume_customers": 1, # post-HAVING orderkey keyset only
     "scalar_function_suite": 0,      # AQE broadcasts the probe-filtered side
-    "join_part_lineitem_brand": 0,   # part row-scaled: no hint
+    "q19_discounted_revenue": 0,     # part row-scaled: no hint
+    "q4_order_priority": 0,          # orders+lineitem row-scaled: no hints
+    "q21_suppliers_waiting": 1,      # 25-row nation gate only
+    "q22_global_sales_opportunity": 1,  # the 1-row scalar aggregate only
 }
 
 
@@ -115,8 +118,24 @@ def test_topk_uses_take_ordered(spark):
 
 
 def test_semi_anti_join_operators(spark):
-    assert "LeftSemi" in plan_of(spark, "semi_join_active_customers")
-    assert "LeftAnti" in plan_of(spark, "anti_join_idle_customers")
+    # q4's EXISTS plans as a LEFT SEMI with a mixed equi+inequality
+    # condition; q22's NOT EXISTS as a LEFT ANTI
+    assert "LeftSemi" in plan_of(spark, "q4_order_priority")
+    assert "LeftAnti" in plan_of(spark, "q22_global_sales_opportunity")
+
+
+def test_q21_single_orderkey_exchange(spark):
+    """q21's per-order stats formulation must reuse ONE orderkey
+    exchange for the lineitem⋈orders join, the stats groupBy and the
+    stats join-back — the textbook double self-join would add two more
+    fact-table shuffles, which is the whole point of the rewrite."""
+    plan = plan_of(spark, "q21_suppliers_waiting", mode="simple")
+    orderkey_ex = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "l_orderkey" in ln
+    ]
+    assert len(orderkey_ex) <= 1, plan
 
 
 def test_curation_pipeline_fuses_to_one_exchange(spark):
