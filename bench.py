@@ -25,7 +25,7 @@ HEADLINE = [
     "q10_returned_items",
     "topk_expensive_lineitems",
     "window_orders_analytics",
-    "monthly_revenue_trend",
+    "repetition_profile",  # replaced monthly_revenue_trend (rotated out r6)
     "events_hourly_rollup",
     "events_sessionization",
     "dedup_exact_representatives",

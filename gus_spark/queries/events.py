@@ -166,28 +166,6 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_user_funnel",
-    oracle="""
-    SELECT user_id,
-           COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
-           COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
-           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
-           CASE WHEN COUNT(*) FILTER (WHERE event_type = 'view') > 0
-                 AND COUNT(*) FILTER (WHERE event_type = 'purchase') > 0
-                THEN 1 ELSE 0 END AS converted
-    FROM events
-    GROUP BY user_id
-    """,
-)
-def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user funnel counts (conditional aggregation)."""
-    e = table(spark, sf_dir, "events")
-    n_view = F.count(F.when(F.col("event_type") == "view", 1))
-    n_purchase = F.count(F.when(F.col("event_type") == "purchase", 1))
-    return e.groupBy("user_id").agg(
-        n_view.alias("n_view"),
-        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
-        n_purchase.alias("n_purchase"),
-        F.when((n_view > 0) & (n_purchase > 0), 1).otherwise(0).alias("converted"),
-    )
+# (events_user_funnel was rotated out: its FILTER-count conditional-agg
+# shape is covered by conditional_agg_pivot + null_semantics; the slot
+# went to text.redact_pii_documents.)

@@ -906,24 +906,6 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (string/math/date families live in one fused probe,
 #  advanced.scalar_function_suite; derived-key grouping below)
 # --------------------------------------------------------------------------
-@register(
-    "monthly_revenue_trend",
-    oracle=f"""
-    SELECT EXTRACT(year FROM o_orderdate) AS order_year,
-           EXTRACT(month FROM o_orderdate) AS order_month,
-           COUNT(*) AS n_orders,
-           {sql_dsum('o_totalprice')} AS revenue
-    FROM orders
-    GROUP BY 1, 2
-    """,
-)
-def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-bucketed aggregation (the hypertable-rollup shape)."""
-    o = table(spark, sf_dir, "orders")
-    return (
-        o.groupBy(
-            F.year("o_orderdate").cast("long").alias("order_year"),
-            F.month("o_orderdate").cast("long").alias("order_month"),
-        )
-        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
-    )
+# (monthly_revenue_trend was rotated out: its time-bucketed-agg shape
+# is covered by events_daily_from_hourly + q1; the slot went to
+# text.repetition_profile.)

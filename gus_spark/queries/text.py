@@ -195,3 +195,183 @@ def text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(text).alias("exact_fp"),
         F.md5(F.array_join(F.array_sort(tokens), " ")).alias("bow_fp"),
     )
+
+
+@register(
+    "repetition_profile",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL),
+    tok AS (SELECT doc_id, UNNEST(t) AS w FROM toks),
+    tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    tstats AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                      COUNT(*) AS n_unique_tokens,
+                      CAST(MAX(c) AS BIGINT) AS top_token_count
+               FROM tc GROUP BY 1),
+    bigs AS (SELECT doc_id,
+                    list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1]) AS b
+             FROM toks),
+    big AS (SELECT doc_id, UNNEST(b) AS g FROM bigs),
+    bc AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY 1, 2),
+    bstats AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                      COUNT(*) AS n_unique_bigrams,
+                      CAST(MAX(c) AS BIGINT) AS top_bigram_count
+               FROM bc GROUP BY 1)
+    SELECT t.doc_id, n_tokens, n_unique_tokens, top_token_count,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           COALESCE(n_unique_bigrams, 0) AS n_unique_bigrams,
+           COALESCE(top_bigram_count, 0) AS top_bigram_count,
+           CAST(n_tokens - n_unique_tokens AS DOUBLE) / n_tokens
+             AS dup_token_frac,
+           CAST(top_token_count AS DOUBLE) / n_tokens AS top_token_frac,
+           CASE WHEN COALESCE(n_bigrams, 0) > 0
+                THEN CAST(n_bigrams - n_unique_bigrams AS DOUBLE) / n_bigrams
+           END AS dup_bigram_frac,
+           CASE WHEN COALESCE(n_bigrams, 0) > 0
+                THEN CAST(top_bigram_count AS DOUBLE) / n_bigrams
+           END AS top_bigram_frac,
+           CASE WHEN CAST(n_tokens - n_unique_tokens AS DOUBLE) / n_tokens
+                       > 0.65
+                  OR (COALESCE(n_bigrams, 0) > 0 AND
+                      CAST(n_bigrams - n_unique_bigrams AS DOUBLE) / n_bigrams
+                        > 0.08)
+                THEN 1 ELSE 0 END AS is_repetitive
+    FROM tstats t LEFT JOIN bstats ON t.doc_id = bstats.doc_id
+    """,
+)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition gate (Rae et al. 2021,
+    §A1.1): duplicate-token fraction, most-common-token share, and the
+    bigram twins, with a composite is_repetitive flag at thresholds
+    that split this corpus non-trivially (~20% flagged). The counts
+    come from operators/repetition.py's zero-shuffle Arrow kernel —
+    tokens are xxhash64'd once JVM-side, bigram identities are the
+    dedup family's rotate-xor combine, np.unique does the multiset
+    counting per doc; no exploded token table is ever materialized.
+    The oracle recomputes every count from the token STRINGS
+    (UNNEST + two-level aggregation), so it independently checks the
+    whole hash-identity chain, not just the arithmetic. Fractions are
+    integer-count divisions in double — bit-identical across engines;
+    bigram fractions are NULL for sub-2-token docs in both. Replaces
+    `monthly_revenue_trend`, whose time-bucketed-agg shape stays
+    covered by events_daily_from_hourly + q1."""
+    from gus_spark.operators.repetition import repetition_metrics
+
+    m = repetition_metrics(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    dup_tok = (
+        (F.col("n_tokens") - F.col("n_unique_tokens")).cast("double")
+        / F.col("n_tokens")
+    )
+    has_big = F.col("n_bigrams") > 0
+    dup_big = F.when(
+        has_big,
+        (F.col("n_bigrams") - F.col("n_unique_bigrams")).cast("double")
+        / F.col("n_bigrams"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_unique_tokens",
+        "top_token_count",
+        "n_bigrams",
+        "n_unique_bigrams",
+        "top_bigram_count",
+        dup_tok.alias("dup_token_frac"),
+        (F.col("top_token_count").cast("double") / F.col("n_tokens")).alias(
+            "top_token_frac"
+        ),
+        dup_big.alias("dup_bigram_frac"),
+        F.when(
+            has_big,
+            F.col("top_bigram_count").cast("double") / F.col("n_bigrams"),
+        ).alias("top_bigram_frac"),
+        F.when(
+            (dup_tok > 0.65) | (has_big & (dup_big > 0.08)), 1
+        )
+        .otherwise(0)
+        .alias("is_repetitive"),
+    )
+
+
+def _redact_seed_sql() -> str:
+    """DuckDB twin of the deterministic PII seeding in
+    redact_pii_documents (kept adjacent so the two stay in lock-step)."""
+    return (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com via 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.0.7 call +15550'"
+        " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' id 123-45-6789' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' pay 4111 1111 1111 1111'"
+        " ELSE '' END"
+    )
+
+
+def _redact_oracle() -> str:
+    from gus_spark.operators.redact import (
+        PII_PATTERNS,
+        sql_hit_count,
+        sql_redact,
+    )
+
+    counts = ",\n           ".join(
+        f"{sql_hit_count('redacted', token)} AS n_{name}"
+        for name, _, token in PII_PATTERNS
+    )
+    return f"""
+    WITH seeded AS (
+      SELECT doc_id, {_redact_seed_sql()} AS text FROM documents
+    ),
+    red AS (SELECT doc_id, {sql_redact('text')} AS redacted FROM seeded)
+    SELECT doc_id, redacted,
+           {counts}
+    FROM red
+    """
+
+
+@register("redact_pii_documents", oracle=_redact_oracle())
+def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-tier PII scrubbing (operators/redact.py): emails, SSN /
+    card shapes, IPv4, phone numbers replaced with typed placeholders,
+    plus per-class scrub counts — the audit signal a curation report
+    needs. The synthetic corpus carries no organic PII, so the probe
+    SEEDS deterministic PII spans derived from doc_id (identically in
+    Spark and the oracle — both engines build, then scrub, the same
+    strings; every doc gets one email/IP/phone, every 3rd an SSN shape,
+    every 5th a card shape). The operator itself is a pure per-row
+    regex map — zero shuffles, whole-stage codegen, no Python — and the
+    oracle re-runs the same ordered pattern chain under RE2 with the
+    'g' flag, pinning the cross-engine regex-subset discipline the
+    operator documents. Replaces `events_user_funnel` (FILTER-count
+    conditional agg — covered by conditional_agg_pivot +
+    null_semantics)."""
+    from gus_spark.operators.redact import PII_PATTERNS, redact_pii
+
+    d = table(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    seeded_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        doc_id.cast("string"),
+        F.lit("@example.com via 10."),
+        (doc_id % 256).cast("string"),
+        F.lit(".0.7 call +15550"),
+        F.lpad((doc_id % 1000).cast("string"), 3, "0"),
+        F.when(doc_id % 3 == 0, F.lit(" id 123-45-6789")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            doc_id % 5 == 0, F.lit(" pay 4111 1111 1111 1111")
+        ).otherwise(F.lit("")),
+    )
+    seeded = d.select("doc_id", seeded_text.alias("text"))
+    out = redact_pii(seeded)
+    return out.select(
+        "doc_id",
+        F.col("text").alias("redacted"),
+        *[f"n_{name}" for name, _, _ in PII_PATTERNS],
+    )
