@@ -32,6 +32,11 @@ Codec reality in this environment, per media type:
   reads ISO BMFF boxes with the in-tree stdlib parser
   (``operators.mp4``) — duration, track count, video dimensions —
   the pre-decode triage pass; only frame DECODE needs ffmpeg.
+- **Animated GIF frames decode for REAL**: ``sample_frames`` runs the
+  in-tree stdlib GIF89a codec (``operators.gif`` — LZW, local/global
+  palettes, delays/transparency/disposal compositing), samples the
+  animation timeline and emits each sampled frame as a lossless RGB
+  PNG — the full decoded-frames-out contract without ffmpeg.
 - Other image formats and compressed audio/video codecs
   (webp/opencv/mp3/ffmpeg, progressive JPEG) are NOT available, so
   those paths are gated STUBS:
@@ -246,9 +251,17 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame.
 
-    The stub emits one fake frame per full second of declared duration,
+    Animated GIF buffers decode for REAL (operators.gif, pure stdlib):
+    frames are composited per the 89a animation model (delays,
+    transparency, disposal), the animation timeline is sampled at
+    ``every_ms`` intervals (the frame on screen at t = k·every_ms;
+    zero-duration/static GIFs contribute their first frame), and each
+    sampled frame ships as a lossless RGB PNG (operators.png) — the
+    same decoded-frames-out contract an ffmpeg-backed implementation
+    would have. Other containers (mp4/webm need ffmpeg) fall back to
+    the gated stub, which emits one fake frame per declared second by
     slicing bytes deterministically — the fan-out shape (1 video row ->
-    N frame rows via mapInPandas) is the real contract.
+    N frame rows via mapInPandas) is identical on every path.
     """
     df = ensure_parallelism(df)
     allow_fake = _fake_decode_allowed() if fake is None else fake
@@ -256,21 +269,59 @@ def sample_frames(
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from gus_spark.operators import gif, png
+
         for pdf in batches:
-            if not allow_fake:
-                raise NotImplementedError(
-                    "video decode requires ffmpeg — not available; set "
-                    "GUS_MULTIMODAL_FAKE_DECODE=1 for the stub"
-                )
             rows = {"media_id": [], "frame_index": [], "frame": []}
             for mid, content, meta in zip(
                 pdf["media_id"], pdf["content"], pdf["meta"]
             ):
+                content = bytes(content or b"")
+                if gif.is_gif(content):
+                    # same stage-survival contract as the image
+                    # kernels: unsupported GIF variants fall through to
+                    # the stub (or the loud gate), carrying the reason
+                    try:
+                        w, h, frames, delays = gif.decode_gif(content)
+                    except ValueError as e:
+                        if not allow_fake:
+                            raise NotImplementedError(
+                                f"media_id={mid}: GIF variant this "
+                                f"environment cannot decode ({e}); set "
+                                "GUS_MULTIMODAL_FAKE_DECODE=1 to stub "
+                                "undecodable buffers"
+                            ) from e
+                    else:
+                        if frames:
+                            total = sum(delays)
+                            starts = [
+                                sum(delays[:i]) for i in range(len(frames))
+                            ]
+                            n_samples = max(total // every_ms, 1)
+                            for k in range(n_samples):
+                                t = k * every_ms
+                                shown = max(
+                                    i for i, s in enumerate(starts)
+                                    if s <= t
+                                )
+                                rows["media_id"].append(mid)
+                                rows["frame_index"].append(k)
+                                rows["frame"].append(
+                                    png.encode_png(
+                                        w, h, frames[shown], channels=3
+                                    )
+                                )
+                        continue
+                elif not allow_fake:
+                    raise NotImplementedError(
+                        "non-GIF video decode requires ffmpeg — not "
+                        "available; set GUS_MULTIMODAL_FAKE_DECODE=1 "
+                        "for the stub (animated GIF decodes for real)"
+                    )
                 duration = (meta or {}).get("duration_ms")
                 # Arrow hands nullable ints to pandas as floats (NaN=null)
                 duration = 0 if duration is None or duration != duration \
                     else int(duration)
-                content = bytes(content or b"")
                 for i in range(max(duration // every_ms, 0)):
                     lo = (i * 16) % max(len(content), 1)
                     rows["media_id"].append(mid)

@@ -634,3 +634,153 @@ def test_jpeg_decodes_foreign_custom_tables():
     w, h, ch, pix = jpeg.decode_jpeg(data)
     assert (w, h, ch) == (8, 8, 1)
     assert np.frombuffer(pix, np.uint8).tolist() == [136] * 64
+
+
+def test_gif_codec_roundtrip_and_variants():
+    """Pure-codec contract: multi-frame round-trip with per-frame
+    delays; LZW width growth + table reset on a long low-entropy
+    stream; the documented rejects (interlace, disposal 3) are loud."""
+    import random
+
+    import pytest
+
+    from gus_spark.operators import gif
+
+    w, h = 13, 9
+    pal = bytes([250, 0, 0, 0, 250, 0, 0, 0, 250, 40, 40, 40])
+    frames = [bytes((i + f) % 4 for i in range(w * h)) for f in range(4)]
+    data = gif.encode_gif(w, h, pal, frames, [7, 0, 12, 3])
+    assert gif.is_gif(data)
+    rw, rh, rgb, delays = gif.decode_gif(data)
+    assert (rw, rh) == (w, h) and delays == [70, 0, 120, 30]
+    for f, frame in enumerate(rgb):
+        expect = b"".join(
+            pal[((i + f) % 4) * 3 : ((i + f) % 4) * 3 + 3]
+            for i in range(w * h)
+        )
+        assert frame == expect
+    # LZW stress straight through the codec: one big frame, small
+    # palette -> codes outgrow 12 bits and force a mid-stream clear
+    rng = random.Random(3)
+    big = bytes(rng.randrange(4) for _ in range(120 * 120))
+    d2 = gif.encode_gif(120, 120, pal, [big])
+    _, _, (only,), _ = gif.decode_gif(d2)
+    assert only == b"".join(pal[i * 3 : i * 3 + 3] for i in big)
+    # interlace flag set -> ValueError naming it
+    idx = d2.index(b"\x2c")
+    tampered = bytearray(d2)
+    tampered[idx + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        gif.decode_gif(bytes(tampered))
+    # disposal 3 in a graphic control -> ValueError
+    gce = data.index(b"\x21\xf9")
+    tampered = bytearray(data)
+    tampered[gce + 3] |= 0x0C  # disposal bits -> 3
+    with pytest.raises(ValueError, match="disposal"):
+        gif.decode_gif(bytes(tampered))
+
+
+def test_gif_decodes_foreign_local_palette_and_transparency():
+    """Hand-assembled GIF exercising what our encoder never writes —
+    a LOCAL color table, a transparent index, disposal 2, and a
+    sub-canvas frame placement — the generality real animations
+    require. Frame 2 paints a 1x1 patch at (1,1) with index 1 of its
+    LOCAL palette; its index 0 is declared transparent, so the rest of
+    the patch area keeps frame 1's pixels."""
+    import struct
+
+    from gus_spark.operators import gif
+
+    def lzw(min_code, idx):
+        return bytes([min_code]) + gif._sub_blocks(
+            gif._lzw_encode(min_code, idx)
+        )
+
+    w = h = 2
+    glob = bytes([10, 10, 10, 200, 200, 200])  # 2-entry global table
+    local = bytes([0, 0, 0, 99, 88, 77])
+    head = (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0x80 | 0, 0, 0])  # global table, 2 entries, bg=0
+        + glob
+    )
+    f1 = (
+        b"\x21\xf9\x04" + bytes([0x08 | 0x00]) + struct.pack("<H", 5)
+        + b"\x00\x00"  # disposal 2, no transparency, delay 5cs
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
+        + lzw(2, bytes([1, 0, 0, 1]))
+    )
+    f2 = (
+        b"\x21\xf9\x04" + bytes([0x04 | 0x01]) + struct.pack("<H", 0)
+        + b"\x00\x00"  # disposal 1, transparent idx 0
+        + b"\x2c" + struct.pack("<HHHH", 1, 1, 1, 1)
+        + bytes([0x80 | 0])  # LOCAL table, 2 entries
+        + local
+        + lzw(2, bytes([1]))
+    )
+    rw, rh, frames, delays = gif.decode_gif(head + f1 + f2 + b"\x3b")
+    assert (rw, rh) == (2, 2) and delays == [50, 0]
+    white, dark, paint = glob[3:6], glob[0:3], local[3:6]
+    assert frames[0] == white + dark + dark + white
+    # disposal 2 restored frame 1's region to bg (dark) BEFORE frame 2,
+    # whose only opaque pixel paints (1,1) from its local palette
+    assert frames[1] == dark * 3 + paint
+
+
+def test_sample_frames_real_gif_no_stub(spark, monkeypatch):
+    """End-to-end real video-path decode: an animated GIF through the
+    Arrow kernel WITHOUT the fake-decode flag — the sampled frames are
+    genuine PNG re-encodes of the composited animation frames at the
+    right timeline points."""
+    from pyspark.sql import Row
+
+    from gus_spark.operators import gif, png
+
+    monkeypatch.delenv("GUS_MULTIMODAL_FAKE_DECODE", raising=False)
+    w, h = 4, 3
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    frames = [bytes([f] * (w * h)) for f in range(3)]
+    # delays 500/500/2000 ms -> total 3000; every_ms=1000 samples
+    # t=0 (frame 0), t=1000 (frame 2), t=2000 (frame 2)
+    animated = gif.encode_gif(w, h, pal, frames, [50, 50, 200])
+    static = gif.encode_gif(w, h, pal, [frames[1]])
+    rows = [
+        Row(media_id=0, content=animated,
+            meta=Row(mime="image/gif", width=None, height=None,
+                     duration_ms=None, sample_rate=None)),
+        Row(media_id=1, content=static,
+            meta=Row(mime="image/gif", width=None, height=None,
+                     duration_ms=None, sample_rate=None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_frames(media, every_ms=1000, fake=False).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, {})[r.frame_index] = bytes(r.frame)
+    assert sorted(by_id[0]) == [0, 1, 2]
+    assert sorted(by_id[1]) == [0]  # static -> one sample
+    expect = {0: 0, 1: 2, 2: 2}  # sample k -> source frame
+    for k, src in expect.items():
+        rw, rh, ch, pix = png.decode_png(by_id[0][k])
+        assert (rw, rh, ch) == (w, h, 3)
+        assert pix == pal[src * 3 : src * 3 + 3] * (w * h)
+    rw, rh, ch, pix = png.decode_png(by_id[1][0])
+    assert pix == pal[3:6] * (w * h)
+
+
+def test_sample_frames_non_gif_still_gated(spark, monkeypatch):
+    """The ffmpeg gate stays loud for non-GIF video buffers."""
+    import pytest
+    from pyspark.sql import Row
+
+    monkeypatch.delenv("GUS_MULTIMODAL_FAKE_DECODE", raising=False)
+    rows = [Row(media_id=0, content=b"\x00\x00\x00\x18ftypisom",
+                meta=Row(mime="video/mp4", width=None, height=None,
+                         duration_ms=2000, sample_rate=None))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with pytest.raises(Exception) as exc:
+        sample_frames(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )

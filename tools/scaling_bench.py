@@ -51,6 +51,9 @@ QUERIES = [
     "decontaminate_docs",
     "similarity_ann_lsh",
     "text_profile",
+    "repetition_profile",
+    "redact_pii_documents",
+    "q21_suppliers_waiting",
     "curate_documents",
 ]
 
