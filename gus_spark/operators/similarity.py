@@ -607,3 +607,123 @@ def ivf_topk(
         .select("query_id", "neighbor_id", "cos_sim",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = "label",
+    threshold: float = 0.95,
+    k_cells: int = 16,
+    lloyd_iters: int = 2,
+    dim: int = DIM,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, arXiv 2303.09540): cluster the corpus with the
+    spherical k-means quantizer, then inside every cell run a
+    deterministic greedy leader pass — ascending id, a vector is KEPT
+    iff no already-kept vector in its cell has cosine ≥ ``threshold``
+    with it, else it is dropped and attributed to the kept leader of
+    highest similarity. Returns (id, cell, keep, dup_of, dup_sim) for
+    every non-null embedding.
+
+    Scale shape: the quantizer is `kmeans_fit` (driver-held centroids,
+    one Arrow scan per iteration); assignment is one matmul per Arrow
+    batch vs the broadcast unit centroids; the leader pass is ONE
+    shuffle on the cell key into an applyInPandas kernel doing a
+    b×b cell-local similarity matrix — O(Σ b_i²) exactly like the
+    paper, so ``k_cells`` must scale with the corpus to bound cell
+    occupancy (the paper runs 50k clusters at 100M scale; occupancy
+    n/k is the knob, same contract as `planes_for_corpus`). Cross-cell
+    near-duplicates are missed BY DESIGN — that is SemDeDup's
+    approximation; with ``k_cells=1`` the pass is the exact greedy
+    leader algorithm.
+
+    Determinism: seeded/hash k-means init (no RNG), stable argmax
+    tie-breaks (lowest cell), ascending-id greedy order, and
+    highest-sim/lowest-id attribution — identical output across runs
+    and partitionings.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    live = df.filter(F.col(vec_col).isNotNull())
+    centroids = kmeans_fit(
+        live, id_col, vec_col,
+        seed_col=label_col, k_cells=k_cells, iters=lloyd_iters, dim=dim,
+    ).collect()
+    centers = np.array(
+        [r["cv"] for r in sorted(centroids, key=lambda r: r["cell"])],
+        dtype="float64",
+    )
+    norms = np.linalg.norm(centers, axis=1)
+    norms[norms == 0.0] = 1.0
+    bc = spark.sparkContext.broadcast(centers / norms[:, None])
+
+    v = live.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+
+    def _assign(batches, _bc=bc):
+        import numpy as np  # noqa: PLC0415 — runs on executors
+        import pandas as pd
+
+        cn = _bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            pdf = pdf.assign(cell=(m @ cn.T).argmax(axis=1).astype("int64"))
+            yield pdf
+
+    assigned = v.mapInPandas(_assign, "id long, v array<double>, cell long")
+
+    def _leader(pdf):
+        import numpy as np  # noqa: PLC0415 — runs on executors
+        import pandas as pd
+
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        m = np.stack(pdf["v"].to_numpy())
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0.0] = 1.0
+        u = m / n[:, None]
+        sims = u @ u.T
+        kept: list[int] = []
+        keep = np.zeros(len(pdf), dtype=bool)
+        dup_of = np.full(len(pdf), -1, dtype="int64")
+        dup_sim = np.full(len(pdf), np.nan)
+        ids = pdf["id"].to_numpy()
+        for i in range(len(pdf)):
+            if kept:
+                s = sims[i, kept]
+                j = int(np.argmax(s))  # ties -> earliest kept (lowest id)
+                if s[j] >= threshold:
+                    dup_of[i] = ids[kept[j]]
+                    dup_sim[i] = float(s[j])
+                    continue
+            keep[i] = True
+            kept.append(i)
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cell": pdf["cell"],
+                "keep": keep,
+                "dup_of": pd.array(
+                    [None if d < 0 else int(d) for d in dup_of],
+                    dtype="Int64",
+                ),
+                "dup_sim": dup_sim,
+            }
+        )
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(
+            _leader,
+            "id long, cell long, keep boolean, dup_of long, dup_sim double",
+        )
+        .select(
+            F.col("id").alias(id_col), "cell", "keep", "dup_of", "dup_sim"
+        )
+    )

@@ -779,3 +779,89 @@ def test_winnow_rolling_overlap_finds_near_dups(spark, documents, exact_pairs):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got >= exact_pairs
     assert len(got) < 100
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """SemDeDup greedy-leader contract on planted duplicate groups:
+    near-identical vectors collapse to their lowest-id leader with the
+    similarity attributed; distinct vectors all survive; k_cells=1 is
+    the exact (single-cell) greedy pass; output is deterministic."""
+    import math
+    import random
+
+    from gus_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(11)
+    dim = 16
+
+    def unit(seed):
+        r = random.Random(seed)
+        v = [r.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    def jitter(v, eps):
+        w = [x + eps * rng.gauss(0, 1) for x in v]
+        n = math.sqrt(sum(x * x for x in w)) or 1.0
+        return [x / n for x in w]
+
+    rows = []
+    # two planted groups of 3 near-identical members each
+    for g, base_seed in enumerate([100, 200]):
+        base = unit(base_seed)
+        for j in range(3):
+            rows.append((g * 10 + j, 0, base if j == 0 else jitter(base, 0.01)))
+    # six singletons (random gaussian unit vectors: pairwise cos ~ 0)
+    rows += [(50 + i, 0, unit(300 + i)) for i in range(6)]
+    frame = spark.createDataFrame(rows, "vec_id long, label long, embedding array<double>")
+
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_dedup(
+            frame, threshold=0.9, k_cells=1, lloyd_iters=0, dim=dim
+        ).collect()
+    }
+    assert len(out) == 12
+    for leader in (0, 10):
+        assert out[leader]["keep"] and out[leader]["dup_of"] is None
+        for member in (leader + 1, leader + 2):
+            assert not out[member]["keep"]
+            assert out[member]["dup_of"] == leader
+            assert out[member]["dup_sim"] >= 0.9
+    for s in range(50, 56):
+        assert out[s]["keep"], s
+    # deterministic across reruns
+    again = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_dedup(
+            frame, threshold=0.9, k_cells=1, lloyd_iters=0, dim=dim
+        ).collect()
+    }
+    assert out == again
+
+
+def test_semantic_dedup_multicell_and_corpus(spark):
+    """On the real embeddings table: multi-cell run partitions the
+    corpus (every row assigned exactly one cell), keep+drop covers
+    everything, every drop names a KEPT leader in the SAME cell with
+    dup_sim >= threshold, and k_cells=1 (exact) finds at least as many
+    duplicates as the clustered approximation."""
+    from gus_spark.operators.similarity import semantic_dedup
+
+    frame = table(spark, SF_DIR_ORACLE, "embeddings").limit(300)
+    out = semantic_dedup(frame, threshold=0.8, k_cells=4).collect()
+    rows = {r["vec_id"]: r.asDict() for r in out}
+    assert len(rows) == 300
+    kept = {i for i, r in rows.items() if r["keep"]}
+    for i, r in rows.items():
+        if r["keep"]:
+            assert r["dup_of"] is None
+        else:
+            assert r["dup_of"] in kept
+            assert rows[r["dup_of"]]["cell"] == r["cell"]
+            assert r["dup_of"] < i
+            assert r["dup_sim"] >= 0.8
+    exact = semantic_dedup(frame, threshold=0.8, k_cells=1).collect()
+    exact_dropped = sum(1 for r in exact if not r["keep"])
+    approx_dropped = 300 - len(kept)
+    assert exact_dropped >= approx_dropped
