@@ -126,6 +126,12 @@ def _lzw_encode(min_size: int, indices: bytes) -> bytes:
         buf = bytes([b])
     if buf:
         emit(table[buf])
+        # the decoder adds a table entry for this final code too, and
+        # may widen before its NEXT read — the end code must be
+        # emitted at that widened width
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
     emit(end)
     if nbits:
         out.append(acc & 0xFF)
@@ -198,7 +204,19 @@ def decode_gif(data: bytes) -> tuple[int, int, list[bytes], list[int]]:
     """-> (width, height, [RGB frame bytes], [delay_ms]) with each
     frame composited onto the logical screen (disposal 0/1 leave the
     canvas, 2 restores the frame region to background; transparency
-    skips pixels). Rejects interlaced images and disposal 3."""
+    skips pixels). Rejects interlaced images and disposal 3.
+
+    Single-exception contract (same as operators.png/jpeg): any
+    malformed or truncated buffer raises ValueError — callers like the
+    sample_frames kernel catch exactly that to fall through to the
+    gated stub without killing the stage."""
+    try:
+        return _decode_gif(data)
+    except (IndexError, struct.error) as e:  # truncated mid-structure
+        raise ValueError(f"truncated or malformed GIF ({e})") from e
+
+
+def _decode_gif(data: bytes) -> tuple[int, int, list[bytes], list[int]]:
     if not is_gif(data):
         raise ValueError("not a GIF (bad signature)")
     width, height = struct.unpack_from("<HH", data, 6)

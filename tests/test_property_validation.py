@@ -243,3 +243,97 @@ def test_jpeg_decode_rejects_junk(junk):
         jpeg.decode_jpeg(junk)
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(b"\xff\xd8\xff" + junk)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    n_colors=st.integers(min_value=1, max_value=8),
+    n_frames=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+@settings(max_examples=50, deadline=None)
+def test_gif_roundtrip_property(w, h, n_colors, n_frames, data):
+    """Any palette/frame/delay combination round-trips: decoded RGB
+    equals the palette rendering of the encoded indices, delays survive
+    in ms, and re-encoding is bit-deterministic."""
+    from gus_spark.operators import gif
+
+    palette = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=n_colors * 3,
+                max_size=n_colors * 3,
+            )
+        )
+    )
+    frames = [
+        bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, n_colors - 1),
+                    min_size=w * h,
+                    max_size=w * h,
+                )
+            )
+        )
+        for _ in range(n_frames)
+    ]
+    delays = data.draw(
+        st.lists(
+            st.integers(0, 500), min_size=n_frames, max_size=n_frames
+        )
+    )
+    encoded = gif.encode_gif(w, h, palette, frames, delays)
+    assert gif.is_gif(encoded)
+    assert encoded == gif.encode_gif(w, h, palette, frames, delays)
+    rw, rh, rgb, rdelays = gif.decode_gif(encoded)
+    assert (rw, rh) == (w, h)
+    assert rdelays == [d * 10 for d in delays]
+    for frame, out in zip(frames, rgb):
+        assert out == b"".join(
+            palette[i * 3 : i * 3 + 3] for i in frame
+        )
+
+
+@given(
+    min_size=st.integers(min_value=2, max_value=8),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_property(min_size, data):
+    """The variable-width LZW layer round-trips any index stream in
+    range, including streams long enough to force width growth and the
+    12-bit table reset."""
+    from gus_spark.operators.gif import _lzw_decode, _lzw_encode
+
+    indices = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, (1 << min_size) - 1),
+                min_size=0,
+                max_size=3000,
+            )
+        )
+    )
+    assert _lzw_decode(min_size, _lzw_encode(min_size, indices)) == indices
+
+
+@given(junk=st.binary(min_size=0, max_size=64))
+@settings(max_examples=40, deadline=None)
+def test_gif_decode_rejects_junk(junk):
+    """Arbitrary bytes (and GIF-signature-prefixed arbitrary bytes)
+    never raise anything but the documented ValueError — the codec's
+    single-exception contract, which the sample_frames kernel's
+    fall-through depends on."""
+    from gus_spark.operators import gif
+
+    with pytest.raises(ValueError):
+        gif.decode_gif(junk)
+    try:
+        gif.decode_gif(b"GIF89a" + junk)
+    except ValueError:
+        pass  # malformed/truncated: the one allowed exception
+    else:
+        pass  # junk that happens to parse as an empty GIF is fine
