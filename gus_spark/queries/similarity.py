@@ -18,7 +18,14 @@ from pyspark.sql import functions as F
 
 from gus_spark.queries import register, table
 
-COSINE_THRESHOLD = 0.95
+#: Production near-dup thresholds sit at 0.9+; this synthetic corpus
+#: has NO pairs there (max pairwise cosine ≈ 0.513 at sf0.01, measured
+#: — see SCALING.md's ANN recall note), so a 0.95 probe would match
+#: its oracle on zero rows, checking nothing. The probe instead uses
+#: the corpus's own top-similarity band: ≥ 0.45 returns 14 pairs at
+#: sf0.01, so the oracle exercises real pair VALUES (the bit-identical
+#: fold-order cosine), not an empty set.
+COSINE_THRESHOLD = 0.45
 
 
 def _as_double(col) -> Column:
@@ -86,8 +93,11 @@ def similarity_topk_for_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All embedding pairs with cosine >= 0.95 — embedding-space
-    near-duplicate detection (brute force; LSH tier covers scale)."""
+    """All embedding pairs with cosine >= COSINE_THRESHOLD —
+    embedding-space near-duplicate detection (brute force; the LSH /
+    SemDeDup tiers cover scale). Threshold sits in the corpus's top
+    similarity band (see COSINE_THRESHOLD note) so the oracle compares
+    nonzero pairs with their exact cosine values."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
