@@ -1,4 +1,5 @@
 from gus_spark.streaming.curation import curate_stream  # noqa: F401
+from gus_spark.streaming.decontaminate import decontaminate_stream  # noqa: F401
 from gus_spark.streaming.stateful import (  # noqa: F401
     per_key_quota_stream,
     running_user_totals,

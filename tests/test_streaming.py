@@ -373,3 +373,84 @@ def test_quota_gate_caps_per_key(spark):
         .collect()
     }
     assert emitted <= real and len(emitted) == sum(got.values())
+
+
+def test_streaming_decontamination_matches_batch(spark, tmp_path):
+    """Documents streamed as two micro-batches through
+    decontaminate_stream must keep exactly the rows the batch
+    decontaminate() operator keeps — including the per-BENCH-DOC
+    min_hits semantics — and replay must be a no-op.
+
+    Planted cases: d1 shares one 13-gram with bench b1 (dirty at
+    min_hits=1, clean at 2); d2 shares TWO distinct grams with the
+    single bench doc b1 (dirty at both); d3 shares one gram with b1
+    and one with b2 (dirty at 1; clean at 2 — cross-bench hits must
+    not pool); d4 is a short doc verbatim-equal to short bench b3
+    (whole-sequence gram); d5/d6 are clean."""
+    from gus_spark.operators.decontaminate import decontaminate
+    from gus_spark.streaming import decontaminate_stream
+
+    g1 = " ".join(f"g1w{i}" for i in range(13))
+    g2 = " ".join(f"g2w{i}" for i in range(13))
+    g3 = " ".join(f"g3w{i}" for i in range(13))
+    docs_rows = [
+        (1, f"start {g1} end"),
+        (2, f"{g1} middle {g2}"),
+        (3, f"{g1} then {g3} done"),
+        (4, "tiny bench quote"),
+        (5, "totally unrelated words here " * 3),
+        (6, " ".join(f"clean{i}" for i in range(20))),
+    ]
+    bench_rows = [
+        (101, f"{g1} plus {g2} context"),
+        (102, f"other {g3} context"),
+        (103, "tiny bench quote"),
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+
+    for min_hits in (1, 2):
+        expected = {
+            tuple(r)
+            for r in decontaminate(docs, bench, min_hits=min_hits).collect()
+        }
+        # sanity-pin the planted semantics so the parity check can't
+        # silently degenerate
+        kept_ids = {r[0] for r in expected}
+        if min_hits == 1:
+            assert kept_ids == {5, 6}
+        else:
+            assert kept_ids == {1, 3, 4, 5, 6}
+
+        base = tmp_path / f"mh{min_hits}"
+        src = str(base / "in")
+        docs.filter(F.col("doc_id") <= 3).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        docs.filter(F.col("doc_id") > 3).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = str(base / "clean")
+        q = decontaminate_stream(
+            stream, bench, str(base / "state"), out,
+            str(base / "ckpt"), min_hits=min_hits,
+        )
+        q.awaitTermination()
+        got = {tuple(r) for r in spark.read.parquet(out).collect()}
+        assert got == expected, f"min_hits={min_hits}"
+
+        # replay with a fresh checkpoint: markers short-circuit batches
+        n = spark.read.parquet(out).count()
+        q2 = decontaminate_stream(
+            stream, bench, str(base / "state"), out,
+            str(base / "ckpt2"), min_hits=min_hits,
+        )
+        q2.awaitTermination()
+        assert spark.read.parquet(out).count() == n
+        # the bench gram table was built once and reused
+        assert os.path.exists(str(base / "state" / "_bench_grams.done"))
