@@ -210,3 +210,27 @@ def test_winnow_match_step_is_equi_join(spark):
     )
     # and the aggregation keeps a map-side partial
     assert plan.count("HashAggregate") >= 2
+
+
+def test_repetition_profile_no_keyed_shuffle(spark):
+    """The repetition counts come from a per-doc Arrow kernel: the plan
+    must contain ONE scan and NO hash-partitioned exchange (the only
+    allowed Exchange is ensure_parallelism's round-robin respread of
+    the single local input file — a no-op on real multi-file inputs).
+    A hashpartitioning exchange here means the explode/groupBy jvm
+    formulation leaked into the default path."""
+    plan = plan_of(spark, "repetition_profile", mode="simple")
+    assert plan.count("Scan parquet") == 1, plan
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert all("RoundRobinPartitioning" in ln for ln in ex), plan
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan or \
+        "MapInPandas" in plan, plan
+
+
+def test_redact_pii_is_pure_scan_map(spark):
+    """PII redaction is a per-row regex map: one scan, ZERO exchanges
+    of any kind, no Python in the plan (regexp_replace is JVM-side)."""
+    plan = plan_of(spark, "redact_pii_documents", mode="simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "InPandas" not in plan, plan
