@@ -841,17 +841,23 @@ def test_semantic_dedup_planted_groups(spark):
 
 
 def test_semantic_dedup_multicell_and_corpus(spark):
-    """On the real embeddings table: multi-cell run partitions the
-    corpus (every row assigned exactly one cell), keep+drop covers
-    everything, every drop names a KEPT leader in the SAME cell with
-    dup_sim >= threshold, and k_cells=1 (exact) finds at least as many
-    duplicates as the clustered approximation."""
+    """On the real embeddings table at a threshold inside the corpus's
+    similarity band (0.45 — see queries.similarity COSINE_THRESHOLD):
+    the multi-cell run covers every row exactly once, every drop names
+    a KEPT leader in the SAME cell with dup_sim >= threshold and a
+    lower id, and the exact single-cell pass actually finds duplicates
+    (non-vacuous). NO containment between exact and clustered drop
+    SETS is asserted — none holds: the greedy chain means exact can
+    drop a would-be leader early, protecting docs the clustered pass
+    (whose dominator sits in another cell) goes on to drop. The drop
+    RECALL of the clustered pass is graded in tools/ann_recall_bench."""
     from gus_spark.operators.similarity import semantic_dedup
 
-    frame = table(spark, SF_DIR_ORACLE, "embeddings").limit(300)
-    out = semantic_dedup(frame, threshold=0.8, k_cells=4).collect()
+    frame = table(spark, SF_DIR_ORACLE, "embeddings")
+    n = frame.count()
+    out = semantic_dedup(frame, threshold=0.45, k_cells=4).collect()
     rows = {r["vec_id"]: r.asDict() for r in out}
-    assert len(rows) == 300
+    assert len(rows) == n
     kept = {i for i, r in rows.items() if r["keep"]}
     for i, r in rows.items():
         if r["keep"]:
@@ -860,8 +866,7 @@ def test_semantic_dedup_multicell_and_corpus(spark):
             assert r["dup_of"] in kept
             assert rows[r["dup_of"]]["cell"] == r["cell"]
             assert r["dup_of"] < i
-            assert r["dup_sim"] >= 0.8
-    exact = semantic_dedup(frame, threshold=0.8, k_cells=1).collect()
-    exact_dropped = sum(1 for r in exact if not r["keep"])
-    approx_dropped = 300 - len(kept)
-    assert exact_dropped >= approx_dropped
+            assert r["dup_sim"] >= 0.45
+    exact = semantic_dedup(frame, threshold=0.45, k_cells=1).collect()
+    exact_dropped = {r["vec_id"] for r in exact if not r["keep"]}
+    assert exact_dropped  # the 0.45 band has real pairs at sf0.01

@@ -116,6 +116,42 @@ def main() -> None:
             if truth_hi
             else None
         )
+
+    # SemDeDup grade: the clustered pass vs the exact single-cell
+    # greedy leader (ground truth). Drop recall = fraction of exactly-
+    # identified duplicates the clustered approximation also drops;
+    # the miss mechanism is near-dups split across cell boundaries —
+    # the approximation SemDeDup itself accepts. Threshold sits in this
+    # corpus's top-similarity band (see queries.similarity
+    # COSINE_THRESHOLD). The exact tier builds an n×n cell-local
+    # matrix, so it only runs at sample scale (n ≤ 10k).
+    if n <= 10_000:
+        from gus_spark.operators.similarity import semantic_dedup
+
+        thr = 0.45
+        exact_drops = {
+            r.vec_id
+            for r in semantic_dedup(
+                e, threshold=thr, k_cells=1, lloyd_iters=0
+            ).collect()
+            if not r.keep
+        }
+        t0 = time.time()
+        clus_drops = {
+            r.vec_id
+            for r in semantic_dedup(
+                e, threshold=thr, k_cells=16, lloyd_iters=2
+            ).collect()
+            if not r.keep
+        }
+        results["secs_semdedup"] = round(time.time() - t0, 2)
+        results["semdedup_exact_dropped"] = len(exact_drops)
+        results["semdedup_clustered_dropped"] = len(clus_drops)
+        results["semdedup_drop_recall"] = (
+            round(len(exact_drops & clus_drops) / len(exact_drops), 4)
+            if exact_drops
+            else None
+        )
     print(json.dumps(results))
 
 
