@@ -1,0 +1,160 @@
+"""Document-chunking operator: hand-checked windows, a Python
+reference sweep, a DuckDB SQL mirror (oracle-grade parity without a
+catalog slot), and parameter validation."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gus_spark.operators.chunk import chunk_documents
+
+
+def _py_chunks(text, max_tokens, overlap):
+    """Reference implementation of the documented arithmetic."""
+    import re
+
+    ws = re.split(r"\s+", text.strip(), flags=re.ASCII)
+    step = max_tokens - overlap
+    n = max(math.ceil((len(ws) - overlap) / step), 1)
+    return [
+        (" ".join(ws[i * step : i * step + max_tokens]),
+         len(ws[i * step : i * step + max_tokens]))
+        for i in range(n)
+    ]
+
+
+def _collect(spark, rows, max_tokens, overlap):
+    frame = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in chunk_documents(
+        frame, max_tokens=max_tokens, overlap=overlap
+    ).collect():
+        out.setdefault(r["doc_id"], {})[r["chunk_index"]] = (
+            r["chunk_text"], r["n_chunk_tokens"]
+        )
+    return {
+        d: [m[i] for i in sorted(m)] for d, m in out.items()
+    }
+
+
+def test_chunk_hand_cases(spark):
+    rows = [
+        (0, "a b c d e f g h i j"),   # 10 tokens
+        (1, "short doc"),             # within budget -> itself
+        (2, ""),                      # split('') -> [''] -> one chunk
+        (3, None),                    # dropped
+    ]
+    got = _collect(spark, rows, max_tokens=4, overlap=1)
+    # step 3 -> ceil(9/3)=3 chunks: [1..4], [4..7], [7..10]
+    assert got[0] == [("a b c d", 4), ("d e f g", 4), ("g h i j", 4)]
+    assert got[1] == [("short doc", 2)]
+    assert got[2] == [("", 1)]
+    assert 3 not in got
+    # consecutive chunks share exactly `overlap` tokens
+    assert got[0][0][0].split()[-1:] == got[0][1][0].split()[:1]
+
+
+def test_chunk_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(23)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(50)}" for _ in range(n)))
+        for i, n in enumerate(
+            [1, 2, 5, 7, 8, 9, 16, 17, 63, 64, 65, 200, 513]
+        )
+    ]
+    for max_tokens, overlap in [(8, 0), (8, 3), (64, 16), (512, 64)]:
+        got = _collect(spark, rows, max_tokens, overlap)
+        for i, text in rows:
+            assert got[i] == _py_chunks(text, max_tokens, overlap), (
+                i, max_tokens, overlap
+            )
+        # coverage: concatenating chunks minus overlaps rebuilds the doc
+        for i, text in rows:
+            step = max_tokens - overlap
+            toks = []
+            for j, (ct, _) in enumerate(got[i]):
+                parts = ct.split(" ") if ct else [""]
+                toks.extend(parts if j == 0 else parts[overlap:])
+            import re
+
+            assert toks == re.split(r"\s+", text.strip(), flags=re.ASCII)
+
+
+def test_chunk_duckdb_mirror(spark):
+    """Oracle-grade parity on the real documents table: the same
+    arithmetic expressed in DuckDB SQL yields the identical
+    (doc_id, chunk_index, chunk_text, n_chunk_tokens) set."""
+    from conftest import SF_DIR_ORACLE
+
+    from gus_spark.queries import table
+
+    max_tokens, overlap, step = 16, 4, 12
+    docs = table(spark, SF_DIR_ORACLE, "documents")
+    got = {
+        (r["doc_id"], r["chunk_index"], r["chunk_text"],
+         r["n_chunk_tokens"])
+        for r in chunk_documents(
+            docs, max_tokens=max_tokens, overlap=overlap
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR_ORACLE}/documents.parquet'"
+    )
+    oracle = con.execute(rf"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS ws
+          FROM documents WHERE text IS NOT NULL
+        ), spans AS (
+          SELECT doc_id, ws,
+                 GREATEST(CAST(CEIL((len(ws) - {overlap}) / {step}.0)
+                               AS BIGINT), 1) AS n_chunks
+          FROM toks
+        )
+        SELECT doc_id, CAST(i AS INT) AS chunk_index,
+               array_to_string(ws[i * {step} + 1 :
+                               i * {step} + {max_tokens}], ' ')
+                 AS chunk_text,
+               CAST(len(ws[i * {step} + 1 : i * {step} + {max_tokens}])
+                 AS BIGINT) AS n_chunk_tokens
+        FROM spans, UNNEST(range(0, n_chunks)) AS u(i)
+    """).fetchall()
+    assert got == set(map(tuple, oracle))
+
+
+def test_chunk_zero_shuffle_plan(spark):
+    """Chunking is a pure scan+generate map: no Exchange of any kind,
+    no Python stage."""
+    import contextlib
+    import io
+
+    from conftest import SF_DIR
+
+    from gus_spark.queries import table
+
+    df = chunk_documents(table(spark, SF_DIR, "documents"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "InPandas" not in plan, plan
+    assert "Generate" in plan, plan  # the posexplode fan-out
+
+
+def test_chunk_param_validation(spark):
+    frame = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(frame, max_tokens=0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(frame, max_tokens=8, overlap=8)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(frame, max_tokens=8, overlap=-1)
