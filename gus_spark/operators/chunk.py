@@ -17,10 +17,19 @@ overlap):
 ``overlap`` tokens (except a shorter final chunk), and a document
 within budget yields itself as one chunk.
 
-Scale shape: pure JVM column expressions — split once, slice/join per
-chunk, ONE posexplode for the fan-out. Zero shuffles, whole-stage
-codegen around the generator, embarrassingly parallel; output rows ≈
-input tokens / step. No Python in the plan.
+`pack_sequences` is the companion step: assign the chunks to
+fixed-token-budget training sequences (greedy sequential first-fit
+within deterministic shards — the order-preserving packing recipe),
+reporting per-sequence fill so the pipeline can grade packing
+efficiency.
+
+Scale shape: chunking is pure JVM column expressions — split once,
+slice/join per chunk, ONE posexplode for the fan-out; zero shuffles,
+whole-stage codegen around the generator, output rows ≈ input
+tokens / step. Packing adds exactly ONE shuffle (the shard key) into
+an applyInPandas kernel whose per-shard work is a linear scan — the
+sequential dependency of first-fit is confined to a shard, which is
+how production packers parallelize it.
 """
 
 from __future__ import annotations
@@ -69,3 +78,68 @@ def chunk_documents(
             F.size("_chunk").cast("long").alias("n_chunk_tokens"),
         )
     )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    index_col: str = "chunk_index",
+    tokens_col: str = "n_chunk_tokens",
+    budget: int = 2048,
+    shards: int = 256,
+) -> DataFrame:
+    """Assign chunks to fixed-budget training sequences: greedy
+    sequential first-fit in (id, chunk_index) order within each of
+    ``shards`` deterministic hash shards. Returns the input columns
+    plus (shard, seq_id, seq_tokens) where seq_id numbers sequences
+    within a shard and seq_tokens is the packed sequence's total fill.
+
+    Guarantees (tested): no sequence exceeds ``budget``; a document's
+    chunks are assigned in chunk_index order (a sequence never holds
+    chunk k+1 before k of the same doc); assignment is deterministic
+    across runs and partitionings (shard = pmod(xxhash64(id), shards),
+    scan order sorted). Chunks wider than the budget raise upstream —
+    callers chunk with max_tokens <= budget by construction.
+
+    First-fit is inherently sequential, so the parallel unit is the
+    shard: one shuffle on the shard key, then a linear pandas scan per
+    shard. Packing quality is within-shard (a chunk never fills
+    another shard's open sequence) — the standard trade every
+    distributed packer makes; `shards` controls parallelism vs
+    cross-shard fragmentation (at most one under-filled trailing
+    sequence per shard).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    sharded = chunks.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+    )
+
+    def _pack(pdf):
+        pdf = pdf.sort_values([id_col, index_col]).reset_index(drop=True)
+        seq_ids, seq_tokens = [], []
+        cur_id, cur_fill = 0, 0
+        fills: dict[int, int] = {}
+        for t in pdf[tokens_col]:
+            t = int(t)
+            if t > budget:
+                raise ValueError(
+                    f"chunk of {t} tokens exceeds budget {budget}"
+                )
+            if cur_fill + t > budget:
+                fills[cur_id] = cur_fill
+                cur_id += 1
+                cur_fill = 0
+            seq_ids.append(cur_id)
+            cur_fill += t
+        fills[cur_id] = cur_fill
+        seq_tokens = [fills[s] for s in seq_ids]
+        return pdf.assign(seq_id=seq_ids, seq_tokens=seq_tokens)
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in sharded.schema.fields
+    ) + ", seq_id long, seq_tokens long"
+    return sharded.groupBy("shard").applyInPandas(_pack, schema)

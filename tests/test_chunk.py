@@ -158,3 +158,74 @@ def test_chunk_param_validation(spark):
         chunk_documents(frame, max_tokens=8, overlap=8)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(frame, max_tokens=8, overlap=-1)
+
+
+def test_pack_sequences_contract(spark):
+    """Packing invariants on real chunked documents: no sequence over
+    budget, per-sequence fill totals consistent, document chunk order
+    preserved within the packing scan, deterministic across runs and
+    input partitionings, and fill efficiency is sane (every non-final
+    sequence of a shard holds more than budget - max_tokens tokens —
+    else first-fit would have kept filling it)."""
+    from conftest import SF_DIR_ORACLE
+
+    from gus_spark.operators.chunk import pack_sequences
+    from gus_spark.queries import table
+
+    max_tokens, budget = 16, 48
+    chunks = chunk_documents(
+        table(spark, SF_DIR_ORACLE, "documents"),
+        max_tokens=max_tokens,
+        overlap=4,
+    )
+    packed = pack_sequences(chunks, budget=budget, shards=8)
+    rows = packed.collect()
+    assert len(rows) == chunks.count()
+
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault((r["shard"], r["seq_id"]), []).append(r)
+    for (shard, seq_id), members in by_seq.items():
+        total = sum(r["n_chunk_tokens"] for r in members)
+        assert total <= budget, (shard, seq_id, total)
+        assert all(r["seq_tokens"] == total for r in members)
+    # non-final sequences are well-filled
+    max_seq = {}
+    for shard, seq_id in by_seq:
+        max_seq[shard] = max(max_seq.get(shard, -1), seq_id)
+    for (shard, seq_id), members in by_seq.items():
+        if seq_id < max_seq[shard]:
+            assert members[0]["seq_tokens"] > budget - max_tokens
+    # a doc's chunks appear in order along (seq_id, then scan order)
+    per_doc = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["seq_id"])):
+        per_doc.setdefault(r["doc_id"], []).append(r["chunk_index"])
+    for doc, idxs in per_doc.items():
+        assert idxs == sorted(idxs), doc
+
+    key = {
+        (r["doc_id"], r["chunk_index"]): (r["shard"], r["seq_id"])
+        for r in rows
+    }
+    again = {
+        (r["doc_id"], r["chunk_index"]): (r["shard"], r["seq_id"])
+        for r in pack_sequences(
+            chunks.repartition(13), budget=budget, shards=8
+        ).collect()
+    }
+    assert key == again
+
+
+def test_pack_sequences_rejects_oversized_and_bad_params(spark):
+    from gus_spark.operators.chunk import pack_sequences
+
+    frame = spark.createDataFrame(
+        [(0, 0, 100)], "doc_id long, chunk_index int, n_chunk_tokens long"
+    )
+    with pytest.raises(Exception) as exc:
+        pack_sequences(frame, budget=50, shards=2).collect()
+    assert "exceeds budget" in str(exc.value)
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(frame, budget=0)
+    with pytest.raises(ValueError, match="shards"):
+        pack_sequences(frame, shards=0)
