@@ -1,0 +1,51 @@
+"""End-to-end pipeline composition (tools/pipeline_demo.py): every
+training-data stage chained on the real corpus, with structural
+invariants on the stage counts and the packed output."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+from conftest import SF_DIR_ORACLE
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    from tools.pipeline_demo import run_pipeline
+
+    out = str(tmp_path / "out")
+    stats = run_pipeline(spark, SF_DIR_ORACLE, out, seq_budget=256)
+
+    # gates only ever shrink the corpus, and nothing vanishes entirely
+    order = [
+        "input_docs",
+        "after_decontaminate",
+        "after_neardup_dedup",
+        "after_repetition_gate",
+        "after_quality_gate",
+    ]
+    counts = [stats[k] for k in order]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[-1] > 0
+    # dedup actually removed near-duplicates on this corpus
+    assert stats["after_neardup_dedup"] < stats["after_decontaminate"]
+
+    # chunking fans out, packing compresses, fill is meaningful
+    assert stats["chunks"] >= stats["after_quality_gate"]
+    assert 0 < stats["sequences"] <= stats["chunks"]
+    assert 0.5 <= stats["mean_fill"] <= 1.0
+
+    packed = spark.read.parquet(os.path.join(out, "packed_sequences"))
+    rows = packed.collect()
+    assert len(rows) == stats["chunks"]
+    # every sequence within budget; fill totals consistent
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault((r["shard"], r["seq_id"]), []).append(r)
+    for members in by_seq.values():
+        total = sum(r["n_chunk_tokens"] for r in members)
+        assert total <= 256
+        assert all(r["seq_tokens"] == total for r in members)
+    assert len(by_seq) == stats["sequences"]

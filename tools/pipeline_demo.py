@@ -1,0 +1,154 @@
+"""End-to-end training-data pipeline: every preparation stage the
+engine provides, composed in the order a production corpus build runs
+them, from raw documents to packed training sequences.
+
+    raw documents
+      1. decontaminate      13-gram eval-overlap anti-join (src0 plays
+                            the benchmark suite)
+      2. near-dup dedup     MinHash+LSH pairs -> connected components
+                            -> keep one representative per cluster
+      3. repetition gate    Gopher dup-token/bigram thresholds
+      4. quality gate       distilled classifier (weak heuristic
+                            labels -> hashed-BoW logistic scorer)
+      5. PII redaction      typed-placeholder scrubbing
+      6. chunk + pack       sliding token windows -> first-fit into
+                            fixed-budget training sequences
+
+Stage order is the standard one: cheap exact/structural filters run
+before model scoring (decontamination and dedup shrink the corpus the
+classifier must score), redaction runs after all content-hash stages
+(scrubbing changes bytes, so fingerprints must be computed first ...
+and before packaging, so nothing sensitive ships), packing runs last.
+
+Run: python tools/pipeline_demo.py [sf_dir] [out_dir]
+Prints ONE JSON line of per-stage surviving-document counts plus
+packing stats; writes the packed sequences as parquet under out_dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    jaccard_threshold: float = 0.8,
+    rep_max_dup_token_frac: float = 0.72,
+    quality_min: float = 0.3,
+    chunk_tokens: int = 64,
+    chunk_overlap: int = 8,
+    seq_budget: int = 256,
+    pack_shards: int = 16,
+) -> dict:
+    from gus_spark.operators.chunk import chunk_documents, pack_sequences
+    from gus_spark.operators.decontaminate import decontaminate
+    from gus_spark.operators.dedup import minhash_lsh_pairs
+    from gus_spark.operators.graph import connected_components
+    from gus_spark.operators.quality import (
+        fit_quality_classifier,
+        score_quality,
+    )
+    from gus_spark.operators.redact import redact_pii
+    from gus_spark.operators.repetition import repetition_metrics
+    from gus_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    stats: dict = {"input_docs": corpus.count()}
+
+    # 1. decontamination
+    clean = decontaminate(corpus, bench, n=13).localCheckpoint()
+    stats["after_decontaminate"] = clean.count()
+
+    # 2. near-dup dedup: pairs -> components -> min-id representative
+    pairs = minhash_lsh_pairs(
+        clean, "doc_id", "text", threshold=jaccard_threshold, ngram=3
+    )
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    dropped = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    deduped = clean.join(dropped, "doc_id", "left_anti").localCheckpoint()
+    stats["after_neardup_dedup"] = deduped.count()
+
+    # 3. repetition gate
+    rep = repetition_metrics(deduped, "doc_id", "text")
+    repetitive = rep.filter(
+        (F.col("n_tokens") - F.col("n_unique_tokens")).cast("double")
+        / F.col("n_tokens")
+        > rep_max_dup_token_frac
+    ).select("doc_id")
+    unrepetitive = deduped.join(
+        repetitive, "doc_id", "left_anti"
+    ).localCheckpoint()
+    stats["after_repetition_gate"] = unrepetitive.count()
+
+    # 4. distilled quality gate (weak labels fit on the surviving corpus)
+    model = fit_quality_classifier(unrepetitive)
+    scored = score_quality(unrepetitive, model)
+    quality = scored.filter(
+        F.col("quality_prob") >= quality_min
+    ).localCheckpoint()
+    stats["after_quality_gate"] = quality.count()
+
+    # 5. redaction (content-hash stages are all behind us)
+    redacted = redact_pii(quality.drop("quality_prob"))
+    stats["pii_spans_scrubbed"] = (
+        redacted.select(
+            sum(
+                F.sum(c)
+                for c in redacted.columns
+                if c.startswith("n_")
+                and c
+                in ("n_email", "n_ssn", "n_card", "n_ip", "n_phone")
+            ).alias("s")
+        ).first()["s"]
+        or 0
+    )
+
+    # 6. chunk + pack
+    chunks = chunk_documents(
+        redacted.select("doc_id", "text"),
+        max_tokens=chunk_tokens,
+        overlap=chunk_overlap,
+    )
+    packed = pack_sequences(
+        chunks, budget=seq_budget, shards=pack_shards
+    ).localCheckpoint()
+    stats["chunks"] = packed.count()
+    seqs = packed.select("shard", "seq_id", "seq_tokens").distinct()
+    stats["sequences"] = seqs.count()
+    fill = seqs.agg(
+        (F.sum("seq_tokens") / (F.count("*") * seq_budget)).alias("f")
+    ).first()["f"]
+    stats["mean_fill"] = round(float(fill), 4) if fill is not None else None
+
+    packed.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "packed_sequences")
+    )
+    return stats
+
+
+def main() -> None:
+    from gus_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+    )
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/gus_pipeline_out"
+    spark = get_spark(app_name="gus_spark-pipeline-demo")
+    print(json.dumps(run_pipeline(spark, sf_dir, out_dir)))
+
+
+if __name__ == "__main__":
+    main()
