@@ -18,8 +18,9 @@ overlap):
 within budget yields itself as one chunk.
 
 `pack_sequences` is the companion step: assign the chunks to
-fixed-token-budget training sequences (greedy sequential first-fit
-within deterministic shards — the order-preserving packing recipe),
+fixed-token-budget training sequences (greedy sequential NEXT-fit
+within deterministic shards — the order-preserving packing recipe:
+a sequence, once closed, is never revisited),
 reporting per-sequence fill so the pipeline can grade packing
 efficiency.
 
@@ -28,8 +29,8 @@ slice/join per chunk, ONE posexplode for the fan-out; zero shuffles,
 whole-stage codegen around the generator, output rows ≈ input
 tokens / step. Packing adds exactly ONE shuffle (the shard key) into
 an applyInPandas kernel whose per-shard work is a linear scan — the
-sequential dependency of first-fit is confined to a shard, which is
-how production packers parallelize it.
+sequential dependency of the packing scan is confined to a shard,
+which is how production packers parallelize it.
 """
 
 from __future__ import annotations
@@ -89,8 +90,10 @@ def pack_sequences(
     shards: int = 256,
 ) -> DataFrame:
     """Assign chunks to fixed-budget training sequences: greedy
-    sequential first-fit in (id, chunk_index) order within each of
-    ``shards`` deterministic hash shards. Returns the input columns
+    sequential NEXT-fit in (id, chunk_index) order within each of
+    ``shards`` deterministic hash shards (a closed sequence is never
+    reopened — first-fit would revisit all open bins and break the
+    order-preserving contract). Returns the input columns
     plus (shard, seq_id, seq_tokens) where seq_id numbers sequences
     within a shard and seq_tokens is the packed sequence's total fill.
 
@@ -101,13 +104,14 @@ def pack_sequences(
     scan order sorted). Chunks wider than the budget raise upstream —
     callers chunk with max_tokens <= budget by construction.
 
-    First-fit is inherently sequential, so the parallel unit is the
+    The scan is inherently sequential, so the parallel unit is the
     shard: one shuffle on the shard key, then a linear pandas scan per
     shard. Packing quality is within-shard (a chunk never fills
-    another shard's open sequence) — the standard trade every
-    distributed packer makes; `shards` controls parallelism vs
-    cross-shard fragmentation (at most one under-filled trailing
-    sequence per shard).
+    another shard's open sequence); next-fit's waste bound is
+    per-sequence, not per-shard — every CLOSED sequence is filled past
+    budget − max(chunk size) (it closed because the next chunk
+    overflowed), so waste ≤ max_chunk − 1 tokens per sequence plus one
+    arbitrarily-light trailing sequence per shard.
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")

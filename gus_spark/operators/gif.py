@@ -42,19 +42,27 @@ def is_gif(data: bytes) -> bool:
 def _lzw_decode(min_size: int, data: bytes) -> bytes:
     clear = 1 << min_size
     end = clear + 1
-    num = int.from_bytes(data, "little")
-    total_bits = len(data) * 8
-    pos = 0
+    # incremental LSB-first bit reader: O(1) amortized per code. (A
+    # whole-stream big-int with `num >> pos` costs O(remaining bits)
+    # PER extraction — O(n²) total, minutes on a 1 MB stream.)
+    acc = 0
+    nbits = 0
+    pos = 0  # byte position
     width = min_size + 1
     table: dict[int, bytes] = {}
     next_code = end + 1
     prev: bytes | None = None
     out = bytearray()
     while True:
-        if pos + width > total_bits:
-            raise ValueError("truncated LZW stream (no end code)")
-        code = (num >> pos) & ((1 << width) - 1)
-        pos += width
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream (no end code)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
         if code == clear:
             table = {i: bytes([i]) for i in range(clear)}
             next_code = end + 1
@@ -216,10 +224,23 @@ def decode_gif(data: bytes) -> tuple[int, int, list[bytes], list[int]]:
         raise ValueError(f"truncated or malformed GIF ({e})") from e
 
 
+#: decode limit: a hostile 13-byte header can otherwise declare a
+#: 65535×65535 screen and force a ~12.9 GB canvas allocation before any
+#: pixel data is read. 2^24 pixels (= 4096×4096, a 50 MB RGB canvas)
+#: comfortably covers real animations while keeping the worst case
+#: bounded; larger screens raise the contracted ValueError.
+_MAX_PIXELS = 1 << 24
+
+
 def _decode_gif(data: bytes) -> tuple[int, int, list[bytes], list[int]]:
     if not is_gif(data):
         raise ValueError("not a GIF (bad signature)")
     width, height = struct.unpack_from("<HH", data, 6)
+    if width * height > _MAX_PIXELS:
+        raise ValueError(
+            f"logical screen {width}x{height} exceeds the "
+            f"{_MAX_PIXELS}-pixel decode limit"
+        )
     packed, bg_index, _aspect = data[10], data[11], data[12]
     pos = 13
     global_table = b""
@@ -262,6 +283,11 @@ def _decode_gif(data: bytes) -> tuple[int, int, list[bytes], list[int]]:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         left, top, fw, fh = struct.unpack_from("<HHHH", data, pos)
         pos += 8
+        if left + fw > width or top + fh > height:
+            raise ValueError(
+                f"frame rectangle {fw}x{fh}@({left},{top}) exceeds the "
+                f"{width}x{height} logical screen"
+            )
         ipacked = data[pos]
         pos += 1
         if ipacked & 0x40:
@@ -279,6 +305,11 @@ def _decode_gif(data: bytes) -> tuple[int, int, list[bytes], list[int]]:
         indices = _lzw_decode(min_code, lzw)
         if len(indices) < fw * fh:
             raise ValueError("frame pixel data shorter than descriptor")
+        if fw * fh and max(indices[: fw * fh]) * 3 + 3 > len(table):
+            # a silent out-of-range index would make the bytearray
+            # slice-assign below SHRINK the canvas (empty RGB slice)
+            # and corrupt every later frame
+            raise ValueError("palette index out of color-table range")
         for row in range(fh):
             for col in range(fw):
                 idx = indices[row * fw + col]

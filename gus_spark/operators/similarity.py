@@ -613,7 +613,7 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    label_col: str | None = "label",
+    label_col: str | None = None,
     threshold: float = 0.95,
     k_cells: int = 16,
     lloyd_iters: int = 2,
@@ -637,10 +637,18 @@ def semantic_dedup(
     occupancy (the paper runs 50k clusters at 100M scale; occupancy
     n/k is the knob, same contract as `planes_for_corpus`). Cross-cell
     near-duplicates are missed BY DESIGN — that is SemDeDup's
-    approximation; with ``k_cells=1`` the pass is the exact greedy
-    leader algorithm.
+    approximation; with ``k_cells=1`` the pass IS the exact greedy
+    leader algorithm (no quantizer is fit at all — every vector lands
+    in cell 0).
 
-    Determinism: seeded/hash k-means init (no RNG), stable argmax
+    ``k_cells`` is always honored: the default init is the
+    deterministic id-hash partition (``label_col=None``); passing a
+    ``label_col`` seeds k-means from the per-label means instead, in
+    which case the CELL COUNT BECOMES the label count (kmeans_fit's
+    seeded-init contract) and ``k_cells`` is ignored — only opt into
+    that when the label granularity is the clustering you want.
+
+    Determinism: hash/seeded k-means init (no RNG), stable argmax
     tie-breaks (lowest cell), ascending-id greedy order, and
     highest-sim/lowest-id attribution — identical output across runs
     and partitionings.
@@ -649,6 +657,13 @@ def semantic_dedup(
 
     spark = df.sparkSession
     live = df.filter(F.col(vec_col).isNotNull())
+    v = live.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    if k_cells == 1 and label_col is None:
+        # exact tier: single cell, no quantizer
+        assigned = v.select("id", "v", F.lit(0).cast("long").alias("cell"))
+        return _greedy_leader_by_cell(assigned, id_col, threshold)
     centroids = kmeans_fit(
         live, id_col, vec_col,
         seed_col=label_col, k_cells=k_cells, iters=lloyd_iters, dim=dim,
@@ -660,10 +675,6 @@ def semantic_dedup(
     norms = np.linalg.norm(centers, axis=1)
     norms[norms == 0.0] = 1.0
     bc = spark.sparkContext.broadcast(centers / norms[:, None])
-
-    v = live.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    )
 
     def _assign(batches, _bc=bc):
         import numpy as np  # noqa: PLC0415 — runs on executors
@@ -678,6 +689,14 @@ def semantic_dedup(
             yield pdf
 
     assigned = v.mapInPandas(_assign, "id long, v array<double>, cell long")
+    return _greedy_leader_by_cell(assigned, id_col, threshold)
+
+
+def _greedy_leader_by_cell(
+    assigned: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Deterministic ascending-id greedy leader pass per cell over an
+    (id, v, cell) frame — the shared tail of both semantic_dedup tiers."""
 
     def _leader(pdf):
         import numpy as np  # noqa: PLC0415 — runs on executors

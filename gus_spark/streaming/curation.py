@@ -71,13 +71,29 @@ def curate_stream(
             )
         )
         if os.path.isdir(fp_path):
-            seen = spark.read.parquet(fp_path)
+            # exclude THIS batch's own partition: a replay that crashed
+            # after the fp write would otherwise anti-join the batch
+            # against its own fingerprints and overwrite the rows away
+            # (the MinHashIndex `exclude_key` rule)
+            seen = (
+                spark.read.parquet(fp_path)
+                .filter(F.col("batch") != batch_id)
+                .select("content_fp")
+            )
             batch_kept = batch_kept.join(seen, "content_fp", "left_anti")
-        # two actions consume this frame (rows + fps); materialize once
+        # two actions consume this frame (rows + fps); materialize once.
+        # Both land in batch-keyed partition dirs with OVERWRITE
+        # semantics: a crash anywhere between the first write and the
+        # marker replays idempotently (a plain append would duplicate
+        # rows AND fps — the keyed-overwrite-delta pattern from
+        # streaming.vectors). Readers see a `batch` partition column.
         batch_kept = batch_kept.cache()
-        if batch_kept.take(1):
-            batch_kept.select(*_OUT_COLS).write.mode("append").parquet(out_path)
-            batch_kept.select("content_fp").write.mode("append").parquet(fp_path)
+        batch_kept.select(*_OUT_COLS).write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}")
+        )
+        batch_kept.select("content_fp").write.mode("overwrite").parquet(
+            os.path.join(fp_path, f"batch={batch_id}")
+        )
         batch_kept.unpersist()
         with open(marker, "w", encoding="utf-8") as fh:
             fh.write("done")

@@ -4,23 +4,39 @@
 Unlike streaming dedup/curation, contamination is a property of each
 document against a STATIC benchmark suite — no cross-batch state is
 needed. What the streaming form adds is amortization: the benchmark's
-distinct gram hashes are computed ONCE and persisted under
-``state_dir`` (marker-protected, so a restart reuses them instead of
-re-exploding the eval suite), and every micro-batch then runs the
-same hash-gram equi-join + min_hits count + anti-join the batch
-operator uses — same `token_ngrams` expressions imported from the
-operator, so batch and stream cannot drift.
+gram hashes are computed ONCE and persisted under ``state_dir``, and
+every micro-batch then runs the same hash-gram equi-join + min_hits
+count + anti-join the batch operator uses — same `token_ngrams`
+expressions imported from the operator, so batch and stream cannot
+drift.
+
+State safety: the persisted gram table carries a ``meta.json``
+({n, bench row count, bit-xor fingerprint of the gram hashes} — the
+MinHashIndex pattern); every (re)start recomputes the fingerprint
+from the CURRENT ``bench`` argument (one bench-side explode per
+start, the exact cost the per-batch path amortizes away) and refuses
+a state_dir whose grams were built from a different n or benchmark —
+a silent mismatch would join fresh doc grams against stale bench
+grams and wave contaminated documents through as clean.
+
+Crash-replay: each micro-batch's clean rows are written to a
+batch-keyed partition directory (``out_path/batch=<id>``) with
+OVERWRITE semantics, so a crash between the write and the done-marker
+replays idempotently — a plain append would duplicate the batch's
+rows (the keyed-overwrite-delta pattern from streaming.vectors).
+Readers see a ``batch`` partition column; select it away when
+comparing against batch results.
 
 Scale shape per batch: explode the BATCH's grams (O(batch tokens)),
 join against the persisted gram table (an eval suite — thousands of
-documents; AQE broadcasts it at runtime when it fits), count per doc,
-anti-join. Crash-replay: per-batch done-markers make replayed batch
-ids no-ops, keeping the appended output exact (the neardup/curation
-pattern).
+documents; AQE broadcasts it at runtime when it fits), count per
+(doc, bench doc), anti-join. The pipeline executes ONCE per batch
+(single write action; no pre-count/take probes).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame
@@ -28,6 +44,34 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from gus_spark.operators.decontaminate import DEFAULT_N, token_ngrams
+
+
+def _bench_grams(
+    bench: DataFrame, bench_id_col: str, bench_text_col: str, n: int
+) -> DataFrame:
+    """(bench_id, gram-hash) at per-benchmark-document granularity:
+    min_hits applies PER BENCH DOC in the batch operator (>= k grams
+    shared with a SINGLE eval example) — a global distinct-gram set
+    would let two different eval examples each contribute one hit and
+    wrongly reach min_hits=2. token_ngrams already dedups grams within
+    each bench doc."""
+    return bench.select(
+        F.col(bench_id_col).alias("_bid"),
+        F.explode(token_ngrams(F.col(bench_text_col), n)).alias("_gram"),
+    ).select("_bid", F.xxhash64("_gram").alias("_gh"))
+
+
+def _fingerprint(grams: DataFrame) -> dict:
+    row = grams.agg(
+        F.count("*").alias("rows"),
+        F.expr("bit_xor(_gh)").alias("fp"),
+        F.expr("bit_xor(hash(_bid, _gh))").alias("fp_pairs"),
+    ).first()
+    return {
+        "rows": row["rows"],
+        "fp": int(row["fp"] or 0),
+        "fp_pairs": int(row["fp_pairs"] or 0),
+    }
 
 
 def decontaminate_stream(
@@ -42,30 +86,32 @@ def decontaminate_stream(
     bench_text_col: str = "text",
 ) -> StreamingQuery:
     """Start decontaminating ``docs_stream`` (documents schema) against
-    the static ``bench`` suite; clean rows append to ``out_path`` as
-    parquet, the benchmark gram-hash table persists under
-    ``state_dir``."""
+    the static ``bench`` suite; clean rows land under
+    ``out_path/batch=<id>`` as parquet, the benchmark gram-hash table
+    persists under ``state_dir``. Raises ValueError when ``state_dir``
+    holds grams built from a different n/benchmark."""
     if min_hits < 1:
         raise ValueError(f"min_hits must be >= 1, got {min_hits}")
     os.makedirs(state_dir, exist_ok=True)
     grams_path = os.path.join(state_dir, "bench_grams")
-    grams_marker = os.path.join(state_dir, "_bench_grams.done")
-    if not os.path.exists(grams_marker):
-        # one-time build at (bench_id, gram-hash) granularity:
-        # min_hits applies PER BENCHMARK DOCUMENT in the batch
-        # operator (>= k grams shared with a SINGLE eval example), so
-        # the table must keep bench_id — a global distinct-gram set
-        # would let two different eval examples each contribute one
-        # hit and wrongly reach min_hits=2. token_ngrams already
-        # dedups grams within each bench doc.
-        bench.select(
-            F.col(bench_id_col).alias("_bid"),
-            F.explode(token_ngrams(F.col(bench_text_col), n)).alias("_gram"),
-        ).select("_bid", F.xxhash64("_gram").alias("_gh")).write.mode(
-            "overwrite"
-        ).parquet(grams_path)
-        with open(grams_marker, "w", encoding="utf-8") as fh:
-            fh.write("done")
+    meta_path = os.path.join(state_dir, "meta.json")
+    current = _bench_grams(bench, bench_id_col, bench_text_col, n)
+    meta = {"n": n, **_fingerprint(current)}
+    if os.path.exists(meta_path):
+        with open(meta_path, encoding="utf-8") as fh:
+            stored = json.load(fh)
+        if stored != meta:
+            raise ValueError(
+                f"state_dir {state_dir!r} holds bench grams for "
+                f"{stored}, but the current stream was configured with "
+                f"{meta} — a silent mismatch would pass contaminated "
+                "documents as clean. Use a fresh state_dir (or the "
+                "original n/benchmark)."
+            )
+    else:
+        current.write.mode("overwrite").parquet(grams_path)
+        with open(meta_path, "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(state_dir, f"_batch-{batch_id}.done")
@@ -88,8 +134,11 @@ def decontaminate_stream(
         clean = batch_df.join(
             dirty, batch_df["doc_id"] == F.col("_did"), "left_anti"
         )
-        if clean.take(1):
-            clean.write.mode("append").parquet(out_path)
+        # batch-keyed overwrite: the ONE action per batch, idempotent
+        # under crash-replay of the marker window
+        clean.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}")
+        )
         with open(marker, "w", encoding="utf-8") as fh:
             fh.write("done")
 

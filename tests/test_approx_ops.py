@@ -870,3 +870,10 @@ def test_semantic_dedup_multicell_and_corpus(spark):
     exact = semantic_dedup(frame, threshold=0.45, k_cells=1).collect()
     exact_dropped = {r["vec_id"] for r in exact if not r["keep"]}
     assert exact_dropped  # the 0.45 band has real pairs at sf0.01
+    # k_cells is HONORED (regression: label-seeded init used to pin
+    # the cell count to the label count, silently ignoring k_cells):
+    # the exact tier is one cell even though the table has 10 labels,
+    # and the clustered tier produced exactly its requested cells
+    assert {r["cell"] for r in exact} == {0}
+    assert {r["cell"] for r in out} <= set(range(4))
+    assert len({r["cell"] for r in out}) == 4

@@ -784,3 +784,45 @@ def test_sample_frames_non_gif_still_gated(spark, monkeypatch):
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+def test_gif_hostile_buffers_raise_valueerror_only():
+    """Hardening matrix: each hostile shape must raise the contracted
+    ValueError (never MemoryError / silent corruption) — a 13-byte
+    header declaring a 65535x65535 screen (a ~12.9 GB canvas if
+    allocated), a frame rectangle outside the logical screen, and an
+    LZW stream whose indices exceed the color table."""
+    import struct
+
+    import pytest
+
+    from gus_spark.operators import gif
+
+    # oversized logical screen, rejected before any allocation
+    huge = b"GIF89a" + struct.pack("<HH", 65535, 65535) + bytes(3)
+    with pytest.raises(ValueError, match="decode limit"):
+        gif.decode_gif(huge)
+
+    pal = bytes([1, 2, 3, 4, 5, 6])
+    base = gif.encode_gif(2, 2, pal, [bytes([0, 1, 1, 0])])
+    # frame rectangle exceeding the screen: patch the descriptor's
+    # width field (2 -> 3)
+    idx = base.index(b"\x2c")
+    oob = bytearray(base)
+    struct.pack_into("<H", oob, idx + 5, 3)
+    with pytest.raises(ValueError, match="exceeds the"):
+        gif.decode_gif(bytes(oob))
+
+    # palette index out of range: re-encode a frame that references
+    # index 2 against the 2-entry table by splicing in an LZW stream
+    # built with a larger alphabet
+    body = gif._sub_blocks(gif._lzw_encode(2, bytes([0, 3, 1, 0])))
+    spliced = (
+        base[: idx + 9]
+        + bytes([0])  # no local table, no interlace
+        + bytes([2])  # min code size
+        + body
+        + b"\x3b"
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        gif.decode_gif(spliced)

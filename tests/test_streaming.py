@@ -208,14 +208,35 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
                       str(tmp_path / "ckpt"))
     q.awaitTermination()
 
-    got = {tuple(r) for r in spark.read.parquet(out).collect()}
-    assert got == batch
+    from gus_spark.streaming.curation import _OUT_COLS
+
+    def read_rows():
+        # output lives in batch-keyed partition dirs (crash-safe keyed
+        # overwrite); project the contract columns for comparison
+        return {
+            tuple(r)
+            for r in spark.read.parquet(out).select(*_OUT_COLS).collect()
+        }
+
+    assert read_rows() == batch
     # replay with a fresh checkpoint: markers short-circuit both batches
-    n = spark.read.parquet(out).count()
     q2 = curate_stream(stream, str(tmp_path / "state"), out,
                        str(tmp_path / "ckpt2"))
     q2.awaitTermination()
-    assert spark.read.parquet(out).count() == n
+    assert read_rows() == batch
+    # crash window: marker lost AFTER the batch's rows+fps were
+    # written — the replayed batch must neither duplicate its rows
+    # (keyed overwrite) nor anti-join itself away on its own
+    # fingerprints (self-partition excluded from `seen`)
+    state = tmp_path / "state"
+    markers = sorted(
+        p for p in os.listdir(state) if p.startswith("_batch-")
+    )
+    os.remove(str(state / markers[-1]))
+    q3 = curate_stream(stream, str(tmp_path / "state"), out,
+                       str(tmp_path / "ckpt3"))
+    q3.awaitTermination()
+    assert read_rows() == batch
 
 
 def test_streaming_vector_ingest_matches_batch_adds(spark, tmp_path):
@@ -441,10 +462,18 @@ def test_streaming_decontamination_matches_batch(spark, tmp_path):
             str(base / "ckpt"), min_hits=min_hits,
         )
         q.awaitTermination()
-        got = {tuple(r) for r in spark.read.parquet(out).collect()}
+        # output carries a batch partition column (the crash-safe
+        # keyed-overwrite layout); drop it for the batch comparison
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select(*docs.columns)
+            .collect()
+        }
         assert got == expected, f"min_hits={min_hits}"
 
-        # replay with a fresh checkpoint: markers short-circuit batches
+        # replay with a fresh checkpoint: markers short-circuit both
+        # batches; batch-keyed overwrite keeps even a re-run exact
         n = spark.read.parquet(out).count()
         q2 = decontaminate_stream(
             stream, bench, str(base / "state"), out,
@@ -452,5 +481,31 @@ def test_streaming_decontamination_matches_batch(spark, tmp_path):
         )
         q2.awaitTermination()
         assert spark.read.parquet(out).count() == n
-        # the bench gram table was built once and reused
-        assert os.path.exists(str(base / "state" / "_bench_grams.done"))
+        assert os.path.exists(str(base / "state" / "meta.json"))
+
+        # a crash BETWEEN the batch write and its marker: simulate by
+        # deleting one marker and replaying — the keyed overwrite must
+        # leave counts unchanged (an append layout would duplicate)
+        markers = [
+            p for p in os.listdir(str(base / "state"))
+            if p.startswith("_batch-")
+        ]
+        os.remove(str(base / "state" / markers[0]))
+        q3 = decontaminate_stream(
+            stream, bench, str(base / "state"), out,
+            str(base / "ckpt3"), min_hits=min_hits,
+        )
+        q3.awaitTermination()
+        assert spark.read.parquet(out).count() == n
+
+        # state built under different n / benchmark must be refused
+        with pytest.raises(ValueError, match="state_dir"):
+            decontaminate_stream(
+                stream, bench, str(base / "state"), out,
+                str(base / "ckpt4"), n=8, min_hits=min_hits,
+            )
+        with pytest.raises(ValueError, match="state_dir"):
+            decontaminate_stream(
+                stream, bench.limit(2), str(base / "state"), out,
+                str(base / "ckpt5"), min_hits=min_hits,
+            )
