@@ -32,11 +32,13 @@ Codec reality in this environment, per media type:
   reads ISO BMFF boxes with the in-tree stdlib parser
   (``operators.mp4``) — duration, track count, video dimensions —
   the pre-decode triage pass; only frame DECODE needs ffmpeg.
-- **Animated GIF frames decode for REAL**: ``sample_frames`` runs the
-  in-tree stdlib GIF89a codec (``operators.gif`` — LZW, local/global
-  palettes, delays/transparency/disposal compositing), samples the
-  animation timeline and emits each sampled frame as a lossless RGB
-  PNG — the full decoded-frames-out contract without ffmpeg.
+- **GIF decodes for REAL** (in-tree stdlib GIF89a codec,
+  ``operators.gif`` — LZW, local/global palettes, delays/transparency/
+  disposal compositing): ``sample_frames`` samples the animation
+  timeline and emits each sampled frame as a lossless RGB PNG — the
+  full decoded-frames-out contract without ffmpeg — and
+  ``decode_image_features`` treats a GIF as an image via its first
+  composited frame (true width/height/mean-luma).
 - Other image formats and compressed audio/video codecs
   (webp/opencv/mp3/ffmpeg, progressive JPEG) are NOT available, so
   those paths are gated STUBS:
@@ -128,8 +130,15 @@ def decode_image_features(
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from gus_spark.operators import jpeg, png
+        from gus_spark.operators import gif, jpeg, png
         from gus_spark.operators.png import mean_luma
+
+        def decode_gif_rgb(raw):
+            # image view of a GIF: the FIRST composited frame as RGB
+            w, h, frames, _ = gif.decode_gif(raw)
+            if not frames:
+                raise ValueError("GIF contains no image frames")
+            return w, h, 3, frames[0]
 
         for pdf in batches:
             out = {
@@ -144,6 +153,7 @@ def decode_image_features(
                 codec = (
                     png if png.is_png(raw)
                     else jpeg if jpeg.is_jpeg(raw)
+                    else gif if gif.is_gif(raw)
                     else None
                 )
                 if codec is not None:
@@ -155,7 +165,8 @@ def decode_image_features(
                     try:
                         w, h, ch, pixels = (
                             png.decode_png(raw) if codec is png
-                            else jpeg.decode_jpeg(raw)
+                            else jpeg.decode_jpeg(raw) if codec is jpeg
+                            else decode_gif_rgb(raw)
                         )
                     except ValueError as e:
                         if not allow_fake:

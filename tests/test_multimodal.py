@@ -826,3 +826,30 @@ def test_gif_hostile_buffers_raise_valueerror_only():
     )
     with pytest.raises(ValueError, match="palette index"):
         gif.decode_gif(spliced)
+
+
+def test_decode_image_features_real_gif_no_stub(spark, monkeypatch):
+    """A GIF is also an image: decode_image_features extracts true
+    width/height/mean-luma from the FIRST composited frame, no stub."""
+    from pyspark.sql import Row
+
+    from gus_spark.operators import gif
+    from gus_spark.operators.png import mean_luma
+
+    monkeypatch.delenv("GUS_MULTIMODAL_FAKE_DECODE", raising=False)
+    w, h = 5, 4
+    pal = bytes([10, 20, 30, 200, 100, 50])
+    frame = bytes((i % 2) for i in range(w * h))
+    data = gif.encode_gif(w, h, pal, [frame])
+    rgb = b"".join(pal[i * 3 : i * 3 + 3] for i in frame)
+    media = spark.createDataFrame(
+        [Row(media_id=0, content=data,
+             meta=Row(mime="image/gif", width=None, height=None,
+                      duration_ms=None, sample_rate=None))],
+        MEDIA_SCHEMA,
+    )
+    out = decode_image_features(media, fake=False).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.width, r.height, r.n_bytes) == (w, h, len(data))
+    assert r.mean_luma == f"{mean_luma(w, h, 3, rgb):.3f}"
