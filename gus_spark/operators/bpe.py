@@ -1,0 +1,211 @@
+"""Byte-pair-encoding tokenizer training and encoding (Sennrich et
+al. 2016, arXiv 1508.07909 — the LLM-tokenizer core algorithm).
+
+The scale trick is the classic one: BPE statistics depend only on the
+corpus VOCABULARY (distinct words + frequencies), not the corpus — so
+the fit runs one corpus-sized aggregation (word counts), then
+iterates on the resulting vocab frame, which is orders of magnitude
+smaller (Heaps' law) and stays distributed:
+
+    per merge iteration (one pass over the VOCAB, not the corpus):
+      1. explode each word's adjacent symbol pairs weighted by the
+         word's count; groupBy pair → sum — map-side partial agg, the
+         shuffle moves |distinct pairs| rows;
+      2. take the max-count pair driver-side (deterministic
+         tie-break: lowest (left, right) lexicographically);
+      3. apply the merge to every word's symbol array (Arrow kernel —
+         a linear adjacent-pair scan per word; no shuffle).
+
+`bpe_encode` tokenizes any text with a fitted merge list: the
+standard rank-greedy loop (repeatedly merge the best-ranked adjacent
+pair) per word, vectorized per Arrow batch, merge table broadcast.
+End-of-word is marked with the trailing sentinel ``</w>`` on the last
+character, per the paper, so "low" and "lower" share prefixes but not
+the terminal symbol.
+
+Everything is deterministic: no RNG, stable tie-breaks, and the fit
+depends only on the word-count multiset — identical merges across
+runs and partitionings (tested against a pure-Python reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EOW = "</w>"
+
+
+def _word_symbols(word: str) -> list[str]:
+    if not word:
+        return []
+    chars = list(word)
+    chars[-1] = chars[-1] + EOW
+    return chars
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) over whitespace tokens — the corpus-sized pass."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+                "word"
+            )
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def bpe_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 100,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` merge rules from the corpus; returns the
+    ordered merge list (the whole tokenizer model — rank = position).
+    Stops early when no adjacent pair repeats."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    import pandas as pd
+
+    vocab = word_counts(df, text_col)
+
+    # symbol arrays seeded from characters (+ terminal sentinel);
+    # Arrow-batched like every Python stage in this repo
+    @F.pandas_udf("array<string>")
+    def to_syms(words):
+        return pd.Series([_word_symbols(w) for w in words])
+
+    # the vocab frame is iterated on; localCheckpoint truncates the
+    # growing lineage each round (the MinHash/graph pattern)
+    cur = vocab.select(
+        to_syms("word").alias("syms"), "count"
+    ).localCheckpoint()
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs = (
+            cur.select(
+                F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias(
+                    "i", "left"
+                ),
+                F.col("syms"),
+                F.col("count"),
+            )
+            .select(
+                "left",
+                F.element_at("syms", F.col("i") + 2).alias("right"),
+                "count",
+            )
+            .groupBy("left", "right")
+            .agg(F.sum("count").alias("n"))
+        )
+        top = pairs.orderBy(
+            F.desc("n"), F.asc("left"), F.asc("right")
+        ).limit(1).collect()
+        if not top or top[0]["n"] < 2:
+            break
+        a, b = top[0]["left"], top[0]["right"]
+        merges.append((a, b))
+
+        def make_apply(a=a, b=b):
+            merged = a + b
+
+            @F.pandas_udf("array<string>")
+            def apply_merge(col):
+                def one(syms):
+                    if syms is None or len(syms) < 2:
+                        return syms
+                    out = []
+                    i = 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == a
+                            and syms[i + 1] == b
+                        ):
+                            out.append(merged)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    return out
+
+                return pd.Series([one(s) for s in col])
+
+            return apply_merge
+
+        cur = cur.select(
+            make_apply()("syms").alias("syms"), "count"
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, tokens array<string>, n_tokens) — rank-greedy BPE encoding
+    of each document with a fitted merge list (unseen words fall back
+    toward characters, the defining BPE property)."""
+    ranks = {pair: r for r, pair in enumerate(merges)}
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(ranks)
+
+    @F.pandas_udf("array<string>")
+    def encode(texts):
+        import pandas as pd
+
+        rk = bc.value
+
+        def enc_word(word):
+            syms = _word_symbols(word)
+            while len(syms) >= 2:
+                best, best_rank = None, None
+                for i in range(len(syms) - 1):
+                    r = rk.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best, best_rank = i, r
+                if best is None:
+                    break
+                # merge EVERY occurrence of that pair left-to-right,
+                # mirroring the fit's full-array merge pass
+                a, b = syms[best], syms[best + 1]
+                out = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        def enc_text(t):
+            if t is None:
+                return None
+            import re
+
+            toks = []
+            # ASCII \s+ split to mirror the fit's JVM tokenization
+            for w in re.split(r"\s+", t.strip(), flags=re.ASCII):
+                if w:
+                    toks.extend(enc_word(w))
+            return toks
+
+        return pd.Series([enc_text(t) for t in texts])
+
+    live = df.filter(F.col(text_col).isNotNull())
+    return live.select(
+        F.col(id_col),
+        encode(F.col(text_col)).alias("tokens"),
+    ).select(
+        id_col, "tokens", F.size("tokens").cast("long").alias("n_tokens")
+    )
