@@ -11,7 +11,10 @@ them, from raw documents to packed training sequences.
       4. quality gate       distilled classifier (weak heuristic
                             labels -> hashed-BoW logistic scorer)
       5. PII redaction      typed-placeholder scrubbing
-      6. chunk + pack       sliding token windows -> first-fit into
+      6. tokenizer fit      BPE merges learned from the surviving
+                            corpus's deduplicated vocabulary (token
+                            budget reported under that tokenizer)
+      7. chunk + pack       sliding token windows -> next-fit into
                             fixed-budget training sequences
 
 Stage order is the standard one: cheap exact/structural filters run
@@ -116,7 +119,17 @@ def run_pipeline(
         or 0
     )
 
-    # 6. chunk + pack
+    # 6. tokenizer: BPE merges from the surviving corpus; report the
+    # corpus's token budget under that tokenizer
+    from gus_spark.operators.bpe import bpe_encode, bpe_fit
+
+    merges = bpe_fit(redacted, num_merges=64)
+    stats["bpe_merges"] = len(merges)
+    stats["bpe_tokens_total"] = (
+        bpe_encode(redacted, merges).agg(F.sum("n_tokens")).first()[0]
+    )
+
+    # 7. chunk + pack
     chunks = chunk_documents(
         redacted.select("doc_id", "text"),
         max_tokens=chunk_tokens,
