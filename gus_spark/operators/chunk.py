@@ -47,7 +47,10 @@ def chunk_documents(
     overlap: int = 64,
 ) -> DataFrame:
     """(id, chunk_index, chunk_text, n_chunk_tokens): the sliding
-    token windows of every non-null-text document."""
+    token windows of every document with at least one token — null and
+    empty/whitespace-only documents yield ZERO chunks (split('') would
+    otherwise produce [''], a phantom 1-token chunk that pack_sequences
+    would count into training sequences)."""
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
     if not 0 <= overlap < max_tokens:
@@ -55,7 +58,9 @@ def chunk_documents(
             f"overlap must be in [0, max_tokens), got {overlap}"
         )
     step = max_tokens - overlap
-    live = df.filter(F.col(text_col).isNotNull())
+    live = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
     toks = live.select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws")
     )

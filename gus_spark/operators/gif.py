@@ -208,7 +208,9 @@ def encode_gif(
 # ---------------------------------------------------------------------------
 # Decode
 # ---------------------------------------------------------------------------
-def decode_gif(data: bytes) -> tuple[int, int, list[bytes], list[int]]:
+def decode_gif(
+    data: bytes, max_frames: int | None = None
+) -> tuple[int, int, list[bytes], list[int]]:
     """-> (width, height, [RGB frame bytes], [delay_ms]) with each
     frame composited onto the logical screen (disposal 0/1 leave the
     canvas, 2 restores the frame region to background; transparency
@@ -217,22 +219,31 @@ def decode_gif(data: bytes) -> tuple[int, int, list[bytes], list[int]]:
     Single-exception contract (same as operators.png/jpeg): any
     malformed or truncated buffer raises ValueError — callers like the
     sample_frames kernel catch exactly that to fall through to the
-    gated stub without killing the stage."""
+    gated stub without killing the stage. ``max_frames`` stops decoding
+    after that many composited frames (an image-features caller needs
+    only the first — no reason to decode a whole animation)."""
     try:
-        return _decode_gif(data)
+        return _decode_gif(data, max_frames)
     except (IndexError, struct.error) as e:  # truncated mid-structure
         raise ValueError(f"truncated or malformed GIF ({e})") from e
 
 
-#: decode limit: a hostile 13-byte header can otherwise declare a
+#: decode limits: a hostile 13-byte header can otherwise declare a
 #: 65535×65535 screen and force a ~12.9 GB canvas allocation before any
 #: pixel data is read. 2^24 pixels (= 4096×4096, a 50 MB RGB canvas)
 #: comfortably covers real animations while keeping the worst case
-#: bounded; larger screens raise the contracted ValueError.
+#: bounded; larger screens raise the contracted ValueError. The BYTE
+#: cap bounds the OTHER axis — a small buffer with thousands of tiny
+#: frames each forcing a full-canvas copy (frames × canvas grows
+#: unbounded otherwise); 1 GiB of decoded frames is far past any
+#: legitimate sample_frames input.
 _MAX_PIXELS = 1 << 24
+_MAX_DECODE_BYTES = 1 << 30
 
 
-def _decode_gif(data: bytes) -> tuple[int, int, list[bytes], list[int]]:
+def _decode_gif(
+    data: bytes, max_frames: int | None = None
+) -> tuple[int, int, list[bytes], list[int]]:
     if not is_gif(data):
         raise ValueError("not a GIF (bad signature)")
     width, height = struct.unpack_from("<HH", data, 6)
@@ -305,7 +316,11 @@ def _decode_gif(data: bytes) -> tuple[int, int, list[bytes], list[int]]:
         indices = _lzw_decode(min_code, lzw)
         if len(indices) < fw * fh:
             raise ValueError("frame pixel data shorter than descriptor")
-        if fw * fh and max(indices[: fw * fh]) * 3 + 3 > len(table):
+        drawn = set(indices[: fw * fh])
+        drawn.discard(transparent)  # skipped by the compositor: any
+        # value is legal there (real encoders do place the transparent
+        # index outside the color table)
+        if drawn and max(drawn) * 3 + 3 > len(table):
             # a silent out-of-range index would make the bytearray
             # slice-assign below SHRINK the canvas (empty RGB slice)
             # and corrupt every later frame
@@ -319,6 +334,13 @@ def _decode_gif(data: bytes) -> tuple[int, int, list[bytes], list[int]]:
                 canvas[off : off + 3] = table[idx * 3 : idx * 3 + 3]
         frames.append(bytes(canvas))
         delays_ms.append(delay_cs * 10)
+        if (len(frames) + 1) * len(canvas) > _MAX_DECODE_BYTES:
+            raise ValueError(
+                f"decoded frames exceed the {_MAX_DECODE_BYTES}-byte "
+                "limit (frame-count bomb)"
+            )
+        if max_frames is not None and len(frames) >= max_frames:
+            return width, height, frames, delays_ms
         if disposal == 2:  # restore frame region to background
             for row in range(fh):
                 off = ((top + row) * width + left) * 3

@@ -115,12 +115,14 @@ def decode_image_features(
 ) -> DataFrame:
     """Per-image feature extraction over Arrow batches.
 
-    PNG and baseline JPEG buffers are decoded for REAL (operators.png /
-    operators.jpeg, pure Python): width/height from the container,
-    mean_luma as the actual BT.601 luminance mean formatted to 3
-    decimals. Other formats fall back to the gated stub (deterministic
-    pseudo-features from the md5 of the bytes) or NotImplementedError
-    when the stub is not allowed.
+    PNG, baseline JPEG and GIF buffers are decoded for REAL
+    (operators.png / operators.jpeg / operators.gif, pure Python):
+    width/height from the container, mean_luma as the actual BT.601
+    luminance mean formatted to 3 decimals (a GIF contributes its
+    FIRST composited frame, decoded first-frame-only — the rest of an
+    animation is never touched). Other formats fall back to the gated
+    stub (deterministic pseudo-features from the md5 of the bytes) or
+    NotImplementedError when the stub is not allowed.
     """
     df = ensure_parallelism(df)
     # resolve driver-side: executor workers do not see env changes made
@@ -134,8 +136,11 @@ def decode_image_features(
         from gus_spark.operators.png import mean_luma
 
         def decode_gif_rgb(raw):
-            # image view of a GIF: the FIRST composited frame as RGB
-            w, h, frames, _ = gif.decode_gif(raw)
+            # image view of a GIF: the FIRST composited frame as RGB;
+            # max_frames=1 stops the decoder there — a 500-frame
+            # animation costs one frame's work, and corruption in
+            # later frames cannot spoil the decodable first one
+            w, h, frames, _ = gif.decode_gif(raw, max_frames=1)
             if not frames:
                 raise ValueError("GIF contains no image frames")
             return w, h, 3, frames[0]

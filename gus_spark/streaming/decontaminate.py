@@ -6,9 +6,9 @@ document against a STATIC benchmark suite — no cross-batch state is
 needed. What the streaming form adds is amortization: the benchmark's
 gram hashes are computed ONCE and persisted under ``state_dir``, and
 every micro-batch then runs the same hash-gram equi-join + min_hits
-count + anti-join the batch operator uses — same `token_ngrams`
-expressions imported from the operator, so batch and stream cannot
-drift.
+count + anti-join the batch operator uses — both sides' gram hashing
+goes through the operator's own `_gram_hashes`, so batch and stream
+cannot drift.
 
 State safety: the persisted gram table carries a ``meta.json``
 ({n, bench row count, bit-xor fingerprint of the gram hashes} — the
@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from gus_spark.operators.decontaminate import DEFAULT_N, token_ngrams
+from gus_spark.operators.decontaminate import DEFAULT_N, _gram_hashes
 
 
 def _bench_grams(
@@ -53,12 +53,10 @@ def _bench_grams(
     min_hits applies PER BENCH DOC in the batch operator (>= k grams
     shared with a SINGLE eval example) — a global distinct-gram set
     would let two different eval examples each contribute one hit and
-    wrongly reach min_hits=2. token_ngrams already dedups grams within
-    each bench doc."""
-    return bench.select(
-        F.col(bench_id_col).alias("_bid"),
-        F.explode(token_ngrams(F.col(bench_text_col), n)).alias("_gram"),
-    ).select("_bid", F.xxhash64("_gram").alias("_gh"))
+    wrongly reach min_hits=2. Delegates to the batch operator's
+    _gram_hashes so the explode+hash expressions are literally shared
+    (the no-drift guarantee, not just the same-looking code)."""
+    return _gram_hashes(bench, bench_id_col, bench_text_col, n, "_bid")
 
 
 def _fingerprint(grams: DataFrame) -> dict:
@@ -95,7 +93,11 @@ def decontaminate_stream(
     os.makedirs(state_dir, exist_ok=True)
     grams_path = os.path.join(state_dir, "bench_grams")
     meta_path = os.path.join(state_dir, "meta.json")
-    current = _bench_grams(bench, bench_id_col, bench_text_col, n)
+    # localCheckpoint: the fingerprint agg AND the (first-start)
+    # parquet write both consume this frame — one explode, not two
+    current = _bench_grams(
+        bench, bench_id_col, bench_text_col, n
+    ).localCheckpoint()
     meta = {"n": n, **_fingerprint(current)}
     if os.path.exists(meta_path):
         with open(meta_path, encoding="utf-8") as fh:
@@ -119,10 +121,7 @@ def decontaminate_stream(
             return
         spark = batch_df.sparkSession
         bench_grams = spark.read.parquet(grams_path)
-        doc_grams = batch_df.select(
-            F.col("doc_id").alias("_did"),
-            F.explode(token_ngrams(F.col("text"), n)).alias("_gram"),
-        ).select("_did", F.xxhash64("_gram").alias("_gh"))
+        doc_grams = _gram_hashes(batch_df, "doc_id", "text", n, "_did")
         dirty = (
             doc_grams.join(bench_grams, "_gh")
             .groupBy("_did", "_bid")

@@ -53,7 +53,9 @@ def test_chunk_hand_cases(spark):
     # step 3 -> ceil(9/3)=3 chunks: [1..4], [4..7], [7..10]
     assert got[0] == [("a b c d", 4), ("d e f g", 4), ("g h i j", 4)]
     assert got[1] == [("short doc", 2)]
-    assert got[2] == [("", 1)]
+    # empty/whitespace-only docs yield ZERO chunks (no phantom
+    # 1-token '' chunk entering training sequences), nulls drop
+    assert 2 not in got
     assert 3 not in got
     # consecutive chunks share exactly `overlap` tokens
     assert got[0][0][0].split()[-1:] == got[0][1][0].split()[:1]
@@ -112,7 +114,7 @@ def test_chunk_duckdb_mirror(spark):
     oracle = con.execute(rf"""
         WITH toks AS (
           SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS ws
-          FROM documents WHERE text IS NOT NULL
+          FROM documents WHERE text IS NOT NULL AND TRIM(text) <> ''
         ), spans AS (
           SELECT doc_id, ws,
                  GREATEST(CAST(CEIL((len(ws) - {overlap}) / {step}.0)

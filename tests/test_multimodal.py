@@ -853,3 +853,59 @@ def test_decode_image_features_real_gif_no_stub(spark, monkeypatch):
     r = out[0]
     assert (r.width, r.height, r.n_bytes) == (w, h, len(data))
     assert r.mean_luma == f"{mean_luma(w, h, 3, rgb):.3f}"
+
+
+def test_gif_max_frames_bomb_and_transparent_oob():
+    """Second-pass hardening: max_frames=1 stops after the first
+    composited frame; a frame-count bomb (many frames x big canvas)
+    hits the decoded-bytes ValueError, not an OOM; a transparent index
+    OUTSIDE the color table is legal (the compositor skips it) and
+    must decode."""
+    import struct
+
+    import pytest
+
+    from gus_spark.operators import gif
+
+    pal = bytes([9, 9, 9, 250, 250, 250])
+    frames = [bytes([f % 2] * 4) for f in range(5)]
+    data = gif.encode_gif(2, 2, pal, frames, [1] * 5)
+    w, h, got, delays = gif.decode_gif(data, max_frames=1)
+    assert len(got) == 1 and len(delays) == 1
+    assert got[0] == b"".join(pal[i * 3 : i * 3 + 3] for i in frames[0])
+
+    # frame bomb: 2048x2048 canvas (passes the pixel cap) and enough
+    # 1x1 frames that frames x canvas exceeds the byte cap
+    n_frames = (gif._MAX_DECODE_BYTES // (2048 * 2048 * 3)) + 2
+    head = (
+        b"GIF89a" + struct.pack("<HH", 2048, 2048)
+        + bytes([0x80, 0, 0]) + pal
+    )
+    one = (
+        b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + bytes([0])
+        + bytes([2]) + gif._sub_blocks(gif._lzw_encode(2, bytes([1])))
+    )
+    bomb = head + one * n_frames + b"\x3b"
+    with pytest.raises(ValueError, match="frame-count bomb"):
+        gif.decode_gif(bomb)
+    # but max_frames still lets a caller read the first frame cheaply
+    _, _, first, _ = gif.decode_gif(bomb, max_frames=1)
+    assert len(first) == 1
+
+    # transparent index outside the 2-entry table: compositor skips
+    # those pixels, so this must DECODE (regression: the palette-range
+    # check used to reject it)
+    gce = b"\x21\xf9\x04" + bytes([0x01]) + b"\x00\x00" + b"\x00\x00"
+    img = (
+        b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + bytes([0])
+        + bytes([2])
+        + gif._sub_blocks(gif._lzw_encode(2, bytes([0, 3, 1, 3])))
+    )
+    trans = (
+        b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x80, 0, 0]) + pal
+        + gce.replace(b"\x00\x00\x00", b"\x00\x00\x03", 1) + img + b"\x3b"
+    )
+    w2, h2, fr, _ = gif.decode_gif(trans)
+    dark, white = pal[0:3], pal[3:6]
+    # transparent pixels keep the background (index 0 -> dark)
+    assert fr[0] == dark + dark + white + dark

@@ -157,23 +157,26 @@ def main() -> None:
                 else None
             )
 
-    # duplicate-regime grade, ANY scale (no n×n matrix needed): for
-    # EXACT duplicate vectors the ground truth is analytic — expected
-    # drops = n − distinct vectors, and identical vectors always land
-    # in the same cell, so the clustered pass should be perfect. The
-    # sf1/sf10 copy-up corpora are exactly this regime (each vector
-    # gains 9 cos=1.0 copies per decade).
+    # duplicate-regime grade (no n×n matrix — ground truth is
+    # analytic): for EXACT duplicate vectors, expected drops =
+    # n − distinct vectors, and identical vectors always land in the
+    # same cell, so the clustered pass should be perfect. The sf1/sf10
+    # copy-up corpora are exactly this regime (each vector gains 9
+    # cos=1.0 copies per decade). k_cells scales with n to honor the
+    # operator's occupancy contract (~2k vectors/cell keeps the
+    # per-cell cosine matrix ≤ ~32 MB whatever the corpus size).
     from gus_spark.operators.similarity import semantic_dedup as _sd
 
-    n_distinct = (
-        e.selectExpr("to_json(struct(embedding)) AS j").distinct().count()
-    )
+    n_distinct = e.select("embedding").distinct().count()
     if n_distinct < n:
         t0 = time.time()
         drops = sum(
             1
             for r in _sd(
-                e, threshold=0.95, k_cells=16, lloyd_iters=2
+                e,
+                threshold=0.95,
+                k_cells=max(16, n // 2000),
+                lloyd_iters=2,
             ).collect()
             if not r.keep
         )
