@@ -21,6 +21,16 @@ precision > 18, which forces BigDecimal); per-value range at s=6 is
 precision 28+ automatically in both engines, so accumulated sums do not
 overflow at scale (sf100 lineitem sums ~1e14).
 
+Measured cost of the contract (sf0.1 q1 shape, local[32]): three
+decimal sums + count = 1.33 s vs 0.41 s for plain double sums — the
+~3x is the whole gap between q1 and a correctness-indifferent
+engine, and it is the accepted price. The cheaper exact alternative —
+fixed-point LONG sums (floor(x·10^s + 0.5) summed as int64, the trick
+similarity_label_centroids uses for float32-origin values) — is NOT
+scale-safe here: at the sf100k design point lineitem sums reach
+~6e20 > 2^63, so the long accumulator overflows exactly where the
+decimal's precision-28 growth keeps absorbing digits.
+
 The same helpers emit the matching SQL text so Spark and oracle stay in
 lock-step by construction.
 """
