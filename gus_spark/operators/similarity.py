@@ -746,3 +746,175 @@ def _greedy_leader_by_cell(
             F.col("id").alias(id_col), "cell", "keep", "dup_of", "dup_sim"
         )
     )
+
+
+def semantic_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    k_cells: int = 16,
+    index_probes: int = 1,
+    lloyd_iters: int = 2,
+    dim: int = DIM,
+) -> DataFrame:
+    """Embedding near-duplicate candidate PAIRS (id_a < id_b, cos_sim)
+    via cell-local exact cosine: every vector is indexed in its
+    ``index_probes`` nearest cells (the IVF multi-probe trick applied
+    to SemDeDup), pairs are scored inside each cell with one matmul,
+    and cross-cell duplicates of the same pair are dropped. At
+    ``index_probes=1`` this is exactly the candidate set the
+    single-assignment SemDeDup pass sees; ``index_probes=2`` recovers
+    most pairs that straddle a cell boundary for 2× index volume —
+    measured in tools/ann_recall_bench.py (the moderate-similarity
+    regime where single-assignment recall collapses).
+
+    Scale shape: quantizer as in `semantic_dedup`; assignment emits
+    index_probes rows per vector (top cells from one matmul per Arrow
+    batch); pair scoring is one shuffle on the cell key into per-cell
+    O(b²) matmuls — occupancy stays the k_cells knob; the pair
+    dropDuplicates shuffles only the (tiny) above-threshold pair set.
+    """
+    import numpy as np
+
+    if index_probes < 1:
+        raise ValueError(f"index_probes must be >= 1, got {index_probes}")
+    # more probes than cells is just "index everywhere": clamp (the
+    # k_cells=1 exact tier keeps working with the default ip=2)
+    index_probes = min(index_probes, k_cells)
+    spark = df.sparkSession
+    live = df.filter(F.col(vec_col).isNotNull())
+    v = live.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    if k_cells == 1:
+        assigned = v.select("id", "v", F.lit(0).cast("long").alias("cell"))
+    else:
+        centroids = kmeans_fit(
+            live, id_col, vec_col,
+            seed_col=None, k_cells=k_cells, iters=lloyd_iters, dim=dim,
+        ).collect()
+        centers = np.array(
+            [r["cv"] for r in sorted(centroids, key=lambda r: r["cell"])],
+            dtype="float64",
+        )
+        norms = np.linalg.norm(centers, axis=1)
+        norms[norms == 0.0] = 1.0
+        bc = spark.sparkContext.broadcast(centers / norms[:, None])
+        ip = index_probes
+
+        def _assign_multi(batches, _bc=bc):
+            import numpy as np  # noqa: PLC0415 — runs on executors
+            import pandas as pd
+
+            cn = _bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.stack(pdf["v"].to_numpy())
+                scores = m @ cn.T
+                # top-ip cells, deterministic: argsort desc with
+                # lowest-cell tie-break via lexsort on (-score, cell)
+                order = np.lexsort(
+                    (np.broadcast_to(
+                        np.arange(scores.shape[1]), scores.shape
+                    ), -scores),
+                    axis=1,
+                )[:, :ip]
+                rows = {
+                    "id": np.repeat(pdf["id"].to_numpy(), ip),
+                    "v": [
+                        vv
+                        for vv in pdf["v"].to_numpy()
+                        for _ in range(ip)
+                    ],
+                    "cell": order.reshape(-1).astype("int64"),
+                }
+                yield pd.DataFrame(rows)
+
+        assigned = v.mapInPandas(
+            _assign_multi, "id long, v array<double>, cell long"
+        )
+
+    def _cell_pairs(pdf):
+        import numpy as np  # noqa: PLC0415 — runs on executors
+        import pandas as pd
+
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        m = np.stack(pdf["v"].to_numpy())
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0.0] = 1.0
+        u = m / n[:, None]
+        sims = u @ u.T
+        ids = pdf["id"].to_numpy()
+        ia, ib = np.triu_indices(len(ids), k=1)
+        hit = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[hit]],
+                "id_b": ids[ib[hit]],
+                "cos_sim": sims[ia[hit], ib[hit]],
+            }
+        )
+
+    pairs = assigned.groupBy("cell").applyInPandas(
+        _cell_pairs, "id_a long, id_b long, cos_sim double"
+    )
+    return pairs.dropDuplicates(["id_a", "id_b"]).select(
+        F.col("id_a").alias(f"{id_col}_a"),
+        F.col("id_b").alias(f"{id_col}_b"),
+        "cos_sim",
+    )
+
+
+def semantic_dedup_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    k_cells: int = 16,
+    index_probes: int = 2,
+    lloyd_iters: int = 2,
+    dim: int = DIM,
+) -> DataFrame:
+    """Cluster-semantics semantic dedup: `semantic_pairs` resolved to
+    connected components (operators.graph) with the min-id
+    representative kept — the exact structure of the text pipeline's
+    dedup_clusters, applied to embedding space. Returns every non-null
+    vector as (id, cluster_rep, cluster_size, keep).
+
+    Versus `semantic_dedup`'s greedy leader: component resolution is
+    order-free (no greedy chain effects), multi-probe assignment
+    recovers cross-cell pairs, and transitive near-dup chains collapse
+    into ONE cluster (SemDeDup's per-cell greedy can keep several
+    members of a chain). The trade is the components iteration
+    (2-4 rounds of small-edge-set shuffles) on top of the pair scan.
+    """
+    from gus_spark.operators.graph import connected_components
+
+    pairs = semantic_pairs(
+        df, id_col, vec_col, threshold, k_cells, index_probes,
+        lloyd_iters, dim,
+    )
+    labels = connected_components(
+        pairs, src=f"{id_col}_a", dst=f"{id_col}_b"
+    )
+    live = df.filter(F.col(vec_col).isNotNull()).select(id_col)
+    lab = (
+        live.join(
+            labels.withColumnRenamed("node", id_col), id_col, "left"
+        )
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_rep"),
+        )
+    )
+    sizes = lab.groupBy("cluster_rep").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return lab.join(sizes, "cluster_rep").select(
+        id_col,
+        "cluster_rep",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_rep")).alias("keep"),
+    )

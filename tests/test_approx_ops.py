@@ -877,3 +877,126 @@ def test_semantic_dedup_multicell_and_corpus(spark):
     assert {r["cell"] for r in exact} == {0}
     assert {r["cell"] for r in out} <= set(range(4))
     assert len({r["cell"] for r in out}) == 4
+
+
+def _exact_cos_pairs(rows, threshold):
+    """Driver-side exact ground truth (id, v) -> {(a, b)} at >= thr."""
+    import numpy as np
+
+    ids = np.array([r[0] for r in rows])
+    m = np.stack([np.array(r[1], dtype="float64") for r in rows])
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0.0] = 1.0
+    u = m / n[:, None]
+    sims = u @ u.T
+    ia, ib = np.triu_indices(len(ids), k=1)
+    hit = sims[ia, ib] >= threshold
+    return {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[ia[hit]], ids[ib[hit]])
+    }
+
+
+def test_semantic_pairs_and_clusters_planted(spark):
+    """k_cells=1 (exact tier): semantic_pairs returns exactly the
+    above-threshold pairs; semantic_dedup_clusters collapses each
+    planted near-dup group into one min-id cluster and keeps all
+    singletons."""
+    import math
+    import random
+
+    from gus_spark.operators.similarity import (
+        semantic_dedup_clusters,
+        semantic_pairs,
+    )
+
+    rng = random.Random(31)
+    dim = 16
+
+    def unit(seed):
+        r = random.Random(seed)
+        v = [r.gauss(0, 1) for _ in range(dim)]
+        nn = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / nn for x in v]
+
+    def jitter(v, eps):
+        w = [x + eps * rng.gauss(0, 1) for x in v]
+        nn = math.sqrt(sum(x * x for x in w)) or 1.0
+        return [x / nn for x in w]
+
+    rows = []
+    for g, seed in enumerate([500, 600]):
+        base = unit(seed)
+        for j in range(3):
+            rows.append(
+                (g * 10 + j, base if j == 0 else jitter(base, 0.01))
+            )
+    rows += [(90 + i, unit(700 + i)) for i in range(5)]
+    frame = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got_pairs = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in semantic_pairs(
+            frame, threshold=0.9, k_cells=1
+        ).collect()
+    }
+    assert got_pairs == _exact_cos_pairs(rows, 0.9)
+
+    clusters = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_dedup_clusters(
+            frame, threshold=0.9, k_cells=1
+        ).collect()
+    }
+    assert len(clusters) == 11
+    for leader in (0, 10):
+        group = [leader, leader + 1, leader + 2]
+        assert all(clusters[m]["cluster_rep"] == leader for m in group)
+        assert all(clusters[m]["cluster_size"] == 3 for m in group)
+        assert [m for m in group if clusters[m]["keep"]] == [leader]
+    for s in range(90, 95):
+        assert clusters[s]["keep"] and clusters[s]["cluster_size"] == 1
+
+
+def test_semantic_pairs_multiprobe_recovers_boundary_pairs(spark):
+    """On the real embeddings at the corpus's similarity band:
+    candidates are always a SUBSET of the exact pair set (cell-local
+    exact cosine can't fabricate pairs), and indexing each vector in
+    its top-2 cells recovers at least as many exact pairs as
+    single-assignment — the IVF multi-probe lesson applied to
+    SemDeDup. Both assignments are deterministic."""
+    from gus_spark.operators.similarity import _as_double, semantic_pairs
+    from pyspark.sql import functions as F2
+
+    frame = table(spark, SF_DIR_ORACLE, "embeddings")
+    rows = [
+        (r["vec_id"], r["v"])
+        for r in frame.select(
+            "vec_id", _as_double(F2.col("embedding")).alias("v")
+        ).collect()
+    ]
+    exact = _exact_cos_pairs(rows, 0.45)
+    assert exact  # non-vacuous at this corpus's top band
+
+    got = {}
+    for ip in (1, 2):
+        got[ip] = {
+            (r["vec_id_a"], r["vec_id_b"])
+            for r in semantic_pairs(
+                frame, threshold=0.45, k_cells=8, index_probes=ip
+            ).collect()
+        }
+        assert got[ip] <= exact, f"fabricated pairs at ip={ip}"
+        again = {
+            (r["vec_id_a"], r["vec_id_b"])
+            for r in semantic_pairs(
+                frame, threshold=0.45, k_cells=8, index_probes=ip
+            ).collect()
+        }
+        assert got[ip] == again
+    assert len(got[2]) >= len(got[1])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="index_probes"):
+        semantic_pairs(frame, index_probes=0)

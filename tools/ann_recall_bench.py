@@ -157,6 +157,50 @@ def main() -> None:
                 else None
             )
 
+    # multi-probe pair recall (sample scale): exact cosine pairs at
+    # the corpus's similarity band, driver-side numpy ground truth;
+    # indexing each vector in its top-ip cells recovers cell-boundary
+    # pairs (the IVF lesson applied to SemDeDup's candidate stage)
+    if n <= 10_000:
+        import numpy as np
+
+        from gus_spark.operators.similarity import (
+            _as_double,
+            semantic_pairs,
+        )
+
+        vec_rows = [
+            (r["vec_id"], r["v"])
+            for r in v.collect()
+        ]
+        ids = np.array([r[0] for r in vec_rows])
+        m = np.stack([np.asarray(r[1], dtype="float64") for r in vec_rows])
+        nn = np.linalg.norm(m, axis=1)
+        nn[nn == 0.0] = 1.0
+        u = m / nn[:, None]
+        sims = u @ u.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        hit = sims[ia, ib] >= 0.45
+        exact_pairs = {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in zip(ids[ia[hit]], ids[ib[hit]])
+        }
+        results["sem_pairs_exact"] = len(exact_pairs)
+        for ip in (1, 2):
+            t0 = time.time()
+            got = {
+                (r["vec_id_a"], r["vec_id_b"])
+                for r in semantic_pairs(
+                    e, threshold=0.45, k_cells=16, index_probes=ip
+                ).collect()
+            }
+            results[f"secs_sem_pairs_ip{ip}"] = round(time.time() - t0, 2)
+            results[f"sem_pair_recall_ip{ip}"] = (
+                round(len(got & exact_pairs) / len(exact_pairs), 4)
+                if exact_pairs
+                else None
+            )
+
     # duplicate-regime grade (no n×n matrix — ground truth is
     # analytic): for EXACT duplicate vectors, expected drops =
     # n − distinct vectors, and identical vectors always land in the
