@@ -509,3 +509,75 @@ def test_streaming_decontamination_matches_batch(spark, tmp_path):
                 stream, bench.limit(2), str(base / "state"), out,
                 str(base / "ckpt5"), min_hits=min_hits,
             )
+
+
+def test_streaming_pack_matches_batch_and_spans_batches(spark, tmp_path):
+    """pack_stream over chunked documents: a single-trigger run assigns
+    the SAME (shard, seq_id) pairs as the batch packer; a two-batch run
+    keeps the global budget guarantee with open sequences continuing
+    across the batch boundary (state carries (seq, fill))."""
+    from gus_spark.operators.chunk import chunk_documents, pack_sequences
+    from gus_spark.streaming.packing import pack_stream
+
+    budget, shards = 48, 4
+    chunks = chunk_documents(
+        table(spark, SF_DIR, "documents"), max_tokens=16, overlap=4
+    )
+    src = str(tmp_path / "chunks")
+    chunks.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    # single trigger: all files at once -> batch parity
+    stream = spark.readStream.schema(schema).parquet(src)
+    packed = pack_stream(stream, budget=budget, shards=shards)
+    run_to_memory(packed, "packed_one", mode="append").awaitTermination()
+    got = {
+        (r.doc_id, r.chunk_index): (r.shard, r.seq_id)
+        for r in spark.sql("SELECT * FROM packed_one").collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_index): (r.shard, r.seq_id)
+        for r in pack_sequences(
+            chunks, budget=budget, shards=shards
+        ).collect()
+    }
+    assert got == want
+
+    # two micro-batches: budget holds globally, sequences span batches
+    half = chunks.count() // 2
+    c = chunks.orderBy("doc_id", "chunk_index").collect()
+    src2 = str(tmp_path / "chunks2")
+    spark.createDataFrame(c[:half], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src2)
+    spark.createDataFrame(c[half:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src2)
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src2)
+    )
+    packed2 = pack_stream(stream2, budget=budget, shards=shards)
+    run_to_memory(packed2, "packed_two", mode="append").awaitTermination()
+    rows = spark.sql("SELECT * FROM packed_two").collect()
+    assert len(rows) == len(c)
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault((r.shard, r.seq_id), []).append(r)
+    for members in by_seq.values():
+        assert sum(m.n_chunk_tokens for m in members) <= budget
+        # fill_after is the running fill: its max IS the final total
+        assert max(m.fill_after for m in members) == sum(
+            m.n_chunk_tokens for m in members
+        )
+    # at least one sequence must span the batch boundary (state
+    # continuity): sequences whose members straddle the doc split
+    boundary_doc = c[half].doc_id
+    spans = [
+        ms
+        for ms in by_seq.values()
+        if any(m.doc_id < boundary_doc for m in ms)
+        and any(m.doc_id >= boundary_doc for m in ms)
+    ]
+    assert spans, "no sequence continued across the batch boundary"
