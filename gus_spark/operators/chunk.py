@@ -48,9 +48,11 @@ def chunk_documents(
 ) -> DataFrame:
     """(id, chunk_index, chunk_text, n_chunk_tokens): the sliding
     token windows of every document with at least one token — null and
-    empty/whitespace-only documents yield ZERO chunks (split('') would
-    otherwise produce [''], a phantom 1-token chunk that pack_sequences
-    would count into training sequences)."""
+    empty/whitespace-only documents yield ZERO chunks, and empty-string
+    split artifacts are filtered from the token array (Spark trim()
+    strips only ASCII spaces, so '\\n'-padded text otherwise yields
+    phantom '' tokens that would inflate n_chunk_tokens and enter
+    training sequences)."""
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
     if not 0 <= overlap < max_tokens:
@@ -58,11 +60,13 @@ def chunk_documents(
             f"overlap must be in [0, max_tokens), got {overlap}"
         )
     step = max_tokens - overlap
-    live = df.filter(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    tokens = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
     )
-    toks = live.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws")
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens.alias("_ws"))
+        .filter(F.size("_ws") > 0)
     )
     size = F.size("_ws")
     n_chunks = F.greatest(

@@ -332,13 +332,16 @@ def _decode_gif(
                     continue
                 off = ((top + row) * width + (left + col)) * 3
                 canvas[off : off + 3] = table[idx * 3 : idx * 3 + 3]
-        frames.append(bytes(canvas))
-        delays_ms.append(delay_cs * 10)
+        # pre-append: reject only when THIS frame would push decoded
+        # bytes past the cap (a post-append check would reject a valid
+        # animation whose final frame lands exactly within the limit)
         if (len(frames) + 1) * len(canvas) > _MAX_DECODE_BYTES:
             raise ValueError(
                 f"decoded frames exceed the {_MAX_DECODE_BYTES}-byte "
                 "limit (frame-count bomb)"
             )
+        frames.append(bytes(canvas))
+        delays_ms.append(delay_cs * 10)
         if max_frames is not None and len(frames) >= max_frames:
             return width, height, frames, delays_ms
         if disposal == 2:  # restore frame region to background

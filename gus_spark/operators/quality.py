@@ -43,7 +43,13 @@ def heuristic_quality_label(
     """Weak 0/1 quality label from the standard cheap signals (the
     curation-gate family): enough tokens, plausible word lengths, some
     stopword mass, not dominated by repeated tokens."""
-    toks = F.split(F.trim(text), r"\s+")
+    # filter the empty-string split artifacts ('\n'-padded text —
+    # Spark trim() strips only ASCII spaces), or every ratio's
+    # denominator is inflated by phantom tokens right at the gate
+    # thresholds the distilled classifier learns from
+    toks = F.filter(
+        F.split(F.trim(text), r"\s+"), lambda w: w != ""
+    )
     n = F.size(toks)
     chars_per_word = F.length(text).cast("double") / n
     stop_hits = (

@@ -653,9 +653,6 @@ def semantic_dedup(
     highest-sim/lowest-id attribution — identical output across runs
     and partitionings.
     """
-    import numpy as np
-
-    spark = df.sparkSession
     live = df.filter(F.col(vec_col).isNotNull())
     v = live.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
@@ -664,6 +661,34 @@ def semantic_dedup(
         # exact tier: single cell, no quantizer
         assigned = v.select("id", "v", F.lit(0).cast("long").alias("cell"))
         return _greedy_leader_by_cell(assigned, id_col, threshold)
+    assigned = _assign_cells(
+        live, v, id_col, vec_col, label_col, k_cells, lloyd_iters, dim,
+        index_probes=1,
+    )
+    return _greedy_leader_by_cell(assigned, id_col, threshold)
+
+
+def _assign_cells(
+    live: DataFrame,
+    v: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str | None,
+    k_cells: int,
+    lloyd_iters: int,
+    dim: int,
+    index_probes: int,
+) -> DataFrame:
+    """(id, v, cell) with each vector in its ``index_probes`` nearest
+    cells of the fitted quantizer — the shared assignment stage of
+    semantic_dedup (ip=1) and semantic_pairs (multi-probe). Top cells
+    come from one matmul per Arrow batch vs the broadcast unit
+    centroids; ties break deterministically toward the lowest cell
+    (lexsort with the cell index as the secondary key — identical to
+    argmax's first-max rule at ip=1)."""
+    import numpy as np
+
+    spark = live.sparkSession
     centroids = kmeans_fit(
         live, id_col, vec_col,
         seed_col=label_col, k_cells=k_cells, iters=lloyd_iters, dim=dim,
@@ -675,8 +700,9 @@ def semantic_dedup(
     norms = np.linalg.norm(centers, axis=1)
     norms[norms == 0.0] = 1.0
     bc = spark.sparkContext.broadcast(centers / norms[:, None])
+    ip = min(index_probes, len(centers))
 
-    def _assign(batches, _bc=bc):
+    def _assign_multi(batches, _bc=bc):
         import numpy as np  # noqa: PLC0415 — runs on executors
         import pandas as pd
 
@@ -685,11 +711,34 @@ def semantic_dedup(
             if pdf.empty:
                 continue
             m = np.stack(pdf["v"].to_numpy())
-            pdf = pdf.assign(cell=(m @ cn.T).argmax(axis=1).astype("int64"))
-            yield pdf
+            scores = m @ cn.T
+            order = np.lexsort(
+                (
+                    np.broadcast_to(
+                        np.arange(scores.shape[1]), scores.shape
+                    ),
+                    -scores,
+                ),
+                axis=1,
+            )[:, :ip]
+            if ip == 1:
+                yield pdf.assign(cell=order[:, 0].astype("int64"))
+                continue
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), ip),
+                    "v": [
+                        vv
+                        for vv in pdf["v"].to_numpy()
+                        for _ in range(ip)
+                    ],
+                    "cell": order.reshape(-1).astype("int64"),
+                }
+            )
 
-    assigned = v.mapInPandas(_assign, "id long, v array<double>, cell long")
-    return _greedy_leader_by_cell(assigned, id_col, threshold)
+    return v.mapInPandas(
+        _assign_multi, "id long, v array<double>, cell long"
+    )
 
 
 def _greedy_leader_by_cell(
@@ -775,14 +824,11 @@ def semantic_pairs(
     O(b²) matmuls — occupancy stays the k_cells knob; the pair
     dropDuplicates shuffles only the (tiny) above-threshold pair set.
     """
-    import numpy as np
-
     if index_probes < 1:
         raise ValueError(f"index_probes must be >= 1, got {index_probes}")
     # more probes than cells is just "index everywhere": clamp (the
     # k_cells=1 exact tier keeps working with the default ip=2)
     index_probes = min(index_probes, k_cells)
-    spark = df.sparkSession
     live = df.filter(F.col(vec_col).isNotNull())
     v = live.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
@@ -790,50 +836,9 @@ def semantic_pairs(
     if k_cells == 1:
         assigned = v.select("id", "v", F.lit(0).cast("long").alias("cell"))
     else:
-        centroids = kmeans_fit(
-            live, id_col, vec_col,
-            seed_col=None, k_cells=k_cells, iters=lloyd_iters, dim=dim,
-        ).collect()
-        centers = np.array(
-            [r["cv"] for r in sorted(centroids, key=lambda r: r["cell"])],
-            dtype="float64",
-        )
-        norms = np.linalg.norm(centers, axis=1)
-        norms[norms == 0.0] = 1.0
-        bc = spark.sparkContext.broadcast(centers / norms[:, None])
-        ip = index_probes
-
-        def _assign_multi(batches, _bc=bc):
-            import numpy as np  # noqa: PLC0415 — runs on executors
-            import pandas as pd
-
-            cn = _bc.value
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                m = np.stack(pdf["v"].to_numpy())
-                scores = m @ cn.T
-                # top-ip cells, deterministic: argsort desc with
-                # lowest-cell tie-break via lexsort on (-score, cell)
-                order = np.lexsort(
-                    (np.broadcast_to(
-                        np.arange(scores.shape[1]), scores.shape
-                    ), -scores),
-                    axis=1,
-                )[:, :ip]
-                rows = {
-                    "id": np.repeat(pdf["id"].to_numpy(), ip),
-                    "v": [
-                        vv
-                        for vv in pdf["v"].to_numpy()
-                        for _ in range(ip)
-                    ],
-                    "cell": order.reshape(-1).astype("int64"),
-                }
-                yield pd.DataFrame(rows)
-
-        assigned = v.mapInPandas(
-            _assign_multi, "id long, v array<double>, cell long"
+        assigned = _assign_cells(
+            live, v, id_col, vec_col, None, k_cells, lloyd_iters, dim,
+            index_probes=index_probes,
         )
 
     def _cell_pairs(pdf):

@@ -63,11 +63,19 @@ def pack_stream(
     )
 
     def _pack(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
         seq, fill = state.get if state.exists else (0, 0)
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values([id_col, index_col]).reset_index(
-                drop=True
-            )
+        # a shard group larger than the Arrow batch size arrives as
+        # SEVERAL pdfs: concatenate before the one sort, or the scan
+        # order would be per-pdf-sorted only and a doc's chunk k+1
+        # could pack before its chunk k (and batch parity would break
+        # exactly at scale)
+        pdfs = list(pdf_iter)
+        if pdfs:
+            pdf = pd.concat(pdfs, ignore_index=True).sort_values(
+                [id_col, index_col]
+            ).reset_index(drop=True)
             seq_ids, fills = [], []
             for t in pdf[tokens_col]:
                 t = int(t)
