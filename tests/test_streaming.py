@@ -581,3 +581,43 @@ def test_streaming_pack_matches_batch_and_spans_batches(spark, tmp_path):
         and any(m.doc_id >= boundary_doc for m in ms)
     ]
     assert spans, "no sequence continued across the batch boundary"
+
+
+def test_streaming_pack_multi_arrow_batch_group(spark, tmp_path):
+    """Regression for the per-pdf-sort bug: with
+    arrow.maxRecordsPerBatch shrunk so ONE shard group arrives as
+    SEVERAL pandas batches, pack_stream must still sort the whole
+    group once — assignments identical to the batch packer."""
+    from gus_spark.operators.chunk import chunk_documents, pack_sequences
+    from gus_spark.streaming.packing import pack_stream
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "37")
+    try:
+        budget = 48
+        chunks = chunk_documents(
+            table(spark, SF_DIR, "documents"), max_tokens=16, overlap=4
+        )
+        src = str(tmp_path / "chunks")
+        # shuffle the file order so arrival is NOT already sorted
+        chunks.orderBy(F.xxhash64("doc_id", "chunk_index")).coalesce(
+            1
+        ).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        # shards=1: the whole corpus is one state group -> guaranteed
+        # to span many 37-row Arrow batches
+        packed = pack_stream(stream, budget=budget, shards=1)
+        run_to_memory(packed, "packed_mb", mode="append").awaitTermination()
+        got = {
+            (r.doc_id, r.chunk_index): r.seq_id
+            for r in spark.sql("SELECT * FROM packed_mb").collect()
+        }
+        want = {
+            (r.doc_id, r.chunk_index): r.seq_id
+            for r in pack_sequences(chunks, budget=budget, shards=1).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set(key, old)
