@@ -72,16 +72,22 @@ def bpe_fit(
     Per-merge cost on a small vocab is JOB LATENCY, not data (measured
     ~0.5 s per driver round-trip at every testdata decade), so the fit
     amortizes the eager lineage-truncation checkpoint over
-    ``checkpoint_every`` merges instead of paying one per merge —
-    lineage grows by one Arrow merge kernel per round in between,
-    which a handful of rounds tolerates fine. Merge SEMANTICS are
-    untouched: still strictly sequential classic BPE (one top pair per
-    round, applied fully before the next count)."""
+    ``checkpoint_every`` merges instead of paying one per merge. The
+    trade is QUADRATIC within the window: round k since the last
+    checkpoint re-executes k−1 pending merge kernels inside its
+    pair-count job, so total kernel passes per window ≈ w²/2 — the
+    measured optimum is the default 8 (cadence sweep 1/4/8/16 →
+    14.5/12.7/11.7/13.4 s for a 32-merge sf0.1 fit), and large values
+    make the fit SLOWER, not faster (capped at 32 for that reason).
+    Merge SEMANTICS are untouched at any cadence: still strictly
+    sequential classic BPE (one top pair per round, applied fully
+    before the next count; identical merge lists asserted)."""
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
-    if checkpoint_every < 1:
+    if not 1 <= checkpoint_every <= 32:
         raise ValueError(
-            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+            "checkpoint_every must be in [1, 32] (window cost is "
+            f"quadratic — see docstring), got {checkpoint_every}"
         )
     import pandas as pd
 

@@ -599,6 +599,9 @@ def test_streaming_pack_multi_arrow_batch_group(spark, tmp_path):
         chunks = chunk_documents(
             table(spark, SF_DIR, "documents"), max_tokens=16, overlap=4
         )
+        # guard against this test going vacuous: the bug only shows
+        # when the ONE state group spans several 37-row Arrow batches
+        assert chunks.count() > 37, "corpus too small to force multi-pdf"
         src = str(tmp_path / "chunks")
         # shuffle the file order so arrival is NOT already sorted
         chunks.orderBy(F.xxhash64("doc_id", "chunk_index")).coalesce(
