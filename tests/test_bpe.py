@@ -156,3 +156,46 @@ def test_bpe_early_stop_and_validation(spark):
     assert bpe_fit(df, num_merges=5) == []
     with pytest.raises(ValueError, match="num_merges"):
         bpe_fit(df, num_merges=0)
+
+
+def test_bpe_property_random_corpora(spark):
+    """Property form of the reference parity: random small corpora
+    (repeated short words over a tiny alphabet force real merges) must
+    yield the reference's exact merge list AND encodings at every
+    checkpoint cadence — pinning cadence-independence of the fit."""
+    import random
+
+    rng = random.Random(0xB9E)
+    vocab = ["ab", "abc", "abab", "ba", "cab", "aabb", "b", "ccc"]
+    for trial in range(12):
+        texts = [
+            " ".join(
+                rng.choice(vocab)
+                for _ in range(rng.randrange(1, 13))
+            )
+            for _ in range(rng.randrange(2, 7))
+        ]
+        num_merges = rng.randrange(1, 11)
+        cadence = rng.choice([1, 3, 8])
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = bpe_fit(df, num_merges=num_merges, checkpoint_every=cadence)
+        want = _ref_fit(texts, num_merges)
+        assert got == want, (trial, texts, num_merges, cadence)
+        enc = {
+            r["doc_id"]: list(r["tokens"])
+            for r in bpe_encode(df, got).collect()
+        }
+        for i, t in enumerate(texts):
+            assert enc[i] == _ref_encode(t, got), (trial, i, t)
+
+
+def test_bpe_checkpoint_every_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    for bad in (0, 33):
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            bpe_fit(df, num_merges=1, checkpoint_every=bad)
