@@ -35,6 +35,10 @@ HEADLINE = [
     "text_lang_fingerprint",
     "similarity_topk_for_vec0",
     "similarity_ann_lsh",
+    # ADDED r7 (no rotation): the synthesized-partsupp bridge family's
+    # representative. Cross-round totals should compare the shared-
+    # query subset; this line is additive.
+    "q2_min_cost_supplier",
 ]
 
 

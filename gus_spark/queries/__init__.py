@@ -48,6 +48,7 @@ def catalog() -> dict[str, QuerySpec]:
     # import side-effect population
     from gus_spark.queries import (  # noqa: F401
         advanced,
+        bridge,
         curation,
         dedup,
         events,

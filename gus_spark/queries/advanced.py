@@ -94,28 +94,10 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "array_stats_embeddings",
-    oracle="""
-    SELECT vec_id,
-           CAST(len(embedding) AS BIGINT) AS dim,
-           list_min(CAST(embedding AS DOUBLE[])) AS min_val,
-           list_max(CAST(embedding AS DOUBLE[])) AS max_val
-    FROM embeddings
-    WHERE vec_id < 100
-    """,
-)
-def array_stats_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array function library over the vector column (size/min/max are
-    element selection — exact across engines, unlike arithmetic)."""
-    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    as_double = F.transform("embedding", lambda x: x.cast("double"))
-    return e.select(
-        "vec_id",
-        F.size("embedding").cast("long").alias("dim"),
-        F.array_min(as_double).alias("min_val"),
-        F.array_max(as_double).alias("max_val"),
-    )
+# (array_stats_embeddings was rotated out for bridge.q16: its array
+#  size/min/max surface stays covered by similarity_topk_for_vec0's
+#  oracle-checked array arithmetic and profile_orders_columns'
+#  min/max measures.)
 
 
 @register("approx_distinct_sketch")  # Spark-only: HLL++ vs DuckDB's HLL differ
@@ -130,54 +112,12 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_daily_from_hourly",
-    oracle="""
-    WITH hourly AS (
-      SELECT date_trunc('hour', ts) AS hour_start, event_type,
-             COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-      FROM events GROUP BY 1, 2
-    )
-    SELECT CAST(date_trunc('day', hour_start) AS TIMESTAMP) AS day_start,
-           event_type,
-           CAST(SUM(n_events) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(total_value AS DECIMAL(18,2))) AS DOUBLE)
-             AS total_value
-    FROM hourly
-    GROUP BY 1, 2
-    """,
-)
-def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical (hypertable-style) rollup: the daily aggregate is
-    computed FROM the hourly pre-aggregate, not from raw events — the
-    continuous-aggregate pattern where each coarser granularity reads
-    the finer one (24x less input at scale). The hourly totals are
-    exact 2-dp decimals, so re-aggregating through DECIMAL(18,2) stays
-    lossless and order-independent."""
-    from pyspark.sql import functions as F
-
-    from gus_spark.functions.deterministic import dsum
-    from gus_spark.queries.events import _events_with_hour
-
-    hourly = (
-        _events_with_hour(spark, sf_dir)
-        .groupBy("hour_start", "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            dsum("value").alias("total_value"),
-        )
-    )
-    return (
-        hourly.groupBy(
-            F.date_trunc("day", F.col("hour_start")).alias("day_start"),
-            "event_type",
-        )
-        .agg(
-            F.sum("n_events").alias("n_events"),
-            dsum("total_value", scale=2).alias("total_value"),
-        )
-    )
+# (events_daily_from_hourly was rotated out for bridge.q20: its
+#  re-aggregate-the-pre-aggregate shape stays covered by
+#  events_hourly_rollup's time-bucket agg + q13's count-of-counts
+#  second-level aggregation; the continuous-aggregate PATTERN — coarse
+#  granularity reading the fine pre-agg — remains exercised and
+#  asserted by the streaming windowed-agg tests.)
 
 
 @register(
@@ -222,36 +162,10 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cheapest_line_per_part",
-    oracle="""
-    WITH f AS (SELECT * FROM lineitem WHERE l_partkey <= 500),
-    mins AS (SELECT l_partkey, MIN(l_extendedprice) AS min_price
-             FROM f GROUP BY l_partkey)
-    SELECT f.l_partkey, MIN(f.l_suppkey) AS l_suppkey,
-           f.l_extendedprice
-    FROM f JOIN mins ON f.l_partkey = mins.l_partkey
-                    AND f.l_extendedprice = mins.min_price
-    GROUP BY f.l_partkey, f.l_extendedprice
-    """,
-)
-def cheapest_line_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Group-min correlated subquery (TPC-H Q2's shape): the cheapest
-    lineitem per part, suppkey tiebreak. Spark plans it as one window
-    rank over a single hash shuffle — no correlated re-scan per row."""
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 500)
-    w = Window.partitionBy("l_partkey").orderBy(
-        "l_extendedprice", "l_suppkey", "l_orderkey", "l_linenumber"
-    )
-    ranked = li.select(
-        "l_partkey", "l_suppkey", "l_extendedprice",
-        F.row_number().over(w).alias("rn"),
-    )
-    return (
-        ranked.filter(F.col("rn") == 1)
-        .select("l_partkey", "l_suppkey", "l_extendedprice")
-        .distinct()
-    )
+# (cheapest_line_per_part was rotated out for bridge.q2, the REAL
+#  TPC-H Q2 over the synthesized partsupp — the same group-min
+#  correlated-subquery shape, now on the bridge table with the
+#  region/nation dimension joins the probe lacked.)
 
 
 @register(

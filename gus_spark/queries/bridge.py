@@ -1,0 +1,289 @@
+"""Bridge-table join shapes over a SYNTHESIZED partsupp (TPC-H q2 /
+q16 / q20 — the last classic shapes the catalog lacked, blocked for
+two rounds on the testdata having no partsupp table).
+
+partsupp is derived deterministically from `part` x 4 seeded
+suppliers with pure integer arithmetic — no files, no RNG, no hash
+functions — so the EXACT same rows are constructible in any engine:
+the Spark build and the DuckDB oracle CTE compute identical values at
+any scale factor (integer +,*,%,integer-division only, plus one
+final cents/100.0 division whose IEEE result is bit-identical).
+Supplier assignment follows the TPC-H partsupp generator's shape
+(4 distinct suppliers per part, spread by quarter-of-S offsets:
+``(p_partkey + i * (S DIV 4)) % S`` is injective over i in 0..3
+because 3*(S DIV 4) < S).
+
+The reference (a CRUD webserver; readMany is `todo!()` at
+src/cli/server/model/graphql.rs:382) has no analytical surface; these
+queries are part of the engine's completion of that stub.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gus_spark.queries import register, table
+
+#: the DuckDB twin of `partsupp` below — prepended to every oracle.
+#: (VALUES (0),(1),(2),(3)) is the 4-supplier replica index; s_n the
+#: 1-row supplier count, exactly the broadcast scalar the Spark side
+#: cross-joins.
+PARTSUPP_SQL = """
+    WITH s_n AS (SELECT COUNT(*) AS n FROM supplier),
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + i * (n // 4)) % n AS ps_suppkey,
+             ((p_partkey * 31 + i * 17) % 100) + 1 AS ps_availqty,
+             (((p_partkey * 131 + i * 37) % 99900) + 100) / 100.0
+               AS ps_supplycost
+      FROM part, s_n, (VALUES (0),(1),(2),(3)) AS t(i)
+    )
+"""
+
+
+def partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized bridge table: (ps_partkey, ps_suppkey,
+    ps_availqty, ps_supplycost), 4 distinct suppliers per part.
+
+    Scale shape: one narrow `part` scan (p_partkey only — pruned at
+    the reader) exploded x4 map-side; the supplier COUNT is a 1-row
+    aggregate cross-joined with an explicit broadcast (the allowed
+    1-row-scalar hint class) so the build adds ZERO row-scaled
+    shuffles — partsupp rows are born co-partitioned with whatever
+    partitioning `part` arrived in."""
+    pk = F.col("p_partkey")
+    i = F.col("i")
+    s_n = table(spark, sf_dir, "supplier").agg(F.count("*").alias("s_n"))
+    return (
+        table(spark, sf_dir, "part")
+        .select("p_partkey")
+        .crossJoin(F.broadcast(s_n))
+        .select(
+            "p_partkey",
+            "s_n",
+            F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("i"),
+        )
+        .select(
+            pk.alias("ps_partkey"),
+            ((pk + i * F.expr("s_n DIV 4")) % F.col("s_n")).alias(
+                "ps_suppkey"
+            ),
+            (((pk * 31 + i * 17) % 100) + 1).alias("ps_availqty"),
+            ((((pk * 131 + i * 37) % 99900) + 100) / F.lit(100.0)).alias(
+                "ps_supplycost"
+            ),
+        )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=PARTSUPP_SQL
+    + """
+    , eligible AS (
+      SELECT ps.*, s.s_name, s.s_acctbal, n.n_name
+      FROM partsupp ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+           e.ps_supplycost AS min_cost
+    FROM part p
+    JOIN eligible e ON e.ps_partkey = p.p_partkey
+    WHERE p.p_type = 'LARGE'
+      AND e.ps_supplycost = (
+        SELECT MIN(e2.ps_supplycost) FROM eligible e2
+        WHERE e2.ps_partkey = p.p_partkey
+      )
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey,
+             e.ps_suppkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: for every LARGE-type part, the EUROPE supplier(s)
+    offering the minimum supply cost — the min-cost-per-group
+    correlated subquery over a two-key bridge table, the most common
+    real-warehouse bridge shape. (Absorbs the rotated-out
+    `cheapest_line_per_part`, which probed exactly this group-min
+    shape on a single table.)
+
+    Spark plan: the correlated MIN decorrelates into one window
+    aggregate over a single ps_partkey exchange — no per-row re-scan,
+    and ties (all suppliers at the min) survive, per the TPC-H
+    definition, which a row_number would drop. region (5 rows) and
+    nation (25 rows) carry broadcast hints (the provably bounded
+    class); supplier and part are row-scaled — no hints, AQE
+    broadcasts the post-filter small side at runtime. The final
+    ORDER BY carries the unique (p_partkey, ps_suppkey) tiebreak so
+    LIMIT 100 is deterministic."""
+    ps = partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "ps_partkey", "ps_suppkey", "ps_supplycost",
+            "s_name", "s_acctbal", "n_name",
+        )
+    )
+    w = Window.partitionBy("ps_partkey")
+    cheapest = eligible.withColumn(
+        "min_cost_w", F.min("ps_supplycost").over(w)
+    ).filter(F.col("ps_supplycost") == F.col("min_cost_w"))
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    return (
+        cheapest.join(p, cheapest.ps_partkey == p.p_partkey)
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey",
+            "ps_suppkey",
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.col("ps_supplycost").alias("min_cost"),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q16_parts_supplier_relationship",
+    oracle=PARTSUPP_SQL
+    + """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 36)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_parts_supplier_relationship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16: how many suppliers can supply each surviving
+    (brand, type, size) bucket — distinct-aggregate over an anti-join
+    (suppliers in bad standing excluded; the testdata has no comment
+    column, so negative account balance stands in for the spec's
+    Customer-Complaints predicate — same NOT-IN-subquery shape).
+    (Array-probe slot rotation: `array_stats_embeddings`'s array
+    size/min/max surface stays covered by similarity_topk_for_vec0's
+    oracle-checked array arithmetic and the scalar suite.)
+
+    Spark plan: the NOT IN decorrelates to a LEFT ANTI join
+    (s_suppkey is never null, so NOT-IN's three-valued-logic trap is
+    vacuous — both engines agree); ONE countDistinct avoids the
+    Expand multi-distinct plan; the part filters (brand/type/size-set)
+    push to the scan before the bridge join."""
+    ps = partsupp(spark, sf_dir)
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 36)
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(p, ps.ps_partkey == p.p_partkey)
+        .join(bad, ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_excess_stock_suppliers",
+    oracle=PARTSUPP_SQL
+    + """
+    , qty AS (
+      SELECT l_partkey, l_suppkey,
+             0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS half_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey
+                 AND p.p_name LIKE '%bolt%'
+      JOIN qty q ON q.l_partkey = ps.ps_partkey
+                AND q.l_suppkey = ps.ps_suppkey
+      WHERE ps.ps_availqty > q.half_qty
+    )
+    ORDER BY s.s_name
+    """,
+)
+def q20_excess_stock_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20: suppliers holding more than half a year's shipped
+    quantity of some 'bolt' part — the correlated half-sum semi-join
+    (the subquery's aggregate is correlated on BOTH bridge keys).
+    (Agg-on-agg slot rotation: `events_daily_from_hourly`'s
+    re-aggregate-the-pre-aggregate shape stays covered by
+    events_hourly_rollup's time-bucket agg + q13's count-of-counts
+    second-level aggregation.)
+
+    Spark plan: the correlated sum decorrelates into one (partkey,
+    suppkey) groupBy over the DATE-PRUNED lineitem scan (the ship-year
+    filter is pushed to parquet); the bridge x qty join is a two-key
+    equi-join; the outer IN becomes LEFT SEMI into supplier. The sum
+    runs as DECIMAL (dsum) so half_qty is bit-identical to the oracle
+    regardless of partition order; 0.5 * x is an exact binary scale."""
+    from gus_spark.functions.deterministic import dsum
+
+    ps = partsupp(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem")
+    qty = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((F.lit(0.5) * dsum("l_quantity")).alias("half_qty"))
+    )
+    bolts = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    excess = (
+        ps.join(bolts, ps.ps_partkey == bolts.p_partkey)
+        .join(
+            qty,
+            (ps.ps_partkey == qty.l_partkey)
+            & (ps.ps_suppkey == qty.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name")
+    )

@@ -907,5 +907,5 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 #  advanced.scalar_function_suite; derived-key grouping below)
 # --------------------------------------------------------------------------
 # (monthly_revenue_trend was rotated out: its time-bucketed-agg shape
-# is covered by events_daily_from_hourly + q1; the slot went to
+# is covered by events_hourly_rollup + q1; the slot went to
 # text.repetition_profile.)

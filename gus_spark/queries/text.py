@@ -256,7 +256,7 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-count divisions in double — bit-identical across engines;
     bigram fractions are NULL for sub-2-token docs in both. Replaces
     `monthly_revenue_trend`, whose time-bucketed-agg shape stays
-    covered by events_daily_from_hourly + q1."""
+    covered by events_hourly_rollup + q1."""
     from gus_spark.operators.repetition import repetition_metrics
 
     m = repetition_metrics(

@@ -87,6 +87,11 @@ ALLOWED_BROADCAST_HINTS = {
     "q4_order_priority": 0,          # orders+lineitem row-scaled: no hints
     "q21_suppliers_waiting": 1,      # 25-row nation gate only
     "q22_global_sales_opportunity": 1,  # the 1-row scalar aggregate only
+    # the bridge family synthesizes partsupp from part x a 1-row
+    # supplier-count scalar (always hinted); only bounded dims beyond
+    "q2_min_cost_supplier": 3,       # 1-row count + nation + region
+    "q16_parts_supplier_relationship": 1,  # 1-row count only
+    "q20_excess_stock_suppliers": 2,  # 1-row count + nation
 }
 
 
