@@ -22,7 +22,12 @@ naming the unsupported feature — loud, never silently wrong. The
 decoder is built for correctness on corpus *samples* (the decode
 kernel's per-batch work), not throughput: the Huffman stage is a
 per-symbol Python loop, ~100 KB/s — a real pipeline swaps in libjpeg
-behind the same kernel contract.
+behind the same kernel contract. That contract is ENFORCED, not
+prose: multimodal.decode_image_features takes a ``decoders`` chain of
+(name, sniff, decode) triples replacing the in-tree codecs, and
+tests/test_multimodal.py::test_codec_swap_in_contract injects a
+masquerading external decoder and asserts identical schema/values and
+identical undecodable-variant gating.
 """
 
 from __future__ import annotations

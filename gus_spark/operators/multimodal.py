@@ -110,8 +110,41 @@ def _fake_decode_allowed() -> bool:
     return os.environ.get("GUS_MULTIMODAL_FAKE_DECODE") == "1"
 
 
+def default_image_decoders() -> list[tuple]:
+    """The in-tree codec chain as (name, sniff, decode) triples — the
+    DEFAULT argument of ``decode_image_features``'s swap-in seam.
+    ``sniff(raw) -> bool`` routes a buffer; ``decode(raw) -> (width,
+    height, channels, row-major pixel bytes)`` or raises ValueError
+    for an undecodable variant (routed to the stub/gate, never a
+    stage kill). A production deployment swaps libjpeg/PIL/opencv in
+    by passing its own triples — the Spark plumbing (schema,
+    batching, gating) is identical, which tests/test_multimodal.py
+    asserts by injecting a masquerading decoder (the prose contract
+    at operators/jpeg.py:25, now enforced)."""
+    from gus_spark.operators import gif, jpeg, png
+
+    def decode_gif_rgb(raw):
+        # image view of a GIF: the FIRST composited frame as RGB;
+        # max_frames=1 stops the decoder there — a 500-frame
+        # animation costs one frame's work, and corruption in
+        # later frames cannot spoil the decodable first one
+        w, h, frames, _ = gif.decode_gif(raw, max_frames=1)
+        if not frames:
+            raise ValueError("GIF contains no image frames")
+        return w, h, 3, frames[0]
+
+    return [
+        ("png", png.is_png, png.decode_png),
+        ("jpeg", jpeg.is_jpeg, jpeg.decode_jpeg),
+        ("gif", gif.is_gif, decode_gif_rgb),
+    ]
+
+
 def decode_image_features(
-    df: DataFrame, batch_hint: int = 256, fake: bool | None = None
+    df: DataFrame,
+    batch_hint: int = 256,
+    fake: bool | None = None,
+    decoders: list[tuple] | None = None,
 ) -> DataFrame:
     """Per-image feature extraction over Arrow batches.
 
@@ -123,7 +156,12 @@ def decode_image_features(
     animation is never touched). Other formats fall back to the gated
     stub (deterministic pseudo-features from the md5 of the bytes) or
     NotImplementedError when the stub is not allowed.
-    """
+
+    ``decoders`` is the codec swap-in seam: a list of (name, sniff,
+    decode) triples REPLACING the in-tree chain (see
+    ``default_image_decoders`` for the contract). It must be
+    picklable — it is serialized into the executor closure (a
+    module-level registry would never reach the Python workers)."""
     df = ensure_parallelism(df)
     # resolve driver-side: executor workers do not see env changes made
     # after JVM start, and the decision belongs in the plan anyway
@@ -132,19 +170,11 @@ def decode_image_features(
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from gus_spark.operators import gif, jpeg, png
         from gus_spark.operators.png import mean_luma
 
-        def decode_gif_rgb(raw):
-            # image view of a GIF: the FIRST composited frame as RGB;
-            # max_frames=1 stops the decoder there — a 500-frame
-            # animation costs one frame's work, and corruption in
-            # later frames cannot spoil the decodable first one
-            w, h, frames, _ = gif.decode_gif(raw, max_frames=1)
-            if not frames:
-                raise ValueError("GIF contains no image frames")
-            return w, h, 3, frames[0]
-
+        chain = (
+            decoders if decoders is not None else default_image_decoders()
+        )
         for pdf in batches:
             out = {
                 "media_id": [],
@@ -155,28 +185,23 @@ def decode_image_features(
             }
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content or b"")
-                codec = (
-                    png if png.is_png(raw)
-                    else jpeg if jpeg.is_jpeg(raw)
-                    else gif if gif.is_gif(raw)
-                    else None
+                hit = next(
+                    ((name, dec) for name, sniff, dec in chain if sniff(raw)),
+                    None,
                 )
-                if codec is not None:
+                if hit is not None:
+                    name, dec = hit
                     # only the documented subsets decode; RGBA/palette/
                     # progressive/corrupt buffers must NOT kill the
                     # whole stage — fall through to the stub (or the
                     # loud gate) like any other undecodable format,
                     # carrying the reason in the error when gated
                     try:
-                        w, h, ch, pixels = (
-                            png.decode_png(raw) if codec is png
-                            else jpeg.decode_jpeg(raw) if codec is jpeg
-                            else decode_gif_rgb(raw)
-                        )
+                        w, h, ch, pixels = dec(raw)
                     except ValueError as e:
                         if not allow_fake:
                             raise NotImplementedError(
-                                f"media_id={mid}: {codec.__name__} "
+                                f"media_id={mid}: {name} "
                                 f"variant this environment cannot "
                                 f"decode ({e}); set "
                                 "GUS_MULTIMODAL_FAKE_DECODE=1 to "
@@ -316,7 +341,16 @@ def sample_frames(
                             n_samples = max(total // every_ms, 1)
                             for k in range(n_samples):
                                 t = k * every_ms
-                                shown = max(
+                                # frame on screen at t: the LAST start
+                                # <= t — a zero-delay frame is replaced
+                                # the same instant, so later tied
+                                # starts win. When EVERY delay is zero
+                                # there is no timeline at all; the
+                                # docstring's static-GIF contract says
+                                # the FIRST frame represents the image
+                                # (ADVICE r6: max() alone picked the
+                                # last frame here).
+                                shown = 0 if total == 0 else max(
                                     i for i, s in enumerate(starts)
                                     if s <= t
                                 )
