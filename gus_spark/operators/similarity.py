@@ -609,15 +609,41 @@ def ivf_topk(
     )
 
 
+#: target vectors per k-means cell for the auto-scaled ``k_cells``
+#: default — ~2k doubles^2 keeps every per-cell cosine matrix at
+#: ~32 MB (float64) whatever the corpus size, the same occupancy the
+#: recall bench has graded since round 6.
+CELL_OCCUPANCY = 2000
+
+
+def auto_k_cells(n_rows: int, occupancy: int = CELL_OCCUPANCY) -> int:
+    """The paper's k ∝ n contract (SemDeDup runs 50k clusters at 100M
+    scale) as a default: enough cells to hold mean occupancy at
+    ``occupancy`` vectors, floored at 16 so small corpora keep real
+    cell structure. Callers pass ``k_cells=None`` to use it — the
+    corpus count is one cheap agg; an explicit int overrides."""
+    if occupancy < 1:
+        raise ValueError(f"occupancy must be >= 1, got {occupancy}")
+    return max(16, -(-n_rows // occupancy))
+
+
+def _resolve_k_cells(
+    live: DataFrame, k_cells: int | None, occupancy: int
+) -> int:
+    return auto_k_cells(live.count(), occupancy) if k_cells is None \
+        else k_cells
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str | None = None,
     threshold: float = 0.95,
-    k_cells: int = 16,
+    k_cells: int | None = None,
     lloyd_iters: int = 2,
     dim: int = DIM,
+    cell_occupancy: int = CELL_OCCUPANCY,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, arXiv 2303.09540): cluster the corpus with the
@@ -648,12 +674,19 @@ def semantic_dedup(
     seeded-init contract) and ``k_cells`` is ignored — only opt into
     that when the label granularity is the clustering you want.
 
+    ``k_cells=None`` (the default) derives the cell count from the
+    corpus size — one cheap count, then ``auto_k_cells(n,
+    cell_occupancy)`` — so the paper's k ∝ n occupancy contract holds
+    without every caller re-deriving it; an explicit int overrides.
+
     Determinism: hash/seeded k-means init (no RNG), stable argmax
     tie-breaks (lowest cell), ascending-id greedy order, and
     highest-sim/lowest-id attribution — identical output across runs
     and partitionings.
     """
     live = df.filter(F.col(vec_col).isNotNull())
+    if label_col is None:
+        k_cells = _resolve_k_cells(live, k_cells, cell_occupancy)
     v = live.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
@@ -802,10 +835,11 @@ def semantic_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    k_cells: int = 16,
+    k_cells: int | None = None,
     index_probes: int = 1,
     lloyd_iters: int = 2,
     dim: int = DIM,
+    cell_occupancy: int = CELL_OCCUPANCY,
 ) -> DataFrame:
     """Embedding near-duplicate candidate PAIRS (id_a < id_b, cos_sim)
     via cell-local exact cosine: every vector is indexed in its
@@ -826,10 +860,11 @@ def semantic_pairs(
     """
     if index_probes < 1:
         raise ValueError(f"index_probes must be >= 1, got {index_probes}")
+    live = df.filter(F.col(vec_col).isNotNull())
+    k_cells = _resolve_k_cells(live, k_cells, cell_occupancy)
     # more probes than cells is just "index everywhere": clamp (the
     # k_cells=1 exact tier keeps working with the default ip=2)
     index_probes = min(index_probes, k_cells)
-    live = df.filter(F.col(vec_col).isNotNull())
     v = live.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
@@ -877,7 +912,7 @@ def semantic_dedup_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    k_cells: int = 16,
+    k_cells: int | None = None,
     index_probes: int = 2,
     lloyd_iters: int = 2,
     dim: int = DIM,

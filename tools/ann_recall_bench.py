@@ -157,11 +157,15 @@ def main() -> None:
                 else None
             )
 
-    # multi-probe pair recall (sample scale): exact cosine pairs at
-    # the corpus's similarity band, driver-side numpy ground truth;
-    # indexing each vector in its top-ip cells recovers cell-boundary
-    # pairs (the IVF lesson applied to SemDeDup's candidate stage)
-    if n <= 10_000:
+    # multi-probe pair recall: exact cosine pairs at the corpus's
+    # similarity band as driver-side numpy ground truth — BLOCKWISE
+    # (4k-row strips against the full matrix) so the sf1 copy-up
+    # corpus (20k vectors, VERDICT r6 #4) grades too without a 20k²
+    # float64 allocation; indexing each vector in its top-ip cells
+    # recovers cell-boundary pairs (the IVF lesson applied to
+    # SemDeDup's candidate stage). k_cells=None exercises the
+    # auto-occupancy default at every decade.
+    if n <= 25_000:
         import numpy as np
 
         from gus_spark.operators.similarity import (
@@ -169,29 +173,31 @@ def main() -> None:
             semantic_pairs,
         )
 
-        vec_rows = [
-            (r["vec_id"], r["v"])
-            for r in v.collect()
-        ]
+        vec_rows = sorted(
+            (r["vec_id"], r["v"]) for r in v.collect()
+        )
         ids = np.array([r[0] for r in vec_rows])
         m = np.stack([np.asarray(r[1], dtype="float64") for r in vec_rows])
         nn = np.linalg.norm(m, axis=1)
         nn[nn == 0.0] = 1.0
         u = m / nn[:, None]
-        sims = u @ u.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        hit = sims[ia, ib] >= 0.45
-        exact_pairs = {
-            (int(min(a, b)), int(max(a, b)))
-            for a, b in zip(ids[ia[hit]], ids[ib[hit]])
-        }
+        exact_pairs = set()
+        step = 4096
+        for lo in range(0, len(ids), step):
+            strip = u[lo : lo + step] @ u.T  # step x n
+            ra, rb = np.nonzero(strip >= 0.45)
+            keep = (ra + lo) < rb  # upper triangle only, no self-pairs
+            exact_pairs.update(
+                (int(ids[a + lo]), int(ids[b]))
+                for a, b in zip(ra[keep], rb[keep])
+            )
         results["sem_pairs_exact"] = len(exact_pairs)
         for ip in (1, 2):
             t0 = time.time()
             got = {
                 (r["vec_id_a"], r["vec_id_b"])
                 for r in semantic_pairs(
-                    e, threshold=0.45, k_cells=16, index_probes=ip
+                    e, threshold=0.45, k_cells=None, index_probes=ip
                 ).collect()
             }
             results[f"secs_sem_pairs_ip{ip}"] = round(time.time() - t0, 2)
@@ -206,9 +212,10 @@ def main() -> None:
     # n − distinct vectors, and identical vectors always land in the
     # same cell, so the clustered pass should be perfect. The sf1/sf10
     # copy-up corpora are exactly this regime (each vector gains 9
-    # cos=1.0 copies per decade). k_cells scales with n to honor the
-    # operator's occupancy contract (~2k vectors/cell keeps the
-    # per-cell cosine matrix ≤ ~32 MB whatever the corpus size).
+    # cos=1.0 copies per decade). k_cells=None is the auto-occupancy
+    # default (auto_k_cells: ~2k vectors/cell keeps the per-cell
+    # cosine matrix ≤ ~32 MB whatever the corpus size — the formula
+    # this bench previously inlined, now the operator's own default).
     from gus_spark.operators.similarity import semantic_dedup as _sd
 
     n_distinct = e.select("embedding").distinct().count()
@@ -219,7 +226,7 @@ def main() -> None:
             for r in _sd(
                 e,
                 threshold=0.95,
-                k_cells=max(16, n // 2000),
+                k_cells=None,
                 lloyd_iters=2,
             ).collect()
             if not r.keep
