@@ -319,7 +319,15 @@ class GraphQLApi:
                 if after is not None:
                     rows = df.collect()  # keyset page: no skip-slice
                 else:
-                    rows = df.limit(limit + offset).collect()[offset:]
+                    # the skip runs IN the plan (TakeOrderedAndProject
+                    # with limit=offset+limit, offset=offset): executors
+                    # send partial top-(offset+limit) sets, the JVM
+                    # driver drops the offset prefix, and this collect
+                    # receives page_size rows ALONE — no Python-side
+                    # row buffer grows with page depth. Deep pages
+                    # still belong to the keyset cursor (MAX_OFFSET
+                    # bounds the JVM-transient top-set).
+                    rows = df.offset(offset).limit(limit).collect()
                 return [add_null_values(r.asDict(), model) for r in rows]
 
             return self._wrap(run)
