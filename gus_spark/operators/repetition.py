@@ -27,6 +27,18 @@ tokens collide with probability 2^-64 (see dedup.token_hashes) — far
 below the oracle-comparison noise floor; the DuckDB oracle counts the
 strings themselves, so every hash-collision event would surface as a
 mismatch there.
+
+TOKENIZER NOTE (deliberate divergence, ADVICE r6): tokenization here
+is dedup.tokenize's raw ``split(trim(text), '\\s+')`` WITHOUT an
+empty-string filter, to stay bit-compatible with the dedup hash
+family and its DuckDB oracles — so text padded with non-ASCII-space
+whitespace (newlines, tabs at the boundaries) contributes phantom ''
+tokens to n_tokens and the dup fractions. chunk.py and quality.py
+filter empties (their budgets/features must count real words).
+Consequence for gate tuning: a Gopher threshold calibrated against
+this module's n_tokens is NOT interchangeable with one calibrated on
+chunk/quality token counts for boundary-padded corpora; pick one
+denominator per pipeline and stick to it.
 """
 
 from __future__ import annotations

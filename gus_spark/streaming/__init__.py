@@ -6,6 +6,7 @@ from gus_spark.streaming.stateful import (  # noqa: F401
 )
 from gus_spark.streaming.neardup import neardup_stream  # noqa: F401
 from gus_spark.streaming.packing import pack_stream  # noqa: F401
+from gus_spark.streaming.pipeline import CurationPipelineStream  # noqa: F401
 from gus_spark.streaming.vectors import vector_index_stream  # noqa: F401
 from gus_spark.streaming.subscriptions import (  # noqa: F401
     attribution_join,

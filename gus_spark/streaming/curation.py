@@ -22,10 +22,18 @@ index rows, not the corpus.
 
 Crash-replay: per-batch done-markers (as in streaming.neardup) make
 replayed batch ids no-ops, keeping output and fp table exact.
+
+State safety: the state dir carries a ``layout.json`` version marker
+(the meta.json discipline from streaming.decontaminate). The fp store
+changed from flat append files (layout 1, pre-round-6) to
+batch-keyed partition dirs (layout 2); resuming over a layout-1 dir
+now fails with an explicit migration error instead of the raw
+missing-`batch`-column AnalysisException (ADVICE r6).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, Window
@@ -39,18 +47,58 @@ _OUT_COLS = [
     "en_marker_hits", "content_fp", "split",
 ]
 
+#: fp-store layout generation: 2 = batch=<id> partition dirs with
+#: overwrite-on-replay semantics (round 6+); 1 (never written by this
+#: marker, inferred by absence) = flat appended parquet files.
+_STATE_LAYOUT = 2
+
+
+def _check_state_layout(state_dir: str, fp_path: str) -> None:
+    """Write/validate the layout marker. A state dir holding fps but
+    no marker predates the batch-partitioned layout — reject loudly
+    with migration guidance rather than letting the `batch` partition
+    filter fail as an AnalysisException mid-stream."""
+    marker = os.path.join(state_dir, "layout.json")
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as fh:
+            found = json.load(fh).get("layout")
+        if found != _STATE_LAYOUT:
+            raise ValueError(
+                f"curate_stream state layout {found} at {state_dir!r} "
+                f"is incompatible with this version (layout "
+                f"{_STATE_LAYOUT}); rebuild the state dir, or backfill "
+                "old fps into one batch=<id> partition dir"
+            )
+        return
+    if os.path.isdir(fp_path):
+        raise ValueError(
+            f"unversioned curate_stream state at {state_dir!r} (fps "
+            "exist but no layout.json): this predates the batch-keyed "
+            f"fp layout (layout {_STATE_LAYOUT}). Rebuild the state "
+            "dir, or backfill the flat fp files into one batch=<id> "
+            "partition dir and write layout.json"
+        )
+    with open(marker, "w", encoding="utf-8") as fh:
+        json.dump({"layout": _STATE_LAYOUT}, fh)
+
 
 def curate_stream(
     docs_stream: DataFrame,
     state_dir: str,
     out_path: str,
     checkpoint_path: str,
+    include_text: bool = False,
 ) -> StreamingQuery:
     """Start curating ``docs_stream`` (documents schema); curated rows
     (the batch query's column set) append to ``out_path`` as parquet,
-    seen-fingerprint state persists under ``state_dir``."""
+    seen-fingerprint state persists under ``state_dir``.
+    ``include_text=True`` carries the document text through (the
+    composed-pipeline case: downstream decontamination/chunking stages
+    consume the curated stream and need the bytes)."""
     os.makedirs(state_dir, exist_ok=True)
     fp_path = os.path.join(state_dir, "fps")
+    _check_state_layout(state_dir, fp_path)
+    out_cols = _OUT_COLS + (["text"] if include_text else [])
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(state_dir, f"_batch-{batch_id}.done")
@@ -68,6 +116,7 @@ def curate_stream(
                 F.when(F.col("doc_id") % 20 == VAL_RESIDUE, "val")
                 .otherwise("train")
                 .alias("split"),
+                *(["text"] if include_text else []),
             )
         )
         if os.path.isdir(fp_path):
@@ -88,7 +137,7 @@ def curate_stream(
         # rows AND fps — the keyed-overwrite-delta pattern from
         # streaming.vectors). Readers see a `batch` partition column.
         batch_kept = batch_kept.cache()
-        batch_kept.select(*_OUT_COLS).write.mode("overwrite").parquet(
+        batch_kept.select(*out_cols).write.mode("overwrite").parquet(
             os.path.join(out_path, f"batch={batch_id}")
         )
         batch_kept.select("content_fp").write.mode("overwrite").parquet(

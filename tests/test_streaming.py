@@ -239,6 +239,47 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
     assert read_rows() == batch
 
 
+def test_curate_stream_rejects_old_state_layout(spark, tmp_path):
+    """ADVICE r6: the fp store moved from flat append files to
+    batch=<id> partition dirs; resuming over a pre-round-6 state dir
+    (fps present, no layout.json) or a future layout must fail with an
+    explicit migration error up front, not a missing-`batch`-column
+    AnalysisException mid-stream."""
+    import json
+
+    import pytest
+
+    from gus_spark.streaming import curate_stream
+    from gus_spark.streaming.curation import _check_state_layout
+
+    docs = table(spark, SF_DIR, "documents").limit(1)
+    src = str(tmp_path / "in")
+    docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    # old layout: fps exist, no marker
+    old_state = tmp_path / "old_state"
+    (old_state / "fps").mkdir(parents=True)
+    with pytest.raises(ValueError, match="unversioned"):
+        curate_stream(stream, str(old_state), str(tmp_path / "o1"),
+                      str(tmp_path / "c1"))
+
+    # wrong version in the marker
+    vs = tmp_path / "v9_state"
+    vs.mkdir()
+    (vs / "layout.json").write_text(json.dumps({"layout": 9}))
+    with pytest.raises(ValueError, match="layout 9"):
+        curate_stream(stream, str(vs), str(tmp_path / "o2"),
+                      str(tmp_path / "c2"))
+
+    # fresh dir: marker written, idempotent on re-check
+    fresh = tmp_path / "fresh_state"
+    fresh.mkdir()
+    _check_state_layout(str(fresh), str(fresh / "fps"))
+    assert json.loads((fresh / "layout.json").read_text()) == {"layout": 2}
+    _check_state_layout(str(fresh), str(fresh / "fps"))  # no raise
+
+
 def test_streaming_vector_ingest_matches_batch_adds(spark, tmp_path):
     """Embeddings streamed as two micro-batches into a fitted
     VectorIndex must yield search results identical to batch add()
@@ -624,3 +665,121 @@ def test_streaming_pack_multi_arrow_batch_group(spark, tmp_path):
         assert got == want
     finally:
         spark.conf.set(key, old)
+
+
+def test_streaming_pipeline_end_to_end_kill_and_resume(spark, tmp_path):
+    """VERDICT r6 #6: the composed micro-batch pipeline — source →
+    curation → decontamination → chunk+pack — run (a) in one drain and
+    (b) incrementally with a simulated crash (lost done-markers in
+    both stateful stages) and a resume, must produce PACKED OUTPUT
+    row-identical to the batch composition of the same stages. The
+    incremental run also proves packing state (open sequences)
+    survives across pipeline drains."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from gus_spark.operators.chunk import chunk_documents, pack_sequences
+    from gus_spark.operators.decontaminate import decontaminate
+    from gus_spark.queries.curation import VAL_RESIDUE, profile_and_gate
+    from gus_spark.streaming import CurationPipelineStream
+
+    docs = table(spark, SF_DIR, "documents")
+    # a real benchmark suite: actual corpus docs — their surviving
+    # curated selves are contaminated BY CONSTRUCTION (a doc shares
+    # its own 13-grams), so the decontamination stage is non-vacuous
+    bench = docs.filter(F.col("doc_id") % 97 == 3).select("doc_id", "text")
+    params = dict(
+        ngram=13, min_hits=1,
+        chunk_tokens=16, chunk_overlap=4, seq_budget=48, pack_shards=4,
+    )
+
+    # ---- batch twin of the three stages
+    w = Window.partitionBy("content_fp").orderBy("doc_id")
+    curated_b = (
+        profile_and_gate(docs)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id", "text",
+            F.when(F.col("doc_id") % 20 == VAL_RESIDUE, "val")
+            .otherwise("train").alias("split"),
+        )
+    )
+    clean_b = decontaminate(curated_b, bench, n=13, min_hits=1)
+    chunks_b = chunk_documents(clean_b, max_tokens=16, overlap=4)
+    batch_packed = pack_sequences(chunks_b, budget=48, shards=4).collect()
+    # batch emits the sequence TOTAL (seq_tokens); the stream emits the
+    # RUNNING fill (fill_after) — compare assignments + content, and
+    # totals via max(fill_after) per sequence
+    want = {
+        (r.doc_id, r.chunk_index): (
+            r.chunk_text, r.n_chunk_tokens, r.shard, r.seq_id
+        )
+        for r in batch_packed
+    }
+    want_totals = {
+        (r.shard, r.seq_id): r.seq_tokens for r in batch_packed
+    }
+    assert want, "batch twin is vacuous"
+    # the decontamination stage really dropped something
+    n_curated = curated_b.count()
+    n_clean = clean_b.count()
+    assert n_clean < n_curated
+
+    def packed_rows(p):
+        return {
+            (r.doc_id, r.chunk_index): (
+                r.chunk_text, r.n_chunk_tokens, r.shard, r.seq_id
+            )
+            for r in spark.read.parquet(p.packed).collect()
+        }
+
+    def packed_totals(p):
+        totals = {}
+        for r in spark.read.parquet(p.packed).collect():
+            key = (r.shard, r.seq_id)
+            totals[key] = max(totals.get(key, 0), r.fill_after)
+        return totals
+
+    # ---- (a) one-shot drain
+    src_a = str(tmp_path / "src_a")
+    docs.coalesce(1).write.parquet(src_a)
+    pa = CurationPipelineStream(
+        spark, src_a, docs.schema, bench, str(tmp_path / "work_a"),
+        **params,
+    )
+    pa.run()
+    assert packed_rows(pa) == want
+    assert packed_totals(pa) == want_totals
+
+    # ---- (b) incremental arrival + crash + resume
+    src_b = str(tmp_path / "src_b")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_b)
+    pb = CurationPipelineStream(
+        spark, src_b, docs.schema, bench, str(tmp_path / "work_b"),
+        **params,
+    )
+    pb.run()  # drains wave 1; packing leaves open sequences in state
+    n_wave1 = len(packed_rows(pb))
+    assert 0 < n_wave1 < len(want)
+    # wave 2 arrives; then a crash eats the newest done-marker of BOTH
+    # stateful stages (the marker window), so the resume must replay
+    # those batches idempotently (keyed overwrite) before continuing
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_b)
+    pb.run()
+    for state in ("state1", "state2"):
+        sd = tmp_path / "work_b" / state
+        markers = sorted(
+            m for m in os.listdir(sd) if m.startswith("_batch-")
+        )
+        os.remove(str(sd / markers[-1]))
+    shutil.rmtree(str(tmp_path / "work_b" / "ckpt1"))
+    shutil.rmtree(str(tmp_path / "work_b" / "ckpt2"))
+    pb.run()  # resume: replays the marker windows, changes nothing
+    assert packed_rows(pb) == want
+    assert packed_totals(pb) == want_totals
