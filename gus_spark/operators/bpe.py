@@ -171,6 +171,7 @@ def bpe_fit(
 
     merges: list[tuple[str, str]] = []
     batch_sizes: list[int] = []
+    rounds = 0  # EVERY pair-count collect, incl. the empty final one
     since_checkpoint = 0
     while len(merges) < num_merges:
         pairs = (
@@ -193,6 +194,7 @@ def bpe_fit(
         top = pairs.orderBy(
             F.desc("n"), F.asc("left"), F.asc("right")
         ).limit(4 * merge_batch).collect()
+        rounds += 1
         if not top:
             break
         batch = _admit_batch(
@@ -241,7 +243,7 @@ def bpe_fit(
             cur = cur.localCheckpoint()
             since_checkpoint = 0
     if stats is not None:
-        stats["rounds"] = len(batch_sizes)
+        stats["rounds"] = rounds
         stats["merges"] = len(merges)
         stats["batch_sizes"] = batch_sizes
     return merges

@@ -20,15 +20,19 @@ row per distinct fp, the same cardinality the batch dedup shuffles;
 the anti-join prunes on the fp hash, so each batch touches O(batch)
 index rows, not the corpus.
 
-Crash-replay: per-batch done-markers (as in streaming.neardup) make
-replayed batch ids no-ops, keeping output and fp table exact.
+Crash-replay: per-batch done-markers make replayed batches no-ops —
+fingerprinted ones (streaming.markers): the skip applies only when
+the delivered batch's content matches what the marker recorded, and a
+mismatch (checkpoint/state lineage divergence — the silent-data-loss
+hazard a bare batch_id key had) raises with recovery guidance.
 
 State safety: the state dir carries a ``layout.json`` version marker
-(the meta.json discipline from streaming.decontaminate). The fp store
-changed from flat append files (layout 1, pre-round-6) to
-batch-keyed partition dirs (layout 2); resuming over a layout-1 dir
-now fails with an explicit migration error instead of the raw
-missing-`batch`-column AnalysisException (ADVICE r6).
+(the meta.json discipline from streaming.decontaminate). Layout 1
+(pre-round-6) = flat appended fp files; layout 2 = batch-keyed fp
+partition dirs; layout 3 (current) = fingerprinted done-markers.
+Resuming over an older layout fails with an explicit migration error
+instead of a raw AnalysisException / a silent stale skip (ADVICE r6 +
+round-7 review).
 """
 
 from __future__ import annotations
@@ -41,16 +45,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from gus_spark.queries.curation import VAL_RESIDUE, profile_and_gate
+from gus_spark.streaming import markers
 
 _OUT_COLS = [
     "doc_id", "lang", "source", "n_tokens", "chars_per_word",
     "en_marker_hits", "content_fp", "split",
 ]
 
-#: fp-store layout generation: 2 = batch=<id> partition dirs with
-#: overwrite-on-replay semantics (round 6+); 1 (never written by this
-#: marker, inferred by absence) = flat appended parquet files.
-_STATE_LAYOUT = 2
+#: state layout generation: 3 = fingerprinted done-markers (round 7);
+#: 2 = batch=<id> fp partition dirs with bare batch_id markers
+#: (round 6); 1 (never written by a marker, inferred by absence) =
+#: flat appended parquet fp files.
+_STATE_LAYOUT = 3
 
 
 def _check_state_layout(state_dir: str, fp_path: str) -> None:
@@ -66,17 +72,16 @@ def _check_state_layout(state_dir: str, fp_path: str) -> None:
             raise ValueError(
                 f"curate_stream state layout {found} at {state_dir!r} "
                 f"is incompatible with this version (layout "
-                f"{_STATE_LAYOUT}); rebuild the state dir, or backfill "
-                "old fps into one batch=<id> partition dir"
+                f"{_STATE_LAYOUT}); rebuild the state dir (layout 2's "
+                "bare batch_id markers cannot be upgraded in place — "
+                "they don't record what each batch contained)"
             )
         return
     if os.path.isdir(fp_path):
         raise ValueError(
             f"unversioned curate_stream state at {state_dir!r} (fps "
-            "exist but no layout.json): this predates the batch-keyed "
-            f"fp layout (layout {_STATE_LAYOUT}). Rebuild the state "
-            "dir, or backfill the flat fp files into one batch=<id> "
-            "partition dir and write layout.json"
+            "exist but no layout.json): this predates layout "
+            f"{_STATE_LAYOUT}. Rebuild the state dir."
         )
     with open(marker, "w", encoding="utf-8") as fh:
         json.dump({"layout": _STATE_LAYOUT}, fh)
@@ -101,8 +106,10 @@ def curate_stream(
     out_cols = _OUT_COLS + (["text"] if include_text else [])
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(state_dir, f"_batch-{batch_id}.done")
-        if os.path.exists(marker):
+        fp = markers.batch_fingerprint(batch_df, "doc_id")
+        if markers.check_marker(
+            state_dir, batch_id, fp, strict=True
+        ) == markers.SKIP:
             return
         spark = batch_df.sparkSession
         gated = profile_and_gate(batch_df)
@@ -137,15 +144,18 @@ def curate_stream(
         # rows AND fps — the keyed-overwrite-delta pattern from
         # streaming.vectors). Readers see a `batch` partition column.
         batch_kept = batch_kept.cache()
-        batch_kept.select(*out_cols).write.mode("overwrite").parquet(
-            os.path.join(out_path, f"batch={batch_id}")
+        # publish-if-changed: a replay must not emit fresh part files
+        # for identical content — downstream file sources would
+        # re-consume them as new data (see markers.publish_batch)
+        markers.publish_batch(
+            batch_kept.select(*out_cols),
+            os.path.join(out_path, f"batch={batch_id}"),
         )
         batch_kept.select("content_fp").write.mode("overwrite").parquet(
             os.path.join(fp_path, f"batch={batch_id}")
         )
         batch_kept.unpersist()
-        with open(marker, "w", encoding="utf-8") as fh:
-            fh.write("done")
+        markers.write_marker(state_dir, batch_id, fp)
 
     return (
         docs_stream.writeStream.foreachBatch(_process)

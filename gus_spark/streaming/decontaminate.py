@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from gus_spark.operators.decontaminate import DEFAULT_N, _gram_hashes
+from gus_spark.streaming import markers
 
 
 def _bench_grams(
@@ -116,8 +117,13 @@ def decontaminate_stream(
             json.dump(meta, fh)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(state_dir, f"_batch-{batch_id}.done")
-        if os.path.exists(marker):
+        # fingerprinted marker (streaming.markers): skip only a replay
+        # of THIS content; a stale-lineage marker raises instead of
+        # silently dropping data delivered after a checkpoint loss
+        fp = markers.batch_fingerprint(batch_df, "doc_id")
+        if markers.check_marker(
+            state_dir, batch_id, fp, strict=True
+        ) == markers.SKIP:
             return
         spark = batch_df.sparkSession
         bench_grams = spark.read.parquet(grams_path)
@@ -133,13 +139,13 @@ def decontaminate_stream(
         clean = batch_df.join(
             dirty, batch_df["doc_id"] == F.col("_did"), "left_anti"
         )
-        # batch-keyed overwrite: the ONE action per batch, idempotent
-        # under crash-replay of the marker window
-        clean.write.mode("overwrite").parquet(
-            os.path.join(out_path, f"batch={batch_id}")
+        # publish-if-changed (markers.publish_batch): row-idempotent
+        # AND file-idempotent under crash-replay — downstream file
+        # sources must not see fresh part files for identical content
+        markers.publish_batch(
+            clean, os.path.join(out_path, f"batch={batch_id}")
         )
-        with open(marker, "w", encoding="utf-8") as fh:
-            fh.write("done")
+        markers.write_marker(state_dir, batch_id, fp)
 
     return (
         docs_stream.writeStream.foreachBatch(_process)

@@ -15,11 +15,18 @@ _spark_metadata manifest gives exactly-once file commits on top of
 the applyInPandasWithState (shard → open-sequence) state in the
 checkpoint). A crash ANYWHERE — inside a stage, or between stages —
 resumes by re-running the pipeline with the same work_dir: finished
-batches short-circuit on their markers/checkpoints, the crashed
-window replays idempotently, and downstream stages pick up exactly
-the files the upstream stage committed. Asserted end-to-end in
-tests/test_streaming.py (kill-and-resume, output row-identical to the
-batch composition of the same stages).
+batches short-circuit on their content-fingerprinted markers
+(streaming.markers), the crashed window replays idempotently — both
+row-idempotently (keyed publish) and FILE-idempotently
+(markers.publish_batch, so downstream file sources never re-consume
+a replayed batch as new files) — and downstream stages pick up
+exactly the files the upstream stage committed. Losing a CHECKPOINT
+while the source grows is not a crash but a lineage divergence; the
+fingerprinted markers refuse it loudly instead of silently skipping
+new data as "done". Asserted end-to-end in tests/test_streaming.py
+(kill-and-resume via real commit-file surgery, output row-identical
+to the batch composition; checkpoint-loss raises; re-aligned
+batching recovers).
 
 Stages run to completion IN ORDER per `run()` call (availableNow
 triggers): a file-source stage only sees files committed before it
@@ -131,8 +138,12 @@ class CurationPipelineStream:
         parquet sink."""
         if not os.path.isdir(self.clean):
             return
-        schema = self.spark.read.parquet(self.clean).drop("batch").schema
-        stream = self._reader(self.clean, schema)
+        # include the batch partition key in the declared schema and
+        # drop it ON THE STREAM (the run_decontaminate form): omitting
+        # a partition column from a user schema doesn't exclude it —
+        # Spark re-appends it to the reader output
+        schema = self.spark.read.parquet(self.clean).schema
+        stream = self._reader(self.clean, schema).drop("batch")
         chunks = chunk_documents(
             stream,
             max_tokens=self.chunk_tokens,

@@ -276,7 +276,7 @@ def test_curate_stream_rejects_old_state_layout(spark, tmp_path):
     fresh = tmp_path / "fresh_state"
     fresh.mkdir()
     _check_state_layout(str(fresh), str(fresh / "fps"))
-    assert json.loads((fresh / "layout.json").read_text()) == {"layout": 2}
+    assert json.loads((fresh / "layout.json").read_text()) == {"layout": 3}
     _check_state_layout(str(fresh), str(fresh / "fps"))  # no raise
 
 
@@ -765,21 +765,97 @@ def test_streaming_pipeline_end_to_end_kill_and_resume(spark, tmp_path):
     pb.run()  # drains wave 1; packing leaves open sequences in state
     n_wave1 = len(packed_rows(pb))
     assert 0 < n_wave1 < len(want)
-    # wave 2 arrives; then a crash eats the newest done-marker of BOTH
-    # stateful stages (the marker window), so the resume must replay
-    # those batches idempotently (keyed overwrite) before continuing
+    # wave 2 arrives and is drained
     docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode(
         "append"
     ).parquet(src_b)
     pb.run()
-    for state in ("state1", "state2"):
-        sd = tmp_path / "work_b" / state
-        markers = sorted(
+    # crash simulation — REAL marker-window replay, not a no-op: kill
+    # the newest checkpoint COMMIT of both foreachBatch stages (so the
+    # restarted query re-delivers that exact batch, which is what a
+    # crash between the output write and the commit looks like) AND
+    # the matching done-marker (the crash landed before the marker
+    # write too). The resume must re-run _process for those batches;
+    # keyed overwrite + self-batch-excluded fps keep output identical.
+    def crash_window(stage_state, ckpt):
+        sd = tmp_path / "work_b" / stage_state
+        ms = sorted(
             m for m in os.listdir(sd) if m.startswith("_batch-")
         )
-        os.remove(str(sd / markers[-1]))
-    shutil.rmtree(str(tmp_path / "work_b" / "ckpt1"))
-    shutil.rmtree(str(tmp_path / "work_b" / "ckpt2"))
-    pb.run()  # resume: replays the marker windows, changes nothing
+        os.remove(str(sd / ms[-1]))
+        commits = tmp_path / "work_b" / ckpt / "commits"
+        ids = sorted(
+            int(f) for f in os.listdir(commits) if f.isdigit()
+        )
+        os.remove(str(commits / str(ids[-1])))
+        crc = commits / f".{ids[-1]}.crc"  # hadoop checksum sibling
+        if crc.exists():
+            os.remove(str(crc))
+        return sd / ms[-1]
+
+    killed = [
+        crash_window("state1", "ckpt1"),
+        crash_window("state2", "ckpt2"),
+    ]
+    pb.run()  # resume: genuinely replays the crashed batch windows
+    # the replay actually ran: the DELETED markers were re-written
+    for m in killed:
+        assert m.exists(), m
     assert packed_rows(pb) == want
     assert packed_totals(pb) == want_totals
+
+
+def test_streaming_pipeline_checkpoint_loss_raises_not_drops(
+    spark, tmp_path
+):
+    """Round-7 review finding (reproduced before the fix): done-markers
+    keyed on batch_id alone silently DROPPED data after a checkpoint
+    wipe — a restarted query renumbers batches from 0, the stale
+    _batch-0.done marker short-circuits the handler, and documents
+    that arrived since are never curated. Markers now record the
+    batch's content fingerprint, so the stale-lineage skip becomes a
+    loud lineage-divergence error with recovery guidance."""
+    import shutil
+
+    import pytest
+
+    from gus_spark.streaming import curate_stream
+
+    docs = table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        curate_stream(stream, state, out, ckpt).awaitTermination()
+
+    run(str(tmp_path / "ckpt"))
+    n_wave1 = spark.read.parquet(out).count()
+    # operator error: checkpoint wiped while the source grew
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    with pytest.raises(Exception, match="different lineage"):
+        run(str(tmp_path / "ckpt"))
+    # and nothing was silently skipped-as-done: output unchanged, no
+    # data loss masquerading as success
+    assert spark.read.parquet(out).count() == n_wave1
+    # RECOVERY: a new lineage whose batching re-aligns with the
+    # markers (one file per trigger → batch 0 is wave 1 again) skips
+    # the genuinely-done batch on its matching fingerprint and
+    # processes the new data — completing what the wiped checkpoint
+    # would have silently lost before this fix
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    sub = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    curate_stream(
+        sub, state, out, str(tmp_path / "ckpt")
+    ).awaitTermination()
+    assert spark.read.parquet(out).count() > n_wave1
