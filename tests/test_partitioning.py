@@ -42,6 +42,34 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert joined.count() == expected
 
 
+def test_bucketed_partsupp_bridge_join_no_exchange(spark):
+    """The repeated-join story for the synthesized bridge table
+    (ROADMAP r7): a warehouse that joins partsupp with part on every
+    sourcing query materializes BOTH bucketed by the part key once,
+    and every subsequent join is a SortMergeJoin with ZERO exchanges —
+    the synthesis cost is paid once, the shuffle never again."""
+    from gus_spark.queries.bridge import partsupp
+
+    ps = partsupp(spark, SF_DIR)
+    part = table(spark, SF_DIR, "part").withColumnRenamed(
+        "p_partkey", "ps_partkey"
+    )
+    write_bucketed(ps, "partsupp_b", "ps_partkey", n_buckets=8,
+                   sort_by="ps_partkey")
+    write_bucketed(part, "part_b", "ps_partkey", n_buckets=8,
+                   sort_by="ps_partkey")
+    joined = bucketed_join(spark, "partsupp_b", "part_b", "ps_partkey")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    # 4 suppliers per part -> exactly 4 rows per part survive
+    n_parts = table(spark, SF_DIR, "part").count()
+    assert joined.count() == 4 * n_parts
+
+
 def test_salted_sum_equals_plain(spark):
     li = table(spark, SF_DIR, "lineitem")
     salted = {
