@@ -208,6 +208,79 @@ def q16_parts_supplier_relationship(
 
 
 @register(
+    "q11_important_stock",
+    oracle=PARTSUPP_SQL
+    + """
+    , valued AS (
+      SELECT ps.ps_partkey,
+             CAST(ROUND(ps.ps_supplycost * 100) AS BIGINT)
+               * ps.ps_availqty AS value_cents
+      FROM partsupp ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_15'
+    )
+    SELECT ps_partkey,
+           CAST(SUM(value_cents) AS DOUBLE) / 100.0 AS part_value
+    FROM valued
+    GROUP BY ps_partkey
+    HAVING SUM(value_cents) * 1000 > (
+      SELECT SUM(value_cents) * 3 FROM valued
+    )
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose stock value at one nation's suppliers
+    exceeds a fraction of the nation's total stock value — group
+    aggregate HAVING-compared against an uncorrelated GLOBAL scalar
+    aggregate of the same derived table (the value-share shape;
+    unblocked by the synthesized partsupp like q2/q16/q20).
+
+    Determinism: stock value is computed in integer CENTS
+    (round(supplycost*100) recovers the synthesis' exact cents; cents
+    × availqty sums as BIGINT — order-free), the HAVING is a pure
+    integer cross-multiply (value·1000 > total·3, i.e. share >
+    0.3%), and only the final output divides by 100.0 (exact: the
+    sums stay far below 2^53). Spark plan: the q22
+    uncorrelated-scalar pattern — the 1-row global total broadcasts
+    into a filter, never a per-group correlated pass. The valued
+    subplan is re-derived on both sides (Catalyst doesn't CSE across
+    the self-aggregate), which is fine HERE because it is
+    dimension-sized (parts × 4, filtered to one nation's suppliers);
+    were it fact-sized, the cure is one persisted/checkpointed
+    intermediate."""
+    ps = partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_15"
+    )
+    valued = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "ps_partkey",
+            (
+                F.round(F.col("ps_supplycost") * 100).cast("long")
+                * F.col("ps_availqty")
+            ).alias("value_cents"),
+        )
+    )
+    total = valued.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        valued.groupBy("ps_partkey")
+        .agg(F.sum("value_cents").alias("vc"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("vc") * 1000 > F.col("total_cents") * 3)
+        .select(
+            "ps_partkey",
+            (F.col("vc").cast("double") / 100.0).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+@register(
     "q20_excess_stock_suppliers",
     oracle=PARTSUPP_SQL
     + """

@@ -117,27 +117,40 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rollup_returns",
+    "cube_lineitem_returns",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
            COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty,
            COUNT(DISTINCT l_partkey) AS n_parts,
            COUNT(DISTINCT l_suppkey) AS n_supps,
            MIN(l_extendedprice) AS min_price,
            MAX(l_extendedprice) AS max_price
     FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
-def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (grand total + per-flag + per-pair) with
-    exact count-distincts and min/max per grouping set. The all-NULL row
-    IS the global aggregate (absorbs the former `agg_global_lineitem`
-    probe: two exact distincts via expand + two-phase agg)."""
+def cube_lineitem_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All FOUR grouping sets of (returnflag, linestatus) in one pass —
+    CUBE strictly contains ROLLUP's hierarchy, so this fusion of the
+    former `rollup_returns` + `cube_orders` probes covers both shapes
+    (hierarchy totals AND the off-hierarchy (·, linestatus) slice)
+    with the full measure set: exact count-distincts (Expand +
+    two-phase agg), decimal sum, min/max; `gid` is the explicit
+    GROUPING() disambiguator (grouping-set id vs a genuinely NULL
+    dimension value — the standard CUBE-consumer idiom, identical bit
+    layout in Spark's grouping() and DuckDB's GROUPING()). The
+    all-NULL/gid=3 row IS the global aggregate (absorbing the former
+    `agg_global_lineitem` probe too)."""
     return (
         table(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
+        .cube("l_returnflag", "l_linestatus")
         .agg(
+            (
+                F.grouping("l_returnflag") * 2
+                + F.grouping("l_linestatus")
+            ).cast("long").alias("gid"),
             F.count("*").alias("n"),
             dsum("l_quantity").alias("sum_qty"),
             F.countDistinct("l_partkey").alias("n_parts"),
@@ -148,27 +161,9 @@ def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cube_orders",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           COUNT(DISTINCT o_custkey) AS n_customers
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dimensions — all 4 grouping sets in one pass — with
-    a per-group exact count-distinct (absorbs the former
-    `group_distinct_orders` probe)."""
-    return (
-        table(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count("*").alias("n"),
-            F.countDistinct("o_custkey").alias("n_customers"),
-        )
-    )
+# (cube_orders was folded into cube_lineitem_returns — its CUBE +
+#  grouped count-distinct shape is a strict subset; the freed slot
+#  went to bridge.q11_important_stock.)
 
 
 @register(

@@ -92,6 +92,10 @@ ALLOWED_BROADCAST_HINTS = {
     "q2_min_cost_supplier": 3,       # 1-row count + nation + region
     "q16_parts_supplier_relationship": 1,  # 1-row count only
     "q20_excess_stock_suppliers": 2,  # 1-row count + nation
+    # the valued subplan appears twice (per-part agg + global total,
+    # the q22 uncorrelated-scalar pattern), each carrying its 1-row
+    # supplier-count + 25-row nation hints, plus the 1-row total
+    "q11_important_stock": 5,
 }
 
 
