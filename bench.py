@@ -23,7 +23,10 @@ HEADLINE = [
     "q5_regional_revenue",
     "q6_forecast_revenue",
     "q10_returned_items",
-    "topk_expensive_lineitems",
+    # topk_expensive_lineitems rotated out of the catalog (r7); q9 is
+    # the comparable-cost replacement line (both sub-second at sf0.1) —
+    # compare cross-round totals on the shared subset
+    "q9_product_type_profit",
     "window_orders_analytics",
     "repetition_profile",  # replaced monthly_revenue_trend (rotated out r6)
     "events_hourly_rollup",

@@ -207,6 +207,85 @@ def q16_parts_supplier_relationship(
     )
 
 
+_Q9_AMOUNT = (
+    "l.l_extendedprice * (1 - l.l_discount) "
+    "- ps.ps_supplycost * l.l_quantity"
+)
+
+
+def _q9_oracle() -> str:
+    from gus_spark.functions.deterministic import sql_dsum
+
+    return (
+        PARTSUPP_SQL
+        + f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           {sql_dsum(_Q9_AMOUNT)} AS sum_profit
+    FROM partsupp ps
+    JOIN lineitem l ON l.l_partkey = ps.ps_partkey
+                   AND l.l_suppkey = ps.ps_suppkey
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """
+    )
+
+
+@register("q9_product_type_profit", oracle=_q9_oracle())
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit by supplier nation and order year for one
+    product family — the 6-relation star whose fact joins the bridge
+    table on BOTH keys (lineitem ⋈ partsupp on (partkey, suppkey)),
+    the cost-of-goods join every real margin query runs. (Rotated in
+    for `topk_expensive_lineitems`, whose scan-pushdown and
+    TakeOrderedAndProject claims stay pinned on q6/point_lookup and
+    q2/q18 respectively in test_plans.py.)
+
+    Determinism: profit = extended*(1-disc) − supplycost*qty goes
+    through the repo's decimal-sum contract (dsum — exact,
+    order-independent, identical to the oracle's sql_dsum); full
+    result ordered by (nation, year desc), no limit. Plan: the
+    two-key equi-join shuffles lineitem once on (partkey, suppkey);
+    part's LIKE filter prunes before the join; nation broadcasts
+    (bounded); supplier/orders/part are row-scaled — no hints, AQE
+    decides."""
+    from gus_spark.functions.deterministic import dsum
+
+    ps = partsupp(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount")
+    ) - F.col("ps_supplycost") * F.col("l_quantity")
+    return (
+        ps.join(
+            li,
+            (li.l_partkey == ps.ps_partkey)
+            & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(p, ps.ps_partkey == p.p_partkey)
+        .join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(amount).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
 @register(
     "q11_important_stock",
     oracle=PARTSUPP_SQL

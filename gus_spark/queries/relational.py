@@ -758,35 +758,10 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Sort / limit / top-k
 # --------------------------------------------------------------------------
-@register(
-    "topk_expensive_lineitems",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-      AND l_shipdate < TIMESTAMP '1997-07-01'
-      AND l_discount BETWEEN 0.05 AND 0.07
-    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
-    LIMIT 100
-    """,
-)
-def topk_expensive_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filtered + projected global top-k (merges the former
-    `filter_project_lineitem` probe): the date/discount predicates and
-    the 4-column projection reach the parquet scan, then Spark plans
-    TakeOrderedAndProject — per-partition heaps + driver merge of k
-    rows, never a full sort."""
-    return (
-        table(spark, sf_dir, "lineitem")
-        .filter(
-            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
-            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-07-01")))
-            & F.col("l_discount").between(0.05, 0.07)
-        )
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
-        .limit(100)
-    )
+# (topk_expensive_lineitems was rotated out for bridge.q9: its two
+#  plan claims stay pinned — scan pushdown + projection pruning by
+#  q6/point_lookup_order (test_plans.py), TakeOrderedAndProject by
+#  q2/q18's aggregate-then-top-k (test_plans.py asserts both).)
 
 
 # --------------------------------------------------------------------------

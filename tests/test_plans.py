@@ -96,6 +96,7 @@ ALLOWED_BROADCAST_HINTS = {
     # the q22 uncorrelated-scalar pattern), each carrying its 1-row
     # supplier-count + 25-row nation hints, plus the 1-row total
     "q11_important_stock": 5,
+    "q9_product_type_profit": 2,  # 1-row count + nation
 }
 
 
@@ -122,7 +123,11 @@ def test_q1_has_partial_aggregation(spark):
 
 
 def test_topk_uses_take_ordered(spark):
-    plan = plan_of(spark, "topk_expensive_lineitems")
+    # aggregate-then-top-k (q18) must plan the per-partition-heap
+    # TakeOrderedAndProject, never a global sort; q2 asserts the same
+    # in its own test. (Inherited from the rotated-out
+    # topk_expensive_lineitems probe.)
+    plan = plan_of(spark, "q18_large_volume_customers")
     assert "TakeOrderedAndProject" in plan
 
 
