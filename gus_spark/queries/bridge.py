@@ -250,10 +250,13 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the repo's decimal-sum contract (dsum — exact,
     order-independent, identical to the oracle's sql_dsum); full
     result ordered by (nation, year desc), no limit. Plan: the
-    two-key equi-join shuffles lineitem once on (partkey, suppkey);
-    part's LIKE filter prunes before the join; nation broadcasts
-    (bounded); supplier/orders/part are row-scaled — no hints, AQE
-    decides."""
+    selective '%gear%' part filter joins partsupp FIRST (the q20
+    pattern — with CBO off, Catalyst preserves the written join
+    order, so filtering the bridge before the fact join shrinks
+    every downstream shuffle ~25×); only THEN does the two-key
+    equi-join shuffle lineitem once on (partkey, suppkey); nation
+    broadcasts (bounded); supplier/orders/part are row-scaled — no
+    hints, AQE decides."""
     from gus_spark.functions.deterministic import dsum
 
     ps = partsupp(spark, sf_dir)
@@ -268,12 +271,12 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - F.col("l_discount")
     ) - F.col("ps_supplycost") * F.col("l_quantity")
     return (
-        ps.join(
+        ps.join(p, ps.ps_partkey == p.p_partkey)
+        .join(
             li,
             (li.l_partkey == ps.ps_partkey)
             & (li.l_suppkey == ps.ps_suppkey),
         )
-        .join(p, ps.ps_partkey == p.p_partkey)
         .join(s, ps.ps_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
