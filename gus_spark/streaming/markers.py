@@ -18,14 +18,16 @@ matches it:
   unchanged source with identical batching): skip, exactly as before;
 - marker exists, fingerprint differs → the marker belongs to a
   DIFFERENT lineage (checkpoint wiped/moved while the source grew).
-  ``strict=True`` stages (curation, decontamination — their
-  batch-keyed overwrite outputs cannot safely interleave two
-  batchings) raise with recovery guidance instead of losing data;
-  ``strict=False`` stages (neardup/vector ingest — their adds are
-  idempotent by construction) simply reprocess;
+  Every stage in this repo runs ``strict=True`` and raises with
+  recovery guidance: batch-keyed outputs (curation/decontamination
+  partitions, MinHash/vector index deltas keyed by batch id) cannot
+  safely interleave two batchings — the same rows would land under
+  different keys than the stale state holds, duplicating across keys.
+  ``strict=False`` (reprocess on mismatch) exists for a future stage
+  whose write path is genuinely content-keyed rather than
+  batch-keyed;
 - legacy pre-fingerprint markers (body ``"done"``) are treated as a
-  mismatch: strict stages direct the operator to rebuild, idempotent
-  stages reprocess.
+  mismatch.
 """
 
 from __future__ import annotations

@@ -17,8 +17,15 @@ index's band/shingle deltas (``add_and_find(batch_key=...)``) and the
 pair output (a ``batch=<id>`` subdirectory of ``pairs_path``) — so a
 replay overwrites its own earlier output instead of appending
 duplicates; no marker/append atomicity window exists. The
-``_batch-<id>.done`` marker remains purely as a cheap skip for
-already-finished batches.
+``_batch-<id>.done`` marker is a cheap skip for already-finished
+batches — CONTENT-FINGERPRINTED (streaming.markers, round 7): a skip
+applies only to a replay of the same batch content, and a
+stale-lineage marker (checkpoint lost while the source grew) raises
+instead of silently skipping unprocessed data. Strict mode is
+required here even though add_and_find is replay-idempotent per
+batch_key: under a divergent lineage the same documents would land
+under DIFFERENT batch keys than the stale index deltas hold, so
+"just reprocess" would duplicate index rows across keys.
 """
 
 from __future__ import annotations
@@ -29,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from gus_spark.operators.dedup import MinHashIndex
+from gus_spark.streaming import markers
 
 
 def neardup_stream(
@@ -43,10 +51,13 @@ def neardup_stream(
     callers ``processAllAvailable()``/``awaitTermination()`` it."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(index.path, f"_batch-{batch_id}.done")
-        if os.path.exists(marker):  # crash-replay of a finished batch
+        fp = markers.batch_fingerprint(batch_df, index.id_col)
+        if markers.check_marker(
+            index.path, batch_id, fp, strict=True
+        ) == markers.SKIP:
             return
-        if not batch_df.take(1):
+        if fp["n"] == 0:
+            markers.write_marker(index.path, batch_id, fp)
             return
         pairs = index.add_and_find(batch_df, batch_key=f"batch-{batch_id}")
         # batch=<id> partition dir + overwrite = idempotent on replay;
@@ -54,8 +65,7 @@ def neardup_stream(
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_path, f"batch={batch_id}")
         )
-        with open(marker, "w", encoding="utf-8") as fh:
-            fh.write("done")
+        markers.write_marker(index.path, batch_id, fp)
 
     return (
         docs_stream.writeStream.foreachBatch(_process)

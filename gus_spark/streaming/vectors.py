@@ -10,8 +10,10 @@ produces an index bit-identical to batch ``add`` calls of the same rows
 directory NAMED BY THE BATCH ID with overwrite semantics — a
 crash-replay of the same batch id replaces its own earlier output
 instead of duplicating code rows, so the append is idempotent without
-any marker/append atomicity requirement. The done-marker remains as a
-cheap skip for already-finished batches.
+any marker/append atomicity requirement. The done-marker is a cheap
+skip for already-finished batches — content-fingerprinted
+(streaming.markers): a stale-lineage marker raises instead of
+silently skipping data delivered after a checkpoint loss.
 
 Re-fit policy stays with the operator: watch ``index.stats()`` cell
 skew and rebuild a fresh index when the corpus has drifted — a stream
@@ -21,12 +23,11 @@ so far).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from gus_spark.operators.vector_index import VectorIndex
+from gus_spark.streaming import markers
 
 
 def vector_index_stream(
@@ -40,14 +41,19 @@ def vector_index_stream(
     index._load_model()  # fail fast before any batch arrives
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(index.path, f"_batch-{batch_id}.done")
-        if os.path.exists(marker):
+        # content-fingerprinted marker (streaming.markers): skip only
+        # a same-content replay; a stale-lineage marker raises (same
+        # cross-batch-key aliasing argument as neardup_stream)
+        fp = markers.batch_fingerprint(batch_df, index.id_col)
+        if markers.check_marker(
+            index.path, batch_id, fp, strict=True
+        ) == markers.SKIP:
             return
-        if not batch_df.take(1):
+        if fp["n"] == 0:
+            markers.write_marker(index.path, batch_id, fp)
             return
         index.add(batch_df, batch_key=f"batch-{batch_id}")
-        with open(marker, "w", encoding="utf-8") as fh:
-            fh.write("done")
+        markers.write_marker(index.path, batch_id, fp)
 
     return (
         vec_stream.writeStream.foreachBatch(_process)
