@@ -55,6 +55,10 @@ QUERIES = [
     "redact_pii_documents",
     "q21_suppliers_waiting",
     "curate_documents",
+    # the bridge family's two poles: dimension-sized (q2) and the
+    # two-key fact join (q9)
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
 ]
 
 
