@@ -1,0 +1,208 @@
+"""N-gram language-model perplexity scoring (the CCNet quality
+signal: Wenzek et al. 2020, arXiv 1911.00359, score corpus documents
+by LM perplexity; smoothing is Stupid Backoff — Brants et al. 2007,
+"Large Language Models in Machine Translation" — the scheme DESIGNED
+for distributed MapReduce LMs: no discounting state, only raw counts).
+
+    S(w | ctx_m) = count(m-gram) / count((m-1)-gram context)   if seen
+                 = alpha * S(w | ctx_{m-1})                    else
+    S(w)         = count(w) / total_tokens                (unigram base)
+    OOV          = alpha^backoffs / (total_tokens + 1)
+
+    doc score: log10_ppl = -(Σ log10 S(w_i | ctx)) / n_tokens
+    (lower = more like the LM's training corpus — CCNet keeps the
+    low-perplexity head/middle of the distribution).
+
+Spark-first shape:
+
+- FIT is pure counting: one gram-occurrence pass (numpy Arrow kernel
+  reusing the substring family's rolling-polynomial window hashes —
+  ≤ `order` rows per token) into ONE groupBy on (order, gram hash) —
+  uniform 64-bit keys, map-side partial counts. The model IS a
+  DataFrame; persist it like any table.
+- SCORING joins each document's gram occurrences (same kernel)
+  against the count table on (order, hash) — the decontaminate
+  equi-join shape — then ONE groupBy per doc feeds an Arrow kernel
+  that walks the backoff chain per position from the joined counts
+  (the (m−1)-gram context count the chain needs is the occurrence
+  row at (pos−1, m−1), already in the group). State per task is one
+  document's ≤ order·n count rows.
+- The only driver-side values are total_tokens and the vocabulary
+  size (one 1-row aggregate each — the bounded-scalar class).
+
+Counts are keyed by 64-bit polynomial hashes (collision ~2⁻⁶⁴/pair,
+the substring family's bound); scoring is float64 with a fixed
+evaluation order per position (sequential backoff walk), so scores
+are deterministic across partitionings — asserted against a
+pure-Python reference in tests/test_lm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gus_spark.operators.substring import _tokens_and_hashes, _window_hashes
+from gus_spark.operators.util import ensure_parallelism
+
+ALPHA = 0.4  # Brants et al.'s backoff constant
+
+
+def _occurrences(base: DataFrame, order: int) -> DataFrame:
+    """(doc, pos, m, gh): for every token position, the m-gram ENDING
+    there for m = 1..min(order, pos+1)."""
+    import pandas as pd
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            dids, poss, ms, ghs = [], [], [], []
+            for did, th in zip(pdf["_did"], pdf["_th"]):
+                n = len(th)
+                if n == 0:
+                    continue
+                for m in range(1, min(order, n) + 1):
+                    gh = _window_hashes(th, m)
+                    cnt = gh.shape[0]
+                    dids.append(np.full(cnt, did, dtype="int64"))
+                    # window starting at j has length m -> ends at j+m-1
+                    poss.append(
+                        np.arange(m - 1, m - 1 + cnt, dtype="int32")
+                    )
+                    ms.append(np.full(cnt, m, dtype="int32"))
+                    ghs.append(gh.view("int64"))
+            if not dids:
+                yield pd.DataFrame(
+                    {"_did": pd.Series([], dtype="int64"),
+                     "pos": pd.Series([], dtype="int32"),
+                     "m": pd.Series([], dtype="int32"),
+                     "gh": pd.Series([], dtype="int64")}
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "_did": np.concatenate(dids),
+                    "pos": np.concatenate(poss),
+                    "m": np.concatenate(ms),
+                    "gh": np.concatenate(ghs),
+                }
+            )
+
+    return base.select("_did", "_th").mapInPandas(
+        kernel, "_did long, pos int, m int, gh long"
+    )
+
+
+def fit_ngram_lm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order: int = 3,
+) -> DataFrame:
+    """The count table (m, gh, c) for m = 1..order — the whole model.
+    Persist with plain parquet; total tokens = SUM(c) WHERE m = 1."""
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    base = _tokens_and_hashes(
+        ensure_parallelism(df.filter(F.col(text_col).isNotNull())),
+        id_col,
+        text_col,
+    )
+    return (
+        _occurrences(base, order)
+        .groupBy("m", "gh")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def perplexity_score(
+    df: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order: int = 3,
+    alpha: float = ALPHA,
+) -> DataFrame:
+    """(id, n_tokens, log10_ppl) per non-null document. Documents with
+    zero tokens score NULL. Lower = closer to the LM's corpus."""
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    import pandas as pd
+
+    spark = df.sparkSession
+    total = lm.filter(F.col("m") == 1).agg(F.sum("c")).first()[0] or 0
+    if total == 0:
+        raise ValueError("empty language model (no unigram counts)")
+
+    base = _tokens_and_hashes(
+        ensure_parallelism(df.filter(F.col(text_col).isNotNull())),
+        id_col,
+        text_col,
+    )
+    occ = _occurrences(base, order)
+    counted = occ.join(lm, ["m", "gh"], "left").select(
+        "_did", "pos", "m", F.col("c")
+    )
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        did = int(pdf["_did"].iloc[0])
+        counts = {}
+        n_tokens = 0
+        for pos, m, c in zip(pdf["pos"], pdf["m"], pdf["c"]):
+            if m == 1:
+                n_tokens = max(n_tokens, int(pos) + 1)
+            if not pd.isna(c):
+                counts[(int(pos), int(m))] = int(c)
+        log_sum = 0.0
+        for i in range(n_tokens):
+            penalty = 1.0
+            s = None
+            for m in range(min(order, i + 1), 0, -1):
+                num = counts.get((i, m))
+                if num is None:
+                    penalty *= alpha
+                    continue
+                if m == 1:
+                    s = penalty * num / total
+                    break
+                den = counts.get((i - 1, m - 1))
+                if den is None:
+                    # numerator seen but its context unseen can only
+                    # happen under a foreign LM; back off the same way
+                    penalty *= alpha
+                    continue
+                s = penalty * num / den
+                break
+            if s is None:  # OOV even at unigram level
+                s = penalty * (1.0 / (total + 1))
+            log_sum += math.log10(s)
+        return pd.DataFrame(
+            {
+                "_did": [did],
+                "n_tokens": pd.Series([n_tokens], dtype="int64"),
+                "log10_ppl": [
+                    -log_sum / n_tokens if n_tokens else None
+                ],
+            }
+        )
+
+    scored = counted.groupBy("_did").applyInPandas(
+        _score, "_did long, n_tokens long, log10_ppl double"
+    )
+    # zero-token documents never produce occurrence rows: re-attach
+    live = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_did")
+    )
+    return (
+        live.join(scored, "_did", "left")
+        .select(
+            F.col("_did").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "log10_ppl",
+        )
+    )

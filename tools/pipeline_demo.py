@@ -135,6 +135,21 @@ def run_pipeline(
     ).localCheckpoint()
     stats["after_quality_gate"] = quality.count()
 
+    # 4b. LM perplexity (the CCNet signal, reported not gated here —
+    # a real deployment fits the LM on a REFERENCE corpus like
+    # wikipedia and keeps the low-perplexity head; self-fit ppl still
+    # flags outlier docs)
+    from gus_spark.operators.lm import fit_ngram_lm, perplexity_score
+
+    lm = fit_ngram_lm(quality, order=3)
+    ppl = perplexity_score(quality, lm, order=3)
+    stats["lm_ppl_p50"] = round(
+        ppl.agg(
+            F.percentile_approx("log10_ppl", 0.5).alias("p")
+        ).first()["p"],
+        3,
+    )
+
     # 5. redaction (content-hash stages are all behind us)
     redacted = redact_pii(quality.drop("quality_prob"))
     stats["pii_spans_scrubbed"] = (
