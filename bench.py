@@ -42,6 +42,9 @@ HEADLINE = [
     # representative. Cross-round totals should compare the shared-
     # query subset; this line is additive.
     "q2_min_cost_supplier",
+    # ADDED r7 (no rotation): the data-mixture materialization —
+    # additive line; cross-round totals compare the shared subset.
+    "mixture_sample_documents",
 ]
 
 

@@ -417,46 +417,8 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p.*")
 
 
-#: per-stratum keep fractions, realized as a 16-bit md5-prefix cut so
-#: the sample is a pure function of the key — engine-independent,
-#: reproducible, and exactly mirrored by the DuckDB oracle (unlike
-#: `sampleBy`, whose RNG stream is Spark-specific). hex cut = the
-#: 4-hex-digit prefix kept, i.e. floor(frac * 65536) buckets of 1/65536.
-_STRATA = {"F": 0.1, "O": 0.1, "P": 1.0}
-
-
-def _hex_cut(frac: float) -> str:
-    return format(int(frac * 65536), "04x")
-
-
-@register(
-    "stratified_sample_orders",
-    oracle=f"""
-    SELECT o_orderkey, o_orderstatus, o_totalprice
-    FROM orders
-    WHERE CASE o_orderstatus
-            {' '.join(f"WHEN '{s}' THEN " + ("TRUE" if f >= 1.0 else
-             f"substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '{_hex_cut(f)}'")
-             for s, f in _STRATA.items())}
-            ELSE FALSE END
-    """,
-)
-def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling by order status — the class-balancing
-    primitive for training-set construction. The sampler is a
-    deterministic hash cut (md5 of the key, first 16 bits against a
-    per-stratum threshold), NOT an RNG: the same row set comes back on
-    every engine and every run, membership is stable under appends
-    (a row's fate never depends on other rows), and the DuckDB oracle
-    reproduces it exactly."""
-    o = table(spark, sf_dir, "orders")
-    h = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4)
-    keep = F.lit(False)
-    for status, frac in _STRATA.items():
-        in_stratum = F.col("o_orderstatus") == status
-        keep = keep | (
-            in_stratum if frac >= 1.0 else (in_stratum & (h < _hex_cut(frac)))
-        )
-    return o.filter(keep).select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
+# (stratified_sample_orders was rotated out for curation.
+# mixture_sample_documents: the deterministic 16-bit md5-prefix cut is
+# the same sampler primitive — now in operators/mixing.py — and the
+# mixture form adds the budget-driven rate computation (epochs +
+# fractional cut from corpus token totals) the shallow probe lacked.)

@@ -123,3 +123,55 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+#: The mixture the catalog query materializes: language-domain weights
+#: and a token budget sized so that at sf0.01 the upweighted languages
+#: repeat (epochs >= 1 + fractional pass) while the rest downsample —
+#: both sampler regimes exercised in one oracle-checked result.
+MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "de": 0.1, "es": 0.1, "fr": 0.1}
+MIX_BUDGET = 30_000
+
+from gus_spark.operators.mixing import (  # noqa: E402
+    mixture_plan,
+    mixture_sample,
+    sql_mixture_plan,
+)
+
+
+@register(
+    "mixture_sample_documents",
+    oracle=f"""
+    WITH plan AS ({sql_mixture_plan(MIX_WEIGHTS, MIX_BUDGET, domain_col="lang")})
+    SELECT d.doc_id, d.lang, d.source, e.epoch
+    FROM documents d
+    JOIN plan p ON d.lang = p.domain
+    CROSS JOIN LATERAL (
+      SELECT unnest(generate_series(0, p.epochs)) AS epoch
+    ) e
+    WHERE e.epoch < p.epochs
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < p.cut
+    """,
+)
+def mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-driven data-mixture materialization (operators/mixing.py
+    — the GPT-3/Pile/LLaMA domain-weighting step): plan the per-language
+    sampling rate that hits MIX_BUDGET tokens at MIX_WEIGHTS, then emit
+    floor(rate) full passes of each domain plus a deterministic
+    16-bit-md5-cut fractional pass. Absorbs the rotated
+    `stratified_sample_orders` probe: the hash-cut sampler is the same
+    primitive, and this form adds the rate computation (epochs +
+    fractional cut derived from corpus token totals) on top.
+
+    Physical shape: one groupBy(lang) count aggregation (a handful of
+    output rows), broadcast-joined back onto the scan; repeats are a
+    JVM sequence + explode — no per-row Python, and the only exchange
+    in the plan is the tiny domain-count shuffle (asserted in
+    test_plans.py)."""
+    docs = table(spark, sf_dir, "documents")
+    plan = mixture_plan(
+        docs, MIX_WEIGHTS, MIX_BUDGET, domain_col="lang"
+    )
+    return mixture_sample(docs, plan, domain_col="lang").select(
+        "doc_id", "lang", "source", "epoch"
+    )

@@ -363,23 +363,9 @@ def test_ann_lsh_bucket_sizes_bounded(spark):
     assert stats["mx"] <= max(64, 20 * stats["avg"]), stats
 
 
-def test_stratified_sample_rates(spark):
-    """Per-stratum sample rates should track the requested fractions."""
-    from pyspark.sql import functions as F
-
-    base = table(spark, SF_DIR_ORACLE, "orders")
-    sample = catalog()["stratified_sample_orders"].fn(spark, SF_DIR_ORACLE)
-    totals = {r.o_orderstatus: r.n for r in
-              base.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
-    got = {r.o_orderstatus: r.n for r in
-           sample.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
-    assert got.get("P", 0) == totals["P"]  # fraction 1.0 keeps every row
-    for status, frac in [("F", 0.1), ("O", 0.1)]:
-        rate = got.get(status, 0) / totals[status]
-        assert abs(rate - frac) < 0.05, (status, rate)
-    # reproducible with the same seed
-    again = catalog()["stratified_sample_orders"].fn(spark, SF_DIR_ORACLE)
-    assert again.count() == sample.count()
+# (test_stratified_sample_rates moved to tests/test_mixing.py when the
+# probe rotated into mixture_sample_documents — the rate-tracking and
+# reproducibility claims are asserted there against the mixture plan.)
 
 
 def test_ivf_recall_vs_exact_topk(spark):

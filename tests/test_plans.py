@@ -270,3 +270,23 @@ def test_redact_pii_is_pure_scan_map(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert "Exchange" not in plan, plan
     assert "Python" not in plan and "InPandas" not in plan, plan
+
+
+def test_mixture_sample_one_count_exchange(spark):
+    """The mixture plan's only shuffle is the tiny domain-count
+    aggregation (one row per language); the plan side joins back via
+    an explicit BROADCAST, and the repeat fan-out is a JVM
+    sequence/explode — no per-row Python anywhere. A second
+    hashpartitioning exchange or a SortMergeJoin here would mean the
+    few-row plan was being shuffled like a fact table."""
+    plan = plan_of(spark, "mixture_sample_documents", mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    hash_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_ex) == 1, plan  # the domain-count agg only
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # map-side partial on the count agg
+    assert plan.count("HashAggregate") >= 2, plan
