@@ -93,13 +93,18 @@ def curate_stream(
     out_path: str,
     checkpoint_path: str,
     include_text: bool = False,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """Start curating ``docs_stream`` (documents schema); curated rows
     (the batch query's column set) append to ``out_path`` as parquet,
     seen-fingerprint state persists under ``state_dir``.
     ``include_text=True`` carries the document text through (the
     composed-pipeline case: downstream decontamination/chunking stages
-    consume the curated stream and need the bytes)."""
+    consume the curated stream and need the bytes).
+    ``processing_time`` switches the trigger from the default drain
+    (availableNow) to a LIVE micro-batch cadence (e.g. "1 second") —
+    the query then runs until stopped; the marker/state machinery is
+    trigger-agnostic (batch ids come from the checkpoint either way)."""
     os.makedirs(state_dir, exist_ok=True)
     fp_path = os.path.join(state_dir, "fps")
     _check_state_layout(state_dir, fp_path)
@@ -157,9 +162,11 @@ def curate_stream(
         batch_kept.unpersist()
         markers.write_marker(state_dir, batch_id, fp)
 
-    return (
-        docs_stream.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
+    writer = docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
     )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -83,6 +83,7 @@ def decontaminate_stream(
     min_hits: int = 1,
     bench_id_col: str = "doc_id",
     bench_text_col: str = "text",
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """Start decontaminating ``docs_stream`` (documents schema) against
     the static ``bench`` suite; clean rows land under
@@ -147,9 +148,11 @@ def decontaminate_stream(
         )
         markers.write_marker(state_dir, batch_id, fp)
 
-    return (
-        docs_stream.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
+    writer = docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
     )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -31,15 +31,26 @@ batching recovers).
 Stages run to completion IN ORDER per `run()` call (availableNow
 triggers): a file-source stage only sees files committed before it
 starts, so sequential execution makes each run's output deterministic
-for a quiesced source. On a live source, call `run()` repeatedly (or
-per arrival wave) — each pass drains what the previous stages
-committed; nothing about the state model depends on the pipeline
-being fully drained.
+for a quiesced source. On a live source, either call `run()`
+repeatedly (each pass drains what the previous stages committed), or
+use `run_live()`: all three stages run CONCURRENTLY on processing-
+time triggers — stage 2 consumes curated batches while stage 1 is
+still producing — with per-stage progress metrics (batches, input
+rows, trigger latency) sampled from the streaming queries each poll.
+`run_live` stops itself after the whole graph has been idle for
+`idle_polls` consecutive polls (graceful, upstream-first), so a test
+or an operator script gets a drained, deterministic stop; a real
+deployment passes `timeout=None` and lets it run. Because the
+per-stage state machinery (fingerprinted markers, keyed-overwrite
+publish, checkpointed packing state) is trigger-agnostic, `run()`
+and `run_live()` are interchangeable against the same work_dir —
+including crash-resume from either mode.
 """
 
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -170,3 +181,200 @@ class CurationPipelineStream:
         self.run_curate()
         self.run_decontaminate()
         self.run_pack()
+
+    # ---- live mode -------------------------------------------------
+
+    @staticmethod
+    def _has_parquet(path: str) -> bool:
+        """Committed data exists under ``path`` (part files inside
+        batch= partition dirs, or the sink's direct part files)."""
+        if not os.path.isdir(path):
+            return False
+        for root, _dirs, files in os.walk(path):
+            if any(
+                f.endswith(".parquet") and not f.startswith(".")
+                for f in files
+            ):
+                return True
+        return False
+
+    def _start_curate_live(self, processing_time: str):
+        stream = self._reader(self.src_path, self.src_schema)
+        return curate_stream(
+            stream,
+            os.path.join(self.work, "state1"),
+            self.curated,
+            os.path.join(self.work, "ckpt1"),
+            include_text=True,
+            processing_time=processing_time,
+        )
+
+    def _start_decontaminate_live(self, processing_time: str):
+        stream = self._reader(self.curated, self._curated_schema())
+        return decontaminate_stream(
+            stream.drop("batch"),
+            self.bench,
+            os.path.join(self.work, "state2"),
+            self.clean,
+            os.path.join(self.work, "ckpt2"),
+            n=self.ngram,
+            min_hits=self.min_hits,
+            processing_time=processing_time,
+        )
+
+    def _start_pack_live(self, processing_time: str):
+        schema = self.spark.read.parquet(self.clean).schema
+        stream = self._reader(self.clean, schema).drop("batch")
+        chunks = chunk_documents(
+            stream,
+            max_tokens=self.chunk_tokens,
+            overlap=self.chunk_overlap,
+        )
+        packed = pack_stream(
+            chunks, budget=self.seq_budget, shards=self.pack_shards
+        )
+        return (
+            packed.writeStream.format("parquet")
+            .option("path", self.packed)
+            .option(
+                "checkpointLocation", os.path.join(self.work, "ckpt3")
+            )
+            .outputMode("append")
+            .trigger(processingTime=processing_time)
+            .start()
+        )
+
+    def run_live(
+        self,
+        processing_time: str = "500 milliseconds",
+        poll: float = 0.5,
+        idle_polls: int = 4,
+        timeout: float | None = 120.0,
+        on_progress=None,
+    ) -> dict:
+        """Run all three stages CONCURRENTLY on processing-time
+        triggers until the graph quiesces (every started stage reports
+        no available data and no running trigger for ``idle_polls``
+        consecutive polls, and every stage whose upstream committed
+        data has started), then stop gracefully upstream-first.
+
+        Downstream stages start LAZILY — a parquet file source needs
+        committed files before its schema exists, so stage 2 starts at
+        the first curated commit and stage 3 at the first clean commit
+        (a pipeline whose gates drop everything simply never starts
+        them — and quiesces as all-idle).
+
+        Returns per-stage metrics accumulated across the whole run:
+        ``{"stages": {name: {"batches", "rows_in", "last_trigger_ms"}},
+        "timed_out": bool, "polls": int}``. ``on_progress`` (if given)
+        receives that same snapshot dict once per poll — the ops hook.
+        ``rows_in`` is Spark's ``numInputRows``: rows SCANNED from the
+        stage's source during the trigger, an upper bound on logical
+        rows — a foreachBatch stage that takes several actions over
+        its micro-batch (the curate stage fingerprints, publishes, and
+        writes fps) scans it that many times. ``batches`` counts only
+        data-carrying triggers (Spark throttles no-data progress
+        events).
+        ``timeout=None`` removes the deadline (deployment mode: only
+        an external stop ends the run)."""
+        queries: dict[str, object] = {"curate": None, "decon": None,
+                                      "pack": None}
+        seen: dict[str, dict[int, dict]] = {k: {} for k in queries}
+        queries["curate"] = self._start_curate_live(processing_time)
+        start = time.monotonic()
+        idle_streak = 0
+        polls = 0
+        timed_out = False
+
+        def harvest() -> dict:
+            for name, q in queries.items():
+                if q is None:
+                    continue
+                for p in q.recentProgress:
+                    seen[name][p["batchId"]] = {
+                        "rows": int(p.get("numInputRows", 0) or 0),
+                        "ms": (p.get("durationMs") or {}).get(
+                            "triggerExecution"
+                        ),
+                    }
+            return {
+                "stages": {
+                    name: {
+                        "started": q is not None,
+                        "batches": len(seen[name]),
+                        "rows_in": sum(
+                            b["rows"] for b in seen[name].values()
+                        ),
+                        "last_trigger_ms": (
+                            seen[name][max(seen[name])]["ms"]
+                            if seen[name] else None
+                        ),
+                    }
+                    for name, q in queries.items()
+                },
+                "timed_out": timed_out,
+                "polls": polls,
+            }
+
+        def stage_idle(q) -> bool:
+            if q is None:
+                return True
+            s = q.status
+            return (not s["isDataAvailable"]
+                    and not s["isTriggerActive"])
+
+        try:
+            while True:
+                polls += 1
+                # lazy downstream starts, upstream-first
+                if queries["decon"] is None and self._has_parquet(
+                    self.curated
+                ):
+                    queries["decon"] = self._start_decontaminate_live(
+                        processing_time
+                    )
+                if queries["pack"] is None and self._has_parquet(
+                    self.clean
+                ):
+                    queries["pack"] = self._start_pack_live(
+                        processing_time
+                    )
+                snapshot = harvest()
+                if on_progress is not None:
+                    on_progress(snapshot)
+                # quiesced = every started query idle AND no committed
+                # data is waiting on an unstarted downstream stage
+                pending_start = (
+                    (queries["decon"] is None
+                     and self._has_parquet(self.curated))
+                    or (queries["pack"] is None
+                        and self._has_parquet(self.clean))
+                )
+                if not pending_start and all(
+                    stage_idle(q) for q in queries.values()
+                ):
+                    idle_streak += 1
+                    if idle_streak >= idle_polls:
+                        break
+                else:
+                    idle_streak = 0
+                if timeout is not None and (
+                    time.monotonic() - start > timeout
+                ):
+                    timed_out = True
+                    break
+                time.sleep(poll)
+        finally:
+            # graceful ordered stop: upstream first, draining each
+            # downstream stage's already-available data before it stops
+            for name in ("curate", "decon", "pack"):
+                q = queries[name]
+                if q is None:
+                    continue
+                deadline = time.monotonic() + max(poll * idle_polls, 5)
+                while (not stage_idle(q)
+                       and time.monotonic() < deadline):
+                    time.sleep(poll / 2)
+                q.stop()
+                q.awaitTermination()
+        return harvest()

@@ -859,3 +859,98 @@ def test_streaming_pipeline_checkpoint_loss_raises_not_drops(
         sub, state, out, str(tmp_path / "ckpt")
     ).awaitTermination()
     assert spark.read.parquet(out).count() > n_wave1
+
+
+def test_streaming_pipeline_live_mode(spark, tmp_path):
+    """run_live: the three stages run CONCURRENTLY on processing-time
+    triggers — stage 2/3 start lazily at their upstream's first
+    commit, a second arrival wave lands WHILE the graph is running,
+    and the self-quiescing stop drains everything. Final packed
+    output must be row-identical to the batch composition (same
+    parity contract as the sequential drain test), and the returned
+    metrics must show every stage started, multi-batch progress on
+    the source stage, and the progress hook firing."""
+    from pyspark.sql import Window
+
+    from gus_spark.operators.chunk import chunk_documents, pack_sequences
+    from gus_spark.operators.decontaminate import decontaminate
+    from gus_spark.queries.curation import VAL_RESIDUE, profile_and_gate
+    from gus_spark.streaming import CurationPipelineStream
+
+    docs = table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 3).select("doc_id", "text")
+    params = dict(
+        ngram=13, min_hits=1,
+        chunk_tokens=16, chunk_overlap=4, seq_budget=48, pack_shards=4,
+    )
+
+    # batch twin (identical to the sequential test's contract)
+    w = Window.partitionBy("content_fp").orderBy("doc_id")
+    curated_b = (
+        profile_and_gate(docs)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id", "text",
+            F.when(F.col("doc_id") % 20 == VAL_RESIDUE, "val")
+            .otherwise("train").alias("split"),
+        )
+    )
+    clean_b = decontaminate(curated_b, bench, n=13, min_hits=1)
+    chunks_b = chunk_documents(clean_b, max_tokens=16, overlap=4)
+    want = {
+        (r.doc_id, r.chunk_index): (
+            r.chunk_text, r.n_chunk_tokens, r.shard, r.seq_id
+        )
+        for r in pack_sequences(chunks_b, budget=48, shards=4).collect()
+    }
+    assert want, "batch twin is vacuous"
+
+    # wave 1 on disk before the graph starts; wave 2 lands mid-run
+    # (ascending doc_id split keeps stream arrival order == the batch
+    # twin's scan order for the order-sensitive next-fit packer)
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    state = {"wave2": False, "calls": 0}
+
+    def on_progress(snapshot):
+        state["calls"] += 1
+        if (not state["wave2"]
+                and snapshot["stages"]["curate"]["rows_in"] > 0):
+            docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            state["wave2"] = True
+
+    p = CurationPipelineStream(
+        spark, src, docs.schema, bench, str(tmp_path / "work"),
+        **params,
+    )
+    metrics = p.run_live(
+        processing_time="1 second", poll=0.5, idle_polls=4,
+        timeout=600.0, on_progress=on_progress,
+    )
+
+    assert not metrics["timed_out"], metrics
+    assert state["wave2"], "second wave never landed"
+    assert state["calls"] >= 2
+    stages = metrics["stages"]
+    assert all(s["started"] for s in stages.values()), stages
+    # both waves flowed through the source stage (rows_in counts
+    # SCANS, not logical rows — the curate stage's multi-action
+    # foreachBatch reads each micro-batch more than once, so it is an
+    # upper bound that must still cover every logical row)
+    assert stages["curate"]["batches"] >= 2, stages
+    assert stages["curate"]["rows_in"] >= docs.count(), stages
+    assert stages["decon"]["rows_in"] > 0, stages
+    assert stages["pack"]["rows_in"] > 0, stages
+
+    got = {
+        (r.doc_id, r.chunk_index): (
+            r.chunk_text, r.n_chunk_tokens, r.shard, r.seq_id
+        )
+        for r in spark.read.parquet(p.packed).collect()
+    }
+    assert got == want
