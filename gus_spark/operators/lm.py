@@ -59,6 +59,8 @@ def _occurrences(base: DataFrame, order: int) -> DataFrame:
         for pdf in batches:
             dids, poss, ms, ghs = [], [], [], []
             for did, th in zip(pdf["_did"], pdf["_th"]):
+                if th is None:  # NULL text -> no grams
+                    continue
                 n = len(th)
                 if n == 0:
                     continue

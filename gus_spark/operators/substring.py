@@ -87,8 +87,9 @@ def _window_hashes(th, k: int):
         return np.empty(0, dtype="uint64")
     powers = np.empty(k, dtype="uint64")
     powers[k - 1] = 1
-    for j in range(k - 2, -1, -1):
-        powers[j] = powers[j + 1] * np.uint64(_POLY_BASE)
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the point
+        for j in range(k - 2, -1, -1):
+            powers[j] = powers[j + 1] * np.uint64(_POLY_BASE)
     out = np.empty(n, dtype="uint64")
     win = np.lib.stride_tricks.sliding_window_view(t, k)
     for lo in range(0, n, _CHUNK):
@@ -107,7 +108,8 @@ def exact_substring_dedup(
     """(id, text, n_tokens, n_cut_tokens, n_cut_spans): every document
     with its corpus-wide repeated ≥k-token passages cut (whitespace
     normalized to single spaces — see module docstring); documents
-    shorter than k tokens pass through with zero cuts."""
+    shorter than k tokens pass through with zero cuts, documents with
+    NULL text pass through as NULL with zero counts."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     if min_count < 2:
@@ -122,6 +124,8 @@ def exact_substring_dedup(
         for pdf in batches:
             dids, poss, ghs = [], [], []
             for did, th in zip(pdf["_did"], pdf["_th"]):
+                if th is None:  # NULL text -> no windows
+                    continue
                 gh = _window_hashes(th, k)
                 if gh.shape[0] == 0:
                     continue
@@ -171,6 +175,12 @@ def exact_substring_dedup(
         for pdf in batches:
             texts, n_tok, n_cut, n_spans = [], [], [], []
             for toks, starts in zip(pdf["_toks"], pdf["cut_starts"]):
+                if toks is None:  # NULL text passes through as NULL
+                    texts.append(None)
+                    n_tok.append(0)
+                    n_cut.append(0)
+                    n_spans.append(0)
+                    continue
                 toks = list(toks)
                 if starts is None or len(starts) == 0:
                     texts.append(" ".join(toks))

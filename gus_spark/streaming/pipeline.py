@@ -50,6 +50,7 @@ including crash-resume from either mode.
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -186,17 +187,45 @@ class CurationPipelineStream:
 
     @staticmethod
     def _has_parquet(path: str) -> bool:
-        """Committed data exists under ``path`` (part files inside
-        batch= partition dirs, or the sink's direct part files)."""
+        """COMMITTED data exists under ``path`` (part files inside
+        batch= partition dirs, or the sink's direct part files).
+        Hidden dirs (``_temporary`` staging, ``_spark_metadata``) are
+        pruned: Spark's readers ignore ``_``/``.``-prefixed paths, so
+        counting an in-flight task file here would start a downstream
+        stage whose schema read then finds zero visible files."""
         if not os.path.isdir(path):
             return False
-        for root, _dirs, files in os.walk(path):
+        for _root, dirs, files in os.walk(path):
+            dirs[:] = [
+                d for d in dirs if not d.startswith(("_", "."))
+            ]
             if any(
-                f.endswith(".parquet") and not f.startswith(".")
+                f.endswith(".parquet") and not f.startswith((".", "_"))
                 for f in files
             ):
                 return True
         return False
+
+    @staticmethod
+    def _interval_seconds(processing_time: str) -> float | None:
+        """Parse a Spark trigger interval ('500 milliseconds',
+        '1 second', ...) to seconds; None when unparseable."""
+        import re
+
+        m = re.fullmatch(
+            r"\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+)\s*", processing_time
+        )
+        if not m:
+            return None
+        scale = {
+            "microsecond": 1e-6,
+            "millisecond": 1e-3,
+            "second": 1.0,
+            "minute": 60.0,
+            "hour": 3600.0,
+            "day": 86400.0,
+        }.get(m.group(2).lower().rstrip("s"))
+        return None if scale is None else float(m.group(1)) * scale
 
     def _start_curate_live(self, processing_time: str):
         stream = self._reader(self.src_path, self.src_schema)
@@ -257,6 +286,10 @@ class CurationPipelineStream:
         no available data and no running trigger for ``idle_polls``
         consecutive polls, and every stage whose upstream committed
         data has started), then stop gracefully upstream-first.
+        ``idle_polls`` is widened automatically when the trigger
+        interval exceeds the requested idle window — idle status only
+        refreshes once per trigger, so a shorter window would quiesce
+        between two triggers with data still waiting.
 
         Downstream stages start LAZILY — a parquet file source needs
         committed files before its schema exists, so stage 2 starts at
@@ -280,6 +313,15 @@ class CurationPipelineStream:
         queries: dict[str, object] = {"curate": None, "decon": None,
                                       "pack": None}
         seen: dict[str, dict[int, dict]] = {k: {} for k in queries}
+        # a stage's idle status only refreshes once per trigger, so an
+        # idle window shorter than the trigger interval would quiesce
+        # between two triggers with data still waiting on disk: widen
+        # idle_polls until the window covers two trigger intervals
+        trigger_s = self._interval_seconds(processing_time)
+        if trigger_s is not None:
+            idle_polls = max(
+                idle_polls, -int(-(2 * trigger_s) // poll)
+            )
         queries["curate"] = self._start_curate_live(processing_time)
         start = time.monotonic()
         idle_streak = 0
@@ -366,15 +408,28 @@ class CurationPipelineStream:
                 time.sleep(poll)
         finally:
             # graceful ordered stop: upstream first, draining each
-            # downstream stage's already-available data before it stops
+            # downstream stage's already-available data before it
+            # stops. A failed stage's awaitTermination re-raises its
+            # error — captured so the REMAINING queries still stop
+            # (never leaked into the shared session), then re-raised
+            # unless a body exception is already propagating.
+            first_err: BaseException | None = None
             for name in ("curate", "decon", "pack"):
                 q = queries[name]
                 if q is None:
                     continue
-                deadline = time.monotonic() + max(poll * idle_polls, 5)
-                while (not stage_idle(q)
-                       and time.monotonic() < deadline):
-                    time.sleep(poll / 2)
-                q.stop()
-                q.awaitTermination()
+                try:
+                    deadline = time.monotonic() + max(
+                        poll * idle_polls, 5
+                    )
+                    while (not stage_idle(q)
+                           and time.monotonic() < deadline):
+                        time.sleep(poll / 2)
+                    q.stop()
+                    q.awaitTermination()
+                except BaseException as ex:  # noqa: BLE001
+                    if first_err is None:
+                        first_err = ex
+            if first_err is not None and sys.exc_info()[0] is None:
+                raise first_err
         return harvest()

@@ -141,14 +141,17 @@ def run_pipeline(
     # flags outlier docs)
     from gus_spark.operators.lm import fit_ngram_lm, perplexity_score
 
-    lm = fit_ngram_lm(quality, order=3)
-    ppl = perplexity_score(quality, lm, order=3)
-    stats["lm_ppl_p50"] = round(
-        ppl.agg(
+    if stats["after_quality_gate"]:
+        lm = fit_ngram_lm(quality, order=3)
+        ppl = perplexity_score(quality, lm, order=3)
+        p50 = ppl.agg(
             F.percentile_approx("log10_ppl", 0.5).alias("p")
-        ).first()["p"],
-        3,
-    )
+        ).first()["p"]
+        stats["lm_ppl_p50"] = (
+            round(p50, 3) if p50 is not None else None
+        )
+    else:  # empty corpus: fit would raise, percentile would be NULL
+        stats["lm_ppl_p50"] = None
 
     # 5. redaction (content-hash stages are all behind us)
     redacted = redact_pii(quality.drop("quality_prob"))
