@@ -32,8 +32,18 @@ def test_pipeline_end_to_end(spark, tmp_path):
     # dedup actually removed near-duplicates on this corpus
     assert stats["after_neardup_dedup"] < stats["after_decontaminate"]
 
-    # chunking fans out, packing compresses, fill is meaningful
-    assert stats["chunks"] >= stats["after_quality_gate"]
+    # mixture: temperature smoothing damps the head language below its
+    # natural share while every weighted language survives, and the
+    # materialized token mass lands near the 75%-of-survivors budget
+    shares = stats["mixture_share"]
+    assert set(shares) == {"en", "zh", "de", "es", "fr"}
+    assert max(shares, key=shares.get) == "en"  # still the head...
+    assert shares["en"] < 0.45  # ...but damped below natural ~0.5+
+    assert abs(sum(shares.values()) - 1.0) < 0.01
+    assert stats["mixture_rows"] > 0
+
+    # chunking fans out over the mixture, packing compresses
+    assert stats["chunks"] >= stats["mixture_rows"]
     assert 0 < stats["sequences"] <= stats["chunks"]
     assert 0.5 <= stats["mean_fill"] <= 1.0
 

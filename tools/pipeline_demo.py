@@ -21,6 +21,11 @@ them, from raw documents to packed training sequences.
       4. quality gate       distilled classifier (weak heuristic
                             labels -> hashed-BoW logistic scorer)
       5. PII redaction      typed-placeholder scrubbing
+      5b. data mixture      temperature-smoothed language weights
+                            (XLM-R alpha) -> budget-driven plan ->
+                            deterministic epochs + md5-cut sampling;
+                            the mixture, not the raw survivors, is
+                            what ships to packing
       6. tokenizer fit      BPE merges learned from the surviving
                             corpus's deduplicated vocabulary (token
                             budget reported under that tokenizer)
@@ -168,19 +173,66 @@ def run_pipeline(
         or 0
     )
 
-    # 6. tokenizer: BPE merges from the surviving corpus; report the
-    # corpus's token budget under that tokenizer
+    # 5b. data mixture: smooth the surviving language proportions with
+    # XLM-R temperature sampling (alpha=0.5 — head languages damped,
+    # tail languages boosted), then materialize ~75% of the surviving
+    # token mass at those weights. Epoch repeats get a surrogate id so
+    # downstream chunking/packing treats each pass as its own document
+    # (exactly how a training loader sees them).
+    from gus_spark.operators.mixing import (
+        mixture_plan,
+        mixture_sample,
+        temperature_weights,
+    )
+
+    lang_tokens = {
+        r["lang"]: r["t"]
+        for r in redacted.groupBy("lang")
+        .agg(F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t"))
+        .collect()
+    }
+    mix_budget = max(1, int(0.75 * sum(lang_tokens.values())))
+    weights = temperature_weights(lang_tokens, alpha=0.5)
+    plan = mixture_plan(
+        redacted, weights, mix_budget, domain_col="lang"
+    )
+    mixture = mixture_sample(
+        redacted, plan, domain_col="lang"
+    ).withColumn(
+        "mix_id", F.col("doc_id") * 100 + F.col("epoch")
+    ).localCheckpoint()
+    stats["mixture_rows"] = mixture.count()
+    mix_tok = {
+        r["lang"]: r["t"]
+        for r in mixture.groupBy("lang")
+        .agg(F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t"))
+        .collect()
+    }
+    total_mix = sum(mix_tok.values()) or 1
+    stats["mixture_tokens"] = sum(mix_tok.values())
+    stats["mixture_share"] = {
+        k: round(v / total_mix, 3) for k, v in sorted(mix_tok.items())
+    }
+
+    # 6. tokenizer: BPE merges from the surviving corpus (fit on the
+    # DEDUPLICATED survivors, not the weighted mixture — repeats would
+    # just re-count the same pairs); report the MIXTURE's token budget
+    # under that tokenizer
     from gus_spark.operators.bpe import bpe_encode, bpe_fit
 
     merges = bpe_fit(redacted, num_merges=64)
     stats["bpe_merges"] = len(merges)
     stats["bpe_tokens_total"] = (
-        bpe_encode(redacted, merges).agg(F.sum("n_tokens")).first()[0]
+        bpe_encode(
+            mixture.select(F.col("mix_id").alias("doc_id"), "text"),
+            merges,
+        ).agg(F.sum("n_tokens")).first()[0]
     )
 
-    # 7. chunk + pack
+    # 7. chunk + pack (over the mixture: epoch passes pack as distinct
+    # documents via the surrogate id)
     chunks = chunk_documents(
-        redacted.select("doc_id", "text"),
+        mixture.select(F.col("mix_id").alias("doc_id"), "text"),
         max_tokens=chunk_tokens,
         overlap=chunk_overlap,
     )
