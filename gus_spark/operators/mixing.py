@@ -44,6 +44,14 @@ plan's rates depend on the corpus' domain totals, so appending data
 changes rates and therefore membership. Freeze the PLAN (it is a
 DataFrame — persist it) to get append-stable sampling; the per-row
 hash-cut itself never looks at other rows.
+
+Streaming: `mixture_sample` with a frozen plan is stateless (no agg,
+no state — broadcast join + explode), so it composes directly into a
+streaming micro-batch graph; the deterministic sampler makes the
+drained stream row-identical to the batch materialization (asserted
+in tests/test_mixing.py). `mixture_plan` is a corpus aggregate —
+compute it batch-side, persist, and hand the frozen plan to the
+stream.
 """
 
 from __future__ import annotations

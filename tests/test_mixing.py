@@ -210,3 +210,41 @@ def test_invalid_args(spark, docs):
         mixture_plan(docs, WEIGHTS, 0, domain_col="lang")
     with pytest.raises(ValueError):
         mixture_plan(docs, {"en": -0.1}, 10, domain_col="lang")
+
+
+def test_mixture_sample_applies_to_streams(spark, docs, tmp_path):
+    """The materialization is stateless given a FROZEN plan (broadcast
+    join + sequence/explode — no agg, no state), so the same
+    mixture_sample call composes into a streaming micro-batch graph;
+    the deterministic sampler makes the drained stream row-identical
+    to the batch materialization. (The PLAN itself is a corpus
+    aggregate — compute it batch-side and freeze it, per the module's
+    append-stability caveat.)"""
+    src = str(tmp_path / "src")
+    docs.coalesce(2).write.parquet(src)
+    plan = mixture_plan(docs, WEIGHTS, BUDGET, domain_col="lang")
+    plan.cache().count()  # freeze: don't recompute per micro-batch
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    sampled = mixture_sample(stream, plan, domain_col="lang")
+    q = (
+        sampled.select("doc_id", "lang", "epoch")
+        .writeStream.format("memory")
+        .queryName("mix_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.lang, r.epoch)
+        for r in spark.sql("SELECT * FROM mix_stream").collect()
+    }
+    want = {
+        (r.doc_id, r.lang, r.epoch)
+        for r in mixture_sample(docs, plan, domain_col="lang")
+        .select("doc_id", "lang", "epoch")
+        .collect()
+    }
+    plan.unpersist()
+    assert got == want and got

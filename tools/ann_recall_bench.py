@@ -165,6 +165,16 @@ def main() -> None:
     # recovers cell-boundary pairs (the IVF lesson applied to
     # SemDeDup's candidate stage). k_cells=None exercises the
     # auto-occupancy default at every decade.
+    # Above 25k vectors the full blockwise ground truth stops being a
+    # driver-side triviality (sf10 = 200k vectors → 4e10 cosines and
+    # ~10M exact pairs), so the grade switches to SAMPLED-pair recall:
+    # exact pairs computed within a deterministic hash-sample of the
+    # corpus (every sampled pair IS a real corpus pair), while
+    # semantic_pairs still runs over the FULL corpus — recall on the
+    # sampled pair population is an unbiased estimate of overall pair
+    # recall, and the candidate structures face full-scale cell
+    # occupancy.
+    sem_sample_n = 12_000
     if n <= 25_000:
         import numpy as np
 
@@ -204,6 +214,55 @@ def main() -> None:
             results[f"sem_pair_recall_ip{ip}"] = (
                 round(len(got & exact_pairs) / len(exact_pairs), 4)
                 if exact_pairs
+                else None
+            )
+    else:
+        import numpy as np
+
+        from gus_spark.operators.similarity import semantic_pairs
+
+        sample = v.orderBy(F.xxhash64("vec_id"), "vec_id").limit(
+            sem_sample_n
+        )
+        vec_rows = sorted(
+            (r["vec_id"], r["v"]) for r in sample.collect()
+        )
+        ids = np.array([r[0] for r in vec_rows])
+        m = np.stack(
+            [np.asarray(r[1], dtype="float64") for r in vec_rows]
+        )
+        nn = np.linalg.norm(m, axis=1)
+        nn[nn == 0.0] = 1.0
+        u = m / nn[:, None]
+        sample_pairs = set()
+        step = 4096
+        for lo in range(0, len(ids), step):
+            strip = u[lo : lo + step] @ u.T
+            ra, rb = np.nonzero(strip >= 0.45)
+            keep = (ra + lo) < rb
+            sample_pairs.update(
+                (int(ids[a + lo]), int(ids[b]))
+                for a, b in zip(ra[keep], rb[keep])
+            )
+        # canonicalize: semantic_pairs emits a<b by vec_id; the
+        # sample's (a,b) follow sorted vec_rows so they already are
+        results["sem_pairs_sampled_exact"] = len(sample_pairs)
+        id_set = set(int(i) for i in ids)
+        for ip in (1, 2):
+            t0 = time.time()
+            got = {
+                (r["vec_id_a"], r["vec_id_b"])
+                for r in semantic_pairs(
+                    e, threshold=0.45, k_cells=None, index_probes=ip
+                ).collect()
+                if r["vec_id_a"] in id_set and r["vec_id_b"] in id_set
+            }
+            results[f"secs_sem_pairs_full_ip{ip}"] = round(
+                time.time() - t0, 2
+            )
+            results[f"sem_pair_recall_sampled_ip{ip}"] = (
+                round(len(got & sample_pairs) / len(sample_pairs), 4)
+                if sample_pairs
                 else None
             )
 
