@@ -167,5 +167,6 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # (events_user_funnel was rotated out: its FILTER-count conditional-agg
-# shape is covered by conditional_agg_pivot + null_semantics; the slot
+# shape is covered by q12_shipping_modes' pivot-as-conditional-agg +
+# null_semantics; the slot
 # went to text.redact_pii_documents.)

@@ -347,8 +347,8 @@ def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-runs the same ordered pattern chain under RE2 with the
     'g' flag, pinning the cross-engine regex-subset discipline the
     operator documents. Replaces `events_user_funnel` (FILTER-count
-    conditional agg — covered by conditional_agg_pivot +
-    null_semantics)."""
+    conditional agg — covered by q12_shipping_modes'
+    pivot-as-conditional-agg + null_semantics)."""
     from gus_spark.operators.redact import PII_PATTERNS, redact_pii
 
     d = table(spark, sf_dir, "documents")

@@ -97,6 +97,7 @@ ALLOWED_BROADCAST_HINTS = {
     # supplier-count + 25-row nation hints, plus the 1-row total
     "q11_important_stock": 5,
     "q9_product_type_profit": 2,  # 1-row count + nation
+    "q12_shipping_modes": 0,      # orders row-scaled: no hints
 }
 
 
@@ -261,6 +262,42 @@ def test_q2_bridge_decorrelates_to_one_window_exchange(spark):
 
     nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
     assert len(nlj) == 1, plan
+
+
+def test_q12_pivot_is_single_pass_conditional_agg(spark):
+    """q12's .pivot() over the derived priority class must compile to
+    ONE single-pass conditional aggregate — pivot's naive form (one
+    shuffle per pivot value, or an Expand multiplying the input) would
+    double the exchanged volume. Exactly one shipmode-group exchange,
+    two parquet scans (lineitem + orders), no Expand, no Python, and
+    the synthesized-column filters evaluate map-side BEFORE the join
+    (the join keeps ~1/14 of lineitem, so a post-join filter would
+    shuffle 14x the qualifying rows)."""
+    plan = plan_of(spark, "q12_shipping_modes")
+    # pivot's two-phase agg exchanges only the GROUP space (<= 7 modes
+    # x 2 classes rows at any scale): both hashpartitionings are on
+    # l_shipmode(,priority_class), never on a row-scaled key beyond
+    # the join itself.
+    assert plan.count("hashpartitioning(l_shipmode") == 2, plan
+    # two scans (lineitem + orders); the formatted plan names each scan
+    # twice (tree line + numbered detail header)
+    assert plan.count("Scan parquet") == 4, plan
+    assert "Expand" not in plan, plan
+    assert "Python" not in plan and "InPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the synthesized-column filter runs BELOW the join (formatted-plan
+    # operator ids number children first, so deeper = smaller): the
+    # Filter whose condition carries the shipmode IN-list must have a
+    # smaller id than the join consuming it.
+    import re
+
+    filt = re.search(r"\((\d+)\) Filter\nInput.*?\nCondition :[^\n]*MAIL",
+                     plan)
+    join = re.search(
+        r"\((\d+)\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+        plan)
+    assert filt and join, plan
+    assert int(filt.group(1)) < int(join.group(1)), plan
 
 
 def test_redact_pii_is_pure_scan_map(spark):
