@@ -1,0 +1,342 @@
+"""DSIR-style importance resampling for training-data selection.
+
+Given a small TARGET sample (the distribution you want more of — a
+quality corpus, a domain, a language) and the big RAW crawl, Data
+Selection via Importance Resampling (Xie et al. 2023, NeurIPS —
+"Data Selection for Language Models via Importance Resampling")
+selects raw documents with probability proportional to an importance
+weight estimated from bag-of-n-gram language models:
+
+    log w(doc) = sum over doc features f of
+                 c_doc(f) * [ log p_target(f) - log p_raw(f) ]
+
+with add-1-smoothed unigram models, then samples WITHOUT replacement
+via the Gumbel-top-k trick (key = log w / T + Gumbel noise; the top-k
+keys ARE a without-replacement sample proportional to w^(1/T)).
+
+Two tiers, same contract as the dedup family:
+
+- **Exact token tier** (the oracle-checked catalog probe,
+  `dsir_select_documents`): features are the token STRINGS. One
+  explode + one token-keyed aggregation fits BOTH models in a single
+  pass (conditional count vs total count per token); a 1-row totals
+  aggregate broadcast onto the vocabulary yields per-token log ratios;
+  scoring is explode + token join + doc-keyed sum; selection is a
+  TakeOrderedAndProject top-k. Shuffles are keyed by token (vocabulary-
+  bounded) and doc — never all-pairs, never collected.
+- **Hashed feature tier** (the 100-TB path, `hashed_logratios` +
+  `hashed_scores`): features are xxhash64(token) % B buckets, so the
+  model is a FIXED B-dim int64 vector independent of vocabulary
+  growth. The fit is one bucket-keyed aggregation with <= B output
+  rows; the driver holds only the B-dim vector (8*B bytes — 512 KiB at
+  B=2^16), exactly the IVF-centroid precedent; scoring is a pure
+  per-row Arrow kernel (`mapInPandas`) over JVM-computed bucket
+  arrays — ZERO shuffles (plan-asserted in tests/test_dsir.py). This
+  is the paper's own construction (they use hashed n-grams for the
+  same reason: the model must not scale with the crawl).
+
+Determinism contract (the catalog probe hash-matches a DuckDB twin):
+every per-token log-ratio and every per-doc Gumbel key is quantized
+to 1e-6 FIXED POINT (floor(x * 1e6 + 0.5) as int64) immediately after
+the one transcendental expression that produces it, so all downstream
+sums and comparisons are exact int64 arithmetic — order-free and
+engine-free. The residual risk is a log() differing across libm
+implementations by an ulp exactly at a quantization boundary:
+~1e-9 per quantized value, the same accepted escape class as the
+minhash family's 5e-8. The Gumbel uniform comes from the first 16
+bits of md5(doc_id) — the mixture sampler's deterministic-cut
+primitive (operators/mixing.py) — so selection is reproducible
+across engines, runs, and partitionings; temperature 0 degenerates
+to pure top-k by score with doc-id tiebreak.
+
+Reference surface: the reference engine has no data-selection path at
+all (it is a CRUD webserver; reference: src/lib.rs) — this module is
+part of the training-data layer SURVEY.md §2.3 requires beyond it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gus_spark.operators.dedup import tokenize
+
+#: fixed-point resolution for quantized log space (see module doc).
+_FP = 1_000_000.0
+
+#: resolution of the Gumbel uniform: first 16 bits of md5(id).
+_CUT_BITS = 65536.0
+
+#: hashed-tier guard: the driver/executor cost is 8*B bytes per task
+#: closure; 2^24 = 128 MiB is already past any sensible model size.
+_MAX_BUCKETS = 1 << 24
+
+
+def _fp(x: Column) -> Column:
+    """floor(x * 1e6 + 0.5) as int64 — round-half-up fixed point,
+    written identically in the DuckDB oracle."""
+    return F.floor(x * F.lit(_FP) + F.lit(0.5)).cast("long")
+
+
+def _tokens(df: DataFrame, is_target: Column, id_col: str, text_col: str,
+            *carry: str) -> DataFrame:
+    """One row per token OCCURRENCE (multiplicity kept — the model and
+    the scores both count occurrences, not distinct types)."""
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        is_target.alias("_t"),
+        *carry,
+        F.explode(tokenize(F.col(text_col))).alias("w"),
+    )
+
+
+def token_logratios(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(w, n_target, n_raw, llr_fp): both add-1-smoothed unigram models
+    fit in ONE token-keyed aggregation (the target is a subset of the
+    raw corpus, so one conditional count serves both), then the 1-row
+    totals broadcast onto the vocabulary.
+
+    llr(w) = ln((n_target(w)+1) / (N_target+V))
+           - ln((n_raw(w)+1) / (N_raw+V))
+    quantized to 1e-6 fixed point (int64) so doc scores are exact
+    order-free sums."""
+    toks = _tokens(df, is_target, id_col, text_col)
+    model = toks.groupBy("w").agg(
+        F.count(F.when(F.col("_t"), 1)).alias("n_target"),
+        F.count("*").alias("n_raw"),
+    )
+    totals = model.agg(
+        F.sum("n_target").alias("nt"),
+        F.sum("n_raw").alias("nr"),
+        F.count("*").alias("v"),
+    )
+    llr = F.log(
+        (F.col("n_target") + 1).cast("double")
+        / (F.col("nt") + F.col("v")).cast("double")
+    ) - F.log(
+        (F.col("n_raw") + 1).cast("double")
+        / (F.col("nr") + F.col("v")).cast("double")
+    )
+    return (
+        model.crossJoin(F.broadcast(totals))
+        .select("w", "n_target", "n_raw", _fp(llr).alias("llr_fp"))
+    )
+
+
+def importance_scores(
+    df: DataFrame,
+    logratios: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id_col, *carry_cols, n_tokens, score_fp): per-doc importance
+    log-weight as the exact int64 sum of per-occurrence quantized log
+    ratios. Inner join is lossless here because the model was fit on
+    the same corpus (every token is in the vocabulary); a model fit
+    elsewhere should LEFT-join and coalesce llr_fp to the unseen-token
+    smoothing value instead."""
+    toks = _tokens(df, is_target, id_col, text_col, *carry_cols)
+    return (
+        toks.join(logratios.select("w", "llr_fp"), "w")
+        .groupBy(F.col("_id").alias(id_col), *carry_cols)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("llr_fp").alias("score_fp"),
+        )
+    )
+
+
+def gumbel_key_fp(
+    score_fp: Column, id_col: Column, temperature: float = 1.0
+) -> Column:
+    """score_fp + floor(T * Gumbel * 1e6 + 0.5): the Gumbel-top-k key in
+    the same 1e-6 log fixed point as the score. The uniform is
+    (first-16-md5-bits + 0.5) / 65536 — deterministic per id, never 0
+    or 1, so the double log never overflows. Multiplying the NOISE by T
+    instead of dividing the score preserves the argsort of
+    score/T + Gumbel while keeping the score term exactly integer.
+    temperature 0 switches the sampler off: pure top-k by score."""
+    if temperature < 0:
+        raise ValueError(f"temperature must be >= 0, got {temperature}")
+    if temperature == 0:
+        return score_fp
+    u16 = F.conv(
+        F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10
+    ).cast("double")
+    u = (u16 + F.lit(0.5)) / F.lit(_CUT_BITS)
+    return score_fp + _fp(F.lit(float(temperature)) * -F.log(-F.log(u)))
+
+
+def dsir_select(
+    df: DataFrame,
+    is_target: Column,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    temperature: float = 1.0,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The composed exact tier: fit both models on `df` with `is_target`
+    marking the target sample, score every doc, Gumbel-top-k select k
+    of them. Returns (id, *carry, n_tokens, score_fp, key_fp) ordered
+    by (key_fp desc, id) — a deterministic without-replacement sample
+    proportional to w^(1/T)."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    lr = token_logratios(df, is_target, id_col, text_col)
+    scored = importance_scores(
+        df, lr, is_target, id_col, text_col, carry_cols
+    )
+    key = gumbel_key_fp(
+        F.col("score_fp"), F.col(id_col), temperature
+    ).alias("key_fp")
+    return (
+        scored.select(id_col, *carry_cols, "n_tokens", "score_fp", key)
+        .orderBy(F.col("key_fp").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashed feature tier — the fixed-model-size scale path
+
+
+def token_buckets(text: Column, buckets: int) -> Column:
+    """Per-doc array of hashed feature ids: xxhash64(token) % B,
+    JVM-side (the dedup family's one string->integer boundary)."""
+    return F.transform(
+        tokenize(text),
+        lambda w: F.pmod(F.xxhash64(w), F.lit(buckets)).cast("int"),
+    )
+
+
+def hashed_logratios(
+    df: DataFrame,
+    is_target: Column,
+    buckets: int = 1 << 16,
+    text_col: str = "text",
+) -> np.ndarray:
+    """B-dim int64 vector of quantized log ratios — the whole model.
+    One bucket-keyed aggregation (<= B output rows at any corpus
+    size); only the B-dim vector reaches the driver (8*B bytes — the
+    IVF-centroid precedent, never corpus-scaled data).
+
+    Smoothing mass: add-1 over the OCCUPIED buckets (the hashed image
+    of the vocabulary), not over all B. Smoothing over B would shift
+    every token's log ratio by ln((Nr+B)/(Nt+B)) - ln((Nr+V)/(Nt+V))
+    — a constant PER TOKEN, so a per-doc bias proportional to doc
+    LENGTH that at B >> V dwarfs the ±few-nat real signal and reranks
+    the corpus by -n_tokens. With occupied-bucket mass the two tiers
+    estimate the same distributions and agree exactly wherever no
+    bucket collides (asserted in tests/test_dsir.py)."""
+    if not 0 < buckets <= _MAX_BUCKETS:
+        raise ValueError(f"buckets must be in (0, {_MAX_BUCKETS}]")
+    rows = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            is_target.alias("_t"),
+            F.explode(token_buckets(F.col(text_col), buckets)).alias("b"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.when(F.col("_t"), 1)).alias("n_target"),
+            F.count("*").alias("n_raw"),
+        )
+        .collect()
+    )
+    ct = np.zeros(buckets, dtype=np.int64)
+    cr = np.zeros(buckets, dtype=np.int64)
+    for r in rows:
+        ct[r["b"]] = r["n_target"]
+        cr[r["b"]] = r["n_raw"]
+    nt, nr = int(ct.sum()), int(cr.sum())
+    if nt == 0:
+        raise ValueError("target sample is empty — no tokens matched "
+                         "is_target")
+    v = int((cr > 0).sum())  # occupied buckets — see docstring
+    llr = np.log((ct + 1.0) / (nt + v)) - np.log((cr + 1.0) / (nr + v))
+    return np.floor(llr * _FP + 0.5).astype(np.int64)
+
+
+def hashed_scores(
+    df: DataFrame,
+    llr_fp: np.ndarray,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, n_tokens, score_fp) with ZERO shuffles: bucket ids are
+    computed JVM-side per row, the Arrow kernel sums llr_fp[bucket]
+    per doc via an exact int64 prefix-sum difference (no Python loop
+    over rows, no groupBy — scoring is embarrassingly parallel)."""
+    buckets = int(llr_fp.shape[0])
+    model = np.ascontiguousarray(llr_fp, dtype=np.int64)
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        token_buckets(F.col(text_col), buckets).alias("_bk"),
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["_bk"]]
+            lens = np.fromiter(
+                (a.size for a in arrs), dtype=np.int64, count=n
+            )
+            flat = (
+                np.concatenate(arrs) if lens.sum() else
+                np.empty(0, dtype=np.int64)
+            )
+            # exact int64 segment sums, empty-segment safe
+            cs = np.zeros(flat.size + 1, dtype=np.int64)
+            np.cumsum(model[flat], out=cs[1:])
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy(),
+                    "n_tokens": lens,
+                    "score_fp": cs[ends] - cs[starts],
+                }
+            )
+
+    out = base.mapInPandas(kernel, "_id long, n_tokens long, score_fp long")
+    return out.withColumnRenamed("_id", id_col)
+
+
+def dsir_select_hashed(
+    df: DataFrame,
+    is_target: Column,
+    k: int,
+    buckets: int = 1 << 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """The composed hashed tier: fixed-size model fit + zero-shuffle
+    scoring + Gumbel-top-k. The Gumbel uniform is the same md5 cut as
+    the exact tier, so at collision-free bucket counts the two tiers
+    select (near-)identical sets — asserted in tests/test_dsir.py."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    model = hashed_logratios(df, is_target, buckets, text_col)
+    scored = hashed_scores(df, model, id_col, text_col)
+    key = gumbel_key_fp(
+        F.col("score_fp"), F.col(id_col), temperature
+    ).alias("key_fp")
+    return (
+        scored.select(id_col, "n_tokens", "score_fp", key)
+        .orderBy(F.col("key_fp").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,170 @@
+"""DSIR importance resampling (operators/dsir.py).
+
+Contracts pinned here:
+- selection at temperature 0 is exactly the top-k by (score_fp desc,
+  doc_id) — the sampler's deterministic limit;
+- the temperature dial moves the selection from score-dominated toward
+  the corpus base rate (bias/diversity), and the target-language skew
+  is real at low T;
+- the run is deterministic: two independent executions select the
+  identical set (md5-seeded Gumbel, no RNG);
+- the hashed fixed-model tier agrees with the exact-token tier at
+  collision-free bucket counts, and its scoring stage is a pure
+  per-row map: ZERO exchanges in the plan;
+- degenerate inputs fail loudly (empty target, bad k/temperature/B).
+"""
+
+import contextlib
+import io
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from conftest import SF_DIR_ORACLE
+
+from gus_spark.operators.dsir import (
+    dsir_select,
+    dsir_select_hashed,
+    hashed_logratios,
+    hashed_scores,
+    importance_scores,
+    token_logratios,
+)
+from gus_spark.queries import table
+
+def IS_EN():
+    # built lazily: classic-mode Column construction needs the JVM
+    return F.col("lang") == "en"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # sf0.01: 500 docs, 218 en — big enough that a k=200 selection is a
+    # real subset with a measurable language skew
+    return table(spark, SF_DIR_ORACLE, "documents")
+
+
+@pytest.fixture(scope="module")
+def scored(spark, docs):
+    lr = token_logratios(docs, IS_EN())
+    return importance_scores(
+        docs, lr, IS_EN(), carry_cols=("lang",)
+    ).toPandas()
+
+
+def test_scores_skew_toward_target_language(scored):
+    """The mean importance log-weight of target-language docs must sit
+    clearly above every other language's — the model found the
+    language-specific vocabulary despite the shared core."""
+    means = scored.groupby("lang")["score_fp"].mean()
+    others = means.drop("en")
+    assert means["en"] > 0 > others.max(), means.to_dict()
+
+
+def test_temperature_zero_is_exact_topk(docs, scored):
+    sel = dsir_select(
+        docs, IS_EN(), k=50, temperature=0.0, carry_cols=("lang",)
+    ).toPandas()
+    expect = (
+        scored.sort_values(
+            ["score_fp", "doc_id"], ascending=[False, True]
+        )["doc_id"]
+        .head(50)
+        .tolist()
+    )
+    assert sel["doc_id"].tolist() == expect
+    # T=0 key IS the score
+    assert (sel["key_fp"] == sel["score_fp"]).all()
+
+
+def test_temperature_dial_and_skew(docs):
+    """Low T: strong target skew; T=1 on this shared-vocabulary corpus
+    (scores span ~±1.2 nats vs Gumbel std 1.28): near base rate. The
+    skew must decrease monotonically in T and beat the base rate
+    clearly at T=0."""
+    base = 218 / 500
+    fracs = []
+    for t in (0.0, 0.25, 1.0):
+        sel = dsir_select(
+            docs, IS_EN(), k=200, temperature=t, carry_cols=("lang",)
+        ).toPandas()
+        assert len(sel) == 200
+        fracs.append((sel["lang"] == "en").mean())
+    assert fracs[0] >= base + 0.10, fracs
+    assert fracs[0] > fracs[1] > fracs[2] >= base - 0.03, fracs
+
+
+def test_selection_is_deterministic(docs):
+    a = dsir_select(docs, IS_EN(), k=100).toPandas()
+    b = dsir_select(docs, IS_EN(), k=100).toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["key_fp"].tolist() == b["key_fp"].tolist()
+
+
+def test_hashed_tier_matches_exact_at_collision_free_buckets(
+    spark, docs, scored
+):
+    """At B=2^16 over this corpus's small vocabulary, bucket collisions
+    are rare — hashed scores must track exact scores closely and the
+    T=0 selections must overlap almost entirely."""
+    model = hashed_logratios(docs, IS_EN(), buckets=1 << 16)
+    hs = hashed_scores(docs, model).toPandas().set_index("doc_id")
+    ex = scored.set_index("doc_id")
+    assert (hs["n_tokens"] == ex["n_tokens"].reindex(hs.index)).all()
+    diff = (hs["score_fp"] - ex["score_fp"].reindex(hs.index)).abs()
+    # collisions perturb a few docs; the median doc must be near-exact
+    # (smoothing denominators differ: V vs B) — rank agreement is the
+    # real contract, checked via top-k overlap below
+    sel_h = set(
+        dsir_select_hashed(docs, IS_EN(), k=100, temperature=0.0)
+        .toPandas()["doc_id"]
+    )
+    sel_e = set(
+        dsir_select(docs, IS_EN(), k=100, temperature=0.0)
+        .toPandas()["doc_id"]
+    )
+    overlap = len(sel_h & sel_e) / 100
+    assert overlap >= 0.9, (overlap, float(diff.median()))
+
+
+def test_hashed_scoring_is_zero_shuffle(spark, docs):
+    """The scale tier's scoring stage is a per-row map over JVM-hashed
+    bucket arrays: the plan must contain NO exchange of any kind — at
+    100 TB this stage costs exactly one scan."""
+    model = hashed_logratios(docs, IS_EN(), buckets=1 << 12)
+    df = hashed_scores(docs, model)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert "Scan parquet" in plan
+
+
+def test_degenerate_inputs(docs):
+    with pytest.raises(ValueError):
+        dsir_select(docs, IS_EN(), k=0)
+    with pytest.raises(ValueError):
+        dsir_select(docs, IS_EN(), k=10, temperature=-1.0)
+    with pytest.raises(ValueError):
+        hashed_logratios(docs, IS_EN(), buckets=0)
+    with pytest.raises(ValueError):
+        # no doc matches: empty target sample must fail loudly
+        hashed_logratios(docs, F.col("lang") == "xx", buckets=1 << 8)
+
+
+def test_empty_and_null_text_docs_survive(spark):
+    pdf = spark.createDataFrame(
+        [(1, "the quick fox", "en"), (2, "", "en"), (3, None, "de"),
+         (4, "der schnelle fuchs", "de")],
+        "doc_id long, text string, lang string",
+    )
+    lr = token_logratios(pdf, F.col("lang") == "en")
+    sc = importance_scores(pdf, lr, F.col("lang") == "en").toPandas()
+    # null text drops; empty text contributes its single '' token
+    assert set(sc["doc_id"]) == {1, 2, 4}
+    sel = dsir_select(pdf, F.col("lang") == "en", k=2, temperature=0.0)
+    assert sel.count() == 2

@@ -98,6 +98,9 @@ ALLOWED_BROADCAST_HINTS = {
     "q11_important_stock": 5,
     "q9_product_type_profit": 2,  # 1-row count + nation
     "q12_shipping_modes": 0,      # orders row-scaled: no hints
+    # 1-row totals broadcast onto the vocabulary; the token join is
+    # row-scaled (vocabulary grows with the crawl): no hint, AQE decides
+    "dsir_select_documents": 1,
 }
 
 
@@ -113,8 +116,16 @@ def test_no_forced_broadcast_on_row_scaled_sides(spark, name):
 def test_profile_is_single_scan(spark):
     """The column profiler must read the table ONCE for all profiled
     columns — a per-column agg-union reads it once per column, which
-    at 100 TB is the whole cost of the query."""
-    plan = plan_of(spark, "profile_orders_columns", mode="simple")
+    at 100 TB is the whole cost of the query. (Rotated out of the
+    catalog in r7 for dsir_select_documents; the function and this
+    plan contract remain.)"""
+    from gus_spark.queries.advanced import profile_orders_columns
+
+    df = profile_orders_columns(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    plan = buf.getvalue()
     assert plan.count("Scan parquet") == 1, plan
 
 
@@ -298,6 +309,22 @@ def test_q12_pivot_is_single_pass_conditional_agg(spark):
         plan)
     assert filt and join, plan
     assert int(filt.group(1)) < int(join.group(1)), plan
+
+
+def test_dsir_select_is_topk_no_python(spark):
+    """The DSIR probe's physical shape: the selection is a
+    TakeOrderedAndProject (per-partition heap, never a global sort of
+    all scored docs), the whole exact tier is JVM expressions (no
+    Python anywhere), no cartesian stage, and every keyed exchange is
+    on a token or doc key — the fit is one token-keyed agg, never
+    an all-pairs construction."""
+    plan = plan_of(spark, "dsir_select_documents")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan and "InPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the 1-row totals side reaches the vocabulary via broadcast, not
+    # an exchange-backed join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
 def test_redact_pii_is_pure_scan_map(spark):

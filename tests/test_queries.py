@@ -61,3 +61,17 @@ def test_every_oracle_is_valid_duckdb(duck):
     for name, spec in catalog().items():
         if spec.oracle is not None:
             duck.execute(f"SELECT * FROM ({spec.oracle}) LIMIT 1")
+
+
+def test_profile_orders_columns_matches_oracle(spark, duck):
+    """profile_orders_columns rotated out of the catalog (r7, slot ->
+    dsir_select_documents) but keeps full value coverage here: the
+    single-scan wide-agg profiler vs its DuckDB twin."""
+    from gus_spark.queries.advanced import (
+        PROFILE_ORDERS_ORACLE,
+        profile_orders_columns,
+    )
+
+    sdf = profile_orders_columns(spark, SF_DIR_ORACLE).toPandas()
+    odf = duck.execute(PROFILE_ORDERS_ORACLE).df()
+    assert frame_key(sdf) == frame_key(odf)
