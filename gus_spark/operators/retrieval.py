@@ -1,0 +1,201 @@
+"""BM25 ranked retrieval over the documents table — sparse lexical
+search, the counterpart of the dense ANN tier (operators/similarity.py).
+
+A training-data pipeline needs lexical retrieval in several places:
+pulling documents similar to a high-quality seed set (retrieval-based
+curation), nearest-neighbor text lookup for RETRO-style training, and
+“which training docs could have leaked this eval question” forensics
+that n-gram decontamination (operators/decontaminate.py) answers only
+for verbatim overlap. BM25 (Robertson–Spärck Jones probabilistic
+ranking, the Okapi BM25 form) is the standard scoring function:
+
+    score(q, d) = sum over t in q of idf(t) * tf_norm(t, d)
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tf_norm     = tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+Spark-first shape — the cost scales with the documents CONTAINING
+query terms, never the corpus:
+
+- tokenization + per-doc length are map-side column expressions over
+  one scan; the query-term IN-list filter runs BEFORE the posting
+  aggregation, so the only row-scaled exchange carries just matching
+  token occurrences (plan-asserted in tests/test_retrieval.py);
+- df(t) is a per-term count over the matched postings (<= |query|
+  rows) and N/avgdl a 1-row corpus aggregate — both broadcast;
+- per-posting scores are quantized to 1e-6 fixed point immediately
+  after the one transcendental chain (ln + IEEE mul/div — identical
+  bits across engines except the ln ulp, the dsir.py escape class),
+  so per-doc sums are exact int64 and ranking is engine-free;
+- the top-k is a TakeOrderedAndProject with doc-id tiebreak.
+
+At 100 TB the posting-list build is the one-off indexing cost; a
+warehouse serving repeated queries materializes `posting_lists`
+bucketed by term (operators/partitioning.write_bucketed) so each
+query's IN-list filter prunes buckets and the (term, doc) aggregation
+never reshuffles. Ad-hoc single queries run straight off the scan, as
+here.
+
+Reference surface: none — the reference engine has no search path;
+this is part of the SURVEY §2.3 training-data layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gus_spark.operators.dedup import tokenize
+
+#: fixed-point resolution for quantized scores (dsir.py convention).
+_FP = 1_000_000.0
+
+#: Okapi defaults (Robertson et al., TREC-3).
+K1 = 1.2
+B = 0.75
+
+
+def _fp(x: Column) -> Column:
+    return F.floor(x * F.lit(_FP) + F.lit(0.5)).cast("long")
+
+
+def posting_lists(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(w, id, tf, dl): one row per distinct (term, doc) with the term
+    frequency and the doc length — the inverted index as a DataFrame.
+    Materialize bucketed by `w` for repeated-query serving."""
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.size(tokenize(F.col(text_col))).cast("long").alias("dl"),
+        F.explode(tokenize(F.col(text_col))).alias("w"),
+    )
+    return toks.groupBy("w", "_id", "dl").agg(
+        F.count("*").alias("tf")
+    ).withColumnRenamed("_id", id_col)
+
+
+def corpus_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """1-row (n_docs, avgdl) — broadcast onto the scored postings.
+    avgdl is one double division over exact longs: bit-identical
+    across engines."""
+    return df.filter(F.col(text_col).isNotNull()).agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.size(tokenize(F.col(text_col))).cast("long"))
+            .cast("double")
+            / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k documents for `query` by BM25: (id, n_terms_hit, score_fp)
+    ordered by (score_fp desc, id). Duplicate query terms are collapsed
+    (BM25 treats the query as a term set; repeat-weighted queries
+    belong in a term-weight column, not here)."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    terms = sorted(set(query))
+    if not terms:
+        raise ValueError("query must contain at least one term")
+    post = posting_lists(df, id_col, text_col).filter(
+        F.col("w").isin(terms)
+    )
+    dfreq = post.groupBy("w").agg(F.count("*").alias("df"))
+    stats = corpus_stats(df, id_col, text_col)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double")
+           + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    tf_norm = (tf * F.lit(k1 + 1.0)) / (
+        tf
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+    )
+    scored = (
+        post.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, "w", _fp(idf * tf_norm).alias("s_fp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.sum("s_fp").alias("score_fp"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score_fp").desc(), F.col(id_col)
+    ).limit(k)
+
+
+def sql_bm25_topk(
+    query: list[str],
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    """DuckDB twin of `bm25_topk`, written expression-for-expression
+    against the Spark plan (same tokenization, same cast/division
+    order, same 1e-6 fixed-point quantization point) so the two
+    engines hash-match. Used by tests/test_retrieval.py; also the
+    oracle body if the probe ever takes a catalog slot."""
+    terms = sorted(set(query))
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS id,
+             CAST(LENGTH(string_split_regex(TRIM({text_col}), '\\s+'))
+                  AS BIGINT) AS dl,
+             UNNEST(string_split_regex(TRIM({text_col}), '\\s+')) AS w
+      FROM {table} WHERE {text_col} IS NOT NULL),
+    post AS (
+      SELECT w, id, dl, COUNT(*) AS tf FROM toks
+      WHERE w IN ({in_list}) GROUP BY w, id, dl),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM post GROUP BY w),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CAST(LENGTH(string_split_regex(TRIM({text_col}),
+                                                     '\\s+'))
+                           AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM {table} WHERE {text_col} IS NOT NULL),
+    scored AS (
+      SELECT id,
+             CAST(FLOOR((
+               LN(CAST(1.0 AS DOUBLE)
+                  + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE))
+                    / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+               * ((CAST(tf AS DOUBLE) * CAST({k1 + 1.0!r} AS DOUBLE))
+                  / (CAST(tf AS DOUBLE)
+                     + CAST({k1!r} AS DOUBLE)
+                       * (CAST({1.0 - b!r} AS DOUBLE)
+                          + CAST({b!r} AS DOUBLE)
+                            * CAST(dl AS DOUBLE) / avgdl)))
+             ) * 1000000.0 + 0.5) AS BIGINT) AS s_fp
+      FROM post JOIN dfreq USING (w) CROSS JOIN stats)
+    SELECT id AS {id_col},
+           COUNT(*) AS n_terms_hit,
+           CAST(SUM(s_fp) AS BIGINT) AS score_fp
+    FROM scored GROUP BY id
+    ORDER BY score_fp DESC, {id_col}
+    LIMIT {k}
+    """

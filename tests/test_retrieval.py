@@ -1,0 +1,159 @@
+"""BM25 ranked retrieval (operators/retrieval.py).
+
+Contracts pinned here:
+- engine parity: the Spark plan and the DuckDB twin hash-match on the
+  sf0.01 corpus (row set, scores, order) — the same evidence class as
+  a catalog oracle row, held inline;
+- formula correctness: a from-scratch pure-Python BM25 reproduces
+  every fixed-point score exactly (independent of both engines);
+- idf does its job: a rare term (df 25/500) dominates common terms
+  (df ~390/500), so the top-k for a mixed query is exactly the
+  rare-term postings;
+- physical shape: the query-term IN-list filter runs BEFORE the
+  posting aggregation (the only row-scaled exchange carries matching
+  occurrences only), the small sides broadcast, the top-k is a
+  TakeOrderedAndProject, and no Python appears in the plan;
+- degenerate inputs fail loudly.
+"""
+
+import contextlib
+import io
+import math
+import os
+import re
+import sys
+from collections import Counter
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from conftest import SF_DIR_ORACLE
+from oracle_harness import frame_key
+
+from gus_spark.operators.retrieval import (
+    K1,
+    B,
+    bm25_topk,
+    corpus_stats,
+    posting_lists,
+    sql_bm25_topk,
+)
+from gus_spark.queries import table
+
+QUERY = ["spark", "join", "dup"]  # two common terms + one rare (df=25)
+K = 25
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return table(spark, SF_DIR_ORACLE, "documents")
+
+
+@pytest.fixture(scope="module")
+def topk(docs):
+    return bm25_topk(docs, QUERY, K).toPandas()
+
+
+def test_matches_duckdb_twin(topk):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR_ORACLE}/documents.parquet'"
+    )
+    odf = con.execute(sql_bm25_topk(QUERY, K)).df()
+    assert frame_key(topk) == frame_key(odf)
+
+
+def test_matches_pure_python_bm25(docs, topk):
+    """Every selected doc's fixed-point score recomputed from scratch:
+    tokenize, tf/df/dl/avgdl, Okapi formula, quantize per (doc, term),
+    sum — must equal the Spark value bit-for-bit."""
+    rows = docs.select("doc_id", "text").collect()
+    toks = {
+        r["doc_id"]: re.split(r"\s+", r["text"].strip())
+        for r in rows
+        if r["text"] is not None
+    }
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    dfreq = Counter(
+        w for t in toks.values() for w in set(t) if w in QUERY
+    )
+    expect = {}
+    for did, t in toks.items():
+        tf = Counter(w for w in t if w in QUERY)
+        if not tf:
+            continue
+        s = 0
+        for w, f in tf.items():
+            idf = math.log(
+                1.0 + (n_docs - dfreq[w] + 0.5) / (dfreq[w] + 0.5)
+            )
+            tfn = (f * (K1 + 1.0)) / (
+                f + K1 * (1.0 - B + B * len(t) / avgdl)
+            )
+            s += math.floor(idf * tfn * 1000000.0 + 0.5)
+        expect[did] = s
+    for _, r in topk.iterrows():
+        assert expect[r["doc_id"]] == r["score_fp"], r["doc_id"]
+    # and the selection really is the global top-K of the full scoring
+    top = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+    assert [d for d, _ in top] == topk["doc_id"].tolist()
+
+
+def test_rare_term_dominates(docs, topk):
+    """idf separation: every doc containing the rare term must outrank
+    every doc that only matches common terms, so the top-25 IS the
+    rare term's posting set."""
+    with_dup = {
+        r["doc_id"]
+        for r in docs.filter("text LIKE '%dup%'")
+        .select("doc_id")
+        .collect()
+    }
+    assert set(topk["doc_id"]) == with_dup
+    assert len(with_dup) == K
+
+
+def test_physical_shape(docs):
+    df = bm25_topk(docs, QUERY, K)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan and "InPandas" not in plan, plan
+    # df-per-term and corpus stats reach the postings via broadcast
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    # the IN-list filter must run BELOW the first keyed exchange:
+    # formatted-plan ids number children first, so deeper = smaller
+    filt = re.search(r"\((\d+)\) Filter\nInput.*?\nCondition :[^\n]*w#",
+                     plan, re.S)
+    exch = re.search(r"\((\d+)\) Exchange\nInput.*?hashpartitioning\(w",
+                     plan, re.S)
+    assert filt and exch, plan
+    assert int(filt.group(1)) < int(exch.group(1)), plan
+
+
+def test_posting_lists_shape(docs):
+    post = posting_lists(docs).filter("w = 'dup'").toPandas()
+    assert (post["tf"] >= 1).all()
+    assert len(post) == 25
+    stats = corpus_stats(docs).collect()[0]
+    assert stats["n_docs"] == 500
+    assert stats["avgdl"] > 0
+
+
+def test_degenerate_inputs(docs):
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [], 5)
+    with pytest.raises(ValueError):
+        bm25_topk(docs, ["spark"], 0)
+    # unseen term: no postings, no crash, empty result
+    assert bm25_topk(docs, ["zzzznotaterm"], 5).count() == 0
+    # duplicate query terms collapse to the set form
+    a = bm25_topk(docs, ["dup", "dup", "spark"], 10).toPandas()
+    b = bm25_topk(docs, ["dup", "spark"], 10).toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["score_fp"].tolist() == b["score_fp"].tolist()
