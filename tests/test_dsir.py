@@ -168,3 +168,35 @@ def test_empty_and_null_text_docs_survive(spark):
     assert set(sc["doc_id"]) == {1, 2, 4}
     sel = dsir_select(pdf, F.col("lang") == "en", k=2, temperature=0.0)
     assert sel.count() == 2
+
+
+def test_hashed_scoring_applies_to_streams(spark, docs, tmp_path):
+    """The hashed tier's scoring is a stateless per-row map (JVM bucket
+    arrays + Arrow kernel — no agg, no state), so the same
+    hashed_scores call composes into a streaming micro-batch graph
+    with a FROZEN model (the fit is a corpus aggregate — compute it
+    batch-side, the mixture-plan precedent); the drained stream is
+    row-identical to the batch scores."""
+    model = hashed_logratios(docs, IS_EN(), buckets=1 << 12)
+    src = str(tmp_path / "src")
+    docs.coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        hashed_scores(stream, model)
+        .writeStream.format("memory")
+        .queryName("dsir_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.n_tokens, r.score_fp)
+        for r in spark.sql("SELECT * FROM dsir_stream").collect()
+    }
+    want = {
+        (r.doc_id, r.n_tokens, r.score_fp)
+        for r in hashed_scores(docs, model).collect()
+    }
+    assert got == want and got

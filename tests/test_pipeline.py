@@ -32,6 +32,10 @@ def test_pipeline_end_to_end(spark, tmp_path):
     # dedup actually removed near-duplicates on this corpus
     assert stats["after_neardup_dedup"] < stats["after_decontaminate"]
 
+    # DSIR report: the en-target importance signal must be real —
+    # target-language survivors score above the rest on average
+    assert stats["dsir_en_mean_fp"] > stats["dsir_rest_mean_fp"]
+
     # mixture: temperature smoothing damps the head language below its
     # natural share while every weighted language survives, and the
     # materialized token mass lands near the 75%-of-survivors budget

@@ -20,6 +20,11 @@ them, from raw documents to packed training sequences.
       3. repetition gate    Gopher dup-token/bigram thresholds
       4. quality gate       distilled classifier (weak heuristic
                             labels -> hashed-BoW logistic scorer)
+      4c. DSIR report       hashed-tier importance scores vs the en
+                            target (Xie et al. 2023) — reported, not
+                            gated: a real deployment targets an
+                            EXTERNAL quality corpus; the en-vs-rest
+                            mean gap shows the signal end-to-end
       5. PII redaction      typed-placeholder scrubbing
       5b. data mixture      temperature-smoothed language weights
                             (XLM-R alpha) -> budget-driven plan ->
@@ -157,6 +162,36 @@ def run_pipeline(
         )
     else:  # empty corpus: fit would raise, percentile would be NULL
         stats["lm_ppl_p50"] = None
+
+    # 4c. DSIR importance report (Xie et al. 2023) through the hashed
+    # fixed-model tier — the 100-TB path: B-dim model from one
+    # bucket-keyed agg, zero-shuffle per-row scoring. Reported, not
+    # gated (see module doc); the en-vs-rest mean gap is the signal.
+    from gus_spark.operators.dsir import hashed_logratios, hashed_scores
+
+    if stats["after_quality_gate"]:
+        dsir_model = hashed_logratios(
+            quality, F.col("lang") == "en", buckets=1 << 14
+        )
+        dsir = hashed_scores(quality, dsir_model).join(
+            quality.select("doc_id", "lang"), "doc_id"
+        )
+        gap = dsir.agg(
+            F.avg(
+                F.when(F.col("lang") == "en", F.col("score_fp"))
+            ).alias("en"),
+            F.avg(
+                F.when(F.col("lang") != "en", F.col("score_fp"))
+            ).alias("rest"),
+        ).first()
+        stats["dsir_en_mean_fp"] = (
+            int(gap["en"]) if gap["en"] is not None else None
+        )
+        stats["dsir_rest_mean_fp"] = (
+            int(gap["rest"]) if gap["rest"] is not None else None
+        )
+    else:
+        stats["dsir_en_mean_fp"] = stats["dsir_rest_mean_fp"] = None
 
     # 5. redaction (content-hash stages are all behind us)
     redacted = redact_pii(quality.drop("quality_prob"))
