@@ -45,6 +45,9 @@ HEADLINE = [
     # ADDED r7 (no rotation): the data-mixture materialization —
     # additive line; cross-round totals compare the shared subset.
     "mixture_sample_documents",
+    # ADDED late r7 (no rotation): DSIR importance resampling — the
+    # round's flagship new operator; additive line, same caveat.
+    "dsir_select_documents",
 ]
 
 
