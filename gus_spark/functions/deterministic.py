@@ -61,3 +61,23 @@ def sql_dsum(expr: str, scale: int = 6) -> str:
 
 def sql_davg(expr: str, scale: int = 6) -> str:
     return f"{sql_dsum(expr, scale)} / COUNT({expr})"
+
+
+#: fixed-point resolution for quantized LOG-SPACE values (DSIR log
+#: ratios, BM25 per-(doc,term) scores, Gumbel keys): 1e-6 units.
+FP_LOG = 1_000_000.0
+
+
+def fp_quantize(x: Column, resolution: float = FP_LOG) -> Column:
+    """floor(x * resolution + 0.5) as int64 — round-half-up fixed
+    point, applied immediately after a transcendental expression so
+    every downstream sum/comparison is exact integer arithmetic
+    (order-free and engine-free; see operators/dsir.py's module doc
+    for the quantization-boundary escape analysis). The DuckDB twin is
+    CAST(FLOOR(x * <resolution> + 0.5) AS BIGINT), written inline in
+    each oracle. Shared by operators/dsir.py and
+    operators/retrieval.py so the determinism-critical primitive has
+    ONE definition."""
+    from pyspark.sql import functions as F
+
+    return F.floor(x * F.lit(resolution) + F.lit(0.5)).cast("long")

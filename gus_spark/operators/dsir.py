@@ -44,10 +44,11 @@ engine-free. The residual risk is a log() differing across libm
 implementations by an ulp exactly at a quantization boundary:
 ~1e-9 per quantized value, the same accepted escape class as the
 minhash family's 5e-8. The Gumbel uniform comes from the first 16
-bits of md5(doc_id) — the mixture sampler's deterministic-cut
-primitive (operators/mixing.py) — so selection is reproducible
-across engines, runs, and partitionings; temperature 0 degenerates
-to pure top-k by score with doc-id tiebreak.
+bits of md5('dsir:' || doc_id) — the mixture sampler's
+deterministic-cut primitive (operators/mixing.py), salted so the two
+samplers stay independent in a composed pipeline — so selection is
+reproducible across engines, runs, and partitionings; temperature 0
+degenerates to pure top-k by score with doc-id tiebreak.
 
 Reference surface: the reference engine has no data-selection path at
 all (it is a CRUD webserver; reference: src/lib.rs) — this module is
@@ -60,10 +61,9 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gus_spark.functions.deterministic import FP_LOG as _FP
+from gus_spark.functions.deterministic import fp_quantize as _fp
 from gus_spark.operators.dedup import tokenize
-
-#: fixed-point resolution for quantized log space (see module doc).
-_FP = 1_000_000.0
 
 #: resolution of the Gumbel uniform: first 16 bits of md5(id).
 _CUT_BITS = 65536.0
@@ -73,19 +73,15 @@ _CUT_BITS = 65536.0
 _MAX_BUCKETS = 1 << 24
 
 
-def _fp(x: Column) -> Column:
-    """floor(x * 1e6 + 0.5) as int64 — round-half-up fixed point,
-    written identically in the DuckDB oracle."""
-    return F.floor(x * F.lit(_FP) + F.lit(0.5)).cast("long")
-
-
-def _tokens(df: DataFrame, is_target: Column, id_col: str, text_col: str,
-            *carry: str) -> DataFrame:
+def _tokens(df: DataFrame, is_target: Column | None, id_col: str,
+            text_col: str, *carry: str) -> DataFrame:
     """One row per token OCCURRENCE (multiplicity kept — the model and
-    the scores both count occurrences, not distinct types)."""
+    the scores both count occurrences, not distinct types). is_target
+    is only materialized for the fit path; scoring passes None."""
+    flag = [is_target.alias("_t")] if is_target is not None else []
     return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
-        is_target.alias("_t"),
+        *flag,
         *carry,
         F.explode(tokenize(F.col(text_col))).alias("w"),
     )
@@ -132,18 +128,18 @@ def token_logratios(
 def importance_scores(
     df: DataFrame,
     logratios: DataFrame,
-    is_target: Column,
     id_col: str = "doc_id",
     text_col: str = "text",
     carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id_col, *carry_cols, n_tokens, score_fp): per-doc importance
     log-weight as the exact int64 sum of per-occurrence quantized log
-    ratios. Inner join is lossless here because the model was fit on
-    the same corpus (every token is in the vocabulary); a model fit
-    elsewhere should LEFT-join and coalesce llr_fp to the unseen-token
-    smoothing value instead."""
-    toks = _tokens(df, is_target, id_col, text_col, *carry_cols)
+    ratios. Scoring is target-agnostic — the target lives in the
+    MODEL, so no is_target here. Inner join is lossless here because
+    the model was fit on the same corpus (every token is in the
+    vocabulary); a model fit elsewhere should LEFT-join and coalesce
+    llr_fp to the unseen-token smoothing value instead."""
+    toks = _tokens(df, None, id_col, text_col, *carry_cols)
     return (
         toks.join(logratios.select("w", "llr_fp"), "w")
         .groupBy(F.col("_id").alias(id_col), *carry_cols)
@@ -163,13 +159,25 @@ def gumbel_key_fp(
     or 1, so the double log never overflows. Multiplying the NOISE by T
     instead of dividing the score preserves the argsort of
     score/T + Gumbel while keeping the score term exactly integer.
-    temperature 0 switches the sampler off: pure top-k by score."""
+    temperature 0 switches the sampler off: pure top-k by score.
+
+    The md5 input is SALTED with a 'dsir:' prefix so this uniform is
+    decorrelated from the mixture sampler's md5(id) fractional cut
+    (operators/mixing.py): in a composed pipeline the same low
+    md5-16-bit docs would otherwise systematically receive the extra
+    mixture epoch AND the lowest Gumbel noise, biasing the joint
+    sample — Gumbel-top-k's w^(1/T) guarantee needs noise independent
+    of other selection stages."""
     if temperature < 0:
         raise ValueError(f"temperature must be >= 0, got {temperature}")
     if temperature == 0:
         return score_fp
     u16 = F.conv(
-        F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10
+        F.substring(
+            F.md5(F.concat(F.lit("dsir:"), id_col.cast("string"))), 1, 4
+        ),
+        16,
+        10,
     ).cast("double")
     u = (u16 + F.lit(0.5)) / F.lit(_CUT_BITS)
     return score_fp + _fp(F.lit(float(temperature)) * -F.log(-F.log(u)))
@@ -192,9 +200,7 @@ def dsir_select(
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
     lr = token_logratios(df, is_target, id_col, text_col)
-    scored = importance_scores(
-        df, lr, is_target, id_col, text_col, carry_cols
-    )
+    scored = importance_scores(df, lr, id_col, text_col, carry_cols)
     key = gumbel_key_fp(
         F.col("score_fp"), F.col(id_col), temperature
     ).alias("key_fp")
@@ -275,9 +281,12 @@ def hashed_scores(
     """(id_col, n_tokens, score_fp) with ZERO shuffles: bucket ids are
     computed JVM-side per row, the Arrow kernel sums llr_fp[bucket]
     per doc via an exact int64 prefix-sum difference (no Python loop
-    over rows, no groupBy — scoring is embarrassingly parallel)."""
+    over rows, no groupBy — scoring is embarrassingly parallel). The
+    id column keeps its input type (string URLs / UUIDs are the
+    realistic crawl ids, not just int64 doc ids)."""
     buckets = int(llr_fp.shape[0])
     model = np.ascontiguousarray(llr_fp, dtype=np.int64)
+    id_type = df.schema[id_col].dataType.simpleString()
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         token_buckets(F.col(text_col), buckets).alias("_bk"),
@@ -311,7 +320,9 @@ def hashed_scores(
                 }
             )
 
-    out = base.mapInPandas(kernel, "_id long, n_tokens long, score_fp long")
+    out = base.mapInPandas(
+        kernel, f"_id {id_type}, n_tokens long, score_fp long"
+    )
     return out.withColumnRenamed("_id", id_col)
 
 

@@ -44,18 +44,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gus_spark.functions.deterministic import fp_quantize as _fp
 from gus_spark.operators.dedup import tokenize
-
-#: fixed-point resolution for quantized scores (dsir.py convention).
-_FP = 1_000_000.0
 
 #: Okapi defaults (Robertson et al., TREC-3).
 K1 = 1.2
 B = 0.75
-
-
-def _fp(x: Column) -> Column:
-    return F.floor(x * F.lit(_FP) + F.lit(0.5)).cast("long")
 
 
 def posting_lists(
@@ -63,11 +57,26 @@ def posting_lists(
 ) -> DataFrame:
     """(w, id, tf, dl): one row per distinct (term, doc) with the term
     frequency and the doc length — the inverted index as a DataFrame.
-    Materialize bucketed by `w` for repeated-query serving."""
-    toks = df.filter(F.col(text_col).isNotNull()).select(
+    Materialize bucketed by `w` for repeated-query serving.
+
+    The token array is projected in its OWN select below a Generate
+    boundary so the regex split evaluates once per document on the
+    data path — CollapseProject cannot inline an expression through
+    explode, so both consumers (size for dl, explode for the postings)
+    read the bound array (the dedup.shingles re-evaluation class;
+    asserted in tests/test_retrieval.py by counting split calls in
+    the plan). Two further split occurrences remain in the scan-level
+    Filter that InferFiltersFromGenerate derives (size > 0 /
+    isnotnull) — a fixed per-row predicate cost, not the O(tokens)
+    fan-out path."""
+    arr = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
-        F.size(tokenize(F.col(text_col))).cast("long").alias("dl"),
-        F.explode(tokenize(F.col(text_col))).alias("w"),
+        tokenize(F.col(text_col)).alias("_tk"),
+    )
+    toks = arr.select(
+        "_id",
+        F.size("_tk").cast("long").alias("dl"),
+        F.explode("_tk").alias("w"),
     )
     return toks.groupBy("w", "_id", "dl").agg(
         F.count("*").alias("tf")

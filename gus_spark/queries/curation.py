@@ -215,8 +215,9 @@ DSIR_K = 200
     SELECT doc_id, lang, n_tokens, score_fp,
            score_fp + CAST(FLOOR(
              (CAST(0.1 AS DOUBLE)
-              * -LN(-LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                                              1, 4)) AS INTEGER) + 0.5)
+              * -LN(-LN((CAST(('0x' || substr(
+                    md5('dsir:' || CAST(doc_id AS VARCHAR)),
+                    1, 4)) AS INTEGER) + 0.5)
                         / 65536.0)))
              * 1000000.0 + 0.5) AS BIGINT) AS key_fp
     FROM scores
@@ -237,12 +238,12 @@ def dsir_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Temperature 0.1: this corpus's languages share most of their
     vocabulary, so per-doc importance spans only ~±1.2 nats — at the
     paper-default T=1 the Gumbel noise (std π/√6 ≈ 1.28 nats)
-    legitimately dominates and the sample converges to the base rate.
-    Measured English fraction of the 200 selected at sf0.01 (base
-    rate 0.436): T=0 → 0.580, T=0.1 → 0.535, T=0.25 → 0.490,
-    T=0.5 → 0.455, T=1 → 0.430 — the textbook bias/diversity dial;
-    T=0.1 keeps the skew visible while exercising the full sampling
-    machinery in the oracle.
+    legitimately dominates and the sample converges toward the base
+    rate. Measured English fraction of the 200 selected at sf0.01
+    (base rate 0.436, salted 'dsir:' Gumbel seed): T=0 → 0.580,
+    T=0.1 → 0.570, T=0.25 → 0.535, T=0.5 → 0.490, T=1 → 0.460 — the
+    textbook bias/diversity dial; T=0.1 keeps the skew visible while
+    exercising the full sampling machinery in the oracle.
 
     Physical shape: one token-keyed aggregation fits both language
     models in a single pass, a 1-row totals aggregate broadcasts onto

@@ -176,11 +176,16 @@ _SHIPMODES = ["REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB"]
 #: Offsets mirror the TPC-H generator's intent (commitdate scattered
 #: +-30 days around shipdate so `shipdate < commitdate` splits the
 #: rows; receiptdate 1..30 days after shipdate so
-#: `commitdate < receiptdate` is a real second filter).
+#: `commitdate < receiptdate` is a real second filter). The shipmode
+#: multipliers are COPRIME with 7 (11 and 3) so the mode genuinely
+#: scatters over (orderkey, linenumber) — an orderkey multiplier
+#: divisible by 7 would make the mode a pure function of line number
+#: (a first cut used 7 and was caught in review: every MAIL row was
+#: exactly line 4, a degenerate distribution both engines agreed on).
 _LINEITEM_SHIP_SQL = """
     WITH lx AS (
       SELECT l_orderkey,
-             CASE (l_orderkey * 7 + l_linenumber * 3) % 7
+             CASE (l_orderkey * 11 + l_linenumber * 3) % 7
                WHEN 0 THEN 'REG AIR' WHEN 1 THEN 'AIR'
                WHEN 2 THEN 'RAIL'    WHEN 3 THEN 'SHIP'
                WHEN 4 THEN 'TRUCK'   WHEN 5 THEN 'MAIL'
@@ -246,7 +251,7 @@ def q12_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         F.element_at(
             F.array(*[F.lit(m) for m in _SHIPMODES]),
-            ((ok * 7 + ln * 3) % 7 + 1).cast("int"),
+            ((ok * 11 + ln * 3) % 7 + 1).cast("int"),
         ).alias("l_shipmode"),
         sd.alias("sd"),
         F.date_add(sd, (((ok * 13 + ln * 7) % 61) - 30).cast("int"))

@@ -50,9 +50,7 @@ def docs(spark):
 @pytest.fixture(scope="module")
 def scored(spark, docs):
     lr = token_logratios(docs, IS_EN())
-    return importance_scores(
-        docs, lr, IS_EN(), carry_cols=("lang",)
-    ).toPandas()
+    return importance_scores(docs, lr, carry_cols=("lang",)).toPandas()
 
 
 def test_scores_skew_toward_target_language(scored):
@@ -163,7 +161,7 @@ def test_empty_and_null_text_docs_survive(spark):
         "doc_id long, text string, lang string",
     )
     lr = token_logratios(pdf, F.col("lang") == "en")
-    sc = importance_scores(pdf, lr, F.col("lang") == "en").toPandas()
+    sc = importance_scores(pdf, lr).toPandas()
     # null text drops; empty text contributes its single '' token
     assert set(sc["doc_id"]) == {1, 2, 4}
     sel = dsir_select(pdf, F.col("lang") == "en", k=2, temperature=0.0)
@@ -200,3 +198,18 @@ def test_hashed_scoring_applies_to_streams(spark, docs, tmp_path):
         for r in hashed_scores(docs, model).collect()
     }
     assert got == want and got
+
+
+def test_hashed_scores_preserves_string_ids(spark):
+    """The kernel's output schema derives the id type from the input —
+    string ids (URLs/UUIDs, the realistic crawl case) must round-trip."""
+    pdf = spark.createDataFrame(
+        [("u://a", "the quick fox", "en"), ("u://b", "la zorra", "es")],
+        "url string, text string, lang string",
+    )
+    model = hashed_logratios(
+        pdf, F.col("lang") == "en", buckets=1 << 8, text_col="text"
+    )
+    out = hashed_scores(pdf, model, id_col="url").toPandas()
+    assert set(out["url"]) == {"u://a", "u://b"}
+    assert out["score_fp"].dtype.kind == "i"

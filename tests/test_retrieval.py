@@ -157,3 +157,19 @@ def test_degenerate_inputs(docs):
     b = bm25_topk(docs, ["dup", "spark"], 10).toPandas()
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     assert a["score_fp"].tolist() == b["score_fp"].tolist()
+
+
+def test_tokenize_binds_once_on_the_data_path(docs):
+    """The posting build must regex-split each document ONCE on the
+    explode fan-out path: the Generate's child Project binds the
+    array, and Generate consumes the bound column (never an inline
+    split). The only other splits allowed are the two in the
+    scan-level inferred filter (size > 0 / isnotnull) — a fixed
+    per-row predicate, not O(tokens)."""
+    df = posting_lists(docs)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "explode(_tk" in plan, plan
+    assert plan.count("split(") == 3, plan

@@ -169,7 +169,13 @@ def run_pipeline(
     # gated (see module doc); the en-vs-rest mean gap is the signal.
     from gus_spark.operators.dsir import hashed_logratios, hashed_scores
 
-    if stats["after_quality_gate"]:
+    # guard on TARGET presence, not just survivor presence: with zero
+    # surviving en docs the fit raises (empty target sample), which a
+    # report-only stage must never let abort stages 5-7
+    n_en = quality.filter(
+        (F.col("lang") == "en") & F.col("text").isNotNull()
+    ).count()
+    if n_en:
         dsir_model = hashed_logratios(
             quality, F.col("lang") == "en", buckets=1 << 14
         )
