@@ -75,3 +75,28 @@ def test_profile_orders_columns_matches_oracle(spark, duck):
     sdf = profile_orders_columns(spark, SF_DIR_ORACLE).toPandas()
     odf = duck.execute(PROFILE_ORDERS_ORACLE).df()
     assert frame_key(sdf) == frame_key(odf)
+
+
+@pytest.mark.parametrize("name", ["q14", "q15"])
+def test_q14_q15_inline_match_oracle(spark, duck, name):
+    """TPC-H q14/q15 complete the 22/22 shape ledger. Held INLINE (not
+    catalog-registered): their shapes are strictly subsumed by
+    in-catalog probes (q14 = q8's conditional ratio over a join;
+    q15 = q22's broadcast-scalar max over q2's group revenue), so they
+    don't spend driver CORRECTNESS rows — but the literal queries run
+    and hash-match DuckDB here."""
+    from gus_spark.queries.relational import (
+        Q14_ORACLE,
+        Q15_ORACLE,
+        q14_promo_revenue,
+        q15_top_supplier,
+    )
+
+    fn, oracle = {
+        "q14": (q14_promo_revenue, Q14_ORACLE),
+        "q15": (q15_top_supplier, Q15_ORACLE),
+    }[name]
+    sdf = fn(spark, SF_DIR_ORACLE).toPandas()
+    odf = duck.execute(oracle).df()
+    assert len(sdf) > 0
+    assert frame_key(sdf) == frame_key(odf)
