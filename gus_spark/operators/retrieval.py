@@ -99,29 +99,28 @@ def corpus_stats(
     )
 
 
-def bm25_topk(
-    df: DataFrame,
-    query: list[str],
-    k: int,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k1: float = K1,
-    b: float = B,
-) -> DataFrame:
-    """Top-k documents for `query` by BM25: (id, n_terms_hit, score_fp)
-    ordered by (score_fp desc, id). Duplicate query terms are collapsed
-    (BM25 treats the query as a term set; repeat-weighted queries
-    belong in a term-weight column, not here)."""
-    if k <= 0:
-        raise ValueError(f"k must be > 0, got {k}")
+def _query_terms(query: list[str]) -> list[str]:
     terms = sorted(set(query))
     if not terms:
         raise ValueError("query must contain at least one term")
-    post = posting_lists(df, id_col, text_col).filter(
-        F.col("w").isin(terms)
-    )
+    return terms
+
+
+def _score_and_topk(
+    post: DataFrame,
+    stats: DataFrame,
+    k: int,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The shared Okapi scoring tail: matched postings (w, id, tf, dl)
+    + 1-row stats -> per-(doc,term) quantized scores -> doc sums ->
+    top-k. Used by both the ad-hoc (scan) and indexed (bucketed table)
+    entry points so the two serve bit-identical rankings."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
     dfreq = post.groupBy("w").agg(F.count("*").alias("df"))
-    stats = corpus_stats(df, id_col, text_col)
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs").cast("double") - F.col("df").cast("double")
@@ -150,6 +149,81 @@ def bm25_topk(
     return scored.orderBy(
         F.col("score_fp").desc(), F.col(id_col)
     ).limit(k)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k documents for `query` by BM25: (id, n_terms_hit, score_fp)
+    ordered by (score_fp desc, id). Duplicate query terms are collapsed
+    (BM25 treats the query as a term set; repeat-weighted queries
+    belong in a term-weight column, not here). Ad-hoc form: builds the
+    postings off the scan per query; a repeated-query deployment
+    materializes them once with `build_posting_index` and serves with
+    `bm25_topk_indexed` (bit-identical ranking, asserted in tests)."""
+    terms = _query_terms(query)
+    post = posting_lists(df, id_col, text_col).filter(
+        F.col("w").isin(terms)
+    )
+    stats = corpus_stats(df, id_col, text_col)
+    return _score_and_topk(post, stats, k, id_col, k1, b)
+
+
+def build_posting_index(
+    spark,
+    df: DataFrame,
+    name: str,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the inverted index for repeated-query serving:
+    posting lists bucketed AND sorted by term into the session catalog
+    (`name`), corpus stats as the 1-row `<name>_stats`. The one-off
+    build pays posting_lists' explode + (w, id) aggregation once; every
+    subsequent query gets (a) bucket pruning — the term IN-list scans
+    only the buckets holding query terms, `SelectedBucketsCount` in the
+    plan — and (b) a zero-exchange df-count, because groupBy(w) over a
+    w-bucketed table needs no shuffle (both plan-asserted in
+    tests/test_retrieval.py)."""
+    from gus_spark.operators.partitioning import write_bucketed
+
+    write_bucketed(
+        posting_lists(df, id_col, text_col),
+        name,
+        "w",
+        n_buckets=n_buckets,
+        sort_by="w",
+    )
+    corpus_stats(df, id_col, text_col).write.mode("overwrite").saveAsTable(
+        f"{name}_stats"
+    )
+
+
+def bm25_topk_indexed(
+    spark,
+    name: str,
+    query: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Serve a BM25 query from a `build_posting_index` materialization:
+    no tokenization, no explode — the scan reads only the buckets the
+    query terms hash to, and the per-term df aggregation rides the
+    bucket layout with no exchange. Ranking is bit-identical to the
+    ad-hoc `bm25_topk` on the same corpus (same scoring tail)."""
+    terms = _query_terms(query)
+    post = spark.table(name).filter(F.col("w").isin(terms))
+    stats = spark.table(f"{name}_stats")
+    return _score_and_topk(post, stats, k, id_col, k1, b)
 
 
 def sql_bm25_topk(

@@ -173,3 +173,33 @@ def test_tokenize_binds_once_on_the_data_path(docs):
     plan = buf.getvalue()
     assert "explode(_tk" in plan, plan
     assert plan.count("split(") == 3, plan
+
+
+def test_indexed_serving_matches_adhoc_and_prunes(spark, docs):
+    """build_posting_index + bm25_topk_indexed: (a) bit-identical
+    ranking to the ad-hoc path, (b) the scan reads ONLY the buckets
+    holding query terms (SelectedBucketsCount < total), and (c) the
+    per-term df aggregation rides the bucket layout with no exchange
+    below it — the repeated-query serving contract."""
+    from gus_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_posting_index,
+    )
+
+    build_posting_index(spark, docs, "bm25_post", n_buckets=8)
+    served = bm25_topk_indexed(spark, "bm25_post", QUERY, K)
+    adhoc = bm25_topk(docs, QUERY, K).toPandas()
+    got = served.toPandas()
+    assert got["doc_id"].tolist() == adhoc["doc_id"].tolist()
+    assert got["score_fp"].tolist() == adhoc["score_fp"].tolist()
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain(mode="formatted")
+    plan = buf.getvalue()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) < int(m.group(2)), plan
+    # the df groupBy(w) must not introduce a w-keyed exchange: the
+    # only hashpartitioning allowed is the final doc-keyed aggregation
+    assert "hashpartitioning(w" not in plan, plan
