@@ -107,3 +107,106 @@ def decontaminate(
     return docs.join(
         dirty, docs[id_col] == F.col("_dirty_id"), "left_anti"
     )
+
+
+def fuzzy_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    threshold: float = 0.8,
+    ngram: int = 3,
+    engine: str = "arrow",
+) -> DataFrame:
+    """(doc_id, bench_id, jaccard): corpus documents that are NEAR
+    DUPLICATES of a benchmark example — the contamination that exact
+    n-gram overlap misses. A reformatted copy of an eval item (token
+    edited every few words, punctuation normalized, casing shifted)
+    breaks EVERY verbatim 13-gram while keeping shingle Jaccard near
+    1; this is the documented weakness of the GPT-3-style exact check
+    and the reason fuzzy passes exist in practice.
+
+    Mechanics: the dedup family's MinHash machinery (operators/dedup:
+    same v3 signatures, same 32x4 banding, same exact-Jaccard
+    verification over 64-bit shingle-hash sets) applied CROSS-CORPUS —
+    docs bands equi-join bench bands instead of self-joining, so the
+    cost is O(corpus + bench + collisions), and the bench side is
+    eval-suite-sized (AQE broadcasts it at runtime; no forced hint).
+    Collision/escape bounds are the family's: P(band collide) > 0.99
+    at J >= 0.61, escape ~5e-8 at the 0.8 verify threshold.
+    """
+    from gus_spark.operators.dedup import (
+        _band_rows,
+        _shingle_sets,
+        minhash_signature,
+    )
+
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    docs = ensure_parallelism(docs)
+    d_bands = _band_rows(
+        minhash_signature(docs, id_col, text_col, ngram, engine=engine),
+        id_col,
+    ).withColumnRenamed(id_col, "_did")
+    b_bands = _band_rows(
+        minhash_signature(
+            bench, bench_id_col, bench_text_col, ngram, engine=engine
+        ),
+        bench_id_col,
+    ).withColumnRenamed(bench_id_col, "_bid")
+    candidates = (
+        d_bands.join(b_bands, ["band_id", "band_hash"])
+        .select("_did", "_bid")
+        .distinct()
+    )
+    d_sets = _shingle_sets(
+        docs.filter(F.col(text_col).isNotNull()),
+        id_col, text_col, ngram, engine,
+    ).select(F.col(id_col).alias("_did"), F.col("ts").alias("_dts"))
+    b_sets = _shingle_sets(
+        bench.filter(F.col(bench_text_col).isNotNull()),
+        bench_id_col, bench_text_col, ngram, engine,
+    ).select(F.col(bench_id_col).alias("_bid"), F.col("ts").alias("_bts"))
+    inter = F.size(F.array_intersect(F.col("_dts"), F.col("_bts")))
+    union = F.size(F.col("_dts")) + F.size(F.col("_bts")) - inter
+    return (
+        candidates.join(d_sets, "_did")
+        .join(b_sets, "_bid")
+        .select(
+            F.col("_did").alias("doc_id"),
+            F.col("_bid").alias("bench_id"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    threshold: float = 0.8,
+    ngram: int = 3,
+    engine: str = "arrow",
+) -> DataFrame:
+    """``docs`` minus every near-duplicate of a benchmark example — the
+    fuzzy companion of `decontaminate` (run BOTH in a real pipeline:
+    exact catches verbatim excerpts inside long documents, which
+    whole-document Jaccard dilutes below any threshold; fuzzy catches
+    reformatted whole-item copies, which verbatim n-grams miss)."""
+    dirty = (
+        fuzzy_contamination(
+            docs, bench, id_col, text_col, bench_id_col, bench_text_col,
+            threshold, ngram, engine,
+        )
+        .select(F.col("doc_id").alias("_dirty_id"))
+        .distinct()
+    )
+    return docs.join(
+        dirty, docs[id_col] == F.col("_dirty_id"), "left_anti"
+    )

@@ -148,3 +148,87 @@ def test_random_corpus_matches_python_bruteforce(spark):
         for r in ngram_contamination(d, b, n=3).collect()
     }
     assert got == want and len(want) > 0
+
+
+def _edit_every_kth(text: str, k: int = 8) -> str:
+    """Reformat a benchmark item: replace every k-th token, breaking
+    every verbatim 13-gram while keeping unigram Jaccard high."""
+    toks = text.split()
+    return " ".join(
+        f"EDIT{i}" if i % k == k - 1 else w for i, w in enumerate(toks)
+    )
+
+
+@pytest.fixture(scope="module")
+def fuzzy_corpora(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(400)]
+    bench_rows = [
+        (b, " ".join(rng.choice(vocab) for _ in range(60)))
+        for b in range(5)
+    ]
+    clean = [
+        (100 + i, " ".join(rng.choice(vocab) for _ in range(60)))
+        for i in range(20)
+    ]
+    # docs 0..4: reformatted copies of bench items (every 8th token
+    # edited -> no 13 consecutive original tokens survive)
+    dirty = [(b, _edit_every_kth(t)) for b, t in bench_rows]
+    docs = spark.createDataFrame(
+        dirty + clean, "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    return docs, bench
+
+
+def test_fuzzy_catches_what_exact_misses(spark, fuzzy_corpora):
+    """The motivating case: a reformatted benchmark copy (every 8th
+    token edited) shares ZERO verbatim 13-grams with the original, so
+    exact decontamination keeps it — but its unigram Jaccard stays
+    ~0.75+, so the fuzzy pass removes it (and keeps every clean doc)."""
+    from gus_spark.operators.decontaminate import (
+        decontaminate,
+        decontaminate_fuzzy,
+        fuzzy_contamination,
+    )
+
+    docs, bench = fuzzy_corpora
+    exact_kept = set(
+        r.doc_id for r in decontaminate(docs, bench, n=13).collect()
+    )
+    assert {0, 1, 2, 3, 4} <= exact_kept  # exact pass misses all five
+
+    pairs = fuzzy_contamination(
+        docs, bench, threshold=0.6, ngram=1
+    ).toPandas()
+    assert set(pairs["doc_id"]) == {0, 1, 2, 3, 4}
+    # each reformatted copy matches its own original
+    assert all(pairs["doc_id"] == pairs["bench_id"])
+    assert (pairs["jaccard"] >= 0.6).all() and (pairs["jaccard"] < 1).all()
+
+    fuzzy_kept = set(
+        r.doc_id
+        for r in decontaminate_fuzzy(
+            docs, bench, threshold=0.6, ngram=1
+        ).collect()
+    )
+    assert fuzzy_kept == {100 + i for i in range(20)}
+
+
+def test_fuzzy_no_cartesian_and_validates(spark, fuzzy_corpora):
+    from gus_spark.operators.decontaminate import fuzzy_contamination
+
+    import contextlib
+    import io
+
+    docs, bench = fuzzy_corpora
+    df = fuzzy_contamination(docs, bench, threshold=0.6, ngram=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan, plan
+    with pytest.raises(ValueError):
+        fuzzy_contamination(docs, bench, threshold=0.0)
