@@ -116,17 +116,32 @@ def fuzzy_contamination(
     text_col: str = "text",
     bench_id_col: str = "doc_id",
     bench_text_col: str = "text",
-    threshold: float = 0.8,
-    ngram: int = 3,
+    threshold: float = 0.7,
+    ngram: int = 1,
     engine: str = "arrow",
 ) -> DataFrame:
     """(doc_id, bench_id, jaccard): corpus documents that are NEAR
     DUPLICATES of a benchmark example — the contamination that exact
     n-gram overlap misses. A reformatted copy of an eval item (token
     edited every few words, punctuation normalized, casing shifted)
-    breaks EVERY verbatim 13-gram while keeping shingle Jaccard near
-    1; this is the documented weakness of the GPT-3-style exact check
-    and the reason fuzzy passes exist in practice.
+    breaks EVERY verbatim 13-gram while keeping small-shingle Jaccard
+    high; this is the documented weakness of the GPT-3-style exact
+    check and the reason fuzzy passes exist in practice.
+
+    Calibrate (n, threshold) from the edit density you must catch: a
+    copy with every k-th token replaced keeps n-gram-shingle Jaccard
+    ≈ (k−n)/(k+n) (each edit kills n windows per side), and the
+    family's 32×4 banding only recalls reliably at J ≥ 0.61 — so
+    catching every-8th-token edits NEEDS n ≤ 2 regardless of
+    threshold (n=3 puts the copy at J ≈ 0.41, where band recall is
+    ~0.6 and the verify threshold can't help). The defaults
+    (n=1, threshold=0.7) catch that case with margin (J ≈ 0.78,
+    asserted at defaults in tests/test_decontaminate.py). Raise n on
+    corpora whose UNIGRAM sets are degenerate (tiny shared
+    vocabulary, e.g. this repo's synthetic testdata where every doc
+    draws from ~31 words): there, unigram banding buckets everything
+    together and the candidate join degrades toward all-pairs — the
+    SCALING row uses ngram=3 on that corpus for exactly this reason.
 
     Mechanics: the dedup family's MinHash machinery (operators/dedup:
     same v3 signatures, same 32x4 banding, same exact-Jaccard
@@ -135,7 +150,7 @@ def fuzzy_contamination(
     cost is O(corpus + bench + collisions), and the bench side is
     eval-suite-sized (AQE broadcasts it at runtime; no forced hint).
     Collision/escape bounds are the family's: P(band collide) > 0.99
-    at J >= 0.61, escape ~5e-8 at the 0.8 verify threshold.
+    at J >= 0.61, escape ~5e-8 at a 0.8 verify threshold.
     """
     from gus_spark.operators.dedup import (
         _band_rows,
@@ -190,15 +205,16 @@ def decontaminate_fuzzy(
     text_col: str = "text",
     bench_id_col: str = "doc_id",
     bench_text_col: str = "text",
-    threshold: float = 0.8,
-    ngram: int = 3,
+    threshold: float = 0.7,
+    ngram: int = 1,
     engine: str = "arrow",
 ) -> DataFrame:
     """``docs`` minus every near-duplicate of a benchmark example — the
     fuzzy companion of `decontaminate` (run BOTH in a real pipeline:
     exact catches verbatim excerpts inside long documents, which
     whole-document Jaccard dilutes below any threshold; fuzzy catches
-    reformatted whole-item copies, which verbatim n-grams miss)."""
+    reformatted whole-item copies, which verbatim n-grams miss). See
+    `fuzzy_contamination` for the (n, threshold) calibration rule."""
     dirty = (
         fuzzy_contamination(
             docs, bench, id_col, text_col, bench_id_col, bench_text_col,

@@ -176,7 +176,6 @@ def bm25_topk(
 
 
 def build_posting_index(
-    spark,
     df: DataFrame,
     name: str,
     n_buckets: int = 32,
@@ -185,25 +184,23 @@ def build_posting_index(
 ) -> None:
     """Materialize the inverted index for repeated-query serving:
     posting lists bucketed AND sorted by term into the session catalog
-    (`name`), corpus stats as the 1-row `<name>_stats`. The one-off
-    build pays posting_lists' explode + (w, id) aggregation once; every
-    subsequent query gets (a) bucket pruning — the term IN-list scans
-    only the buckets holding query terms, `SelectedBucketsCount` in the
-    plan — and (b) a zero-exchange df-count, because groupBy(w) over a
-    w-bucketed table needs no shuffle (both plan-asserted in
-    tests/test_retrieval.py)."""
+    (`name`). The 1-row corpus stats (n_docs, avgdl) are DENORMALIZED
+    onto every posting row (broadcast crossJoin at build; 12 bytes per
+    row) so the index is ONE table and one atomic overwrite — a
+    separate stats table would let a rebuild die between the two
+    writes and leave new postings silently scored with the old
+    corpus's idf/avgdl. The one-off build pays posting_lists' explode
+    + (w, id) aggregation once; every subsequent query gets (a) bucket
+    pruning — the term IN-list scans only the buckets holding query
+    terms, `SelectedBucketsCount` in the plan — and (b) a
+    zero-exchange df-count, because groupBy(w) over a w-bucketed table
+    needs no shuffle (both plan-asserted in tests/test_retrieval.py)."""
     from gus_spark.operators.partitioning import write_bucketed
 
-    write_bucketed(
-        posting_lists(df, id_col, text_col),
-        name,
-        "w",
-        n_buckets=n_buckets,
-        sort_by="w",
+    post = posting_lists(df, id_col, text_col).crossJoin(
+        F.broadcast(corpus_stats(df, id_col, text_col))
     )
-    corpus_stats(df, id_col, text_col).write.mode("overwrite").saveAsTable(
-        f"{name}_stats"
-    )
+    write_bucketed(post, name, "w", n_buckets=n_buckets, sort_by="w")
 
 
 def bm25_topk_indexed(
@@ -218,12 +215,17 @@ def bm25_topk_indexed(
     """Serve a BM25 query from a `build_posting_index` materialization:
     no tokenization, no explode — the scan reads only the buckets the
     query terms hash to, and the per-term df aggregation rides the
-    bucket layout with no exchange. Ranking is bit-identical to the
-    ad-hoc `bm25_topk` on the same corpus (same scoring tail)."""
+    bucket layout with no exchange. The corpus stats ride the matched
+    rows themselves (denormalized at build), so a query that matches
+    nothing returns empty rather than stale-scored rows. Ranking is
+    bit-identical to the ad-hoc `bm25_topk` on the same corpus (same
+    scoring tail)."""
     terms = _query_terms(query)
     post = spark.table(name).filter(F.col("w").isin(terms))
-    stats = spark.table(f"{name}_stats")
-    return _score_and_topk(post, stats, k, id_col, k1, b)
+    stats = post.select("n_docs", "avgdl").limit(1)
+    return _score_and_topk(
+        post.drop("n_docs", "avgdl"), stats, k, id_col, k1, b
+    )
 
 
 def sql_bm25_topk(

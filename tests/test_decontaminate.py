@@ -200,19 +200,18 @@ def test_fuzzy_catches_what_exact_misses(spark, fuzzy_corpora):
     )
     assert {0, 1, 2, 3, 4} <= exact_kept  # exact pass misses all five
 
-    pairs = fuzzy_contamination(
-        docs, bench, threshold=0.6, ngram=1
-    ).toPandas()
+    # AT DEFAULTS (n=1, threshold=0.7): the calibration rule says
+    # every-8th-token edits sit at J ~ (8-1)/(8+1) ~ 0.78 > 0.7, so
+    # the default-parameter call must catch all five — this pins that
+    # the shipped defaults actually serve the documented purpose
+    pairs = fuzzy_contamination(docs, bench).toPandas()
     assert set(pairs["doc_id"]) == {0, 1, 2, 3, 4}
     # each reformatted copy matches its own original
     assert all(pairs["doc_id"] == pairs["bench_id"])
-    assert (pairs["jaccard"] >= 0.6).all() and (pairs["jaccard"] < 1).all()
+    assert (pairs["jaccard"] >= 0.7).all() and (pairs["jaccard"] < 1).all()
 
     fuzzy_kept = set(
-        r.doc_id
-        for r in decontaminate_fuzzy(
-            docs, bench, threshold=0.6, ngram=1
-        ).collect()
+        r.doc_id for r in decontaminate_fuzzy(docs, bench).collect()
     )
     assert fuzzy_kept == {100 + i for i in range(20)}
 

@@ -186,7 +186,7 @@ def test_indexed_serving_matches_adhoc_and_prunes(spark, docs):
         build_posting_index,
     )
 
-    build_posting_index(spark, docs, "bm25_post", n_buckets=8)
+    build_posting_index(docs, "bm25_post", n_buckets=8)
     served = bm25_topk_indexed(spark, "bm25_post", QUERY, K)
     adhoc = bm25_topk(docs, QUERY, K).toPandas()
     got = served.toPandas()

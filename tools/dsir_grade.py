@@ -14,8 +14,10 @@ Reported per (sf, B):
   (the selection property a user cares about)
 - vocab, docs: corpus shape for context
 
-Run: python tools/dsir_grade.py [sf_dir] [k]
-Prints one JSON line.
+Run: python tools/dsir_grade.py [sf_dir] [k] [b_logs]
+b_logs is a comma list of log2 bucket counts (default "12,16,20" —
+every B value the COVERAGE grades cite is reproducible by running
+the tool as-is). Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -36,6 +38,10 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     k = int(sys.argv[2]) if len(sys.argv) > 2 else K_DEFAULT
+    b_logs = [
+        int(x)
+        for x in (sys.argv[3] if len(sys.argv) > 3 else "12,16,20").split(",")
+    ]
 
     from gus_spark.operators.dsir import dsir_select, dsir_select_hashed
     from gus_spark.queries import table
@@ -57,9 +63,15 @@ def main() -> None:
         docs, is_en, k=k, temperature=0.0, carry_cols=("lang",)
     ).toPandas()
     e_ids = set(exact["doc_id"])
+    # every ratio below uses the EXACT tier's returned row count as
+    # the denominator: on a corpus smaller than k both tiers return
+    # len(corpus) rows, and mixing /k with /len(rows) would deflate
+    # only the hashed metrics
+    k_eff = len(exact)
+    out["k_effective"] = k_eff
     out["en_frac_exact"] = round(float((exact["lang"] == "en").mean()), 4)
 
-    for b_log in (12, 16):
+    for b_log in b_logs:
         hashed = dsir_select_hashed(
             docs, is_en, k=k, buckets=1 << b_log, temperature=0.0
         ).toPandas()
@@ -71,10 +83,10 @@ def main() -> None:
             .collect()
         }
         out[f"topk_overlap_b{1 << b_log}"] = round(
-            len(e_ids & h_ids) / k, 4
+            len(e_ids & h_ids) / k_eff, 4
         )
         out[f"en_frac_hashed_b{1 << b_log}"] = round(
-            sum(1 for i in h_ids if langs.get(i) == "en") / k, 4
+            sum(1 for i in h_ids if langs.get(i) == "en") / len(hashed), 4
         )
 
     print(json.dumps(out))
