@@ -284,3 +284,85 @@ def sql_bm25_topk(
     ORDER BY score_fp DESC, {id_col}
     LIMIT {k}
     """
+
+
+def bm25_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Score a whole BATCH of weighted queries in one pass — the
+    RETRO-style retrieval shape (thousands of training chunks each
+    needing neighbors), where per-query jobs would pay the corpus
+    scan per query.
+
+    `queries` is a (query_id, w, weight) DataFrame: one row per query
+    term, weight scaling that term's contribution (weight 1.0
+    reproduces `bm25_topk` for that query BIT-EXACTLY — multiplying
+    by 1.0 is an IEEE identity, asserted in tests). Returns
+    (query_id, id, n_terms_hit, score_fp, rank) with rank 1..k per
+    query by (score_fp desc, id).
+
+    Shape: df(t) and idf(t) are corpus properties computed ONCE over
+    the union of all query terms; the queries side is
+    query-batch-sized and broadcast, so the corpus-scaled work is one
+    postings pass + one (query_id, doc) aggregation + one per-query
+    top-k window — independent of how many queries share the batch.
+    The per-query k is a window rank over the (query_id)-keyed
+    exchange, not TakeOrderedAndProject (which is global-k only)."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    terms = queries.select("w").distinct()
+    post = posting_lists(df, id_col, text_col).join(
+        F.broadcast(terms), "w", "left_semi"
+    )
+    dfreq = post.groupBy("w").agg(F.count("*").alias("df"))
+    stats = corpus_stats(df, id_col, text_col)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double")
+           + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    tf_norm = (tf * F.lit(k1 + 1.0)) / (
+        tf
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+    )
+    # weight multiplies INSIDE the quantization so weight=1.0 is the
+    # exact single-query value: fp(1.0 * x) == fp(x) bit-for-bit
+    scored = (
+        post.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(stats))
+        .join(
+            F.broadcast(queries.select("query_id", "w", "weight")), "w"
+        )
+        .select(
+            "query_id",
+            id_col,
+            _fp(F.col("weight").cast("double") * (idf * tf_norm)).alias(
+                "s_fp"
+            ),
+        )
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.sum("s_fp").alias("score_fp"),
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("score_fp").desc(), F.col(id_col)
+        )
+    )
+    return scored.withColumn("rank", rank).filter(F.col("rank") <= k)

@@ -203,3 +203,53 @@ def test_indexed_serving_matches_adhoc_and_prunes(spark, docs):
     # the df groupBy(w) must not introduce a w-keyed exchange: the
     # only hashpartitioning allowed is the final doc-keyed aggregation
     assert "hashpartitioning(w" not in plan, plan
+
+
+def test_batch_matches_single_queries_bit_exact(spark, docs, topk):
+    """bm25_batch with weight 1.0 must reproduce each single-query
+    ranking and every fixed-point score bit-for-bit (the weight
+    multiplies inside the quantization and 1.0*x is an IEEE identity);
+    and the whole batch runs as ONE job graph, not one per query."""
+    from gus_spark.operators.retrieval import bm25_batch
+
+    q2 = ["batch", "scan", "dup"]
+    queries = spark.createDataFrame(
+        [("qa", w, 1.0) for w in QUERY] + [("qb", w, 1.0) for w in q2],
+        "query_id string, w string, weight double",
+    )
+    got = bm25_batch(docs, queries, K).toPandas()
+    for qid, single in (("qa", QUERY), ("qb", q2)):
+        part = got[got["query_id"] == qid].sort_values("rank")
+        ref = bm25_topk(docs, single, K).toPandas()
+        assert part["doc_id"].tolist() == ref["doc_id"].tolist(), qid
+        assert part["score_fp"].tolist() == ref["score_fp"].tolist(), qid
+        assert part["rank"].tolist() == list(range(1, len(ref) + 1))
+
+
+def test_batch_weights_steer_ranking(spark, docs):
+    """Up-weighting a term must pull its postings to the top: with
+    weight 100 on the rare term vs 1 elsewhere, every rank-1..25 doc
+    contains it; with weight 0 the term contributes nothing (scores
+    equal the query without it)."""
+    from gus_spark.operators.retrieval import bm25_batch
+
+    queries = spark.createDataFrame(
+        [("up", "spark", 1.0), ("up", "dup", 100.0),
+         ("zero", "spark", 1.0), ("zero", "dup", 0.0),
+         ("without", "spark", 1.0)],
+        "query_id string, w string, weight double",
+    )
+    got = bm25_batch(docs, queries, 25).toPandas()
+    up = got[got["query_id"] == "up"]
+    dup_docs = {
+        r["doc_id"]
+        for r in docs.filter("text LIKE '%dup%'").select("doc_id").collect()
+    }
+    assert set(up["doc_id"]) == dup_docs
+    zero = got[got["query_id"] == "zero"].set_index("doc_id")["score_fp"]
+    without = got[got["query_id"] == "without"].set_index("doc_id")[
+        "score_fp"
+    ]
+    common = zero.index.intersection(without.index)
+    assert len(common) > 0
+    assert (zero[common] == without[common]).all()
