@@ -215,13 +215,36 @@ def dsir_select(
 # hashed feature tier — the fixed-model-size scale path
 
 
-def token_buckets(text: Column, buckets: int) -> Column:
-    """Per-doc array of hashed feature ids: xxhash64(token) % B,
-    JVM-side (the dedup family's one string->integer boundary)."""
-    return F.transform(
-        tokenize(text),
-        lambda w: F.pmod(F.xxhash64(w), F.lit(buckets)).cast("int"),
-    )
+def token_buckets(text: Column, buckets: int, ns: tuple[int, ...] = (1,)) -> Column:
+    """Per-doc array of hashed feature ids, one entry per n-gram
+    occurrence for each n in `ns`: for n=1, xxhash64(token) % B
+    (the dedup family's one string->integer boundary); for n>1 the
+    family's rotate-xor shingle combine (operators/dedup.shingle_hashes,
+    duplicates kept) modded into the same bucket space. The paper's
+    feature set is hashed unigrams+bigrams — ns=(1, 2); the default
+    stays unigram-only (cheaper, and the two tiers' agreement grades
+    were taken there)."""
+    arrays = []
+    for n in ns:
+        if n == 1:
+            arrays.append(
+                F.transform(
+                    tokenize(text),
+                    lambda w: F.pmod(
+                        F.xxhash64(w), F.lit(buckets)
+                    ).cast("int"),
+                )
+            )
+        else:
+            from gus_spark.operators.dedup import shingle_hashes
+
+            arrays.append(
+                F.transform(
+                    shingle_hashes(text, n),
+                    lambda h: F.pmod(h, F.lit(buckets)).cast("int"),
+                )
+            )
+    return arrays[0] if len(arrays) == 1 else F.concat(*arrays)
 
 
 def hashed_logratios(
@@ -229,6 +252,7 @@ def hashed_logratios(
     is_target: Column,
     buckets: int = 1 << 16,
     text_col: str = "text",
+    ns: tuple[int, ...] = (1,),
 ) -> np.ndarray:
     """B-dim int64 vector of quantized log ratios — the whole model.
     One bucket-keyed aggregation (<= B output rows at any corpus
@@ -249,7 +273,9 @@ def hashed_logratios(
         df.filter(F.col(text_col).isNotNull())
         .select(
             is_target.alias("_t"),
-            F.explode(token_buckets(F.col(text_col), buckets)).alias("b"),
+            F.explode(
+                token_buckets(F.col(text_col), buckets, ns)
+            ).alias("b"),
         )
         .groupBy("b")
         .agg(
@@ -277,6 +303,7 @@ def hashed_scores(
     llr_fp: np.ndarray,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ns: tuple[int, ...] = (1,),
 ) -> DataFrame:
     """(id_col, n_tokens, score_fp) with ZERO shuffles: bucket ids are
     computed JVM-side per row, the Arrow kernel sums llr_fp[bucket]
@@ -289,7 +316,7 @@ def hashed_scores(
     id_type = df.schema[id_col].dataType.simpleString()
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
-        token_buckets(F.col(text_col), buckets).alias("_bk"),
+        token_buckets(F.col(text_col), buckets, ns).alias("_bk"),
     )
 
     def kernel(batches):
@@ -334,6 +361,7 @@ def dsir_select_hashed(
     id_col: str = "doc_id",
     text_col: str = "text",
     temperature: float = 1.0,
+    ns: tuple[int, ...] = (1,),
 ) -> DataFrame:
     """The composed hashed tier: fixed-size model fit + zero-shuffle
     scoring + Gumbel-top-k. The Gumbel uniform is the same md5 cut as
@@ -341,8 +369,8 @@ def dsir_select_hashed(
     select (near-)identical sets — asserted in tests/test_dsir.py."""
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
-    model = hashed_logratios(df, is_target, buckets, text_col)
-    scored = hashed_scores(df, model, id_col, text_col)
+    model = hashed_logratios(df, is_target, buckets, text_col, ns)
+    scored = hashed_scores(df, model, id_col, text_col, ns)
     key = gumbel_key_fp(
         F.col("score_fp"), F.col(id_col), temperature
     ).alias("key_fp")

@@ -213,3 +213,34 @@ def test_hashed_scores_preserves_string_ids(spark):
     out = hashed_scores(pdf, model, id_col="url").toPandas()
     assert set(out["url"]) == {"u://a", "u://b"}
     assert out["score_fp"].dtype.kind == "i"
+
+
+def test_bigram_features_match_paper_form(spark, docs):
+    """ns=(1, 2) is the paper's hashed unigram+bigram feature set:
+    feature count per doc = tokens + bigram windows, fit/score remain
+    deterministic and rank-consistent (the en target still scores
+    above the rest on average), and ns=(1,) reproduces the unigram
+    tier exactly."""
+    uni = hashed_logratios(docs, IS_EN(), buckets=1 << 12)
+    uni2 = hashed_logratios(docs, IS_EN(), buckets=1 << 12, ns=(1,))
+    assert (uni == uni2).all()
+
+    model = hashed_logratios(docs, IS_EN(), buckets=1 << 12, ns=(1, 2))
+    sc = (
+        hashed_scores(docs, model, ns=(1, 2))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .toPandas()
+    )
+    # feature count: L unigrams + (L-1) bigrams = 2L - 1 (docs here
+    # are all >= 2 tokens so the short-doc fallback never fires)
+    uni_sc = hashed_scores(docs, uni).toPandas().set_index("doc_id")
+    got = sc.set_index("doc_id")
+    assert (
+        got["n_tokens"] == 2 * uni_sc["n_tokens"].reindex(got.index) - 1
+    ).all()
+    en = got[got["lang"] == "en"]["score_fp"].mean()
+    rest = got[got["lang"] != "en"]["score_fp"].mean()
+    assert en > rest
+    # deterministic across runs
+    again = hashed_scores(docs, model, ns=(1, 2)).toPandas()
+    assert sorted(again["score_fp"]) == sorted(sc["score_fp"])
