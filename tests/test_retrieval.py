@@ -253,3 +253,38 @@ def test_batch_weights_steer_ranking(spark, docs):
     common = zero.index.intersection(without.index)
     assert len(common) > 0
     assert (zero[common] == without[common]).all()
+
+
+def test_batch_is_one_postings_pass(spark, docs):
+    """The batch's cost claim: documents are scanned a CONSTANT number
+    of times (postings + corpus stats = 2 logical scans) regardless of
+    how many queries share the batch, the query side reaches the
+    postings via broadcast, and the per-query top-k is a window rank —
+    no cartesian stage anywhere."""
+    from gus_spark.operators.retrieval import bm25_batch
+
+    queries = spark.createDataFrame(
+        [(f"q{i}", w, 1.0) for i in range(50) for w in QUERY],
+        "query_id string, w string, weight double",
+    )
+    df = bm25_batch(docs, queries, 10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    # formatted plan names each scan twice (tree + detail header).
+    # 3 logical scans of documents: the postings subtree appears in
+    # BOTH the df-count branch and the scoring branch (Spark plans
+    # don't dedupe shared subtrees without an explicit cache), plus
+    # the 1-row corpus-stats aggregate. CONSTANT in the query count —
+    # the point of the batch (ad-hoc pays the same 3 per query).
+    docs_scans = plan.count("Scan parquet")
+    assert docs_scans == 6, (docs_scans, plan)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "Window" in plan, plan
+    # no Python in the SCORING path (the only 'Python' mention allowed
+    # is the test harness's own createDataFrame ingest of the tiny
+    # query batch, which prints as applySchemaToPythonRDD)
+    assert "BatchEvalPython" not in plan, plan
+    assert "PythonUDF" not in plan and "InPandas" not in plan, plan
