@@ -223,7 +223,19 @@ def token_buckets(text: Column, buckets: int, ns: tuple[int, ...] = (1,)) -> Col
     duplicates kept) modded into the same bucket space. The paper's
     feature set is hashed unigrams+bigrams — ns=(1, 2); the default
     stays unigram-only (cheaper, and the two tiers' agreement grades
-    were taken there)."""
+    were taken there).
+
+    Docs SHORTER than n contribute zero n-gram features for that n
+    (a 1-token doc under ns=(1, 2) is 1 unigram + 0 bigrams — the
+    paper's count). shingle_hashes' own short-doc fallback returns the
+    raw token hashes, which would land in the IDENTICAL buckets as the
+    n=1 features and silently double-count short docs' unigrams in
+    both fit and score — inflating exactly the docs Gumbel-top-k is
+    most sensitive about — so the fallback is gated off here."""
+    if not ns:
+        raise ValueError("ns must name at least one n-gram size")
+    if len(set(ns)) != len(ns) or any(n < 1 for n in ns):
+        raise ValueError(f"ns must be distinct positive sizes, got {ns}")
     arrays = []
     for n in ns:
         if n == 1:
@@ -238,11 +250,14 @@ def token_buckets(text: Column, buckets: int, ns: tuple[int, ...] = (1,)) -> Col
         else:
             from gus_spark.operators.dedup import shingle_hashes
 
+            grams = F.transform(
+                shingle_hashes(text, n),
+                lambda h: F.pmod(h, F.lit(buckets)).cast("int"),
+            )
             arrays.append(
-                F.transform(
-                    shingle_hashes(text, n),
-                    lambda h: F.pmod(h, F.lit(buckets)).cast("int"),
-                )
+                F.when(
+                    F.size(tokenize(text)) >= n, grams
+                ).otherwise(F.array().cast("array<int>"))
             )
     return arrays[0] if len(arrays) == 1 else F.concat(*arrays)
 

@@ -106,21 +106,11 @@ def _query_terms(query: list[str]) -> list[str]:
     return terms
 
 
-def _score_and_topk(
-    post: DataFrame,
-    stats: DataFrame,
-    k: int,
-    id_col: str,
-    k1: float,
-    b: float,
-) -> DataFrame:
-    """The shared Okapi scoring tail: matched postings (w, id, tf, dl)
-    + 1-row stats -> per-(doc,term) quantized scores -> doc sums ->
-    top-k. Used by both the ad-hoc (scan) and indexed (bucketed table)
-    entry points so the two serve bit-identical rankings."""
-    if k <= 0:
-        raise ValueError(f"k must be > 0, got {k}")
-    dfreq = post.groupBy("w").agg(F.count("*").alias("df"))
+def _okapi_expr(k1: float, b: float) -> Column:
+    """The Okapi idf * tf_norm expression over the joined posting
+    columns (tf, dl, df, n_docs, avgdl) — ONE definition shared by
+    every entry point (ad-hoc, indexed, batch), so the bit-exact
+    cross-path contracts cannot drift apart."""
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs").cast("double") - F.col("df").cast("double")
@@ -136,10 +126,28 @@ def _score_and_topk(
             + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
         )
     )
+    return idf * tf_norm
+
+
+def _score_and_topk(
+    post: DataFrame,
+    stats: DataFrame,
+    k: int,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The shared Okapi scoring tail: matched postings (w, id, tf, dl)
+    + 1-row stats -> per-(doc,term) quantized scores -> doc sums ->
+    top-k. Used by both the ad-hoc (scan) and indexed (bucketed table)
+    entry points so the two serve bit-identical rankings."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    dfreq = post.groupBy("w").agg(F.count("*").alias("df"))
     scored = (
         post.join(F.broadcast(dfreq), "w")
         .crossJoin(F.broadcast(stats))
-        .select(id_col, "w", _fp(idf * tf_norm).alias("s_fp"))
+        .select(id_col, "w", _fp(_okapi_expr(k1, b)).alias("s_fp"))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_terms_hit"),
@@ -303,56 +311,54 @@ def bm25_batch(
     `queries` is a (query_id, w, weight) DataFrame: one row per query
     term, weight scaling that term's contribution (weight 1.0
     reproduces `bm25_topk` for that query BIT-EXACTLY — multiplying
-    by 1.0 is an IEEE identity, asserted in tests). Returns
-    (query_id, id, n_terms_hit, score_fp, rank) with rank 1..k per
-    query by (score_fp desc, id).
+    by 1.0 is an IEEE identity, asserted in tests). Duplicate
+    (query_id, w) rows collapse to the MAX weight (the set semantics
+    `bm25_topk` applies to its term list); weight-0 rows are dropped
+    up front, so a zero-weighted term is EXACTLY equivalent to
+    removing it — it neither occupies result slots via zero-score
+    matches nor inflates n_terms_hit. An empty queries table returns
+    an empty result (relational semantics for a table input — unlike
+    the Python-list form, which raises). Returns (query_id, id,
+    n_terms_hit, score_fp, rank) with rank 1..k per query by
+    (score_fp desc, id).
 
     Shape: df(t) and idf(t) are corpus properties computed ONCE over
     the union of all query terms; the queries side is
-    query-batch-sized and broadcast, so the corpus-scaled work is one
-    postings pass + one (query_id, doc) aggregation + one per-query
-    top-k window — independent of how many queries share the batch.
-    The per-query k is a window rank over the (query_id)-keyed
-    exchange, not TakeOrderedAndProject (which is global-k only)."""
+    query-batch-sized and broadcast, so the corpus-scaled work is
+    CONSTANT in the batch size — physically three logical scans of the
+    corpus (the postings subtree feeds both the df-count and scoring
+    branches, Spark does not dedupe shared subtrees, plus the 1-row
+    stats aggregate; plan-asserted), where the ad-hoc path pays the
+    same three PER QUERY. Repeated batches over a static corpus
+    should serve from `build_posting_index` instead and pay the
+    postings build once ever. The per-query k is a window rank over
+    the (query_id)-keyed exchange, not TakeOrderedAndProject (which
+    is global-k only)."""
     from pyspark.sql import Window
 
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
-    terms = queries.select("w").distinct()
+    qterms = (
+        queries.filter(F.col("weight") != 0)
+        .groupBy("query_id", "w")
+        .agg(F.max(F.col("weight").cast("double")).alias("weight"))
+    )
+    terms = qterms.select("w").distinct()
     post = posting_lists(df, id_col, text_col).join(
         F.broadcast(terms), "w", "left_semi"
     )
     dfreq = post.groupBy("w").agg(F.count("*").alias("df"))
     stats = corpus_stats(df, id_col, text_col)
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs").cast("double") - F.col("df").cast("double")
-           + F.lit(0.5))
-        / (F.col("df").cast("double") + F.lit(0.5))
-    )
-    tf = F.col("tf").cast("double")
-    tf_norm = (tf * F.lit(k1 + 1.0)) / (
-        tf
-        + F.lit(k1)
-        * (
-            F.lit(1.0 - b)
-            + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
-        )
-    )
     # weight multiplies INSIDE the quantization so weight=1.0 is the
     # exact single-query value: fp(1.0 * x) == fp(x) bit-for-bit
     scored = (
         post.join(F.broadcast(dfreq), "w")
         .crossJoin(F.broadcast(stats))
-        .join(
-            F.broadcast(queries.select("query_id", "w", "weight")), "w"
-        )
+        .join(F.broadcast(qterms), "w")
         .select(
             "query_id",
             id_col,
-            _fp(F.col("weight").cast("double") * (idf * tf_norm)).alias(
-                "s_fp"
-            ),
+            _fp(F.col("weight") * _okapi_expr(k1, b)).alias("s_fp"),
         )
         .groupBy("query_id", id_col)
         .agg(

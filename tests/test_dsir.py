@@ -272,3 +272,28 @@ def test_two_corpus_fit_matches_subset_form(spark, docs):
     assert len(sc) == docs.count()
     with pytest.raises(ValueError):
         hashed_logratios_two(external.filter("doc_id < 0"), docs)
+
+
+def test_short_doc_bigram_features_are_paper_count(spark):
+    """A 1-token doc under ns=(1, 2) is 1 unigram + 0 bigrams — the
+    shingle fallback (raw token hashes for docs shorter than n) is
+    gated off, because those hashes land in the IDENTICAL buckets as
+    the n=1 features and would double-count exactly the short docs
+    Gumbel-top-k is most sensitive about."""
+    pdf = spark.createDataFrame(
+        [(1, "solo", "en"), (2, "two tokens", "en"),
+         (3, "three token doc", "de")],
+        "doc_id long, text string, lang string",
+    )
+    model = hashed_logratios(
+        pdf, F.col("lang") == "en", buckets=1 << 8, ns=(1, 2)
+    )
+    sc = hashed_scores(pdf, model, ns=(1, 2)).toPandas().set_index("doc_id")
+    # feature counts: L + max(L-1, 0)
+    assert sc.loc[1, "n_tokens"] == 1
+    assert sc.loc[2, "n_tokens"] == 3
+    assert sc.loc[3, "n_tokens"] == 5
+    with pytest.raises(ValueError):
+        hashed_logratios(pdf, F.col("lang") == "en", ns=())
+    with pytest.raises(ValueError):
+        hashed_logratios(pdf, F.col("lang") == "en", ns=(1, 1))

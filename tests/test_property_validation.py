@@ -1,7 +1,12 @@
 """Property-based tests (hypothesis) for the pure-Python validation
 layer — extending the reference's example-based matrix (SURVEY §5: the
 reference has no property/randomized testing) with generated inputs.
-No SparkSession needed: these run in milliseconds.
+
+The validation/codec properties need no SparkSession and run in
+milliseconds; the cross-engine TOKENIZATION properties at the bottom
+drive both Spark and DuckDB (they take the session `spark` fixture
+and cost ~40 s of per-example round-trips — the price of pinning the
+contract every text oracle stands on).
 """
 
 import json

@@ -246,13 +246,32 @@ def test_batch_weights_steer_ranking(spark, docs):
         for r in docs.filter("text LIKE '%dup%'").select("doc_id").collect()
     }
     assert set(up["doc_id"]) == dup_docs
-    zero = got[got["query_id"] == "zero"].set_index("doc_id")["score_fp"]
-    without = got[got["query_id"] == "without"].set_index("doc_id")[
-        "score_fp"
-    ]
-    common = zero.index.intersection(without.index)
-    assert len(common) > 0
-    assert (zero[common] == without[common]).all()
+    # weight 0 == the term was never in the query: IDENTICAL result
+    # frame (docs, scores, hit counts, ranks), not just common scores
+    zero = (
+        got[got["query_id"] == "zero"]
+        .drop(columns="query_id")
+        .reset_index(drop=True)
+    )
+    without = (
+        got[got["query_id"] == "without"]
+        .drop(columns="query_id")
+        .reset_index(drop=True)
+    )
+    assert zero.equals(without)
+    # duplicate (query_id, w) rows collapse to set semantics
+    dup_q = spark.createDataFrame(
+        [("d", "dup", 1.0), ("d", "dup", 1.0), ("d", "spark", 1.0)],
+        "query_id string, w string, weight double",
+    )
+    set_q = spark.createDataFrame(
+        [("d", "dup", 1.0), ("d", "spark", 1.0)],
+        "query_id string, w string, weight double",
+    )
+    a = bm25_batch(docs, dup_q, 10).toPandas()
+    c = bm25_batch(docs, set_q, 10).toPandas()
+    assert a["score_fp"].tolist() == c["score_fp"].tolist()
+    assert a["n_terms_hit"].tolist() == c["n_terms_hit"].tolist()
 
 
 def test_batch_is_one_postings_pass(spark, docs):
