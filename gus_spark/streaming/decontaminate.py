@@ -156,3 +156,139 @@ def decontaminate_stream(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def fuzzy_decontaminate_stream(
+    docs_stream: DataFrame,
+    bench: DataFrame,
+    state_dir: str,
+    out_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.7,
+    ngram: int = 1,
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    engine: str = "arrow",
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """The FUZZY companion stream (operators.decontaminate.
+    fuzzy_contamination applied per micro-batch): drop incoming
+    documents that are near-duplicates of a benchmark example — the
+    reformatted copies the exact gram gate waves through.
+
+    Same contract shape as `decontaminate_stream`: the benchmark side
+    is static, so its MinHash BAND table and exact-verification
+    SHINGLE-HASH SETS are computed once, persisted under ``state_dir``
+    and fingerprint-validated on every (re)start (a silent
+    ngram/benchmark mismatch would verify fresh docs against stale
+    sets and pass contaminated documents as clean). Per micro-batch:
+    the batch's signatures band and equi-join the persisted bench
+    bands (never all-pairs), collided pairs verify by exact Jaccard
+    over the persisted sets, and hits anti-join away — O(batch +
+    collisions) work per batch. ``threshold`` applies at VERIFY time,
+    so the same state_dir serves any threshold; ``ngram`` is baked
+    into the state and checked. Crash-replay follows the family
+    pattern: fingerprinted markers + publish-if-changed batch deltas.
+    """
+    from gus_spark.operators.dedup import (
+        _band_rows,
+        _shingle_sets,
+        minhash_signature,
+    )
+
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    os.makedirs(state_dir, exist_ok=True)
+    bands_path = os.path.join(state_dir, "bench_bands")
+    sets_path = os.path.join(state_dir, "bench_sets")
+    meta_path = os.path.join(state_dir, "fuzzy_meta.json")
+    bench_nn = bench.filter(F.col(bench_text_col).isNotNull())
+    cur_bands = _band_rows(
+        minhash_signature(
+            bench_nn, bench_id_col, bench_text_col, ngram, engine=engine
+        ),
+        bench_id_col,
+    ).withColumnRenamed(bench_id_col, "_bid").localCheckpoint()
+    cur_sets = (
+        _shingle_sets(bench_nn, bench_id_col, bench_text_col, ngram, engine)
+        .select(F.col(bench_id_col).alias("_bid"), F.col("ts").alias("_bts"))
+        .localCheckpoint()
+    )
+    fp_row = cur_bands.agg(
+        F.count("*").alias("rows"),
+        F.expr("bit_xor(hash(_bid, band_id, band_hash))").alias("fp"),
+    ).first()
+    sets_row = cur_sets.agg(
+        F.expr("bit_xor(hash(_bid, _bts))").alias("fp")
+    ).first()
+    meta = {
+        "ngram": ngram,
+        "rows": fp_row["rows"],
+        "fp_bands": int(fp_row["fp"] or 0),
+        "fp_sets": int(sets_row["fp"] or 0),
+    }
+    if os.path.exists(meta_path):
+        with open(meta_path, encoding="utf-8") as fh:
+            stored = json.load(fh)
+        if stored != meta:
+            raise ValueError(
+                f"state_dir {state_dir!r} holds fuzzy bench state for "
+                f"{stored}, but the current stream was configured with "
+                f"{meta} — a silent mismatch would pass contaminated "
+                "documents as clean. Use a fresh state_dir (or the "
+                "original ngram/benchmark)."
+            )
+    else:
+        cur_bands.write.mode("overwrite").parquet(bands_path)
+        cur_sets.write.mode("overwrite").parquet(sets_path)
+        with open(meta_path, "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        fp = markers.batch_fingerprint(batch_df, "doc_id")
+        if markers.check_marker(
+            state_dir, batch_id, fp, strict=True
+        ) == markers.SKIP:
+            return
+        spark = batch_df.sparkSession
+        bench_bands = spark.read.parquet(bands_path)
+        bench_sets = spark.read.parquet(sets_path)
+        batch_nn = batch_df.filter(F.col("text").isNotNull())
+        doc_bands = _band_rows(
+            minhash_signature(batch_nn, "doc_id", "text", ngram,
+                              engine=engine),
+            "doc_id",
+        ).withColumnRenamed("doc_id", "_did")
+        candidates = (
+            doc_bands.join(bench_bands, ["band_id", "band_hash"])
+            .select("_did", "_bid")
+            .distinct()
+        )
+        doc_sets = _shingle_sets(
+            batch_nn, "doc_id", "text", ngram, engine
+        ).select(F.col("doc_id").alias("_did"), F.col("ts").alias("_dts"))
+        inter = F.size(F.array_intersect(F.col("_dts"), F.col("_bts")))
+        union = F.size(F.col("_dts")) + F.size(F.col("_bts")) - inter
+        dirty = (
+            candidates.join(doc_sets, "_did")
+            .join(bench_sets, "_bid")
+            .filter((inter.cast("double") / union) >= threshold)
+            .select("_did")
+            .distinct()
+        )
+        clean = batch_df.join(
+            dirty, batch_df["doc_id"] == F.col("_did"), "left_anti"
+        )
+        markers.publish_batch(
+            clean, os.path.join(out_path, f"batch={batch_id}")
+        )
+        markers.write_marker(state_dir, batch_id, fp)
+
+    writer = docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -954,3 +954,94 @@ def test_streaming_pipeline_live_mode(spark, tmp_path):
         for r in spark.read.parquet(p.packed).collect()
     }
     assert got == want
+
+
+def test_streaming_fuzzy_decontamination_matches_batch(spark, tmp_path):
+    """The fuzzy companion stream: two micro-batches through
+    fuzzy_decontaminate_stream keep exactly the rows the batch
+    decontaminate_fuzzy() keeps (reformatted copies dropped, clean
+    docs survive), replay is a no-op, and state built under a
+    different ngram/benchmark is refused."""
+    import random
+
+    from gus_spark.operators.decontaminate import decontaminate_fuzzy
+    from gus_spark.streaming.decontaminate import (
+        fuzzy_decontaminate_stream,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"v{i}" for i in range(300)]
+    bench_rows = [
+        (200 + b, " ".join(rng.choice(vocab) for _ in range(60)))
+        for b in range(4)
+    ]
+    # docs 0..3: every-8th-token edits of the bench items (breaks all
+    # verbatim 13-grams, unigram Jaccard ~0.78); 10..19 clean
+    def edit(text):
+        return " ".join(
+            f"X{i}" if i % 8 == 7 else w
+            for i, w in enumerate(text.split())
+        )
+
+    docs_rows = [(b - 200, edit(t)) for b, t in bench_rows] + [
+        (10 + i, " ".join(rng.choice(vocab) for _ in range(60)))
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+
+    expected = {
+        tuple(r) for r in decontaminate_fuzzy(docs, bench).collect()
+    }
+    assert {r[0] for r in expected} == {10 + i for i in range(10)}
+
+    base = tmp_path / "fuzzy"
+    src = str(base / "in")
+    docs.filter(F.col("doc_id") < 10).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs.filter(F.col("doc_id") >= 10).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(base / "clean")
+    q = fuzzy_decontaminate_stream(
+        stream, bench, str(base / "state"), out, str(base / "ckpt")
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out).select(*docs.columns).collect()
+    }
+    assert got == expected
+
+    # replay with a fresh checkpoint: markers short-circuit
+    n = spark.read.parquet(out).count()
+    q2 = fuzzy_decontaminate_stream(
+        stream, bench, str(base / "state"), out, str(base / "ckpt2")
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n
+
+    # a different threshold REUSES the state (verify-time knob)
+    q3 = fuzzy_decontaminate_stream(
+        stream, bench, str(base / "state"), str(base / "clean2"),
+        str(base / "ckpt3"), threshold=0.95,
+    )
+    q3.awaitTermination()
+
+    # different ngram or benchmark must be refused
+    with pytest.raises(ValueError, match="state_dir"):
+        fuzzy_decontaminate_stream(
+            stream, bench, str(base / "state"), out,
+            str(base / "ckpt4"), ngram=2,
+        )
+    with pytest.raises(ValueError, match="state_dir"):
+        fuzzy_decontaminate_stream(
+            stream, bench.limit(2), str(base / "state"), out,
+            str(base / "ckpt5"),
+        )
