@@ -129,21 +129,23 @@ def _okapi_expr(k1: float, b: float) -> Column:
     return idf * tf_norm
 
 
-def _score_and_topk(
+def _score_postings(
     post: DataFrame,
+    dfreq: DataFrame,
     stats: DataFrame,
     k: int,
     id_col: str,
     k1: float,
     b: float,
 ) -> DataFrame:
-    """The shared Okapi scoring tail: matched postings (w, id, tf, dl)
-    + 1-row stats -> per-(doc,term) quantized scores -> doc sums ->
-    top-k. Used by both the ad-hoc (scan) and indexed (bucketed table)
-    entry points so the two serve bit-identical rankings."""
+    """The innermost Okapi scoring tail: matched postings
+    (w, id, tf, dl) + per-term (w, df) + 1-row stats -> per-(doc,term)
+    quantized scores -> doc sums -> top-k. ``dfreq`` is a parameter so
+    the live base+delta index (operators/posting_index.py) can supply
+    a df-count summed across its tiers while still sharing the exact
+    scoring expressions — the bit-exact cross-path contract."""
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
-    dfreq = post.groupBy("w").agg(F.count("*").alias("df"))
     scored = (
         post.join(F.broadcast(dfreq), "w")
         .crossJoin(F.broadcast(stats))
@@ -157,6 +159,22 @@ def _score_and_topk(
     return scored.orderBy(
         F.col("score_fp").desc(), F.col(id_col)
     ).limit(k)
+
+
+def _score_and_topk(
+    post: DataFrame,
+    stats: DataFrame,
+    k: int,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The shared Okapi scoring tail: matched postings (w, id, tf, dl)
+    + 1-row stats -> per-(doc,term) quantized scores -> doc sums ->
+    top-k. Used by both the ad-hoc (scan) and indexed (bucketed table)
+    entry points so the two serve bit-identical rankings."""
+    dfreq = post.groupBy("w").agg(F.count("*").alias("df"))
+    return _score_postings(post, dfreq, stats, k, id_col, k1, b)
 
 
 def bm25_topk(

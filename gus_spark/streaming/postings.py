@@ -1,0 +1,66 @@
+"""Streaming document ingest into the live BM25 posting index — the
+lexical twin of streaming.vectors (embeddings → VectorIndex) and
+streaming.neardup (documents → MinHashIndex).
+
+Each micro-batch costs O(batch): only the arriving documents are
+tokenized; the corpus postings are never read. A drained stream
+produces an index whose rankings are bit-identical to batch ``add``
+calls of the same rows (and, transitively, to the ad-hoc ``bm25_topk``
+over the full corpus — asserted in tests/test_posting_index.py).
+
+Replay protection is the family double-layer: each batch appends
+through ``index.add(batch_key=f"batch-{batch_id}")`` — a batch-keyed
+delta directory with publish-if-changed overwrite semantics, so a
+crash-replay republishes idempotently — plus the content-fingerprinted
+done-marker (streaming.markers) as the cheap skip, which also protects
+a REPLAY AFTER COMPACTION: once a compaction folds ``batch-<i>`` into
+the base, ``index.add`` would refuse that key (double-count guard),
+but the marker short-circuits the handler before add() runs, so
+checkpoint-replays over a compacted index drain cleanly.
+
+Compaction policy stays with the operator, like VectorIndex re-fit:
+call ``index.maintain()`` between stream runs (or from a scheduler) —
+a stream must never compact mid-drain, because a reader resolving the
+manifest between the swap and the marker write would be fine, but the
+single-writer assumption (one add OR one compact at a time) would not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from gus_spark.operators.posting_index import PostingIndex
+from gus_spark.streaming import markers
+
+
+def posting_index_stream(
+    docs_stream: DataFrame,
+    index: PostingIndex,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """Start draining ``docs_stream`` (the index's id/text columns)
+    into ``index``. The index must already be built — generation 0
+    needs a starting corpus (possibly empty: ``build`` on a filtered
+    empty frame is valid and every document then arrives as deltas)."""
+    index._read_meta()  # fail fast before any batch arrives
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        meta = index._read_meta()
+        fp = markers.batch_fingerprint(batch_df, meta["id_col"])
+        if markers.check_marker(
+            index.root, batch_id, fp, strict=True
+        ) == markers.SKIP:
+            return
+        if fp["n"] == 0:
+            markers.write_marker(index.root, batch_id, fp)
+            return
+        index.add(batch_df, batch_key=f"batch-{batch_id}")
+        markers.write_marker(index.root, batch_id, fp)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

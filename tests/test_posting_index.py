@@ -1,0 +1,174 @@
+"""Live BM25 posting index (operators/posting_index.py +
+streaming/postings.py).
+
+Contracts pinned here:
+- snapshot parity: build-on-half + two delta adds serve rankings
+  BIT-IDENTICAL to the ad-hoc `bm25_topk` over the full corpus (ids,
+  fixed-point scores), before AND after compaction, and again after
+  the catalog entry is dropped and re-registered from the manifest
+  (fresh-session path);
+- physical shape: the base scan stays bucket-pruned to the query
+  terms (SelectedBucketsCount < total) with deltas live, and with NO
+  deltas the plan has no term-keyed exchange at all (the static-index
+  zero-exchange df contract carries over);
+- idempotence + the double-count guard: re-`add` of a live batch key
+  changes nothing; re-`add` of a FOLDED key raises;
+- streaming ingest: two micro-batches through posting_index_stream
+  match the batch result, a fresh-checkpoint replay is a no-op via
+  the content-fingerprinted markers, and a replay AFTER compaction
+  drains cleanly (markers fire before the folded-key guard);
+- maintain() compacts only past the delta threshold; degenerate
+  inputs fail loudly.
+"""
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from conftest import SF_DIR_ORACLE
+
+from gus_spark.operators.posting_index import PostingIndex
+from gus_spark.operators.retrieval import bm25_topk
+from gus_spark.queries import table
+
+QUERY = ["spark", "join", "dup"]
+K = 25
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return table(spark, SF_DIR_ORACLE, "documents")
+
+
+def _ranking(df):
+    pdf = df.toPandas()
+    return list(zip(pdf["doc_id"].tolist(), pdf["score_fp"].tolist()))
+
+
+def test_build_add_compact_parity_and_pruning(spark, docs, tmp_path):
+    idx = PostingIndex(spark, str(tmp_path / "idx"))
+    idx.build(
+        docs.filter(F.col("doc_id") % 3 == 0), "pidx_a", n_buckets=8
+    )
+    idx.add(docs.filter(F.col("doc_id") % 3 == 1), batch_key="b1")
+    idx.add(docs.filter(F.col("doc_id") % 3 == 2), batch_key="b2")
+
+    want = _ranking(bm25_topk(docs, QUERY, K))
+    served = idx.topk(QUERY, K)
+    assert _ranking(served) == want
+
+    # base stays bucket-pruned with deltas live
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain(mode="formatted")
+    plan = buf.getvalue()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2)), plan
+
+    # idempotent replay of a live key: same delta republishes, totals
+    # and ranking unchanged
+    before = idx.stats()
+    idx.add(docs.filter(F.col("doc_id") % 3 == 2), batch_key="b2")
+    assert idx.stats() == before
+    assert _ranking(idx.topk(QUERY, K)) == want
+
+    # compaction folds to gen 1, parity holds, folded key refuses
+    st = idx.compact()
+    assert st["gen"] == 1 and st["n_deltas"] == 0 and st["n_folded"] == 2
+    assert _ranking(idx.topk(QUERY, K)) == want
+    with pytest.raises(ValueError, match="folded"):
+        idx.add(docs.filter(F.col("doc_id") % 3 == 2), batch_key="b2")
+
+    # zero-delta serving recovers the static-index zero-w-exchange df
+    served2 = idx.topk(QUERY, K)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served2.explain(mode="formatted")
+    plan2 = buf.getvalue()
+    assert "hashpartitioning(w" not in plan2, plan2
+
+    # fresh-session path: drop the catalog entry, manifest re-registers
+    spark.sql("DROP TABLE pidx_a_g1")
+    assert _ranking(idx.topk(QUERY, K)) == want
+
+
+def test_corpus_stats_track_additions(spark, docs, tmp_path):
+    idx = PostingIndex(spark, str(tmp_path / "idx"))
+    idx.build(docs.limit(0), "pidx_b", n_buckets=4)
+    with pytest.raises(ValueError, match="empty"):
+        idx.topk(QUERY, K)
+    idx.add(docs)
+    st = idx.stats()
+    full = PostingIndex(spark, str(tmp_path / "idx2"))
+    full.build(docs, "pidx_c", n_buckets=4)
+    assert st["n_docs"] == full.stats()["n_docs"]
+    assert st["avgdl"] == full.stats()["avgdl"]
+    assert _ranking(idx.topk(QUERY, K)) == _ranking(full.topk(QUERY, K))
+
+
+def test_streaming_ingest_matches_batch_and_replays(
+    spark, docs, tmp_path
+):
+    from gus_spark.streaming.postings import posting_index_stream
+
+    idx = PostingIndex(spark, str(tmp_path / "idx"))
+    idx.build(
+        docs.filter(F.col("doc_id") % 2 == 0), "pidx_d", n_buckets=8
+    )
+
+    src = str(tmp_path / "in")
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    odd.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    odd.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = posting_index_stream(stream, idx, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    want = _ranking(bm25_topk(docs, QUERY, K))
+    assert _ranking(idx.topk(QUERY, K)) == want
+    assert idx.stats()["n_deltas"] == 2
+
+    # fresh checkpoint over the unchanged source: markers skip both
+    q2 = posting_index_stream(stream, idx, str(tmp_path / "ckpt2"))
+    q2.awaitTermination()
+    assert idx.stats()["n_deltas"] == 2
+    assert _ranking(idx.topk(QUERY, K)) == want
+
+    # maintain(): below threshold no-op, above it folds
+    assert idx.maintain(max_deltas=16)["gen"] == 0
+    st = idx.maintain(max_deltas=1)
+    assert st["gen"] == 1 and st["n_deltas"] == 0
+
+    # replay AFTER compaction: the folded keys are now refused by
+    # add(), but the markers short-circuit first — clean drain
+    q3 = posting_index_stream(stream, idx, str(tmp_path / "ckpt3"))
+    q3.awaitTermination()
+    assert _ranking(idx.topk(QUERY, K)) == want
+
+
+def test_validation(spark, docs, tmp_path):
+    idx = PostingIndex(spark, str(tmp_path / "nothing"))
+    with pytest.raises(ValueError, match="build"):
+        idx.topk(QUERY, K)
+    with pytest.raises(ValueError, match="build"):
+        idx.add(docs)
+    built = PostingIndex(spark, str(tmp_path / "built"))
+    built.build(docs.limit(5), "pidx_e", n_buckets=2)
+    with pytest.raises(ValueError, match="at least one term"):
+        built.topk([], K)
+    with pytest.raises(ValueError, match="k must be"):
+        built.topk(QUERY, 0)
