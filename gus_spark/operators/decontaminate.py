@@ -198,6 +198,88 @@ def fuzzy_contamination(
     )
 
 
+def calibrate_fuzzy_ngram(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    max_ngram: int = 3,
+    collision_budget: float = 0.01,
+    sample: int = 64,
+    engine: str = "arrow",
+) -> int:
+    """The corpus-vocabulary guard for `fuzzy_contamination`: pick the
+    smallest shingle width ``n`` whose BACKGROUND band-collision
+    probability stays within ``collision_budget`` — smallest because
+    every +1 in n lowers the Jaccard of a true reformatted copy
+    (J ≈ (k−n)/(k+n) under every-k-th-token edits), so the least n
+    that keeps the candidate join sane catches the most contamination.
+
+    Why a guard is needed at all: on a corpus whose token vocabulary
+    is tiny relative to document length (this repo's synthetic
+    testdata: ~31 words), UNRELATED documents share most of their
+    unigram set, every pair band-collides, and the candidate join
+    degrades toward all-pairs — the one failure mode of the n=1
+    default, invisible until the shuffle explodes at scale.
+
+    Estimate: two deterministic ``sample``-row samples (lowest
+    xxhash64 of the id — no RNG, stable across runs/partitionings),
+    mean cross-pair shingle Jaccard ĵ at each n, and the family's
+    banding curve p = 1 − (1 − ĵ^r)^b (NUM_BANDS × ROWS_PER_BAND).
+    The first n with p ≤ budget wins; ``max_ngram`` is the fallback.
+    A handful of genuinely contaminated pairs inside sample² pairs
+    moves the mean negligibly. Cost: ≤ max_ngram jobs over sample²
+    pairs — corpus-size independent, so the guard itself is free at
+    100 TB. ``collision_budget`` is PER (doc, bench) PAIR: expected
+    extra candidates per corpus document ≈ budget × |bench|, so the
+    0.01 default keeps a 10⁴-item eval suite at ~100 stray candidates
+    per document worst case, while natural corpora (background
+    unigram J ≈ 0.1 from stopwords → p ≈ 0.003) still calibrate to
+    the standard n=1."""
+    from gus_spark.operators.dedup import (
+        NUM_BANDS,
+        ROWS_PER_BAND,
+        _shingle_sets,
+    )
+
+    if max_ngram < 1:
+        raise ValueError(f"max_ngram must be >= 1, got {max_ngram}")
+    d_s = (
+        docs.filter(F.col(text_col).isNotNull())
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample)
+        .localCheckpoint()
+    )
+    b_s = (
+        bench.filter(F.col(bench_text_col).isNotNull())
+        .orderBy(F.xxhash64(F.col(bench_id_col)))
+        .limit(sample)
+        .localCheckpoint()
+    )
+    for n in range(1, max_ngram + 1):
+        ds = _shingle_sets(d_s, id_col, text_col, n, engine).select(
+            F.col("ts").alias("_dts")
+        )
+        bs = _shingle_sets(
+            b_s, bench_id_col, bench_text_col, n, engine
+        ).select(F.col("ts").alias("_bts"))
+        inter = F.size(F.array_intersect(F.col("_dts"), F.col("_bts")))
+        union = F.size("_dts") + F.size("_bts") - inter
+        row = ds.crossJoin(bs).agg(
+            F.avg(
+                F.when(union > 0, inter.cast("double") / union)
+                .otherwise(F.lit(0.0))
+            ).alias("j")
+        ).first()
+        jbar = float(row["j"] or 0.0)
+        p = 1.0 - (1.0 - jbar**ROWS_PER_BAND) ** NUM_BANDS
+        if p <= collision_budget:
+            return n
+    return max_ngram
+
+
 def decontaminate_fuzzy(
     docs: DataFrame,
     bench: DataFrame,

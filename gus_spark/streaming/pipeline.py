@@ -3,6 +3,13 @@
     raw document stream
       → curation        (gates + exact dedup; persisted fp state)
       → decontamination (13-gram eval-overlap; persisted bench grams)
+      [→ fuzzy decontam.] (optional: MinHash near-dup match against
+                          the same benchmark — reformatted copies the
+                          exact gram gate waves through; persisted
+                          bench band/set state; enabled by passing
+                          ``fuzzy_ngram``, calibrate it with
+                          operators.decontaminate.calibrate_fuzzy_ngram
+                          on a corpus sample first)
       → chunk + pack    (sliding windows → stateful next-fit packing)
 
 Stages chain through file-source handoff — each stage's parquet
@@ -58,7 +65,10 @@ from pyspark.sql.types import StructType
 
 from gus_spark.operators.chunk import chunk_documents
 from gus_spark.streaming.curation import _OUT_COLS, curate_stream
-from gus_spark.streaming.decontaminate import decontaminate_stream
+from gus_spark.streaming.decontaminate import (
+    decontaminate_stream,
+    fuzzy_decontaminate_stream,
+)
 from gus_spark.streaming.packing import pack_stream
 
 
@@ -84,6 +94,8 @@ class CurationPipelineStream:
         max_files_per_trigger: int | None = None,
         ngram: int = 13,
         min_hits: int = 1,
+        fuzzy_ngram: int | None = None,
+        fuzzy_threshold: float = 0.7,
         chunk_tokens: int = 64,
         chunk_overlap: int = 8,
         seq_budget: int = 256,
@@ -101,9 +113,16 @@ class CurationPipelineStream:
         self.chunk_overlap = chunk_overlap
         self.seq_budget = seq_budget
         self.pack_shards = pack_shards
+        self.fuzzy_ngram = fuzzy_ngram
+        self.fuzzy_threshold = fuzzy_threshold
         self.curated = os.path.join(work_dir, "curated")
         self.clean = os.path.join(work_dir, "clean")
+        self.fuzzy_clean = os.path.join(work_dir, "fuzzy_clean")
         self.packed = os.path.join(work_dir, "packed")
+        # the packing stage consumes the LAST decontamination tier
+        self.pack_src = (
+            self.fuzzy_clean if fuzzy_ngram is not None else self.clean
+        )
 
     def _reader(self, path: str, schema: StructType):
         r = self.spark.readStream.schema(schema)
@@ -144,18 +163,36 @@ class CurationPipelineStream:
             min_hits=self.min_hits,
         ).awaitTermination()
 
+    def run_fuzzy(self) -> None:
+        """Stage 2b (optional): MinHash near-dup gate against the
+        benchmark, over the exact-decontaminated stream. No-op until
+        stage 2 committed anything, or when fuzzy_ngram is None."""
+        if self.fuzzy_ngram is None or not os.path.isdir(self.clean):
+            return
+        schema = self.spark.read.parquet(self.clean).schema
+        stream = self._reader(self.clean, schema).drop("batch")
+        fuzzy_decontaminate_stream(
+            stream,
+            self.bench,
+            os.path.join(self.work, "state2b"),
+            self.fuzzy_clean,
+            os.path.join(self.work, "ckpt2b"),
+            threshold=self.fuzzy_threshold,
+            ngram=self.fuzzy_ngram,
+        ).awaitTermination()
+
     def run_pack(self) -> None:
         """Stage 3: sliding-window chunking (stateless, fuses into the
         micro-batch scan) → stateful next-fit packing → exactly-once
         parquet sink."""
-        if not os.path.isdir(self.clean):
+        if not os.path.isdir(self.pack_src):
             return
         # include the batch partition key in the declared schema and
         # drop it ON THE STREAM (the run_decontaminate form): omitting
         # a partition column from a user schema doesn't exclude it —
         # Spark re-appends it to the reader output
-        schema = self.spark.read.parquet(self.clean).schema
-        stream = self._reader(self.clean, schema).drop("batch")
+        schema = self.spark.read.parquet(self.pack_src).schema
+        stream = self._reader(self.pack_src, schema).drop("batch")
         chunks = chunk_documents(
             stream,
             max_tokens=self.chunk_tokens,
@@ -181,6 +218,7 @@ class CurationPipelineStream:
         (availableNow) before the next reads its committed files."""
         self.run_curate()
         self.run_decontaminate()
+        self.run_fuzzy()
         self.run_pack()
 
     # ---- live mode -------------------------------------------------

@@ -22,6 +22,7 @@ def test_pipeline_end_to_end(spark, tmp_path):
     order = [
         "input_docs",
         "after_decontaminate",
+        "after_fuzzy_decontaminate",
         "after_neardup_dedup",
         "after_repetition_gate",
         "after_quality_gate",
@@ -30,7 +31,20 @@ def test_pipeline_end_to_end(spark, tmp_path):
     assert counts == sorted(counts, reverse=True)
     assert counts[-1] > 0
     # dedup actually removed near-duplicates on this corpus
-    assert stats["after_neardup_dedup"] < stats["after_decontaminate"]
+    assert stats["after_neardup_dedup"] < stats["after_fuzzy_decontaminate"]
+
+    # the vocabulary guard escalated past the degenerate unigram (this
+    # corpus's ~31-word vocab). The stage count is honestly UNCHANGED
+    # here: the only cross-corpus near-dups (J ≈ 0.97/0.99) are
+    # verbatim enough that the exact 13-gram gate already dropped them
+    # (standalone, fuzzy catches both — the 2b exact-substring honest-
+    # zero precedent); the reformatted-copy case fuzzy uniquely
+    # catches is planted and proven in test_streaming/test_decontam.
+    assert stats["fuzzy_ngram"] >= 2
+    assert (
+        stats["after_fuzzy_decontaminate"]
+        == stats["after_decontaminate"]
+    )
 
     # DSIR report: the en-target importance signal must be real —
     # target-language survivors score above the rest on average

@@ -5,6 +5,17 @@ them, from raw documents to packed training sequences.
     raw documents
       1. decontaminate      13-gram eval-overlap anti-join (src0 plays
                             the benchmark suite)
+      1b. fuzzy decontam.   MinHash near-dup match against the same
+                            benchmark — reformatted copies the exact
+                            gram gate waves through; shingle width
+                            auto-calibrated against the corpus
+                            vocabulary (calibrate_fuzzy_ngram). On
+                            THIS corpus the stat is honestly 0: the
+                            only cross-corpus near-dups (J ≈ .97/.99)
+                            are verbatim enough that stage 1 already
+                            dropped them (standalone, fuzzy catches
+                            both); the reformatted-copy case is
+                            planted and proven in the test suite
       2. near-dup dedup     MinHash+LSH pairs -> connected components
                             -> keep one representative per cluster
       2b. exact-substring   Lee et al. ExactSubstr: cut repeated
@@ -93,6 +104,26 @@ def run_pipeline(
     # 1. decontamination
     clean = decontaminate(corpus, bench, n=13).localCheckpoint()
     stats["after_decontaminate"] = clean.count()
+
+    # 1b. fuzzy decontamination: reformatted benchmark copies that
+    # break every verbatim 13-gram. The shingle width is CALIBRATED,
+    # not defaulted: on this synthetic corpus the unigram vocabulary
+    # is ~31 words, so unigram banding would bucket unrelated pairs
+    # together and degrade the candidate join toward all-pairs — the
+    # guard picks the smallest n whose background band-collision
+    # probability is within budget (n=2 here; natural corpora
+    # calibrate to the standard n=1). See calibrate_fuzzy_ngram.
+    from gus_spark.operators.decontaminate import (
+        calibrate_fuzzy_ngram,
+        decontaminate_fuzzy,
+    )
+
+    fuzzy_n = calibrate_fuzzy_ngram(clean, bench)
+    clean = decontaminate_fuzzy(
+        clean, bench, ngram=fuzzy_n
+    ).localCheckpoint()
+    stats["fuzzy_ngram"] = fuzzy_n
+    stats["after_fuzzy_decontaminate"] = clean.count()
 
     # 2. near-dup dedup: pairs -> components -> min-id representative
     pairs = minhash_lsh_pairs(
