@@ -284,7 +284,11 @@ def hashed_logratios(
     bucket collides (asserted in tests/test_dsir.py)."""
     if not 0 < buckets <= _MAX_BUCKETS:
         raise ValueError(f"buckets must be in (0, {_MAX_BUCKETS}]")
-    rows = (
+    # Arrow transfer (toPandas), not collect(): at _MAX_BUCKETS=2^24 a
+    # Row-object collect would build ~16M Python objects on the driver
+    # (GBs of overhead) vs three flat int64 columns here — the 8*B-byte
+    # model budget the docstring promises
+    pdf = (
         df.filter(F.col(text_col).isNotNull())
         .select(
             is_target.alias("_t"),
@@ -297,13 +301,13 @@ def hashed_logratios(
             F.count(F.when(F.col("_t"), 1)).alias("n_target"),
             F.count("*").alias("n_raw"),
         )
-        .collect()
+        .toPandas()
     )
     ct = np.zeros(buckets, dtype=np.int64)
     cr = np.zeros(buckets, dtype=np.int64)
-    for r in rows:
-        ct[r["b"]] = r["n_target"]
-        cr[r["b"]] = r["n_raw"]
+    b_idx = pdf["b"].to_numpy(dtype=np.int64)
+    ct[b_idx] = pdf["n_target"].to_numpy(dtype=np.int64)
+    cr[b_idx] = pdf["n_raw"].to_numpy(dtype=np.int64)
     if ct.sum() == 0:
         raise ValueError("target sample is empty — no tokens matched "
                          "is_target")
@@ -314,8 +318,8 @@ def _bucket_counts(
     df: DataFrame, buckets: int, text_col: str, ns: tuple[int, ...]
 ) -> np.ndarray:
     """B-dim occurrence counts for one corpus: one bucket-keyed agg,
-    <= B rows to the driver."""
-    rows = (
+    <= B rows to the driver as two flat Arrow int64 columns."""
+    pdf = (
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.explode(
@@ -324,11 +328,12 @@ def _bucket_counts(
         )
         .groupBy("b")
         .agg(F.count("*").alias("n"))
-        .collect()
+        .toPandas()
     )
     c = np.zeros(buckets, dtype=np.int64)
-    for r in rows:
-        c[r["b"]] = r["n"]
+    c[pdf["b"].to_numpy(dtype=np.int64)] = pdf["n"].to_numpy(
+        dtype=np.int64
+    )
     return c
 
 

@@ -52,6 +52,7 @@ this extends the SURVEY §2.3 training-data layer.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -153,6 +154,14 @@ class PostingIndex:
             self._drop_generation(old)
             for key in old["deltas"]:
                 shutil.rmtree(self._delta_path(key), ignore_errors=True)
+        # a fresh lineage invalidates every streaming done-marker: the
+        # marker's "output still holds this batch" promise refers to
+        # deltas this build just wiped, and a fresh stream checkpoint
+        # restarts batch ids at 0 — identical (id, fingerprint) pairs
+        # would SKIP and silently never re-add those docs (round-8
+        # review fix)
+        for m in glob.glob(os.path.join(self.root, "_batch-*.done")):
+            os.remove(m)
         post = posting_lists(df, id_col, text_col)
         n_docs, tok_sum = _corpus_totals(df, text_col)
         table = f"{name}_g0"

@@ -289,9 +289,28 @@ class CurationPipelineStream:
             processing_time=processing_time,
         )
 
-    def _start_pack_live(self, processing_time: str):
+    def _start_fuzzy_live(self, processing_time: str):
         schema = self.spark.read.parquet(self.clean).schema
         stream = self._reader(self.clean, schema).drop("batch")
+        return fuzzy_decontaminate_stream(
+            stream,
+            self.bench,
+            os.path.join(self.work, "state2b"),
+            self.fuzzy_clean,
+            os.path.join(self.work, "ckpt2b"),
+            threshold=self.fuzzy_threshold,
+            ngram=self.fuzzy_ngram,
+            processing_time=processing_time,
+        )
+
+    def _start_pack_live(self, processing_time: str):
+        # pack_src, NOT clean: with fuzzy enabled the packer must read
+        # the fuzzy-clean tier in BOTH modes — reading clean here would
+        # (a) pack documents that never passed the fuzzy gate and
+        # (b) point the shared ckpt3 file-source checkpoint at a
+        # different directory than run_pack uses (round-8 review fix)
+        schema = self.spark.read.parquet(self.pack_src).schema
+        stream = self._reader(self.pack_src, schema).drop("batch")
         chunks = chunk_documents(
             stream,
             max_tokens=self.chunk_tokens,
@@ -319,8 +338,9 @@ class CurationPipelineStream:
         timeout: float | None = 120.0,
         on_progress=None,
     ) -> dict:
-        """Run all three stages CONCURRENTLY on processing-time
-        triggers until the graph quiesces (every started stage reports
+        """Run every stage (curate → decon [→ fuzzy] → pack)
+        CONCURRENTLY on processing-time triggers until the graph
+        quiesces (every started stage reports
         no available data and no running trigger for ``idle_polls``
         consecutive polls, and every stage whose upstream committed
         data has started), then stop gracefully upstream-first.
@@ -331,9 +351,12 @@ class CurationPipelineStream:
 
         Downstream stages start LAZILY — a parquet file source needs
         committed files before its schema exists, so stage 2 starts at
-        the first curated commit and stage 3 at the first clean commit
-        (a pipeline whose gates drop everything simply never starts
-        them — and quiesces as all-idle).
+        the first curated commit, the optional fuzzy stage at the
+        first clean commit, and the packer at the first commit of its
+        actual source tier (fuzzy_clean when fuzzy is enabled, else
+        clean — the same pack_src contract as run()) — a pipeline
+        whose gates drop everything simply never starts them, and
+        quiesces as all-idle.
 
         Returns per-stage metrics accumulated across the whole run:
         ``{"stages": {name: {"batches", "rows_in", "last_trigger_ms"}},
@@ -350,6 +373,11 @@ class CurationPipelineStream:
         an external stop ends the run)."""
         queries: dict[str, object] = {"curate": None, "decon": None,
                                       "pack": None}
+        if self.fuzzy_ngram is not None:
+            # insertion order IS the graceful-stop order: fuzzy sits
+            # between decon (its upstream) and pack (its downstream)
+            queries = {"curate": None, "decon": None, "fuzzy": None,
+                       "pack": None}
         seen: dict[str, dict[int, dict]] = {k: {} for k in queries}
         # a stage's idle status only refreshes once per trigger, so an
         # idle window shorter than the trigger interval would quiesce
@@ -413,8 +441,16 @@ class CurationPipelineStream:
                     queries["decon"] = self._start_decontaminate_live(
                         processing_time
                     )
+                if (
+                    "fuzzy" in queries
+                    and queries["fuzzy"] is None
+                    and self._has_parquet(self.clean)
+                ):
+                    queries["fuzzy"] = self._start_fuzzy_live(
+                        processing_time
+                    )
                 if queries["pack"] is None and self._has_parquet(
-                    self.clean
+                    self.pack_src
                 ):
                     queries["pack"] = self._start_pack_live(
                         processing_time
@@ -427,8 +463,11 @@ class CurationPipelineStream:
                 pending_start = (
                     (queries["decon"] is None
                      and self._has_parquet(self.curated))
-                    or (queries["pack"] is None
+                    or ("fuzzy" in queries
+                        and queries["fuzzy"] is None
                         and self._has_parquet(self.clean))
+                    or (queries["pack"] is None
+                        and self._has_parquet(self.pack_src))
                 )
                 if not pending_start and all(
                     stage_idle(q) for q in queries.values()
@@ -452,7 +491,7 @@ class CurationPipelineStream:
             # (never leaked into the shared session), then re-raised
             # unless a body exception is already propagating.
             first_err: BaseException | None = None
-            for name in ("curate", "decon", "pack"):
+            for name in queries:  # insertion order = upstream-first
                 q = queries[name]
                 if q is None:
                     continue

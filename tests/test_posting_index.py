@@ -172,3 +172,45 @@ def test_validation(spark, docs, tmp_path):
         built.topk([], K)
     with pytest.raises(ValueError, match="k must be"):
         built.topk(QUERY, 0)
+
+
+def test_rebuild_clears_stale_stream_markers(spark, docs, tmp_path):
+    """Round-8 review (medium): build() over an existing root starts a
+    fresh lineage, which invalidates the streaming done-markers that
+    posting_index_stream wrote into index.root — a rebuild plus a
+    fresh checkpoint over the same source restarts batch ids at 0 with
+    identical content fingerprints, so stale markers would SKIP and
+    the documents would silently never reach the rebuilt index."""
+    from gus_spark.streaming.postings import posting_index_stream
+
+    root = str(tmp_path / "idx")
+    idx = PostingIndex(spark, root)
+    idx.build(
+        docs.filter(F.col("doc_id") % 2 == 0), "pidx_rb", n_buckets=8
+    )
+    src = str(tmp_path / "in")
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    odd.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    posting_index_stream(
+        stream, idx, str(tmp_path / "ckpt")
+    ).awaitTermination()
+    want = _ranking(bm25_topk(docs, QUERY, K))
+    assert _ranking(idx.topk(QUERY, K)) == want
+    assert os.path.exists(os.path.join(root, "_batch-0.done"))
+
+    # rebuild the same lineage shape, then re-drain the same source
+    # with a FRESH checkpoint: the stream must re-add the odd docs
+    idx.build(
+        docs.filter(F.col("doc_id") % 2 == 0), "pidx_rb2", n_buckets=8
+    )
+    assert not os.path.exists(os.path.join(root, "_batch-0.done"))
+    posting_index_stream(
+        stream, idx, str(tmp_path / "ckpt2")
+    ).awaitTermination()
+    assert idx.stats()["n_deltas"] == 1
+    assert _ranking(idx.topk(QUERY, K)) == want

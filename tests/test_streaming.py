@@ -1045,3 +1045,112 @@ def test_streaming_fuzzy_decontamination_matches_batch(spark, tmp_path):
             stream, bench.limit(2), str(base / "state"), out,
             str(base / "ckpt5"),
         )
+
+
+def test_streaming_pipeline_live_mode_with_fuzzy(spark, tmp_path):
+    """Round-8 review (high): with fuzzy_ngram set, run_live must (a)
+    actually run the fuzzy decontamination stage and (b) pack from the
+    fuzzy-clean tier — before the fix _start_pack_live read `clean`,
+    so contaminated near-duplicate benchmark copies reached the packed
+    output silently, and run()/run_live() pointed the shared ckpt3
+    file-source checkpoint at two different directories. Exercises the
+    MIXED mode the review called out: wave 1 drains through run(),
+    wave 2 through run_live() on the same work_dir; packed output must
+    be row-identical to the four-stage batch composition."""
+    from pyspark.sql import Window
+
+    from gus_spark.operators.chunk import chunk_documents, pack_sequences
+    from gus_spark.operators.decontaminate import (
+        decontaminate,
+        decontaminate_fuzzy,
+    )
+    from gus_spark.queries.curation import VAL_RESIDUE, profile_and_gate
+    from gus_spark.streaming import CurationPipelineStream
+
+    docs = table(spark, SF_DIR, "documents")
+    # benchmark = verbatim corpus docs (13-gram gate's prey) PLUS
+    # every-8th-token edits of OTHER corpus docs: the edits break all
+    # verbatim 13-grams (runs <= 7 tokens), so their curated originals
+    # pass the exact gate and only the fuzzy MinHash gate drops them
+    exact_bench = docs.filter(F.col("doc_id") % 97 == 3).select(
+        "doc_id", "text"
+    )
+    fuzzy_rows = [
+        (10_000 + r["doc_id"], " ".join(
+            f"Z{i}" if i % 8 == 7 else w
+            for i, w in enumerate(r["text"].split())
+        ))
+        for r in docs.filter(
+            (F.col("doc_id") % 50 == 7) & (F.col("doc_id") % 97 != 3)
+        ).select("doc_id", "text").collect()
+    ]
+    bench = exact_bench.unionByName(
+        spark.createDataFrame(fuzzy_rows, "doc_id long, text string")
+    )
+    params = dict(
+        ngram=13, min_hits=1, fuzzy_ngram=1, fuzzy_threshold=0.7,
+        chunk_tokens=16, chunk_overlap=4, seq_budget=48, pack_shards=4,
+    )
+
+    # ---- batch twin of the FOUR stages
+    w = Window.partitionBy("content_fp").orderBy("doc_id")
+    curated_b = (
+        profile_and_gate(docs)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id", "text",
+            F.when(F.col("doc_id") % 20 == VAL_RESIDUE, "val")
+            .otherwise("train").alias("split"),
+        )
+    )
+    clean_b = decontaminate(curated_b, bench, n=13, min_hits=1)
+    fuzzy_b = decontaminate_fuzzy(
+        clean_b, bench, ngram=1, threshold=0.7
+    )
+    n_clean, n_fuzzy = clean_b.count(), fuzzy_b.count()
+    # non-vacuous: the fuzzy gate drops docs the exact gate waved
+    # through — exactly the rows the pre-fix live packer leaked
+    assert n_fuzzy < n_clean, (n_fuzzy, n_clean)
+    chunks_b = chunk_documents(fuzzy_b, max_tokens=16, overlap=4)
+    want = {
+        (r.doc_id, r.chunk_index): (
+            r.chunk_text, r.n_chunk_tokens, r.shard, r.seq_id
+        )
+        for r in pack_sequences(chunks_b, budget=48, shards=4).collect()
+    }
+    assert want, "batch twin is vacuous"
+
+    # ---- wave 1 through the sequential drain
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    p = CurationPipelineStream(
+        spark, src, docs.schema, bench, str(tmp_path / "work"),
+        **params,
+    )
+    p.run()
+    assert p.pack_src == p.fuzzy_clean
+
+    # ---- wave 2 lands, then live mode resumes the same work_dir
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    metrics = p.run_live(
+        processing_time="1 second", poll=0.5, idle_polls=4,
+        timeout=600.0,
+    )
+    assert not metrics["timed_out"], metrics
+    stages = metrics["stages"]
+    assert set(stages) == {"curate", "decon", "fuzzy", "pack"}, stages
+    assert all(s["started"] for s in stages.values()), stages
+    assert stages["fuzzy"]["rows_in"] > 0, stages
+
+    got = {
+        (r.doc_id, r.chunk_index): (
+            r.chunk_text, r.n_chunk_tokens, r.shard, r.seq_id
+        )
+        for r in spark.read.parquet(p.packed).collect()
+    }
+    assert got == want

@@ -76,10 +76,13 @@ def main() -> None:
             docs, is_en, k=k, buckets=1 << b_log, temperature=0.0
         ).toPandas()
         h_ids = set(hashed["doc_id"])
+        # filter with the ids' NATIVE type — hashed_scores keeps the
+        # id column's input type, which may be string/UUID, and an
+        # int() cast would crash there (round-8 review fix)
         langs = {
             r["doc_id"]: r["lang"]
             for r in docs.select("doc_id", "lang")
-            .filter(F.col("doc_id").isin([int(x) for x in h_ids]))
+            .filter(F.col("doc_id").isin(list(h_ids)))
             .collect()
         }
         out[f"topk_overlap_b{1 << b_log}"] = round(
