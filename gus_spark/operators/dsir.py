@@ -27,7 +27,11 @@ Two tiers, same contract as the dedup family:
 - **Hashed feature tier** (the 100-TB path, `hashed_logratios` +
   `hashed_scores`): features are xxhash64(token) % B buckets, so the
   model is a FIXED B-dim int64 vector independent of vocabulary
-  growth. The fit is one bucket-keyed aggregation with <= B output
+  growth. B defaults to `auto_buckets` — derived from an
+  approx_count_distinct vocabulary estimate so the expected collision
+  PAIR count stays ~constant as the corpus grows (round 7's fixed
+  B=2^16 default measured 0.55 exact-tier agreement at sf10;
+  tools/dsir_grade.py). The fit is one bucket-keyed aggregation with <= B output
   rows; the driver holds only the B-dim vector (8*B bytes — 512 KiB at
   B=2^16), exactly the IVF-centroid precedent; scoring is a pure
   per-row Arrow kernel (`mapInPandas`) over JVM-computed bucket
@@ -215,23 +219,22 @@ def dsir_select(
 # hashed feature tier — the fixed-model-size scale path
 
 
-def token_buckets(text: Column, buckets: int, ns: tuple[int, ...] = (1,)) -> Column:
-    """Per-doc array of hashed feature ids, one entry per n-gram
-    occurrence for each n in `ns`: for n=1, xxhash64(token) % B
-    (the dedup family's one string->integer boundary); for n>1 the
-    family's rotate-xor shingle combine (operators/dedup.shingle_hashes,
-    duplicates kept) modded into the same bucket space. The paper's
-    feature set is hashed unigrams+bigrams — ns=(1, 2); the default
-    stays unigram-only (cheaper, and the two tiers' agreement grades
-    were taken there).
+def feature_hashes(text: Column, ns: tuple[int, ...] = (1,)) -> Column:
+    """Per-doc array of FULL-WIDTH (int64) feature hashes, one entry
+    per n-gram occurrence for each n in `ns`: xxhash64(token) for n=1
+    (the dedup family's one string->integer boundary), the family's
+    rotate-xor shingle combine (operators/dedup.shingle_hashes,
+    duplicates kept) for n>1. `token_buckets` mods these into the
+    model's bucket space; `auto_buckets` estimates the distinct-feature
+    count over them pre-mod (a bucketed count would saturate at B).
 
     Docs SHORTER than n contribute zero n-gram features for that n
     (a 1-token doc under ns=(1, 2) is 1 unigram + 0 bigrams — the
     paper's count). shingle_hashes' own short-doc fallback returns the
-    raw token hashes, which would land in the IDENTICAL buckets as the
-    n=1 features and silently double-count short docs' unigrams in
-    both fit and score — inflating exactly the docs Gumbel-top-k is
-    most sensitive about — so the fallback is gated off here."""
+    raw token hashes, which would collide with the n=1 features and
+    silently double-count short docs' unigrams in both fit and score —
+    inflating exactly the docs Gumbel-top-k is most sensitive about —
+    so the fallback is gated off here."""
     if not ns:
         raise ValueError("ns must name at least one n-gram size")
     if len(set(ns)) != len(ns) or any(n < 1 for n in ns):
@@ -240,32 +243,87 @@ def token_buckets(text: Column, buckets: int, ns: tuple[int, ...] = (1,)) -> Col
     for n in ns:
         if n == 1:
             arrays.append(
-                F.transform(
-                    tokenize(text),
-                    lambda w: F.pmod(
-                        F.xxhash64(w), F.lit(buckets)
-                    ).cast("int"),
-                )
+                F.transform(tokenize(text), lambda w: F.xxhash64(w))
             )
         else:
             from gus_spark.operators.dedup import shingle_hashes
 
-            grams = F.transform(
-                shingle_hashes(text, n),
-                lambda h: F.pmod(h, F.lit(buckets)).cast("int"),
-            )
             arrays.append(
                 F.when(
-                    F.size(tokenize(text)) >= n, grams
-                ).otherwise(F.array().cast("array<int>"))
+                    F.size(tokenize(text)) >= n, shingle_hashes(text, n)
+                ).otherwise(F.array().cast("array<bigint>"))
             )
     return arrays[0] if len(arrays) == 1 else F.concat(*arrays)
+
+
+def token_buckets(text: Column, buckets: int, ns: tuple[int, ...] = (1,)) -> Column:
+    """Per-doc array of hashed feature ids: `feature_hashes` modded
+    into B buckets. The paper's feature set is hashed unigrams+bigrams
+    — ns=(1, 2); the default stays unigram-only (cheaper, and the two
+    tiers' agreement grades were taken there)."""
+    return F.transform(
+        feature_hashes(text, ns),
+        lambda h: F.pmod(h, F.lit(buckets)).cast("int"),
+    )
+
+
+#: expected cross-feature collision PAIRS the auto-B derivation
+#: budgets for: E[pairs] ~= V^2 / (2B), so B = next_pow2(V^2 / (2*4)).
+#: Graded empirically (tools/dsir_grade.py): at sf10 (V~3100) the
+#: round-7 fixed default B=2^16 held 0.55 exact-tier selection
+#: agreement; B=2^20 (E[pairs]~4.6) recovered 0.925 — so a ~4-pair
+#: budget is where agreement re-enters the >=0.9 band.
+_PAIR_BUDGET = 4.0
+
+#: auto-B floor: never derive below the historical fixed default.
+_MIN_AUTO_BUCKETS = 1 << 16
+
+
+def auto_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    ns: tuple[int, ...] = (1,),
+    pair_budget: float = _PAIR_BUDGET,
+) -> int:
+    """Derive the hashed-feature width B from the corpus's own
+    vocabulary — the SemDeDup auto_k_cells pattern (similarity.py)
+    applied to the model width, closing round 7's one scale-fidelity
+    weak: a FIXED default B quietly loses exact-tier agreement as the
+    vocabulary grows (measured 1.0 → 0.55 across four decades at
+    B=2^16, tools/dsir_grade.py), because collisions are a birthday
+    bound in V, not a ratio.
+
+    One extra map-side pass: approx_count_distinct (HyperLogLog++,
+    partial-aggregated per partition, a 1-row final merge — no keyed
+    shuffle) over the full-width feature hashes estimates V, then
+    B = next_pow2(V^2 / (2 * pair_budget)) caps the EXPECTED number of
+    colliding feature pairs at ~pair_budget regardless of scale,
+    clamped to [2^16, _MAX_BUCKETS]. At the 2^24 ceiling (128 MiB of
+    int64 model — the documented driver/task budget) vocabularies
+    beyond ~sqrt(2 * pair_budget * 2^24) ~= 11.6k features degrade
+    gracefully instead of growing the model unboundedly; callers who
+    have measured their tolerance pass an explicit ``buckets`` int."""
+    if pair_budget <= 0:
+        raise ValueError(f"pair_budget must be > 0, got {pair_budget}")
+    v = int(
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(feature_hashes(F.col(text_col), ns)).alias("h")
+        )
+        .agg(F.approx_count_distinct("h").alias("v"))
+        .first()["v"]
+    )
+    need = max(1.0, (float(v) * float(v)) / (2.0 * float(pair_budget)))
+    b = _MIN_AUTO_BUCKETS
+    while b < need and b < _MAX_BUCKETS:
+        b <<= 1
+    return min(b, _MAX_BUCKETS)
 
 
 def hashed_logratios(
     df: DataFrame,
     is_target: Column,
-    buckets: int = 1 << 16,
+    buckets: int | None = None,
     text_col: str = "text",
     ns: tuple[int, ...] = (1,),
 ) -> np.ndarray:
@@ -281,7 +339,12 @@ def hashed_logratios(
     LENGTH that at B >> V dwarfs the ±few-nat real signal and reranks
     the corpus by -n_tokens. With occupied-bucket mass the two tiers
     estimate the same distributions and agree exactly wherever no
-    bucket collides (asserted in tests/test_dsir.py)."""
+    bucket collides (asserted in tests/test_dsir.py).
+
+    ``buckets=None`` (the default) derives B from the corpus via
+    `auto_buckets` — the scale-safe default; pass an int to pin it."""
+    if buckets is None:
+        buckets = auto_buckets(df, text_col, ns)
     if not 0 < buckets <= _MAX_BUCKETS:
         raise ValueError(f"buckets must be in (0, {_MAX_BUCKETS}]")
     # Arrow transfer (toPandas), not collect(): at _MAX_BUCKETS=2^24 a
@@ -349,7 +412,7 @@ def _llr_from_counts(ct: np.ndarray, cr: np.ndarray) -> np.ndarray:
 def hashed_logratios_two(
     target_df: DataFrame,
     raw_df: DataFrame,
-    buckets: int = 1 << 16,
+    buckets: int | None = None,
     target_text_col: str = "text",
     raw_text_col: str = "text",
     ns: tuple[int, ...] = (1,),
@@ -362,7 +425,10 @@ def hashed_logratios_two(
     produce the identical vector (asserted in tests). Tokens unseen in
     the raw side still get a finite ratio from add-1 smoothing, so
     scoring a crawl against an out-of-domain target never divides by
-    zero."""
+    zero. ``buckets=None`` derives B from the RAW side (the bigger
+    vocabulary — the scored corpus collisions actually land in)."""
+    if buckets is None:
+        buckets = auto_buckets(raw_df, raw_text_col, ns)
     if not 0 < buckets <= _MAX_BUCKETS:
         raise ValueError(f"buckets must be in (0, {_MAX_BUCKETS}]")
     ct = _bucket_counts(target_df, buckets, target_text_col, ns)
@@ -433,7 +499,7 @@ def dsir_select_hashed(
     df: DataFrame,
     is_target: Column,
     k: int,
-    buckets: int = 1 << 16,
+    buckets: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     temperature: float = 1.0,
@@ -442,7 +508,8 @@ def dsir_select_hashed(
     """The composed hashed tier: fixed-size model fit + zero-shuffle
     scoring + Gumbel-top-k. The Gumbel uniform is the same md5 cut as
     the exact tier, so at collision-free bucket counts the two tiers
-    select (near-)identical sets — asserted in tests/test_dsir.py."""
+    select (near-)identical sets — asserted in tests/test_dsir.py.
+    ``buckets=None`` derives B from the corpus (`auto_buckets`)."""
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
     model = hashed_logratios(df, is_target, buckets, text_col, ns)

@@ -390,3 +390,226 @@ def bm25_batch(
         )
     )
     return scored.withColumn("rank", rank).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# positional postings + phrase retrieval (round 8)
+#
+# (w, id, tf, dl) answers "which docs contain these TERMS"; forensics
+# ("which training docs leaked this eval question", the module's own
+# motivation above) often needs "which docs contain this exact PHRASE"
+# — an 8-token verbatim quote is invisible to the 13-gram
+# decontaminator (operators/decontaminate.py) and over-matched by
+# bag-of-words BM25. Positional postings close that gap.
+
+
+def posting_positions(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(w, id, positions, dl): one row per distinct (term, doc) with
+    the SORTED array of 0-based token positions — the positional
+    inverted index as a DataFrame. tf is size(positions), so this
+    strictly generalizes `posting_lists`; it costs the same explode
+    plus a collect_list in the same (w, id) aggregation. Materialize
+    bucketed by `w` (`build_positional_index`) for repeated-phrase
+    serving — the same layout contract as the BM25 index.
+
+    Token-array projection is isolated below the Generate boundary for
+    the same one-split-per-doc reason as `posting_lists`."""
+    arr = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        tokenize(F.col(text_col)).alias("_tk"),
+    )
+    toks = arr.select(
+        "_id",
+        F.size("_tk").cast("long").alias("dl"),
+        F.posexplode("_tk").alias("pos", "w"),
+    )
+    return (
+        toks.groupBy("w", "_id", "dl")
+        .agg(F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias(
+            "positions"
+        ))
+        .withColumnRenamed("_id", id_col)
+        .select(id_col, "w", "positions", "dl")
+    )
+
+
+def _phrase_occurrences(
+    post: DataFrame, phrase: list[str], id_col: str
+) -> DataFrame:
+    """(id, n_occurrences) over a positional posting table already
+    holding (w, id, positions): a doc matches where the intersection
+    of the phrase terms' position arrays — each shifted back by its
+    phrase offset — is non-empty; the intersection size IS the number
+    of distinct phrase start positions.
+
+    Shape: one id-keyed join per phrase position, each side pre-pruned
+    to a single term's postings (bucket-pruned on an indexed table),
+    with the running intersection filtered non-empty after every step
+    so dead candidates leave the pipeline as early as possible. Cost
+    follows docs CONTAINING the rarest prefix terms, never the corpus.
+    Repeated terms in the phrase are handled per-offset (the phrase
+    "the cat the" joins the 'the' postings twice at offsets 0 and 2)."""
+    if not phrase:
+        raise ValueError("phrase must contain at least one token")
+    acc = (
+        post.filter(F.col("w") == phrase[0])
+        .select(id_col, F.col("positions").alias("_starts"))
+    )
+    # closure factory, not a default-arg lambda: F.transform treats a
+    # TWO-parameter lambda as (element, array_index) — a `_j=j` default
+    # would silently receive the index column
+    def _shifted(j: int):
+        return F.transform("positions", lambda p: p - F.lit(j))
+
+    for j, term in enumerate(phrase[1:], start=1):
+        nxt = post.filter(F.col("w") == term).select(
+            id_col, _shifted(j).alias("_shift")
+        )
+        acc = (
+            acc.join(nxt, id_col)
+            .select(
+                id_col,
+                F.array_intersect("_starts", "_shift").alias("_starts"),
+            )
+            .filter(F.size("_starts") > 0)
+        )
+    return acc.select(
+        id_col, F.size("_starts").cast("long").alias("n_occurrences")
+    )
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_occurrences) for every document containing the exact
+    token sequence ``phrase`` — ad-hoc form (positional postings built
+    off the scan, pre-filtered to the phrase's distinct terms so the
+    (w, id) aggregation only ever sees phrase-term occurrences)."""
+    terms = sorted(set(phrase))
+    post = posting_positions(df, id_col, text_col).filter(
+        F.col("w").isin(terms)
+    )
+    return _phrase_occurrences(post, phrase, id_col)
+
+
+def phrase_topk(
+    df: DataFrame,
+    phrase: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by exact-phrase occurrence count,
+    (n_occurrences desc, id) — deterministic, TakeOrderedAndProject."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    return (
+        phrase_match(df, phrase, id_col, text_col)
+        .orderBy(F.col("n_occurrences").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def build_positional_index(
+    df: DataFrame,
+    name: str,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize `posting_positions` bucketed + sorted by term into
+    the session catalog — each phrase term's postings then scan only
+    that term's buckets (SelectedBucketsCount pruning, the BM25 index
+    contract), and the per-term filters never reshuffle."""
+    from gus_spark.operators.partitioning import write_bucketed
+
+    write_bucketed(
+        posting_positions(df, id_col, text_col),
+        name, "w", n_buckets=n_buckets, sort_by="w",
+    )
+
+
+def phrase_topk_indexed(
+    spark,
+    name: str,
+    phrase: list[str],
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serve a phrase query from a `build_positional_index`
+    materialization: identical result to the ad-hoc `phrase_topk`
+    (same occurrence counting over the same postings — asserted in
+    tests/test_retrieval.py).
+
+    Pins ``spark.sql.sources.bucketing.autoBucketedScan.enabled``
+    to false for the session: Spark's DisableUnnecessaryBucketedScan
+    rule converts a bucketed scan to a regular one whenever no
+    downstream operator needs the bucket DISTRIBUTION — and the
+    conversion also discards bucket PRUNING, which for a phrase query
+    (per-term filters, then id-keyed joins: nothing w-distributed
+    downstream) is the entire point of the index. Measured on this
+    exact shape: pruning present iff the rule is off; the BM25 index
+    path is unaffected either way because its df-count aggregates by
+    w. The trade is that non-pruned full scans of bucketed tables in
+    the same session keep one-task-per-bucket parallelism — every
+    bucketed table in this repo is built with >= core-count buckets,
+    so nothing regresses."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    post = spark.table(name).filter(
+        F.col("w").isin(sorted(set(phrase)))
+    )
+    return (
+        _phrase_occurrences(post, phrase, id_col)
+        .orderBy(F.col("n_occurrences").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sql_phrase_topk(
+    phrase: list[str],
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of `phrase_topk`: token positions via
+    generate_subscripts (0-based to match posexplode), one self-join
+    per phrase offset, COUNT(*) = distinct start positions. Exact
+    integer arithmetic end to end — no quantization escape class at
+    all on this surface."""
+    if not phrase:
+        raise ValueError("phrase must contain at least one token")
+
+    def q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    joins = "".join(
+        f"\n      JOIN toks t{j} ON t{j}.id = t0.id"
+        f" AND t{j}.pos = t0.pos + {j} AND t{j}.w = {q(t)}"
+        for j, t in enumerate(phrase[1:], start=1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS id,
+             UNNEST(string_split_regex(TRIM({text_col}), '\\s+')) AS w,
+             GENERATE_SUBSCRIPTS(
+               string_split_regex(TRIM({text_col}), '\\s+'), 1
+             ) - 1 AS pos
+      FROM {table} WHERE {text_col} IS NOT NULL)
+    SELECT t0.id AS {id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM toks t0{joins}
+    WHERE t0.w = {q(phrase[0])}
+    GROUP BY t0.id
+    ORDER BY n_occurrences DESC, {id_col}
+    LIMIT {k}
+    """

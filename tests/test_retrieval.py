@@ -307,3 +307,139 @@ def test_batch_is_one_postings_pass(spark, docs):
     # query batch, which prints as applySchemaToPythonRDD)
     assert "BatchEvalPython" not in plan, plan
     assert "PythonUDF" not in plan and "InPandas" not in plan, plan
+
+
+PHRASE = ["row", "column", "sort"]  # occurs verbatim in 7 sf0.01 docs
+
+
+def _python_phrase_counts(docs, phrase):
+    """From-scratch twin: sliding-window count of exact (possibly
+    overlapping) phrase occurrences per doc."""
+    out = {}
+    m = len(phrase)
+    for r in docs.select("doc_id", "text").collect():
+        if r["text"] is None:
+            continue
+        t = re.split(r"\s+", r["text"].strip())
+        n = sum(
+            1 for i in range(len(t) - m + 1) if t[i:i + m] == phrase
+        )
+        if n:
+            out[r["doc_id"]] = n
+    return out
+
+
+def test_phrase_matches_duckdb_and_python(docs):
+    """Exact-phrase retrieval parity three ways: the Spark positional
+    join, the DuckDB self-join twin, and a from-scratch sliding-window
+    count — identical (id, n_occurrences) sets, identical order."""
+    from gus_spark.operators.retrieval import phrase_topk, sql_phrase_topk
+
+    got = phrase_topk(docs, PHRASE, 50).toPandas()
+    expect = _python_phrase_counts(docs, PHRASE)
+    assert expect, "phrase probe is vacuous on this corpus"
+    want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert list(zip(got["doc_id"], got["n_occurrences"])) == want
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR_ORACLE}/documents.parquet'"
+    )
+    odf = con.execute(sql_phrase_topk(PHRASE, 50)).df()
+    assert frame_key(got) == frame_key(odf)
+
+
+def test_phrase_repeated_terms_and_overlaps(spark):
+    """Repeated phrase terms join their postings once PER OFFSET, and
+    overlapping occurrences all count: 'a b a b a' contains 'a b a' at
+    starts 0 and 2. DuckDB twin agrees."""
+    from gus_spark.operators.retrieval import phrase_topk, sql_phrase_topk
+
+    rows = [
+        (1, "a b a b a"),        # overlapping: starts 0 and 2
+        (2, "a b a"),            # single occurrence
+        (3, "a b b a"),          # terms present, phrase absent
+        (4, "b a a b"),          # terms present, phrase absent
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = phrase_topk(df, ["a", "b", "a"], 10).toPandas()
+    assert list(zip(got["doc_id"], got["n_occurrences"])) == [
+        (1, 2), (2, 1)
+    ]
+    con = duckdb.connect()
+    con.register("docs_py", df.toPandas())
+    odf = con.execute(
+        sql_phrase_topk(["a", "b", "a"], 10, table="docs_py")
+    ).df()
+    assert frame_key(got) == frame_key(odf)
+
+
+def test_phrase_indexed_matches_adhoc_and_prunes(spark, docs):
+    """build_positional_index + phrase_topk_indexed: identical result
+    to the ad-hoc path, and the base scan reads only the buckets
+    holding phrase terms (the BM25 index pruning contract carries
+    over to the positional table)."""
+    from gus_spark.operators.retrieval import (
+        build_positional_index,
+        phrase_topk,
+        phrase_topk_indexed,
+    )
+
+    build_positional_index(docs, "phrase_post", n_buckets=8)
+    served = phrase_topk_indexed(spark, "phrase_post", PHRASE, 50)
+    got = served.toPandas()
+    ref = phrase_topk(docs, PHRASE, 50).toPandas()
+    assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert (
+        got["n_occurrences"].tolist() == ref["n_occurrences"].tolist()
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain(mode="formatted")
+    plan = buf.getvalue()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) < int(m.group(2)), plan
+
+
+def test_phrase_forensics_catches_what_13gram_misses(spark):
+    """The module's own motivating forensics case: a training doc
+    quotes an 8-token eval question VERBATIM. The 13-gram
+    decontaminator (operators/decontaminate.py) cannot see any overlap
+    shorter than its n, so the doc sails through — exact-phrase
+    retrieval over positional postings pins it, with the quote's
+    position count as evidence."""
+    from gus_spark.operators.decontaminate import decontaminate
+    from gus_spark.operators.retrieval import phrase_match
+
+    quote = "what is the capital city of upper freedonia".split()
+    assert len(quote) < 13
+    train = spark.createDataFrame(
+        [
+            (1, "filler one " + " ".join(quote) + " trailing words"),
+            (2, "completely unrelated training text about engines"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, " ".join(quote))], "doc_id long, text string"
+    )
+    # the 13-gram gate keeps BOTH docs (no 13-token overlap exists)
+    survivors = decontaminate(train, bench, n=13, min_hits=1)
+    assert sorted(
+        r["doc_id"] for r in survivors.select("doc_id").collect()
+    ) == [1, 2]
+    # phrase retrieval convicts doc 1
+    hits = phrase_match(train, quote).toPandas()
+    assert list(zip(hits["doc_id"], hits["n_occurrences"])) == [(1, 1)]
+
+
+def test_phrase_degenerate_inputs(docs):
+    from gus_spark.operators.retrieval import phrase_topk
+
+    with pytest.raises(ValueError, match="phrase"):
+        phrase_topk(docs, [], 5)
+    with pytest.raises(ValueError, match="k"):
+        phrase_topk(docs, PHRASE, 0)

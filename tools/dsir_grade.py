@@ -15,9 +15,10 @@ Reported per (sf, B):
 - vocab, docs: corpus shape for context
 
 Run: python tools/dsir_grade.py [sf_dir] [k] [b_logs]
-b_logs is a comma list of log2 bucket counts (default "12,16,20" —
-every B value the COVERAGE grades cite is reproducible by running
-the tool as-is). Prints one JSON line.
+b_logs is a comma list of log2 bucket counts, with the literal entry
+"auto" grading the auto_buckets derivation (the round-8 default).
+Default "12,16,20,auto" — every B value the COVERAGE grades cite is
+reproducible by running the tool as-is. Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -38,12 +39,15 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     k = int(sys.argv[2]) if len(sys.argv) > 2 else K_DEFAULT
-    b_logs = [
-        int(x)
-        for x in (sys.argv[3] if len(sys.argv) > 3 else "12,16,20").split(",")
-    ]
+    b_specs = (
+        sys.argv[3] if len(sys.argv) > 3 else "12,16,20,auto"
+    ).split(",")
 
-    from gus_spark.operators.dsir import dsir_select, dsir_select_hashed
+    from gus_spark.operators.dsir import (
+        auto_buckets,
+        dsir_select,
+        dsir_select_hashed,
+    )
     from gus_spark.queries import table
     from gus_spark.session import get_spark
 
@@ -71,9 +75,16 @@ def main() -> None:
     out["k_effective"] = k_eff
     out["en_frac_exact"] = round(float((exact["lang"] == "en").mean()), 4)
 
-    for b_log in b_logs:
+    for spec in b_specs:
+        if spec.strip() == "auto":
+            b = auto_buckets(docs)
+            out["auto_b"] = b
+            tag = f"auto{b}"
+        else:
+            b = 1 << int(spec)
+            tag = str(b)
         hashed = dsir_select_hashed(
-            docs, is_en, k=k, buckets=1 << b_log, temperature=0.0
+            docs, is_en, k=k, buckets=b, temperature=0.0
         ).toPandas()
         h_ids = set(hashed["doc_id"])
         # filter with the ids' NATIVE type — hashed_scores keeps the
@@ -85,10 +96,10 @@ def main() -> None:
             .filter(F.col("doc_id").isin(list(h_ids)))
             .collect()
         }
-        out[f"topk_overlap_b{1 << b_log}"] = round(
+        out[f"topk_overlap_b{tag}"] = round(
             len(e_ids & h_ids) / k_eff, 4
         )
-        out[f"en_frac_hashed_b{1 << b_log}"] = round(
+        out[f"en_frac_hashed_b{tag}"] = round(
             sum(1 for i in h_ids if langs.get(i) == "en") / len(hashed), 4
         )
 
