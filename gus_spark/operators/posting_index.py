@@ -14,12 +14,26 @@ under one ``root`` directory:
   ``add`` batch, written with publish-if-changed overwrite semantics
   (streaming.markers.publish_batch) so a crash-replay of the same
   batch key is file-idempotent;
+- ``doclen-g<gen>/`` / ``doclen-<key>/`` — the per-document (id, dl)
+  sidecar for each tier: one row per doc, the index's own record of
+  document lengths, so ``delete`` can recover the exact totals of the
+  removed docs WITHOUT scanning the postings (the postings are
+  bucketed by term, not id — a per-id lookup there is a full scan);
+- ``tomb-<key>/``    — one small (id) directory per ``delete`` batch:
+  the TOMBSTONE tier. Serving anti-joins the (broadcast-small) union
+  of live tombstones against every posting tier and subtracts the
+  tombstoned totals from N/avgdl, so deleted docs stop scoring AND
+  stop influencing df/idf/avgdl the moment the manifest commits —
+  scores are bit-identical to a from-scratch rebuild without those
+  docs (asserted in tests). Compaction physically folds them away;
 - ``meta.json``      — the SNAPSHOT MANIFEST: current generation +
   base totals, the set of live delta keys with each delta's exact
-  (n_docs, tok_sum), and every key ever folded by a compaction.
-  Swapped with ``os.replace`` — readers resolve the manifest first,
-  so every read sees one consistent (base, deltas) snapshot and a
-  crash anywhere leaves only invisible orphans, never a half-state.
+  (n_docs, tok_sum), the set of live tombstone keys with each batch's
+  exact removed (n_docs, tok_sum), and every key ever folded by a
+  compaction. Swapped with ``os.replace`` — readers resolve the
+  manifest first, so every read sees one consistent (base, deltas,
+  tombstones) snapshot and a crash anywhere leaves only invisible
+  orphans, never a half-state.
 
 Why a manifest instead of the denormalized-stats trick the static
 index uses: corpus stats (N, avgdl) change on EVERY append, so stats
@@ -46,6 +60,17 @@ the folded-key check: re-``add`` of a batch key that a compaction has
 already folded into the base raises instead of double-counting (a
 live delta key just republishes idempotently).
 
+Deletes (round 8, VERDICT r7 #2): a curation pipeline REMOVES
+documents (dedup, decontamination), and an index that cannot forget
+them keeps counting ghosts in df/N/avgdl. ``delete(ids)`` tombstones
+them (batch-key idempotent, exactly the ``add`` replay contract);
+``compact`` folds tombstones into the rewrite. One asymmetry is
+deliberate: deleting an id and re-``add``-ing it while its tombstone
+is still live would serve the doc as deleted while the delta holds
+its postings — ``add`` pays one tiny count job (only when live
+tombstones exist) to refuse that, keeping the lineage's id space
+append-only between compactions.
+
 Reference surface: none — the reference engine has no search path;
 this extends the SURVEY §2.3 training-data layer.
 """
@@ -71,8 +96,9 @@ from gus_spark.operators.dedup import tokenize
 from gus_spark.streaming import markers
 
 #: manifest layout generation — bump on any incompatible change so a
-#: resumed writer fails loudly instead of misreading old state
-LAYOUT = 1
+#: resumed writer fails loudly instead of misreading old state.
+#: 2 (round 8): doclen sidecar tiers + tombstone deletes.
+LAYOUT = 2
 
 
 def _corpus_totals(
@@ -89,6 +115,16 @@ def _corpus_totals(
         ).alias("s"),
     ).first()
     return int(row["n"]), int(row["s"])
+
+
+def _doclens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, dl): one row per non-null-text document — the per-tier
+    doclen sidecar. dl is the same size(tokenize(...)) the postings
+    carry, so a delete's recovered totals are exact."""
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(tokenize(F.col(text_col))).cast("long").alias("dl"),
+    )
 
 
 class PostingIndex:
@@ -150,10 +186,18 @@ class PostingIndex:
         catalog). Rebuilding over an existing root starts a fresh
         lineage (old generations dropped)."""
         if self.fitted:
-            old = self._read_meta()
+            # raw read, no layout gate: build() IS the rebuild an old
+            # layout demands, so it must be able to clean one up
+            with open(self._meta_path, encoding="utf-8") as fh:
+                old = json.load(fh)
             self._drop_generation(old)
             for key in old["deltas"]:
                 shutil.rmtree(self._delta_path(key), ignore_errors=True)
+                shutil.rmtree(
+                    self._doclen_delta_path(key), ignore_errors=True
+                )
+            for key in old.get("tombs", {}):
+                shutil.rmtree(self._tomb_path(key), ignore_errors=True)
         # a fresh lineage invalidates every streaming done-marker: the
         # marker's "output still holds this batch" promise refers to
         # deltas this build just wiped, and a fresh stream checkpoint
@@ -166,6 +210,9 @@ class PostingIndex:
         n_docs, tok_sum = _corpus_totals(df, text_col)
         table = f"{name}_g0"
         self._write_base(post, table, 0, n_buckets)
+        _doclens(df, id_col, text_col).write.mode("overwrite").parquet(
+            self._doclen_base_path(0)
+        )
         self._write_meta({
             "layout": LAYOUT,
             "name": name,
@@ -182,6 +229,8 @@ class PostingIndex:
             "tok_sum": tok_sum,
             "deltas": {},
             "folded": [],
+            "tombs": {},
+            "folded_tombs": [],
         })
         return self.stats()
 
@@ -190,6 +239,30 @@ class PostingIndex:
 
     def _delta_path(self, key: str) -> str:
         return os.path.join(self.root, f"delta-{key}")
+
+    def _doclen_base_path(self, gen: int) -> str:
+        return os.path.join(self.root, f"doclen-g{gen}")
+
+    def _doclen_delta_path(self, key: str) -> str:
+        return os.path.join(self.root, f"doclen-{key}")
+
+    def _tomb_path(self, key: str) -> str:
+        return os.path.join(self.root, f"tomb-{key}")
+
+    def _live_doclens(self, meta: dict) -> DataFrame:
+        paths = [self._doclen_base_path(meta["gen"])] + [
+            self._doclen_delta_path(k) for k in meta["deltas"]
+        ]
+        return self.spark.read.parquet(*paths)
+
+    def _live_tombstones(self, meta: dict) -> DataFrame | None:
+        """Union of live tombstone ids, or None when there are none —
+        small by the compaction contract, so callers broadcast it."""
+        if not meta.get("tombs"):
+            return None
+        return self.spark.read.parquet(
+            *[self._tomb_path(k) for k in meta["tombs"]]
+        ).distinct()
 
     def _write_base(
         self, post: DataFrame, table: str, gen: int, n_buckets: int
@@ -206,6 +279,9 @@ class PostingIndex:
     def _drop_generation(self, meta: dict) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {meta['table']}")
         shutil.rmtree(self._base_path(meta["gen"]), ignore_errors=True)
+        shutil.rmtree(
+            self._doclen_base_path(meta["gen"]), ignore_errors=True
+        )
 
     def _ensure_table(self, meta: dict) -> None:
         """Re-register the external base table in a fresh session's
@@ -240,12 +316,98 @@ class PostingIndex:
                 "ingest's done-markers (streaming.postings) or a fresh "
                 "key."
             )
+        # the tombstone guard applies to NEW batches only: a replay of
+        # a committed key (key already in deltas) is the crash-replay
+        # path, whose ids may legitimately have been deleted since
+        tombs = (
+            None if key in meta["deltas"]
+            else self._live_tombstones(meta)
+        )
+        if tombs is not None:
+            id_col = meta["id_col"]
+            n_dead = (
+                docs.join(
+                    F.broadcast(tombs),
+                    docs[id_col] == tombs[id_col],
+                    "left_semi",
+                ).limit(1).count()
+            )
+            if n_dead:
+                raise ValueError(
+                    "add() received ids with LIVE tombstones in "
+                    f"{self.root!r}: a deleted id cannot be re-added "
+                    "until a compaction folds its tombstone away "
+                    "(serving would hide the new postings while the "
+                    "delta holds them). compact() first."
+                )
         post = posting_lists(
             docs, meta["id_col"], meta["text_col"]
         )
         n_docs, tok_sum = _corpus_totals(docs, meta["text_col"])
         markers.publish_batch(post, self._delta_path(key))
+        markers.publish_batch(
+            _doclens(docs, meta["id_col"], meta["text_col"]),
+            self._doclen_delta_path(key),
+        )
         meta["deltas"][key] = {"n_docs": n_docs, "tok_sum": tok_sum}
+        self._write_meta(meta)
+        return n_docs
+
+    # --------------------------------------------------------- delete
+    def delete(
+        self, ids, batch_key: str | None = None
+    ) -> int:
+        """Tombstone one batch of document ids (a list, or a DataFrame
+        whose ``id_col`` column holds them). O(doclen tier + batch):
+        the removed docs' exact (n_docs, tok_sum) come from the doclen
+        sidecar (one row per doc), never the postings. Ids absent from
+        the index — or already tombstoned by an earlier batch — are
+        ignored, so the recorded totals never double-subtract. Returns
+        the number of documents newly tombstoned.
+
+        Same replay contract as ``add``: with ``batch_key`` the delete
+        is idempotent (publish-if-changed tombstone dir + manifest
+        set-add; a committed key short-circuits), and a key already
+        folded by a compaction raises."""
+        import uuid
+
+        meta = self._read_meta()
+        key = batch_key if batch_key is not None else uuid.uuid4().hex
+        if key in meta["folded_tombs"]:
+            raise ValueError(
+                f"delete batch key {key!r} was already folded into "
+                f"base generation {meta['gen']} of {self.root!r}: "
+                "replaying it would re-subtract totals the base "
+                "already excludes. Use a fresh key."
+            )
+        if key in meta["tombs"]:
+            return meta["tombs"][key]["n_docs"]
+        id_col = meta["id_col"]
+        doclens = self._live_doclens(meta)
+        if not isinstance(ids, DataFrame):
+            id_field = doclens.schema[id_col]
+            ids = self.spark.createDataFrame(
+                [(i,) for i in ids],
+                schema=f"{id_col} {id_field.dataType.simpleString()}",
+            )
+        ids = ids.select(id_col).distinct()
+        matched = doclens.join(F.broadcast(ids), id_col, "left_semi")
+        prior = self._live_tombstones(meta)
+        if prior is not None:
+            matched = matched.join(
+                F.broadcast(prior),
+                matched[id_col] == prior[id_col],
+                "left_anti",
+            )
+        row = matched.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0).cast("long")).alias("s"),
+        ).first()
+        n_docs, tok_sum = int(row["n"]), int(row["s"])
+        markers.publish_batch(
+            matched.select(id_col), self._tomb_path(key)
+        )
+        meta["tombs"][key] = {"n_docs": n_docs, "tok_sum": tok_sum}
         self._write_meta(meta)
         return n_docs
 
@@ -263,12 +425,12 @@ class PostingIndex:
         terms = _query_terms(query)
         n_docs = meta["n_docs"] + sum(
             d["n_docs"] for d in meta["deltas"].values()
-        )
+        ) - sum(t["n_docs"] for t in meta["tombs"].values())
         if n_docs == 0:
             raise ValueError(f"posting index at {self.root!r} is empty")
         tok_sum = meta["tok_sum"] + sum(
             d["tok_sum"] for d in meta["deltas"].values()
-        )
+        ) - sum(t["tok_sum"] for t in meta["tombs"].values())
         # the same IEEE double division corpus_stats performs — Python
         # floats ARE binary64, so the quotient is bit-identical
         avgdl = float(tok_sum) / float(n_docs)
@@ -286,6 +448,21 @@ class PostingIndex:
                 *[self._delta_path(kk) for kk in meta["deltas"]]
             ).filter(F.col("w").isin(terms))
             tiers.append(delta)
+        tombs = self._live_tombstones(meta)
+        if tombs is not None:
+            # broadcast anti-join on the (small) tombstone set, AFTER
+            # the term filter so it touches matched rows only — and
+            # BEFORE the df-count, so deleted docs stop counting in
+            # idf exactly as a rebuild would drop them
+            tombs = tombs.withColumnRenamed(id_col, "_dead_id")
+            tiers = [
+                t.join(
+                    F.broadcast(tombs),
+                    F.col(id_col) == F.col("_dead_id"),
+                    "left_anti",
+                )
+                for t in tiers
+            ]
         # per-tier partial df (base side completes on the bucket
         # layout with no exchange), then the tiny re-aggregation
         partials = [
@@ -302,48 +479,83 @@ class PostingIndex:
 
     # ----------------------------------------------------- compaction
     def compact(self) -> dict:
-        """Fold every live delta into the next base generation: one
-        bucketed rewrite of all postings, manifest swapped atomically
-        to (gen+1, no deltas), then the old generation and delta dirs
-        are removed. A crash before the swap leaves an orphan staging
-        table readers never see; after it, orphan dirs the next
-        compaction ignores. Folded keys are recorded forever so a
-        late replay of a folded batch raises (see ``add``)."""
+        """Fold every live delta AND tombstone into the next base
+        generation: one bucketed rewrite of the surviving postings
+        (union of tiers, anti-joined against the tombstones), the
+        doclen sidecar rewritten the same way, manifest swapped
+        atomically to (gen+1, no deltas, no tombstones), then the old
+        generation, delta, doclen and tombstone dirs are removed. A
+        crash before the swap leaves an orphan staging table readers
+        never see; after it, orphan dirs the next compaction ignores.
+        Folded keys are recorded forever so a late replay of a folded
+        batch raises (see ``add`` / ``delete``)."""
         meta = self._read_meta()
         self._ensure_table(meta)
-        if not meta["deltas"]:
+        if not meta["deltas"] and not meta["tombs"]:
             return self.stats()
         all_post = self.spark.table(meta["table"])
-        delta = self.spark.read.parquet(
-            *[self._delta_path(kk) for kk in meta["deltas"]]
+        all_lens = self.spark.read.parquet(
+            self._doclen_base_path(meta["gen"])
         )
-        all_post = all_post.unionByName(delta)
+        if meta["deltas"]:
+            all_post = all_post.unionByName(self.spark.read.parquet(
+                *[self._delta_path(kk) for kk in meta["deltas"]]
+            ))
+            all_lens = all_lens.unionByName(self.spark.read.parquet(
+                *[self._doclen_delta_path(kk) for kk in meta["deltas"]]
+            ))
+        id_col = meta["id_col"]
+        tombs = self._live_tombstones(meta)
+        if tombs is not None:
+            dead = tombs.withColumnRenamed(id_col, "_dead_id")
+            cond = F.col(id_col) == F.col("_dead_id")
+            all_post = all_post.join(
+                F.broadcast(dead), cond, "left_anti"
+            )
+            all_lens = all_lens.join(
+                F.broadcast(dead), cond, "left_anti"
+            )
         gen = meta["gen"] + 1
         table = f"{meta['name']}_g{gen}"
         self._write_base(all_post, table, gen, meta["n_buckets"])
+        all_lens.write.mode("overwrite").parquet(
+            self._doclen_base_path(gen)
+        )
         folded_now = list(meta["deltas"])
+        folded_tombs_now = list(meta["tombs"])
         new_meta = dict(
             meta,
             gen=gen,
             table=table,
             n_docs=meta["n_docs"]
-            + sum(d["n_docs"] for d in meta["deltas"].values()),
+            + sum(d["n_docs"] for d in meta["deltas"].values())
+            - sum(t["n_docs"] for t in meta["tombs"].values()),
             tok_sum=meta["tok_sum"]
-            + sum(d["tok_sum"] for d in meta["deltas"].values()),
+            + sum(d["tok_sum"] for d in meta["deltas"].values())
+            - sum(t["tok_sum"] for t in meta["tombs"].values()),
             deltas={},
             folded=meta["folded"] + folded_now,
+            tombs={},
+            folded_tombs=meta["folded_tombs"] + folded_tombs_now,
         )
         self._write_meta(new_meta)
         self._drop_generation(meta)
         for key in folded_now:
             shutil.rmtree(self._delta_path(key), ignore_errors=True)
+            shutil.rmtree(
+                self._doclen_delta_path(key), ignore_errors=True
+            )
+        for key in folded_tombs_now:
+            shutil.rmtree(self._tomb_path(key), ignore_errors=True)
         return self.stats()
 
     def maintain(self, max_deltas: int = 16) -> dict:
-        """Compact when the live delta count exceeds ``max_deltas`` —
-        the VectorIndex.maintain policy applied to postings."""
+        """Compact when the live delta + tombstone count exceeds
+        ``max_deltas`` — the VectorIndex.maintain policy applied to
+        postings (tombstones count: each live one is a broadcast
+        anti-join every query pays)."""
         meta = self._read_meta()
-        if len(meta["deltas"]) > max_deltas:
+        if len(meta["deltas"]) + len(meta["tombs"]) > max_deltas:
             return self.compact()
         return self.stats()
 
@@ -352,14 +564,18 @@ class PostingIndex:
         meta = self._read_meta()
         n_docs = meta["n_docs"] + sum(
             d["n_docs"] for d in meta["deltas"].values()
-        )
+        ) - sum(t["n_docs"] for t in meta["tombs"].values())
         tok_sum = meta["tok_sum"] + sum(
             d["tok_sum"] for d in meta["deltas"].values()
-        )
+        ) - sum(t["tok_sum"] for t in meta["tombs"].values())
         return {
             "gen": meta["gen"],
             "n_docs": n_docs,
             "avgdl": (float(tok_sum) / float(n_docs)) if n_docs else 0.0,
             "n_deltas": len(meta["deltas"]),
             "n_folded": len(meta["folded"]),
+            "n_tombs": len(meta["tombs"]),
+            "tomb_docs": sum(
+                t["n_docs"] for t in meta["tombs"].values()
+            ),
         }

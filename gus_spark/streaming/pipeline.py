@@ -78,9 +78,18 @@ class CurationPipelineStream:
     Layout (all under work_dir):
       curated/   stage-1 output (batch=<id> partitions, text carried)
       clean/     stage-2 output (batch=<id> partitions)
+      fuzzy_clean/  optional stage-2b output (batch=<id> partitions)
       packed/    stage-3 output (exactly-once parquet sink)
-      state1/ state2/          persisted fp / bench-gram state
-      ckpt1/ ckpt2/ ckpt3/     per-stage streaming checkpoints
+      state1/ state2/ state2b/    persisted fp / bench-gram state
+      ckpt1/ ckpt2/ ckpt2b/ ckpt3/ ckpt4/  per-stage checkpoints
+
+    With ``index_root`` set, a live BM25 PostingIndex (its own
+    directory, usually OUTSIDE work_dir) consumes the same final tier
+    the packer reads: every curated+decontaminated document is
+    appended as an O(batch) delta and served with rankings
+    bit-identical to ``bm25_topk`` over the batch-equivalent corpus
+    (asserted in tests/test_streaming.py) — retrieval as a live
+    consumer, like VectorIndex for embeddings.
     """
 
     def __init__(
@@ -100,6 +109,10 @@ class CurationPipelineStream:
         chunk_overlap: int = 8,
         seq_budget: int = 256,
         pack_shards: int = 16,
+        index_root: str | None = None,
+        index_name: str = "live_postings",
+        index_buckets: int = 32,
+        index_max_deltas: int = 16,
     ) -> None:
         self.spark = spark
         self.src_path = src_path
@@ -123,6 +136,33 @@ class CurationPipelineStream:
         self.pack_src = (
             self.fuzzy_clean if fuzzy_ngram is not None else self.clean
         )
+        # optional live BM25 index over the SAME final tier: retrieval
+        # becomes a live consumer of the curated stream, like
+        # VectorIndex (VERDICT r7 #6)
+        self.index_root = index_root
+        self.index_name = index_name
+        self.index_buckets = index_buckets
+        self.index_max_deltas = index_max_deltas
+
+    def _ensure_index(self):
+        """The live PostingIndex under index_root, built (empty) on
+        first touch — generation 0 on zero docs is valid; every
+        curated document then arrives as a delta batch."""
+        from gus_spark.operators.posting_index import PostingIndex
+
+        idx = PostingIndex(self.spark, self.index_root)
+        if not idx.fitted:
+            types = {
+                f.name: f.dataType.simpleString()
+                for f in self.src_schema.fields
+            }
+            empty = self.spark.createDataFrame(
+                [], f"doc_id {types['doc_id']}, text {types['text']}"
+            )
+            idx.build(
+                empty, self.index_name, n_buckets=self.index_buckets
+            )
+        return idx
 
     def _reader(self, path: str, schema: StructType):
         r = self.spark.readStream.schema(schema)
@@ -213,6 +253,29 @@ class CurationPipelineStream:
             .awaitTermination()
         )
 
+    def run_index(self) -> None:
+        """Stage 4b (optional): drain the final decontaminated tier
+        into the live BM25 posting index (O(batch) per micro-batch via
+        delta appends), then fold deltas past the threshold. Runs as a
+        SIBLING of packing over the same pack_src tier. No-op when
+        index_root is unset or upstream committed nothing."""
+        if self.index_root is None or not os.path.isdir(self.pack_src):
+            return
+        from gus_spark.streaming.postings import posting_index_stream
+
+        idx = self._ensure_index()
+        schema = self.spark.read.parquet(self.pack_src).schema
+        stream = (
+            self._reader(self.pack_src, schema)
+            .drop("batch")
+            .select("doc_id", "text")
+        )
+        posting_index_stream(
+            stream, idx, os.path.join(self.work, "ckpt4")
+        ).awaitTermination()
+        # single-writer: compaction only between drains, never mid-add
+        idx.maintain(self.index_max_deltas)
+
     def run(self) -> None:
         """Drain the whole pipeline once: each stage runs to completion
         (availableNow) before the next reads its committed files."""
@@ -220,6 +283,7 @@ class CurationPipelineStream:
         self.run_decontaminate()
         self.run_fuzzy()
         self.run_pack()
+        self.run_index()
 
     # ---- live mode -------------------------------------------------
 
@@ -330,6 +394,23 @@ class CurationPipelineStream:
             .start()
         )
 
+    def _start_index_live(self, processing_time: str):
+        from gus_spark.streaming.postings import posting_index_stream
+
+        idx = self._ensure_index()
+        schema = self.spark.read.parquet(self.pack_src).schema
+        stream = (
+            self._reader(self.pack_src, schema)
+            .drop("batch")
+            .select("doc_id", "text")
+        )
+        return posting_index_stream(
+            stream,
+            idx,
+            os.path.join(self.work, "ckpt4"),
+            processing_time=processing_time,
+        )
+
     def run_live(
         self,
         processing_time: str = "500 milliseconds",
@@ -371,13 +452,16 @@ class CurationPipelineStream:
         events).
         ``timeout=None`` removes the deadline (deployment mode: only
         an external stop ends the run)."""
-        queries: dict[str, object] = {"curate": None, "decon": None,
-                                      "pack": None}
+        # insertion order IS the graceful-stop order: fuzzy sits
+        # between decon (its upstream) and pack; the index stage is a
+        # SIBLING of pack over the same tier, stopped last
+        names = ["curate", "decon"]
         if self.fuzzy_ngram is not None:
-            # insertion order IS the graceful-stop order: fuzzy sits
-            # between decon (its upstream) and pack (its downstream)
-            queries = {"curate": None, "decon": None, "fuzzy": None,
-                       "pack": None}
+            names.append("fuzzy")
+        names.append("pack")
+        if self.index_root is not None:
+            names.append("index")
+        queries: dict[str, object] = {n: None for n in names}
         seen: dict[str, dict[int, dict]] = {k: {} for k in queries}
         # a stage's idle status only refreshes once per trigger, so an
         # idle window shorter than the trigger interval would quiesce
@@ -455,6 +539,14 @@ class CurationPipelineStream:
                     queries["pack"] = self._start_pack_live(
                         processing_time
                     )
+                if (
+                    "index" in queries
+                    and queries["index"] is None
+                    and self._has_parquet(self.pack_src)
+                ):
+                    queries["index"] = self._start_index_live(
+                        processing_time
+                    )
                 snapshot = harvest()
                 if on_progress is not None:
                     on_progress(snapshot)
@@ -467,6 +559,9 @@ class CurationPipelineStream:
                         and queries["fuzzy"] is None
                         and self._has_parquet(self.clean))
                     or (queries["pack"] is None
+                        and self._has_parquet(self.pack_src))
+                    or ("index" in queries
+                        and queries["index"] is None
                         and self._has_parquet(self.pack_src))
                 )
                 if not pending_start and all(
@@ -507,6 +602,14 @@ class CurationPipelineStream:
                 except BaseException as ex:  # noqa: BLE001
                     if first_err is None:
                         first_err = ex
+            if (
+                first_err is None
+                and sys.exc_info()[0] is None
+                and queries.get("index") is not None
+            ):
+                # single-writer: fold index deltas only after the add
+                # stream has fully stopped, mirroring run_index()
+                self._ensure_index().maintain(self.index_max_deltas)
             if first_err is not None and sys.exc_info()[0] is None:
                 raise first_err
         return harvest()

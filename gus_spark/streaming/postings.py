@@ -38,11 +38,14 @@ def posting_index_stream(
     docs_stream: DataFrame,
     index: PostingIndex,
     checkpoint_path: str,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """Start draining ``docs_stream`` (the index's id/text columns)
     into ``index``. The index must already be built — generation 0
     needs a starting corpus (possibly empty: ``build`` on a filtered
-    empty frame is valid and every document then arrives as deltas)."""
+    empty frame is valid and every document then arrives as deltas).
+    ``processing_time`` switches from the drain trigger (availableNow)
+    to a live processing-time trigger — the pipeline's live mode."""
     index._read_meta()  # fail fast before any batch arrives
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -58,9 +61,11 @@ def posting_index_stream(
         index.add(batch_df, batch_key=f"batch-{batch_id}")
         markers.write_marker(index.root, batch_id, fp)
 
-    return (
-        docs_stream.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
+    writer = docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
     )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1154,3 +1154,83 @@ def test_streaming_pipeline_live_mode_with_fuzzy(spark, tmp_path):
         for r in spark.read.parquet(p.packed).collect()
     }
     assert got == want
+
+
+def test_streaming_pipeline_feeds_live_posting_index(spark, tmp_path):
+    """VERDICT r7 #6: with index_root set, the composed pipeline feeds
+    every curated+decontaminated document into a live BM25
+    PostingIndex — after two drains (the second with a fresh arrival
+    wave), BM25 over the live index must rank BIT-IDENTICALLY to the
+    ad-hoc bm25_topk over the batch-equivalent final corpus, and a
+    re-drain must not double-index anything. Second drain runs in
+    LIVE mode to cover both entry points against one checkpoint."""
+    from gus_spark.operators.decontaminate import decontaminate
+    from gus_spark.operators.posting_index import PostingIndex
+    from gus_spark.operators.retrieval import bm25_topk
+    from gus_spark.queries.curation import VAL_RESIDUE, profile_and_gate
+    from gus_spark.streaming import CurationPipelineStream
+    from pyspark.sql import Window
+
+    docs = table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 3).select(
+        "doc_id", "text"
+    )
+
+    # batch twin of the final (indexable) tier
+    w = Window.partitionBy("content_fp").orderBy("doc_id")
+    curated_b = (
+        profile_and_gate(docs)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id", "text",
+            F.when(F.col("doc_id") % 20 == VAL_RESIDUE, "val")
+            .otherwise("train").alias("split"),
+        )
+    )
+    clean_b = decontaminate(curated_b, bench, n=13, min_hits=1)
+    query = ["spark", "join", "dup"]
+
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    idx_root = str(tmp_path / "bm25_index")
+    p = CurationPipelineStream(
+        spark, src, docs.schema, bench, str(tmp_path / "work"),
+        ngram=13, min_hits=1, chunk_tokens=16, chunk_overlap=4,
+        seq_budget=48, pack_shards=4,
+        index_root=idx_root, index_name="pidx_live_pipe",
+        index_max_deltas=64,
+    )
+    p.run()
+    idx = PostingIndex(spark, idx_root)
+    wave1 = clean_b.filter(F.col("doc_id") < 250)
+
+    def ranking(df):
+        pdf = df.toPandas()
+        return list(zip(pdf["doc_id"], pdf["score_fp"]))
+
+    assert ranking(idx.topk(query, 25)) == ranking(
+        bm25_topk(wave1, query, 25)
+    )
+
+    # wave 2 + live-mode drain on the same work_dir/checkpoints
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    metrics = p.run_live(
+        processing_time="1 second", poll=0.5, idle_polls=4,
+        timeout=600.0,
+    )
+    assert not metrics["timed_out"], metrics
+    assert metrics["stages"]["index"]["started"], metrics
+    want = ranking(bm25_topk(clean_b, query, 25))
+    assert ranking(idx.topk(query, 25)) == want
+
+    # a third drain over an unchanged source: markers short-circuit,
+    # nothing double-indexes
+    st = idx.stats()
+    p.run()
+    assert idx.stats() == st
+    assert ranking(idx.topk(query, 25)) == want
