@@ -51,6 +51,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gus_spark.functions.tokenize import tokenize
+
 EOW = "</w>"
 
 
@@ -67,7 +69,7 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.filter(F.col(text_col).isNotNull())
         .select(
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            F.explode(tokenize(F.col(text_col))).alias(
                 "word"
             )
         )

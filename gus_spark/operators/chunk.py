@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gus_spark.functions.tokenize import tokenize
+
 
 def chunk_documents(
     df: DataFrame,
@@ -60,9 +62,7 @@ def chunk_documents(
             f"overlap must be in [0, max_tokens), got {overlap}"
         )
     step = max_tokens - overlap
-    tokens = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
-    )
+    tokens = tokenize(F.col(text_col), "words")
     toks = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), tokens.alias("_ws"))

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gus_spark.functions.tokenize import tokenize
+
 from gus_spark.operators.util import ensure_parallelism
 
 DEFAULT_N = 13  # the public reports' standard overlap width
@@ -39,7 +41,7 @@ DEFAULT_N = 13  # the public reports' standard overlap width
 def token_ngrams(text: Column, n: int = DEFAULT_N) -> Column:
     """Distinct space-joined token n-grams of ``text``; the whole
     token sequence when the document has fewer than ``n`` tokens."""
-    ws = F.split(F.trim(text), r"\s+")
+    ws = tokenize(text)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(ws) - (n - 1)),
         lambda i: F.array_join(F.slice(ws, i, n), " "),

@@ -81,7 +81,12 @@ _CHUNK_SHINGLES = 128 * 1024
 
 
 def tokenize(text: Column) -> Column:
-    return F.split(F.trim(text), r"\s+")
+    """The hash family's frozen 'raw' tokenizer — now a declared
+    variant of the single entry point (functions/tokenize.py); kept
+    here as the historical import site half the repo uses."""
+    from gus_spark.functions.tokenize import tokenize as _tok
+
+    return _tok(text, "raw")
 
 
 def shingles(text: Column, n: int = 1) -> Column:

@@ -59,6 +59,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gus_spark.functions.tokenize import tokenize
+
 #: resolution of the fractional hash cut: first 16 bits of md5(id).
 _CUT_BITS = 65536
 
@@ -67,7 +69,7 @@ def _n_tokens(text: Column) -> Column:
     """Whitespace token count — the curation family's convention
     (split(trim(text), '\\s+'); see queries/curation.py for the
     phantom-empty-token caveat the convention documents)."""
-    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+    return F.size(tokenize(text)).cast("long")
 
 
 def _weight_case(weights: dict[str, float], domain: Column) -> Column:

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gus_spark.functions.tokenize import tokenize
+
 NUM_FEATURES = 1 << 18
 
 
@@ -47,9 +49,7 @@ def heuristic_quality_label(
     # Spark trim() strips only ASCII spaces), or every ratio's
     # denominator is inflated by phantom tokens right at the gate
     # thresholds the distilled classifier learns from
-    toks = F.filter(
-        F.split(F.trim(text), r"\s+"), lambda w: w != ""
-    )
+    toks = tokenize(text, "words")
     n = F.size(toks)
     chars_per_word = F.length(text).cast("double") / n
     stop_hits = (

@@ -54,6 +54,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gus_spark.functions.tokenize import tokenize
+
 from gus_spark.operators.util import ensure_parallelism
 
 #: polynomial base: an odd 64-bit constant (splitmix64's increment) —
@@ -65,10 +67,7 @@ _CHUNK = 1 << 17  # windows hashed per numpy slice (bounds memory at k·1MB)
 
 
 def _tokens_and_hashes(df: DataFrame, id_col: str, text_col: str):
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"),
-        lambda w: w != "",
-    )
+    toks = tokenize(F.col(text_col), "words")
     return df.select(
         F.col(id_col).alias("_did"),
         toks.alias("_toks"),

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gus_spark.functions.tokenize import tokenize
+
 from gus_spark.queries import register, table
 from gus_spark.queries.text import _occurrences, _sql_occurrences
 
@@ -38,7 +40,7 @@ def profile_and_gate(d: DataFrame) -> DataFrame:
     streaming form (gus_spark.streaming.curation), so both gate
     identically by construction."""
     text = F.col("text")
-    tokens = F.split(F.trim(text), r"\s+")
+    tokens = tokenize(text)
     n_tokens = F.size(tokens).cast("long")
     en_hits = (
         _occurrences(text, " the ")

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gus_spark.functions.tokenize import tokenize
+
 from gus_spark.queries import register, table
 
 
@@ -78,7 +80,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = ensure_parallelism(table(spark, sf_dir, "documents"))
     text = F.col("text")
-    tokens = F.split(F.trim(text), r"\s+")
+    tokens = tokenize(text)
     n_tokens = F.size(tokens)
 
     def n_matches(pattern):
@@ -182,7 +184,7 @@ def text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(fr >= zh, "fr")
         .otherwise("zh")
     )
-    tokens = F.array_distinct(F.split(F.trim(text), r"\s+"))
+    tokens = F.array_distinct(tokenize(text))
     return scores.select(
         "doc_id",
         "lang",

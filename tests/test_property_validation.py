@@ -426,3 +426,47 @@ def test_tokenization_vertical_tab_divergence_is_real(spark):
     assert (
         _DUCK.execute("SELECT TRIM(?)", ["\xa0a\xa0"]).fetchone()[0] == "a"
     )
+
+
+@given(st.text(_tokenize_alphabet, max_size=40))
+@settings(max_examples=150, deadline=None)
+def test_tokenize_variants_agree_across_engines(spark, text):
+    """Round-8 unification: BOTH declared variants of the single
+    tokenize entry point (functions/tokenize.py) hold the cross-engine
+    contract — 'raw' against string_split_regex(TRIM(.)), 'words'
+    against the same with empties list_filter'ed out — and 'words' is
+    exactly 'raw' minus empty tokens (the only difference any gate is
+    allowed to depend on)."""
+    from pyspark.sql import functions as F
+
+    from gus_spark.functions.tokenize import tokenize
+
+    sdf = spark.createDataFrame([(text,)], "text string").select(
+        tokenize(F.col("text"), "raw").alias("raw"),
+        tokenize(F.col("text"), "words").alias("words"),
+    )
+    row = sdf.collect()[0]
+    raw, words = list(row["raw"]), list(row["words"])
+    assert words == [w for w in raw if w != ""]
+    d_raw = list(
+        _DUCK.execute(
+            "SELECT string_split_regex(TRIM(?), '\\s+')", [text]
+        ).fetchone()[0]
+    )
+    d_words = list(
+        _DUCK.execute(
+            "SELECT list_filter(string_split_regex(TRIM(?), '\\s+'),"
+            " w -> w <> '')", [text]
+        ).fetchone()[0]
+    )
+    assert raw == d_raw, (text.encode("unicode_escape"), raw, d_raw)
+    assert words == d_words
+
+
+def test_tokenize_unknown_variant_rejected(spark):
+    from pyspark.sql import functions as F
+
+    from gus_spark.functions.tokenize import tokenize
+
+    with pytest.raises(ValueError, match="variant"):
+        tokenize(F.lit("a b"), "bytes")
