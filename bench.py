@@ -6,12 +6,24 @@ Each query is forced end-to-end with the `noop` sink (full computation,
 no driver-side result serialization). The O(n²) all-pairs verification
 queries are excluded — their scalable twins (minhash LSH, ANN LSH) are
 benchmarked instead.
+
+MEASUREMENT PROTOCOL (round 8, VERDICT r7 "What's wrong #2"): each
+query runs in its OWN fresh JVM (a subprocess that builds its own
+SparkSession, warms once, then takes min-of-N), because a single-
+session sweep leaks JVM/GC/codegen-cache state between queries —
+SCALING.md:431-446 measured the same commit reading 53s in-sweep vs
+12.5s fresh for minhash at sf10, and round 7's headline total moved
++10% on nothing but sweep history. Timing starts INSIDE the
+subprocess after the session is warm, so JVM startup is excluded.
+Set SPARK_GRAFT_BENCH_MODE=sweep for the legacy shared-session sweep
+(the session-state story itself).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -45,9 +57,11 @@ HEADLINE = [
     # ADDED r7 (no rotation): the data-mixture materialization —
     # additive line; cross-round totals compare the shared subset.
     "mixture_sample_documents",
-    # ADDED late r7 (no rotation): DSIR importance resampling — the
-    # round's flagship new operator; additive line, same caveat.
+    # ADDED late r7 (no rotation): DSIR importance resampling.
     "dsir_select_documents",
+    # ADDED r8 (no rotation): exact-phrase retrieval over positional
+    # postings — additive line, same cross-round caveat.
+    "phrase_match_docs",
 ]
 
 
@@ -57,28 +71,69 @@ def bench_reps() -> int:
     breaking the one-line-JSON contract for downstream parsers.
     Default 3: round-5 profiling measured the same commit swinging
     ±15% run-to-run from host contention alone; min-of-3 absorbs most
-    of it for ~12 s of extra wall clock."""
+    of it."""
     return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+
+def time_one(name: str, sf_dir: str) -> float:
+    """Warm once, then min-of-N — called inside the per-query JVM."""
+    from gus_spark.queries import catalog
+    from gus_spark.session import get_spark
+
+    spark = get_spark(app_name=f"gus_spark-bench-{name}")
+    fn = catalog()[name].fn
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    best = float("inf")
+    for _ in range(bench_reps()):
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from gus_spark.queries import catalog
-    from gus_spark.session import get_spark
+    if len(sys.argv) > 2 and sys.argv[1] == "--one":
+        # child protocol: one query in this (fresh) JVM, one JSON line
+        print(json.dumps({"secs": time_one(sys.argv[2], sf_dir)}))
+        return
 
-    spark = get_spark(app_name="gus_spark-bench")
-    specs = catalog()
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "isolated")
     timings: dict[str, float] = {}
-    reps = bench_reps()
-    for name in HEADLINE:
-        fn = specs[name].fn
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
-        best = float("inf")
-        for _ in range(reps):  # min-of-N: absorbs codegen/JIT + host noise
-            t0 = time.time()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+    if mode == "sweep":  # legacy shared-session sweep
+        from gus_spark.queries import catalog
+        from gus_spark.session import get_spark
+
+        spark = get_spark(app_name="gus_spark-bench")
+        specs = catalog()
+        for name in HEADLINE:
+            fn = specs[name].fn
+            fn(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            best = float("inf")
+            for _ in range(bench_reps()):
+                t0 = time.time()
+                fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+    else:
+        for name in HEADLINE:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one",
+                 name],
+                capture_output=True,
+                text=True,
+                check=True,
+                env=os.environ,
+            )
+            line = [
+                ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")
+            ][-1]
+            timings[name] = round(json.loads(line)["secs"], 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -88,6 +143,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "protocol": (
+                    "fresh_jvm_per_query_min_of_%d" % bench_reps()
+                    if mode != "sweep" else "shared_session_sweep"
+                ),
             }
         )
     )

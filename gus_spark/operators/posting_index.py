@@ -88,8 +88,10 @@ from pyspark.sql import functions as F
 from gus_spark.operators.retrieval import (
     B,
     K1,
+    _query_term_table,
     _query_terms,
     _score_postings,
+    _score_postings_weighted,
     posting_lists,
 )
 from gus_spark.operators.dedup import tokenize
@@ -179,12 +181,20 @@ class PostingIndex:
         n_buckets: int = 32,
         id_col: str = "doc_id",
         text_col: str = "text",
+        positional: bool = False,
     ) -> dict:
         """Full build from the starting corpus: bucketed base table at
         generation 0, empty delta set. ``name`` must be unique per
         index (generation tables are ``<name>_g<gen>`` in the session
         catalog). Rebuilding over an existing root starts a fresh
-        lineage (old generations dropped)."""
+        lineage (old generations dropped).
+
+        ``positional=True`` stores the positional posting form
+        (id, w, positions, dl, tf — retrieval.posting_positions):
+        BM25 serving is unchanged (tf/dl ride the same rows; parquet
+        column-prunes the positions array away on BM25 reads) and
+        ``phrase_topk`` becomes available — exact-phrase forensics
+        over the LIVE corpus without a rescan."""
         if self.fitted:
             # raw read, no layout gate: build() IS the rebuild an old
             # layout demands, so it must be able to clean one up
@@ -206,7 +216,11 @@ class PostingIndex:
         # review fix)
         for m in glob.glob(os.path.join(self.root, "_batch-*.done")):
             os.remove(m)
-        post = posting_lists(df, id_col, text_col)
+        shutil.rmtree(
+            os.path.join(self.root, "_tomb_markers"),
+            ignore_errors=True,
+        )
+        post = self._posting_fn(positional)(df, id_col, text_col)
         n_docs, tok_sum = _corpus_totals(df, text_col)
         table = f"{name}_g0"
         self._write_base(post, table, 0, n_buckets)
@@ -227,12 +241,21 @@ class PostingIndex:
             ),
             "n_docs": n_docs,
             "tok_sum": tok_sum,
+            "positional": positional,
             "deltas": {},
             "folded": [],
             "tombs": {},
             "folded_tombs": [],
         })
         return self.stats()
+
+    @staticmethod
+    def _posting_fn(positional: bool):
+        if positional:
+            from gus_spark.operators.retrieval import posting_positions
+
+            return posting_positions
+        return posting_lists
 
     def _base_path(self, gen: int) -> str:
         return os.path.join(self.root, f"base-g{gen}")
@@ -340,7 +363,7 @@ class PostingIndex:
                     "(serving would hide the new postings while the "
                     "delta holds them). compact() first."
                 )
-        post = posting_lists(
+        post = self._posting_fn(meta.get("positional", False))(
             docs, meta["id_col"], meta["text_col"]
         )
         n_docs, tok_sum = _corpus_totals(docs, meta["text_col"])
@@ -421,8 +444,95 @@ class PostingIndex:
         exchange; deltas pay one small term-keyed shuffle; the tier
         df-counts sum in a <= 2x|query|-row re-aggregation."""
         meta = self._read_meta()
-        self._ensure_table(meta)
         terms = _query_terms(query)
+        post, dfreq, stats = self._snapshot(meta, terms)
+        return _score_postings(
+            post, dfreq, stats, k, meta["id_col"], k1, b
+        )
+
+    def batch_topk(
+        self,
+        queries: DataFrame,
+        k: int,
+        k1: float = K1,
+        b: float = B,
+    ) -> DataFrame:
+        """`bm25_batch` served from the live snapshot: one
+        bucket-pruned base read for the whole (query_id, w, weight)
+        batch, per-query top-k as a window rank — scores bit-identical
+        to the scan-path `bm25_batch` over the equivalent corpus and,
+        at weight 1.0, to `topk` (shared scoring tail; asserted in
+        tests). The distinct-term IN-list is collected from the
+        query-batch-sized table — a bounded driver collect, the price
+        of bucket pruning."""
+        meta = self._read_meta()
+        qterms = _query_term_table(queries)
+        terms = sorted(
+            r["w"] for r in qterms.select("w").distinct().collect()
+        )
+        if not terms:
+            spark = self.spark
+            return _score_postings_weighted(
+                spark.createDataFrame(
+                    [], f"w string, {meta['id_col']} long, tf long,"
+                    " dl long"
+                ),
+                spark.createDataFrame([], "w string, df long"),
+                spark.createDataFrame(
+                    [], "n_docs long, avgdl double"
+                ),
+                qterms, k, meta["id_col"], k1, b,
+            )
+        post, dfreq, stats = self._snapshot(meta, terms)
+        return _score_postings_weighted(
+            post, dfreq, stats, qterms, k, meta["id_col"], k1, b
+        )
+
+    def phrase_topk(self, phrase: list[str], k: int) -> DataFrame:
+        """Top-k documents by exact-phrase occurrence count over the
+        LIVE snapshot (base + deltas, tombstones excluded) — identical
+        result to the ad-hoc `retrieval.phrase_topk` over the
+        surviving corpus (asserted in tests). Requires an index built
+        with ``positional=True``.
+
+        Pins autoBucketedScan off for the session — same Spark-4.1
+        mechanics as `retrieval.phrase_topk_indexed`: the phrase
+        plan's id-keyed joins give the rule no w-distributed consumer,
+        and the conversion it then applies discards the bucket PRUNING
+        that makes an indexed phrase query cheap."""
+        from gus_spark.operators.retrieval import _phrase_occurrences
+
+        if k <= 0:
+            raise ValueError(f"k must be > 0, got {k}")
+        meta = self._read_meta()
+        if not meta.get("positional", False):
+            raise ValueError(
+                f"posting index at {self.root!r} was built without "
+                "positional=True — rebuild positional to serve phrase "
+                "queries"
+            )
+        self.spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+            "false",
+        )
+        terms = sorted(set(phrase))
+        if not terms:
+            raise ValueError("phrase must contain at least one token")
+        post, _dfreq, _stats = self._snapshot(meta, terms)
+        id_col = meta["id_col"]
+        return (
+            _phrase_occurrences(post, phrase, id_col)
+            .orderBy(F.col("n_occurrences").desc(), F.col(id_col))
+            .limit(k)
+        )
+
+    def _snapshot(
+        self, meta: dict, terms: list[str]
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(matched postings, per-term df, 1-row stats) for the current
+        (base, deltas, tombstones) snapshot — the tier assembly both
+        serving paths share."""
+        self._ensure_table(meta)
         n_docs = meta["n_docs"] + sum(
             d["n_docs"] for d in meta["deltas"].values()
         ) - sum(t["n_docs"] for t in meta["tombs"].values())
@@ -475,7 +585,7 @@ class PostingIndex:
         post = tiers[0]
         for t in tiers[1:]:
             post = post.unionByName(t)
-        return _score_postings(post, dfreq, stats, k, id_col, k1, b)
+        return post, dfreq, stats
 
     # ----------------------------------------------------- compaction
     def compact(self) -> dict:

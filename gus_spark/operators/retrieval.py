@@ -352,23 +352,51 @@ def bm25_batch(
     postings build once ever. The per-query k is a window rank over
     the (query_id)-keyed exchange, not TakeOrderedAndProject (which
     is global-k only)."""
-    from pyspark.sql import Window
-
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
-    qterms = (
-        queries.filter(F.col("weight") != 0)
-        .groupBy("query_id", "w")
-        .agg(F.max(F.col("weight").cast("double")).alias("weight"))
-    )
+    qterms = _query_term_table(queries)
     terms = qterms.select("w").distinct()
     post = posting_lists(df, id_col, text_col).join(
         F.broadcast(terms), "w", "left_semi"
     )
     dfreq = post.groupBy("w").agg(F.count("*").alias("df"))
     stats = corpus_stats(df, id_col, text_col)
-    # weight multiplies INSIDE the quantization so weight=1.0 is the
-    # exact single-query value: fp(1.0 * x) == fp(x) bit-for-bit
+    return _score_postings_weighted(
+        post, dfreq, stats, qterms, k, id_col, k1, b
+    )
+
+
+def _query_term_table(queries: DataFrame) -> DataFrame:
+    """(query_id, w, weight) normalized: zero weights dropped,
+    duplicate (query_id, w) collapsed to MAX weight — the batch form's
+    set semantics (see bm25_batch)."""
+    return (
+        queries.filter(F.col("weight") != 0)
+        .groupBy("query_id", "w")
+        .agg(F.max(F.col("weight").cast("double")).alias("weight"))
+    )
+
+
+def _score_postings_weighted(
+    post: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The weighted-batch Okapi scoring tail shared by the scan
+    (`bm25_batch`) and indexed (`bm25_batch_indexed`,
+    `PostingIndex.batch_topk`) entry points — one definition, so the
+    cross-path bit-parity contracts cannot drift. Weight multiplies
+    INSIDE the quantization so weight=1.0 is the exact single-query
+    value: fp(1.0 * x) == fp(x) bit-for-bit."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
     scored = (
         post.join(F.broadcast(dfreq), "w")
         .crossJoin(F.broadcast(stats))
@@ -392,6 +420,49 @@ def bm25_batch(
     return scored.withColumn("rank", rank).filter(F.col("rank") <= k)
 
 
+def bm25_batch_indexed(
+    spark,
+    name: str,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """`bm25_batch` served from a `build_posting_index`
+    materialization: zero tokenization, zero corpus scans — the one
+    postings read is bucket-pruned to the batch's distinct terms, the
+    df-count rides the bucket layout with no w-keyed exchange, and
+    the corpus stats come off the matched rows (denormalized at
+    build). Scores are bit-identical to the scan-path `bm25_batch`
+    and, at weight 1.0, to the single-query paths (shared scoring
+    tail; asserted in tests/test_retrieval.py).
+
+    The term IN-list is collected from the (query-batch-sized) table
+    — a bounded driver collect of distinct terms, the price of bucket
+    pruning (pruning needs literal values at planning time)."""
+    qterms = _query_term_table(queries)
+    terms = [
+        r["w"] for r in qterms.select("w").distinct().collect()
+    ]
+    if not terms:
+        return _score_postings_weighted(
+            spark.table(name).filter(F.lit(False)).drop(
+                "n_docs", "avgdl"
+            ),
+            spark.createDataFrame([], "w string, df long"),
+            spark.createDataFrame([], "n_docs long, avgdl double"),
+            qterms, k, id_col, k1, b,
+        )
+    post = spark.table(name).filter(F.col("w").isin(sorted(terms)))
+    stats = post.select("n_docs", "avgdl").limit(1)
+    post = post.drop("n_docs", "avgdl")
+    dfreq = post.groupBy("w").agg(F.count("*").alias("df"))
+    return _score_postings_weighted(
+        post, dfreq, stats, qterms, k, id_col, k1, b
+    )
+
+
 # ---------------------------------------------------------------------------
 # positional postings + phrase retrieval (round 8)
 #
@@ -406,13 +477,15 @@ def bm25_batch(
 def posting_positions(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(w, id, positions, dl): one row per distinct (term, doc) with
-    the SORTED array of 0-based token positions — the positional
-    inverted index as a DataFrame. tf is size(positions), so this
-    strictly generalizes `posting_lists`; it costs the same explode
-    plus a collect_list in the same (w, id) aggregation. Materialize
-    bucketed by `w` (`build_positional_index`) for repeated-phrase
-    serving — the same layout contract as the BM25 index.
+    """(id, w, positions, dl, tf): one row per distinct (term, doc)
+    with the SORTED array of 0-based token positions — the positional
+    inverted index as a DataFrame. tf is carried as size(positions)
+    (one expression over the same aggregation), so this strictly
+    generalizes `posting_lists`: the BM25 scoring tail runs unchanged
+    over it, and a parquet materialization column-prunes the positions
+    array away on pure-BM25 reads. Materialize bucketed by `w`
+    (`build_positional_index`, or PostingIndex(positional=True) for
+    the live form) for repeated-phrase serving.
 
     Token-array projection is isolated below the Generate boundary for
     the same one-split-per-doc reason as `posting_lists`."""
@@ -431,7 +504,10 @@ def posting_positions(
             "positions"
         ))
         .withColumnRenamed("_id", id_col)
-        .select(id_col, "w", "positions", "dl")
+        .select(
+            id_col, "w", "positions", "dl",
+            F.size("positions").cast("long").alias("tf"),
+        )
     )
 
 

@@ -298,3 +298,173 @@ def test_delete_dataframe_ids_and_empty(spark, docs, tmp_path):
     assert _ranking(idx.topk(QUERY, K)) == _ranking(
         bm25_topk(survivors, QUERY, K)
     )
+
+
+def test_batch_topk_matches_scan_batch_and_topk(spark, docs, tmp_path):
+    """batch_topk over the live snapshot (base + delta + tombstones):
+    bit-identical to the scan-path bm25_batch over the equivalent
+    surviving corpus, and at weight 1.0 to the index's own topk."""
+    from gus_spark.operators.retrieval import bm25_batch
+
+    idx = PostingIndex(spark, str(tmp_path / "idx"))
+    idx.build(
+        docs.filter(F.col("doc_id") % 2 == 0), "pidx_bt", n_buckets=8
+    )
+    idx.add(docs.filter(F.col("doc_id") % 2 == 1), batch_key="b1")
+    dead = [r["doc_id"] for r in docs.filter(
+        F.col("doc_id") % 13 == 2
+    ).select("doc_id").collect()]
+    idx.delete(dead, batch_key="d1")
+    corpus = docs.filter(~F.col("doc_id").isin(dead))
+
+    queries = spark.createDataFrame(
+        [("qa", w, 1.0) for w in QUERY]
+        + [("qb", "batch", 2.5), ("qb", "scan", 1.0)],
+        "query_id string, w string, weight double",
+    )
+    got = idx.batch_topk(queries, K).toPandas().sort_values(
+        ["query_id", "rank"]
+    )
+    ref = bm25_batch(corpus, queries, K).toPandas().sort_values(
+        ["query_id", "rank"]
+    )
+    for col in ("query_id", "doc_id", "n_terms_hit", "score_fp",
+                "rank"):
+        assert got[col].tolist() == ref[col].tolist(), col
+
+    qa = got[got["query_id"] == "qa"]
+    single = idx.topk(QUERY, K).toPandas()
+    assert qa["doc_id"].tolist() == single["doc_id"].tolist()
+    assert qa["score_fp"].tolist() == single["score_fp"].tolist()
+
+    # all-zero-weight batch: empty, not an error
+    zeroes = spark.createDataFrame(
+        [("qz", "spark", 0.0)],
+        "query_id string, w string, weight double",
+    )
+    assert idx.batch_topk(zeroes, K).count() == 0
+
+
+def test_streaming_tombstones_match_batch_and_replay(
+    spark, docs, tmp_path
+):
+    """posting_tombstone_stream: two delete micro-batches leave the
+    index ranking bit-identical to the ad-hoc BM25 over the surviving
+    corpus; a fresh-checkpoint replay is a no-op (disjoint tombstone
+    marker namespace — the add stream's markers must not cross-skip);
+    a replay AFTER compaction drains cleanly."""
+    from gus_spark.streaming.postings import (
+        posting_index_stream,
+        posting_tombstone_stream,
+    )
+
+    idx = PostingIndex(spark, str(tmp_path / "idx"))
+    idx.build(
+        docs.filter(F.col("doc_id") % 2 == 0), "pidx_ts", n_buckets=8
+    )
+    # ingest the odd docs through the ADD stream first, so both
+    # streams' batch-0 markers coexist under one root
+    src_add = str(tmp_path / "add")
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_add)
+    add_stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_add)
+    )
+    posting_index_stream(
+        add_stream, idx, str(tmp_path / "ckpt_add")
+    ).awaitTermination()
+
+    dead = docs.filter(F.col("doc_id") % 9 == 4).select("doc_id")
+    src = str(tmp_path / "dead_ids")
+    dead.filter(F.col("doc_id") < 250).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    dead.filter(F.col("doc_id") >= 250).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(dead.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    posting_tombstone_stream(
+        stream, idx, str(tmp_path / "ckpt")
+    ).awaitTermination()
+
+    survivors = docs.join(dead, "doc_id", "left_anti")
+    want = _ranking(bm25_topk(survivors, QUERY, K))
+    assert _ranking(idx.topk(QUERY, K)) == want
+    assert idx.stats()["n_tombs"] == 2
+
+    # fresh checkpoint over the unchanged id source: markers skip
+    st = idx.stats()
+    posting_tombstone_stream(
+        stream, idx, str(tmp_path / "ckpt2")
+    ).awaitTermination()
+    assert idx.stats() == st
+    assert _ranking(idx.topk(QUERY, K)) == want
+
+    # compaction folds the tombstones; a later replay still drains
+    # (markers fire before the folded-key guard)
+    assert idx.compact()["n_tombs"] == 0
+    posting_tombstone_stream(
+        stream, idx, str(tmp_path / "ckpt3")
+    ).awaitTermination()
+    assert _ranking(idx.topk(QUERY, K)) == want
+
+
+def test_positional_index_serves_bm25_and_phrases(
+    spark, docs, tmp_path
+):
+    """positional=True: ONE live index serves both surfaces — BM25
+    rankings stay bit-identical to bm25_topk (tf/dl ride the same
+    rows; the positions array is column-pruned off BM25 reads), and
+    phrase_topk over the live snapshot (build + add + delete) matches
+    the ad-hoc retrieval.phrase_topk over the surviving corpus,
+    before and after compaction."""
+    from gus_spark.operators.retrieval import phrase_topk
+
+    idx = PostingIndex(spark, str(tmp_path / "idx"))
+    idx.build(
+        docs.filter(F.col("doc_id") % 2 == 0), "pidx_pos",
+        n_buckets=8, positional=True,
+    )
+    idx.add(docs.filter(F.col("doc_id") % 2 == 1), batch_key="b1")
+    dead = [r["doc_id"] for r in docs.filter(
+        F.col("doc_id") % 17 == 3
+    ).select("doc_id").collect()]
+    idx.delete(dead, batch_key="d1")
+    corpus = docs.filter(~F.col("doc_id").isin(dead))
+
+    assert _ranking(idx.topk(QUERY, K)) == _ranking(
+        bm25_topk(corpus, QUERY, K)
+    )
+    phrase = ["row", "column", "sort"]
+    want = [
+        tuple(r) for r in phrase_topk(corpus, phrase, 50)
+        .select("doc_id", "n_occurrences").collect()
+    ]
+    assert want, "phrase probe vacuous"
+    got = [
+        tuple(r) for r in idx.phrase_topk(phrase, 50)
+        .select("doc_id", "n_occurrences").collect()
+    ]
+    assert got == want
+
+    idx.compact()
+    assert [
+        tuple(r) for r in idx.phrase_topk(phrase, 50)
+        .select("doc_id", "n_occurrences").collect()
+    ] == want
+    assert _ranking(idx.topk(QUERY, K)) == _ranking(
+        bm25_topk(corpus, QUERY, K)
+    )
+
+    # a non-positional index refuses phrase serving loudly
+    flat = PostingIndex(spark, str(tmp_path / "flat"))
+    flat.build(docs, "pidx_flat8", n_buckets=8)
+    with pytest.raises(ValueError, match="positional"):
+        flat.phrase_topk(phrase, 5)

@@ -443,3 +443,48 @@ def test_phrase_degenerate_inputs(docs):
         phrase_topk(docs, [], 5)
     with pytest.raises(ValueError, match="k"):
         phrase_topk(docs, PHRASE, 0)
+
+
+def test_batch_indexed_matches_scan_batch_bit_exact(spark, docs):
+    """bm25_batch_indexed serves a whole weighted batch from the
+    bucketed index with scores bit-identical to the scan-path
+    bm25_batch (shared weighted scoring tail), and the scan is
+    bucket-pruned to the batch's terms."""
+    from gus_spark.operators.retrieval import (
+        bm25_batch,
+        bm25_batch_indexed,
+        build_posting_index,
+    )
+
+    build_posting_index(docs, "bm25_post_b", n_buckets=8)
+    queries = spark.createDataFrame(
+        [("qa", w, 1.0) for w in QUERY]
+        + [("qb", "batch", 2.5), ("qb", "scan", 1.0), ("qb", "dup", 0.0)],
+        "query_id string, w string, weight double",
+    )
+    served = bm25_batch_indexed(spark, "bm25_post_b", queries, K)
+    got = served.toPandas().sort_values(["query_id", "rank"])
+    ref = (
+        bm25_batch(docs, queries, K)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+    )
+    for col in ("query_id", "doc_id", "n_terms_hit", "score_fp",
+                "rank"):
+        assert got[col].tolist() == ref[col].tolist(), col
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain(mode="formatted")
+    plan = buf.getvalue()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2)), plan
+
+    # empty batch (all weights zero) -> empty result, not an error
+    zeroes = spark.createDataFrame(
+        [("qz", "spark", 0.0)],
+        "query_id string, w string, weight double",
+    )
+    assert bm25_batch_indexed(
+        spark, "bm25_post_b", zeroes, K
+    ).count() == 0
