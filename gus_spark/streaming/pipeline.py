@@ -113,6 +113,7 @@ class CurationPipelineStream:
         index_name: str = "live_postings",
         index_buckets: int = 32,
         index_max_deltas: int = 16,
+        index_positional: bool = False,
     ) -> None:
         self.spark = spark
         self.src_path = src_path
@@ -143,6 +144,7 @@ class CurationPipelineStream:
         self.index_name = index_name
         self.index_buckets = index_buckets
         self.index_max_deltas = index_max_deltas
+        self.index_positional = index_positional
 
     def _ensure_index(self):
         """The live PostingIndex under index_root, built (empty) on
@@ -160,7 +162,8 @@ class CurationPipelineStream:
                 [], f"doc_id {types['doc_id']}, text {types['text']}"
             )
             idx.build(
-                empty, self.index_name, n_buckets=self.index_buckets
+                empty, self.index_name, n_buckets=self.index_buckets,
+                positional=self.index_positional,
             )
         return idx
 

@@ -1201,7 +1201,7 @@ def test_streaming_pipeline_feeds_live_posting_index(spark, tmp_path):
         ngram=13, min_hits=1, chunk_tokens=16, chunk_overlap=4,
         seq_budget=48, pack_shards=4,
         index_root=idx_root, index_name="pidx_live_pipe",
-        index_max_deltas=64,
+        index_max_deltas=64, index_positional=True,
     )
     p.run()
     idx = PostingIndex(spark, idx_root)
@@ -1234,3 +1234,21 @@ def test_streaming_pipeline_feeds_live_posting_index(spark, tmp_path):
     p.run()
     assert idx.stats() == st
     assert ranking(idx.topk(query, 25)) == want
+
+    # index_positional=True: the SAME live index answers exact-phrase
+    # forensics over the curated corpus, matching the ad-hoc operator
+    from gus_spark.operators.retrieval import phrase_topk
+
+    phrase = ["row", "column", "sort"]
+    want_p = [
+        tuple(r) for r in phrase_topk(clean_b, phrase, 25)
+        .select("doc_id", "n_occurrences").collect()
+    ]
+    got_p = [
+        tuple(r) for r in idx.phrase_topk(phrase, 25)
+        .select("doc_id", "n_occurrences").collect()
+    ]
+    # the raw corpus has 2 docs containing the phrase; curation may
+    # drop some, but the comparison must not be vacuous by accident
+    assert want_p, "phrase probe vacuous on this corpus"
+    assert got_p == want_p
