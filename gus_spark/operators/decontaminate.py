@@ -310,3 +310,67 @@ def decontaminate_fuzzy(
     return docs.join(
         dirty, docs[id_col] == F.col("_dirty_id"), "left_anti"
     )
+
+
+def decontaminate_index(
+    index,
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = DEFAULT_N,
+    min_hits: int = 1,
+    fuzzy_ngram: int | None = None,
+    fuzzy_threshold: float = 0.7,
+    batch_key: str | None = None,
+) -> int:
+    """RETROACTIVE decontamination of a serving index: a new
+    benchmark lands AFTER documents were indexed, so the curation
+    gates never saw it — run the exact 13-gram gate (and optionally
+    the fuzzy MinHash gate) over the indexed corpus against ``bench``
+    and tombstone every flagged id in ``index``
+    (operators/posting_index.PostingIndex). Returns the number of
+    documents newly tombstoned.
+
+    ``corpus`` is the same document set the index holds (the
+    pipeline's final tier on disk — the index stores postings, not
+    text, so the caller names the text source; ids absent from the
+    index are ignored by ``delete``, so a superset corpus is safe).
+
+    Idempotent by construction: the delete's ``batch_key`` defaults to
+    ``decon-<n>-<fuzzy_ngram>-<benchmark content fingerprint>`` — the
+    crash-replay / re-run of the SAME benchmark short-circuits on the
+    manifest, while a GROWN benchmark produces a new key whose delete
+    only tombstones the not-yet-dead ids (overlap never
+    double-subtracts). After a compaction folds the key, re-running
+    the same benchmark raises (the folded-key guard) — pass an
+    explicit ``batch_key`` to override.
+
+    Scale shape: one contamination equi-join per gate (hash-gram /
+    MinHash-band — the decontaminate/fuzzy operators unchanged), one
+    distinct-id projection, then ``delete``'s doclen-tier join. The
+    fuzzy gate's vocabulary caveat applies (see
+    ``calibrate_fuzzy_ngram``)."""
+    flagged = ngram_contamination(
+        corpus, bench, id_col, text_col, bench_id_col, bench_text_col,
+        n=n, min_hits=min_hits,
+    ).select(F.col("doc_id").alias(id_col)).distinct()
+    if fuzzy_ngram is not None:
+        fz = fuzzy_contamination(
+            corpus, bench, id_col, text_col, bench_id_col,
+            bench_text_col, threshold=fuzzy_threshold,
+            ngram=fuzzy_ngram,
+        ).select(F.col("doc_id").alias(id_col)).distinct()
+        flagged = flagged.unionByName(fz).distinct()
+    if batch_key is None:
+        from gus_spark.streaming.markers import batch_fingerprint
+
+        fp = batch_fingerprint(
+            bench.select(F.col(bench_id_col).alias("_bid")), "_bid"
+        )
+        batch_key = (
+            f"decon-{n}-{fuzzy_ngram}-{fp['n']}-{fp['xor'] & ((1 << 64) - 1):016x}"
+        )
+    return index.delete(flagged, batch_key=batch_key)

@@ -1055,6 +1055,19 @@ def winnow_fingerprints(
 _ROLL_R = 0x100000001B3
 _ROLL_R_INV = pow(_ROLL_R, -1, 1 << 64)
 
+#: per-slice character budget for the rolling kernel: every text byte
+#: becomes 8-byte uint64 entries in ~5 working arrays (chars, two
+#: power tables, prefix sums, gram hashes), so Arrow's default
+#: 10k-row batches (~5 MiB of text at sf10's 514 chars/doc) put a
+#: ~200 MiB working set through every numpy pass — off-cache.
+#: Measured at sf10 (tools/winnow_profile.py): the hash stage runs
+#: 2.3x FASTER at maxRecordsPerBatch=2500 (~1.3 MiB slices) than at
+#: the 10000 default. The kernel therefore re-slices each incoming
+#: Arrow batch to this budget itself, independent of session conf.
+#: Module-level so tests can shrink it to exercise multi-slice
+#: batches cheaply; fingerprints are slice-invariant (asserted).
+_ROLL_CHUNK_CHARS = 2 << 20
+
 
 def _winnow_fingerprints_rolling(
     df: DataFrame, id_col: str, text_col: str, k: int, window: int
@@ -1091,6 +1104,10 @@ def _winnow_fingerprints_rolling(
     id_type = dict(df.dtypes)[id_col]
     out_schema = f"{id_col} {id_type}, fingerprint long"
     span = k + window - 1
+    # captured BY VALUE at plan-construction time: a module-global
+    # read inside the kernel would resolve on the WORKER's fresh
+    # import, making the budget un-overridable (and untestable)
+    chunk_chars = _ROLL_CHUNK_CHARS
 
     def kernel(batches):
         import numpy as np
@@ -1112,7 +1129,32 @@ def _winnow_fingerprints_rolling(
         # modular wraparound IS the hash arithmetic here; numpy warns
         # on scalar uint64 overflow, so state the intent once
         np.seterr(over="ignore")
-        for pdf in batches:
+
+        def resliced(raw):
+            # cache-friendly slices: re-cut each Arrow batch so one
+            # slice's text stays ~_ROLL_CHUNK_CHARS (see constant) —
+            # each slice still amortizes the numpy passes over
+            # thousands of docs, but its uint64 working set fits L3
+            for pdf in raw:
+                n = len(pdf)
+                if n == 0:
+                    yield pdf
+                    continue
+                lens = (
+                    pdf[text_col].str.len().fillna(0).to_numpy()
+                )
+                cuts = [0]
+                acc = 0
+                for i in range(n):
+                    if acc and acc + lens[i] > chunk_chars:
+                        cuts.append(i)
+                        acc = 0
+                    acc += lens[i]
+                cuts.append(n)
+                for s, e in zip(cuts[:-1], cuts[1:]):
+                    yield pdf.iloc[s:e]
+
+        for pdf in resliced(batches):
             if len(pdf) == 0:
                 yield pdf.iloc[0:0].assign(fingerprint=np.int64(0))[
                     [id_col, "fingerprint"]

@@ -473,10 +473,8 @@ class PostingIndex:
         if not terms:
             spark = self.spark
             return _score_postings_weighted(
-                spark.createDataFrame(
-                    [], f"w string, {meta['id_col']} long, tf long,"
-                    " dl long"
-                ),
+                # the manifest's posting DDL carries the true id type
+                spark.createDataFrame([], meta["schema_ddl"]),
                 spark.createDataFrame([], "w string, df long"),
                 spark.createDataFrame(
                     [], "n_docs long, avgdl double"
@@ -659,13 +657,25 @@ class PostingIndex:
             shutil.rmtree(self._tomb_path(key), ignore_errors=True)
         return self.stats()
 
-    def maintain(self, max_deltas: int = 16) -> dict:
-        """Compact when the live delta + tombstone count exceeds
-        ``max_deltas`` — the VectorIndex.maintain policy applied to
-        postings (tombstones count: each live one is a broadcast
-        anti-join every query pays)."""
+    def maintain(
+        self, max_deltas: int = 16, max_tomb_frac: float = 0.2
+    ) -> dict:
+        """Compact when the live delta + tombstone TIER COUNT exceeds
+        ``max_deltas`` (the VectorIndex.maintain policy — each live
+        tier is directories a query lists and, for tombstones, a
+        broadcast anti-join every query pays), OR when the tombstoned
+        fraction of the corpus exceeds ``max_tomb_frac`` — a
+        long-lived index under heavy curation can hold few tombstone
+        BATCHES that cover much of the corpus, and every query then
+        scans/anti-joins ghost postings the fold would remove."""
         meta = self._read_meta()
         if len(meta["deltas"]) + len(meta["tombs"]) > max_deltas:
+            return self.compact()
+        live = meta["n_docs"] + sum(
+            d["n_docs"] for d in meta["deltas"].values()
+        )
+        dead = sum(t["n_docs"] for t in meta["tombs"].values())
+        if live > 0 and dead / live > max_tomb_frac:
             return self.compact()
         return self.stats()
 

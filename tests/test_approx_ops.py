@@ -1037,3 +1037,31 @@ def test_semantic_dedup_auto_k_cells_bounds_occupancy(spark):
             per_cell.values())[-5:]
     # the derived count actually grew with the corpus
     assert len(sizes[3200]) == 4 * len(sizes[800])
+
+
+def test_winnow_rolling_slice_budget_invariant(spark, documents):
+    """Round 8: the rolling kernel re-slices each Arrow batch to a
+    character budget (cache-sized numpy working sets — measured 2.3x
+    on the sf10 hash stage). Fingerprints must be identical under a
+    degenerate budget that forces a slice per document or two."""
+    from gus_spark.operators import dedup as dd
+    from gus_spark.operators.dedup import winnow_fingerprints
+
+    want = {
+        (r.doc_id, r.fingerprint)
+        for r in winnow_fingerprints(
+            documents.coalesce(1), token_hash="rolling"
+        ).collect()
+    }
+    old = dd._ROLL_CHUNK_CHARS
+    dd._ROLL_CHUNK_CHARS = 64  # < one document: every slice is 1 row
+    try:
+        got = {
+            (r.doc_id, r.fingerprint)
+            for r in winnow_fingerprints(
+                documents.coalesce(1), token_hash="rolling"
+            ).collect()
+        }
+    finally:
+        dd._ROLL_CHUNK_CHARS = old
+    assert got == want and len(want) > 0

@@ -468,3 +468,78 @@ def test_positional_index_serves_bm25_and_phrases(
     flat.build(docs, "pidx_flat8", n_buckets=8)
     with pytest.raises(ValueError, match="positional"):
         flat.phrase_topk(phrase, 5)
+
+
+def test_decontaminate_index_retroactive(spark, docs, tmp_path):
+    """decontaminate_index: a benchmark that lands AFTER indexing —
+    exact 13-gram + fuzzy gates run over the indexed corpus, flagged
+    ids tombstoned with a benchmark-fingerprint batch key. Serving
+    matches BM25 over the batch-decontaminated corpus; re-running the
+    same benchmark is a manifest no-op; a GROWN benchmark tombstones
+    only the newly-flagged docs."""
+    from gus_spark.operators.decontaminate import (
+        decontaminate,
+        decontaminate_fuzzy,
+        decontaminate_index,
+    )
+
+    idx = PostingIndex(spark, str(tmp_path / "idx"))
+    idx.build(docs, "pidx_decon", n_buckets=8)
+
+    bench1 = docs.filter(F.col("doc_id") % 83 == 7).select(
+        "doc_id", "text"
+    )
+    survivors1 = decontaminate_fuzzy(
+        decontaminate(docs, bench1, n=13, min_hits=1),
+        bench1, ngram=1, threshold=0.7,
+    )
+    n_dead1 = docs.count() - survivors1.count()
+    assert n_dead1 > 0, "bench1 flags nothing — vacuous"
+
+    got = decontaminate_index(
+        idx, docs, bench1, n=13, min_hits=1, fuzzy_ngram=1
+    )
+    assert got == n_dead1
+    assert _ranking(idx.topk(QUERY, K)) == _ranking(
+        bm25_topk(survivors1, QUERY, K)
+    )
+    # same benchmark again: the fingerprint key short-circuits
+    st = idx.stats()
+    assert decontaminate_index(
+        idx, docs, bench1, n=13, min_hits=1, fuzzy_ngram=1
+    ) == n_dead1
+    assert idx.stats() == st
+
+    # the benchmark GROWS: only newly-flagged docs are tombstoned
+    bench2 = docs.filter(
+        (F.col("doc_id") % 83 == 7) | (F.col("doc_id") % 83 == 11)
+    ).select("doc_id", "text")
+    survivors2 = decontaminate_fuzzy(
+        decontaminate(docs, bench2, n=13, min_hits=1),
+        bench2, ngram=1, threshold=0.7,
+    )
+    extra = survivors1.count() - survivors2.count()
+    assert extra > 0
+    assert decontaminate_index(
+        idx, docs, bench2, n=13, min_hits=1, fuzzy_ngram=1
+    ) == extra
+    assert _ranking(idx.topk(QUERY, K)) == _ranking(
+        bm25_topk(survivors2, QUERY, K)
+    )
+
+
+def test_maintain_tombstone_fraction_policy(spark, docs, tmp_path):
+    """maintain() compacts when the tombstoned fraction of the corpus
+    exceeds max_tomb_frac, even with few tiers — a long-lived index
+    under heavy curation must not serve mostly ghost postings."""
+    idx = PostingIndex(spark, str(tmp_path / "idx"))
+    idx.build(docs, "pidx_frac", n_buckets=8)
+    idx.delete(
+        docs.filter(F.col("doc_id") % 3 == 0).select("doc_id"),
+        batch_key="d1",
+    )
+    # one tombstone tier: count policy says no, fraction policy says
+    # compact (~1/3 of the corpus is dead)
+    assert idx.maintain(max_deltas=16, max_tomb_frac=0.5)["gen"] == 0
+    st = idx.maintain(max_deltas=16, max_tomb_frac=0.2)
+    assert st["gen"] == 1 and st["n_tombs"] == 0
