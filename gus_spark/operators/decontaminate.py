@@ -370,7 +370,6 @@ def decontaminate_index(
         fp = batch_fingerprint(
             bench.select(F.col(bench_id_col).alias("_bid")), "_bid"
         )
-        batch_key = (
-            f"decon-{n}-{fuzzy_ngram}-{fp['n']}-{fp['xor'] & ((1 << 64) - 1):016x}"
-        )
+        x = (fp["xor"] or 0) & ((1 << 64) - 1)  # bit_xor of 0 rows: NULL
+        batch_key = f"decon-{n}-{fuzzy_ngram}-{fp['n']}-{x:016x}"
     return index.delete(flagged, batch_key=batch_key)

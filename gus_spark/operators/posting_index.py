@@ -524,6 +524,45 @@ class PostingIndex:
             .limit(k)
         )
 
+    def phrase_batch(self, phrases: DataFrame, k: int) -> DataFrame:
+        """Batched exact-phrase sweep over the LIVE snapshot — the
+        whole eval suite's forensics in one pass, per-phrase results
+        identical to `phrase_topk` (asserted in tests). ``phrases`` is
+        (query_id, phrase array<string>); returns (query_id, id,
+        n_occurrences, rank). Requires positional=True. Same
+        bounded driver collect of distinct terms as `batch_topk`, same
+        autoBucketedScan pin as `phrase_topk`."""
+        from gus_spark.operators.retrieval import _phrase_batch_tail
+
+        if k <= 0:
+            raise ValueError(f"k must be > 0, got {k}")
+        meta = self._read_meta()
+        if not meta.get("positional", False):
+            raise ValueError(
+                f"posting index at {self.root!r} was built without "
+                "positional=True — rebuild positional to serve phrase "
+                "queries"
+            )
+        self.spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+            "false",
+        )
+        q = phrases.select(
+            "query_id", F.posexplode("phrase").alias("j", "w")
+        )
+        plen = phrases.select(
+            "query_id", F.size("phrase").alias("_m")
+        )
+        if plen.filter(F.col("_m") <= 0).limit(1).count():
+            raise ValueError(
+                "every phrase must contain at least one token"
+            )
+        terms = sorted(
+            r["w"] for r in q.select("w").distinct().collect()
+        )
+        post, _dfreq, _stats = self._snapshot(meta, terms)
+        return _phrase_batch_tail(post, q, plen, k, meta["id_col"])
+
     def _snapshot(
         self, meta: dict, terms: list[str]
     ) -> tuple[DataFrame, DataFrame, DataFrame]:

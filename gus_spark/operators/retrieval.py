@@ -689,3 +689,91 @@ def sql_phrase_topk(
     ORDER BY n_occurrences DESC, {id_col}
     LIMIT {k}
     """
+
+
+def phrase_batch(
+    df: DataFrame,
+    phrases: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score a whole BATCH of phrases in one pass — the forensics
+    sweep over an entire eval suite ("which training docs quote ANY
+    of these questions verbatim"), where per-phrase jobs would pay
+    the posting build per phrase.
+
+    ``phrases`` is a (query_id, phrase array<string>) DataFrame.
+    Returns (query_id, id, n_occurrences, rank) with rank 1..k per
+    query by (n_occurrences desc, id) — for each phrase exactly the
+    ids+counts `phrase_topk` returns (asserted in tests). Empty
+    phrase arrays raise.
+
+    Shape — fully batched, no per-phrase loop: the phrase table
+    explodes to (query_id, offset j, term) and broadcasts; positional
+    postings are built ONCE pre-filtered to the batch's distinct
+    terms; each matched posting explodes its positions to candidate
+    (query_id, id, start = pos - j) rows; a start is a real
+    occurrence iff ALL of the phrase's offsets voted for it —
+    count == phrase length on the (query_id, id, start)-keyed
+    aggregation, which is the one corpus-scaled exchange (keys are
+    uniform: docs × phrase starts). Repeated phrase terms work
+    because (query_id, id, start, j) rows are unique by construction
+    (positions are distinct per posting, and p = start + j)."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    q = phrases.select(
+        "query_id", F.posexplode("phrase").alias("j", "w")
+    )
+    plen = phrases.select("query_id", F.size("phrase").alias("_m"))
+    bad = plen.filter(F.col("_m") <= 0).limit(1).count()
+    if bad:
+        raise ValueError("every phrase must contain at least one token")
+    terms = q.select("w").distinct()
+    post = posting_positions(df, id_col, text_col).join(
+        F.broadcast(terms), "w", "left_semi"
+    )
+    return _phrase_batch_tail(post, q, plen, k, id_col)
+
+
+def _phrase_batch_tail(
+    post: DataFrame,
+    q: DataFrame,
+    plen: DataFrame,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """The batched offset-coverage tail shared by the scan
+    (`phrase_batch`) and live-index (`PostingIndex.phrase_batch`)
+    entry points: (query_id, j, w) × positional postings → candidate
+    starts → full-coverage count → per-query window rank."""
+    from pyspark.sql import Window
+
+    hits = (
+        post.join(F.broadcast(q), "w")
+        .select(
+            "query_id", id_col, "j",
+            F.explode("positions").alias("p"),
+        )
+        .select(
+            "query_id", id_col, "j",
+            (F.col("p") - F.col("j")).alias("start"),
+        )
+        .filter(F.col("start") >= 0)
+    )
+    occ = (
+        hits.groupBy("query_id", id_col, "start")
+        .agg(F.count("*").alias("_cov"))
+        .join(F.broadcast(plen), "query_id")
+        .filter(F.col("_cov") == F.col("_m"))
+        .groupBy("query_id", id_col)
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("n_occurrences").desc(), F.col(id_col)
+        )
+    )
+    return occ.withColumn("rank", rank).filter(F.col("rank") <= k)

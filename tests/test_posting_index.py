@@ -543,3 +543,34 @@ def test_maintain_tombstone_fraction_policy(spark, docs, tmp_path):
     assert idx.maintain(max_deltas=16, max_tomb_frac=0.5)["gen"] == 0
     st = idx.maintain(max_deltas=16, max_tomb_frac=0.2)
     assert st["gen"] == 1 and st["n_tombs"] == 0
+
+
+def test_phrase_batch_on_live_index(spark, docs, tmp_path):
+    """PostingIndex.phrase_batch: the batched forensics sweep over the
+    live snapshot (with a delete applied) matches per-phrase
+    phrase_topk over the surviving corpus."""
+    from gus_spark.operators.retrieval import phrase_topk
+
+    idx = PostingIndex(spark, str(tmp_path / "idx"))
+    idx.build(docs, "pidx_pb", n_buckets=8, positional=True)
+    dead = docs.filter(F.col("doc_id") % 29 == 5).select("doc_id")
+    idx.delete(dead, batch_key="d1")
+    corpus = docs.join(dead, "doc_id", "left_anti")
+
+    batch = {
+        "p1": ["row", "column", "sort"],
+        "p2": ["join", "small", "slow"],
+    }
+    phrases = spark.createDataFrame(
+        [(qid, ph) for qid, ph in batch.items()],
+        "query_id string, phrase array<string>",
+    )
+    got = idx.phrase_batch(phrases, 50).toPandas()
+    for qid, ph in batch.items():
+        part = got[got["query_id"] == qid].sort_values("rank")
+        ref = phrase_topk(corpus, ph, 50).toPandas()
+        assert part["doc_id"].tolist() == ref["doc_id"].tolist(), qid
+        assert (
+            part["n_occurrences"].tolist()
+            == ref["n_occurrences"].tolist()
+        ), qid

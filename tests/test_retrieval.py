@@ -488,3 +488,51 @@ def test_batch_indexed_matches_scan_batch_bit_exact(spark, docs):
     assert bm25_batch_indexed(
         spark, "bm25_post_b", zeroes, K
     ).count() == 0
+
+
+def test_phrase_batch_matches_single_phrases(spark, docs):
+    """phrase_batch: one batched pass reproduces, per phrase, exactly
+    the ids+counts of the single-phrase phrase_topk — including a
+    repeated-term phrase and a phrase with zero matches (absent from
+    the output, not zero-padded)."""
+    from gus_spark.operators.retrieval import phrase_batch, phrase_topk
+
+    batch = {
+        "p1": PHRASE,
+        "p2": ["join", "small", "slow"],
+        "p3": ["no", "such", "phrase", "anywhere"],
+    }
+    phrases = spark.createDataFrame(
+        [(qid, ph) for qid, ph in batch.items()],
+        "query_id string, phrase array<string>",
+    )
+    got = phrase_batch(docs, phrases, 50).toPandas()
+    for qid, ph in batch.items():
+        part = got[got["query_id"] == qid].sort_values("rank")
+        ref = phrase_topk(docs, ph, 50).toPandas()
+        assert part["doc_id"].tolist() == ref["doc_id"].tolist(), qid
+        assert (
+            part["n_occurrences"].tolist()
+            == ref["n_occurrences"].tolist()
+        ), qid
+        assert part["rank"].tolist() == list(range(1, len(ref) + 1))
+
+    # repeated-term + overlapping occurrences, batched
+    rows = [(1, "a b a b a"), (2, "a b a"), (3, "b a a b")]
+    tiny = spark.createDataFrame(rows, "doc_id long, text string")
+    ph2 = spark.createDataFrame(
+        [("q", ["a", "b", "a"])], "query_id string, phrase array<string>"
+    )
+    out = phrase_batch(tiny, ph2, 10).toPandas()
+    assert list(
+        zip(out["doc_id"], out["n_occurrences"])
+    ) == [(1, 2), (2, 1)]
+
+    # empty phrase raises; bad k raises
+    empt = spark.createDataFrame(
+        [("q", [])], "query_id string, phrase array<string>"
+    )
+    with pytest.raises(ValueError, match="phrase"):
+        phrase_batch(docs, empt, 5)
+    with pytest.raises(ValueError, match="k"):
+        phrase_batch(docs, phrases, 0)
