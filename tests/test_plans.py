@@ -354,3 +354,28 @@ def test_mixture_sample_one_count_exchange(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # map-side partial on the count agg
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_phrase_match_pushes_terms_no_cartesian(spark):
+    """phrase_match_docs (r8): the phrase-term filter runs BELOW the
+    (w, id) posting aggregation's exchange (only phrase-term token
+    occurrences ever shuffle — w is a derived column, so the filter
+    cannot reach the parquet scan itself), every per-offset join is an
+    id-keyed equi-join — no CartesianProduct anywhere — and the final
+    top-k is a TakeOrderedAndProject, not a global sort."""
+    import re
+
+    plan = plan_of(spark, "phrase_match_docs")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # formatted-plan ids number children first, so deeper = smaller
+    filt = re.search(
+        r"\((\d+)\) Filter\nInput.*?\nCondition :[^\n]*w#",
+        plan, re.S,
+    )
+    exch = re.search(
+        r"\((\d+)\) Exchange\nInput.*?hashpartitioning\(w",
+        plan, re.S,
+    )
+    assert filt and exch, plan
+    assert int(filt.group(1)) < int(exch.group(1)), plan
