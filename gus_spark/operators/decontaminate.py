@@ -340,13 +340,15 @@ def decontaminate_index(
     index are ignored by ``delete``, so a superset corpus is safe).
 
     Idempotent by construction: the delete's ``batch_key`` defaults to
-    ``decon-<n>-<fuzzy_ngram>-<benchmark content fingerprint>`` — the
-    crash-replay / re-run of the SAME benchmark short-circuits on the
-    manifest, while a GROWN benchmark produces a new key whose delete
-    only tombstones the not-yet-dead ids (overlap never
-    double-subtracts). After a compaction folds the key, re-running
-    the same benchmark raises (the folded-key guard) — pass an
-    explicit ``batch_key`` to override.
+    ``decon-<every gate parameter>-<benchmark CONTENT fingerprint>``
+    (ids AND texts — a corrected benchmark text is a different
+    benchmark) — the crash-replay / re-run of the SAME benchmark under
+    the SAME gates short-circuits on the manifest, while a grown or
+    edited benchmark, or changed n/min_hits/fuzzy settings, produces a
+    new key whose delete only tombstones the not-yet-dead ids (overlap
+    never double-subtracts). After a compaction folds the key,
+    re-running the identical (benchmark, gates) raises (the folded-key
+    guard) — pass an explicit ``batch_key`` to override.
 
     Scale shape: one contamination equi-join per gate (hash-gram /
     MinHash-band — the decontaminate/fuzzy operators unchanged), one
@@ -365,11 +367,27 @@ def decontaminate_index(
         ).select(F.col("doc_id").alias(id_col)).distinct()
         flagged = flagged.unionByName(fz).distinct()
     if batch_key is None:
-        from gus_spark.streaming.markers import batch_fingerprint
-
-        fp = batch_fingerprint(
-            bench.select(F.col(bench_id_col).alias("_bid")), "_bid"
+        # CONTENT fingerprint over (id, text) — not ids alone: an
+        # edited benchmark text must produce a new key, or the re-run
+        # would short-circuit on the manifest and silently skip the
+        # newly-flagged docs (round-8 review fix). Order-independent:
+        # count + bit-xor of the row hash.
+        row = (
+            bench.select(
+                F.xxhash64(
+                    F.col(bench_id_col).cast("string"),
+                    F.col(bench_text_col),
+                ).alias("_h")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(_h)").alias("x"),
+            )
+            .first()
         )
-        x = (fp["xor"] or 0) & ((1 << 64) - 1)  # bit_xor of 0 rows: NULL
-        batch_key = f"decon-{n}-{fuzzy_ngram}-{fp['n']}-{x:016x}"
+        x = (row["x"] or 0) & ((1 << 64) - 1)  # bit_xor of 0 rows: NULL
+        batch_key = (
+            f"decon-{n}-{min_hits}-{fuzzy_ngram}-{fuzzy_threshold!r}"
+            f"-{row['n']}-{x:016x}"
+        )
     return index.delete(flagged, batch_key=batch_key)

@@ -213,8 +213,12 @@ class PostingIndex:
         # deltas this build just wiped, and a fresh stream checkpoint
         # restarts batch ids at 0 — identical (id, fingerprint) pairs
         # would SKIP and silently never re-add those docs (round-8
-        # review fix)
-        for m in glob.glob(os.path.join(self.root, "_batch-*.done")):
+        # review fix); glob.escape: a root containing glob
+        # metacharacters must not silently match nothing and leave
+        # the stale markers alive
+        for m in glob.glob(
+            os.path.join(glob.escape(self.root), "_batch-*.done")
+        ):
             os.remove(m)
         shutil.rmtree(
             os.path.join(self.root, "_tomb_markers"),
@@ -413,8 +417,16 @@ class PostingIndex:
                 [(i,) for i in ids],
                 schema=f"{id_col} {id_field.dataType.simpleString()}",
             )
-        ids = ids.select(id_col).distinct()
-        matched = doclens.join(F.broadcast(ids), id_col, "left_semi")
+        # localCheckpoint: the caller's id plan may be an expensive
+        # contamination join (decontaminate_index) and is consumed by
+        # TWO actions below (totals agg + tombstone publish) — cut the
+        # lineage once so it runs once. NO broadcast hint on the
+        # semi-join: a heavy curation pass can flag a large corpus
+        # fraction, and a forced broadcast would bypass AQE's size
+        # check at exactly the scale this module targets; AQE still
+        # broadcasts genuinely small id sets on its own.
+        ids = ids.select(id_col).distinct().localCheckpoint()
+        matched = doclens.join(ids, id_col, "left_semi")
         prior = self._live_tombstones(meta)
         if prior is not None:
             matched = matched.join(

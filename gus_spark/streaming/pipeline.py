@@ -149,10 +149,35 @@ class CurationPipelineStream:
     def _ensure_index(self):
         """The live PostingIndex under index_root, built (empty) on
         first touch — generation 0 on zero docs is valid; every
-        curated document then arrives as a delta batch."""
+        curated document then arrives as a delta batch. An EXISTING
+        index whose manifest disagrees with this pipeline's index_*
+        config raises: silently appending non-positional deltas after
+        an operator flipped index_positional (or renamed/resized the
+        index) would index all the data in the wrong form and only
+        surface at the first phrase query (round-8 review fix)."""
         from gus_spark.operators.posting_index import PostingIndex
 
         idx = PostingIndex(self.spark, self.index_root)
+        if idx.fitted:
+            meta = idx._read_meta()
+            want = {
+                "name": self.index_name,
+                "n_buckets": self.index_buckets,
+                "positional": self.index_positional,
+            }
+            got = {
+                "name": meta["name"],
+                "n_buckets": meta["n_buckets"],
+                "positional": meta.get("positional", False),
+            }
+            if got != want:
+                raise ValueError(
+                    f"posting index at {self.index_root!r} was built "
+                    f"with {got}, but this pipeline is configured for "
+                    f"{want}: rebuild the index (new index_root or "
+                    "PostingIndex.build) before draining, or match "
+                    "the pipeline config to the existing index."
+                )
         if not idx.fitted:
             types = {
                 f.name: f.dataType.simpleString()

@@ -574,3 +574,58 @@ def test_phrase_batch_on_live_index(spark, docs, tmp_path):
             part["n_occurrences"].tolist()
             == ref["n_occurrences"].tolist()
         ), qid
+
+
+def test_decontaminate_index_edited_benchmark_text(spark, tmp_path):
+    """Round-8 review: the idempotency key fingerprints benchmark
+    CONTENT (ids AND texts) plus every gate parameter — re-running
+    with a corrected benchmark text (same ids) or different gates must
+    NOT short-circuit on the stale key."""
+    from gus_spark.operators.decontaminate import decontaminate_index
+
+    rows = [
+        (i, f"alpha{i} " + " ".join(f"w{i}_{j}" for j in range(20)))
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = PostingIndex(spark, str(tmp_path / "idx"))
+    idx.build(docs, "pidx_edit", n_buckets=4)
+
+    # benchmark v1: doc 3's text verbatim -> flags doc 3 only
+    bench = spark.createDataFrame(
+        [(100, rows[3][1])], "doc_id long, text string"
+    )
+    assert decontaminate_index(idx, docs, bench, n=13) == 1
+    # corrected benchmark under the SAME bench id: now doc 5's text —
+    # a stale ids-only fingerprint would skip; content key must not
+    bench_fixed = spark.createDataFrame(
+        [(100, rows[5][1])], "doc_id long, text string"
+    )
+    assert decontaminate_index(idx, docs, bench_fixed, n=13) == 1
+    assert idx.stats()["tomb_docs"] == 2
+    # same benchmark, different gate params -> different key, but the
+    # flagged doc is already dead: 0 newly tombstoned, no error
+    assert decontaminate_index(
+        idx, docs, bench_fixed, n=13, min_hits=2
+    ) == 0
+
+
+def test_pipeline_index_config_mismatch_raises(spark, docs, tmp_path):
+    """Round-8 review: a pipeline whose index_* config disagrees with
+    the existing index manifest must refuse to drain, not silently
+    append data in the wrong form."""
+    from gus_spark.streaming import CurationPipelineStream
+
+    root = str(tmp_path / "idx")
+    mk = lambda **kw: CurationPipelineStream(  # noqa: E731
+        spark, str(tmp_path / "src"), docs.schema,
+        docs.limit(1).select("doc_id", "text"),
+        str(tmp_path / "work"), index_root=root, **kw,
+    )
+    mk(index_positional=False)._ensure_index()
+    with pytest.raises(ValueError, match="positional"):
+        mk(index_positional=True)._ensure_index()
+    with pytest.raises(ValueError, match="rebuild"):
+        mk(index_buckets=64)._ensure_index()
+    # matching config: fine
+    mk(index_positional=False)._ensure_index()

@@ -21,9 +21,9 @@ Reported per sf: spearman_rho over held-out docs, head_overlap /
 tail_overlap (|top-decile ∩ top-decile| / decile size — the CCNet
 keep/drop regimes), docs and vocab for context.
 
-Run: python tools/lm_grade.py [sf_dir ...] [--order N] [--k-frac F]
-(defaults: sf0.01 and sf0.1 — two decades). Prints one JSON line per
-sf_dir.
+Run: python tools/lm_grade.py [sf_dir ...] [--order=N] [--k-frac=F]
+(flags take the = form only; defaults: sf0.01 and sf0.1). Prints one
+JSON line per sf_dir.
 """
 
 from __future__ import annotations
@@ -45,7 +45,16 @@ D = 0.75  # the classic KN absolute discount
 
 
 def _toks(text: str) -> list[str]:
-    return re.split(r"\s+", text.strip()) if text and text.strip() else []
+    """EXACT mirror of the Spark tier's raw tokenizer (split(trim(.),
+    '\\s+')): trim strips ASCII SPACES only and Java's default \\s is
+    the ASCII class — Python's Unicode-aware strip()/\\s would drop
+    phantom ''-token and NBSP cases the Spark side keeps, skewing the
+    very per-doc denominators this tool compares (round-8 review
+    fix; the divergence classes are the ones
+    tests/test_property_validation.py pins)."""
+    if text is None:
+        return []
+    return re.split(r"\s+", text.strip(" "), flags=re.ASCII)
 
 
 class KneserNey:
@@ -201,8 +210,12 @@ def main() -> None:
     k_frac = 0.1
     for a in sys.argv[1:]:
         if a.startswith("--order"):
+            if "=" not in a:
+                raise SystemExit("use --order=N (the = form)")
             order = int(a.split("=", 1)[1])
         if a.startswith("--k-frac"):
+            if "=" not in a:
+                raise SystemExit("use --k-frac=F (the = form)")
             k_frac = float(a.split("=", 1)[1])
     dirs = args or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
     for d in dirs:
