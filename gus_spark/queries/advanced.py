@@ -101,7 +101,13 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #  curation.dsir_select_documents but still value-checked inline.)
 
 
-@register("approx_distinct_sketch")  # Spark-only: HLL++ vs DuckDB's HLL differ
+# (approx_distinct_sketch was rotated out of the catalog r8 for
+#  text.phrase_match_docs — it was a rows-only row by nature (HLL++
+#  vs DuckDB's HLL differ, so no value oracle is possible), and the
+#  50-entry driver budget is better spent on an oracle-checked query.
+#  The sketch path stays value-checked inline: error-bounded vs the
+#  exact count AND vs DuckDB's exact count in test_queries.py, and
+#  auto_buckets exercises approx_count_distinct on the scale path.)
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per order status — the
     sketch path for 100-TB cardinalities. No oracle: sketch estimates

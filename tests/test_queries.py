@@ -100,3 +100,27 @@ def test_q14_q15_inline_match_oracle(spark, duck, name):
     odf = duck.execute(oracle).df()
     assert len(sdf) > 0
     assert frame_key(sdf) == frame_key(odf)
+
+
+def test_approx_distinct_sketch_error_bounded(spark, duck):
+    """Rotated out of the catalog r8 (rows-only by nature — HLL++ vs
+    DuckDB's HLL differ), but the sketch path stays VALUE-checked
+    here: the exact column must equal DuckDB's exact countDistinct
+    per group, and the HLL++ estimate must sit within 3x the
+    requested 2% rsd of it."""
+    from gus_spark.queries.advanced import approx_distinct_sketch
+
+    got = {
+        r["o_orderstatus"]: (r["approx_customers"], r["exact_customers"])
+        for r in approx_distinct_sketch(spark, SF_DIR_ORACLE).collect()
+    }
+    want = dict(
+        duck.execute(
+            "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) "
+            "FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for status, (approx, exact) in got.items():
+        assert exact == want[status], status
+        assert abs(approx - exact) / exact <= 0.06, (status, approx, exact)
