@@ -330,9 +330,12 @@ def decontaminate_index(
     benchmark lands AFTER documents were indexed, so the curation
     gates never saw it — run the exact 13-gram gate (and optionally
     the fuzzy MinHash gate) over the indexed corpus against ``bench``
-    and tombstone every flagged id in ``index``
-    (operators/posting_index.PostingIndex). Returns the number of
-    documents newly tombstoned.
+    and tombstone every flagged id in ``index`` — any index exposing
+    the ``delete(ids_df, batch_key=...)`` replay contract:
+    posting_index.PostingIndex, or vector_index.VectorIndex when its
+    ``id_col`` names the same document ids (pass a corpus whose id
+    column matches the index's). Returns the number of documents
+    newly tombstoned.
 
     ``corpus`` is the same document set the index holds (the
     pipeline's final tier on disk — the index stores postings, not

@@ -17,12 +17,32 @@ Freezing the quantizer is the standard production trade (FAISS trains
 on a sample, then add() forever): drift in the vector distribution
 degrades cell balance, not correctness — ``stats()`` exposes occupancy
 so an operator can decide when to re-fit and re-encode.
+
+Deletes (round 8): a curation pipeline REMOVES documents (dedup,
+decontamination), and their embeddings must stop serving as neighbors
+— the PostingIndex tombstone pattern applied to the dense tier.
+``delete(ids)`` tombstones them (batch-key idempotent, the ``add``
+replay contract); every search anti-joins the (small, broadcast)
+tombstone union against the codes BEFORE the shortlist, so a deleted
+vector neither ranks nor occupies a shortlist slot that would evict a
+live neighbor — results are bit-identical to an index that never
+added those rows (asserted in tests). ANN makes this strictly simpler
+than BM25: there are no corpus-level stats (no df/N/avgdl), so hiding
+the rows IS the whole delete. ``compact()`` folds tombstones
+physically (live rows rewritten cell-ranged, tombstone dirs removed);
+``maintain()`` adds a tombstoned-fraction trigger so a long-lived
+index under heavy curation bounds the anti-join it pays per search.
+Unlike PostingIndex there is no generation/manifest machinery: the
+codes table has no cross-row invariants, so the delta layout's
+crash-contract (duplicates tolerated, tombstones cleared from meta
+only after the fold completes) already yields a consistent snapshot.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -66,19 +86,37 @@ class VectorIndex:
         self.id_col = id_col
         self.vec_col = vec_col
         os.makedirs(path, exist_ok=True)
-        meta_path = os.path.join(path, "meta.json")
-        meta = {"m": m, "codes": codes, "iters": iters}
-        if os.path.exists(meta_path):
-            with open(meta_path, encoding="utf-8") as fh:
-                existing = json.load(fh)
-            if existing != meta:
+        config = {"m": m, "codes": codes, "iters": iters}
+        if os.path.exists(self._meta_path):
+            existing = self._read_meta()
+            got = {k: existing.get(k) for k in config}
+            if got != config:
                 raise ValueError(
-                    f"index at {path} was built with {existing}, got {meta}"
+                    f"index at {path} was built with {got}, got {config}"
                 )
         else:
-            with open(meta_path, "w", encoding="utf-8") as fh:
-                json.dump(meta, fh)
+            self._write_meta(dict(config, tombs={}, folded_tombs=[]))
         self.m, self.codes, self.iters = m, codes, iters
+
+    # ------------------------------------------------------------ meta io
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "meta.json")
+
+    def _read_meta(self) -> dict:
+        with open(self._meta_path, encoding="utf-8") as fh:
+            meta = json.load(fh)
+        # pre-round-8 meta files carry config only — default the
+        # tombstone state in rather than rejecting the index
+        meta.setdefault("tombs", {})
+        meta.setdefault("folded_tombs", [])
+        return meta
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, self._meta_path)  # the atomic snapshot swap
 
     # ------------------------------------------------------------ model io
     def _model_paths(self) -> tuple[str, str]:
@@ -128,6 +166,39 @@ class VectorIndex:
             .parquet(self._codes_path())
         )
 
+    def _tomb_path(self, key: str) -> str:
+        return os.path.join(self.path, "tombs", f"tomb-{key}")
+
+    def _live_tombstones(self, meta: dict | None = None) -> DataFrame | None:
+        """Union of live tombstone ids — one ``id`` column, the codes
+        table's id name (ivf_pq_encode emits (id, cell, codes, rnorm)
+        regardless of ``id_col``) — or None when there are none. Small
+        by the compaction contract, so callers broadcast it."""
+        meta = self._read_meta() if meta is None else meta
+        if not meta["tombs"]:
+            return None
+        return self.spark.read.parquet(
+            *[self._tomb_path(k) for k in meta["tombs"]]
+        ).distinct()
+
+    def _live_codes(self) -> DataFrame:
+        """The serving snapshot: every code row minus the tombstoned
+        ids. The anti-join runs BEFORE the shortlist, so a deleted
+        vector can't occupy a shortlist slot and evict a live
+        neighbor — results match an index that never held the row."""
+        from pyspark.sql import functions as F
+
+        enc = self._read_codes()
+        tombs = self._live_tombstones()
+        if tombs is None:
+            return enc
+        dead = tombs.withColumnRenamed("id", "_dead_id")
+        return enc.join(
+            F.broadcast(dead),
+            enc["id"] == dead["_dead_id"],
+            "left_anti",
+        )
+
     def add(self, batch: DataFrame, batch_key: str | None = None) -> int:
         """Encode ``batch`` against the frozen model and append its
         codes as one delta directory. Returns rows added. O(batch) —
@@ -143,16 +214,110 @@ class VectorIndex:
         import uuid
 
         model = self._load_model()
+        key = batch_key if batch_key is not None else uuid.uuid4().hex
+        dest = os.path.join(self._codes_path(), f"delta-{key}")
+        # the tombstone guard applies to NEW batches only: a replay of
+        # a committed key (its delta dir exists) is the crash-replay
+        # path, whose ids may legitimately have been deleted since.
+        # Re-adding a live-tombstoned id would write codes the
+        # anti-join then hides — the add would silently not serve.
+        if not os.path.isdir(dest):
+            tombs = self._live_tombstones()
+            if tombs is not None:
+                from pyspark.sql import functions as F
+
+                n_dead = (
+                    batch.join(
+                        F.broadcast(tombs),
+                        batch[self.id_col] == tombs["id"],
+                        "left_semi",
+                    ).limit(1).count()
+                )
+                if n_dead:
+                    raise ValueError(
+                        "add() received ids with LIVE tombstones in "
+                        f"{self.path!r}: a deleted id cannot be "
+                        "re-added until a compaction folds its "
+                        "tombstone away (the serving anti-join would "
+                        "hide the new codes). compact() first."
+                    )
         enc = ivf_pq_encode(
             batch, model, id_col=self.id_col, vec_col=self.vec_col
         )
-        key = batch_key if batch_key is not None else uuid.uuid4().hex
-        dest = os.path.join(self._codes_path(), f"delta-{key}")
         enc.write.mode("overwrite").parquet(dest)
         # row count from the written files' parquet footers — the Arrow
         # encode kernel runs exactly once (the write); a .count() on enc
         # would re-execute the whole encode a second time
         return _parquet_rows(dest)
+
+    def delete(self, ids, batch_key: str | None = None) -> int:
+        """Tombstone one batch of vector ids (a list, or a DataFrame
+        whose ``id_col`` column holds them). O(index ids + batch): the
+        match runs against the codes table column-pruned to the id —
+        never the code bytes, never the float vectors. Ids absent from
+        the index — or already tombstoned by an earlier batch — are
+        ignored, so the recorded counts never double-subtract. Returns
+        the number of vectors newly tombstoned.
+
+        Same replay contract as ``add``: with ``batch_key`` the delete
+        is idempotent (publish-if-changed tombstone dir + meta
+        set-add; a committed key short-circuits), and a key already
+        folded by a compaction raises — its physical rows are gone, so
+        a replayed subtract would count ghosts."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from gus_spark.streaming import markers
+
+        meta = self._read_meta()
+        key = batch_key if batch_key is not None else uuid.uuid4().hex
+        if key in meta["folded_tombs"]:
+            raise ValueError(
+                f"delete batch key {key!r} was already folded away by "
+                f"a compaction of {self.path!r}: its rows are "
+                "physically gone. Use a fresh key."
+            )
+        if key in meta["tombs"]:
+            return meta["tombs"][key]
+        if not os.path.isdir(self._codes_path()):
+            raise StorageError(
+                f"index at {self.path} holds no codes — nothing to "
+                "delete"
+            )
+        # the codes table names its id column literally `id`
+        # (ivf_pq_encode output), whatever ``id_col`` the raw vectors
+        # use — tombstones are stored in the codes' name
+        live_ids = self._read_codes().select("id").distinct()
+        if not isinstance(ids, DataFrame):
+            id_field = live_ids.schema["id"]
+            ids = self.spark.createDataFrame(
+                [(i,) for i in ids],
+                schema=f"id {id_field.dataType.simpleString()}",
+            )
+        elif self.id_col in ids.columns:
+            ids = ids.select(F.col(self.id_col).alias("id"))
+        # localCheckpoint: the caller's id plan may be an expensive
+        # curation join and is consumed by TWO actions (count +
+        # tombstone publish) — cut the lineage so it runs once. NO
+        # broadcast hint on the semi-join: a heavy curation pass can
+        # flag a large corpus fraction; AQE broadcasts genuinely
+        # small id sets on its own.
+        ids = ids.select("id").distinct().localCheckpoint()
+        matched = live_ids.join(ids, "id", "left_semi")
+        prior = self._live_tombstones(meta)
+        if prior is not None:
+            matched = matched.join(
+                F.broadcast(prior),
+                matched["id"] == prior["id"],
+                "left_anti",
+            )
+        matched = matched.localCheckpoint()
+        n = matched.count()
+        markers.publish_batch(matched, self._tomb_path(key))
+        meta["tombs"][key] = n
+        self._write_meta(meta)
+        return n
 
     def search(
         self,
@@ -167,7 +332,7 @@ class VectorIndex:
         two-stage production path; without it, ADC scores rank directly
         (columns adc_sim instead of cos_sim)."""
         model = self._load_model()
-        encoded = self._read_codes()
+        encoded = self._live_codes()
         if rerank_df is not None:
             return ivf_pq_topk(
                 rerank_df, encoded, queries, model, k=k, nprobe=nprobe,
@@ -209,42 +374,121 @@ class VectorIndex:
             ),
         }
 
-    def maintain(self, max_files: int = 16, target_files: int = 4) -> dict:
+    def compact(self, target_files: int = 4) -> dict:
+        """Fold the code deltas — and every live tombstone — into one
+        compacted delta of ``target_files`` files, range-partitioned
+        and sorted on ``cell`` (the probe key, so nprobe filters prune
+        files/row-groups). Tombstoned rows are dropped PHYSICALLY and
+        their keys move to ``folded_tombs`` (a late replay of a folded
+        delete raises, see ``delete``).
+
+        Crash contract, in write order: (1) live rows land in a
+        dot-prefixed temp dir, (2) atomic rename into place, (3) old
+        delta dirs removed, (4) meta swapped (tombs cleared), (5)
+        tombstone dirs removed. A crash anywhere before (4) leaves
+        tombstones live in meta, so the serving anti-join still hides
+        any dead rows the unfinished fold left behind (and duplicate
+        live rows are collapsed pre-rank, the deltas.py contract);
+        after (4), the dead rows are already physically gone."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        base = self._codes_path()
+        if not os.path.isdir(base):
+            return self.health()
+        meta = self._read_meta()
+        old = [
+            d for d in os.listdir(base)
+            if d.startswith("delta-")
+            and os.path.isdir(os.path.join(base, d))
+        ]
+        live = self._read_codes()
+        tombs = self._live_tombstones(meta)
+        if tombs is not None:
+            dead = tombs.withColumnRenamed("id", "_dead_id")
+            live = live.join(
+                F.broadcast(dead),
+                live["id"] == dead["_dead_id"],
+                "left_anti",
+            )
+        live = live.repartitionByRange(target_files, "cell")
+        live = live.sortWithinPartitions("cell")
+        token = uuid.uuid4().hex
+        tmp = os.path.join(base, f".compacting-{token}")
+        live.write.parquet(tmp)
+        os.rename(tmp, os.path.join(base, f"delta-compact-{token}"))
+        for d in old:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+        folded_now = list(meta["tombs"])
+        if folded_now:
+            self._write_meta(dict(
+                meta,
+                tombs={},
+                folded_tombs=meta["folded_tombs"] + folded_now,
+            ))
+            for key in folded_now:
+                shutil.rmtree(self._tomb_path(key), ignore_errors=True)
+        return self.health()
+
+    def maintain(
+        self,
+        max_files: int = 16,
+        target_files: int = 4,
+        max_tomb_frac: float = 0.2,
+    ) -> dict:
         """Compact the per-add code deltas once they exceed
         ``max_files`` — streaming ingest appends one delta per
-        micro-batch, which unchecked is small-file death. Compacted
-        output is range-partitioned AND sorted on ``cell`` so a search's
-        nprobe cell filter prunes to the files/row-groups holding those
+        micro-batch, which unchecked is small-file death — OR when the
+        tombstoned fraction of the index exceeds ``max_tomb_frac``: a
+        long-lived index under heavy curation can hold few tombstone
+        batches that cover much of the corpus, and every search then
+        scans + anti-joins ghost codes the fold would remove (the
+        PostingIndex.maintain policy). Compacted output is
+        range-partitioned AND sorted on ``cell`` so a search's nprobe
+        cell filter prunes to the files/row-groups holding those
         cells. A healthy table is a metadata-only no-op, so this can
         run on a timer like ParquetStore.maintain. Search results are
-        unchanged: the codes row set is identical, and every consumer
-        is order-independent."""
-        from gus_spark.storage.deltas import compact_deltas
-
+        unchanged: the LIVE codes row set is identical, and every
+        consumer is order-independent."""
         health = self.health()
-        compacted = health["n_files"] > max_files
-        if compacted:
-            compact_deltas(
-                self.spark, self._codes_path(), target_files,
-                range_cols=["cell"],
+        meta = self._read_meta()
+        tomb_docs = sum(meta["tombs"].values())
+        trigger = health["n_files"] > max_files
+        if not trigger and tomb_docs:
+            # total rows from parquet footers only — no Spark job
+            total = _parquet_rows(self._codes_path())
+            live_rows = total - tomb_docs
+            trigger = (
+                live_rows <= 0 or tomb_docs / live_rows > max_tomb_frac
             )
-        return {"before": health, "compacted": compacted,
+        if trigger:
+            self.compact(target_files)
+        return {"before": health, "compacted": trigger,
                 "after": self.health()}
 
     def stats(self) -> dict:
-        """Index health: total rows + per-cell occupancy spread (a
-        drifting corpus skews cells; re-fit when the ratio degrades)."""
-        from pyspark.sql import functions as F
-
+        """Index health: LIVE rows (tombstones excluded — occupancy
+        should describe what searches actually scan) + per-cell
+        occupancy spread (a drifting corpus skews cells; re-fit when
+        the ratio degrades) + the tombstone burden."""
+        meta = self._read_meta()
+        base = {
+            "n_tombs": len(meta["tombs"]),
+            "tomb_docs": sum(meta["tombs"].values()),
+        }
         if not os.path.isdir(self._codes_path()):
-            return {"n_rows": 0, "n_cells": 0, "max_cell_fraction": 0.0}
-        enc = self._read_codes()
+            return dict(
+                base, n_rows=0, n_cells=0, max_cell_fraction=0.0
+            )
+        enc = self._live_codes()
         per_cell = enc.groupBy("cell").count().collect()
         total = sum(r["count"] for r in per_cell)
-        return {
-            "n_rows": total,
-            "n_cells": len(per_cell),
-            "max_cell_fraction": (
+        return dict(
+            base,
+            n_rows=total,
+            n_cells=len(per_cell),
+            max_cell_fraction=(
                 max(r["count"] for r in per_cell) / total if total else 0.0
             ),
-        }
+        )

@@ -7,7 +7,10 @@ from gus_spark.streaming.stateful import (  # noqa: F401
 from gus_spark.streaming.neardup import neardup_stream  # noqa: F401
 from gus_spark.streaming.packing import pack_stream  # noqa: F401
 from gus_spark.streaming.pipeline import CurationPipelineStream  # noqa: F401
-from gus_spark.streaming.vectors import vector_index_stream  # noqa: F401
+from gus_spark.streaming.vectors import (  # noqa: F401
+    vector_index_stream,
+    vector_tombstone_stream,
+)
 from gus_spark.streaming.subscriptions import (  # noqa: F401
     attribution_join,
     click_purchase_attribution,
