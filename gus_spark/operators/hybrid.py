@@ -1,0 +1,365 @@
+"""Hybrid sparse+dense retrieval: Reciprocal Rank Fusion (RRF) over
+the BM25 tier (operators/retrieval.py) and the embedding tier
+(operators/similarity.py / vector_index.py).
+
+RRF (Cormack, Clarke & Buettcher, SIGIR 2009): each ranking
+contributes 1/(rrf_k + rank) for the documents it returns; documents
+sum their contributions and the fused top-k wins. Rank-based fusion
+needs NO score calibration between the tiers — BM25's fixed-point log
+scores and cosine similarities never meet on one scale, only their
+ranks do — which is exactly why RRF is the production default for
+sparse+dense ensembles.
+
+Scale shape: fusion itself is O(n_lists x k_each) rows PER QUERY —
+top-k shortlists, never corpora — unioned and re-aggregated on
+(query_id, id). The real cost is the underlying retrievals, each
+already on its scale path: the sparse side rides bucket-pruned
+postings (static index) or the base+delta live snapshot, the dense
+side probes nprobe/cells of PQ codes. The fused aggregation sums
+DOUBLES deterministically by folding contributions in sorted source
+order (collect_list -> sort_array -> F.aggregate), so results are
+bit-stable under shuffle-order nondeterminism for ANY number of
+fused rankings, and bit-identical to the DuckDB twin
+(`sql_hybrid_rrf_topk`), which adds COALESCEd per-source terms in the
+same order.
+
+Cross-path contract (the repo-wide serving rule): the scan path
+(`hybrid_rrf_topk`), the live-index path (`hybrid_rrf_topk_live` over
+PostingIndex + VectorIndex with full probe + corpus-wide shortlist),
+and the batch path (`hybrid_rrf_batch`) produce identical fused
+rankings on the same corpus — asserted in tests/test_hybrid.py —
+and curation deletes propagate: ids tombstoned in BOTH indexes
+disappear from the live fusion exactly as if re-ranked over the
+surviving corpus.
+
+Reference surface: none — the reference engine (a Rust CRUD
+webserver) has no retrieval tier; this extends the SURVEY §2.3
+training-data/serving layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gus_spark.operators.retrieval import (
+    B,
+    K1,
+    bm25_batch,
+    bm25_topk,
+    sql_bm25_topk,
+)
+from gus_spark.operators.similarity import _as_double, _dot_cols
+
+#: the standard RRF damping constant (SIGIR'09 uses 60 throughout)
+RRF_K = 60
+
+
+def _contrib(rrf_k: int) -> Column:
+    # 1.0/(60.0 + rank): same literal types and op order as the DuckDB
+    # twin, so the doubles are bit-identical across engines
+    return F.lit(1.0) / (
+        F.lit(float(rrf_k)) + F.col("rank").cast("double")
+    )
+
+
+def rrf_fuse(
+    ranked: dict[str, DataFrame],
+    k: int,
+    rrf_k: int = RRF_K,
+    id_col: str = "doc_id",
+    query_col: str | None = None,
+) -> DataFrame:
+    """Fuse named rankings — each a DataFrame with (``id_col``,
+    ``rank``) columns, plus ``query_col`` when fusing a whole query
+    batch — into the RRF top-k: (id, n_lists, rrf_score) ordered by
+    (rrf_score desc, id), per query when batched.
+
+    Contributions fold in SORTED source-name order so the double sum
+    is deterministic for any number of rankings (a bare F.sum over a
+    shuffle would be order-nondeterministic in the last bits)."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    keys = ([query_col] if query_col else []) + [id_col]
+    parts = [
+        df.select(
+            *keys,
+            F.lit(tag).alias("src"),
+            _contrib(rrf_k).alias("contrib"),
+        )
+        for tag, df in sorted(ranked.items())
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (
+        u.groupBy(*keys)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("src", "contrib"))
+            ).alias("cs")
+        )
+        .select(
+            *keys,
+            F.size("cs").cast("long").alias("n_lists"),
+            F.aggregate(
+                F.col("cs"),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("rrf_score"),
+        )
+    )
+    if query_col:
+        rank = F.row_number().over(
+            Window.partitionBy(query_col).orderBy(
+                F.col("rrf_score").desc(), F.col(id_col)
+            )
+        )
+        return fused.withColumn("rank", rank).filter(
+            F.col("rank") <= k
+        ).drop("rank")
+    return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)
+
+
+def _with_rank(df: DataFrame, order: list[Column]) -> DataFrame:
+    """row_number over a k_each-row top-k table — the single-partition
+    window is bounded by k_each, never corpus-sized."""
+    return df.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(*order)).cast("long"),
+    )
+
+
+def dense_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k for ONE query vector: the query
+    broadcasts as a literal array, one fold per row, no shuffle until
+    the final top-k. Output (id_col, cos_sim, rank). The fold-order
+    dot is the DuckDB list_dot_product contract, so cos values are
+    bit-identical to the SQL twin."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = vectors.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("nv")
+    )
+    cos = _dot_cols(F.col("nv"), qv) / (
+        F.sqrt(_dot_cols(F.col("nv"), F.col("nv")))
+        * F.sqrt(_dot_cols(qv, qv))
+    )
+    top = (
+        v.select(F.col(id_col), cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+    return _with_rank(top, [F.col("cos_sim").desc(), F.col(id_col)])
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    vectors: DataFrame,
+    query: list[str],
+    query_vec: list[float],
+    k: int,
+    k_each: int = 20,
+    rrf_k: int = RRF_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Scan-path hybrid retrieval: BM25 top-k_each over ``docs`` +
+    exact-cosine top-k_each over ``vectors`` (ids must share the
+    document id space), RRF-fused to the final top-k. Output
+    (id_col, n_lists, rrf_score)."""
+    sparse = _with_rank(
+        bm25_topk(docs, query, k_each, id_col, text_col, k1, b),
+        [F.col("score_fp").desc(), F.col(id_col)],
+    )
+    dense = dense_topk(
+        vectors, query_vec, k_each, vec_id_col, vec_col
+    ).withColumnRenamed(vec_id_col, id_col)
+    return rrf_fuse(
+        {"dense": dense, "sparse": sparse}, k, rrf_k, id_col
+    )
+
+
+def hybrid_rrf_topk_live(
+    pidx,
+    vidx,
+    query: list[str],
+    query_vec: list[float],
+    k: int,
+    k_each: int = 20,
+    rrf_k: int = RRF_K,
+    nprobe: int = 4,
+    shortlist: int | None = None,
+    rerank_df: DataFrame | None = None,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Hybrid retrieval served from the LIVE indexes: PostingIndex
+    (sparse snapshot incl. tombstones) + VectorIndex (dense snapshot
+    incl. tombstones). With ``rerank_df`` (the raw vector table),
+    full probe (nprobe >= cells) and a corpus-covering ``shortlist``,
+    the dense ranks are exact and the fused ranking is identical to
+    `hybrid_rrf_topk` over the equivalent corpus (asserted in tests);
+    production dials nprobe/shortlist down and accepts approximate
+    dense ranks for a bounded code scan. Deleted ids (either index)
+    drop out of their tier's ranking exactly as a rebuild would.
+
+    The ANN kernel excludes neighbor_id == query_id (self-match —
+    right for corpus-member queries); a hybrid query is EXTERNAL
+    (free text + its embedding), so it routes under a reserved
+    sentinel id that no document id collides with — the scan path's
+    dense tier has no exclusion, and the two must rank the same
+    corpus."""
+    _SENTINEL_QID = -(1 << 62)
+    pid = pidx._read_meta()["id_col"]
+    sparse = _with_rank(
+        pidx.topk(query, k_each, k1, b),
+        [F.col("score_fp").desc(), F.col(pid)],
+    ).withColumnRenamed(pid, "doc_id")
+    dense = vidx.search(
+        [(_SENTINEL_QID, [float(x) for x in query_vec])],
+        k=k_each,
+        nprobe=nprobe,
+        shortlist=shortlist,
+        rerank_df=rerank_df,
+    ).withColumnRenamed("neighbor_id", "doc_id")
+    return rrf_fuse(
+        {"dense": dense, "sparse": sparse}, k, rrf_k, "doc_id"
+    )
+
+
+def hybrid_rrf_batch(
+    docs: DataFrame,
+    vectors: DataFrame,
+    query_terms: DataFrame,
+    query_vecs: list[tuple[int, list[float]]],
+    k: int,
+    k_each: int = 20,
+    rrf_k: int = RRF_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Whole-eval-suite hybrid: ``query_terms`` is the weighted
+    (query_id, w, weight) table `bm25_batch` serves in ONE postings
+    pass; ``query_vecs`` the [(query_id, vec)] list the grouped BLAS
+    kernel scores in one code scan. Per-query RRF fusion rides a
+    single (query_id, id)-keyed aggregation over n_queries x 2 x
+    k_each shortlist rows. Output (query_id, doc_id, n_lists,
+    rrf_score), top-k per query."""
+    sparse = bm25_batch(
+        docs, query_terms, k_each, id_col, text_col, k1, b
+    ).select("query_id", F.col(id_col), "rank")
+    # exact dense ranks for the whole batch: the Q query vectors ride
+    # ONE broadcast against a single corpus scan (never a QxN
+    # candidate materialization); the only shuffle is the per-query
+    # top-k window. Same cosine expression as dense_topk, so each
+    # query's ranks match the single-query path bit-for-bit. This is
+    # the exact tier — the IVF/PQ indexes serve the approximate tier
+    # at scale.
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in query_vecs],
+        "query_id bigint, qv array<double>",
+    )
+    v = vectors.select(
+        F.col(vec_id_col).alias(id_col),
+        _as_double(F.col(vec_col)).alias("nv"),
+    )
+    cos = _dot_cols(F.col("nv"), F.col("qv")) / (
+        F.sqrt(_dot_cols(F.col("nv"), F.col("nv")))
+        * F.sqrt(_dot_cols(F.col("qv"), F.col("qv")))
+    )
+    drank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col(id_col)
+        )
+    )
+    dense = (
+        v.crossJoin(F.broadcast(qdf))
+        .select("query_id", F.col(id_col), cos.alias("cos_sim"))
+        .withColumn("rank", drank)
+        .filter(F.col("rank") <= k_each)
+        .select("query_id", F.col(id_col), "rank")
+    )
+    return rrf_fuse(
+        {"dense": dense, "sparse": sparse},
+        k,
+        rrf_k,
+        id_col,
+        query_col="query_id",
+    )
+
+
+def sql_hybrid_rrf_topk(
+    query: list[str],
+    query_vec: list[float],
+    k: int,
+    k_each: int = 20,
+    rrf_k: int = RRF_K,
+    table: str = "documents",
+    vec_table: str = "embeddings",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    """DuckDB twin of `hybrid_rrf_topk`, expression-for-expression:
+    sql_bm25_topk as the sparse CTE, list_dot_product cosine (the
+    fold-order contract) as the dense CTE, COALESCEd dense-then-sparse
+    contribution sum = the Spark sorted-source fold. Used by
+    tests/test_hybrid.py."""
+    vec_lit = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]"
+    sparse_sql = sql_bm25_topk(query, k_each, table, id_col, text_col, k1, b)
+    return f"""
+    WITH sparse AS (
+      SELECT {id_col} AS id,
+             ROW_NUMBER() OVER (ORDER BY score_fp DESC, {id_col})
+               AS rank
+      FROM ({sparse_sql})
+    ),
+    dense AS (
+      SELECT id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, id) AS rank
+      FROM (
+        SELECT {vec_id_col} AS id,
+               list_dot_product(CAST({vec_col} AS DOUBLE[]),
+                                CAST({vec_lit} AS DOUBLE[]))
+                 / (SQRT(list_dot_product(CAST({vec_col} AS DOUBLE[]),
+                                          CAST({vec_col} AS DOUBLE[])))
+                    * SQRT(list_dot_product(CAST({vec_lit} AS DOUBLE[]),
+                                            CAST({vec_lit} AS DOUBLE[]))))
+                 AS cos_sim
+        FROM {vec_table}
+        ORDER BY cos_sim DESC, id
+        LIMIT {k_each}
+      )
+    )
+    SELECT COALESCE(d.id, s.id) AS {id_col},
+           CAST((CASE WHEN d.id IS NULL THEN 0 ELSE 1 END)
+                + (CASE WHEN s.id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_lists,
+           COALESCE(1.0 / (CAST({float(rrf_k)!r} AS DOUBLE)
+                           + CAST(d.rank AS DOUBLE)), 0.0)
+             + COALESCE(1.0 / (CAST({float(rrf_k)!r} AS DOUBLE)
+                               + CAST(s.rank AS DOUBLE)), 0.0)
+             AS rrf_score
+    FROM dense d FULL OUTER JOIN sparse s ON d.id = s.id
+    ORDER BY rrf_score DESC, {id_col}
+    LIMIT {k}
+    """

@@ -1,0 +1,201 @@
+"""Hybrid sparse+dense RRF retrieval (operators/hybrid.py).
+
+Contracts pinned here:
+- engine parity: `hybrid_rrf_topk` hash-matches the DuckDB twin
+  `sql_hybrid_rrf_topk` on the sf0.01 corpus — fused doubles
+  bit-identical (rank-reciprocal contributions added in the same
+  order in both engines);
+- formula correctness: a from-scratch pure-Python RRF over the two
+  tiers' (already individually twin-checked) rankings reproduces
+  every fused score exactly;
+- cross-path contract: the LIVE path (PostingIndex + VectorIndex at
+  full probe + corpus-wide shortlist + exact re-rank) serves the same
+  fused ranking as the scan path, and ids deleted from BOTH indexes
+  drop out of the fusion exactly as a scan over the surviving corpus;
+- batch contract: `hybrid_rrf_batch` at weight 1.0 equals the
+  single-query path per query;
+- degenerate inputs fail loudly.
+"""
+
+import os
+import sys
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from conftest import SF_DIR_ORACLE
+from oracle_harness import frame_key
+
+from gus_spark.operators.hybrid import (
+    RRF_K,
+    dense_topk,
+    hybrid_rrf_batch,
+    hybrid_rrf_topk,
+    hybrid_rrf_topk_live,
+    rrf_fuse,
+    sql_hybrid_rrf_topk,
+)
+from gus_spark.operators.retrieval import bm25_topk
+from gus_spark.queries import table
+
+QUERY = ["spark", "join", "dup"]  # two common terms + one rare
+K = 10
+K_EACH = 20
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return table(spark, SF_DIR_ORACLE, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return table(spark, SF_DIR_ORACLE, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+
+
+@pytest.fixture(scope="module")
+def fused(docs, emb, qvec):
+    return hybrid_rrf_topk(
+        docs, emb, QUERY, qvec, K, k_each=K_EACH
+    ).toPandas()
+
+
+def test_matches_duckdb_twin(fused, qvec):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{SF_DIR_ORACLE}/{t}.parquet'"
+        )
+    odf = con.execute(
+        sql_hybrid_rrf_topk(QUERY, qvec, K, k_each=K_EACH)
+    ).df()
+    assert frame_key(fused) == frame_key(odf)
+
+
+def test_matches_pure_python_rrf(docs, emb, qvec, fused):
+    """Fused scores recomputed from scratch off the two tiers' own
+    (independently twin-checked) rankings: rank maps -> reciprocal
+    contributions added dense-then-sparse -> top-k by (score, id).
+    Must equal the Spark doubles bit-for-bit."""
+    sp = bm25_topk(docs, QUERY, K_EACH).toPandas()
+    sparse_rank = {
+        int(d): i + 1 for i, d in enumerate(sp["doc_id"].tolist())
+    }
+    dn = dense_topk(emb, qvec, K_EACH).toPandas()
+    dense_rank = {
+        int(d): i + 1 for i, d in enumerate(dn["vec_id"].tolist())
+    }
+    scores = {}
+    for i in set(sparse_rank) | set(dense_rank):
+        s = 0.0
+        n = 0
+        if i in dense_rank:  # dense folds first (sorted source tag)
+            s += 1.0 / (float(RRF_K) + float(dense_rank[i]))
+            n += 1
+        if i in sparse_rank:
+            s += 1.0 / (float(RRF_K) + float(sparse_rank[i]))
+            n += 1
+        scores[i] = (s, n)
+    want = sorted(
+        ((v[0], i, v[1]) for i, v in scores.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:K]
+    got = [
+        (row.rrf_score, int(row.doc_id), int(row.n_lists))
+        for row in fused.itertuples()
+    ]
+    assert got == want
+
+
+def test_live_path_matches_scan_and_deletes_propagate(
+    spark, docs, emb, qvec, tmp_path
+):
+    """The cross-path serving contract, hybrid edition: live indexes
+    (full probe, corpus-wide shortlist, exact re-rank) fuse to the
+    scan path's exact rows; deleting ids from BOTH indexes serves the
+    fusion a scan over the surviving corpus would."""
+    from gus_spark.operators.posting_index import PostingIndex
+    from gus_spark.operators.vector_index import VectorIndex
+
+    pidx = PostingIndex(spark, str(tmp_path / "pidx"))
+    pidx.build(
+        docs.filter(F.col("doc_id") % 2 == 0), "hyb_pidx", n_buckets=8
+    )
+    pidx.add(docs.filter(F.col("doc_id") % 2 == 1), batch_key="b1")
+    vidx = VectorIndex(spark, str(tmp_path / "vidx"), iters=2)
+    vidx.fit(emb)
+    vidx.add(emb, batch_key="b0")
+
+    n = emb.count()
+    live_kwargs = dict(
+        k_each=K_EACH, nprobe=vidx.codes, shortlist=n, rerank_df=emb
+    )
+    want = hybrid_rrf_topk(
+        docs, emb, QUERY, qvec, K, k_each=K_EACH
+    ).toPandas()
+    got = hybrid_rrf_topk_live(
+        pidx, vidx, QUERY, qvec, K, **live_kwargs
+    ).toPandas()
+    assert frame_key(got) == frame_key(want)
+
+    # curation removes the scan winner from both tiers
+    top_id = int(want["doc_id"].iloc[0])
+    dead = [top_id]
+    pidx.delete(dead, batch_key="d0")
+    vidx.delete(dead, batch_key="d0")
+    survivors_docs = docs.filter(~F.col("doc_id").isin(dead))
+    survivors_emb = emb.filter(~F.col("vec_id").isin(dead))
+    want2 = hybrid_rrf_topk(
+        survivors_docs, survivors_emb, QUERY, qvec, K, k_each=K_EACH
+    ).toPandas()
+    assert top_id not in set(want2["doc_id"])
+    live_kwargs["rerank_df"] = survivors_emb
+    got2 = hybrid_rrf_topk_live(
+        pidx, vidx, QUERY, qvec, K, **live_kwargs
+    ).toPandas()
+    assert frame_key(got2) == frame_key(want2)
+
+
+def test_batch_matches_single_query(spark, docs, emb, qvec):
+    """Two queries through the batch path at weight 1.0 == each
+    through the single-query path (both tiers share their scoring
+    expressions, so equality is exact)."""
+    qvec2 = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    terms = spark.createDataFrame(
+        [(0, w, 1.0) for w in QUERY] + [(1, w, 1.0) for w in ("part", "dup")],
+        "query_id bigint, w string, weight double",
+    )
+    out = hybrid_rrf_batch(
+        docs, emb, terms, [(0, qvec), (1, qvec2)], K, k_each=K_EACH
+    ).toPandas()
+    for qid, q, qv in ((0, QUERY, qvec), (1, ["part", "dup"], qvec2)):
+        single = hybrid_rrf_topk(
+            docs, emb, q, qv, K, k_each=K_EACH
+        ).toPandas()
+        part = (
+            out[out["query_id"] == qid]
+            .drop(columns=["query_id"])
+            .reset_index(drop=True)
+        )
+        assert frame_key(part) == frame_key(single)
+
+
+def test_degenerate_inputs(docs, emb, qvec):
+    with pytest.raises(ValueError, match="k must be"):
+        hybrid_rrf_topk(docs, emb, QUERY, qvec, 0)
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse({}, 5)
