@@ -194,6 +194,27 @@ def test_batch_matches_single_query(spark, docs, emb, qvec):
         assert frame_key(part) == frame_key(single)
 
 
+def test_batch_plan_shape(spark, docs, emb, qvec):
+    """The batch dense tier's query join must be a BROADCAST nested
+    loop (Q queries ride to the corpus scan), never a
+    CartesianProduct — the difference between one corpus pass and a
+    corpus shuffle at scale."""
+    import contextlib
+    import io
+
+    terms = spark.createDataFrame(
+        [(0, w, 1.0) for w in QUERY],
+        "query_id bigint, w string, weight double",
+    )
+    out = hybrid_rrf_batch(docs, emb, terms, [(0, qvec)], K)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
 def test_degenerate_inputs(docs, emb, qvec):
     with pytest.raises(ValueError, match="k must be"):
         hybrid_rrf_topk(docs, emb, QUERY, qvec, 0)
