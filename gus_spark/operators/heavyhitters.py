@@ -1,0 +1,184 @@
+"""Exact distributed heavy hitters: top-k token (or n-gram)
+frequencies over a corpus WITHOUT a corpus-wide token shuffle.
+
+The naive plan — explode every token and groupBy — shuffles one row
+per token occurrence: at 100 TB that shuffle IS the job. This
+operator is the two-pass sketch-then-verify pattern (the same shape
+as the dedup family's candidates→exact-verify):
+
+1. **Candidate pass, zero shuffle**: each partition summarizes its
+   token stream with a Misra-Gries summary of ``capacity`` counters
+   (Misra & Gries 1982; merge rule per Agarwal et al., "Mergeable
+   Summaries", PODS 2012: batch-count exactly, and when the summary
+   overflows subtract the (capacity+1)-st largest count and drop
+   non-positives). Tokens arrive PRE-TOKENIZED from the JVM
+   `functions.tokenize` expression — the kernel never re-derives a
+   split, so the cross-engine tokenization contract holds by
+   construction. Each partition emits <= capacity candidate rows plus
+   one total-count sentinel.
+2. **Exact verify, candidate-bounded shuffle**: one more scan counts
+   ONLY the candidate tokens (broadcast semi-join before the groupBy,
+   the BM25 IN-list contract) — the shuffle carries candidate
+   occurrences, not the vocabulary.
+
+The MG guarantee makes the output self-describing: a token absent
+from every partition summary has true count <= n/(capacity+1)
+(undercount bound per partition, summed), so the result carries
+``floor_cnt`` = floor(n/(capacity+1)) — every returned row with
+``cnt > floor_cnt`` is PROVABLY the true rank (no unseen token can
+beat it). With the default capacity = max(64*k, 4096) real corpora
+clear the floor by orders of magnitude; a result row at or under the
+floor means the corpus is near-uniform at rank k and capacity should
+rise.
+
+DuckDB twin: `sql_heavy_hitters` (full GROUP BY — the oracle pays
+the shuffle the operator avoids); bit-parity asserted in
+tests/test_heavyhitters.py, n-grams against a pure-Python counter.
+
+Reference surface: none — extends the SURVEY §2.3 training-data
+layer (vocabulary statistics / boilerplate n-gram diagnostics feed
+BPE fit sizing and repetition gates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gus_spark.functions.tokenize import tokenize
+
+#: summary capacity default: 64x the asked k keeps the provable floor
+#: n/(capacity+1) far below any plausible k-th frequency, for a
+#: driver/executor cost of a few hundred KB per partition
+_MIN_CAPACITY = 4096
+
+
+def gram_col(text: Column, n: int, variant: str = "raw") -> Column:
+    """Token array for n=1, else the space-joined n-gram array —
+    built ENTIRELY from the shared tokenize() expression so every
+    consumer (kernel, exact pass, oracle twin) sees one definition."""
+    if n < 1:
+        raise ValueError(f"ngram must be >= 1, got {n}")
+    toks = tokenize(text, variant)
+    if n == 1:
+        return toks
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + F.lit(1), n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _mg_kernel(capacity: int):
+    """mapInPandas factory: Misra-Gries over the partition's token
+    stream. Batches count exactly (C-speed Counter), the summary
+    reduces to ``capacity`` only past 4x overflow (amortizes the
+    O(size log size) reduction); each reduction subtracts the
+    (capacity+1)-st largest count — the mergeable-summaries rule —
+    keeping the total undercount <= n_partition/(capacity+1)."""
+
+    def summarize(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        total = 0
+        for pdf in batches:
+            for arr in pdf["_g"]:
+                if arr is None:
+                    continue
+                total += len(arr)
+                for w, v in Counter(arr).items():
+                    counters[w] = counters.get(w, 0) + v
+            if len(counters) > 4 * capacity:
+                vals = sorted(counters.values(), reverse=True)
+                thresh = vals[capacity]
+                counters = {
+                    w: v - thresh
+                    for w, v in counters.items()
+                    if v > thresh
+                }
+        yield pd.DataFrame(
+            {
+                "w": list(counters) + [None],
+                "cnt": list(counters.values()) + [total],
+            }
+        )
+
+    return summarize
+
+
+def heavy_hitters(
+    df: DataFrame,
+    k: int = 50,
+    ngram: int = 1,
+    capacity: int | None = None,
+    variant: str = "raw",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact top-k (token, count) over ``df[text_col]`` — or n-gram
+    counts with ``ngram`` > 1 — ordered by (cnt desc, w). Output
+    (w, cnt, floor_cnt): ``floor_cnt`` is the provable ceiling on any
+    token NOT returned, so rows with cnt > floor_cnt are certified
+    exact ranks (see module docstring). Two corpus scans, zero
+    vocabulary-wide shuffle."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    m = max(64 * k, _MIN_CAPACITY) if capacity is None else capacity
+    if m < k:
+        raise ValueError(f"capacity {m} must be >= k {k}")
+    grams = df.select(gram_col(F.col(text_col), ngram, variant).alias("_g"))
+    summaries = grams.mapInPandas(_mg_kernel(m), "w string, cnt long")
+    # tiny: <= partitions x (capacity+1) rows. localCheckpoint cuts
+    # the lineage so the sketch pass runs once while feeding BOTH the
+    # candidate set and the total (two consumers below).
+    summaries = summaries.localCheckpoint()
+    candidates = summaries.filter(F.col("w").isNotNull()).select("w").distinct()
+    totals = summaries.filter(F.col("w").isNull()).agg(
+        F.sum("cnt").alias("n_total")
+    )
+    exact = (
+        grams.select(F.explode("_g").alias("w"))
+        .join(F.broadcast(candidates), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    floor = F.floor(
+        F.col("n_total").cast("double") / F.lit(float(m + 1))
+    ).cast("long")
+    return (
+        exact.crossJoin(F.broadcast(totals))
+        .select("w", "cnt", floor.alias("floor_cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(k)
+    )
+
+
+def sql_heavy_hitters(
+    k: int = 50,
+    table: str = "documents",
+    text_col: str = "text",
+    capacity: int | None = None,
+) -> str:
+    """DuckDB twin of unigram `heavy_hitters` — the full GROUP BY the
+    operator's two-pass plan avoids, same tokenization contract
+    (string_split_regex TRIM twin, tests/test_tokenize_contract.py),
+    same (cnt desc, w) order and floor arithmetic."""
+    m = max(64 * k, _MIN_CAPACITY) if capacity is None else capacity
+    return f"""
+    WITH toks AS (
+      SELECT UNNEST(string_split_regex(TRIM({text_col}), '\\s+')) AS w
+      FROM {table} WHERE {text_col} IS NOT NULL),
+    totals AS (SELECT COUNT(*) AS n_total FROM toks)
+    SELECT w, COUNT(*) AS cnt,
+           CAST(FLOOR(CAST(n_total AS DOUBLE)
+                      / CAST({float(m + 1)!r} AS DOUBLE)) AS BIGINT)
+             AS floor_cnt
+    FROM toks CROSS JOIN totals
+    GROUP BY w, n_total
+    ORDER BY cnt DESC, w
+    LIMIT {k}
+    """
