@@ -134,8 +134,9 @@ def heavy_hitters(
     summaries = grams.mapInPandas(_mg_kernel(m), "w string, cnt long")
     # tiny: <= partitions x (capacity+1) rows. localCheckpoint cuts
     # the lineage so the sketch pass runs once while feeding BOTH the
-    # candidate set and the total (two consumers below).
-    summaries = summaries.localCheckpoint()
+    # candidate set and the total (two consumers below); eager=False
+    # keeps the operator lazy — nothing runs until the caller acts.
+    summaries = summaries.localCheckpoint(eager=False)
     candidates = summaries.filter(F.col("w").isNotNull()).select("w").distinct()
     totals = summaries.filter(F.col("w").isNull()).agg(
         F.sum("cnt").alias("n_total")
