@@ -74,15 +74,24 @@ def gram_col(text: Column, n: int, variant: str = "raw") -> Column:
 def _mg_kernel(capacity: int):
     """mapInPandas factory: Misra-Gries over the partition's token
     stream. Batches count exactly (C-speed Counter), the summary
-    reduces to ``capacity`` only past 4x overflow (amortizes the
-    O(size log size) reduction); each reduction subtracts the
-    (capacity+1)-st largest count — the mergeable-summaries rule —
-    keeping the total undercount <= n_partition/(capacity+1)."""
+    reduces back to ``capacity`` after every batch — the emitted
+    summary is truly <= capacity rows and transient memory peaks at
+    capacity + one batch's distinct tokens; each reduction subtracts
+    the (capacity+1)-st largest count — the mergeable-summaries rule —
+    keeping the total undercount <= n_partition/(capacity+1)
+    regardless of how often it fires."""
 
     def summarize(batches):
         from collections import Counter
 
         import pandas as pd
+
+        def reduce_to_capacity(c: dict[str, int]) -> dict[str, int]:
+            if len(c) <= capacity:
+                return c
+            vals = sorted(c.values(), reverse=True)
+            thresh = vals[capacity]
+            return {w: v - thresh for w, v in c.items() if v > thresh}
 
         counters: dict[str, int] = {}
         total = 0
@@ -93,14 +102,11 @@ def _mg_kernel(capacity: int):
                 total += len(arr)
                 for w, v in Counter(arr).items():
                     counters[w] = counters.get(w, 0) + v
-            if len(counters) > 4 * capacity:
-                vals = sorted(counters.values(), reverse=True)
-                thresh = vals[capacity]
-                counters = {
-                    w: v - thresh
-                    for w, v in counters.items()
-                    if v > thresh
-                }
+            # reduce after EVERY batch so the emitted summary — and
+            # the downstream broadcast — is truly <= capacity rows;
+            # the transient dict peaks at capacity + one Arrow batch's
+            # distinct tokens, bounded by the batch size
+            counters = reduce_to_capacity(counters)
         yield pd.DataFrame(
             {
                 "w": list(counters) + [None],

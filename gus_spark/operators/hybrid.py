@@ -49,7 +49,11 @@ from gus_spark.operators.retrieval import (
     bm25_topk,
     sql_bm25_topk,
 )
-from gus_spark.operators.similarity import _as_double, _dot_cols
+from gus_spark.operators.similarity import (
+    _as_double,
+    _dot_cols,
+    cosine_cols,
+)
 
 #: the standard RRF damping constant (SIGIR'09 uses 60 throughout)
 RRF_K = 60
@@ -148,12 +152,10 @@ def dense_topk(
     v = vectors.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("nv")
     )
-    cos = _dot_cols(F.col("nv"), qv) / (
-        F.sqrt(_dot_cols(F.col("nv"), F.col("nv")))
-        * F.sqrt(_dot_cols(qv, qv))
-    )
     top = (
-        v.select(F.col(id_col), cos.alias("cos_sim"))
+        v.select(
+            F.col(id_col), cosine_cols(F.col("nv"), qv).alias("cos_sim")
+        )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -222,7 +224,7 @@ def hybrid_rrf_topk_live(
     dense tier has no exclusion, and the two must rank the same
     corpus."""
     _SENTINEL_QID = -(1 << 62)
-    pid = pidx._read_meta()["id_col"]
+    pid = pidx.id_col
     sparse = _with_rank(
         pidx.topk(query, k_each, k1, b),
         [F.col("score_fp").desc(), F.col(pid)],
@@ -275,14 +277,21 @@ def hybrid_rrf_batch(
     qdf = spark.createDataFrame(
         [(int(q), [float(x) for x in v]) for q, v in query_vecs],
         "query_id bigint, qv array<double>",
+    ).select(
+        "query_id", "qv",
+        F.sqrt(_dot_cols(F.col("qv"), F.col("qv"))).alias("qnorm"),
     )
+    # norms PRECOMPUTED per side before the crossJoin — the corpus
+    # norm folds once per row instead of once per (row, query), and
+    # dot/(nnorm*qnorm) is the same doubles in the same op order as
+    # cosine_cols, so per-query ranks stay bit-identical to the
+    # single-query path (pinned by test_batch_matches_single_query)
     v = vectors.select(
         F.col(vec_id_col).alias(id_col),
         _as_double(F.col(vec_col)).alias("nv"),
-    )
+    ).withColumn("nnorm", F.sqrt(_dot_cols(F.col("nv"), F.col("nv"))))
     cos = _dot_cols(F.col("nv"), F.col("qv")) / (
-        F.sqrt(_dot_cols(F.col("nv"), F.col("nv")))
-        * F.sqrt(_dot_cols(F.col("qv"), F.col("qv")))
+        F.col("nnorm") * F.col("qnorm")
     )
     drank = F.row_number().over(
         Window.partitionBy("query_id").orderBy(

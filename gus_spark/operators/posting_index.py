@@ -173,6 +173,14 @@ class PostingIndex:
     def fitted(self) -> bool:
         return os.path.exists(self._meta_path)
 
+    @property
+    def id_col(self) -> str:
+        """The document id column this index was built with — the
+        public accessor (composing operators like hybrid retrieval
+        need it to name their join keys; the meta layout stays
+        private)."""
+        return self._read_meta()["id_col"]
+
     # ---------------------------------------------------------- build
     def build(
         self,

@@ -82,6 +82,19 @@ def _dot_cols(x: Column, y: Column) -> Column:
     )
 
 
+def cosine_cols(x: Column, y: Column) -> Column:
+    """THE cross-engine cosine: fold-order dot over both norms in one
+    expression — bit-identical to DuckDB's
+    ``list_dot_product(x,y)/(SQRT(..x,x..)*SQRT(..y,y..))``. Every
+    module needing oracle-parity cosine uses this single definition
+    (queries/similarity.py delegates here; operators/hybrid.py's
+    batch tier precomputes the same norms pre-join, pinned
+    bit-identical by its batch-vs-single test)."""
+    return _dot_cols(x, y) / (
+        F.sqrt(_dot_cols(x, x)) * F.sqrt(_dot_cols(y, y))
+    )
+
+
 def _dot_lit(vec: Column, plane: list[int]) -> Column:
     lit_plane = F.array(*[F.lit(float(s)) for s in plane])
     return _dot_cols(vec, lit_plane)

@@ -129,6 +129,14 @@ class VectorIndex:
         return os.path.join(self.path, "codes")
 
     @property
+    def cells(self) -> int:
+        """Number of IVF cells in the FROZEN quantizer — the value a
+        full-coverage probe needs (``nprobe >= cells`` scans every
+        cell; note ``codes`` is the PQ codebook size, a different
+        axis). Requires a fitted model."""
+        return int(self._load_model().centroids.shape[0])
+
+    @property
     def fitted(self) -> bool:
         return all(os.path.exists(p) for p in self._model_paths())
 

@@ -42,7 +42,11 @@ def dot(a, b) -> Column:
 
 
 def cosine(a, b) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    # delegate to THE cross-engine cosine definition — one expression
+    # repo-wide (operators/similarity.cosine_cols), same fold order
+    from gus_spark.operators.similarity import cosine_cols
+
+    return cosine_cols(a, b)
 
 
 _SQL_COS = """

@@ -102,7 +102,6 @@ def test_starved_capacity_floor_is_honest(docs):
     of real tokens (the verify pass is exact by construction)."""
     got = heavy_hitters(docs, 5, capacity=8).toPandas()
     exact = heavy_hitters(docs, 5).toPandas()
-    n_total = None
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "

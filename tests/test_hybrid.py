@@ -138,8 +138,11 @@ def test_live_path_matches_scan_and_deletes_propagate(
     vidx.add(emb, batch_key="b0")
 
     n = emb.count()
+    # nprobe = the model's CELL count (vidx.cells) for a true full
+    # probe — `codes` is the PQ codebook size, a different axis that
+    # only coincidentally exceeds the cell count here
     live_kwargs = dict(
-        k_each=K_EACH, nprobe=vidx.codes, shortlist=n, rerank_df=emb
+        k_each=K_EACH, nprobe=vidx.cells, shortlist=n, rerank_df=emb
     )
     want = hybrid_rrf_topk(
         docs, emb, QUERY, qvec, K, k_each=K_EACH
