@@ -1,0 +1,96 @@
+"""Measure heavy_hitters vs the naive explode+groupBy across two
+decades — 5-grams, where the vocabulary explodes with the corpus and
+the naive plan's partial-agg state and shuffle follow it.
+
+Reports, per SF: wall seconds for both plans (warm, min-of-2), the
+distinct-5-gram count (the naive shuffle's row driver), and the
+candidate count the two-pass plan shuffles instead (<= partitions x
+capacity). The claim under test is the SCALING.md row: the two-pass
+plan's exchanged rows are capacity-bounded while the naive's grow
+with the vocabulary — wall parity locally is fine (both are one scan
++ small work at these sizes); the divergence is the exchanged-state
+curve.
+
+Run: python tools/heavyhitters_bench.py
+One JSON line: {sf: {hh_secs, naive_secs, distinct_grams,
+candidate_rows, n_grams_total}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+K = 50
+NGRAM = 5
+
+
+def bench_sf(spark, sf_dir: str, label: str, out: dict) -> None:
+    from gus_spark.operators.heavyhitters import (
+        _MIN_CAPACITY,
+        gram_col,
+        heavy_hitters,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    grams = docs.select(
+        gram_col(F.col("text"), NGRAM, "raw").alias("_g")
+    )
+    naive = (
+        grams.select(F.explode("_g").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(K)
+    )
+
+    def t(df) -> float:
+        df.write.mode("overwrite").format("noop").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    hh_secs = t(heavy_hitters(docs, K, ngram=NGRAM))
+    naive_secs = t(naive)
+    stats = grams.select(F.explode("_g").alias("w")).agg(
+        F.countDistinct("w").alias("v"), F.count("*").alias("n")
+    ).first()
+    m = max(64 * K, _MIN_CAPACITY)
+    parts = grams.rdd.getNumPartitions()
+    out[label] = {
+        "hh_secs": hh_secs,
+        "naive_secs": naive_secs,
+        "distinct_grams": int(stats["v"]),
+        "n_grams_total": int(stats["n"]),
+        "candidate_bound": parts * m,
+        "capacity": m,
+        "partitions": parts,
+    }
+
+
+def main() -> None:
+    from gus_spark.session import get_spark
+
+    spark = get_spark(app_name="gus_spark-heavyhitters-bench")
+    out: dict[str, dict] = {}
+    bench_sf(spark, "/root/testdata/sf0.1", "0.1", out)
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/gus_sf1")
+    if not os.path.isdir(sf1_dir):
+        from tools.make_sf1 import make_sf1
+
+        make_sf1(spark, sf1_dir)
+    bench_sf(spark, sf1_dir, "1", out)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
