@@ -59,12 +59,13 @@ from gus_spark.operators.similarity import (
 RRF_K = 60
 
 
-def _contrib(rrf_k: int) -> Column:
-    # 1.0/(60.0 + rank): same literal types and op order as the DuckDB
-    # twin, so the doubles are bit-identical across engines
-    return F.lit(1.0) / (
+def _contrib(rrf_k: int, weight: float) -> Column:
+    # weight * (1.0/(60.0 + rank)): same literal types and op order as
+    # the DuckDB twin, so the doubles are bit-identical across engines
+    c = F.lit(1.0) / (
         F.lit(float(rrf_k)) + F.col("rank").cast("double")
     )
+    return c if weight == 1.0 else F.lit(float(weight)) * c
 
 
 def rrf_fuse(
@@ -73,11 +74,16 @@ def rrf_fuse(
     rrf_k: int = RRF_K,
     id_col: str = "doc_id",
     query_col: str | None = None,
+    weights: dict[str, float] | None = None,
 ) -> DataFrame:
     """Fuse named rankings — each a DataFrame with (``id_col``,
     ``rank``) columns, plus ``query_col`` when fusing a whole query
     batch — into the RRF top-k: (id, n_lists, rrf_score) ordered by
-    (rrf_score desc, id), per query when batched.
+    (rrf_score desc, id), per query when batched. ``weights`` scales
+    a source's contributions (default 1.0 each — classic unweighted
+    RRF): tools/hybrid_grade.py measures the textbook dilution an
+    unweighted fusion pays when one tier dominates, and the weight is
+    the standard mitigation.
 
     Contributions fold in SORTED source-name order so the double sum
     is deterministic for any number of rankings (a bare F.sum over a
@@ -86,12 +92,15 @@ def rrf_fuse(
         raise ValueError(f"k must be > 0, got {k}")
     if not ranked:
         raise ValueError("rrf_fuse needs at least one ranking")
+    weights = weights or {}
+    if bad := set(weights) - set(ranked):
+        raise ValueError(f"weights for unknown sources: {sorted(bad)}")
     keys = ([query_col] if query_col else []) + [id_col]
     parts = [
         df.select(
             *keys,
             F.lit(tag).alias("src"),
-            _contrib(rrf_k).alias("contrib"),
+            _contrib(rrf_k, weights.get(tag, 1.0)).alias("contrib"),
         )
         for tag, df in sorted(ranked.items())
     ]
@@ -176,11 +185,14 @@ def hybrid_rrf_topk(
     vec_col: str = "embedding",
     k1: float = K1,
     b: float = B,
+    w_sparse: float = 1.0,
+    w_dense: float = 1.0,
 ) -> DataFrame:
     """Scan-path hybrid retrieval: BM25 top-k_each over ``docs`` +
     exact-cosine top-k_each over ``vectors`` (ids must share the
     document id space), RRF-fused to the final top-k. Output
-    (id_col, n_lists, rrf_score)."""
+    (id_col, n_lists, rrf_score). ``w_sparse``/``w_dense`` scale each
+    tier's contributions (see rrf_fuse)."""
     sparse = _with_rank(
         bm25_topk(docs, query, k_each, id_col, text_col, k1, b),
         [F.col("score_fp").desc(), F.col(id_col)],
@@ -189,7 +201,8 @@ def hybrid_rrf_topk(
         vectors, query_vec, k_each, vec_id_col, vec_col
     ).withColumnRenamed(vec_id_col, id_col)
     return rrf_fuse(
-        {"dense": dense, "sparse": sparse}, k, rrf_k, id_col
+        {"dense": dense, "sparse": sparse}, k, rrf_k, id_col,
+        weights={"dense": w_dense, "sparse": w_sparse},
     )
 
 
@@ -206,6 +219,8 @@ def hybrid_rrf_topk_live(
     rerank_df: DataFrame | None = None,
     k1: float = K1,
     b: float = B,
+    w_sparse: float = 1.0,
+    w_dense: float = 1.0,
 ) -> DataFrame:
     """Hybrid retrieval served from the LIVE indexes: PostingIndex
     (sparse snapshot incl. tombstones) + VectorIndex (dense snapshot
@@ -237,7 +252,8 @@ def hybrid_rrf_topk_live(
         rerank_df=rerank_df,
     ).withColumnRenamed("neighbor_id", "doc_id")
     return rrf_fuse(
-        {"dense": dense, "sparse": sparse}, k, rrf_k, "doc_id"
+        {"dense": dense, "sparse": sparse}, k, rrf_k, "doc_id",
+        weights={"dense": w_dense, "sparse": w_sparse},
     )
 
 
@@ -255,6 +271,8 @@ def hybrid_rrf_batch(
     vec_col: str = "embedding",
     k1: float = K1,
     b: float = B,
+    w_sparse: float = 1.0,
+    w_dense: float = 1.0,
 ) -> DataFrame:
     """Whole-eval-suite hybrid: ``query_terms`` is the weighted
     (query_id, w, weight) table `bm25_batch` serves in ONE postings
@@ -311,6 +329,7 @@ def hybrid_rrf_batch(
         rrf_k,
         id_col,
         query_col="query_id",
+        weights={"dense": w_dense, "sparse": w_sparse},
     )
 
 
@@ -328,6 +347,8 @@ def sql_hybrid_rrf_topk(
     vec_col: str = "embedding",
     k1: float = K1,
     b: float = B,
+    w_sparse: float = 1.0,
+    w_dense: float = 1.0,
 ) -> str:
     """DuckDB twin of `hybrid_rrf_topk`, expression-for-expression:
     sql_bm25_topk as the sparse CTE, list_dot_product cosine (the
@@ -336,6 +357,15 @@ def sql_hybrid_rrf_topk(
     tests/test_hybrid.py."""
     vec_lit = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]"
     sparse_sql = sql_bm25_topk(query, k_each, table, id_col, text_col, k1, b)
+
+    def wexpr(rank_ref: str, w: float) -> str:
+        # structural twin of _contrib: the weight multiply is SKIPPED
+        # at 1.0 in both engines, applied as w * (1/(k+rank)) otherwise
+        c = (f"1.0 / (CAST({float(rrf_k)!r} AS DOUBLE) "
+             f"+ CAST({rank_ref} AS DOUBLE))")
+        if w == 1.0:
+            return c
+        return f"CAST({float(w)!r} AS DOUBLE) * ({c})"
     return f"""
     WITH sparse AS (
       SELECT {id_col} AS id,
@@ -363,10 +393,8 @@ def sql_hybrid_rrf_topk(
            CAST((CASE WHEN d.id IS NULL THEN 0 ELSE 1 END)
                 + (CASE WHEN s.id IS NULL THEN 0 ELSE 1 END)
                 AS BIGINT) AS n_lists,
-           COALESCE(1.0 / (CAST({float(rrf_k)!r} AS DOUBLE)
-                           + CAST(d.rank AS DOUBLE)), 0.0)
-             + COALESCE(1.0 / (CAST({float(rrf_k)!r} AS DOUBLE)
-                               + CAST(s.rank AS DOUBLE)), 0.0)
+           COALESCE({wexpr("d.rank", w_dense)}, 0.0)
+             + COALESCE({wexpr("s.rank", w_sparse)}, 0.0)
              AS rrf_score
     FROM dense d FULL OUTER JOIN sparse s ON d.id = s.id
     ORDER BY rrf_score DESC, {id_col}

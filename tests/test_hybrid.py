@@ -83,6 +83,34 @@ def test_matches_duckdb_twin(fused, qvec):
     assert frame_key(fused) == frame_key(odf)
 
 
+def test_weighted_fusion_matches_duckdb_twin(docs, emb, qvec):
+    """Per-tier weights (the dilution mitigation tools/hybrid_grade.py
+    motivates) keep the cross-engine bit-parity: the weight multiply
+    is applied — or structurally skipped at 1.0 — identically in both
+    engines."""
+    got = hybrid_rrf_topk(
+        docs, emb, QUERY, qvec, K, k_each=K_EACH,
+        w_dense=0.25, w_sparse=2.0,
+    ).toPandas()
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{SF_DIR_ORACLE}/{t}.parquet'"
+        )
+    odf = con.execute(
+        sql_hybrid_rrf_topk(
+            QUERY, qvec, K, k_each=K_EACH, w_dense=0.25, w_sparse=2.0
+        )
+    ).df()
+    assert frame_key(got) == frame_key(odf)
+    with pytest.raises(ValueError, match="unknown sources"):
+        rrf_fuse(
+            {"dense": dense_topk(emb, qvec, 5)}, 5,
+            id_col="vec_id", weights={"sprase": 2.0},
+        )
+
+
 def test_matches_pure_python_rrf(docs, emb, qvec, fused):
     """Fused scores recomputed from scratch off the two tiers' own
     (independently twin-checked) rankings: rank maps -> reciprocal
