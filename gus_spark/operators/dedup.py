@@ -554,21 +554,64 @@ class MinHashIndex:
             "hash": "tokxor-affine-mersenne61-v3",
         }
         if os.path.exists(meta_path):
-            with open(meta_path, encoding="utf-8") as fh:
-                existing = json.load(fh)
+            existing = {
+                k: v for k, v in self._read_meta().items() if k in meta
+            }
             if existing != meta:
                 raise ValueError(
                     f"index at {path} was built with {existing}, got {meta}"
                 )
         else:
-            with open(meta_path, "w", encoding="utf-8") as fh:
-                json.dump(meta, fh)
+            self._write_meta(dict(meta, tombs={}, folded_tombs=[]))
+
+    # ------------------------------------------------------------ meta io
+    @property
+    def _meta_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, "meta.json")
+
+    def _read_meta(self) -> dict:
+        import json
+
+        with open(self._meta_path, encoding="utf-8") as fh:
+            meta = json.load(fh)
+        # pre-round-8 meta carries config only — default the tombstone
+        # state in rather than rejecting the index
+        meta.setdefault("tombs", {})
+        meta.setdefault("folded_tombs", [])
+        return meta
+
+    def _write_meta(self, meta: dict) -> None:
+        import json
+        import os
+
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, self._meta_path)  # the atomic snapshot swap
 
     def _bands_path(self) -> str:
         return f"{self.path}/bands"
 
     def _shingles_path(self) -> str:
         return f"{self.path}/shingles"
+
+    def _tomb_path(self, key: str) -> str:
+        import os
+
+        return os.path.join(self.path, "tombs", f"tomb-{key}")
+
+    def _live_tombstones(self, meta: dict | None = None):
+        """Union of live tombstone ids (one ``id_col`` column), or
+        None. Small by the maintain fraction contract — callers
+        broadcast it into anti-joins."""
+        meta = self._read_meta() if meta is None else meta
+        if not meta["tombs"]:
+            return None
+        return self.spark.read.parquet(
+            *[self._tomb_path(k) for k in meta["tombs"]]
+        ).distinct()
 
     @staticmethod
     def _has_parquet(path: str) -> bool:
@@ -632,6 +675,26 @@ class MinHashIndex:
 
         id_col = self.id_col
         key = batch_key if batch_key is not None else uuid.uuid4().hex
+        # the tombstone guard applies to NEW batches only — a replay of
+        # a committed key (its pairs delta exists) may legitimately
+        # carry ids deleted since. Re-indexing a live-tombstoned id
+        # would write rows the anti-join hides AND the next fold drops
+        # (tombstones are id-keyed) — refuse until a fold clears it.
+        if not os.path.isdir(
+            os.path.join(self.path, "pairs_log", f"delta-{key}")
+        ):
+            tombs = self._live_tombstones()
+            if tombs is not None and (
+                batch.join(F.broadcast(tombs), id_col, "left_semi")
+                .limit(1)
+                .count()
+            ):
+                raise ValueError(
+                    "add_and_find received ids with LIVE tombstones in"
+                    f" {self.path!r}: a deleted id cannot be re-indexed"
+                    " until maintain() folds its tombstone away."
+                    " maintain(max_tomb_frac=0) first."
+                )
         sig = minhash_signature(batch, id_col, self.text_col, self.ngram)
         new_bands = _band_rows(sig, id_col)
         # persisted verification sets are the 64-bit shingle hashes
@@ -645,6 +708,20 @@ class MinHashIndex:
         corpus_shingles = self._read_or_none(
             self._shingles_path(), exclude_key=key
         )
+        # live tombstones hide deleted fingerprints from BOTH corpus
+        # sides (candidate generation and verification) — a deleted
+        # doc can no longer appear as a pair endpoint, exactly as if
+        # the index never held it
+        tombs = self._live_tombstones()
+        if tombs is not None:
+            if corpus_bands is not None:
+                corpus_bands = corpus_bands.join(
+                    F.broadcast(tombs), id_col, "left_anti"
+                )
+            if corpus_shingles is not None:
+                corpus_shingles = corpus_shingles.join(
+                    F.broadcast(tombs), id_col, "left_anti"
+                )
 
         cross = None
         if corpus_bands is not None:
@@ -696,6 +773,73 @@ class MinHashIndex:
         return self.spark.read.parquet(pairs_dest)
 
 
+    def delete(self, ids, batch_key: str | None = None) -> int:
+        """Tombstone one batch of document ids (a list, or a DataFrame
+        carrying ``id_col``): their persisted fingerprints — band rows
+        AND shingle sets, both content-derived — stop serving
+        immediately (anti-joined out of every future add_and_find) and
+        are dropped physically at the next maintain() fold. Returns
+        the number of documents newly tombstoned; absent or
+        already-tombstoned ids are ignored (counts never
+        double-subtract).
+
+        WHEN to delete is a semantic choice the caller owns:
+        - data-removal compliance (the signatures are derived from the
+          content and must go with it) and re-admittance (a forgotten
+          doc arriving again should index fresh, not self-collide) —
+          delete;
+        - decontamination gates usually should NOT delete here — a
+          removed-as-contaminated doc's fingerprint is what flags its
+          near-duplicates still arriving on the stream.
+
+        Same replay contract as the sibling indexes (PostingIndex,
+        VectorIndex): keyed deletes are idempotent, a key already
+        folded by a compaction raises."""
+        import os
+        import uuid
+
+        from gus_spark.streaming import markers
+
+        id_col = self.id_col
+        meta = self._read_meta()
+        key = batch_key if batch_key is not None else uuid.uuid4().hex
+        if key in meta["folded_tombs"]:
+            raise ValueError(
+                f"delete batch key {key!r} was already folded away by "
+                f"a maintain() of {self.path!r}: its rows are "
+                "physically gone. Use a fresh key."
+            )
+        if key in meta["tombs"]:
+            return meta["tombs"][key]
+        corpus = self._read_or_none(self._shingles_path())
+        if corpus is None:
+            raise ValueError(
+                f"index at {self.path} holds no fingerprints — "
+                "nothing to delete"
+            )
+        live_ids = corpus.select(id_col).distinct()
+        if not isinstance(ids, DataFrame):
+            field = live_ids.schema[id_col]
+            ids = self.spark.createDataFrame(
+                [(i,) for i in ids],
+                schema=f"{id_col} {field.dataType.simpleString()}",
+            )
+        # lineage cut: the caller's id plan may be an expensive
+        # curation join consumed by two actions (count + publish)
+        ids = ids.select(id_col).distinct().localCheckpoint()
+        matched = live_ids.join(ids, id_col, "left_semi")
+        prior = self._live_tombstones(meta)
+        if prior is not None:
+            matched = matched.join(
+                F.broadcast(prior), id_col, "left_anti"
+            )
+        matched = matched.localCheckpoint()
+        n = matched.count()
+        markers.publish_batch(matched, self._tomb_path(key))
+        meta["tombs"][key] = n
+        self._write_meta(meta)
+        return n
+
     # ------------------------------------------------------------ maintenance
     def health(self) -> dict:
         """Band/shingle layout health from filesystem metadata only —
@@ -725,6 +869,7 @@ class MinHashIndex:
         max_files: int = 16,
         target_files: int = 4,
         pairs_retain: int = 8,
+        max_tomb_frac: float = 0.2,
     ) -> dict:
         """Compact the per-batch band/shingle deltas once either table
         exceeds ``max_files`` parquet files — each streamed micro-batch
@@ -744,30 +889,78 @@ class MinHashIndex:
         log as a whole. A replay of a pruned batch just recomputes and
         rewrites its own delta, which is the normal replay path.
 
+        Tombstones (``delete``) fold here too: a compaction rewrites
+        bands and shingles WITHOUT the tombstoned ids (the
+        compact_deltas filter hook), then moves the keys to
+        folded_tombs and removes the tombstone dirs — and the
+        tombstoned FRACTION is itself a trigger (``max_tomb_frac``, on
+        shingle rows = one per doc, parquet footers only), so a
+        long-lived index under heavy curation bounds the anti-join
+        every add pays. Crash contract: tombs clear from meta only
+        after both rewrites landed atomically; a crash between leaves
+        them live, and the serving anti-join still hides any rows an
+        unfinished fold left behind.
+
         Schedule this from the same maintenance loop as
         ParquetStore.maintain — not concurrently with an in-flight
         add."""
         import os
         import shutil
 
+        from gus_spark.operators.vector_index import _parquet_rows
         from gus_spark.storage.deltas import compact_deltas
 
         health = self.health()
+        meta = self._read_meta()
+        tomb_docs = sum(meta["tombs"].values())
         compacted = (
             health["bands_files"] > max_files
             or health["shingles_files"] > max_files
         )
+        if not compacted and tomb_docs:
+            total = (
+                _parquet_rows(self._shingles_path())
+                if os.path.isdir(self._shingles_path())
+                else 0
+            )
+            live_rows = total - tomb_docs
+            compacted = (
+                live_rows <= 0 or tomb_docs / live_rows > max_tomb_frac
+            )
         if compacted:
+            tombs = self._live_tombstones(meta)
+            drop = (
+                None
+                if tombs is None
+                else (
+                    lambda df: df.join(
+                        F.broadcast(tombs), self.id_col, "left_anti"
+                    )
+                )
+            )
             if os.path.isdir(self._bands_path()):
                 compact_deltas(
                     self.spark, self._bands_path(), target_files,
                     range_cols=["band_id", "band_hash"],
+                    filter_fn=drop,
                 )
             if os.path.isdir(self._shingles_path()):
                 compact_deltas(
                     self.spark, self._shingles_path(), target_files,
                     range_cols=[self.id_col],
+                    filter_fn=drop,
                 )
+            folded_now = list(meta["tombs"])
+            if folded_now:
+                self._write_meta(dict(
+                    meta,
+                    tombs={},
+                    folded_tombs=meta["folded_tombs"] + folded_now,
+                ))
+                for tk in folded_now:
+                    shutil.rmtree(
+                        self._tomb_path(tk), ignore_errors=True
+                    )
         pairs_dir = os.path.join(self.path, "pairs_log")
         pruned = 0
         if os.path.isdir(pairs_dir):

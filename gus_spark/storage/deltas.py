@@ -50,11 +50,17 @@ def compact_deltas(
     base: str,
     target_files: int,
     range_cols: list[str] | None = None,
+    filter_fn=None,
 ) -> int:
     """Fold every delta directory under ``base`` into one compacted
     delta of ``target_files`` files, range-partitioned and sorted on
     ``range_cols`` (falls back to round-robin when None). Returns the
-    resulting parquet file count."""
+    resulting parquet file count. ``filter_fn`` (DataFrame ->
+    DataFrame), when given, transforms the unioned rows before the
+    rewrite — the tombstone-fold hook: dropped rows disappear
+    PHYSICALLY, with the usual crash contract (old deltas removed only
+    after the compacted delta is atomically in place, so a crash
+    leaves either the old rows or the filtered rows, never neither)."""
     old = [
         d
         for d in os.listdir(base)
@@ -64,6 +70,8 @@ def compact_deltas(
     if not old:
         return 0
     df = read_deltas(spark, base)
+    if filter_fn is not None:
+        df = filter_fn(df)
     if range_cols:
         df = df.repartitionByRange(target_files, *range_cols)
         df = df.sortWithinPartitions(*range_cols)

@@ -4,7 +4,10 @@ from gus_spark.streaming.stateful import (  # noqa: F401
     per_key_quota_stream,
     running_user_totals,
 )
-from gus_spark.streaming.neardup import neardup_stream  # noqa: F401
+from gus_spark.streaming.neardup import (  # noqa: F401
+    minhash_tombstone_stream,
+    neardup_stream,
+)
 from gus_spark.streaming.packing import pack_stream  # noqa: F401
 from gus_spark.streaming.pipeline import CurationPipelineStream  # noqa: F401
 from gus_spark.streaming.vectors import (  # noqa: F401

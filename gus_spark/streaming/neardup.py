@@ -73,3 +73,47 @@ def neardup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def minhash_tombstone_stream(
+    ids_stream: DataFrame,
+    index: MinHashIndex,
+    checkpoint_path: str,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Drain a stream of document IDS into ``index.delete`` — the
+    fingerprint-removal path (data-removal compliance: band rows and
+    shingle sets are content-derived and must go with the content;
+    see MinHashIndex.delete for when NOT to delete). Mirrors
+    posting_tombstone_stream / vector_tombstone_stream: markers in a
+    DISJOINT namespace (``_tomb_markers`` — the add stream's markers
+    sit directly under the index path, and an add batch 0 is not a
+    delete batch 0), keys ``tombbatch-<i>``, replay-after-fold
+    short-circuits on the marker before the folded-key guard raises.
+
+    Single-writer discipline: never run concurrently with an add
+    stream, another delete stream, or a maintain() over the same
+    index."""
+    marker_dir = os.path.join(index.path, "_tomb_markers")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        fp = markers.batch_fingerprint(batch_df, index.id_col)
+        if markers.check_marker(
+            marker_dir, batch_id, fp, strict=True
+        ) == markers.SKIP:
+            return
+        if fp["n"] == 0:
+            markers.write_marker(marker_dir, batch_id, fp)
+            return
+        index.delete(batch_df, batch_key=f"tombbatch-{batch_id}")
+        markers.write_marker(marker_dir, batch_id, fp)
+
+    writer = ids_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
