@@ -130,7 +130,16 @@ def heavy_hitters(
     (w, cnt, floor_cnt): ``floor_cnt`` is the provable ceiling on any
     token NOT returned, so rows with cnt > floor_cnt are certified
     exact ranks (see module docstring). Two corpus scans, zero
-    vocabulary-wide shuffle."""
+    vocabulary-wide shuffle.
+
+    MAY return fewer than k rows — down to zero on a stream of
+    (near-)singletons, where every summary reduction cancels every
+    counter: that is the MG bound speaking (no token's count exceeds
+    n/(capacity+1), so nothing is provably frequent and nothing
+    survives to report). An empty result therefore IS a finding
+    ("nothing repeats above the noise floor"); for exhaustive counts
+    at small scale, set ``capacity`` above the distinct-token count
+    and the summary is lossless."""
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
     m = max(64 * k, _MIN_CAPACITY) if capacity is None else capacity

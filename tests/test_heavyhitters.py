@@ -119,6 +119,33 @@ def test_starved_capacity_floor_is_honest(docs):
         assert truth.get(r.w) == int(r.cnt)
 
 
+def test_singleton_regime_returns_empty_not_wrong(docs):
+    """On a (near-)singleton stream — 8-grams after dedup — every MG
+    reduction cancels every counter, so the default-capacity result
+    is EMPTY: the bound's honest answer ('nothing repeats above the
+    noise floor n/(capacity+1)'), never an uncertified guess. A
+    lossless capacity turns the same call exhaustive. (The raw corpus
+    still holds near-dup copies whose shared 8-grams survive — the
+    singleton regime is built here by doc-id-salting every token, the
+    make_sf1 trick, so no 8-gram can repeat across docs.)"""
+    salted = docs.select(
+        F.array_join(
+            F.transform(
+                tokenize(F.col("text"), "words"),
+                lambda w: F.concat(w, F.lit("_"), F.col("doc_id")),
+            ),
+            " ",
+        ).alias("text")
+    )
+    assert heavy_hitters(salted, 5, ngram=8).count() == 0
+    full = heavy_hitters(
+        salted, 5, ngram=8, capacity=1 << 20
+    ).toPandas()
+    assert len(full) == 5
+    assert (full["cnt"] >= 1).all()
+    assert (full["cnt"] > full["floor_cnt"]).all()  # floor is 0
+
+
 def test_plan_shape(docs):
     """The exact pass reaches its groupBy through a broadcast
     semi-join (candidate-bounded shuffle) and never a cartesian or a

@@ -230,6 +230,30 @@ def run_pipeline(
     else:
         stats["dsir_en_mean_fp"] = stats["dsir_rest_mean_fp"] = None
 
+    # 4d. boilerplate report: the most common 8-gram among survivors
+    # (operators/heavyhitters.py — MG candidates + exact verify, no
+    # vocabulary shuffle). A high certified count here means template
+    # boilerplate the repetition gate's per-doc ratios can't see
+    # (cross-document repetition); reported, not gated. Capacity is
+    # set lossless for this corpus size (above the distinct-8-gram
+    # count) so the report is exhaustive — after dedup most 8-grams
+    # are singletons, which the default capacity correctly (but
+    # unhelpfully for a report) refuses to certify; a 100-TB run
+    # tunes capacity to executor memory and reads floor_cnt instead.
+    from gus_spark.operators.heavyhitters import heavy_hitters
+
+    if stats["after_quality_gate"]:
+        hh = heavy_hitters(
+            quality, k=1, ngram=8, capacity=1 << 20
+        ).first()
+        stats["top_8gram_count"] = int(hh["cnt"]) if hh else 0
+        stats["top_8gram_certified"] = (
+            bool(hh["cnt"] > hh["floor_cnt"]) if hh else None
+        )
+    else:
+        stats["top_8gram_count"] = 0
+        stats["top_8gram_certified"] = None
+
     # 5. redaction (content-hash stages are all behind us)
     redacted = redact_pii(quality.drop("quality_prob"))
     stats["pii_spans_scrubbed"] = (
