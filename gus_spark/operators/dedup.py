@@ -531,7 +531,6 @@ class MinHashIndex:
         threshold: float = 0.8,
         ngram: int = 1,
     ):
-        import json
         import os
 
         self.spark = spark
@@ -675,6 +674,10 @@ class MinHashIndex:
 
         id_col = self.id_col
         key = batch_key if batch_key is not None else uuid.uuid4().hex
+        # read the live tombstones ONCE per add (meta + dir listing):
+        # the guard below and the corpus anti-joins share it — safe
+        # under the documented single-writer discipline
+        tombs = self._live_tombstones()
         # the tombstone guard applies to NEW batches only — a replay of
         # a committed key (its pairs delta exists) may legitimately
         # carry ids deleted since. Re-indexing a live-tombstoned id
@@ -683,7 +686,6 @@ class MinHashIndex:
         if not os.path.isdir(
             os.path.join(self.path, "pairs_log", f"delta-{key}")
         ):
-            tombs = self._live_tombstones()
             if tombs is not None and (
                 batch.join(F.broadcast(tombs), id_col, "left_semi")
                 .limit(1)
@@ -712,7 +714,6 @@ class MinHashIndex:
         # sides (candidate generation and verification) — a deleted
         # doc can no longer appear as a pair endpoint, exactly as if
         # the index never held it
-        tombs = self._live_tombstones()
         if tombs is not None:
             if corpus_bands is not None:
                 corpus_bands = corpus_bands.join(
@@ -907,8 +908,10 @@ class MinHashIndex:
         import os
         import shutil
 
-        from gus_spark.operators.vector_index import _parquet_rows
-        from gus_spark.storage.deltas import compact_deltas
+        from gus_spark.storage.deltas import (
+            compact_deltas,
+            tombstone_fold_due,
+        )
 
         health = self.health()
         meta = self._read_meta()
@@ -916,17 +919,10 @@ class MinHashIndex:
         compacted = (
             health["bands_files"] > max_files
             or health["shingles_files"] > max_files
+            or tombstone_fold_due(
+                self._shingles_path(), tomb_docs, max_tomb_frac
+            )
         )
-        if not compacted and tomb_docs:
-            total = (
-                _parquet_rows(self._shingles_path())
-                if os.path.isdir(self._shingles_path())
-                else 0
-            )
-            live_rows = total - tomb_docs
-            compacted = (
-                live_rows <= 0 or tomb_docs / live_rows > max_tomb_frac
-            )
         if compacted:
             tombs = self._live_tombstones(meta)
             drop = (

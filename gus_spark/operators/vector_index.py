@@ -57,17 +57,8 @@ from gus_spark.operators.quantization import (
 )
 
 
-def _parquet_rows(path: str) -> int:
-    """Row count of every parquet file under ``path`` from footer
-    metadata only — no Spark job, no data read."""
-    import pyarrow.parquet as pq
-
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-    return total
+# canonical home: storage/deltas.py (shared with MinHashIndex)
+from gus_spark.storage.deltas import parquet_rows as _parquet_rows  # noqa: E402,F401
 
 
 class VectorIndex:
@@ -462,14 +453,11 @@ class VectorIndex:
         health = self.health()
         meta = self._read_meta()
         tomb_docs = sum(meta["tombs"].values())
-        trigger = health["n_files"] > max_files
-        if not trigger and tomb_docs:
-            # total rows from parquet footers only — no Spark job
-            total = _parquet_rows(self._codes_path())
-            live_rows = total - tomb_docs
-            trigger = (
-                live_rows <= 0 or tomb_docs / live_rows > max_tomb_frac
-            )
+        from gus_spark.storage.deltas import tombstone_fold_due
+
+        trigger = health["n_files"] > max_files or tombstone_fold_due(
+            self._codes_path(), tomb_docs, max_tomb_frac
+        )
         if trigger:
             self.compact(target_files)
         return {"before": health, "compacted": trigger,

@@ -45,6 +45,35 @@ def read_deltas(spark: SparkSession, base: str) -> DataFrame:
     )
 
 
+def parquet_rows(path: str) -> int:
+    """Row count of every parquet file under ``path`` from footer
+    metadata only — no Spark job, no data read."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(root, f)
+                ).metadata.num_rows
+    return total
+
+
+def tombstone_fold_due(
+    rows_path: str, tomb_docs: int, max_tomb_frac: float
+) -> bool:
+    """The shared tombstone-fraction compaction trigger (VectorIndex /
+    MinHashIndex maintain): fold when tombstoned rows exceed
+    ``max_tomb_frac`` of the LIVE rows under ``rows_path`` — totals
+    from parquet footers only, no Spark job."""
+    if not tomb_docs:
+        return False
+    total = parquet_rows(rows_path) if os.path.isdir(rows_path) else 0
+    live = total - tomb_docs
+    return live <= 0 or tomb_docs / live > max_tomb_frac
+
+
 def compact_deltas(
     spark: SparkSession,
     base: str,

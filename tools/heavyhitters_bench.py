@@ -2,18 +2,19 @@
 decades — 5-grams, where the vocabulary explodes with the corpus and
 the naive plan's partial-agg state and shuffle follow it.
 
-Reports, per SF: wall seconds for both plans (warm, min-of-2), the
-distinct-5-gram count (the naive shuffle's row driver), and the
-candidate count the two-pass plan shuffles instead (<= partitions x
-capacity). The claim under test is the SCALING.md row: the two-pass
-plan's exchanged rows are capacity-bounded while the naive's grow
-with the vocabulary — wall parity locally is fine (both are one scan
-+ small work at these sizes); the divergence is the exchanged-state
-curve.
+Reports, per SF: wall seconds for both plans (warm, min-of-2, each
+iteration on a FRESH DataFrame so heavy_hitters' checkpointed sketch
+pass is re-timed, not cached), the distinct-5-gram count (the naive
+shuffle's row driver), and the two-pass plan's candidate CEILING,
+partitions x capacity — the bound its exchange can never exceed (a
+formula, not a measurement). The claim under test is the SCALING.md
+row: the two-pass plan's exchanged rows are capacity-bounded while
+the naive's grow with the vocabulary; the divergence is the
+exchanged-state curve, not local wall.
 
 Run: python tools/heavyhitters_bench.py
 One JSON line: {sf: {hh_secs, naive_secs, distinct_grams,
-candidate_rows, n_grams_total}}.
+candidate_bound, n_grams_total}}.
 """
 
 from __future__ import annotations
@@ -42,24 +43,32 @@ def bench_sf(spark, sf_dir: str, label: str, out: dict) -> None:
     grams = docs.select(
         gram_col(F.col("text"), NGRAM, "raw").alias("_g")
     )
-    naive = (
-        grams.select(F.explode("_g").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("w"))
-        .limit(K)
-    )
 
-    def t(df) -> float:
-        df.write.mode("overwrite").format("noop").save()
+    def naive():
+        return (
+            grams.select(F.explode("_g").alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("w"))
+            .limit(K)
+        )
+
+    def hh():
+        return heavy_hitters(docs, K, ngram=NGRAM)
+
+    def t(make_df) -> float:
+        # a FRESH DataFrame per iteration: heavy_hitters
+        # localCheckpoints its sketch pass, so re-timing one frame
+        # would measure only the verify scan (review-caught bias)
+        make_df().write.mode("overwrite").format("noop").save()
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            df.write.mode("overwrite").format("noop").save()
+            make_df().write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
         return round(best, 3)
 
-    hh_secs = t(heavy_hitters(docs, K, ngram=NGRAM))
+    hh_secs = t(hh)
     naive_secs = t(naive)
     stats = grams.select(F.explode("_g").alias("w")).agg(
         F.countDistinct("w").alias("v"), F.count("*").alias("n")

@@ -63,7 +63,10 @@ def main() -> None:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
     sample = (
-        docs.join(
+        docs.filter(
+            F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+        )
+        .join(
             emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
             "doc_id",
         )
