@@ -187,12 +187,17 @@ def hybrid_rrf_topk(
     b: float = B,
     w_sparse: float = 1.0,
     w_dense: float = 1.0,
+    phrase: list[str] | None = None,
+    w_phrase: float = 1.0,
 ) -> DataFrame:
     """Scan-path hybrid retrieval: BM25 top-k_each over ``docs`` +
     exact-cosine top-k_each over ``vectors`` (ids must share the
     document id space), RRF-fused to the final top-k. Output
     (id_col, n_lists, rrf_score). ``w_sparse``/``w_dense`` scale each
-    tier's contributions (see rrf_fuse)."""
+    tier's contributions (see rrf_fuse). ``phrase`` adds exact-phrase
+    occurrence counts (operators/retrieval.phrase_topk) as a THIRD
+    fusion source — the forensics stack (which docs verbatim-quote
+    the eval question AND look like it AND mean it) in one ranking."""
     sparse = _with_rank(
         bm25_topk(docs, query, k_each, id_col, text_col, k1, b),
         [F.col("score_fp").desc(), F.col(id_col)],
@@ -200,10 +205,17 @@ def hybrid_rrf_topk(
     dense = dense_topk(
         vectors, query_vec, k_each, vec_id_col, vec_col
     ).withColumnRenamed(vec_id_col, id_col)
-    return rrf_fuse(
-        {"dense": dense, "sparse": sparse}, k, rrf_k, id_col,
-        weights={"dense": w_dense, "sparse": w_sparse},
-    )
+    ranked = {"dense": dense, "sparse": sparse}
+    weights = {"dense": w_dense, "sparse": w_sparse}
+    if phrase is not None:
+        from gus_spark.operators.retrieval import phrase_topk
+
+        ranked["phrase"] = _with_rank(
+            phrase_topk(docs, phrase, k_each, id_col, text_col),
+            [F.col("n_occurrences").desc(), F.col(id_col)],
+        )
+        weights["phrase"] = w_phrase
+    return rrf_fuse(ranked, k, rrf_k, id_col, weights=weights)
 
 
 def hybrid_rrf_topk_live(
@@ -221,6 +233,8 @@ def hybrid_rrf_topk_live(
     b: float = B,
     w_sparse: float = 1.0,
     w_dense: float = 1.0,
+    phrase: list[str] | None = None,
+    w_phrase: float = 1.0,
 ) -> DataFrame:
     """Hybrid retrieval served from the LIVE indexes: PostingIndex
     (sparse snapshot incl. tombstones) + VectorIndex (dense snapshot
@@ -251,10 +265,17 @@ def hybrid_rrf_topk_live(
         shortlist=shortlist,
         rerank_df=rerank_df,
     ).withColumnRenamed("neighbor_id", "doc_id")
-    return rrf_fuse(
-        {"dense": dense, "sparse": sparse}, k, rrf_k, "doc_id",
-        weights={"dense": w_dense, "sparse": w_sparse},
-    )
+    ranked = {"dense": dense, "sparse": sparse}
+    weights = {"dense": w_dense, "sparse": w_sparse}
+    if phrase is not None:
+        # requires PostingIndex(positional=True) — phrase_topk raises
+        # otherwise, exactly as it should (no silent n-gram fallback)
+        ranked["phrase"] = _with_rank(
+            pidx.phrase_topk(phrase, k_each),
+            [F.col("n_occurrences").desc(), F.col(pid)],
+        ).withColumnRenamed(pid, "doc_id")
+        weights["phrase"] = w_phrase
+    return rrf_fuse(ranked, k, rrf_k, "doc_id", weights=weights)
 
 
 def hybrid_rrf_batch(
@@ -349,12 +370,17 @@ def sql_hybrid_rrf_topk(
     b: float = B,
     w_sparse: float = 1.0,
     w_dense: float = 1.0,
+    phrase: list[str] | None = None,
+    w_phrase: float = 1.0,
 ) -> str:
     """DuckDB twin of `hybrid_rrf_topk`, expression-for-expression:
     sql_bm25_topk as the sparse CTE, list_dot_product cosine (the
-    fold-order contract) as the dense CTE, COALESCEd dense-then-sparse
-    contribution sum = the Spark sorted-source fold. Used by
+    fold-order contract) as the dense CTE, sql_phrase_topk as the
+    optional phrase CTE; COALESCEd contributions added in sorted
+    source order (dense, phrase, sparse) = the Spark fold. Used by
     tests/test_hybrid.py."""
+    from gus_spark.operators.retrieval import sql_phrase_topk
+
     vec_lit = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]"
     sparse_sql = sql_bm25_topk(query, k_each, table, id_col, text_col, k1, b)
 
@@ -366,6 +392,31 @@ def sql_hybrid_rrf_topk(
         if w == 1.0:
             return c
         return f"CAST({float(w)!r} AS DOUBLE) * ({c})"
+
+    phrase_cte = phrase_join = ""
+    phrase_hit = phrase_contrib = ""
+    id_of = "COALESCE(d.id, s.id)"
+    if phrase is not None:
+        phrase_sql = sql_phrase_topk(
+            phrase, k_each, table, id_col, text_col
+        )
+        phrase_cte = f""",
+    phrase AS (
+      SELECT {id_col} AS id,
+             ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, {id_col})
+               AS rank
+      FROM ({phrase_sql})
+    )"""
+        phrase_join = (
+            "\n      FULL OUTER JOIN phrase p ON COALESCE(d.id, s.id)"
+            " = p.id"
+        )
+        phrase_hit = "\n                + (CASE WHEN p.id IS NULL THEN 0 ELSE 1 END)"
+        # sorted source order: dense < phrase < sparse
+        phrase_contrib = (
+            f"\n             + COALESCE({wexpr('p.rank', w_phrase)}, 0.0)"
+        )
+        id_of = "COALESCE(d.id, s.id, p.id)"
     return f"""
     WITH sparse AS (
       SELECT {id_col} AS id,
@@ -388,15 +439,15 @@ def sql_hybrid_rrf_topk(
         ORDER BY cos_sim DESC, id
         LIMIT {k_each}
       )
-    )
-    SELECT COALESCE(d.id, s.id) AS {id_col},
+    ){phrase_cte}
+    SELECT {id_of} AS {id_col},
            CAST((CASE WHEN d.id IS NULL THEN 0 ELSE 1 END)
-                + (CASE WHEN s.id IS NULL THEN 0 ELSE 1 END)
+                + (CASE WHEN s.id IS NULL THEN 0 ELSE 1 END){phrase_hit}
                 AS BIGINT) AS n_lists,
-           COALESCE({wexpr("d.rank", w_dense)}, 0.0)
+           COALESCE({wexpr("d.rank", w_dense)}, 0.0){phrase_contrib}
              + COALESCE({wexpr("s.rank", w_sparse)}, 0.0)
              AS rrf_score
-    FROM dense d FULL OUTER JOIN sparse s ON d.id = s.id
+    FROM dense d FULL OUTER JOIN sparse s ON d.id = s.id{phrase_join}
     ORDER BY rrf_score DESC, {id_col}
     LIMIT {k}
     """

@@ -198,6 +198,47 @@ def test_live_path_matches_scan_and_deletes_propagate(
     assert frame_key(got2) == frame_key(want2)
 
 
+def test_forensic_three_source_fusion(spark, docs, emb, qvec, tmp_path):
+    """Exact-phrase occurrences as a third fusion source — the
+    forensics stack. Scan path hash-matches the extended DuckDB twin
+    (three-way FULL OUTER JOIN, contributions added in sorted source
+    order dense→phrase→sparse), and the live path (positional
+    PostingIndex + VectorIndex at full probe) serves the same rows."""
+    from gus_spark.operators.posting_index import PostingIndex
+    from gus_spark.operators.vector_index import VectorIndex
+
+    phrase = docs.filter(F.col("doc_id") == 3).first()["text"].split()[5:8]
+    got = hybrid_rrf_topk(
+        docs, emb, QUERY, qvec, K, k_each=K_EACH,
+        phrase=phrase, w_phrase=2.0,
+    ).toPandas()
+    assert (got["n_lists"] >= 1).all()
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{SF_DIR_ORACLE}/{t}.parquet'"
+        )
+    odf = con.execute(
+        sql_hybrid_rrf_topk(
+            QUERY, qvec, K, k_each=K_EACH, phrase=phrase, w_phrase=2.0
+        )
+    ).df()
+    assert frame_key(got) == frame_key(odf)
+
+    pidx = PostingIndex(spark, str(tmp_path / "pidx"))
+    pidx.build(docs, "forensic_pidx", n_buckets=8, positional=True)
+    vidx = VectorIndex(spark, str(tmp_path / "vidx"), iters=2)
+    vidx.fit(emb)
+    vidx.add(emb)
+    live = hybrid_rrf_topk_live(
+        pidx, vidx, QUERY, qvec, K, k_each=K_EACH,
+        nprobe=vidx.cells, shortlist=emb.count(), rerank_df=emb,
+        phrase=phrase, w_phrase=2.0,
+    ).toPandas()
+    assert frame_key(live) == frame_key(got)
+
+
 def test_batch_matches_single_query(spark, docs, emb, qvec):
     """Two queries through the batch path at weight 1.0 == each
     through the single-query path (both tiers share their scoring
