@@ -294,14 +294,18 @@ def hybrid_rrf_batch(
     b: float = B,
     w_sparse: float = 1.0,
     w_dense: float = 1.0,
+    phrases: DataFrame | None = None,
+    w_phrase: float = 1.0,
 ) -> DataFrame:
     """Whole-eval-suite hybrid: ``query_terms`` is the weighted
     (query_id, w, weight) table `bm25_batch` serves in ONE postings
     pass; ``query_vecs`` the [(query_id, vec)] list the grouped BLAS
-    kernel scores in one code scan. Per-query RRF fusion rides a
-    single (query_id, id)-keyed aggregation over n_queries x 2 x
-    k_each shortlist rows. Output (query_id, doc_id, n_lists,
-    rrf_score), top-k per query."""
+    kernel scores in one code scan; ``phrases`` optionally a
+    (query_id, phrase array<string>) table `phrase_batch` sweeps in
+    one positional-postings pass — the whole-eval-suite forensics
+    stack. Per-query RRF fusion rides a single (query_id, id)-keyed
+    aggregation over n_queries x n_lists x k_each shortlist rows.
+    Output (query_id, doc_id, n_lists, rrf_score), top-k per query."""
     sparse = bm25_batch(
         docs, query_terms, k_each, id_col, text_col, k1, b
     ).select("query_id", F.col(id_col), "rank")
@@ -344,13 +348,22 @@ def hybrid_rrf_batch(
         .filter(F.col("rank") <= k_each)
         .select("query_id", F.col(id_col), "rank")
     )
+    ranked = {"dense": dense, "sparse": sparse}
+    weights = {"dense": w_dense, "sparse": w_sparse}
+    if phrases is not None:
+        from gus_spark.operators.retrieval import phrase_batch
+
+        ranked["phrase"] = phrase_batch(
+            docs, phrases, k_each, id_col, text_col
+        ).select("query_id", F.col(id_col), "rank")
+        weights["phrase"] = w_phrase
     return rrf_fuse(
-        {"dense": dense, "sparse": sparse},
+        ranked,
         k,
         rrf_k,
         id_col,
         query_col="query_id",
-        weights={"dense": w_dense, "sparse": w_sparse},
+        weights=weights,
     )
 
 

@@ -266,6 +266,43 @@ def test_batch_matches_single_query(spark, docs, emb, qvec):
         assert frame_key(part) == frame_key(single)
 
 
+def test_batch_forensic_matches_single(spark, docs, emb, qvec):
+    """The whole-eval-suite forensics stack: a (query_id, phrase)
+    table through the batch path equals each query through the
+    three-source single path — all three tiers share their scoring
+    and ranking tails, so equality is exact."""
+    qvec2 = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    p0 = docs.filter(F.col("doc_id") == 3).first()["text"].split()[5:8]
+    p1 = docs.filter(F.col("doc_id") == 9).first()["text"].split()[2:5]
+    terms = spark.createDataFrame(
+        [(0, w, 1.0) for w in QUERY] + [(1, w, 1.0) for w in ("part", "dup")],
+        "query_id bigint, w string, weight double",
+    )
+    phrases = spark.createDataFrame(
+        [(0, p0), (1, p1)], "query_id bigint, phrase array<string>"
+    )
+    out = hybrid_rrf_batch(
+        docs, emb, terms, [(0, qvec), (1, qvec2)], K, k_each=K_EACH,
+        phrases=phrases, w_phrase=2.0,
+    ).toPandas()
+    for qid, q, qv, ph in (
+        (0, QUERY, qvec, p0),
+        (1, ["part", "dup"], qvec2, p1),
+    ):
+        single = hybrid_rrf_topk(
+            docs, emb, q, qv, K, k_each=K_EACH, phrase=ph, w_phrase=2.0
+        ).toPandas()
+        part = (
+            out[out["query_id"] == qid]
+            .drop(columns=["query_id"])
+            .reset_index(drop=True)
+        )
+        assert frame_key(part) == frame_key(single)
+
+
 def test_batch_plan_shape(spark, docs, emb, qvec):
     """The batch dense tier's query join must be a BROADCAST nested
     loop (Q queries ride to the corpus scan), never a
