@@ -144,6 +144,25 @@ def main() -> None:
             "hits_sparse": hs, "hits_dense": hd, "hits_hybrid": hh,
             "hits_hybrid_wd3": hw,
         }
+        if alpha == min(ALPHAS):
+            # the forensic stack in the WEAKEST regime: when verbatim
+            # evidence exists (each query carries 3 consecutive
+            # mid-document tokens of its target as an exact phrase),
+            # the phrase tier should carry the fusion on its own
+            phrase_rows = []
+            for i, r in enumerate(sample):
+                toks = [t for t in r["text"].strip().split() if t]
+                m = len(toks) // 2
+                phrase_rows.append((i, toks[m : m + 3]))
+            phrases = spark.createDataFrame(
+                phrase_rows, "query_id bigint, phrase array<string>"
+            )
+            fused_f = hybrid_rrf_batch(
+                docs, emb, terms, qvecs, K, k_each=K, phrases=phrases
+            ).toPandas()
+            mf, hf = mrr(fused_ranks(fused_f))
+            out[str(alpha)]["mrr_forensic"] = mf
+            out[str(alpha)]["hits_forensic"] = hf
     print(json.dumps(out))
 
 
