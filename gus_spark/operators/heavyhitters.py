@@ -17,9 +17,11 @@ as the dedup family's candidates→exact-verify):
    construction. Each partition emits <= capacity candidate rows plus
    one total-count sentinel.
 2. **Exact verify, candidate-bounded shuffle**: one more scan counts
-   ONLY the candidate tokens (broadcast semi-join before the groupBy,
-   the BM25 IN-list contract) — the shuffle carries candidate
-   occurrences, not the vocabulary.
+   ONLY the candidate tokens (semi-join before the groupBy, the BM25
+   IN-list contract; AQE broadcasts the candidate side when its
+   measured size is small — it is NOT force-broadcast, because the
+   candidate bound is partitions x capacity, not a constant) — the
+   shuffle carries candidate occurrences, not the vocabulary.
 
 The MG guarantee makes the output self-describing: a token absent
 from every partition summary has true count <= n/(capacity+1)
@@ -156,9 +158,17 @@ def heavy_hitters(
     totals = summaries.filter(F.col("w").isNull()).agg(
         F.sum("cnt").alias("n_total")
     )
+    # no explicit broadcast hint on the candidate side: it is bounded
+    # by partitions x capacity, not by a constant — at web-scale
+    # partition counts a forced broadcast would turn the documented
+    # exchange BOUND into a driver/executor OOM. AQE sees the
+    # materialized stage's actual size and broadcasts exactly when it
+    # is genuinely small (every local run); past the threshold the
+    # semi-join falls back to a shuffle that still carries at most
+    # partitions x (capacity+1) summary rows, never the vocabulary.
     exact = (
         grams.select(F.explode("_g").alias("w"))
-        .join(F.broadcast(candidates), "w", "left_semi")
+        .join(candidates, "w", "left_semi")
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )

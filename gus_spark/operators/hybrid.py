@@ -248,11 +248,16 @@ def hybrid_rrf_topk_live(
 
     The ANN kernel excludes neighbor_id == query_id (self-match —
     right for corpus-member queries); a hybrid query is EXTERNAL
-    (free text + its embedding), so it routes under a reserved
-    sentinel id that no document id collides with — the scan path's
-    dense tier has no exclusion, and the two must rank the same
-    corpus."""
-    _SENTINEL_QID = -(1 << 62)
+    (free text + its embedding), so it routes under
+    ``quantization.RESERVED_QUERY_ID`` — a reserved value in the
+    document-id space, ENFORCED at the single choke point every
+    indexed vector passes through (`ivf_pq_encode` rejects a batch
+    carrying it), so no document can silently drop out of the dense
+    tier by colliding with it. The scan path's dense tier has no
+    exclusion, and the two must rank the same corpus."""
+    from gus_spark.operators.quantization import RESERVED_QUERY_ID
+
+    _SENTINEL_QID = RESERVED_QUERY_ID
     pid = pidx.id_col
     sparse = _with_rank(
         pidx.topk(query, k_each, k1, b),
@@ -369,7 +374,7 @@ def hybrid_rrf_batch(
 
 def sql_hybrid_rrf_topk(
     query: list[str],
-    query_vec: list[float],
+    query_vec: list[float] | str,
     k: int,
     k_each: int = 20,
     rrf_k: int = RRF_K,
@@ -391,10 +396,22 @@ def sql_hybrid_rrf_topk(
     fold-order contract) as the dense CTE, sql_phrase_topk as the
     optional phrase CTE; COALESCEd contributions added in sorted
     source order (dense, phrase, sparse) = the Spark fold. Used by
-    tests/test_hybrid.py."""
+    tests/test_hybrid.py and the driver catalog probe.
+
+    ``query_vec`` may be a SQL expression string (e.g. an uncorrelated
+    scalar subquery over the embeddings view) instead of a literal
+    list — the STATIC-oracle form the driver catalog needs, since its
+    oracle strings are fixed at registration while the probe vector
+    lives in the data. Either form is CAST to DOUBLE[] before the
+    fold, so the doubles match the Spark literal-array path exactly
+    (float32 -> double widening is value-preserving)."""
     from gus_spark.operators.retrieval import sql_phrase_topk
 
-    vec_lit = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]"
+    vec_lit = (
+        f"({query_vec})"
+        if isinstance(query_vec, str)
+        else "[" + ", ".join(repr(float(x)) for x in query_vec) + "]"
+    )
     sparse_sql = sql_bm25_topk(query, k_each, table, id_col, text_col, k1, b)
 
     def wexpr(rank_ref: str, w: float) -> str:

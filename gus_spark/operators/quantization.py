@@ -35,6 +35,17 @@ from pyspark.sql import functions as F
 from gus_spark.operators.similarity import DIM, _as_double, _dot_cols
 from gus_spark.operators.util import ensure_parallelism
 
+#: Reserved query id for EXTERNAL (non-corpus) queries. The ADC/
+#: shortlist kernels exclude neighbor_id == query_id (self-match —
+#: right for corpus-member queries), so external callers (hybrid
+#: retrieval's free-text query embedding) route under this id to
+#: dodge the exclusion. It is therefore a RESERVED value in the
+#: document-id space: `ivf_pq_encode` rejects any batch carrying it,
+#: which makes the no-collision assumption an enforced contract at
+#: the single choke point every indexed vector passes through —
+#: zero extra jobs (the check rides the encode kernel's Arrow batch).
+RESERVED_QUERY_ID = -(1 << 62)
+
 
 def _subspace_views(mat, m: int):
     """Split an (n, dim) matrix into m contiguous (n, dim/m) views."""
@@ -582,6 +593,13 @@ def ivf_pq_encode(
         for pdf in batches:
             if pdf.empty:
                 continue
+            if (pdf["id"].to_numpy() == RESERVED_QUERY_ID).any():
+                raise ValueError(
+                    f"vector id {RESERVED_QUERY_ID} is reserved for "
+                    "external queries (RESERVED_QUERY_ID) and cannot "
+                    "be indexed — it would be silently excluded from "
+                    "every external-query search"
+                )
             x = np.stack(pdf["v"].to_numpy())
             cell = (x @ cn_.T).argmax(axis=1)
             r = x - cent_[cell]

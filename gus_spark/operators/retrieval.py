@@ -511,6 +511,50 @@ def posting_positions(
     )
 
 
+#: Offset-join-chain length cap: a phrase of m tokens pays m-1 join
+#: STAGES on the chain form below — fine for forensic phrases (a
+#: leaked eval question fragment is a handful of tokens), quadratic
+#: stage latency for long quotes. Above this length the single-
+#: exchange coverage-count form (_phrase_occurrences_folded — one
+#: (id, start)-keyed aggregation regardless of m, the `phrase_batch`
+#: shape) wins and routing is automatic. 10 sits where the chain's
+#: measured stage overhead crosses the fold's exchange cost locally
+#: and safely below the 13-token decontamination boundary — the
+#: natural long-phrase probe (tests pin equality at m=13).
+LONG_PHRASE_OFFSET_JOINS = 10
+
+
+def _phrase_occurrences_folded(
+    post: DataFrame, phrase: list[str], id_col: str
+) -> DataFrame:
+    """(id, n_occurrences) via the single-exchange coverage count —
+    the `phrase_batch` shape specialized to one phrase: every matched
+    posting explodes its positions to candidate (id, start = pos - j)
+    votes, and a start is a real occurrence iff ALL len(phrase)
+    offsets voted (count == m on the (id, start)-keyed aggregation —
+    the ONE corpus-scaled exchange, independent of phrase length).
+    Repeated phrase terms work because (id, start, j) votes are
+    unique by construction (positions are distinct per posting and
+    p = start + j)."""
+    spark = post.sparkSession
+    q = spark.createDataFrame(
+        list(enumerate(phrase)), "j int, w string"
+    )
+    hits = (
+        post.join(F.broadcast(q), "w")
+        .select(id_col, "j", F.explode("positions").alias("p"))
+        .select(id_col, (F.col("p") - F.col("j")).alias("start"))
+        .filter(F.col("start") >= 0)
+    )
+    return (
+        hits.groupBy(id_col, "start")
+        .agg(F.count("*").alias("_cov"))
+        .filter(F.col("_cov") == len(phrase))
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+    )
+
+
 def _phrase_occurrences(
     post: DataFrame, phrase: list[str], id_col: str
 ) -> DataFrame:
@@ -526,9 +570,19 @@ def _phrase_occurrences(
     so dead candidates leave the pipeline as early as possible. Cost
     follows docs CONTAINING the rarest prefix terms, never the corpus.
     Repeated terms in the phrase are handled per-offset (the phrase
-    "the cat the" joins the 'the' postings twice at offsets 0 and 2)."""
+    "the cat the" joins the 'the' postings twice at offsets 0 and 2).
+
+    COST MODEL / ROUTING: the chain pays one join STAGE per phrase
+    offset — m-1 stages for an m-token phrase. Past
+    LONG_PHRASE_OFFSET_JOINS tokens it routes to the single-exchange
+    coverage-count form automatically (same rows out, asserted at
+    m=13 in tests/test_retrieval.py); every caller — ad-hoc, indexed,
+    live PostingIndex — inherits the routing through this one
+    function."""
     if not phrase:
         raise ValueError("phrase must contain at least one token")
+    if len(phrase) > LONG_PHRASE_OFFSET_JOINS:
+        return _phrase_occurrences_folded(post, phrase, id_col)
     acc = (
         post.filter(F.col("w") == phrase[0])
         .select(id_col, F.col("positions").alias("_starts"))

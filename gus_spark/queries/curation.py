@@ -266,3 +266,71 @@ def dsir_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         temperature=0.1,
         carry_cols=("lang",),
     )
+
+
+#: Hybrid-retrieval probe knobs: the same (terms, query vector, k)
+#: triple tests/test_hybrid.py pins against the DuckDB twin and the
+#: pure-Python RRF at this sf. The probe vector is vec_id 0's own
+#: embedding — fetched with a limit(1) probe on the Spark side and an
+#: uncorrelated scalar subquery in the static oracle string, so both
+#: engines fuse the identical vector without a registration-time read.
+HYBRID_QUERY = ["spark", "join", "dup"]
+HYBRID_PHRASE = ["row", "column", "sort"]
+HYBRID_K = 10
+HYBRID_K_EACH = 20
+_HYBRID_QVEC_SQL = (
+    "SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0"
+)
+
+
+def _hybrid_oracle() -> str:
+    from gus_spark.operators.hybrid import sql_hybrid_rrf_topk
+
+    return sql_hybrid_rrf_topk(
+        HYBRID_QUERY,
+        _HYBRID_QVEC_SQL,
+        HYBRID_K,
+        k_each=HYBRID_K_EACH,
+        phrase=HYBRID_PHRASE,
+    )
+
+
+@register("hybrid_rrf_topk", oracle=_hybrid_oracle())
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense(+phrase) retrieval fused by Reciprocal Rank
+    Fusion (operators/hybrid.py — Cormack et al., SIGIR 2009): BM25
+    top-k_each over `documents`, exact-cosine top-k_each over
+    `embeddings`, and exact-phrase occurrence top-k_each as the
+    forensics source, fused to the top-10 by summed rank reciprocals —
+    the full three-source serving stack under one oracle. The fused
+    doubles are bit-identical across engines because contributions
+    fold in sorted source order (dense, phrase, sparse) in both.
+
+    Physical shape: three top-k_each shortlists (each on its own scale
+    path — bucket-pruned postings / one broadcast-query corpus scan /
+    per-offset pruned position joins), then an O(n_lists x k_each)-row
+    fused aggregation — fusion cost never touches the corpus. The live
+    twin (`hybrid_rrf_topk_live` over PostingIndex + VectorIndex incl.
+    tombstones) serves these exact rows, asserted in tests/test_hybrid.py.
+    Replaces `dedup_jaccard_pairs` in the catalog: its exact-Jaccard
+    shape already IS the minhash probe's oracle tier (the same SQL
+    verifies dedup_minhash_lsh / dedup_clusters), so the rotation
+    keeps that surface oracle-checked while giving the round-8
+    flagship a driver CORRECTNESS row."""
+    from gus_spark.operators.hybrid import hybrid_rrf_topk as hybrid_fused
+
+    e = table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    d = table(spark, sf_dir, "documents")
+    return hybrid_fused(
+        d,
+        e,
+        HYBRID_QUERY,
+        qvec,
+        HYBRID_K,
+        k_each=HYBRID_K_EACH,
+        phrase=HYBRID_PHRASE,
+    )

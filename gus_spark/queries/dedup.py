@@ -108,37 +108,20 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(d, token_hash="md5")
 
 
-@register(
-    "dedup_jaccard_pairs",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ws
-      FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             list_distinct(CASE WHEN len(ws) >= 3
-               THEN list_transform(range(1, len(ws)-1),
-                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-               ELSE ws END) AS ss
-      FROM toks
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(LENGTH(list_intersect(a.ss, b.ss)) AS DOUBLE)
-             / (LENGTH(a.ss) + LENGTH(b.ss)
-                - LENGTH(list_intersect(a.ss, b.ss))) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE CAST(LENGTH(list_intersect(a.ss, b.ss)) AS DOUBLE)
-            / (LENGTH(a.ss) + LENGTH(b.ss)
-               - LENGTH(list_intersect(a.ss, b.ss))) >= {JACCARD_THRESHOLD}
-    """,
-)
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise 3-gram-shingle Jaccard >= 0.8 (near-duplicate
     pairs). Word n-grams, not unigram sets: on low-vocabulary corpora
     unigram-set Jaccard saturates (most doc pairs share most words),
     while order-sensitive shingles cleanly separate true near-dups.
     O(n²) by construction — the ground truth the MinHash/LSH tier is
-    validated against; at 100 TB only the LSH tier runs."""
+    validated against; at 100 TB only the LSH tier runs.
+
+    No longer a catalog entry (rotated out round 9 for the
+    `hybrid_rrf_topk` probe): this exact-Jaccard shape stays under the
+    driver oracle VERBATIM as the ground-truth SQL that verifies
+    `dedup_minhash_lsh` and `dedup_clusters` below, and this function
+    remains the recall baseline tests/test_approx_ops.py grades the
+    LSH tier against."""
     from gus_spark.operators.dedup import shingles
 
     d = table(spark, sf_dir, "documents")

@@ -66,7 +66,21 @@ def tombstone_fold_due(
     """The shared tombstone-fraction compaction trigger (VectorIndex /
     MinHashIndex maintain): fold when tombstoned rows exceed
     ``max_tomb_frac`` of the LIVE rows under ``rows_path`` — totals
-    from parquet footers only, no Spark job."""
+    from parquet footers only, no Spark job.
+
+    HEURISTIC, deliberately: ``tomb_docs`` counts documents while the
+    footer total counts physical rows, and a tombstoned doc can hold
+    more than one physical row (the same id appended under two batch
+    keys, or crash-replay leftovers the delta contract tolerates) —
+    then the live denominator overcounts and the fold fires LATER
+    than a strict reading of max_tomb_frac. That error is bounded by
+    the duplicate-row fraction (near zero outside crash windows,
+    self-healing at the next fold, which drops both the duplicates
+    and the tombstoned rows) and errs only toward deferring an
+    optimization, never toward wrong results — the serving anti-join
+    is what hides tombstoned rows, not this trigger. Exactness here
+    would cost a distinct-id Spark job on every maintain() poll,
+    the wrong trade for a fold-scheduling hint."""
     if not tomb_docs:
         return False
     total = parquet_rows(rows_path) if os.path.isdir(rows_path) else 0

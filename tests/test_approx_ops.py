@@ -27,8 +27,11 @@ def documents(spark):
 
 @pytest.fixture(scope="module")
 def exact_pairs(spark):
-    """Exact 3-gram-shingle Jaccard >= 0.8 pairs — LSH ground truth."""
-    df = catalog()["dedup_jaccard_pairs"].fn(spark, SF_DIR_ORACLE)
+    """Exact 3-gram-shingle Jaccard >= 0.8 pairs — LSH ground truth
+    (rotated out of the catalog round 9; imported directly)."""
+    from gus_spark.queries.dedup import dedup_jaccard_pairs
+
+    df = dedup_jaccard_pairs(spark, SF_DIR_ORACLE)
     return {(r.doc_a, r.doc_b) for r in df.collect()}
 
 

@@ -330,3 +330,26 @@ def test_opq_end_to_end_retrieval(spark, embeddings, ground_truth):
     hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
     total = sum(len(v) for v in truth.values())
     assert hits / total >= 0.95, hits / total
+
+
+def test_reserved_query_id_rejected_at_encode(spark, embeddings, tmp_path):
+    """RESERVED_QUERY_ID (the external-query sentinel hybrid serving
+    routes under) is enforced as un-indexable at the encode choke
+    point: a batch carrying it raises instead of producing a vector
+    the sentinel-routed search would silently exclude (ADVICE r8)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gus_spark.operators.quantization import RESERVED_QUERY_ID
+    from gus_spark.operators.vector_index import VectorIndex
+
+    idx = VectorIndex(spark, str(tmp_path / "resv"), m=16, iters=2)
+    idx.fit(embeddings)
+    poisoned = embeddings.withColumn(
+        "vec_id",
+        F.when(F.col("vec_id") == 7, F.lit(RESERVED_QUERY_ID)).otherwise(
+            F.col("vec_id")
+        ),
+    )
+    with pytest.raises(Exception, match="reserved for external"):
+        idx.add(poisoned)

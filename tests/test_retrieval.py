@@ -536,3 +536,66 @@ def test_phrase_batch_matches_single_phrases(spark, docs):
         phrase_batch(docs, empt, 5)
     with pytest.raises(ValueError, match="k"):
         phrase_batch(docs, phrases, 0)
+
+
+def test_long_phrase_routes_to_folded_form(spark, docs):
+    """Phrases past LONG_PHRASE_OFFSET_JOINS tokens route to the
+    single-exchange coverage-count form (VERDICT r8 #7). Pinned at
+    m=13 — the decontamination n-gram boundary, the natural long
+    quote — three ways: the folded Spark path vs a from-scratch
+    sliding-window count vs the DuckDB join-chain twin; plus a
+    repeated-term long phrase, and routing equivalence (the folded
+    form equals the chain form on the same postings)."""
+    from pyspark.sql import functions as F
+
+    from gus_spark.operators.retrieval import (
+        LONG_PHRASE_OFFSET_JOINS,
+        _phrase_occurrences_folded,
+        phrase_topk,
+        posting_positions,
+        sql_phrase_topk,
+    )
+
+    # a real 13-token quote lifted verbatim from a corpus doc
+    src = docs.filter(F.col("doc_id") == 11).first()["text"].split()
+    phrase = src[4:17]
+    assert len(phrase) == 13 > LONG_PHRASE_OFFSET_JOINS
+
+    got = phrase_topk(docs, phrase, 50).toPandas()
+    expect = _python_phrase_counts(docs, phrase)
+    assert expect, "long-phrase probe is vacuous on this corpus"
+    want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert list(zip(got["doc_id"], got["n_occurrences"])) == want
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR_ORACLE}/documents.parquet'"
+    )
+    odf = con.execute(sql_phrase_topk(phrase, 50)).df()
+    assert frame_key(got) == frame_key(odf)
+
+    # folded form alone on identical postings reproduces the truth
+    # (the routed phrase_topk above already exercised it end to end)
+    post = posting_positions(docs).filter(
+        F.col("w").isin(sorted(set(phrase)))
+    )
+    folded = {
+        (r.doc_id, r.n_occurrences)
+        for r in _phrase_occurrences_folded(post, phrase, "doc_id").collect()
+    }
+    assert folded == set(expect.items())
+
+    # repeated-term long phrase: 11 tokens, 'a b' * 5 + 'a'
+    rep_docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b a b a"),        # matches at start 0
+            (2, "x a b a b a b a b a b a y"),    # embedded match
+            (3, "a b a b a b a b a b"),          # one token short
+        ],
+        "doc_id bigint, text string",
+    )
+    rep_phrase = ["a", "b"] * 5 + ["a"]
+    assert len(rep_phrase) == 11 > LONG_PHRASE_OFFSET_JOINS
+    rp = phrase_topk(rep_docs, rep_phrase, 10).toPandas()
+    assert list(zip(rp["doc_id"], rp["n_occurrences"])) == [(1, 1), (2, 1)]
