@@ -126,6 +126,7 @@ def heavy_hitters(
     capacity: int | None = None,
     variant: str = "raw",
     text_col: str = "text",
+    grams_col: Column | None = None,
 ) -> DataFrame:
     """Exact top-k (token, count) over ``df[text_col]`` — or n-gram
     counts with ``ngram`` > 1 — ordered by (cnt desc, w). Output
@@ -141,13 +142,25 @@ def heavy_hitters(
     survives to report). An empty result therefore IS a finding
     ("nothing repeats above the noise floor"); for exhaustive counts
     at small scale, set ``capacity`` above the distinct-token count
-    and the summary is lossless."""
+    and the summary is lossless.
+
+    ``grams_col`` overrides the token derivation with an arbitrary
+    array<string> column — the ITEM-STREAM generalization: what gets
+    counted is whatever the expression emits per row. The boilerplate
+    tier (operators/boilerplate.py) feeds per-doc DISTINCT lines, so
+    cnt becomes exact DOCUMENT frequency and the same floor certifies
+    line doc-frequency ranks — one operator, two diagnoses."""
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
     m = max(64 * k, _MIN_CAPACITY) if capacity is None else capacity
     if m < k:
         raise ValueError(f"capacity {m} must be >= k {k}")
-    grams = df.select(gram_col(F.col(text_col), ngram, variant).alias("_g"))
+    g = (
+        grams_col
+        if grams_col is not None
+        else gram_col(F.col(text_col), ngram, variant)
+    )
+    grams = df.select(g.alias("_g"))
     summaries = grams.mapInPandas(_mg_kernel(m), "w string, cnt long")
     # tiny: <= partitions x (capacity+1) rows. localCheckpoint cuts
     # the lineage so the sketch pass runs once while feeding BOTH the

@@ -28,6 +28,10 @@ them, from raw documents to packed training sequences.
                             corpus the same k cuts ~1.2k tokens in
                             ~23 docs); the planted-boilerplate case
                             is proven in tests/test_substring.py
+      2c. boilerplate cut   C4 line rule: lines repeated across >= 4
+                            docs corpus-wide removed, canonical copy
+                            kept (honestly 0 here — single-line docs;
+                            planted case in tests/test_boilerplate.py)
       3. repetition gate    Gopher dup-token/bigram thresholds
       4. quality gate       distilled classifier (weak heuristic
                             labels -> hashed-BoW logistic scorer)
@@ -153,6 +157,25 @@ def run_pipeline(
     deduped = (
         deduped.drop("text")
         .join(cut.select("doc_id", "text"), "doc_id")
+        .localCheckpoint()
+    )
+
+    # 2c. boilerplate cut (C4 line rule, operators/boilerplate.py):
+    # lines repeated across >= 4 documents corpus-wide are removed,
+    # lowest-doc_id copy kept (the exact_substring canonical policy).
+    # On THIS synthetic corpus the stat is honestly 0: documents are
+    # single-line and the dedup stages already removed identical
+    # texts, so no line reaches the threshold; the planted-banner
+    # case is proven in tests/test_boilerplate.py.
+    from gus_spark.operators.boilerplate import remove_boilerplate
+
+    bp = remove_boilerplate(deduped.select("doc_id", "text"))
+    stats["boilerplate_lines_removed"] = int(
+        bp.agg(F.sum("n_lines_removed")).first()[0] or 0
+    )
+    deduped = (
+        deduped.drop("text")
+        .join(bp.select("doc_id", "text"), "doc_id")
         .localCheckpoint()
     )
 
