@@ -236,13 +236,17 @@ def sql_boilerplate_lines(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    extra_cte: str | None = None,
 ) -> str:
     """DuckDB twin of the exact tier — same trim/non-empty line
     normalization, same doc-frequency threshold, same canonical
     keeper. All-integer/string comparisons: bit-parity needs no
-    quantization."""
+    quantization. ``extra_cte`` ("name AS (...)") is prepended to the
+    WITH chain so a probe can seed a derived ``table`` inline (the
+    redact_pii in-query seeding precedent)."""
+    lead = f"{extra_cte},\n    " if extra_cte else ""
     return f"""
-    WITH nz AS (
+    WITH {lead}nz AS (
       SELECT * FROM (
         SELECT {id_col} AS id,
                TRIM(UNNEST(string_split({text_col}, chr(10)))) AS line
@@ -262,15 +266,19 @@ def sql_remove_boilerplate(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    extra_cte: str | None = None,
 ) -> str:
     """DuckDB twin of `remove_boilerplate` over the exact tier:
     line_no from generate_subscripts (0-based, posexplode's
-    numbering), string_agg ORDER BY line_no = the sort_array rebuild."""
+    numbering), string_agg ORDER BY line_no = the sort_array rebuild.
+    ``extra_cte`` prepends a seeding CTE exactly as in
+    sql_boilerplate_lines."""
     keep_pred = "f.line IS NULL"
     if keep_first:
         keep_pred += " OR n.id = f.keep_doc_id"
+    lead = f"{extra_cte},\n    " if extra_cte else ""
     return f"""
-    WITH nz AS (
+    WITH {lead}nz AS (
       SELECT * FROM (
         SELECT {id_col} AS id,
                TRIM(UNNEST(string_split({text_col}, chr(10)))) AS line,

@@ -379,6 +379,89 @@ def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Seeded line structure for the boilerplate probe (the redact_pii
+#: in-query seeding precedent — the synthetic corpus is single-line,
+#: so both engines construct, then cut, identical line-structured
+#: strings): each doc's first tokens split into two content lines,
+#: plus a cookie banner on every doc, a newsletter plug on every 2nd,
+#: a footer on every 5th, and a 3-doc rarity that must stay below the
+#: >= 4-doc C4 threshold.
+_BP_BANNER = "accept all cookies to continue"
+_BP_PLUG = "subscribe to our weekly newsletter"
+_BP_FOOTER = "copyright example corp all rights reserved"
+_BP_RARE = "limited time offer ends soon"
+
+
+def _bp_seed_cte() -> str:
+    return f"""seeded AS (
+      SELECT doc_id,
+             array_to_string(ws[1:5], ' ') || chr(10) ||
+             '{_BP_BANNER}' || chr(10) ||
+             array_to_string(ws[6:10], ' ') ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN chr(10) || '{_BP_PLUG}' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN chr(10) || '{_BP_FOOTER}' ELSE '' END ||
+             CASE WHEN doc_id IN (11, 23, 42)
+                  THEN chr(10) || '{_BP_RARE}' ELSE '' END
+               AS text
+      FROM (SELECT doc_id,
+                   string_split_regex(TRIM(text), '\\s+') AS ws
+            FROM documents))"""
+
+
+def _bp_seeded_spark(docs: DataFrame) -> DataFrame:
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    doc_id = F.col("doc_id")
+    text = F.concat(
+        F.array_join(F.slice(ws, 1, 5), " "),
+        F.lit("\n" + _BP_BANNER + "\n"),
+        F.array_join(F.slice(ws, 6, 5), " "),
+        F.when(doc_id % 2 == 0, F.lit("\n" + _BP_PLUG)).otherwise(
+            F.lit("")
+        ),
+        F.when(doc_id % 5 == 0, F.lit("\n" + _BP_FOOTER)).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            doc_id.isin(11, 23, 42), F.lit("\n" + _BP_RARE)
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+def _bp_oracle() -> str:
+    from gus_spark.operators.boilerplate import sql_remove_boilerplate
+
+    return sql_remove_boilerplate(
+        table="seeded", extra_cte=_bp_seed_cte()
+    )
+
+
+@register("remove_boilerplate_docs", oracle=_bp_oracle())
+def remove_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate removal — the C4 line rule
+    (operators/boilerplate.py, round 9's flagship, promoted to the
+    driver catalog round 10 per VERDICT r9 #1): lines repeated across
+    >= 4 documents are cut from every document, the lowest-doc_id copy
+    kept (the exact_substring_dedup canonical policy), text rebuilt in
+    original line order. The synthetic corpus is single-line, so the
+    probe SEEDS deterministic line structure from doc_id identically
+    in Spark and the oracle — both engines build, then cut, the same
+    strings (the redact_pii_documents precedent). The plan is two
+    keyed exchanges total, zero Python: one line-keyed doc-frequency
+    agg (single countDistinct — no Expand) and one doc-keyed
+    sort_array rebuild; the flagged set is heavy-lines-only, so AQE
+    broadcasts it onto the line table. Replaces `dedup_simhash`
+    (digest-keyed agg shape retained by dedup_exact_representatives;
+    the simhash md5-mirror parity stays asserted in
+    tests/test_queries.py)."""
+    from gus_spark.operators.boilerplate import remove_boilerplate
+
+    d = table(spark, sf_dir, "documents")
+    return remove_boilerplate(_bp_seeded_spark(d))
+
+
 def _phrase_probe():
     from gus_spark.operators.retrieval import sql_phrase_topk
 

@@ -63,6 +63,18 @@ def test_every_oracle_is_valid_duckdb(duck):
             duck.execute(f"SELECT * FROM ({spec.oracle}) LIMIT 1")
 
 
+def test_dedup_simhash_matches_oracle(spark, duck):
+    """dedup_simhash rotated out of the catalog (r10, slot ->
+    remove_boilerplate_docs) but keeps full bit-parity coverage here:
+    every md5-portable simhash signature vs the DuckDB per-bit-vote
+    mirror."""
+    from gus_spark.queries.dedup import SIMHASH_ORACLE, dedup_simhash
+
+    sdf = dedup_simhash(spark, SF_DIR_ORACLE).toPandas()
+    odf = duck.execute(SIMHASH_ORACLE).df()
+    assert frame_key(sdf) == frame_key(odf)
+
+
 def test_profile_orders_columns_matches_oracle(spark, duck):
     """profile_orders_columns rotated out of the catalog (r7, slot ->
     dsir_select_documents) but keeps full value coverage here: the
