@@ -17,11 +17,22 @@ as the dedup family's candidates→exact-verify):
    construction. Each partition emits <= capacity candidate rows plus
    one total-count sentinel.
 2. **Exact verify, candidate-bounded shuffle**: one more scan counts
-   ONLY the candidate tokens (semi-join before the groupBy, the BM25
-   IN-list contract; AQE broadcasts the candidate side when its
-   measured size is small — it is NOT force-broadcast, because the
-   candidate bound is partitions x capacity, not a constant) — the
-   shuffle carries candidate occurrences, not the vocabulary.
+   ONLY the candidate tokens through a FORCED broadcast semi-join
+   before the groupBy (the BM25 IN-list contract) — so the probe
+   (token-occurrence) stream is filtered map-side and NEVER shuffles,
+   in every regime. The broadcast is always justified because the
+   candidate set is bounded in both regimes: while the static bound
+   partitions x (capacity+1) is broadcast-safe, candidates are the
+   union of partition summaries; past that bound the partition
+   summaries are first TREE-MERGED into one global Misra-Gries
+   summary of <= capacity counters (mergeable summaries, Agarwal et
+   al. PODS 2012: the merged undercount bound stays n/(capacity+1)
+   regardless of merge tree shape), so the candidate set becomes a
+   CONSTANT <= capacity rows. The merge itself only ever exchanges
+   summary rows (<= partitions x (capacity+1)), never the
+   vocabulary. The merged path can drop sub-floor candidates the
+   union path would have verified — exactly the rows the certificate
+   already refuses to certify; certified output is identical.
 
 The MG guarantee makes the output self-describing: a token absent
 from every partition summary has true count <= n/(capacity+1)
@@ -53,6 +64,16 @@ from gus_spark.functions.tokenize import tokenize
 #: n/(capacity+1) far below any plausible k-th frequency, for a
 #: driver/executor cost of a few hundred KB per partition
 _MIN_CAPACITY = 4096
+
+#: above this static candidate bound (partitions x (capacity+1)) the
+#: union-of-summaries candidate set is no longer assumed broadcastable
+#: and the global tree-merge path takes over; ~1M short-string rows is
+#: tens of MB — comfortably under any executor broadcast budget
+_BROADCAST_SAFE_ROWS = 1 << 20
+
+#: tree-merge fan-in: each intermediate merge task reads at most this
+#: many partition summaries (fanin x (capacity+1) rows)
+_MERGE_FANIN = 64
 
 
 def gram_col(text: Column, n: int, variant: str = "raw") -> Column:
@@ -119,6 +140,43 @@ def _mg_kernel(capacity: int):
     return summarize
 
 
+def _mg_merge_kernel(capacity: int):
+    """mapInPandas factory over (w, cnt) SUMMARY rows: merge them into
+    one Misra-Gries summary of <= capacity counters (sum per-token
+    counts, reduce by subtracting the (capacity+1)-st largest — the
+    mergeable-summaries rule, so the total undercount stays
+    n/(capacity+1) across any merge tree). Sentinel rows (w IS NULL)
+    carry partition totals and are summed through unchanged."""
+
+    def merge(batches):
+        import pandas as pd
+
+        def reduce_to_capacity(c: dict[str, int]) -> dict[str, int]:
+            if len(c) <= capacity:
+                return c
+            vals = sorted(c.values(), reverse=True)
+            thresh = vals[capacity]
+            return {w: v - thresh for w, v in c.items() if v > thresh}
+
+        counters: dict[str, int] = {}
+        total = 0
+        for pdf in batches:
+            for w, cnt in zip(pdf["w"], pdf["cnt"]):
+                if w is None or (isinstance(w, float)):  # null sentinel
+                    total += int(cnt)
+                else:
+                    counters[w] = counters.get(w, 0) + int(cnt)
+            counters = reduce_to_capacity(counters)
+        yield pd.DataFrame(
+            {
+                "w": list(counters) + [None],
+                "cnt": list(counters.values()) + [total],
+            }
+        )
+
+    return merge
+
+
 def heavy_hitters(
     df: DataFrame,
     k: int = 50,
@@ -127,6 +185,7 @@ def heavy_hitters(
     variant: str = "raw",
     text_col: str = "text",
     grams_col: Column | None = None,
+    merge_candidates: bool | None = None,
 ) -> DataFrame:
     """Exact top-k (token, count) over ``df[text_col]`` — or n-gram
     counts with ``ngram`` > 1 — ordered by (cnt desc, w). Output
@@ -149,7 +208,15 @@ def heavy_hitters(
     counted is whatever the expression emits per row. The boilerplate
     tier (operators/boilerplate.py) feeds per-doc DISTINCT lines, so
     cnt becomes exact DOCUMENT frequency and the same floor certifies
-    line doc-frequency ranks — one operator, two diagnoses."""
+    line doc-frequency ranks — one operator, two diagnoses.
+
+    ``merge_candidates`` picks the candidate-set regime (see module
+    docstring step 2): None (default) auto-selects by the static
+    bound — union-of-summaries while partitions x (capacity+1) <=
+    _BROADCAST_SAFE_ROWS, global tree-merge past it. Both regimes
+    force-broadcast the candidates (justified by the respective
+    bound), so the probe stream never shuffles. True/False pins a
+    regime explicitly (tests; capacity-vs-partition-count tuning)."""
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
     m = max(64 * k, _MIN_CAPACITY) if capacity is None else capacity
@@ -162,26 +229,42 @@ def heavy_hitters(
     )
     grams = df.select(g.alias("_g"))
     summaries = grams.mapInPandas(_mg_kernel(m), "w string, cnt long")
-    # tiny: <= partitions x (capacity+1) rows. localCheckpoint cuts
-    # the lineage so the sketch pass runs once while feeding BOTH the
-    # candidate set and the total (two consumers below); eager=False
-    # keeps the operator lazy — nothing runs until the caller acts.
+    n_parts = grams.rdd.getNumPartitions()
+    if merge_candidates is None:
+        merge_candidates = n_parts * (m + 1) > _BROADCAST_SAFE_ROWS
+    if merge_candidates:
+        # beyond the broadcast-safe static bound: tree-merge the
+        # partition summaries into ONE global MG summary of <=
+        # capacity counters (same floor — mergeable summaries), so
+        # the broadcast below ships a CONSTANT-bounded set. Only
+        # summary rows are exchanged here, never the vocabulary.
+        if n_parts > _MERGE_FANIN:
+            summaries = summaries.repartition(
+                -(-n_parts // _MERGE_FANIN)
+            ).mapInPandas(_mg_merge_kernel(m), "w string, cnt long")
+        summaries = summaries.coalesce(1).mapInPandas(
+            _mg_merge_kernel(m), "w string, cnt long"
+        )
+    # tiny: <= partitions x (capacity+1) rows (merged: <= capacity+1).
+    # localCheckpoint cuts the lineage so the sketch pass runs once
+    # while feeding BOTH the candidate set and the total (two
+    # consumers below); eager=False keeps the operator lazy — nothing
+    # runs until the caller acts.
     summaries = summaries.localCheckpoint(eager=False)
     candidates = summaries.filter(F.col("w").isNotNull()).select("w").distinct()
     totals = summaries.filter(F.col("w").isNull()).agg(
         F.sum("cnt").alias("n_total")
     )
-    # no explicit broadcast hint on the candidate side: it is bounded
-    # by partitions x capacity, not by a constant — at web-scale
-    # partition counts a forced broadcast would turn the documented
-    # exchange BOUND into a driver/executor OOM. AQE sees the
-    # materialized stage's actual size and broadcasts exactly when it
-    # is genuinely small (every local run); past the threshold the
-    # semi-join falls back to a shuffle that still carries at most
-    # partitions x (capacity+1) summary rows, never the vocabulary.
+    # FORCED broadcast on the candidate side — justified in both
+    # regimes (union path: static bound <= _BROADCAST_SAFE_ROWS;
+    # merged path: <= capacity rows, a constant). This is what keeps
+    # the probe stream map-side-filtered in EVERY regime: an AQE
+    # sort-merge fallback here would shuffle the full exploded
+    # token-occurrence stream — exactly the corpus-wide shuffle the
+    # operator exists to avoid (ADVICE r9).
     exact = (
         grams.select(F.explode("_g").alias("w"))
-        .join(candidates, "w", "left_semi")
+        .join(F.broadcast(candidates), "w", "left_semi")
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )

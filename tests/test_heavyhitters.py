@@ -146,6 +146,42 @@ def test_singleton_regime_returns_empty_not_wrong(docs):
     assert (full["cnt"] > full["floor_cnt"]).all()  # floor is 0
 
 
+def test_merged_candidate_regime(docs):
+    """The beyond-broadcast-bound path (merge_candidates=True): the
+    partition summaries tree-merge into one global MG summary, so the
+    candidate set is <= capacity rows. Certified output must be
+    IDENTICAL to the union path's certified rows (the merge can only
+    drop sub-floor candidates the certificate already refuses), and
+    the floor arithmetic is unchanged. Run at two partition counts so
+    both the direct coalesce(1) merge and the two-level fan-in merge
+    execute (fan-in 64)."""
+    union = heavy_hitters(docs, K, merge_candidates=False).toPandas()
+    for parts in (None, 70):
+        d = docs if parts is None else docs.repartition(parts)
+        merged = heavy_hitters(d, K, merge_candidates=True).toPandas()
+        cert_u = union[union["cnt"] > union["floor_cnt"]]
+        cert_m = merged[merged["cnt"] > merged["floor_cnt"]]
+        assert list(cert_m["w"]) == list(cert_u["w"])
+        assert list(cert_m["cnt"]) == list(cert_u["cnt"])
+        assert set(merged["floor_cnt"]) == set(union["floor_cnt"])
+    # on this corpus the whole top-k certifies, so the merged result
+    # is bit-identical end to end
+    assert frame_key(merged) == frame_key(union)
+
+
+def test_merged_plan_still_broadcasts(docs):
+    """Forced broadcast survives the merged path: the probe stream is
+    filtered by a BroadcastHashJoin LeftSemi, never a sort-merge join
+    (which would shuffle the full token-occurrence stream)."""
+    out = heavy_hitters(docs, K, merge_candidates=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert re.search(r"BroadcastHashJoin.*LeftSemi", plan), plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_plan_shape(docs):
     """The exact pass reaches its groupBy through a broadcast
     semi-join (candidate-bounded shuffle) and never a cartesian or a

@@ -14,7 +14,16 @@ exchanged-state curve, not local wall.
 
 Run: python tools/heavyhitters_bench.py
 One JSON line: {sf: {hh_secs, naive_secs, distinct_grams,
-candidate_bound, n_grams_total}}.
+candidate_bound, n_grams_total, profile: {...}}}.
+
+STAGE PROFILE (r10, VERDICT r9 ask #4 — what dominates the two-pass
+plan's ~2x local price over the naive?): the two stages are timed in
+isolation — (a) the sketch pass alone (gram expression + Python MG
+mapInPandas kernel to a noop sink), (b) the exact-verify pass alone
+with the candidate list pre-materialized (explode + broadcast semi-
+join + groupBy), plus (c) the bare gram-explode scan (the JVM floor
+both passes share). kernel_tax = sketch - explode_floor isolates
+what the Python MG kernel itself costs over the JVM scan it rides.
 """
 
 from __future__ import annotations
@@ -75,6 +84,37 @@ def bench_sf(spark, sf_dir: str, label: str, out: dict) -> None:
     ).first()
     m = max(64 * K, _MIN_CAPACITY)
     parts = grams.rdd.getNumPartitions()
+
+    # ---- stage profile: each stage alone, same min-of-2 protocol ----
+    from gus_spark.operators.heavyhitters import _mg_kernel
+
+    def sketch_only():
+        return grams.mapInPandas(_mg_kernel(m), "w string, cnt long")
+
+    def explode_only():
+        return grams.select(F.explode("_g").alias("w"))
+
+    # pre-materialize the candidate set OUTSIDE the verify timing, so
+    # the verify number is the second scan + broadcast join + agg only
+    cand_rows = [
+        (r.w,)
+        for r in sketch_only().filter(F.col("w").isNotNull())
+        .select("w").distinct().collect()
+    ]
+    cand_df = spark.createDataFrame(cand_rows, "w string")
+
+    def verify_only():
+        return (
+            grams.select(F.explode("_g").alias("w"))
+            .join(F.broadcast(cand_df), "w", "left_semi")
+            .groupBy("w")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    sketch_secs = t(sketch_only)
+    explode_secs = t(explode_only)
+    verify_secs = t(verify_only)
+
     out[label] = {
         "hh_secs": hh_secs,
         "naive_secs": naive_secs,
@@ -83,6 +123,13 @@ def bench_sf(spark, sf_dir: str, label: str, out: dict) -> None:
         "candidate_bound": parts * m,
         "capacity": m,
         "partitions": parts,
+        "profile": {
+            "sketch_secs": sketch_secs,
+            "verify_secs": verify_secs,
+            "explode_floor_secs": explode_secs,
+            "kernel_tax_secs": round(sketch_secs - explode_secs, 3),
+            "n_candidates": len(cand_rows),
+        },
     }
 
 
