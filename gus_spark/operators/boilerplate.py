@@ -127,7 +127,8 @@ def certified_boilerplate_lines(
 ) -> DataFrame:
     """Sketch tier: the top-k doc-frequency lines via `heavy_hitters`
     over per-doc distinct lines, filtered to n_docs >= min_docs.
-    Output (line, n_docs, keep_doc_id) — drop-in for the exact tier.
+    Output (line, n_docs, saturated, keep_doc_id) — drop-in for the
+    exact tier (`remove_boilerplate` reads only line/keep_doc_id).
 
     ``certified_only`` (default) additionally requires
     n_docs > floor_cnt, the Misra-Gries certificate: every returned
@@ -138,6 +139,14 @@ def certified_boilerplate_lines(
     below any real boilerplate threshold, so the flag set matches the
     exact tier's (asserted in tests at lossless capacity).
 
+    ``saturated`` is the top-k truncation signal (the floor_cnt
+    self-describing convention, ADVICE r9): true on every row when
+    the top-k came back FULL and its minimum doc frequency still
+    cleared min_docs — i.e. lines beyond rank k may also qualify and
+    the sketch tier is silently under-flagging; raise k until it
+    reads false. Computed from the raw top-k BEFORE the threshold
+    and certificate filters, so those can't mask the truncation.
+
     keep_doc_id is derived in a second bounded aggregation over ONLY
     the flagged lines' postings (a semi-join the optimizer broadcasts
     when small — the heavy_hitters candidate contract)."""
@@ -147,12 +156,20 @@ def certified_boilerplate_lines(
         df, k=k, capacity=capacity, text_col=text_col,
         grams_col=distinct_lines_col(F.col(text_col)),
     )
+    # two consumers below (flag set + saturation probe): cut lineage
+    # so the two corpus passes behind hh run once, lazily
+    hh = hh.localCheckpoint(eager=False)
+    sat = hh.agg(
+        ((F.count("*") == k) & (F.min("cnt") >= min_docs)).alias(
+            "saturated"
+        )
+    )
     flagged = hh.filter(F.col("cnt") >= min_docs)
     if certified_only:
         flagged = flagged.filter(F.col("cnt") > F.col("floor_cnt"))
     flagged = flagged.select(
         F.col("w").alias("line"), F.col("cnt").alias("n_docs")
-    )
+    ).crossJoin(F.broadcast(sat))
     keepers = (
         doc_lines(df, id_col, text_col)
         .join(flagged.select("line"), "line", "left_semi")
@@ -169,25 +186,46 @@ def remove_boilerplate(
     flagged: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tier: str = "exact",
 ) -> DataFrame:
     """Cut flagged boilerplate lines from every document. Output
     (id, text, n_lines_kept, n_lines_removed): text is the surviving
     trimmed lines rejoined by chr(10) in original order (see the
     module normalization contract).
 
+    ``tier`` is the SCALE contract (chosen when ``flagged`` is None):
+    'exact' (default) runs `boilerplate_lines`, whose one exchange
+    carries every distinct (line, doc) pair — at web scale the
+    distinct-line vocabulary is corpus-sized, so THAT EXCHANGE IS THE
+    JOB; correct and cheapest at any scale where a line-keyed shuffle
+    of the corpus is acceptable (all local/test runs, single-tenant
+    corpora). 'certified' runs `certified_boilerplate_lines`, whose
+    candidate exchange is bounded by partitions x capacity and whose
+    flags carry the Misra-Gries certificate — the 100-TB path; check
+    its ``saturated`` column before trusting the cut exhaustive.
+
     ``flagged`` accepts either tier's output — any DataFrame with a
     ``line`` column (``keep_doc_id`` derived here if absent and
-    ``keep_first`` needs it); None runs the exact tier at
-    ``min_docs``. With ``keep_first`` the lowest-doc_id holder keeps
-    its copy (the exact_substring_dedup canonical policy);
-    False cuts everywhere (strict C4).
+    ``keep_first`` needs it); passing it skips ``tier`` entirely.
+    With ``keep_first`` the lowest-doc_id holder keeps its copy (the
+    exact_substring_dedup canonical policy); False cuts everywhere
+    (strict C4).
 
     Shape: line table left-joined to the flagged set (small by
     construction — heavy lines only; AQE broadcasts it), then ONE
     doc-keyed exchange rebuilding text via sort_array over collected
     (line_no, line) structs. Nothing corpus-scaled hits the driver."""
+    if tier not in ("exact", "certified"):
+        raise ValueError(
+            f"tier must be 'exact' or 'certified', got {tier!r}"
+        )
     if flagged is None:
-        flagged = boilerplate_lines(df, min_docs, id_col, text_col)
+        if tier == "certified":
+            flagged = certified_boilerplate_lines(
+                df, min_docs=min_docs, id_col=id_col, text_col=text_col
+            )
+        else:
+            flagged = boilerplate_lines(df, min_docs, id_col, text_col)
     lines = doc_lines(df, id_col, text_col)
     if keep_first and "keep_doc_id" not in flagged.columns:
         flagged = flagged.join(

@@ -228,6 +228,40 @@ def test_certified_tier_matches_exact_at_lossless_capacity(seeded):
     assert frame_key(via_sketch) == frame_key(via_exact)
 
 
+def test_tier_parameter_routes_certified(seeded):
+    """remove_boilerplate(tier='certified') feeds the certified
+    sketch tier's flags straight through — at lossless capacity the
+    cut is identical to the exact tier's (the drop-in contract), and
+    an unknown tier fails loudly."""
+    via_param = remove_boilerplate(seeded, tier="certified").toPandas()
+    via_exact = remove_boilerplate(seeded).toPandas()
+    assert frame_key(via_param) == frame_key(via_exact)
+    with pytest.raises(ValueError, match="tier"):
+        remove_boilerplate(seeded, tier="sketchy")
+
+
+def test_saturation_signal(spark):
+    """The top-k truncation signal (ADVICE r9): when more lines clear
+    min_docs than k can return, every returned row reads
+    saturated=true (the sketch tier is under-flagging — raise k);
+    with k above the qualifying-line count it reads false."""
+    docs = [
+        (i, "\n".join(f"banner {b}" for b in range(6)) + f"\nrow {i}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    tight = certified_boilerplate_lines(
+        df, k=3, min_docs=4, capacity=4096
+    ).toPandas()
+    assert len(tight) == 3  # 6 qualifying banners, only 3 returned
+    assert tight["saturated"].all()
+    roomy = certified_boilerplate_lines(
+        df, k=50, min_docs=4, capacity=4096
+    ).toPandas()
+    assert len(roomy) == 6
+    assert not roomy["saturated"].any()
+
+
 def test_certificate_only_shrinks(spark):
     """At a deliberately tiny capacity the floor rises; the certified
     set is a subset of the uncertified one, which is a subset of the
