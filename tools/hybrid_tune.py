@@ -173,13 +173,60 @@ def ranks_from_pdf(pdf, id_field: str) -> dict[int, dict[int, int]]:
     return out
 
 
-def main() -> None:
+def dense_rank_pdf(spark, emb, qv, k: int = K):
+    """Pure dense-tier rank list: exact cosine top-k per query via one
+    broadcast-query corpus scan + a per-query rank window. Tier rank
+    lists fed to the sweep must be PURE (a fused engine run can't
+    yield them — RRF mixes the tiers before ranks exist), so dense is
+    computed directly rather than through hybrid_rrf_batch."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gus_spark.operators.similarity import _as_double, _dot_cols
+
+    qdf = spark.createDataFrame(
+        [(int(i), v) for i, v in qv],
+        "query_id bigint, qv array<double>",
+    ).select(
+        "query_id", "qv",
+        F.sqrt(_dot_cols(F.col("qv"), F.col("qv"))).alias("qnorm"),
+    )
+    v = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        _as_double(F.col("embedding")).alias("nv"),
+    ).withColumn(
+        "nnorm", F.sqrt(_dot_cols(F.col("nv"), F.col("nv")))
+    )
+    cos = _dot_cols(F.col("nv"), F.col("qv")) / (
+        F.col("nnorm") * F.col("qnorm")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("doc_id")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(qdf))
+        .select("query_id", "doc_id", cos.alias("cos_sim"))
+        .withColumn("rank", rk)
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank")
+        .toPandas()
+    )
+
+
+def run_regimes(spark, sf_dir: str, alphas=ALPHAS) -> dict:
+    """The full tune loop: build the seeded task once, then per alpha
+    regime pick w_dense on the tune half, quote holdout MRR for
+    unweighted vs tuned, and cross-check the chosen weight against
+    the engine (hybrid_rrf_batch must rank every holdout target
+    identically to the pure-Python fusion). Returns
+    {alpha: {w_dense, mrr_holdout_unweighted, mrr_holdout_tuned,
+    engine_agrees}} — the shape main() prints and
+    tests/test_hybrid_tune.py asserts on."""
     from gus_spark.operators.hybrid import hybrid_rrf_batch
     from gus_spark.operators.retrieval import bm25_batch
-    from gus_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark(app_name="gus_spark-hybrid-tune")
     docs, emb, terms, targets, base, noise = build_task(spark, sf_dir)
     tune_q = [q for q in targets if q % 2 == 0]
     hold_q = [q for q in targets if q % 2 == 1]
@@ -188,51 +235,11 @@ def main() -> None:
         bm25_batch(docs, terms, K).toPandas(), "doc_id"
     )
     out = {}
-    for alpha in ALPHAS:
+    for alpha in alphas:
         qv = qvecs_at(base, noise, alpha)
-        # dense tier ranks via the batch path at sparse weight 0 would
-        # distort n_lists; run the engine's batch dense tier directly
-        # by fusing with w_sparse... simplest: one fused run per tier
-        # is wasteful — reuse hybrid_rrf_batch's dense tier through a
-        # single unweighted fused run? No: tier ranks must be PURE.
-        # bm25_batch gave sparse; dense comes from one batch run of
-        # the engine's dense scorer (dense_topk per query is Q jobs —
-        # use the batch kernel via hybrid internals instead).
-        from gus_spark.operators.hybrid import hybrid_rrf_batch as _hb  # noqa: F401
-        from gus_spark.operators.similarity import _as_double, _dot_cols
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
-
-        qdf = spark.createDataFrame(
-            [(int(i), v) for i, v in qv],
-            "query_id bigint, qv array<double>",
-        ).select(
-            "query_id", "qv",
-            F.sqrt(_dot_cols(F.col("qv"), F.col("qv"))).alias("qnorm"),
+        dense = ranks_from_pdf(
+            dense_rank_pdf(spark, emb, qv), "doc_id"
         )
-        v = emb.select(
-            F.col("vec_id").alias("doc_id"),
-            _as_double(F.col("embedding")).alias("nv"),
-        ).withColumn(
-            "nnorm", F.sqrt(_dot_cols(F.col("nv"), F.col("nv")))
-        )
-        cos = _dot_cols(F.col("nv"), F.col("qv")) / (
-            F.col("nnorm") * F.col("qnorm")
-        )
-        rk = F.row_number().over(
-            Window.partitionBy("query_id").orderBy(
-                F.col("cos_sim").desc(), F.col("doc_id")
-            )
-        )
-        dense_pdf = (
-            v.crossJoin(F.broadcast(qdf))
-            .select("query_id", "doc_id", cos.alias("cos_sim"))
-            .withColumn("rank", rk)
-            .filter(F.col("rank") <= K)
-            .select("query_id", "doc_id", "rank")
-            .toPandas()
-        )
-        dense = ranks_from_pdf(dense_pdf, "doc_id")
         tiers = {"sparse": sparse, "dense": dense}
 
         w = tune_w_dense(tiers, targets, tune_q)
@@ -266,7 +273,15 @@ def main() -> None:
             "mrr_holdout_tuned": tuned,
             "engine_agrees": engine_agrees,
         }
-    print(json.dumps(out))
+    return out
+
+
+def main() -> None:
+    from gus_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="gus_spark-hybrid-tune")
+    print(json.dumps(run_regimes(spark, sf_dir)))
 
 
 if __name__ == "__main__":
