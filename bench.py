@@ -98,18 +98,32 @@ def extra_queries():
 GUARD_FACTOR = 2.5
 GUARD_SLACK_SEC = 0.75
 
+#: Definition epochs (ADVICE r9): when a headline line's DEFINITION
+#: changes (not just its code speed), prior rounds' timings stop being
+#: a valid guard reference — a stale cheaper reading would make the
+#: guard fire a guaranteed wasted retry JVM on every run of the
+#: legitimately heavier new form. A line listed here only takes
+#: references from BENCH_r{N}.json with N >= its epoch round.
+#: hybrid_rrf_topk: r8 benched the two-source bench-only form; the r9
+#: catalog promotion made it the three-source fusion.
+DEFINITION_EPOCH: dict[str, int] = {"hybrid_rrf_topk": 9}
+
 
 def reference_timings() -> dict[str, float]:
     """Best prior per-query seconds across every BENCH_r*.json in the
     repo recorded under the isolated (fresh-JVM) protocol — the only
     cross-round-comparable baseline (SCALING.md's calibration: sweep
     rounds are JIT-subsidized and would set impossible references).
+    Lines with a DEFINITION_EPOCH only read rounds >= that epoch.
     Empty dict (guard off) when no isolated round exists yet."""
     import glob
+    import re
 
     best: dict[str, float] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 parsed = json.load(f).get("parsed") or {}
@@ -118,6 +132,8 @@ def reference_timings() -> dict[str, float]:
         if not str(parsed.get("protocol", "")).startswith("fresh_jvm"):
             continue
         for name, secs in (parsed.get("queries") or {}).items():
+            if rnd < DEFINITION_EPOCH.get(name, 0):
+                continue
             if isinstance(secs, (int, float)):
                 best[name] = min(best.get(name, float("inf")), secs)
     return best
