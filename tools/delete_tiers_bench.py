@@ -1,0 +1,175 @@
+"""Measure the POSTING and MINHASH index delete tiers across decades
+(sf1 = 50k docs, and sf10 = 500k docs when /tmp/gus_sf10 exists or
+SPARK_GRAFT_SF10_DIR points at one) — the two siblings of the vector
+tier tools/vector_delete_bench.py covers, completing VERDICT r9 ask
+#3's "all three tiers".
+
+Per tier and decade, the same lifecycle the vector bench times:
+
+- posting: build the bucketed BM25 index, topk clean (min-of-3),
+  tombstone ~14% of the corpus, topk tombed (the per-query anti-join
+  + totals-subtraction tax), compact (fold), topk folded.
+- minhash: index the corpus via add_and_find, then time what the
+  INGEST path pays — a fresh small batch's add_and_find against the
+  clean corpus, against the corpus with live tombstones (both
+  corpus-side tables anti-joined per add), and after maintain folds
+  the tombstones physically.
+
+The scale claim under test is the same one the vector bench pins:
+tombstone serving cost is the clean cost plus a broadcast anti-join
+on ids, bounded by the maintain(max_tomb_frac) compaction contract —
+never by index age or corpus size — and the fold is one linear
+rewrite of live rows. Local wall is fixed-cost dominated; read the
+DELTAS (tombed minus clean, folded vs clean) per decade.
+
+Run: python tools/delete_tiers_bench.py
+One JSON line: {posting: {sf: {...}}, minhash: {sf: {...}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+DELETE_MOD = 7  # delete ids where doc_id % 7 == 3 (~14%)
+QUERY = ["row", "column", "sort", "join", "hash"]
+
+
+def _min_of(n: int, fn) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def bench_posting(spark, sf_dir: str, label: str, out: dict) -> None:
+    from gus_spark.operators.posting_index import PostingIndex
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    root = tempfile.mkdtemp(prefix=f"pdb_{label}_")
+    try:
+        idx = PostingIndex(spark, root)
+        t0 = time.time()
+        idx.build(docs, name=f"delbench_{label}")
+        build = time.time() - t0
+
+        def _topk():
+            idx.topk(QUERY, 10).write.mode("overwrite").format(
+                "noop"
+            ).save()
+
+        topk_clean = _min_of(3, _topk)
+        dead = docs.filter(
+            F.col("doc_id") % DELETE_MOD == 3
+        ).select("doc_id")
+        t0 = time.time()
+        n_dead = idx.delete(dead, batch_key="d0")
+        delete_s = time.time() - t0
+        topk_tombed = _min_of(3, _topk)
+        t0 = time.time()
+        idx.compact()
+        compact_s = time.time() - t0
+        topk_folded = _min_of(3, _topk)
+        out[label] = {
+            "build": round(build, 3),
+            "topk_clean": topk_clean,
+            "delete": round(delete_s, 3),
+            "topk_tombed": topk_tombed,
+            "compact": round(compact_s, 3),
+            "topk_folded": topk_folded,
+            "n_docs": docs.count(),
+            "n_dead": n_dead,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def bench_minhash(spark, sf_dir: str, label: str, out: dict) -> None:
+    from gus_spark.operators.dedup import MinHashIndex
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # the probe batch an ingest pays for: 200 fresh docs (ids offset
+    # past the corpus, texts word-salted so they collide with nothing
+    # — the timing isolates the corpus-side anti-join, not pair volume)
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    probe = docs.limit(200).select(
+        (F.col("doc_id") + max_id + 1).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.split(F.trim("text"), r"\s+"),
+                lambda w: F.concat(w, F.lit("_probe")),
+            ),
+            " ",
+        ).alias("text"),
+    ).localCheckpoint()
+    root = tempfile.mkdtemp(prefix=f"mdb_{label}_")
+    try:
+        idx = MinHashIndex(spark, root)
+        t0 = time.time()
+        idx.add_and_find(docs, batch_key="b0").count()
+        build = time.time() - t0
+
+        def _add(key: str) -> float:
+            t = time.time()
+            idx.add_and_find(probe, batch_key=key).count()
+            return round(time.time() - t, 3)
+
+        add_clean = _add("p_clean")
+        dead = docs.filter(
+            F.col("doc_id") % DELETE_MOD == 3
+        ).select("doc_id")
+        t0 = time.time()
+        n_dead = idx.delete(dead, batch_key="d0")
+        delete_s = time.time() - t0
+        add_tombed = _add("p_tombed")
+        t0 = time.time()
+        idx.maintain(max_files=0)  # force the fold
+        compact_s = time.time() - t0
+        add_folded = _add("p_folded")
+        out[label] = {
+            "build": round(build, 3),
+            "add_clean": add_clean,
+            "delete": round(delete_s, 3),
+            "add_tombed": add_tombed,
+            "compact": round(compact_s, 3),
+            "add_folded": add_folded,
+            "n_docs": docs.count(),
+            "n_dead": n_dead,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    from gus_spark.session import get_spark
+
+    spark = get_spark(app_name="gus_spark-delete-tiers-bench")
+    dirs: dict[str, str] = {}
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/gus_sf1")
+    if not os.path.isdir(sf1_dir):
+        from tools.make_sf1 import make_sf1
+
+        make_sf1(spark, sf1_dir)
+    dirs["1"] = sf1_dir
+    sf10_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/gus_sf10")
+    if os.path.isdir(sf10_dir):
+        dirs["10"] = sf10_dir
+    out: dict[str, dict] = {"posting": {}, "minhash": {}}
+    for label, d in dirs.items():
+        bench_posting(spark, d, label, out["posting"])
+        bench_minhash(spark, d, label, out["minhash"])
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,20 +18,31 @@ them, from raw documents to packed training sequences.
                             planted and proven in the test suite
       2. near-dup dedup     MinHash+LSH pairs -> connected components
                             -> keep one representative per cluster
-      2b. exact-substring   Lee et al. ExactSubstr: cut repeated
-                            >=k-token passages (cross-document
-                            boilerplate document-level dedup cannot
-                            see). On THIS synthetic corpus the stat
-                            is honestly 0: the only long shared spans
-                            are whole near-dup documents, which stage
-                            2 already removed (standalone on the raw
-                            corpus the same k cuts ~1.2k tokens in
-                            ~23 docs); the planted-boilerplate case
-                            is proven in tests/test_substring.py
-      2c. boilerplate cut   C4 line rule: lines repeated across >= 4
+      2b. boilerplate cut   C4 line rule: lines repeated across >= 4
                             docs corpus-wide removed, canonical copy
-                            kept (honestly 0 here — single-line docs;
-                            planted case in tests/test_boilerplate.py)
+                            kept. The raw synthetic corpus is
+                            single-line (r9's stage stat was honestly
+                            0), so the demo corpus is LINE-SEEDED at
+                            entry — a banner line on every doc, a
+                            footer on every 3rd (the catalog probe's
+                            trick) — making the stage cut real lines
+                            end-to-end. Runs BEFORE exact-substring
+                            (r10 reorder): ExactSubstr's rebuild
+                            re-joins tokens with single spaces, so
+                            line structure only survives up to that
+                            stage — and the line rule first is also
+                            the cheaper order (ExactSubstr never
+                            re-pays for spans the line cut removed)
+      2c. exact-substring   Lee et al. ExactSubstr: cut repeated
+                            >=k-token passages (cross-document
+                            repetition neither document-level dedup
+                            nor the line rule can see). On the raw
+                            corpus the stat was honestly 0 (the only
+                            long shared spans were whole near-dup
+                            documents, which stage 2 already removed;
+                            standalone the same k cuts ~1.2k tokens
+                            in ~23 docs); the planted-boilerplate
+                            case is proven in tests/test_substring.py
       3. repetition gate    Gopher dup-token/bigram thresholds
       4. quality gate       distilled classifier (weak heuristic
                             labels -> hashed-BoW logistic scorer)
@@ -60,7 +71,10 @@ and before packaging, so nothing sensitive ships), packing runs last.
 
 Run: python tools/pipeline_demo.py [sf_dir] [out_dir]
 Prints ONE JSON line of per-stage surviving-document counts plus
-packing stats; writes the packed sequences as parquet under out_dir.
+packing stats AND per-stage wall seconds ("stage_secs" — each stage
+boundary is a localCheckpoint/count materialization, so the
+attribution is real work, not plan-building); writes the packed
+sequences as parquet under out_dir.
 """
 
 from __future__ import annotations
@@ -100,14 +114,42 @@ def run_pipeline(
     from gus_spark.operators.repetition import repetition_metrics
     from gus_spark.queries import table
 
+    import time
+
+    stage_secs: dict[str, float] = {}
+    _t = [time.time()]
+
+    def mark(name: str) -> None:
+        now = time.time()
+        stage_secs[name] = round(now - _t[0], 3)
+        _t[0] = now
+
     docs = table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("source") != "src0")
     bench = docs.filter(F.col("source") == "src0")
+    # line-seed the corpus (r10): the synthetic docs are single-line,
+    # so the C4 stage 2c would cut 0 by construction. A banner on
+    # every doc + a footer on every 3rd (the remove_boilerplate_docs
+    # catalog trick) gives the stage real cross-document lines to cut
+    # while leaving the doc population and ordering untouched.
+    corpus = corpus.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\naccept all cookies to continue"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\ncopyright example corp all rights reserved"),
+            ).otherwise(F.lit("")),
+        ),
+    )
     stats: dict = {"input_docs": corpus.count()}
+    mark("input")
 
     # 1. decontamination
     clean = decontaminate(corpus, bench, n=13).localCheckpoint()
     stats["after_decontaminate"] = clean.count()
+    mark("decontaminate")
 
     # 1b. fuzzy decontamination: reformatted benchmark copies that
     # break every verbatim 13-gram. The shingle width is CALIBRATED,
@@ -128,6 +170,7 @@ def run_pipeline(
     ).localCheckpoint()
     stats["fuzzy_ngram"] = fuzzy_n
     stats["after_fuzzy_decontaminate"] = clean.count()
+    mark("fuzzy_decontaminate")
 
     # 2. near-dup dedup: pairs -> components -> min-id representative
     pairs = minhash_lsh_pairs(
@@ -139,10 +182,43 @@ def run_pipeline(
     )
     deduped = clean.join(dropped, "doc_id", "left_anti").localCheckpoint()
     stats["after_neardup_dedup"] = deduped.count()
+    mark("neardup_dedup")
 
-    # 2b. exact-substring dedup (Lee et al. ExactSubstr): cut repeated
-    # >=k-token passages document dedup can't see (cross-document
-    # boilerplate); rows survive, duplicated spans don't
+    # 2b. boilerplate cut (C4 line rule, operators/boilerplate.py):
+    # lines repeated across >= 4 documents corpus-wide are removed,
+    # lowest-doc_id copy kept (the exact_substring canonical policy).
+    # The entry seeding above plants the lines this stage exists to
+    # cut; the planted-banner semantics are proven in
+    # tests/test_boilerplate.py. MUST run before ExactSubstr, whose
+    # rebuild re-joins tokens with single spaces and so flattens the
+    # line structure this stage keys on. Re-attachment is a LEFT join
+    # + coalesce (ADVICE r9): remove_boilerplate omits docs whose
+    # text is NULL/all-blank (the filter-stage convention), and an
+    # inner join would silently drop them from the pipeline.
+    from gus_spark.operators.boilerplate import remove_boilerplate
+
+    bp = remove_boilerplate(deduped.select("doc_id", "text"))
+    stats["boilerplate_lines_removed"] = int(
+        bp.agg(F.sum("n_lines_removed")).first()[0] or 0
+    )
+    deduped = (
+        deduped.withColumnRenamed("text", "_text_pre_bp")
+        .join(
+            bp.select("doc_id", F.col("text").alias("_text_bp")),
+            "doc_id",
+            "left",
+        )
+        .withColumn(
+            "text", F.coalesce(F.col("_text_bp"), F.col("_text_pre_bp"))
+        )
+        .drop("_text_pre_bp", "_text_bp")
+        .localCheckpoint()
+    )
+    mark("boilerplate_cut")
+
+    # 2c. exact-substring dedup (Lee et al. ExactSubstr): cut repeated
+    # >=k-token passages neither document dedup nor the line rule can
+    # see; rows survive, duplicated spans don't
     from gus_spark.operators.substring import exact_substring_dedup
 
     cut = exact_substring_dedup(
@@ -159,25 +235,7 @@ def run_pipeline(
         .join(cut.select("doc_id", "text"), "doc_id")
         .localCheckpoint()
     )
-
-    # 2c. boilerplate cut (C4 line rule, operators/boilerplate.py):
-    # lines repeated across >= 4 documents corpus-wide are removed,
-    # lowest-doc_id copy kept (the exact_substring canonical policy).
-    # On THIS synthetic corpus the stat is honestly 0: documents are
-    # single-line and the dedup stages already removed identical
-    # texts, so no line reaches the threshold; the planted-banner
-    # case is proven in tests/test_boilerplate.py.
-    from gus_spark.operators.boilerplate import remove_boilerplate
-
-    bp = remove_boilerplate(deduped.select("doc_id", "text"))
-    stats["boilerplate_lines_removed"] = int(
-        bp.agg(F.sum("n_lines_removed")).first()[0] or 0
-    )
-    deduped = (
-        deduped.drop("text")
-        .join(bp.select("doc_id", "text"), "doc_id")
-        .localCheckpoint()
-    )
+    mark("substring_dedup")
 
     # 3. repetition gate
     rep = repetition_metrics(deduped, "doc_id", "text")
@@ -190,6 +248,7 @@ def run_pipeline(
         repetitive, "doc_id", "left_anti"
     ).localCheckpoint()
     stats["after_repetition_gate"] = unrepetitive.count()
+    mark("repetition_gate")
 
     # 4. distilled quality gate (weak labels fit on the surviving corpus)
     model = fit_quality_classifier(unrepetitive)
@@ -198,6 +257,7 @@ def run_pipeline(
         F.col("quality_prob") >= quality_min
     ).localCheckpoint()
     stats["after_quality_gate"] = quality.count()
+    mark("quality_gate")
 
     # 4b. LM perplexity (the CCNet signal, reported not gated here —
     # a real deployment fits the LM on a REFERENCE corpus like
@@ -216,6 +276,7 @@ def run_pipeline(
         )
     else:  # empty corpus: fit would raise, percentile would be NULL
         stats["lm_ppl_p50"] = None
+    mark("lm_report")
 
     # 4c. DSIR importance report (Xie et al. 2023) through the hashed
     # fixed-model tier — the 100-TB path: B-dim model from one
@@ -252,6 +313,7 @@ def run_pipeline(
         )
     else:
         stats["dsir_en_mean_fp"] = stats["dsir_rest_mean_fp"] = None
+    mark("dsir_report")
 
     # 4d. boilerplate report: the most common 8-gram among survivors
     # (operators/heavyhitters.py — MG candidates + exact verify, no
@@ -276,6 +338,7 @@ def run_pipeline(
     else:
         stats["top_8gram_count"] = 0
         stats["top_8gram_certified"] = None
+    mark("heavyhitter_report")
 
     # 5. redaction (content-hash stages are all behind us)
     redacted = redact_pii(quality.drop("quality_prob"))
@@ -291,6 +354,7 @@ def run_pipeline(
         ).first()["s"]
         or 0
     )
+    mark("redaction")
 
     # 5b. data mixture: smooth the surviving language proportions with
     # XLM-R temperature sampling (alpha=0.5 — head languages damped,
@@ -332,6 +396,7 @@ def run_pipeline(
     stats["mixture_share"] = {
         k: round(v / total_mix, 3) for k, v in sorted(mix_tok.items())
     }
+    mark("mixture")
 
     # 6. tokenizer: BPE merges from the surviving corpus (fit on the
     # DEDUPLICATED survivors, not the weighted mixture — repeats would
@@ -347,6 +412,7 @@ def run_pipeline(
             merges,
         ).agg(F.sum("n_tokens")).first()[0]
     )
+    mark("bpe")
 
     # 7. chunk + pack (over the mixture: epoch passes pack as distinct
     # documents via the surrogate id)
@@ -369,6 +435,9 @@ def run_pipeline(
     packed.write.mode("overwrite").parquet(
         os.path.join(out_dir, "packed_sequences")
     )
+    mark("chunk_pack")
+    stats["stage_secs"] = stage_secs
+    stats["total_secs"] = round(sum(stage_secs.values()), 3)
     return stats
 
 
