@@ -211,13 +211,18 @@ def calibrate_fuzzy_ngram(
     collision_budget: float = 0.01,
     sample: int = 64,
     engine: str = "arrow",
+    threshold: float = 0.7,
+    match_budget: float = 0.005,
 ) -> int:
     """The corpus-vocabulary guard for `fuzzy_contamination`: pick the
     smallest shingle width ``n`` whose BACKGROUND band-collision
-    probability stays within ``collision_budget`` — smallest because
-    every +1 in n lowers the Jaccard of a true reformatted copy
-    (J ≈ (k−n)/(k+n) under every-k-th-token edits), so the least n
-    that keeps the candidate join sane catches the most contamination.
+    probability stays within ``collision_budget`` AND whose background
+    MATCH rate (unrelated pairs whose true shingle Jaccard already
+    clears the verification ``threshold``) stays within
+    ``match_budget`` — smallest because every +1 in n lowers the
+    Jaccard of a true reformatted copy (J ≈ (k−n)/(k+n) under
+    every-k-th-token edits), so the least n that keeps both failure
+    modes sane catches the most contamination.
 
     Why a guard is needed at all: on a corpus whose token vocabulary
     is tiny relative to document length (this repo's synthetic
@@ -226,20 +231,37 @@ def calibrate_fuzzy_ngram(
     degrades toward all-pairs — the one failure mode of the n=1
     default, invisible until the shuffle explodes at scale.
 
+    Why the SECOND criterion (r10 — found by the sf1 pipeline decade):
+    a mean-based collision check misses BIMODAL backgrounds. The
+    word-salted scale-up corpus is 10 disjoint vocabulary pools;
+    cross-pool pairs have J = 0 and same-pool pairs J ≈ 0.8, so the
+    mean ĵ ≈ 0.08 sails under the collision budget at n=1 — yet the
+    same-pool pairs don't just collide in the candidate join, they
+    genuinely EXCEED the verification threshold on unigram sets, and
+    fuzzy decontamination mass-drops unrelated documents (half the
+    sf1 corpus before this fix). The match-rate criterion reads the
+    tail directly: the fraction of sampled background pairs at
+    J >= threshold. ``match_budget`` = 0.005 tolerates a handful of
+    GENUINELY contaminated pairs inside the sample² grid (they are
+    background to the estimate, signal to the gate) while any
+    bimodal same-pool mass (0.1 at sf1) forces escalation.
+
     Estimate: two deterministic ``sample``-row samples (lowest
     xxhash64 of the id — no RNG, stable across runs/partitionings),
-    mean cross-pair shingle Jaccard ĵ at each n, and the family's
-    banding curve p = 1 − (1 − ĵ^r)^b (NUM_BANDS × ROWS_PER_BAND).
-    The first n with p ≤ budget wins; ``max_ngram`` is the fallback.
-    A handful of genuinely contaminated pairs inside sample² pairs
-    moves the mean negligibly. Cost: ≤ max_ngram jobs over sample²
-    pairs — corpus-size independent, so the guard itself is free at
-    100 TB. ``collision_budget`` is PER (doc, bench) PAIR: expected
-    extra candidates per corpus document ≈ budget × |bench|, so the
-    0.01 default keeps a 10⁴-item eval suite at ~100 stray candidates
-    per document worst case, while natural corpora (background
-    unigram J ≈ 0.1 from stopwords → p ≈ 0.003) still calibrate to
-    the standard n=1."""
+    cross-pair shingle Jaccard at each n → the mean feeds the
+    family's banding curve p = 1 − (1 − ĵ^r)^b (NUM_BANDS ×
+    ROWS_PER_BAND), the per-pair indicator J >= threshold feeds the
+    match rate. The first n passing both wins; ``max_ngram`` is the
+    fallback. Cost: ≤ max_ngram jobs over sample² pairs —
+    corpus-size independent, so the guard itself is free at 100 TB.
+    ``collision_budget`` is PER (doc, bench) PAIR: expected extra
+    candidates per corpus document ≈ budget × |bench|, so the 0.01
+    default keeps a 10⁴-item eval suite at ~100 stray candidates per
+    document worst case, while natural corpora (background unigram
+    J ≈ 0.1 from stopwords → p ≈ 0.003, match rate ~0) still
+    calibrate to the standard n=1. Keep ``threshold`` in sync with
+    the `decontaminate_fuzzy` call the result feeds (both default
+    0.7)."""
     from gus_spark.operators.dedup import (
         NUM_BANDS,
         ROWS_PER_BAND,
@@ -269,15 +291,19 @@ def calibrate_fuzzy_ngram(
         ).select(F.col("ts").alias("_bts"))
         inter = F.size(F.array_intersect(F.col("_dts"), F.col("_bts")))
         union = F.size("_dts") + F.size("_bts") - inter
+        jpair = F.when(
+            union > 0, inter.cast("double") / union
+        ).otherwise(F.lit(0.0))
         row = ds.crossJoin(bs).agg(
+            F.avg(jpair).alias("j"),
             F.avg(
-                F.when(union > 0, inter.cast("double") / union)
-                .otherwise(F.lit(0.0))
-            ).alias("j")
+                F.when(jpair >= threshold, 1.0).otherwise(0.0)
+            ).alias("m"),
         ).first()
         jbar = float(row["j"] or 0.0)
+        mrate = float(row["m"] or 0.0)
         p = 1.0 - (1.0 - jbar**ROWS_PER_BAND) ** NUM_BANDS
-        if p <= collision_budget:
+        if p <= collision_budget and mrate <= match_budget:
             return n
     return max_ngram
 

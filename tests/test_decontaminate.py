@@ -231,3 +231,92 @@ def test_fuzzy_no_cartesian_and_validates(spark, fuzzy_corpora):
     assert "CartesianProduct" not in plan, plan
     with pytest.raises(ValueError):
         fuzzy_contamination(docs, bench, threshold=0.0)
+
+
+def test_calibration_guard(spark):
+    """calibrate_fuzzy_ngram's two escalation criteria (the r10 sf1
+    lesson): (a) a corpus-wide tiny vocabulary escalates via the
+    banding-collision budget (every pair band-collides at n=1); (b) a
+    BIMODAL background — disjoint vocabulary pools, so the MEAN
+    cross-pair Jaccard is low but same-pool pairs exceed the
+    verification threshold outright — escalates via the match-rate
+    budget (before the fix this regime passed n=1 and fuzzy
+    decontamination mass-dropped unrelated documents: half the sf1
+    pipeline corpus); (c) a background with genuinely low pairwise
+    overlap calibrates to the standard n=1."""
+    from gus_spark.operators.decontaminate import (
+        calibrate_fuzzy_ngram,
+        fuzzy_contamination,
+    )
+
+    # (a) one 10-word vocabulary shared by everything: unigram sets
+    # saturate, the collision criterion escalates (the original guard)
+    docs_a = spark.createDataFrame(
+        [(i, _text(i)) for i in range(60)], "doc_id bigint, text string"
+    )
+    bench_a = spark.createDataFrame(
+        [(1000 + i, _text(i + 7)) for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    assert calibrate_fuzzy_ngram(docs_a, bench_a) >= 2
+
+    # (b) ten disjoint 20-word pools (the make_sf1 word-salt shape):
+    # cross-pool J = 0, same-pool unigram J = 1.0 (all docs hold the
+    # full pool), so mean-J sails under the collision budget while a
+    # tenth of the background already beats the 0.7 verification
+    # threshold. Strides are coprime to 20 so every doc covers its
+    # pool; corpus and bench strides are disjoint so same-pool
+    # BIGRAM sets differ and n=2 is genuinely clean.
+    pools = [[f"p{p}w{w}" for w in range(20)] for p in range(10)]
+
+    def ptext(pool, stride):
+        return " ".join(pool[(j * stride) % 20] for j in range(40))
+
+    c_strides, b_strides = [1, 3, 7, 9], [11, 13, 17, 19]
+    docs_b = spark.createDataFrame(
+        [
+            (i, ptext(pools[i % 10], c_strides[(i // 10) % 4]))
+            for i in range(100)
+        ],
+        "doc_id bigint, text string",
+    )
+    bench_b = spark.createDataFrame(
+        [
+            (1000 + i, ptext(pools[i % 10], b_strides[(i // 10) % 4]))
+            for i in range(50)
+        ],
+        "doc_id bigint, text string",
+    )
+    n = calibrate_fuzzy_ngram(docs_b, bench_b)
+    assert n >= 2
+    # the disaster the new criterion prevents, made concrete: at n=1
+    # the verification itself flags a flood of unrelated same-pool
+    # docs; at the calibrated width it flags nothing
+    flagged_1 = (
+        fuzzy_contamination(docs_b, bench_b, ngram=1)
+        .select("doc_id").distinct().count()
+    )
+    flagged_n = (
+        fuzzy_contamination(docs_b, bench_b, ngram=n)
+        .select("doc_id").distinct().count()
+    )
+    assert flagged_1 >= 50, flagged_1
+    assert flagged_n == 0, flagged_n
+
+    # (c) low-overlap background: per-doc disjoint vocabularies ->
+    # J ~ 0 everywhere, the standard n=1 stands
+    docs_c = spark.createDataFrame(
+        [
+            (i, " ".join(f"d{i}w{j}" for j in range(30)))
+            for i in range(40)
+        ],
+        "doc_id bigint, text string",
+    )
+    bench_c = spark.createDataFrame(
+        [
+            (1000 + i, " ".join(f"b{i}w{j}" for j in range(30)))
+            for i in range(20)
+        ],
+        "doc_id bigint, text string",
+    )
+    assert calibrate_fuzzy_ngram(docs_c, bench_c) == 1

@@ -46,6 +46,27 @@ def test_pipeline_end_to_end(spark, tmp_path):
         == stats["after_decontaminate"]
     )
 
+    # boilerplate stage (2b) does real work on the line-seeded corpus
+    # (r10): the banner is on every doc and the footer on every 3rd,
+    # so at least ~n_deduped - 1 lines must fall to the C4 cut (the
+    # canonical keeper retains one copy per flagged line)
+    assert (
+        stats["boilerplate_lines_removed"]
+        >= stats["after_neardup_dedup"] - 1
+    )
+
+    # stage timing attribution: every stage recorded, totals add up
+    assert stats["total_secs"] > 0
+    assert set(stats["stage_secs"]) >= {
+        "decontaminate",
+        "neardup_dedup",
+        "boilerplate_cut",
+        "substring_dedup",
+        "quality_gate",
+        "mixture",
+        "chunk_pack",
+    }
+
     # DSIR report: the en-target importance signal must be real —
     # target-language survivors score above the rest on average
     assert stats["dsir_en_mean_fp"] > stats["dsir_rest_mean_fp"]

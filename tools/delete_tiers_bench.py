@@ -60,7 +60,8 @@ def bench_posting(spark, sf_dir: str, label: str, out: dict) -> None:
     try:
         idx = PostingIndex(spark, root)
         t0 = time.time()
-        idx.build(docs, name=f"delbench_{label}")
+        # catalog table names can't contain '.', so sanitize the label
+        idx.build(docs, name=f"delbench_{label.replace('.', '_')}")
         build = time.time() - t0
 
         def _topk():

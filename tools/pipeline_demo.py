@@ -257,6 +257,20 @@ def run_pipeline(
         F.col("quality_prob") >= quality_min
     ).localCheckpoint()
     stats["after_quality_gate"] = quality.count()
+    # degenerate-fit guard (r10): the weak labels are stopword-keyed,
+    # and a corpus whose vocabulary defeats them (e.g. the word-salted
+    # scale-up decades, where 'the' became 'the_3') yields an
+    # all-negative fit whose gate would erase the corpus. A gate that
+    # removes 100% is a classifier failure, not a curation decision —
+    # pass the survivors through and SAY so (the DSIR/LM report-guard
+    # convention), so stages 5-7 still run and the stat is loud.
+    stats["quality_gate_degenerate"] = False
+    if stats["after_quality_gate"] == 0 and stats["after_repetition_gate"] > 0:
+        quality = unrepetitive.withColumn(
+            "quality_prob", F.lit(0.0)
+        ).localCheckpoint()
+        stats["quality_gate_degenerate"] = True
+        stats["after_quality_gate"] = stats["after_repetition_gate"]
     mark("quality_gate")
 
     # 4b. LM perplexity (the CCNet signal, reported not gated here —
