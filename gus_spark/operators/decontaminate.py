@@ -209,20 +209,22 @@ def calibrate_fuzzy_ngram(
     bench_text_col: str = "text",
     max_ngram: int = 3,
     collision_budget: float = 0.01,
-    sample: int = 64,
+    sample: int | None = None,
     engine: str = "arrow",
     threshold: float = 0.7,
-    match_budget: float = 0.005,
+    flag_tolerance: float = 0.1,
+    max_sample: int = 2048,
 ) -> int:
     """The corpus-vocabulary guard for `fuzzy_contamination`: pick the
     smallest shingle width ``n`` whose BACKGROUND band-collision
-    probability stays within ``collision_budget`` AND whose background
-    MATCH rate (unrelated pairs whose true shingle Jaccard already
-    clears the verification ``threshold``) stays within
-    ``match_budget`` — smallest because every +1 in n lowers the
-    Jaccard of a true reformatted copy (J ≈ (k−n)/(k+n) under
-    every-k-th-token edits), so the least n that keeps both failure
-    modes sane catches the most contamination.
+    probability stays within ``collision_budget`` AND whose expected
+    STRAY FLAGS per corpus document — background match rate (unrelated
+    pairs whose true shingle Jaccard already clears the verification
+    ``threshold``) times |bench| — stays within ``flag_tolerance``.
+    Smallest because every +1 in n lowers the Jaccard of a true
+    reformatted copy (J ≈ (k−n)/(k+n) under every-k-th-token edits),
+    so the least n that keeps both failure modes sane catches the
+    most contamination.
 
     Why a guard is needed at all: on a corpus whose token vocabulary
     is tiny relative to document length (this repo's synthetic
@@ -231,37 +233,46 @@ def calibrate_fuzzy_ngram(
     degrades toward all-pairs — the one failure mode of the n=1
     default, invisible until the shuffle explodes at scale.
 
-    Why the SECOND criterion (r10 — found by the sf1 pipeline decade):
-    a mean-based collision check misses BIMODAL backgrounds. The
-    word-salted scale-up corpus is 10 disjoint vocabulary pools;
-    cross-pool pairs have J = 0 and same-pool pairs J ≈ 0.8, so the
-    mean ĵ ≈ 0.08 sails under the collision budget at n=1 — yet the
-    same-pool pairs don't just collide in the candidate join, they
-    genuinely EXCEED the verification threshold on unigram sets, and
-    fuzzy decontamination mass-drops unrelated documents (half the
-    sf1 corpus before this fix). The match-rate criterion reads the
-    tail directly: the fraction of sampled background pairs at
-    J >= threshold. ``match_budget`` = 0.005 tolerates a handful of
-    GENUINELY contaminated pairs inside the sample² grid (they are
-    background to the estimate, signal to the gate) while any
-    bimodal same-pool mass (0.1 at sf1) forces escalation.
+    Why the SECOND criterion (r10 — found by the sf1/sf10 pipeline
+    decades): a mean-based collision check misses BIMODAL
+    backgrounds. The word-salted scale-up corpus is disjoint
+    vocabulary pools; cross-pool pairs have J = 0 and same-pool pairs
+    J ≈ 0.8, so the mean ĵ sails under the collision budget at n=1 —
+    yet the same-pool pairs don't just collide in the candidate join,
+    they genuinely EXCEED the verification threshold on unigram sets,
+    and fuzzy decontamination mass-drops unrelated documents (half
+    the corpus at both salted decades before this fix). And the
+    criterion must be |bench|-AWARE, not a fixed per-pair budget: a
+    doc is falsely dropped if it matches ANY of |bench| items, so the
+    tolerable background match rate shrinks as the eval suite grows
+    (sf10's 1-in-100-pool rate looked tiny per pair yet gave every
+    doc ~250 chances). The contract enforced here is the one that
+    matters to the user: expected stray drops per corpus document
+    <= ``flag_tolerance``.
 
-    Estimate: two deterministic ``sample``-row samples (lowest
-    xxhash64 of the id — no RNG, stable across runs/partitionings),
-    cross-pair shingle Jaccard at each n → the mean feeds the
-    family's banding curve p = 1 − (1 − ĵ^r)^b (NUM_BANDS ×
-    ROWS_PER_BAND), the per-pair indicator J >= threshold feeds the
-    match rate. The first n passing both wins; ``max_ngram`` is the
-    fallback. Cost: ≤ max_ngram jobs over sample² pairs —
-    corpus-size independent, so the guard itself is free at 100 TB.
-    ``collision_budget`` is PER (doc, bench) PAIR: expected extra
-    candidates per corpus document ≈ budget × |bench|, so the 0.01
-    default keeps a 10⁴-item eval suite at ~100 stray candidates per
-    document worst case, while natural corpora (background unigram
-    J ≈ 0.1 from stopwords → p ≈ 0.003, match rate ~0) still
-    calibrate to the standard n=1. Keep ``threshold`` in sync with
-    the `decontaminate_fuzzy` call the result feeds (both default
-    0.7)."""
+    Estimate: two deterministic samples (lowest xxhash64 of the id —
+    no RNG, stable across runs/partitionings), sized so one observed
+    background match sits at ~flag_tolerance/3 — i.e. sample ≈
+    sqrt(3·|bench|/flag_tolerance), clamped to [64, ``max_sample``]
+    (pass ``sample`` to override). Cross-pair shingle Jaccard at each
+    n → the mean feeds the family's banding curve p = 1 − (1 − ĵ^r)^b
+    (NUM_BANDS × ROWS_PER_BAND); the per-pair indicator J >= threshold
+    feeds the stray-flag estimate m̂·|bench|. The first n passing both
+    wins; ``max_ngram`` is the fallback. A handful of GENUINELY
+    contaminated pairs inside the sample² grid stays far under the
+    tolerance (each true copy matches ~1 bench item, so its
+    contribution to m̂·|bench| is ~its corpus share, not ~|bench|);
+    dense background structure exceeds it by orders of magnitude.
+    Cost: ≤ max_ngram jobs over sample² pairs (≤ 4.2M intersections
+    at the cap) plus one count(bench) — corpus-size independent, so
+    the guard stays cheap at 100 TB. ``collision_budget`` is PER
+    (doc, bench) PAIR: expected extra CANDIDATES per corpus document
+    ≈ budget × |bench| (stray candidates cost a verify row; stray
+    FLAGS cost a document — hence the separate, tighter flag
+    contract). Natural corpora (background unigram J ≈ 0.1 from
+    stopwords → p ≈ 0.003, match rate ~0) still calibrate to the
+    standard n=1. Keep ``threshold`` in sync with the
+    `decontaminate_fuzzy` call the result feeds (both default 0.7)."""
     from gus_spark.operators.dedup import (
         NUM_BANDS,
         ROWS_PER_BAND,
@@ -270,6 +281,23 @@ def calibrate_fuzzy_ngram(
 
     if max_ngram < 1:
         raise ValueError(f"max_ngram must be >= 1, got {max_ngram}")
+    import math
+
+    bench_total = bench.filter(
+        F.col(bench_text_col).isNotNull()
+    ).count()
+    if sample is None:
+        # detection floor: one observed match over sample² pairs must
+        # correspond to <= ~flag_tolerance/3 expected stray flags
+        sample = max(
+            64,
+            min(
+                max_sample,
+                math.ceil(
+                    math.sqrt(3.0 * max(bench_total, 1) / flag_tolerance)
+                ),
+            ),
+        )
     d_s = (
         docs.filter(F.col(text_col).isNotNull())
         .orderBy(F.xxhash64(F.col(id_col)))
@@ -303,7 +331,8 @@ def calibrate_fuzzy_ngram(
         jbar = float(row["j"] or 0.0)
         mrate = float(row["m"] or 0.0)
         p = 1.0 - (1.0 - jbar**ROWS_PER_BAND) ** NUM_BANDS
-        if p <= collision_budget and mrate <= match_budget:
+        stray_flags_per_doc = mrate * bench_total
+        if p <= collision_budget and stray_flags_per_doc <= flag_tolerance:
             return n
     return max_ngram
 

@@ -706,6 +706,19 @@ class MinHashIndex:
             batch.filter(F.col(self.text_col).isNotNull()),
             id_col, self.text_col, self.ngram, "arrow",
         )
+        # cache (NOT localCheckpoint) the batch derivations: three
+        # actions below consume them — the pairs write, then each
+        # table's delta write — and uncached each re-runs the Arrow
+        # signature/shingle kernels over the batch (measured 3x kernel
+        # cost per ingest). cache keeps the lineage INTACT, which is
+        # what makes it safe here: both frames derive from the batch
+        # alone, so an executor-loss recompute is bit-identical
+        # regardless of how far the index has grown (the durability
+        # comment below concerns the PAIRS frame, whose lineage reads
+        # corpus state — that one must hit parquet first, and still
+        # does).
+        new_bands = new_bands.cache()
+        new_shingles = new_shingles.cache()
         corpus_bands = self._read_or_none(self._bands_path(), exclude_key=key)
         corpus_shingles = self._read_or_none(
             self._shingles_path(), exclude_key=key
@@ -769,6 +782,8 @@ class MinHashIndex:
         new_shingles.write.mode("overwrite").parquet(
             os.path.join(self._shingles_path(), f"delta-{key}")
         )
+        new_bands.unpersist()
+        new_shingles.unpersist()
         if not self._has_parquet(pairs_dest):  # zero pairs, zero files
             return self.spark.createDataFrame([], pairs.schema)
         return self.spark.read.parquet(pairs_dest)

@@ -22,7 +22,10 @@ never by index age or corpus size — and the fold is one linear
 rewrite of live rows. Local wall is fixed-cost dominated; read the
 DELTAS (tombed minus clean, folded vs clean) per decade.
 
-Run: python tools/delete_tiers_bench.py
+Run: python tools/delete_tiers_bench.py [label=dir ...]
+(default: 1=/tmp/gus_sf1 plus 10=/tmp/gus_sf10 when present; passing
+explicit label=dir pairs scopes a run to chosen decades so a crash at
+one never loses the other's numbers.)
 One JSON line: {posting: {sf: {...}}, minhash: {sf: {...}}}.
 """
 
@@ -156,15 +159,22 @@ def main() -> None:
 
     spark = get_spark(app_name="gus_spark-delete-tiers-bench")
     dirs: dict[str, str] = {}
-    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/gus_sf1")
-    if not os.path.isdir(sf1_dir):
-        from tools.make_sf1 import make_sf1
+    if len(sys.argv) > 1:
+        for arg in sys.argv[1:]:
+            label, d = arg.split("=", 1)
+            dirs[label] = d
+    else:
+        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/gus_sf1")
+        if not os.path.isdir(sf1_dir):
+            from tools.make_sf1 import make_sf1
 
-        make_sf1(spark, sf1_dir)
-    dirs["1"] = sf1_dir
-    sf10_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/gus_sf10")
-    if os.path.isdir(sf10_dir):
-        dirs["10"] = sf10_dir
+            make_sf1(spark, sf1_dir)
+        dirs["1"] = sf1_dir
+        sf10_dir = os.environ.get(
+            "SPARK_GRAFT_SF10_DIR", "/tmp/gus_sf10"
+        )
+        if os.path.isdir(sf10_dir):
+            dirs["10"] = sf10_dir
     out: dict[str, dict] = {"posting": {}, "minhash": {}}
     for label, d in dirs.items():
         bench_posting(spark, d, label, out["posting"])
