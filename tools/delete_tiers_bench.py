@@ -9,11 +9,16 @@ Per tier and decade, the same lifecycle the vector bench times:
 - posting: build the bucketed BM25 index, topk clean (min-of-3),
   tombstone ~14% of the corpus, topk tombed (the per-query anti-join
   + totals-subtraction tax), compact (fold), topk folded.
-- minhash: index the corpus via add_and_find, then time what the
-  INGEST path pays — a fresh small batch's add_and_find against the
-  clean corpus, against the corpus with live tombstones (both
-  corpus-side tables anti-joined per add), and after maintain folds
-  the tombstones physically.
+- minhash: index the corpus via add_and_find — in id-keyed batches
+  past 100k docs, which is both the index's real usage (it exists for
+  batch-wise arrival; a one-shot whole-corpus add is the batch
+  operator minhash_lsh_pairs' job, and at 500k docs its within-batch
+  verification overflows the local JVM heap) and the shape whose
+  tombstone tax the numbers quote — then time what the INGEST path
+  pays: a fresh small batch's add_and_find against the clean corpus,
+  against the corpus with live tombstones (both corpus-side tables
+  anti-joined per add), and after maintain folds the tombstones
+  physically.
 
 The scale claim under test is the same one the vector bench pins:
 tombstone serving cost is the clean cost plus a broadcast anti-join
@@ -119,8 +124,16 @@ def bench_minhash(spark, sf_dir: str, label: str, out: dict) -> None:
     root = tempfile.mkdtemp(prefix=f"mdb_{label}_")
     try:
         idx = MinHashIndex(spark, root)
+        n_docs = docs.count()
+        n_batches = 4 if n_docs > 100_000 else 1
         t0 = time.time()
-        idx.add_and_find(docs, batch_key="b0").count()
+        for b in range(n_batches):
+            part = (
+                docs
+                if n_batches == 1
+                else docs.filter(F.col("doc_id") % n_batches == b)
+            )
+            idx.add_and_find(part, batch_key=f"b{b}").count()
         build = time.time() - t0
 
         def _add(key: str) -> float:
@@ -177,8 +190,18 @@ def main() -> None:
             dirs["10"] = sf10_dir
     out: dict[str, dict] = {"posting": {}, "minhash": {}}
     for label, d in dirs.items():
-        bench_posting(spark, d, label, out["posting"])
-        bench_minhash(spark, d, label, out["minhash"])
+        for tier, fn in (
+            ("posting", bench_posting),
+            ("minhash", bench_minhash),
+        ):
+            # fault-isolate each tier x decade: one OOM'd build must
+            # not lose every other cell's numbers
+            try:
+                fn(spark, d, label, out[tier])
+            except Exception as ex:  # noqa: BLE001
+                out[tier][label] = {
+                    "error": f"{type(ex).__name__}: {str(ex)[:200]}"
+                }
     print(json.dumps(out))
 
 

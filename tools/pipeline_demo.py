@@ -334,16 +334,23 @@ def run_pipeline(
     # vocabulary shuffle). A high certified count here means template
     # boilerplate the repetition gate's per-doc ratios can't see
     # (cross-document repetition); reported, not gated. Capacity is
-    # set lossless for this corpus size (above the distinct-8-gram
-    # count) so the report is exhaustive — after dedup most 8-grams
-    # are singletons, which the default capacity correctly (but
-    # unhelpfully for a report) refuses to certify; a 100-TB run
-    # tunes capacity to executor memory and reads floor_cnt instead.
+    # CORPUS-AWARE (r10): lossless (above the distinct-8-gram count,
+    # so the report is exhaustive — after dedup most 8-grams are
+    # singletons, which the default capacity correctly but unhelpfully
+    # for a report refuses to certify) while the corpus is small
+    # enough to afford the 2^20-counter summaries; past 100k docs the
+    # lossless tier is neither lossless (sf10 holds ~18M distinct
+    # 8-grams) nor certifying (its floor beats any real top count) —
+    # the sf10 run paid 383 s for an UNcertified guess — so the
+    # default capacity's honest bounded answer is strictly better.
     from gus_spark.operators.heavyhitters import heavy_hitters
 
     if stats["after_quality_gate"]:
+        hh_cap = (
+            1 << 20 if stats["after_quality_gate"] <= 100_000 else None
+        )
         hh = heavy_hitters(
-            quality, k=1, ngram=8, capacity=1 << 20
+            quality, k=1, ngram=8, capacity=hh_cap
         ).first()
         stats["top_8gram_count"] = int(hh["cnt"]) if hh else 0
         stats["top_8gram_certified"] = (
