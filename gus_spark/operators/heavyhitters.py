@@ -242,7 +242,12 @@ def heavy_hitters(
             summaries = summaries.repartition(
                 -(-n_parts // _MERGE_FANIN)
             ).mapInPandas(_mg_merge_kernel(m), "w string, cnt long")
-        summaries = summaries.coalesce(1).mapInPandas(
+        # repartition(1), NOT coalesce(1): coalesce removes the stage
+        # boundary and would collapse the whole SKETCH pass into one
+        # task (measured 6x at sf1); the repartition shuffles only the
+        # <= fanin x (capacity+1) summary rows into the merge task
+        # while the sketch keeps full scan parallelism.
+        summaries = summaries.repartition(1).mapInPandas(
             _mg_merge_kernel(m), "w string, cnt long"
         )
     # tiny: <= partitions x (capacity+1) rows (merged: <= capacity+1).

@@ -27,11 +27,22 @@ never by index age or corpus size — and the fold is one linear
 rewrite of live rows. Local wall is fixed-cost dominated; read the
 DELTAS (tombed minus clean, folded vs clean) per decade.
 
+TRIGGER PROBES (r10, the vector tier's long-lived scenario for the
+siblings): successive ~4.2% delete batches with maintain(max_tomb_
+frac=0.2) after each, file/delta-count triggers disabled so only the
+fraction drives folding. Per step: the live tombstone fraction,
+whether maintain folded, and the serving/ingest cost before (the tax
+the trigger bounds) and after a fold. Runs at sf1 — the policy is
+scale-independent and the vector probe already pinned the fraction
+behavior at the largest decade.
+
 Run: python tools/delete_tiers_bench.py [label=dir ...]
 (default: 1=/tmp/gus_sf1 plus 10=/tmp/gus_sf10 when present; passing
 explicit label=dir pairs scopes a run to chosen decades so a crash at
-one never loses the other's numbers.)
-One JSON line: {posting: {sf: {...}}, minhash: {sf: {...}}}.
+one never loses the other's numbers. Pass trigger=dir to ALSO run
+the trigger probes on that decade.)
+One JSON line: {posting: {sf: {...}}, minhash: {sf: {...}},
+trigger_posting: [...], trigger_minhash: [...]}.
 """
 
 from __future__ import annotations
@@ -167,15 +178,143 @@ def bench_minhash(spark, sf_dir: str, label: str, out: dict) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def trigger_posting(
+    spark, sf_dir: str, steps: int = 6, max_tomb_frac: float = 0.2
+) -> list[dict]:
+    """Long-lived PostingIndex: ``steps`` successive ~4.2% delete
+    batches, maintain(max_tomb_frac) after each (delta-count trigger
+    disabled). Per step: live tombstone fraction before maintain,
+    whether it folded, topk seconds before/after."""
+    from gus_spark.operators.posting_index import PostingIndex
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    root = tempfile.mkdtemp(prefix="pdb_trigger_")
+    steps_out: list[dict] = []
+    try:
+        idx = PostingIndex(spark, root)
+        idx.build(docs, name="delbench_trigger")
+
+        def _topk() -> float:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                idx.topk(QUERY, 10).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                best = min(best, time.time() - t0)
+            return round(best, 3)
+
+        for i in range(steps):
+            dead = docs.filter(
+                F.col("doc_id") % (steps * 4) == i
+            ).select("doc_id")
+            idx.delete(dead, batch_key=f"d{i}")
+            s = idx.stats()
+            frac = s["tomb_docs"] / max(n_docs, 1)
+            before = _topk()
+            idx.maintain(max_deltas=10_000, max_tomb_frac=max_tomb_frac)
+            # a fold clears every live tombstone; each step just added
+            # one, so tomb_docs == 0 after maintain iff it compacted
+            folded = idx.stats()["tomb_docs"] == 0
+            steps_out.append(
+                {
+                    "step": i,
+                    "tomb_frac": round(frac, 4),
+                    "topk_tombed": before,
+                    "folded": folded,
+                    "topk_after": _topk() if folded else None,
+                }
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return steps_out
+
+
+def trigger_minhash(
+    spark, sf_dir: str, steps: int = 6, max_tomb_frac: float = 0.2
+) -> list[dict]:
+    """Long-lived MinHashIndex: the same scenario on the fingerprint
+    tier; the serving cost measured is what INGEST pays — a fresh
+    disjoint probe batch's add_and_find per step (both corpus tables
+    anti-joined against the live tombstones)."""
+    from gus_spark.operators.dedup import MinHashIndex
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    root = tempfile.mkdtemp(prefix="mdb_trigger_")
+    steps_out: list[dict] = []
+    try:
+        idx = MinHashIndex(spark, root)
+        n_batches = 4 if n_docs > 100_000 else 1
+        for b in range(n_batches):
+            part = (
+                docs
+                if n_batches == 1
+                else docs.filter(F.col("doc_id") % n_batches == b)
+            )
+            idx.add_and_find(part, batch_key=f"b{b}").count()
+
+        def _probe(step: int) -> float:
+            # fresh ids + fresh salt per step: never collides with the
+            # corpus or an earlier probe, so the timing is the
+            # anti-join + candidate machinery, not pair volume
+            p = docs.limit(200).select(
+                (F.col("doc_id") + max_id + 1 + step * 1000).alias(
+                    "doc_id"
+                ),
+                F.array_join(
+                    F.transform(
+                        F.split(F.trim("text"), r"\s+"),
+                        lambda w: F.concat(w, F.lit(f"_pr{step}")),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+            t0 = time.time()
+            idx.add_and_find(p, batch_key=f"probe{step}").count()
+            return round(time.time() - t0, 3)
+
+        for i in range(steps):
+            dead = docs.filter(
+                F.col("doc_id") % (steps * 4) == i
+            ).select("doc_id")
+            idx.delete(dead, batch_key=f"d{i}")
+            tomb_docs = sum(idx._read_meta()["tombs"].values())
+            frac = tomb_docs / max(n_docs, 1)
+            before = _probe(i)
+            m = idx.maintain(
+                max_files=10_000, max_tomb_frac=max_tomb_frac
+            )
+            folded = bool(m.get("compacted"))
+            steps_out.append(
+                {
+                    "step": i,
+                    "tomb_frac": round(frac, 4),
+                    "add_tombed": before,
+                    "folded": folded,
+                    "add_after": _probe(100 + i) if folded else None,
+                }
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return steps_out
+
+
 def main() -> None:
     from gus_spark.session import get_spark
 
     spark = get_spark(app_name="gus_spark-delete-tiers-bench")
     dirs: dict[str, str] = {}
+    trigger_dir: str | None = None
     if len(sys.argv) > 1:
         for arg in sys.argv[1:]:
             label, d = arg.split("=", 1)
-            dirs[label] = d
+            if label == "trigger":
+                trigger_dir = d
+            else:
+                dirs[label] = d
     else:
         sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/gus_sf1")
         if not os.path.isdir(sf1_dir):
@@ -202,6 +341,17 @@ def main() -> None:
                 out[tier][label] = {
                     "error": f"{type(ex).__name__}: {str(ex)[:200]}"
                 }
+    if trigger_dir is not None:
+        for key, probe in (
+            ("trigger_posting", trigger_posting),
+            ("trigger_minhash", trigger_minhash),
+        ):
+            try:
+                out[key] = probe(spark, trigger_dir)
+            except Exception as ex:  # noqa: BLE001
+                out[key] = [
+                    {"error": f"{type(ex).__name__}: {str(ex)[:200]}"}
+                ]
     print(json.dumps(out))
 
 

@@ -24,6 +24,9 @@ with the candidate list pre-materialized (explode + broadcast semi-
 join + groupBy), plus (c) the bare gram-explode scan (the JVM floor
 both passes share). kernel_tax = sketch - explode_floor isolates
 what the Python MG kernel itself costs over the JVM scan it rides.
+hh_merged_secs times the beyond-broadcast-bound regime
+(merge_candidates=True: global MG tree-merge, constant candidate
+set) against the default union path at the same decade.
 """
 
 from __future__ import annotations
@@ -91,6 +94,9 @@ def bench_sf(spark, sf_dir: str, label: str, out: dict) -> None:
     def sketch_only():
         return grams.mapInPandas(_mg_kernel(m), "w string, cnt long")
 
+    def hh_merged():
+        return heavy_hitters(docs, K, ngram=NGRAM, merge_candidates=True)
+
     def explode_only():
         return grams.select(F.explode("_g").alias("w"))
 
@@ -114,9 +120,11 @@ def bench_sf(spark, sf_dir: str, label: str, out: dict) -> None:
     sketch_secs = t(sketch_only)
     explode_secs = t(explode_only)
     verify_secs = t(verify_only)
+    merged_secs = t(hh_merged)
 
     out[label] = {
         "hh_secs": hh_secs,
+        "hh_merged_secs": merged_secs,
         "naive_secs": naive_secs,
         "distinct_grams": int(stats["v"]),
         "n_grams_total": int(stats["n"]),
