@@ -146,6 +146,77 @@ def test_singleton_regime_returns_empty_not_wrong(docs):
     assert (full["cnt"] > full["floor_cnt"]).all()  # floor is 0
 
 
+def test_mg_merge_bound_property():
+    """The mergeable-summaries guarantee (Agarwal et al. PODS 2012)
+    for OUR kernels, pinned property-based and pure-Python (the
+    kernels are plain generators — no Spark needed): for any token
+    stream, any partitioning, any merge-tree shape, and any capacity,
+    (a) estimates never exceed true counts, (b) the total undercount
+    of any token is <= n_total/(capacity+1) — the floor_cnt the
+    operator publishes — and (c) any token whose true count beats
+    that floor SURVIVES the merged summary (the certified-candidate
+    contract the broadcast relies on)."""
+    from collections import Counter
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gus_spark.operators.heavyhitters import (
+        _mg_kernel,
+        _mg_merge_kernel,
+    )
+
+    def summarize(tokens, capacity):
+        return next(
+            _mg_kernel(capacity)([pd.DataFrame({"_g": [tokens]})])
+        )
+
+    def merge(frames, capacity):
+        return next(_mg_merge_kernel(capacity)(frames))
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        tokens=st.lists(
+            st.sampled_from(list("abcdefghij")), max_size=400
+        ),
+        n_parts=st.integers(1, 5),
+        fanin=st.integers(1, 3),
+        capacity=st.integers(2, 8),
+    )
+    def check(tokens, n_parts, fanin, capacity):
+        parts = [tokens[i::n_parts] for i in range(n_parts)]
+        summaries = [summarize(p, capacity) for p in parts]
+        # two-level merge with an arbitrary grouping, then the root —
+        # the tree shape must not matter
+        level1 = [
+            merge(summaries[i : i + fanin], capacity)
+            for i in range(0, len(summaries), fanin)
+        ]
+        root = merge(level1, capacity)
+        est = {
+            w: int(c)
+            for w, c in zip(root["w"], root["cnt"])
+            if w is not None
+        }
+        n_total = int(
+            sum(c for w, c in zip(root["w"], root["cnt"]) if w is None)
+        )
+        true = Counter(tokens)
+        assert n_total == len(tokens)  # sentinel totals survive merges
+        bound = len(tokens) / (capacity + 1)
+        for w, t in true.items():
+            e = est.get(w, 0)
+            assert e <= t, (w, e, t)
+            assert t - e <= bound, (w, e, t, bound)
+            if t > bound:
+                assert w in est and est[w] > 0, (w, t, bound)
+        for w in est:
+            assert w in true  # never invents tokens
+
+    check()
+
+
 def test_merged_candidate_regime(docs):
     """The beyond-broadcast-bound path (merge_candidates=True): the
     partition summaries tree-merge into one global MG summary, so the
