@@ -79,10 +79,14 @@ HEADLINE = [
 
 def extra_queries():
     """Bench-only callables for operators outside the driver catalog —
-    same (spark, sf_dir) -> DataFrame shape as catalog specs. Empty
-    since r9 promoted hybrid_rrf_topk into the catalog; kept as the
-    hook for future bench-only lines."""
-    return {}
+    same (spark, sf_dir) -> DataFrame shape as catalog specs.
+    text_lang_fingerprint rotated out of the catalog r10 (slot ->
+    train_split_shards) but keeps its headline line here so the
+    cross-round series stays unbroken; its oracle parity lives in
+    tests/test_queries.py."""
+    from gus_spark.queries.text import text_lang_fingerprint
+
+    return {"text_lang_fingerprint": text_lang_fingerprint}
 
 
 #: Outlier-guard trigger (VERDICT r8 "What's wrong #1"): a transient

@@ -334,3 +334,40 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_each=HYBRID_K_EACH,
         phrase=HYBRID_PHRASE,
     )
+
+
+def _split_shards_oracle() -> str:
+    from gus_spark.operators.splits import (
+        sql_hash_split,
+        sql_shuffled_shards,
+    )
+
+    return f"""
+    WITH ids AS (SELECT doc_id FROM documents),
+         sp AS ({sql_hash_split(table="ids")})
+    {sql_shuffled_shards(table="sp", shards=16)}
+    """
+
+
+@register("train_split_shards", oracle=_split_shards_oracle())
+def train_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus→loader handoff (operators/splits.py, new
+    round 10): every document gets its train/validation/test label
+    (98/1/1 by seeded hash — a pure map, ZERO shuffles at any corpus
+    size, stable under growth: adding documents never moves existing
+    assignments) and its reproducible global training order as
+    (shard, pos) — shard by hash range (uniform, no skew key), pos by
+    rank of the hash within the shard, which at 100 TB is the ONE
+    shard-keyed exchange a training-order materialization cannot
+    avoid and nothing more. Both assignments ride the portable
+    md5-hex-prefix integer identity, so the DuckDB twin reproduces
+    every label, shard, and position bit-for-bit. Replaces
+    `text_lang_fingerprint` in the catalog (its marker-score /
+    fingerprint shapes stay value-checked in test_queries.py and its
+    bench line continues via bench.extra_queries)."""
+    from gus_spark.operators.splits import hash_split, shuffled_shards
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return shuffled_shards(hash_split(d), shards=16).select(
+        "doc_id", "split", "shard", "pos"
+    )

@@ -121,9 +121,13 @@ _LANG_MARKERS = {
 }
 
 
-@register(
-    "text_lang_fingerprint",
-    oracle=f"""
+# No longer a catalog oracle (rotated out round 10 for
+# `train_split_shards`: the marker-occurrence battery is text_profile's
+# shape, the md5 fingerprints are the exact-dedup family's); full
+# value parity against this SQL stays asserted every run in
+# tests/test_queries.py::test_text_lang_fingerprint_matches_oracle and
+# the query keeps its headline bench line via bench.extra_queries.
+LANG_FINGERPRINT_ORACLE = f"""
     WITH scores AS (
       SELECT doc_id, lang, text,
              {_sql_occurrences('text', ' the ')} + {_sql_occurrences('text', ' and ')}
@@ -149,14 +153,19 @@ _LANG_MARKERS = {
            md5(array_to_string(list_sort(list_distinct(
                string_split_regex(TRIM(text), '\\s+'))), ' ')) AS bow_fp
     FROM scores
-    """,
-)
+    """
+
+
 def text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID plus document fingerprinting in one
     scan (merges the former `text_language_id` + `text_fingerprints`
     probes): per-language marker-hit scores, an argmax prediction
     (deterministic tie-break by fixed language order), an exact-content
-    hash, and an order-insensitive bag-of-words hash.
+    hash, and an order-insensitive bag-of-words hash. Rotated out of
+    the driver catalog round 10 (slot → train_split_shards);
+    LANG_FINGERPRINT_ORACLE above keeps the parity check alive in
+    tests/test_queries.py, and the bench headline line continues via
+    bench.extra_queries.
 
     ensure_parallelism for the same reason as text_profile: 15 marker
     scans + two hashes per document on a one-row-group local input."""

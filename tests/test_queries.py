@@ -63,6 +63,21 @@ def test_every_oracle_is_valid_duckdb(duck):
             duck.execute(f"SELECT * FROM ({spec.oracle}) LIMIT 1")
 
 
+def test_text_lang_fingerprint_matches_oracle(spark, duck):
+    """text_lang_fingerprint rotated out of the catalog (r10, slot ->
+    train_split_shards) but keeps full value coverage here: marker
+    scores, argmax prediction, and both fingerprints vs the DuckDB
+    twin."""
+    from gus_spark.queries.text import (
+        LANG_FINGERPRINT_ORACLE,
+        text_lang_fingerprint,
+    )
+
+    sdf = text_lang_fingerprint(spark, SF_DIR_ORACLE).toPandas()
+    odf = duck.execute(LANG_FINGERPRINT_ORACLE).df()
+    assert frame_key(sdf) == frame_key(odf)
+
+
 def test_dedup_simhash_matches_oracle(spark, duck):
     """dedup_simhash rotated out of the catalog (r10, slot ->
     remove_boilerplate_docs) but keeps full bit-parity coverage here:
