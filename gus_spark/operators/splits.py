@@ -174,3 +174,190 @@ def sql_shuffled_shards(
              CAST({b} % {shards} AS INTEGER) AS shard
       FROM {table})
     """
+
+
+# --------------------------------------------------------- loader boundary
+
+#: manifest schema version for written shard sets
+_MANIFEST_VERSION = 1
+
+
+def write_training_shards(
+    df: DataFrame,
+    dest: str,
+    shards: int = 64,
+    seed: str = "shuffle-v1",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    split_seed: str = "split-v1",
+    split_col: str = "split",
+) -> dict:
+    """Materialize the training-loader contract: split + seeded global
+    order as ``dest/data/split=<name>/shard=<k>/`` parquet with EXACTLY
+    one file per (split, shard), rows ``pos``-ordered inside each file
+    — so a loader streams shard files sequentially in shard order and
+    the concatenation IS the seeded permutation, no sort at read time.
+
+    Physical cost is ONE exchange: ``pos`` ranks inside each
+    (split, shard) window, and the write reuses that exchange's layout
+    (each combo lives wholly in one task partition, so ``partitionBy``
+    emits one file per directory; the trailing sortWithinPartitions is
+    satisfied by the window sort and costs nothing). At 100 TB the
+    exchange is shard-keyed and uniform (60-bit hash range) — shards
+    is the loader's file-parallelism knob, NOT a skew risk. A new
+    epoch is a new ``seed`` (orders are materialized; reshuffling is a
+    rewrite by design — loaders need the bytes in order, not a plan).
+
+    Splits share the shard count; with the default 98/1/1 weights the
+    validation/test shard files are proportionally small — harmless
+    (they're read whole, not streamed). Returns (and persists, tmp +
+    atomic-rename) ``dest/manifest.json``: seeds, shard count, and the
+    per-(split, shard) row counts RE-COUNTED FROM THE WRITTEN FILES,
+    so a manifest is also a write-integrity receipt.
+    """
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    spark = df.sparkSession
+    labeled = hash_split(df, weights, split_seed, id_col, split_col)
+    b = _bucket(F.col(id_col), seed)
+    w = Window.partitionBy(split_col, "shard").orderBy(
+        "_order_bucket", id_col
+    )
+    ordered = (
+        labeled.withColumn("_order_bucket", b)
+        .withColumn("shard", (F.col("_order_bucket") % F.lit(shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_order_bucket")
+    )
+    data_dir = os.path.join(dest, "data")
+    (
+        ordered.sortWithinPartitions(split_col, "shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy(split_col, "shard")
+        .parquet(data_dir)
+    )
+    counts = (
+        spark.read.parquet(data_dir)
+        .groupBy(split_col, "shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )  # bounded: |splits| x shards rows
+    shard_rows: dict[str, dict[str, int]] = {}
+    for r in counts:
+        shard_rows.setdefault(r[split_col], {})[str(r["shard"])] = r["n"]
+    manifest = {
+        "version": _MANIFEST_VERSION,
+        "shards": shards,
+        "seed": seed,
+        "split_seed": split_seed,
+        "id_col": id_col,
+        "split_col": split_col,
+        "weights": dict(DEFAULT_WEIGHTS if weights is None else weights),
+        "shard_rows": shard_rows,
+        "total_rows": sum(r["n"] for r in counts),
+    }
+    tmp = os.path.join(dest, "manifest.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(dest, "manifest.json"))
+    return manifest
+
+
+def read_manifest(dest: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(dest, "manifest.json"), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def read_training_shards(
+    spark,
+    dest: str,
+    split: str = "train",
+    cursor: tuple[int, int] | None = None,
+) -> DataFrame:
+    """The written shard set as a DataFrame, optionally resumed:
+    ``cursor=(shard, pos)`` names the LAST CONSUMED row and the result
+    holds strictly-later rows of the global order. Both filters prune
+    physically — ``split``/``shard`` are partition directories, so a
+    resume deep into the corpus scans only the cursor shard onward."""
+    import os
+
+    manifest = read_manifest(dest)
+    df = spark.read.parquet(os.path.join(dest, "data")).filter(
+        F.col(manifest["split_col"]) == split
+    )
+    if cursor is not None:
+        shard, pos = cursor
+        df = df.filter(
+            (F.col("shard") > shard)
+            | ((F.col("shard") == shard) & (F.col("pos") > pos))
+        )
+    return df
+
+
+def iter_training_order(
+    dest: str,
+    split: str = "train",
+    cursor: tuple[int, int] | None = None,
+    batch_rows: int = 4096,
+):
+    """The loader itself: yield ``(batch, (shard, pos))`` pairs in the
+    exact global order — pyarrow record batches read shard-file by
+    shard-file on the consuming host (this is deliberately NOT a Spark
+    job: a training loader is a sequential reader, and the writer
+    already materialized the order). The yielded cursor names the last
+    row of the batch; persist it and pass it back to resume mid-epoch
+    after a crash — resumption skips whole shard directories and never
+    re-reads consumed rows (exactly-once delivery per epoch).
+
+    Memory is one record batch (``batch_rows`` rows); shard files are
+    streamed a row group at a time, so host footprint is independent
+    of corpus size."""
+    import os
+
+    import pyarrow.dataset as pa_ds
+
+    manifest = read_manifest(dest)
+    split_col = manifest["split_col"]
+    data_dir = os.path.join(dest, "data")
+    split_dir = os.path.join(data_dir, f"{split_col}={split}")
+    if not os.path.isdir(split_dir):
+        raise ValueError(
+            f"no split {split!r} under {data_dir} "
+            f"(have: {sorted(os.listdir(data_dir))})"
+        )
+    start_shard, start_pos = cursor if cursor is not None else (-1, 0)
+    shard_ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(split_dir)
+        if d.startswith("shard=")
+    )
+    for shard in shard_ids:
+        if shard < start_shard:
+            continue
+        ds = pa_ds.dataset(
+            os.path.join(split_dir, f"shard={shard}"), format="parquet"
+        )
+        # rows are pos-ordered on disk; a mid-shard resume still
+        # filters (idempotent if the cursor shard was partially read)
+        flt = (
+            (pa_ds.field("pos") > start_pos)
+            if shard == start_shard
+            else None
+        )
+        # single-threaded scan: to_batches with threads may interleave
+        # row groups, and the order IS the contract here
+        for batch in ds.scanner(
+            filter=flt, batch_size=batch_rows, use_threads=False
+        ).to_batches():
+            if batch.num_rows == 0:
+                continue
+            last_pos = batch.column("pos")[batch.num_rows - 1].as_py()
+            yield batch, (shard, last_pos)

@@ -150,9 +150,156 @@ def test_plan_shape(ids):
     assert len(re.findall(r"\(\d+\) Exchange\b", p2)) == 1, p2
 
 
+class TestLoaderBoundary:
+    """write_training_shards / read_training_shards /
+    iter_training_order — the materialized (shard, pos) loader
+    contract with a resume cursor."""
+
+    WEIGHTS = {"train": 0.8, "validation": 0.1, "test": 0.1}
+    SHARDS = 8
+
+    @pytest.fixture(scope="class")
+    def dest(self, spark, ids, tmp_path_factory):
+        from gus_spark.operators.splits import write_training_shards
+
+        dest = str(tmp_path_factory.mktemp("shards"))
+        manifest = write_training_shards(
+            ids, dest, shards=self.SHARDS, weights=self.WEIGHTS
+        )
+        return dest, manifest
+
+    def test_manifest_is_a_write_receipt(self, ids, dest):
+        dest, manifest = dest
+        assert manifest["total_rows"] == ids.count()
+        assert set(manifest["shard_rows"]) == set(self.WEIGHTS)
+        for counts in manifest["shard_rows"].values():
+            assert all(n > 0 for n in counts.values())
+
+    def test_one_pos_ordered_file_per_shard(self, dest):
+        import pyarrow.parquet as pq
+
+        dest, manifest = dest
+        data = os.path.join(dest, "data")
+        for split, counts in manifest["shard_rows"].items():
+            for shard, n in counts.items():
+                d = os.path.join(
+                    data, f"split={split}", f"shard={shard}"
+                )
+                files = [
+                    f for f in os.listdir(d) if f.endswith(".parquet")
+                ]
+                assert len(files) == 1, (d, files)
+                poss = pq.read_table(
+                    os.path.join(d, files[0]), columns=["pos"]
+                )["pos"].to_pylist()
+                # rows are the dense permutation, ALREADY in order
+                assert poss == list(range(1, n + 1)), d
+
+    def test_full_order_matches_duckdb_twin(self, dest, con):
+        from gus_spark.operators.splits import (
+            iter_training_order,
+            sql_hash_split,
+            sql_shuffled_shards,
+        )
+
+        dest, _manifest = dest
+        got = [
+            i
+            for batch, _cur in iter_training_order(
+                dest, "train", batch_rows=512
+            )
+            for i in batch.column("doc_id").to_pylist()
+        ]
+        # the twin: same split labeling, same shard/pos ranking scoped
+        # to the train split, ordered (shard, pos)
+        labeled = sql_hash_split(self.WEIGHTS, table="ids")
+        ranked = sql_shuffled_shards(
+            self.SHARDS, table=f"(SELECT doc_id FROM ({labeled}) WHERE split = 'train')"
+        )
+        want = [
+            r[0]
+            for r in con.execute(
+                f"SELECT doc_id FROM ({ranked}) ORDER BY shard, pos"
+            ).fetchall()
+        ]
+        assert got == want
+
+    def test_resume_cursor_is_exactly_once(self, dest):
+        from gus_spark.operators.splits import iter_training_order
+
+        dest, _manifest = dest
+        full = []
+        cursors = []
+        for batch, cur in iter_training_order(
+            dest, "train", batch_rows=97
+        ):
+            full.extend(batch.column("doc_id").to_pylist())
+            cursors.append((cur, len(full)))
+        # resume from every 5th checkpoint: suffix equality, no
+        # duplicates, no gaps
+        for cur, consumed in cursors[::5]:
+            resumed = [
+                i
+                for b, _c in iter_training_order(
+                    dest, "train", cursor=cur, batch_rows=97
+                )
+                for i in b.column("doc_id").to_pylist()
+            ]
+            assert resumed == full[consumed:], cur
+
+    def test_spark_resume_prunes_partitions(self, spark, dest):
+        from gus_spark.operators.splits import read_training_shards
+
+        dest, manifest = dest
+        df = read_training_shards(spark, dest, "train", cursor=(5, 3))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # split/shard are partition directories: the resume filter
+        # must reach PartitionFilters, not a post-scan Filter alone
+        assert "PartitionFilters: [" in plan
+        assert "shard" in plan.split("PartitionFilters:")[1].split("]")[0]
+        got = {(r.shard, r.pos) for r in df.select("shard", "pos").collect()}
+        n5 = manifest["shard_rows"]["train"]["5"]
+        assert (5, 3) not in got and (5, 4) in got
+        assert all(s > 5 or (s == 5 and p > 3) for s, p in got)
+        assert sum(1 for s, _p in got if s == 5) == n5 - 3
+
+    def test_epoch_reseed_reorders(self, spark, ids, tmp_path_factory):
+        from gus_spark.operators.splits import (
+            iter_training_order,
+            write_training_shards,
+        )
+
+        d2 = str(tmp_path_factory.mktemp("shards_e2"))
+        write_training_shards(
+            ids, d2, shards=self.SHARDS, weights=self.WEIGHTS,
+            seed="shuffle-v1-epoch2",
+        )
+        order2 = [
+            i
+            for b, _c in iter_training_order(d2, "train")
+            for i in b.column("doc_id").to_pylist()
+        ]
+        # same membership (split seed unchanged), different permutation
+        d1 = str(tmp_path_factory.mktemp("shards_e1"))
+        write_training_shards(
+            ids, d1, shards=self.SHARDS, weights=self.WEIGHTS
+        )
+        order1 = [
+            i
+            for b, _c in iter_training_order(d1, "train")
+            for i in b.column("doc_id").to_pylist()
+        ]
+        assert sorted(order1) == sorted(order2)
+        assert order1 != order2
+
+
 def test_validation_errors(ids):
+    from gus_spark.operators.splits import write_training_shards
+
     with pytest.raises(ValueError, match="shards"):
         shuffled_shards(ids, shards=0)
+    with pytest.raises(ValueError, match="shards"):
+        write_training_shards(ids, "/tmp/never-written", shards=0)
     with pytest.raises(ValueError, match="weights"):
         split_thresholds({})
     with pytest.raises(ValueError, match="sum"):
