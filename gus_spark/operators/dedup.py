@@ -520,6 +520,21 @@ class MinHashIndex:
     collided ids only. The band/permutation constants must stay fixed
     for the lifetime of an index — signatures from different constants
     never collide correctly (enforced via a meta file).
+
+    CHOOSE ``ngram`` FOR THE CORPUS, it is the candidate-volume dial:
+    banding collides documents whose shingle SETS overlap, so on a
+    corpus where unrelated documents share most of their vocabulary,
+    ``ngram=1`` (token sets) degenerates toward all-pairs candidates
+    and the verify stage — not the index machinery — eats the run.
+    Measured on the synthetic testdata (tools/minhash_ingest_profile
+    .py, sf0.1 = 5k docs): n=1 banding emitted 9.46M candidate pairs
+    (vs 361 at n=3) and a one-shot build read 43 s vs 3.1 s — the
+    same 70x that made the sf1 build look like index overhead in the
+    round-10 bench. At equal ngram, ``add_and_find`` on an empty index
+    costs ABOUT THE SAME as the stateless ``minhash_lsh_pairs`` (the
+    three delta writes are small; caching the batch derivations even
+    undercuts the stateless path's lineage re-derivation). The catalog
+    dedup queries use n=3; match your exact-Jaccard validation tier.
     """
 
     def __init__(

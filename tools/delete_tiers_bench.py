@@ -9,12 +9,15 @@ Per tier and decade, the same lifecycle the vector bench times:
 - posting: build the bucketed BM25 index, topk clean (min-of-3),
   tombstone ~14% of the corpus, topk tombed (the per-query anti-join
   + totals-subtraction tax), compact (fold), topk folded.
-- minhash: index the corpus via add_and_find — in id-keyed batches
-  past 100k docs, which is both the index's real usage (it exists for
-  batch-wise arrival; a one-shot whole-corpus add is the batch
-  operator minhash_lsh_pairs' job, and at 500k docs its within-batch
-  verification overflows the local JVM heap) and the shape whose
-  tombstone tax the numbers quote — then time what the INGEST path
+- minhash: index the corpus via add_and_find at ngram=3 — the
+  catalog operators' own shingle unit; the r10 run's ngram=1 default
+  was the DEGENERATE regime on this synthetic corpus (unrelated docs
+  share token SETS, so banding went near-all-pairs: the "247 s sf1
+  build" and the sf10 within-batch-verification JVM overflow were
+  both that, not index cost — root-caused in
+  tools/minhash_ingest_profile.py). Ingest still runs in id-keyed
+  batches past 100k docs (the index's real usage shape: it exists
+  for batch-wise arrival) — then time what the INGEST path
   pays: a fresh small batch's add_and_find against the clean corpus,
   against the corpus with live tombstones (both corpus-side tables
   anti-joined per add), and after maintain folds the tombstones
@@ -134,7 +137,9 @@ def bench_minhash(spark, sf_dir: str, label: str, out: dict) -> None:
     ).localCheckpoint()
     root = tempfile.mkdtemp(prefix=f"mdb_{label}_")
     try:
-        idx = MinHashIndex(spark, root)
+        # ngram=3 = the catalog regime; n=1 is degenerate here (module
+        # docstring)
+        idx = MinHashIndex(spark, root, ngram=3)
         n_docs = docs.count()
         n_batches = 4 if n_docs > 100_000 else 1
         t0 = time.time()
@@ -246,7 +251,7 @@ def trigger_minhash(
     root = tempfile.mkdtemp(prefix="mdb_trigger_")
     steps_out: list[dict] = []
     try:
-        idx = MinHashIndex(spark, root)
+        idx = MinHashIndex(spark, root, ngram=3)
         n_batches = 4 if n_docs > 100_000 else 1
         for b in range(n_batches):
             part = (
