@@ -208,3 +208,140 @@ def perplexity_score(
             "log10_ppl",
         )
     )
+
+
+#: CCNet's split: ascending-perplexity thirds per language
+CCNET_CUTS: tuple[tuple[int, int], ...] = ((1, 3), (2, 3))
+CCNET_LABELS: tuple[str, ...] = ("head", "middle", "tail")
+
+
+def _check_cut_spec(cuts, labels) -> None:
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need exactly len(cuts)+1 labels, got {len(cuts)} cuts "
+            f"and {len(labels)} labels"
+        )
+    fracs = []
+    for num, den in cuts:
+        if not (
+            isinstance(num, int) and isinstance(den, int)
+            and 0 < num < den
+        ):
+            raise ValueError(
+                f"each cut must be integers (num, den) with "
+                f"0 < num < den, got {(num, den)!r}"
+            )
+        fracs.append(num / den)
+    if fracs != sorted(set(fracs)):
+        raise ValueError(f"cuts must be strictly ascending, got {cuts!r}")
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    lang_col: str = "lang",
+    ppl_col: str = "log10_ppl",
+    id_col: str = "doc_id",
+    cuts: tuple[tuple[int, int], ...] = CCNET_CUTS,
+    labels: tuple[str, ...] = CCNET_LABELS,
+    tier: str = "exact",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet's head/middle/tail assignment (Wenzek et al. 2020 §4.4:
+    per language, order documents by LM perplexity ascending and cut
+    the distribution into thirds; 'head' is what high-quality-regime
+    training keeps). Input is a scored frame (``perplexity_score``
+    output joined back to its language column); output adds
+    ``bucket``. NULL-perplexity rows (zero-token docs) get a NULL
+    bucket — they have no place in the distribution.
+
+    ``cuts`` are exact rationals (num, den), not floats: row with
+    1-based rank r of n is in bucket i iff r·den_i <= n·num_i and no
+    earlier cut admits it — pure integer comparisons, so the DuckDB
+    twin (`sql_perplexity_buckets`) matches bit-for-bit including
+    every boundary row. Ties in perplexity break by id (total order).
+
+    Tiers (the repo's exact/scale pattern):
+
+    - ``'exact'``: rank + count over one ``lang``-keyed window — ONE
+      exchange, the oracle tier. Per-language sort: fine when no
+      single language dwarfs a task's memory, but at web scale one
+      language IS most of the corpus, so the sort (and its skew) is
+      the cost.
+    - ``'approx'``: per-language cut THRESHOLDS from
+      ``percentile_approx`` (one aggregation, map-side partials, one
+      row per language), broadcast back, assignment is a pure map —
+      NO sort at any scale, the CCNet-at-scale shape. Disagrees with
+      exact only on rows within the sketch's rank-error of a cut
+      (bounded by ``accuracy``: error <= n/accuracy ranks), and only
+      ever into an ADJACENT bucket (thresholds are monotone).
+    """
+    _check_cut_spec(cuts, labels)
+    live = scored.filter(F.col(ppl_col).isNotNull())
+    dead = scored.filter(F.col(ppl_col).isNull()).withColumn(
+        "bucket", F.lit(None).cast("string")
+    )
+    if tier == "exact":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(lang_col)
+        ranked = live.withColumn(
+            "_rnk",
+            F.row_number().over(w.orderBy(ppl_col, id_col)),
+        ).withColumn("_n", F.count("*").over(w))
+        expr = F.lit(labels[-1])
+        for (num, den), label in reversed(
+            list(zip(cuts, labels[:-1]))
+        ):
+            expr = F.when(
+                F.col("_rnk") * den <= F.col("_n") * num, label
+            ).otherwise(expr)
+        bucketed = ranked.withColumn("bucket", expr).drop("_rnk", "_n")
+    elif tier == "approx":
+        pcts = [num / den for num, den in cuts]
+        thresholds = live.groupBy(lang_col).agg(
+            F.percentile_approx(
+                ppl_col, pcts, accuracy
+            ).alias("_cuts")
+        )
+        joined = live.join(F.broadcast(thresholds), lang_col)
+        expr = F.lit(labels[-1])
+        for i, label in reversed(list(enumerate(labels[:-1]))):
+            expr = F.when(
+                F.col(ppl_col) <= F.element_at("_cuts", i + 1), label
+            ).otherwise(expr)
+        bucketed = joined.withColumn("bucket", expr).drop("_cuts")
+    else:
+        raise ValueError(f"unknown tier {tier!r}")
+    return bucketed.unionByName(
+        dead.select(*bucketed.columns)
+    )
+
+
+def sql_perplexity_buckets(
+    table: str,
+    lang_col: str = "lang",
+    ppl_col: str = "log10_ppl",
+    id_col: str = "doc_id",
+    cuts: tuple[tuple[int, int], ...] = CCNET_CUTS,
+    labels: tuple[str, ...] = CCNET_LABELS,
+) -> str:
+    """DuckDB twin of the exact tier — identical integer-rational cut
+    comparisons over the same (ppl, id) ordering."""
+    _check_cut_spec(cuts, labels)
+    cases = " ".join(
+        f"WHEN _rnk * {den} <= _n * {num} THEN '{label}'"
+        for (num, den), label in zip(cuts, labels[:-1])
+    )
+    return f"""
+    SELECT * EXCLUDE (_rnk, _n),
+           CASE {cases} ELSE '{labels[-1]}' END AS bucket
+    FROM (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY {lang_col} ORDER BY {ppl_col}, {id_col}
+             ) AS _rnk,
+             COUNT(*) OVER (PARTITION BY {lang_col}) AS _n
+      FROM {table} WHERE {ppl_col} IS NOT NULL)
+    UNION ALL BY NAME
+    SELECT *, NULL AS bucket FROM {table} WHERE {ppl_col} IS NULL
+    """

@@ -177,3 +177,173 @@ def test_lm_on_documents_table(spark):
         if r["n_tokens"] > 0
     )
     lm.unpersist()
+
+
+# ------------------------------------------------- CCNet bucket assignment
+class TestPerplexityBuckets:
+    """perplexity_buckets: CCNet head/middle/tail per language —
+    exact-tier DuckDB bit-parity (rational integer cuts, boundary
+    rows included), CCNet tertile sizes, approx-tier adjacency-bounded
+    agreement, null routing, plan shapes, cut-spec validation."""
+
+    def _scored(self, spark, n=400, langs=("en", "de", "fr")):
+        # deterministic synthetic scores with planted TIES (ppl
+        # rounded to 2 decimals) so the id tie-break is exercised,
+        # plus null-score rows (zero-token docs)
+        rows = [
+            (
+                i,
+                langs[i % len(langs)],
+                None if i % 97 == 0 else round(((i * 37) % 100) / 25.0, 2),
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, log10_ppl double"
+        )
+
+    def test_exact_matches_duckdb_twin(self, spark):
+        import duckdb
+
+        from gus_spark.operators.lm import (
+            perplexity_buckets,
+            sql_perplexity_buckets,
+        )
+        from oracle_harness import frame_key
+
+        scored = self._scored(spark)
+        got = perplexity_buckets(scored).toPandas()
+        con = duckdb.connect()
+        con.register("scored", scored.toPandas())
+        want = con.execute(sql_perplexity_buckets("scored")).df()
+        assert frame_key(got) == frame_key(want)
+
+    def test_ccnet_tertiles_and_null_routing(self, spark):
+        import math
+
+        from gus_spark.operators.lm import perplexity_buckets
+
+        scored = self._scored(spark)
+        out = perplexity_buckets(scored).collect()
+        assert len(out) == scored.count()
+        by_lang = {}
+        for r in out:
+            if r.log10_ppl is None:
+                assert r.bucket is None
+                continue
+            by_lang.setdefault(r.lang, []).append(r)
+        for lang, rows in by_lang.items():
+            n = len(rows)
+            counts = {"head": 0, "middle": 0, "tail": 0}
+            for r in rows:
+                counts[r.bucket] += 1
+            # rank*3 <= n*1 -> head size floor(n/3); <= n*2 -> 2n/3
+            assert counts["head"] == math.floor(n / 3), lang
+            assert counts["head"] + counts["middle"] == math.floor(
+                2 * n / 3
+            ), lang
+            # the head really is the low-perplexity end
+            worst_head = max(
+                r.log10_ppl for r in rows if r.bucket == "head"
+            )
+            best_tail = min(
+                r.log10_ppl for r in rows if r.bucket == "tail"
+            )
+            assert worst_head <= best_tail
+
+    def test_approx_agrees_up_to_adjacency(self, spark):
+        from gus_spark.operators.lm import perplexity_buckets
+
+        scored = self._scored(spark)
+        exact = {
+            r.doc_id: r.bucket
+            for r in perplexity_buckets(scored, tier="exact").collect()
+        }
+        approx = {
+            r.doc_id: r.bucket
+            for r in perplexity_buckets(scored, tier="approx").collect()
+        }
+        assert set(exact) == set(approx)
+        order = {"head": 0, "middle": 1, "tail": 2}
+        n_live = sum(1 for b in exact.values() if b is not None)
+        disagree = 0
+        for k, eb in exact.items():
+            ab = approx[k]
+            assert (eb is None) == (ab is None)
+            if eb is not None and eb != ab:
+                disagree += 1
+                # thresholds are monotone: only adjacent buckets differ
+                assert abs(order[eb] - order[ab]) == 1, (k, eb, ab)
+        # sketch error is rank-bounded; at accuracy 10k on 400 rows
+        # only tie-straddling cut rows can move
+        assert disagree / n_live < 0.15
+
+    def test_plan_shapes(self, spark):
+        import contextlib
+        import io
+        import re as _re
+
+        from gus_spark.operators.lm import perplexity_buckets
+
+        def plan_of(df):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
+            return buf.getvalue()
+
+        scored = self._scored(spark)
+        p_exact = plan_of(perplexity_buckets(scored, tier="exact"))
+        assert len(_re.findall(r"\(\d+\) Exchange\b", p_exact)) == 1
+        p_approx = plan_of(perplexity_buckets(scored, tier="approx"))
+        # the scale tier never sorts: thresholds are one agg exchange,
+        # assignment a broadcast-joined pure map
+        assert "Sort" not in p_approx, p_approx
+        assert len(_re.findall(r"\(\d+\) Exchange\b", p_approx)) == 1
+
+    def test_cut_spec_validation(self, spark):
+        import pytest as _pytest
+
+        from gus_spark.operators.lm import perplexity_buckets
+
+        scored = self._scored(spark, n=30)
+        with _pytest.raises(ValueError, match="labels"):
+            perplexity_buckets(scored, labels=("a", "b"))
+        with _pytest.raises(ValueError, match="ascending"):
+            perplexity_buckets(
+                scored, cuts=((2, 3), (1, 3)), labels=("a", "b", "c")
+            )
+        with _pytest.raises(ValueError, match="num, den"):
+            perplexity_buckets(
+                scored, cuts=((3, 3),), labels=("a", "b")
+            )
+        with _pytest.raises(ValueError, match="tier"):
+            perplexity_buckets(scored, tier="banana")
+
+    def test_composes_with_real_scores(self, spark):
+        """End-to-end CCNet shape on the corpus: fit, score, join
+        lang back, bucket — full coverage, per-lang head is the
+        lowest-perplexity third."""
+        from conftest import SF_DIR
+        from pyspark.sql import functions as F
+
+        from gus_spark.operators.lm import (
+            fit_ngram_lm,
+            perplexity_buckets,
+            perplexity_score,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(
+            150
+        )
+        lm = fit_ngram_lm(docs, order=2).cache()
+        scored = perplexity_score(docs, lm, order=2).join(
+            docs.select("doc_id", "lang"), "doc_id"
+        )
+        out = perplexity_buckets(scored).collect()
+        lm.unpersist()
+        assert len(out) == 150
+        assert {r.bucket for r in out if r.log10_ppl is not None} <= {
+            "head", "middle", "tail",
+        }
+        langs = {r.lang for r in out}
+        assert langs  # lang survived the composition
