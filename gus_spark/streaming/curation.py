@@ -148,7 +148,10 @@ def curate_stream(
         # marker replays idempotently (a plain append would duplicate
         # rows AND fps — the keyed-overwrite-delta pattern from
         # streaming.vectors). Readers see a `batch` partition column.
-        batch_kept = batch_kept.cache()
+        # File budget: the dedup window re-partitioned the batch to
+        # the shuffle constant — bound the publish (and the fp delta)
+        # back to the batch's own input width (markers.batch_width).
+        batch_kept = batch_kept.coalesce(markers.batch_width(batch_df)).cache()
         # publish-if-changed: a replay must not emit fresh part files
         # for identical content — downstream file sources would
         # re-consume them as new data (see markers.publish_batch)

@@ -142,9 +142,12 @@ def decontaminate_stream(
         )
         # publish-if-changed (markers.publish_batch): row-idempotent
         # AND file-idempotent under crash-replay — downstream file
-        # sources must not see fresh part files for identical content
+        # sources must not see fresh part files for identical content.
+        # coalesce guards the file budget if the anti-join ever falls
+        # back from broadcast to a shuffled join (markers.batch_width)
         markers.publish_batch(
-            clean, os.path.join(out_path, f"batch={batch_id}")
+            clean.coalesce(markers.batch_width(batch_df)),
+            os.path.join(out_path, f"batch={batch_id}"),
         )
         markers.write_marker(state_dir, batch_id, fp)
 
@@ -280,7 +283,8 @@ def fuzzy_decontaminate_stream(
             dirty, batch_df["doc_id"] == F.col("_did"), "left_anti"
         )
         markers.publish_batch(
-            clean, os.path.join(out_path, f"batch={batch_id}")
+            clean.coalesce(markers.batch_width(batch_df)),
+            os.path.join(out_path, f"batch={batch_id}"),
         )
         markers.write_marker(state_dir, batch_id, fp)
 

@@ -51,6 +51,24 @@ def batch_fingerprint(batch_df: DataFrame, id_col: str) -> dict:
     return {"n": row["n"], "xor": row["x"]}
 
 
+def batch_width(batch_df: DataFrame) -> int:
+    """Volume-proportional output-file budget for one micro-batch: the
+    batch's own SCAN partition count (its input files/splits), never
+    ``spark.sql.shuffle.partitions``. Any exchange inside a per-batch
+    transform re-partitions the (usually small) batch to the session
+    constant, so an unchecked publish emits ~32 part files per trigger
+    regardless of carried volume — small-file death for the table AND
+    a trigger-count explosion for the next stage's file source, which
+    consumes per FILE (measured before this bound: 8 arrival batches
+    became 256 downstream triggers and a 50x composed-pipeline wall at
+    sf0.1 under maxFilesPerTrigger=1 — tools/pipeline_stream_bench.py).
+    A genuinely large trigger scans many splits and keeps writing many
+    files, so downstream parallelism survives at scale; coalesce to
+    this width narrows only the post-exchange stage, which holds
+    exactly the batch's rows."""
+    return max(1, batch_df.rdd.getNumPartitions())
+
+
 def check_marker(
     state_dir: str, batch_id: int, fp: dict, *, strict: bool
 ) -> str:

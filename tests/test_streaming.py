@@ -1252,3 +1252,77 @@ def test_streaming_pipeline_feeds_live_posting_index(spark, tmp_path):
     # drop some, but the comparison must not be vacuous by accident
     assert want_p, "phrase probe vacuous on this corpus"
     assert got_p == want_p
+
+
+def test_stage_outputs_respect_batch_width(spark, tmp_path):
+    """markers.batch_width: a micro-batch that arrived as ONE file
+    must publish as ONE part file per batch dir, not
+    spark.sql.shuffle.partitions — unchecked, each downstream file
+    source runs one trigger PER part file and the composed pipeline's
+    trigger count multiplies stage over stage (8 arrival batches ->
+    256 pack triggers, the 50x wall tools/pipeline_stream_bench.py
+    measured before the bound)."""
+    from gus_spark.streaming.curation import curate_stream
+    from gus_spark.streaming.decontaminate import decontaminate_stream
+
+    docs = table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "in")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def parquet_files_per_batch(root):
+        out = {}
+        for d in sorted(os.listdir(root)):
+            if d.startswith("batch="):
+                out[d] = sum(
+                    1
+                    for f in os.listdir(os.path.join(root, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    curated = str(tmp_path / "curated")
+    q = curate_stream(
+        stream, str(tmp_path / "state1"), curated,
+        str(tmp_path / "ckpt1"), include_text=True,
+    )
+    q.awaitTermination()
+    per_batch = parquet_files_per_batch(curated)
+    assert len(per_batch) == 2  # one batch per arrival file
+    assert all(n == 1 for n in per_batch.values()), per_batch
+    # the fingerprint state deltas ride the same budget (they are
+    # re-listed and read EVERY trigger)
+    fp_batches = parquet_files_per_batch(
+        str(tmp_path / "state1" / "fps")
+    )
+    assert all(n == 1 for n in fp_batches.values()), fp_batches
+
+    # downstream: the curated source now yields one trigger per
+    # UPSTREAM BATCH, and its own publish holds the budget too
+    bench = docs.filter(F.col("doc_id") % 97 == 3).select(
+        "doc_id", "text"
+    )
+    cur_schema = spark.read.parquet(curated).schema
+    stream2 = (
+        spark.readStream.schema(cur_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(curated)
+    )
+    clean = str(tmp_path / "clean")
+    q2 = decontaminate_stream(
+        stream2, bench, str(tmp_path / "state2"), clean,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination()
+    clean_batches = parquet_files_per_batch(clean)
+    assert len(clean_batches) == 2, clean_batches
+    assert all(n == 1 for n in clean_batches.values()), clean_batches
