@@ -1,0 +1,103 @@
+"""Decade scaling for the training-loader boundary
+(operators/splits.py write_training_shards / iter_training_order):
+writer wall (the one shard-keyed exchange + partitioned write),
+manifest receipt cost, and HOST-side sequential read throughput of
+the materialized order — the loader's actual consumption rate — at
+sf0.1 / sf1 / sf10 (decades present on disk).
+
+The scale claims under test:
+- writer wall is ONE exchange deep: it should scale with rows (the
+  sort per (split, shard) task is rows/shards-bounded), never with
+  shard count;
+- reader throughput (rows/s through iter_training_order) is flat
+  across decades — it is a sequential pyarrow scan whose memory is
+  one record batch, so corpus size must not appear;
+- a resume from the 90th percentile cursor touches only the tail
+  shards (wall ~ a tenth of the full pass, not a scan of the corpus).
+
+Run: python tools/loader_shards_bench.py [label=dir ...]
+(default 0.1=/root/testdata/sf0.1 + /tmp/gus_sf1 + /tmp/gus_sf10
+when present). One JSON line per run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SHARDS = 32
+
+
+def bench(spark, sf_dir: str) -> dict:
+    from gus_spark.operators.splits import (
+        iter_training_order,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    dest = tempfile.mkdtemp(prefix="lsb_")
+    try:
+        t0 = time.time()
+        manifest = write_training_shards(docs, dest, shards=SHARDS)
+        write_s = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        rows = 0
+        cursors = []
+        for batch, cur in iter_training_order(dest, "train"):
+            rows += batch.num_rows
+            cursors.append(cur)
+        read_s = round(time.time() - t0, 3)
+
+        # resume at ~90%: wall should track the remaining tail, not
+        # the corpus
+        cut = cursors[int(len(cursors) * 0.9)] if cursors else (-1, 0)
+        t0 = time.time()
+        tail_rows = sum(
+            b.num_rows
+            for b, _c in iter_training_order(dest, "train", cursor=cut)
+        )
+        resume_s = round(time.time() - t0, 3)
+        return {
+            "n_rows": manifest["total_rows"],
+            "write_s": write_s,
+            "read_s": read_s,
+            "read_rows_per_s": round(rows / read_s) if read_s else None,
+            "resume_p90_s": resume_s,
+            "resume_rows": tail_rows,
+        }
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+
+
+def main() -> None:
+    from gus_spark.session import get_spark
+
+    spark = get_spark(app_name="gus_spark-loader-shards-bench")
+    dirs: dict[str, str] = {}
+    if len(sys.argv) > 1:
+        for arg in sys.argv[1:]:
+            label, d = arg.split("=", 1)
+            dirs[label] = d
+    else:
+        dirs["0.1"] = os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+        for label, d in (("1", "/tmp/gus_sf1"), ("10", "/tmp/gus_sf10")):
+            if os.path.isdir(d):
+                dirs[label] = d
+    print(
+        json.dumps({label: bench(spark, d) for label, d in dirs.items()})
+    )
+
+
+if __name__ == "__main__":
+    main()
