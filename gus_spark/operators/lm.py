@@ -270,10 +270,15 @@ def perplexity_buckets(
     - ``'approx'``: per-language cut THRESHOLDS from
       ``percentile_approx`` (one aggregation, map-side partials, one
       row per language), broadcast back, assignment is a pure map —
-      NO sort at any scale, the CCNet-at-scale shape. Disagrees with
-      exact only on rows within the sketch's rank-error of a cut
-      (bounded by ``accuracy``: error <= n/accuracy ranks), and only
-      ever into an ADJACENT bucket (thresholds are monotone).
+      NO sort at any scale, the CCNet-at-scale shape. Disagreement
+      with exact is rank-bounded by the sketch (error <= n/accuracy
+      ranks, adjacent buckets only, thresholds are monotone) — EXCEPT
+      at a point mass: equal values are indistinguishable to a
+      threshold rule, so a value straddling a cut moves as a block
+      where the exact tier splits it by the id tie-break. On
+      real-valued perplexities mass ties are measure-zero; a heavily
+      quantized score column is the caller's signal to prefer the
+      exact tier.
     """
     _check_cut_spec(cuts, labels)
     live = scored.filter(F.col(ppl_col).isNotNull())
@@ -286,7 +291,10 @@ def perplexity_buckets(
         w = Window.partitionBy(lang_col)
         ranked = live.withColumn(
             "_rnk",
-            F.row_number().over(w.orderBy(ppl_col, id_col)),
+            # long: r*den must survive languages past 2^31/den rows —
+            # exactly the one-dominant-language regime the tier note
+            # warns about (row_number itself is 32-bit)
+            F.row_number().over(w.orderBy(ppl_col, id_col)).cast("long"),
         ).withColumn("_n", F.count("*").over(w))
         expr = F.lit(labels[-1])
         for (num, den), label in reversed(
@@ -303,7 +311,12 @@ def perplexity_buckets(
                 ppl_col, pcts, accuracy
             ).alias("_cuts")
         )
-        joined = live.join(F.broadcast(thresholds), lang_col)
+        # null-safe: a NULL language is a legitimate group (the exact
+        # tier windows it); a plain equi-join would silently drop it
+        joined = live.join(
+            F.broadcast(thresholds.withColumnRenamed(lang_col, "_tl")),
+            F.col(lang_col).eqNullSafe(F.col("_tl")),
+        ).drop("_tl")
         expr = F.lit(labels[-1])
         for i, label in reversed(list(enumerate(labels[:-1]))):
             expr = F.when(
@@ -328,13 +341,16 @@ def sql_perplexity_buckets(
     """DuckDB twin of the exact tier — identical integer-rational cut
     comparisons over the same (ppl, id) ordering."""
     _check_cut_spec(cuts, labels)
+    # the splits.py seed-escape convention: labels land in string
+    # literals
+    esc = [label.replace("'", "''") for label in labels]
     cases = " ".join(
         f"WHEN _rnk * {den} <= _n * {num} THEN '{label}'"
-        for (num, den), label in zip(cuts, labels[:-1])
+        for (num, den), label in zip(cuts, esc[:-1])
     )
     return f"""
     SELECT * EXCLUDE (_rnk, _n),
-           CASE {cases} ELSE '{labels[-1]}' END AS bucket
+           CASE {cases} ELSE '{esc[-1]}' END AS bucket
     FROM (
       SELECT *,
              ROW_NUMBER() OVER (

@@ -126,6 +126,34 @@ def sql_hash_split(
     return f"SELECT *, {case} AS {split_col} FROM {table}"
 
 
+def _ranked_shards(
+    df: DataFrame,
+    shards: int,
+    seed: str,
+    id_col: str,
+    extra_partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """THE definition of the training-order contract — shard =
+    60-bit-bucket % shards, pos = 1-based rank of (bucket, id) within
+    each (*extra_partition_cols, shard) window — shared by
+    `shuffled_shards` (no extra keys) and `write_training_shards`
+    (per-split ranking), so the two can never drift."""
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    from pyspark.sql import Window
+
+    b = _bucket(F.col(id_col), seed)
+    w = Window.partitionBy(*extra_partition_cols, "shard").orderBy(
+        "_order_bucket", id_col
+    )
+    return (
+        df.withColumn("_order_bucket", b)
+        .withColumn("shard", (F.col("_order_bucket") % F.lit(shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_order_bucket")
+    )
+
+
 def shuffled_shards(
     df: DataFrame,
     shards: int = 1024,
@@ -141,19 +169,7 @@ def shuffled_shards(
     the shard key is uniform, so no skew at any corpus size. Readers
     stream shards independently in (shard, pos) order; concatenated,
     that IS the seeded permutation."""
-    if shards < 1:
-        raise ValueError(f"shards must be >= 1, got {shards}")
-    from pyspark.sql import Window
-
-    b = _bucket(F.col(id_col), seed)
-    shard = (b % F.lit(shards)).cast("int")
-    w = Window.partitionBy("shard").orderBy("_order_bucket", id_col)
-    return (
-        df.withColumn("_order_bucket", b)
-        .withColumn("shard", shard)
-        .withColumn("pos", F.row_number().over(w).cast("long"))
-        .drop("_order_bucket")
-    )
+    return _ranked_shards(df, shards, seed, id_col)
 
 
 def sql_shuffled_shards(
@@ -218,21 +234,18 @@ def write_training_shards(
     import json
     import os
 
-    from pyspark.sql import Window
-
-    if shards < 1:
-        raise ValueError(f"shards must be >= 1, got {shards}")
+    clobbered = {split_col, "shard", "pos"} & set(df.columns)
+    if clobbered:
+        raise ValueError(
+            f"input already carries {sorted(clobbered)} — this writer "
+            "derives split/shard/pos itself (a silent overwrite would "
+            "discard the caller's labels; rename or drop them first, "
+            "or pass a different split_col)"
+        )
     spark = df.sparkSession
     labeled = hash_split(df, weights, split_seed, id_col, split_col)
-    b = _bucket(F.col(id_col), seed)
-    w = Window.partitionBy(split_col, "shard").orderBy(
-        "_order_bucket", id_col
-    )
-    ordered = (
-        labeled.withColumn("_order_bucket", b)
-        .withColumn("shard", (F.col("_order_bucket") % F.lit(shards)).cast("int"))
-        .withColumn("pos", F.row_number().over(w).cast("long"))
-        .drop("_order_bucket")
+    ordered = _ranked_shards(
+        labeled, shards, seed, id_col, extra_partition_cols=(split_col,)
     )
     data_dir = os.path.join(dest, "data")
     (

@@ -189,11 +189,13 @@ class TestPerplexityBuckets:
     def _scored(self, spark, n=400, langs=("en", "de", "fr")):
         # deterministic synthetic scores with planted TIES (ppl
         # rounded to 2 decimals) so the id tie-break is exercised,
-        # plus null-score rows (zero-token docs)
+        # null-score rows (zero-token docs), and NULL-lang rows (a
+        # legitimate group both tiers must keep — the approx join is
+        # null-safe)
         rows = [
             (
                 i,
-                langs[i % len(langs)],
+                None if i % 53 == 0 else langs[i % len(langs)],
                 None if i % 97 == 0 else round(((i * 37) % 100) / 25.0, 2),
             )
             for i in range(n)
@@ -263,7 +265,7 @@ class TestPerplexityBuckets:
             r.doc_id: r.bucket
             for r in perplexity_buckets(scored, tier="approx").collect()
         }
-        assert set(exact) == set(approx)
+        assert set(exact) == set(approx)  # incl. every NULL-lang row
         order = {"head": 0, "middle": 1, "tail": 2}
         n_live = sum(1 for b in exact.values() if b is not None)
         disagree = 0

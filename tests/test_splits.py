@@ -300,6 +300,13 @@ def test_validation_errors(ids):
         shuffled_shards(ids, shards=0)
     with pytest.raises(ValueError, match="shards"):
         write_training_shards(ids, "/tmp/never-written", shards=0)
+    # the writer derives split/shard/pos itself: a frame already
+    # carrying one (e.g. curate_stream's own split labels) must fail
+    # loudly, never be silently re-labeled
+    with pytest.raises(ValueError, match="split"):
+        write_training_shards(
+            ids.withColumn("split", F.lit("train")), "/tmp/never-written"
+        )
     with pytest.raises(ValueError, match="weights"):
         split_thresholds({})
     with pytest.raises(ValueError, match="sum"):

@@ -95,13 +95,11 @@ def _stream_run(spark, docs, bench) -> tuple[dict, int]:
 
     root = tempfile.mkdtemp(prefix="psb_stream_")
     src = os.path.join(root, "src")
-    # K files in hash order: realistic unsorted arrival, K real
-    # micro-batches per stage under maxFilesPerTrigger=1
-    (
-        docs.orderBy(F.xxhash64("doc_id"))
-        .repartition(K_FILES)
-        .write.parquet(src)
-    )
+    # K files of round-robin rows: realistic unsorted arrival, K real
+    # micro-batches per stage under maxFilesPerTrigger=1 (a global
+    # hash sort here would be wasted — repartition redistributes
+    # round-robin regardless)
+    docs.repartition(K_FILES).write.parquet(src)
     stage_secs: dict[str, float] = {}
     try:
         p = CurationPipelineStream(
@@ -162,7 +160,20 @@ def main() -> None:
             _batch_twin(spark, docs.limit(300), bench.limit(20))
             warmed = True
         batch_secs, batch_rows = _batch_twin(spark, docs, bench)
-        stream_secs, stream_rows = _stream_run(spark, docs, bench)
+        # min-of-2 per stage (the repo bench convention): the stateful
+        # pack stage shows 2x run-to-run variance locally (state-store
+        # maintenance pauses land inside single runs)
+        runs = [_stream_run(spark, docs, bench) for _ in range(2)]
+        stream_rows = runs[0][1]
+        assert all(r[1] == stream_rows for r in runs)
+        stream_secs = {
+            k: min(r[0][k] for r in runs) for k in runs[0][0]
+        }
+        # packed ROW COUNT is arrival-order-invariant (chunking is
+        # per-doc; packing reassigns seq ids, never drops rows) — a
+        # mismatch means a composition bug, and the premium numbers
+        # would compare non-equivalent work
+        assert batch_rows == stream_rows, (label, batch_rows, stream_rows)
         out[label] = {
             "k_files": K_FILES,
             "batch": {"total": batch_secs, "rows": batch_rows},
