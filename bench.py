@@ -81,12 +81,22 @@ def extra_queries():
     """Bench-only callables for operators outside the driver catalog —
     same (spark, sf_dir) -> DataFrame shape as catalog specs.
     text_lang_fingerprint rotated out of the catalog r10 (slot ->
-    train_split_shards) but keeps its headline line here so the
-    cross-round series stays unbroken; its oracle parity lives in
-    tests/test_queries.py."""
-    from gus_spark.queries.text import text_lang_fingerprint
+    train_split_shards); text_profile + repetition_profile rotated
+    late r10 (folded into the text_repetition_profile row, slot ->
+    perplexity_buckets_docs). All three keep their headline lines
+    here so the cross-round series stays unbroken; oracle parity
+    lives in tests/test_queries.py."""
+    from gus_spark.queries.text import (
+        repetition_profile,
+        text_lang_fingerprint,
+        text_profile,
+    )
 
-    return {"text_lang_fingerprint": text_lang_fingerprint}
+    return {
+        "text_lang_fingerprint": text_lang_fingerprint,
+        "text_profile": text_profile,
+        "repetition_profile": repetition_profile,
+    }
 
 
 #: Outlier-guard trigger (VERDICT r8 "What's wrong #1"): a transient

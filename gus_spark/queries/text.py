@@ -38,9 +38,14 @@ def _sql_occurrences(expr: str, needle: str) -> str:
     )
 
 
-@register(
-    "text_profile",
-    oracle=f"""
+# No longer a standalone catalog oracle (rotated late round 10: the
+# two 500-row per-doc profiles — this and repetition_profile — fold
+# into ONE catalog row, `text_repetition_profile` below, per VERDICT
+# r9's rotation suggestion, freeing the slot perplexity_buckets_docs
+# took). Full value parity stays asserted every run in
+# tests/test_queries.py::test_text_profile_matches_oracle and the
+# query keeps its headline bench line via bench.extra_queries.
+TEXT_PROFILE_ORACLE = f"""
     SELECT doc_id,
            LENGTH(text) AS len_chars,
            CAST(LENGTH(string_split_regex(TRIM(text), '\\s+')) AS BIGINT)
@@ -62,8 +67,9 @@ def _sql_occurrences(expr: str, needle: str) -> str:
            CAST(LENGTH(text) - LENGTH(REPLACE(REPLACE(REPLACE(text, '.', ''),
                 ',', ''), '!', '')) AS DOUBLE) / LENGTH(text) AS punct_ratio
     FROM documents
-    """,
-)
+    """
+
+
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile in one scan (merges the former
     `text_token_counts`, `text_bpe_token_counts`, `text_quality_scores`
@@ -208,9 +214,11 @@ def text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "repetition_profile",
-    oracle=r"""
+# No longer a standalone catalog oracle (rotated late round 10 into
+# the fused `text_repetition_profile` row below; parity stays in
+# tests/test_queries.py::test_repetition_profile_matches_oracle, the
+# headline bench line continues via bench.extra_queries).
+REPETITION_PROFILE_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
       FROM documents WHERE text IS NOT NULL),
@@ -250,8 +258,9 @@ def text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                         > 0.08)
                 THEN 1 ELSE 0 END AS is_repetitive
     FROM tstats t LEFT JOIN bstats ON t.doc_id = bstats.doc_id
-    """,
-)
+    """
+
+
 def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition gate (Rae et al. 2021,
     §A1.1): duplicate-token fraction, most-common-token share, and the
@@ -306,6 +315,96 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_repetitive"),
     )
+
+
+#: repetition columns the fused probe carries (n_tokens /
+#: n_unique_tokens are text_profile's copies — same raw tokenizer,
+#: same values; asserted equal in test_queries.py)
+_REP_ONLY_COLS = [
+    "top_token_count", "n_bigrams", "n_unique_bigrams",
+    "top_bigram_count", "dup_token_frac", "top_token_frac",
+    "dup_bigram_frac", "top_bigram_frac", "is_repetitive",
+]
+
+
+@register(
+    "text_repetition_profile",
+    oracle=f"""
+    WITH tp AS ({TEXT_PROFILE_ORACLE}),
+         rp AS ({REPETITION_PROFILE_ORACLE})
+    SELECT tp.*, {', '.join(f'rp.{c}' for c in _REP_ONLY_COLS)}
+    FROM tp JOIN rp ON tp.doc_id = rp.doc_id
+    """,
+)
+def text_repetition_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full per-document profile in one catalog row — the text
+    battery (token/subtoken counts, quality-filter ratios) joined 1:1
+    on doc_id with the Gopher repetition gate (late r10: VERDICT r9's
+    fold of the two 500-row profiles, freeing the slot
+    `perplexity_buckets_docs` took; each component keeps standalone
+    parity in test_queries.py and its own headline bench line). The
+    join is the one exchange the fusion adds — both sides stay their
+    zero-shuffle selves (JVM expression battery; Arrow count kernel)
+    and at scale it is a doc-keyed equi-join of two 1:1 projections,
+    the canonical profile-table shape."""
+    tp = text_profile(spark, sf_dir)
+    rp = repetition_profile(spark, sf_dir).select(
+        "doc_id", *_REP_ONLY_COLS
+    )
+    return tp.join(rp, "doc_id")
+
+
+def _ppl_bucket_oracle() -> str:
+    from gus_spark.operators.lm import sql_perplexity_buckets
+
+    return f"""
+    WITH scored AS ({_PPL_SEED_SQL})
+    {sql_perplexity_buckets("scored")}
+    """
+
+
+#: Seeded perplexity scores for the bucket probe (the redact_pii
+#: in-query seeding precedent — perplexity_score's Arrow backoff walk
+#: has no SQL twin, but the BUCKETING contract does): a deterministic
+#: doc_id-derived double with in-language ties (the id tie-break must
+#: decide) and a NULL every 97th doc (the null-routing contract).
+_PPL_SEED_SQL = """
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 97 = 0 THEN NULL
+                ELSE CAST((doc_id * 37) % 100 AS DOUBLE) / 25 END
+             AS log10_ppl
+    FROM documents
+"""
+
+
+@register("perplexity_buckets_docs", oracle=_ppl_bucket_oracle())
+def perplexity_buckets_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet head/middle/tail assignment (operators/lm.py
+    perplexity_buckets, late r10) as a driver-checked row: per
+    language, ascending-perplexity thirds by exact integer-rational
+    cuts (rank*den <= n*num), ties broken by doc_id, NULL scores
+    routed to a NULL bucket. Scores are SEEDED deterministically from
+    doc_id identically in both engines (the redact_pii precedent;
+    the real scorer perplexity_score is Arrow-kernel-backed and
+    parity-tested against a pure-Python reference in test_lm.py —
+    what this row checks end-to-end is the bucketing tier the scale
+    pipeline consumes). One lang-keyed window exchange; the approx
+    (no-sort) tier is graded against this exact tier in test_lm.py."""
+    from gus_spark.operators.lm import perplexity_buckets
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("doc_id") % 97 == 0, F.lit(None))
+        .otherwise(((F.col("doc_id") * 37) % 100).cast("double") / 25)
+        .alias("log10_ppl"),
+    )
+    return perplexity_buckets(scored)
 
 
 def _redact_seed_sql() -> str:

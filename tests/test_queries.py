@@ -22,7 +22,7 @@ SPOT_CHECK = [
     "q3_shipping_priority",
     "window_orders_analytics",
     "events_sessionization",
-    "text_profile",
+    "text_repetition_profile",
     "dedup_winnow_pairs",
     "similarity_topk_for_vec0",
 ]
@@ -76,6 +76,52 @@ def test_text_lang_fingerprint_matches_oracle(spark, duck):
     sdf = text_lang_fingerprint(spark, SF_DIR_ORACLE).toPandas()
     odf = duck.execute(LANG_FINGERPRINT_ORACLE).df()
     assert frame_key(sdf) == frame_key(odf)
+
+
+def test_text_profile_matches_oracle(spark, duck):
+    """text_profile rotated out of the catalog (late r10, folded into
+    text_repetition_profile; slot -> perplexity_buckets_docs) but
+    keeps full value coverage here."""
+    from gus_spark.queries.text import TEXT_PROFILE_ORACLE, text_profile
+
+    sdf = text_profile(spark, SF_DIR_ORACLE).toPandas()
+    odf = duck.execute(TEXT_PROFILE_ORACLE).df()
+    assert frame_key(sdf) == frame_key(odf)
+
+
+def test_repetition_profile_matches_oracle(spark, duck):
+    """repetition_profile rotated out of the catalog (late r10, same
+    fold) but keeps full value coverage here — including the oracle's
+    independent recount from token STRINGS."""
+    from gus_spark.queries.text import (
+        REPETITION_PROFILE_ORACLE,
+        repetition_profile,
+    )
+
+    sdf = repetition_profile(spark, SF_DIR_ORACLE).toPandas()
+    odf = duck.execute(REPETITION_PROFILE_ORACLE).df()
+    assert frame_key(sdf) == frame_key(odf)
+
+
+def test_fused_profile_token_columns_agree(spark):
+    """The fused row carries text_profile's n_tokens/n_unique_tokens
+    and drops repetition_profile's copies — legal only while the two
+    tokenize identically. Pin that equality."""
+    from gus_spark.queries.text import repetition_profile, text_profile
+
+    tp = {
+        r.doc_id: (r.n_tokens, r.n_unique_tokens)
+        for r in text_profile(spark, SF_DIR_ORACLE)
+        .select("doc_id", "n_tokens", "n_unique_tokens")
+        .collect()
+    }
+    rp = {
+        r.doc_id: (r.n_tokens, r.n_unique_tokens)
+        for r in repetition_profile(spark, SF_DIR_ORACLE)
+        .select("doc_id", "n_tokens", "n_unique_tokens")
+        .collect()
+    }
+    assert tp == rp
 
 
 def test_dedup_simhash_matches_oracle(spark, duck):
