@@ -288,8 +288,24 @@ def run_pipeline(
         stats["lm_ppl_p50"] = (
             round(p50, 3) if p50 is not None else None
         )
+        # CCNet head/middle/tail over the same scores (late r10) —
+        # the approx tier (per-lang thresholds, no sort), the shape a
+        # corpus-scale run would use; reported, not gated here
+        from gus_spark.operators.lm import perplexity_buckets
+
+        buckets = perplexity_buckets(
+            ppl.join(quality.select("doc_id", "lang"), "doc_id"),
+            tier="approx",
+        )
+        stats["ccnet_buckets"] = {
+            r["bucket"]: r["n"]
+            for r in buckets.groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
     else:  # empty corpus: fit would raise, percentile would be NULL
         stats["lm_ppl_p50"] = None
+        stats["ccnet_buckets"] = {}
     mark("lm_report")
 
     # 4c. DSIR importance report (Xie et al. 2023) through the hashed
@@ -457,6 +473,44 @@ def run_pipeline(
         os.path.join(out_dir, "packed_sequences")
     )
     mark("chunk_pack")
+
+    # 8. the loader boundary (late r10): assemble each packed sequence
+    # into one training example and materialize the split + seeded
+    # global order as pos-ordered shard files with a resume cursor —
+    # the pipeline now ends at the contract a training loader actually
+    # reads. (pack's own shard/seq columns are packing-internal; the
+    # writer derives loader shards from the sequence uid.)
+    from gus_spark.operators.splits import write_training_shards
+
+    seq_rows = packed.groupBy("shard", "seq_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("doc_id", "chunk_index", "chunk_text")
+                    )
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("text")
+    ).select(
+        (F.col("shard").cast("long") * 10_000_000 + F.col("seq_id"))
+        .alias("seq_uid"),
+        "text",
+    )
+    manifest = write_training_shards(
+        seq_rows,
+        os.path.join(out_dir, "train_shards"),
+        shards=pack_shards,
+        id_col="seq_uid",
+    )
+    stats["loader_rows"] = manifest["total_rows"]
+    stats["loader_split_rows"] = {
+        split: sum(counts.values())
+        for split, counts in sorted(manifest["shard_rows"].items())
+    }
+    mark("loader_shards")
     stats["stage_secs"] = stage_secs
     stats["total_secs"] = round(sum(stage_secs.values()), 3)
     return stats
