@@ -872,9 +872,26 @@ class MinHashIndex:
         return n
 
     # ------------------------------------------------------------ maintenance
-    def health(self) -> dict:
+    def health(self, occupancy: bool = False) -> dict:
         """Band/shingle layout health from filesystem metadata only —
-        the MinHashIndex twin of ParquetStore.table_health."""
+        the MinHashIndex twin of ParquetStore.table_health.
+
+        ``occupancy=True`` additionally runs ONE aggregation over the
+        persisted band table and reports the bucket-occupancy regime —
+        the signal that catches a degenerate shingle setting at build
+        time instead of in a blown-up verify stage (late r10: the
+        ngram=1 default on a shared-vocabulary corpus silently drove
+        banding toward all-pairs — 9.46M candidate pairs from 5k docs
+        — and nothing in the index said so). Healthy banding over a
+        diverse corpus has mean occupancy ≈ 1 + tiny (uniform 64-bit
+        band keys: only true near-dups co-bucket); candidate-pair
+        volume is Σ c·(c−1)/2 over bucket sizes c, reported as
+        ``candidate_pairs``. Read ``mean_occupancy`` >> 1 or
+        ``candidate_pairs`` >> expected duplicates as 'the shingle
+        unit does not separate this corpus — raise ngram'. Cost: one
+        count-per-bucket aggregation (the same exchange shape one
+        add's candidate step pays), so it is an on-demand probe, not
+        part of every call."""
         import os
 
         from gus_spark.storage.deltas import count_parquet_files
@@ -893,6 +910,33 @@ class MinHashIndex:
                 if os.path.isdir(base)
                 else 0
             )
+        if occupancy:
+            bands = self._read_or_none(self._bands_path())
+            if bands is None:
+                out["occupancy"] = None
+            else:
+                row = (
+                    bands.groupBy("band_id", "band_hash")
+                    .agg(F.count("*").alias("c"))
+                    .agg(
+                        F.count("*").alias("buckets"),
+                        F.sum("c").alias("rows"),
+                        F.max("c").alias("max_bucket"),
+                        F.sum(
+                            F.col("c") * (F.col("c") - 1) / 2
+                        ).alias("cand"),
+                    )
+                    .first()
+                )
+                out["occupancy"] = {
+                    "band_rows": row["rows"],
+                    "buckets": row["buckets"],
+                    "mean_occupancy": round(
+                        row["rows"] / row["buckets"], 4
+                    ),
+                    "max_bucket": row["max_bucket"],
+                    "candidate_pairs": int(row["cand"]),
+                }
         return out
 
     def maintain(

@@ -141,3 +141,38 @@ def test_minhash_pairs_log_retention_and_legacy_rejection(spark, tmp_path):
         idx.add_and_find(
             docs.filter(F.col("doc_id") < 5), batch_key="b9"
         )
+
+
+def test_minhash_occupancy_health_flags_degenerate_shingles(
+    spark, tmp_path
+):
+    """health(occupancy=True): the band-bucket occupancy probe must
+    SEPARATE a healthy shingle regime from a degenerate one at build
+    time (late r10: ngram=1 on a shared-vocabulary corpus silently
+    drove banding near-all-pairs; nothing in the index said so until
+    the verify stage blew up). On the same 60 docs, ngram=1 buckets
+    unrelated docs together (candidate_pairs >> docs) while ngram=3
+    stays near-singleton."""
+    from gus_spark.operators.dedup import MinHashIndex
+
+    docs = table(spark, SF_DIR, "documents").limit(60)
+    probes = {}
+    for n in (1, 3):
+        idx = MinHashIndex(
+            spark, str(tmp_path / f"mh_n{n}"), ngram=n
+        )
+        idx.add_and_find(docs, batch_key="b0").count()
+        probes[n] = idx.health(occupancy=True)["occupancy"]
+    # internal consistency: rows = 32 bands x docs, buckets <= rows
+    for occ in probes.values():
+        assert occ["band_rows"] == 32 * 60
+        assert occ["buckets"] <= occ["band_rows"]
+        assert occ["mean_occupancy"] >= 1.0
+    # the signal: the degenerate regime is glaring, not marginal
+    assert probes[1]["candidate_pairs"] > 10 * probes[3]["candidate_pairs"] + 100
+    assert probes[1]["mean_occupancy"] > 1.5
+    assert probes[3]["mean_occupancy"] < 1.1
+    assert probes[3]["max_bucket"] <= 3
+    # empty index: probe reports None rather than failing
+    empty = MinHashIndex(spark, str(tmp_path / "mh_empty"))
+    assert empty.health(occupancy=True)["occupancy"] is None
