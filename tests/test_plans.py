@@ -244,8 +244,21 @@ def test_repetition_profile_no_keyed_shuffle(spark):
     allowed Exchange is ensure_parallelism's round-robin respread of
     the single local input file — a no-op on real multi-file inputs).
     A hashpartitioning exchange here means the explode/groupBy jvm
-    formulation leaked into the default path."""
-    plan = plan_of(spark, "repetition_profile", mode="simple")
+    formulation leaked into the default path. (repetition_profile
+    rotated out of the catalog late r10 — folded into
+    text_repetition_profile — so the standalone function is driven
+    directly; its zero-keyed-shuffle plan is exactly what the fused
+    row's join side inherits.)"""
+    import contextlib
+    import io
+
+    from gus_spark.queries.text import repetition_profile
+
+    df = repetition_profile(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    plan = buf.getvalue()
     assert plan.count("Scan parquet") == 1, plan
     ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert all("RoundRobinPartitioning" in ln for ln in ex), plan
