@@ -211,3 +211,157 @@ def temperature_weights(
     smoothed = {d: (c / total) ** alpha for d, c in token_counts.items()}
     z = sum(smoothed.values())
     return {d: s / z for d, s in smoothed.items()}
+
+
+# ----------------------------------------------------- per-group caps
+
+def _cap_bucket(id_col: Column, seed: str) -> Column:
+    """Uniform 60-bit integer from (seed, id) — the splits.py
+    portable md5-prefix identity, reused so the default priority is
+    engine-portable and decorrelated from every other seeded choice
+    in the repo by the seed string."""
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def _sql_cap_bucket(id_expr: str, seed: str) -> str:
+    quoted = seed.replace("'", "''")
+    return (
+        "CAST(('0x' || substr(md5('" + quoted + ":' || "
+        f"CAST({id_expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    max_rows: int = 1000,
+    id_col: str = "doc_id",
+    priority_col: str | None = None,
+    seed: str = "cap-v1",
+    tier: str = "exact",
+    margin: float | None = None,
+) -> DataFrame:
+    """Over-representation cap (the RefinedWeb/MassiveWeb-style
+    domain-balance gate: Penedo et al. 2023 keep a bounded number of
+    documents per registered domain so head domains cannot dominate
+    the mixture): keep AT MOST ``max_rows`` rows per ``group_col``
+    value, survivors the lowest (priority, id) — ``priority_col``
+    ascending when given (put your quality rank there, best-first),
+    else a seeded portable hash (a deterministic uniform
+    sample-without-replacement per group; same seed → same survivors
+    on any cluster, any partitioning). Deterministic total order —
+    ties in priority break by id.
+
+    Tiers (the repo's exact/scale pattern):
+
+    - ``'exact'``: ONE group-keyed window (rank <= max_rows). The
+      per-group sort is the cost: a planet-sized head domain sorts
+      all its rows in one task's spill space.
+    - ``'prefilter'`` (default-priority mode only): per-group counts
+      (one agg, a row per group) joined back, then rows with hash
+      bucket beyond ~(max_rows * margin / n_g) of the 60-bit space
+      are dropped BEFORE the ranking window — the window then sorts
+      ~max_rows * margin rows per group regardless of group size,
+      which is the 100-TB shape. Because the hash is uniform, the
+      prefilter admits >= max_rows survivors except with binomial-
+      tail probability; ``margin`` defaults to 1 + 6/sqrt(max_rows)
+      (≈ +6 sigma). The function VERIFIES the guarantee per group
+      (one more count agg over prefilter survivors — rows per group,
+      not corpus) and raises with guidance if any capped group
+      under-admitted, so a too-tight margin is loud, never a silent
+      under-cap. Identical output to the exact tier (asserted in
+      tests) — the prefilter only removes rows the rank would drop.
+
+    Output: the input columns (priority hash column never
+    materializes in the result)."""
+    if max_rows < 1:
+        raise ValueError(f"max_rows must be >= 1, got {max_rows}")
+    from pyspark.sql import Window
+
+    pri = (
+        F.col(priority_col)
+        if priority_col is not None
+        else _cap_bucket(F.col(id_col), seed)
+    )
+    w = Window.partitionBy(group_col).orderBy(pri, id_col)
+    if tier == "exact":
+        return (
+            df.withColumn("_rnk", F.row_number().over(w))
+            .filter(F.col("_rnk") <= max_rows)
+            .drop("_rnk")
+        )
+    if tier != "prefilter":
+        raise ValueError(f"unknown tier {tier!r}")
+    if priority_col is not None:
+        raise ValueError(
+            "tier='prefilter' thresholds the seeded uniform hash; a "
+            "custom priority_col has no known distribution to "
+            "threshold — use tier='exact' (or rank your priority "
+            "into a uniform key first)"
+        )
+    if margin is None:
+        margin = 1.0 + 6.0 / (max_rows ** 0.5)
+    space = 16 ** 15
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_ng"))
+    # threshold: admit ~max_rows*margin of each over-cap group;
+    # under-cap groups pass whole (threshold >= space)
+    thr = F.when(
+        F.col("_ng") > max_rows,
+        F.least(
+            F.lit(space),
+            (F.lit(float(space) * max_rows * margin) / F.col("_ng"))
+            .cast("long") + 1,
+        ),
+    ).otherwise(F.lit(space))
+    pre = (
+        df.withColumn("_b", _cap_bucket(F.col(id_col), seed))
+        .join(F.broadcast(counts.withColumn("_thr", thr)), group_col)
+        .filter(F.col("_b") < F.col("_thr"))
+    )
+    # loud guarantee check: every group that HAS max_rows+ rows must
+    # still have >= max_rows after the prefilter (bounded agg: one
+    # row per group)
+    short = (
+        pre.groupBy(group_col, "_ng")
+        .agg(F.count("*").alias("_kept"))
+        .filter(
+            (F.col("_ng") > max_rows) & (F.col("_kept") < max_rows)
+        )
+        .limit(1)
+        .collect()
+    )
+    if short:
+        r = short[0]
+        raise ValueError(
+            f"prefilter under-admitted group {r[group_col]!r} "
+            f"({r['_kept']} of the required {max_rows}): margin "
+            f"{margin:.4f} is too tight for this group's hash draw — "
+            "re-run with a larger margin (or tier='exact')"
+        )
+    w_pre = Window.partitionBy(group_col).orderBy("_b", id_col)
+    return (
+        pre.withColumn("_rnk", F.row_number().over(w_pre))
+        .filter(F.col("_rnk") <= max_rows)
+        .drop("_rnk", "_b", "_ng", "_thr")
+    )
+
+
+def sql_cap_per_group(
+    table: str = "documents",
+    group_col: str = "source",
+    max_rows: int = 1000,
+    id_col: str = "doc_id",
+    seed: str = "cap-v1",
+) -> str:
+    """DuckDB twin of the exact tier under the default hash priority."""
+    b = _sql_cap_bucket(id_col, seed)
+    return f"""
+    SELECT * EXCLUDE (_rnk)
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY {group_col} ORDER BY {b}, {id_col}
+             ) AS _rnk
+      FROM {table})
+    WHERE _rnk <= {max_rows}
+    """

@@ -248,3 +248,121 @@ def test_mixture_sample_applies_to_streams(spark, docs, tmp_path):
     }
     plan.unpersist()
     assert got == want and got
+
+
+# ----------------------------------------------------- per-group caps
+class TestCapPerGroup:
+    """cap_per_group (late r10, RefinedWeb-style domain cap): exact
+    tier DuckDB parity, prefilter==exact equality, priority-column
+    mode, determinism, under-cap groups untouched, margin guarantee
+    loudness, validation."""
+
+    # each source holds 25 docs at sf0.01 — the cap must bind
+    CAP = 10
+
+    def test_exact_matches_duckdb_twin(self, spark, docs):
+        import duckdb
+
+        from gus_spark.operators.mixing import (
+            cap_per_group,
+            sql_cap_per_group,
+        )
+        from oracle_harness import frame_key
+
+        got = cap_per_group(
+            docs.select("doc_id", "source"), max_rows=self.CAP
+        ).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW d AS SELECT doc_id, source FROM "
+            f"'{SF_DIR_ORACLE}/documents.parquet'"
+        )
+        want = con.execute(
+            sql_cap_per_group("d", max_rows=self.CAP)
+        ).df()
+        assert frame_key(got) == frame_key(want)
+
+    def test_prefilter_equals_exact(self, spark, docs):
+        from gus_spark.operators.mixing import cap_per_group
+
+        d = docs.select("doc_id", "source")
+        exact = {
+            r.doc_id
+            for r in cap_per_group(d, max_rows=self.CAP).collect()
+        }
+        pre = {
+            r.doc_id
+            for r in cap_per_group(
+                d, max_rows=self.CAP, tier="prefilter"
+            ).collect()
+        }
+        assert pre == exact
+        # per-group sizes honor the cap exactly (every source has
+        # more than CAP docs in this corpus)
+        sizes = {
+            r.source: r.n
+            for r in cap_per_group(d, max_rows=self.CAP)
+            .groupBy("source")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert all(n == self.CAP for n in sizes.values()), sizes
+
+    def test_under_cap_groups_pass_whole(self, spark, docs):
+        from gus_spark.operators.mixing import cap_per_group
+
+        d = docs.select("doc_id", "source")
+        n = d.count()
+        for tier in ("exact", "prefilter"):
+            assert (
+                cap_per_group(d, max_rows=10_000, tier=tier).count()
+                == n
+            ), tier
+
+    def test_priority_column_keeps_best(self, spark, docs):
+        from gus_spark.operators.mixing import cap_per_group
+
+        d = docs.select(
+            "doc_id", "source",
+            (F.col("doc_id") % 101).alias("badness"),
+        )
+        kept = cap_per_group(
+            d, max_rows=self.CAP, priority_col="badness"
+        )
+        # survivors are the CAP lowest (badness, doc_id) per source
+        rows = d.collect()
+        want = set()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r.source, []).append(r)
+        for src, rs in by_src.items():
+            rs.sort(key=lambda r: (r.badness, r.doc_id))
+            want |= {r.doc_id for r in rs[: self.CAP]}
+        assert {r.doc_id for r in kept.collect()} == want
+
+    def test_margin_guarantee_is_loud(self, spark, docs):
+        from gus_spark.operators.mixing import cap_per_group
+
+        with pytest.raises(ValueError, match="margin"):
+            # margin so tight the prefilter cannot admit CAP rows
+            cap_per_group(
+                docs.select("doc_id", "source"),
+                max_rows=self.CAP,
+                tier="prefilter",
+                margin=0.1,
+            ).collect()
+
+    def test_validation(self, spark, docs):
+        from gus_spark.operators.mixing import cap_per_group
+
+        d = docs.select("doc_id", "source")
+        with pytest.raises(ValueError, match="max_rows"):
+            cap_per_group(d, max_rows=0)
+        with pytest.raises(ValueError, match="tier"):
+            cap_per_group(d, tier="banana")
+        with pytest.raises(ValueError, match="priority"):
+            cap_per_group(
+                d.withColumn("p", F.lit(1)),
+                tier="prefilter",
+                priority_col="p",
+            )
