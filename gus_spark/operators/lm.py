@@ -305,29 +305,82 @@ def perplexity_buckets(
             ).otherwise(expr)
         bucketed = ranked.withColumn("bucket", expr).drop("_rnk", "_n")
     elif tier == "approx":
-        pcts = [num / den for num, den in cuts]
-        thresholds = live.groupBy(lang_col).agg(
-            F.percentile_approx(
-                ppl_col, pcts, accuracy
-            ).alias("_cuts")
+        thresholds = perplexity_thresholds(
+            live, lang_col, ppl_col, cuts, accuracy
         )
-        # null-safe: a NULL language is a legitimate group (the exact
-        # tier windows it); a plain equi-join would silently drop it
-        joined = live.join(
-            F.broadcast(thresholds.withColumnRenamed(lang_col, "_tl")),
-            F.col(lang_col).eqNullSafe(F.col("_tl")),
-        ).drop("_tl")
-        expr = F.lit(labels[-1])
-        for i, label in reversed(list(enumerate(labels[:-1]))):
-            expr = F.when(
-                F.col(ppl_col) <= F.element_at("_cuts", i + 1), label
-            ).otherwise(expr)
-        bucketed = joined.withColumn("bucket", expr).drop("_cuts")
+        return assign_buckets(
+            scored, thresholds, lang_col, ppl_col, labels
+        )
     else:
         raise ValueError(f"unknown tier {tier!r}")
     return bucketed.unionByName(
         dead.select(*bucketed.columns)
     )
+
+
+def perplexity_thresholds(
+    scored: DataFrame,
+    lang_col: str = "lang",
+    ppl_col: str = "log10_ppl",
+    cuts: tuple[tuple[int, int], ...] = CCNET_CUTS,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The approx tier's per-language cut thresholds as a standalone
+    (lang, _cuts array) frame — one ``percentile_approx`` aggregation,
+    one output row per language. Split out (late r10) because this IS
+    the frozen artifact CCNet-style serving wants: fit thresholds
+    once on a reference corpus, persist the handful of rows like any
+    table, and label everything that arrives later — including a
+    STREAM: ``assign_buckets`` is a pure broadcast map with no window
+    and no state, safe inside any foreachBatch stage (asserted in
+    test_lm.py). Recomputing thresholds per micro-batch would make
+    bucket boundaries drift with batch composition; freezing them is
+    the semantic CCNet actually has (its LM and cutoffs are fit
+    offline)."""
+    return scored.filter(F.col(ppl_col).isNotNull()).groupBy(
+        lang_col
+    ).agg(
+        F.percentile_approx(
+            ppl_col, [num / den for num, den in cuts], accuracy
+        ).alias("_cuts")
+    )
+
+
+def assign_buckets(
+    scored: DataFrame,
+    thresholds: DataFrame,
+    lang_col: str = "lang",
+    ppl_col: str = "log10_ppl",
+    labels: tuple[str, ...] = CCNET_LABELS,
+) -> DataFrame:
+    """Label ``scored`` against FROZEN per-language thresholds
+    (`perplexity_thresholds` output, broadcast): a pure map — no
+    sort, no window, no state at any scale. NULL scores get a NULL
+    bucket; a language absent from the thresholds labels NULL too
+    (scored-after-fit languages have no defined distribution — a
+    loud-by-NULL outcome rather than a silent guess)."""
+    live = scored.filter(F.col(ppl_col).isNotNull())
+    dead = scored.filter(F.col(ppl_col).isNull()).withColumn(
+        "bucket", F.lit(None).cast("string")
+    )
+    # null-safe: a NULL language is a legitimate group (the exact
+    # tier windows it); a plain equi-join would silently drop it
+    joined = live.join(
+        F.broadcast(
+            thresholds.withColumnRenamed(lang_col, "_tl")
+        ),
+        F.col(lang_col).eqNullSafe(F.col("_tl")),
+        "left",
+    ).drop("_tl")
+    expr = F.when(
+        F.col("_cuts").isNull(), F.lit(None).cast("string")
+    ).otherwise(F.lit(labels[-1]))
+    for i, label in reversed(list(enumerate(labels[:-1]))):
+        expr = F.when(
+            F.col(ppl_col) <= F.element_at("_cuts", i + 1), label
+        ).otherwise(expr)
+    bucketed = joined.withColumn("bucket", expr).drop("_cuts")
+    return bucketed.unionByName(dead.select(*bucketed.columns))
 
 
 def sql_perplexity_buckets(

@@ -349,3 +349,68 @@ class TestPerplexityBuckets:
         }
         langs = {r.lang for r in out}
         assert langs  # lang survived the composition
+
+    def test_frozen_thresholds_label_a_stream(self, spark, tmp_path):
+        """perplexity_thresholds -> assign_buckets is the CCNet
+        serving shape: thresholds fit ONCE (a row per language),
+        then labeling is a pure broadcast map — identical to the
+        fused approx tier on the fit corpus, NULL for languages the
+        fit never saw, and safe inside foreachBatch (no window, no
+        state): a streamed micro-batch labels bit-identically to the
+        batch map."""
+        from pyspark.sql import functions as F
+
+        from gus_spark.operators.lm import (
+            assign_buckets,
+            perplexity_buckets,
+            perplexity_thresholds,
+        )
+
+        scored = self._scored(spark)
+        thresholds = perplexity_thresholds(scored)
+        want = {
+            r.doc_id: r.bucket
+            for r in assign_buckets(scored, thresholds).collect()
+        }
+        fused = {
+            r.doc_id: r.bucket
+            for r in perplexity_buckets(scored, tier="approx").collect()
+        }
+        assert want == fused
+        # a language outside the fit has no defined distribution
+        alien = spark.createDataFrame(
+            [(9999, "xx", 1.5)],
+            "doc_id long, lang string, log10_ppl double",
+        )
+        assert (
+            assign_buckets(alien, thresholds).first().bucket is None
+        )
+        # stream the scored frame through foreachBatch with the
+        # FROZEN thresholds
+        src = str(tmp_path / "scored_src")
+        scored.repartition(2).write.parquet(src)
+        out_dir = str(tmp_path / "labeled")
+        schema = spark.read.parquet(src).schema
+
+        def label(batch_df, batch_id):
+            assign_buckets(batch_df, thresholds).write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/batch={batch_id}")
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(label)
+            .option(
+                "checkpointLocation", str(tmp_path / "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.doc_id: r.bucket
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert got == want
