@@ -928,15 +928,21 @@ class MinHashIndex:
                     )
                     .first()
                 )
-                out["occupancy"] = {
-                    "band_rows": row["rows"],
-                    "buckets": row["buckets"],
-                    "mean_occupancy": round(
-                        row["rows"] / row["buckets"], 4
-                    ),
-                    "max_bucket": row["max_bucket"],
-                    "candidate_pairs": int(row["cand"]),
-                }
+                if not row["buckets"]:
+                    # a bands dir can exist with zero rows (e.g. a
+                    # fold after every doc was tombstoned): report
+                    # empty, don't divide by it
+                    out["occupancy"] = None
+                else:
+                    out["occupancy"] = {
+                        "band_rows": row["rows"],
+                        "buckets": row["buckets"],
+                        "mean_occupancy": round(
+                            row["rows"] / row["buckets"], 4
+                        ),
+                        "max_bucket": row["max_bucket"],
+                        "candidate_pairs": int(row["cand"]),
+                    }
         return out
 
     def maintain(

@@ -215,21 +215,18 @@ def temperature_weights(
 
 # ----------------------------------------------------- per-group caps
 
-def _cap_bucket(id_col: Column, seed: str) -> Column:
-    """Uniform 60-bit integer from (seed, id) — the splits.py
-    portable md5-prefix identity, reused so the default priority is
-    engine-portable and decorrelated from every other seeded choice
-    in the repo by the seed string."""
-    h = F.md5(F.concat(F.lit(seed), F.lit(":"), id_col.cast("string")))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
-
-
-def _sql_cap_bucket(id_expr: str, seed: str) -> str:
-    quoted = seed.replace("'", "''")
-    return (
-        "CAST(('0x' || substr(md5('" + quoted + ":' || "
-        f"CAST({id_expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
-    )
+# the splits.py portable md5-prefix identity, REUSED (one definition
+# of the engine-portability-critical hash) — the seed string alone
+# decorrelates the cap draw from every other seeded choice in the repo
+from gus_spark.operators.splits import (  # noqa: E402
+    _SPACE as _CAP_SPACE,
+)
+from gus_spark.operators.splits import (  # noqa: E402
+    _bucket as _cap_bucket,
+)
+from gus_spark.operators.splits import (  # noqa: E402
+    _sql_bucket as _sql_cap_bucket,
+)
 
 
 def cap_per_group(
@@ -302,7 +299,7 @@ def cap_per_group(
         )
     if margin is None:
         margin = 1.0 + 6.0 / (max_rows ** 0.5)
-    space = 16 ** 15
+    space = _CAP_SPACE
     counts = df.groupBy(group_col).agg(F.count("*").alias("_ng"))
     # threshold: admit ~max_rows*margin of each over-cap group;
     # under-cap groups pass whole (threshold >= space)
@@ -314,20 +311,36 @@ def cap_per_group(
             .cast("long") + 1,
         ),
     ).otherwise(F.lit(space))
+    counts = counts.withColumn("_thr", thr)
+    # null-safe: a NULL group is a legitimate group (the exact tier
+    # windows it); a plain equi-join would silently drop its rows
     pre = (
         df.withColumn("_b", _cap_bucket(F.col(id_col), seed))
-        .join(F.broadcast(counts.withColumn("_thr", thr)), group_col)
+        .join(
+            F.broadcast(
+                counts.withColumnRenamed(group_col, "_cg")
+            ),
+            F.col(group_col).eqNullSafe(F.col("_cg")),
+        )
+        .drop("_cg")
         .filter(F.col("_b") < F.col("_thr"))
     )
     # loud guarantee check: every group that HAS max_rows+ rows must
-    # still have >= max_rows after the prefilter (bounded agg: one
-    # row per group)
+    # still have >= max_rows after the prefilter. Aggregate kept
+    # counts and join them back onto `counts` — which holds EVERY
+    # group — so a group the threshold wiped out entirely (kept = 0,
+    # hence absent from the survivor agg) is still detected. Bounded:
+    # one row per group on both sides.
+    kept = pre.groupBy(group_col).agg(F.count("*").alias("_kept"))
     short = (
-        pre.groupBy(group_col, "_ng")
-        .agg(F.count("*").alias("_kept"))
-        .filter(
-            (F.col("_ng") > max_rows) & (F.col("_kept") < max_rows)
+        counts.filter(F.col("_ng") > max_rows)
+        .join(
+            kept.withColumnRenamed(group_col, "_kg"),
+            F.col(group_col).eqNullSafe(F.col("_kg")),
+            "left",
         )
+        .withColumn("_kept", F.coalesce("_kept", F.lit(0)))
+        .filter(F.col("_kept") < max_rows)
         .limit(1)
         .collect()
     )

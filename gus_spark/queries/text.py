@@ -333,7 +333,7 @@ _REP_ONLY_COLS = [
     WITH tp AS ({TEXT_PROFILE_ORACLE}),
          rp AS ({REPETITION_PROFILE_ORACLE})
     SELECT tp.*, {', '.join(f'rp.{c}' for c in _REP_ONLY_COLS)}
-    FROM tp JOIN rp ON tp.doc_id = rp.doc_id
+    FROM tp LEFT JOIN rp ON tp.doc_id = rp.doc_id
     """,
 )
 def text_repetition_profile(
@@ -348,12 +348,16 @@ def text_repetition_profile(
     join is the one exchange the fusion adds — both sides stay their
     zero-shuffle selves (JVM expression battery; Arrow count kernel)
     and at scale it is a doc-keyed equi-join of two 1:1 projections,
-    the canonical profile-table shape."""
+    the canonical profile-table shape. LEFT join: the repetition side
+    omits NULL-text docs (its kernel has no tokens to count) while
+    the text battery reports them with NULL metrics — the fused row
+    must keep the pre-fold text_profile's full per-doc coverage, so
+    those docs carry NULL repetition columns rather than vanishing."""
     tp = text_profile(spark, sf_dir)
     rp = repetition_profile(spark, sf_dir).select(
         "doc_id", *_REP_ONLY_COLS
     )
-    return tp.join(rp, "doc_id")
+    return tp.join(rp, "doc_id", "left")
 
 
 def _ppl_bucket_oracle() -> str:

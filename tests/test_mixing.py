@@ -366,3 +366,37 @@ class TestCapPerGroup:
                 tier="prefilter",
                 priority_col="p",
             )
+
+    def test_null_group_is_capped_not_dropped(self, spark, docs):
+        from gus_spark.operators.mixing import cap_per_group
+
+        d = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 3 == 0, None)
+            .otherwise(F.col("source"))
+            .alias("source"),
+        )
+        got = {}
+        for tier in ("exact", "prefilter"):
+            out = cap_per_group(d, max_rows=5, tier=tier).collect()
+            got[tier] = {
+                r.doc_id for r in out if r.source is None
+            }
+            assert len(got[tier]) == 5, tier  # NULL group capped
+        assert got["exact"] == got["prefilter"]
+
+    def test_vanished_group_is_loud(self, spark, docs):
+        """A margin so tight the threshold admits ZERO rows of an
+        over-cap group: the group is absent from the survivor agg, so
+        the guarantee check must find it through the counts side
+        (which holds every group) and raise — never silently emit a
+        capped output missing the group entirely."""
+        from gus_spark.operators.mixing import cap_per_group
+
+        one = docs.select(
+            "doc_id", F.lit("only").alias("source")
+        ).limit(5)
+        with pytest.raises(ValueError, match="margin"):
+            cap_per_group(
+                one, max_rows=1, tier="prefilter", margin=1e-12
+            )

@@ -17,8 +17,14 @@ from conftest import SF_DIR
 from gus_spark.queries import catalog
 
 
-def plan_of(spark, name: str, mode: str = "formatted") -> str:
-    df = catalog()[name].fn(spark, SF_DIR)
+def plan_of(spark, name_or_df, mode: str = "formatted") -> str:
+    """Explain a catalog query (by name) or any DataFrame — one
+    capture path for every plan assertion in this file."""
+    df = (
+        catalog()[name_or_df].fn(spark, SF_DIR)
+        if isinstance(name_or_df, str)
+        else name_or_df
+    )
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(mode=mode)
@@ -249,16 +255,11 @@ def test_repetition_profile_no_keyed_shuffle(spark):
     text_repetition_profile — so the standalone function is driven
     directly; its zero-keyed-shuffle plan is exactly what the fused
     row's join side inherits.)"""
-    import contextlib
-    import io
-
     from gus_spark.queries.text import repetition_profile
 
-    df = repetition_profile(spark, SF_DIR)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode="simple")
-    plan = buf.getvalue()
+    plan = plan_of(
+        spark, repetition_profile(spark, SF_DIR), mode="simple"
+    )
     assert plan.count("Scan parquet") == 1, plan
     ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert all("RoundRobinPartitioning" in ln for ln in ex), plan

@@ -495,8 +495,14 @@ def run_pipeline(
             " ",
         ).alias("text")
     ).select(
-        (F.col("shard").cast("long") * 10_000_000 + F.col("seq_id"))
-        .alias("seq_uid"),
+        # shard in the high 23 bits, seq_id below: collision-free up
+        # to 2^40 sequences per shard (a plain decimal multiplier
+        # would wrap at 10M sequences/shard and silently merge two
+        # training examples under one loader id)
+        (
+            F.shiftleft(F.col("shard").cast("long"), 40)
+            + F.col("seq_id")
+        ).alias("seq_uid"),
         "text",
     )
     manifest = write_training_shards(

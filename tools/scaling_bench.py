@@ -91,9 +91,15 @@ def main() -> None:
     if "10" not in sfs and os.path.isdir(sf10_dir):
         sfs.append("10")
         dirs["10"] = sf10_dir
+    # rotated-out-of-catalog queries keep their scaling lines through
+    # the same extras fallback bench.py uses (text_profile /
+    # repetition_profile folded into text_repetition_profile late r10)
+    from bench import extra_queries
+
+    extras = extra_queries()
     out: dict[str, dict] = {}
     for name in QUERIES:
-        fn = specs[name].fn
+        fn = specs[name].fn if name in specs else extras[name]
         secs: dict[str, float] = {}
         for sf in sfs:
             sf_dir = dirs[sf]
