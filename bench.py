@@ -74,6 +74,9 @@ HEADLINE = [
     # — so it reads higher than r8's two-source bench-only line by the
     # phrase tier's cost; compare r9-to-r9 onward.
     "hybrid_rrf_topk",
+    # ADDED r11 (no rotation): the RefinedWeb per-group cap, measured
+    # on its prefilter scale tier (the catalog form) — additive line.
+    "cap_per_group_docs",
 ]
 
 
@@ -86,6 +89,7 @@ def extra_queries():
     perplexity_buckets_docs). All three keep their headline lines
     here so the cross-round series stays unbroken; oracle parity
     lives in tests/test_queries.py."""
+    from gus_spark.queries.dedup import dedup_exact_representatives
     from gus_spark.queries.text import (
         repetition_profile,
         text_lang_fingerprint,
@@ -96,6 +100,9 @@ def extra_queries():
         "text_lang_fingerprint": text_lang_fingerprint,
         "text_profile": text_profile,
         "repetition_profile": repetition_profile,
+        # rotated out of the catalog r11 (slot -> cap_per_group_docs);
+        # headline line continues, parity lives in tests/test_queries.py
+        "dedup_exact_representatives": dedup_exact_representatives,
     }
 
 
@@ -163,8 +170,20 @@ def bench_reps() -> int:
     return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 
+#: Sub-second noise floor (VERDICT r10 "What's wrong #2"): lines whose
+#: best rep lands under this many seconds are dominated by fixed
+#: scheduling/codegen jitter, where min-of-3 still wanders ±20-30% on
+#: untouched code — below the outlier guard's trigger but wide enough
+#: to consume regression-analysis time every round. Such lines take
+#: extra reps (to min-of-FAST_LINE_REPS total) inside the same warm
+#: JVM; the marginal cost is a few hundred ms per fast line.
+FAST_LINE_SEC = 1.5
+FAST_LINE_REPS = 5
+
+
 def time_one(name: str, sf_dir: str) -> float:
-    """Warm once, then min-of-N — called inside the per-query JVM."""
+    """Warm once, then min-of-N (min-of-FAST_LINE_REPS when the line
+    reads under FAST_LINE_SEC) — called inside the per-query JVM."""
     from gus_spark.queries import catalog
     from gus_spark.session import get_spark
 
@@ -173,10 +192,15 @@ def time_one(name: str, sf_dir: str) -> float:
     fn = specs[name].fn if name in specs else extra_queries()[name]
     fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     best = float("inf")
-    for _ in range(bench_reps()):
+    done = 0
+    target = bench_reps()
+    while done < target:
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = min(best, time.time() - t0)
+        done += 1
+        if done == target and best < FAST_LINE_SEC:
+            target = max(target, FAST_LINE_REPS)
     return best
 
 

@@ -276,6 +276,18 @@ def cap_per_group(
         raise ValueError(f"max_rows must be >= 1, got {max_rows}")
     from pyspark.sql import Window
 
+    # loud on derived-name collisions (the write_training_shards
+    # pattern): a silent overwrite-then-drop would discard a caller
+    # column; prefilter additionally equi-joins on _ng/_thr, where a
+    # duplicate name would make the filter ambiguous.
+    derived = {"_rnk"} if tier == "exact" else {"_rnk", "_b", "_ng", "_thr"}
+    clobbered = derived & set(df.columns)
+    if clobbered:
+        raise ValueError(
+            f"input already carries {sorted(clobbered)} — cap_per_group "
+            "derives these internally (a silent overwrite would discard "
+            "the caller's columns; rename or drop them first)"
+        )
     pri = (
         F.col(priority_col)
         if priority_col is not None
@@ -325,6 +337,17 @@ def cap_per_group(
         .drop("_cg")
         .filter(F.col("_b") < F.col("_thr"))
     )
+    # the guarantee check below and the final ranking window both
+    # consume `pre`; without a materialization boundary each would
+    # re-run the full scan + hash + broadcast join (three passes over
+    # the input on the tier aimed at the 100-TB shape). localCheckpoint
+    # truncates the lineage and stores the (bounded: over-cap groups
+    # contribute ~max_rows*margin rows each; under-cap groups pass
+    # whole, exactly the rows the result keeps anyway) survivor set on
+    # executor memory-and-disk, so the input is scanned twice total —
+    # once for counts, once to build `pre` — not three times. Lazy:
+    # the check's collect() is the materializing action.
+    pre = pre.localCheckpoint(eager=False)
     # loud guarantee check: every group that HAS max_rows+ rows must
     # still have >= max_rows after the prefilter. Aggregate kept
     # counts and join them back onto `counts` — which holds EVERY

@@ -207,6 +207,7 @@ def write_training_shards(
     weights: dict[str, float] | None = None,
     split_seed: str = "split-v1",
     split_col: str = "split",
+    verify: bool = True,
 ) -> dict:
     """Materialize the training-loader contract: split + seeded global
     order as ``dest/data/split=<name>/shard=<k>/`` parquet with EXACTLY
@@ -228,8 +229,26 @@ def write_training_shards(
     validation/test shard files are proportionally small — harmless
     (they're read whole, not streamed). Returns (and persists, tmp +
     atomic-rename) ``dest/manifest.json``: seeds, shard count, and the
-    per-(split, shard) row counts RE-COUNTED FROM THE WRITTEN FILES,
-    so a manifest is also a write-integrity receipt.
+    per-(split, shard) row counts.
+
+    ``verify`` picks how hard the receipt checks — a real trade, not a
+    formality: ``True`` (default) RE-READS AND DECODES the written
+    files (a Spark grouped recount), catching torn data pages and
+    codec corruption, at the price of a second full read of everything
+    just written — at 100 TB that DOUBLES the write job's read I/O.
+    ``False`` takes counts from the written files' parquet FOOTERS
+    during the layout walk below — pure metadata, one footer per shard
+    file, no data read — trusting the data pages the commit wrote.
+    Both modes emit identical manifests on a clean write (asserted in
+    tests; under ``verify=True`` the decoded counts are additionally
+    checked AGAINST the footers and a mismatch raises).
+
+    Always (either mode): the exactly-one-parquet-file-per-
+    (split, shard) layout that ``iter_training_order``'s cross-file
+    order contract rides on is verified against the actual directory
+    tree (cheap metadata walk) and violations raise — e.g. a session
+    with ``spark.sql.files.maxRecordsPerFile`` set would otherwise
+    silently fragment directories and void the loader's read order.
     """
     import json
     import os
@@ -254,15 +273,59 @@ def write_training_shards(
         .partitionBy(split_col, "shard")
         .parquet(data_dir)
     )
-    counts = (
-        spark.read.parquet(data_dir)
-        .groupBy(split_col, "shard")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    )  # bounded: |splits| x shards rows
+    # layout receipt (both modes): walk the directory tree, assert the
+    # one-file-per-(split, shard) invariant, and take footer counts —
+    # metadata only, |splits| x shards footers, no data read.
+    import pyarrow.parquet as pq
+
     shard_rows: dict[str, dict[str, int]] = {}
-    for r in counts:
-        shard_rows.setdefault(r[split_col], {})[str(r["shard"])] = r["n"]
+    for split_dir in sorted(os.listdir(data_dir)):
+        if not split_dir.startswith(f"{split_col}="):
+            continue
+        sname = split_dir.split("=", 1)[1]
+        for shard_dir in sorted(
+            os.listdir(os.path.join(data_dir, split_dir))
+        ):
+            if not shard_dir.startswith("shard="):
+                continue
+            d = os.path.join(data_dir, split_dir, shard_dir)
+            files = [
+                f
+                for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+            if len(files) != 1:
+                raise ValueError(
+                    f"{d} holds {len(files)} parquet files — the "
+                    "loader's pos-order contract needs exactly ONE "
+                    "file per (split, shard) directory (is "
+                    "spark.sql.files.maxRecordsPerFile set on this "
+                    "session?); the written shard set is not a valid "
+                    "training order"
+                )
+            n = pq.ParquetFile(
+                os.path.join(d, files[0])
+            ).metadata.num_rows
+            shard_rows.setdefault(sname, {})[
+                shard_dir.split("=", 1)[1]
+            ] = n
+    if verify:  # full decode recount, cross-checked against footers
+        counts = (
+            spark.read.parquet(data_dir)
+            .groupBy(split_col, "shard")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )  # bounded: |splits| x shards rows
+        decoded: dict[str, dict[str, int]] = {}
+        for r in counts:
+            decoded.setdefault(r[split_col], {})[str(r["shard"])] = r["n"]
+        if decoded != shard_rows:
+            raise ValueError(
+                "write verification failed: decoded row counts differ "
+                f"from parquet footers (footers {shard_rows}, decoded "
+                f"{decoded}) — the written data pages are corrupt or "
+                "the write was torn"
+            )
     manifest = {
         "version": _MANIFEST_VERSION,
         "shards": shards,
@@ -272,7 +335,9 @@ def write_training_shards(
         "split_col": split_col,
         "weights": dict(DEFAULT_WEIGHTS if weights is None else weights),
         "shard_rows": shard_rows,
-        "total_rows": sum(r["n"] for r in counts),
+        "total_rows": sum(
+            n for per in shard_rows.values() for n in per.values()
+        ),
     }
     tmp = os.path.join(dest, "manifest.json.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:

@@ -349,6 +349,51 @@ def _split_shards_oracle() -> str:
     """
 
 
+#: cap_per_group probe knobs: group by lang so BOTH regimes are in one
+#: oracle row at sf0.01 — en (218 docs) gets capped to 100, the other
+#: four languages (64-75 docs) pass whole.
+CAP_GROUP_COL = "lang"
+CAP_MAX_ROWS = 100
+
+
+def _cap_per_group_oracle() -> str:
+    from gus_spark.operators.mixing import sql_cap_per_group
+
+    return sql_cap_per_group(
+        "documents", group_col=CAP_GROUP_COL, max_rows=CAP_MAX_ROWS
+    )
+
+
+@register("cap_per_group_docs", oracle=_cap_per_group_oracle())
+def cap_per_group_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group over-representation cap (operators/mixing.py
+    `cap_per_group`, new round 10 — the RefinedWeb/MassiveWeb
+    domain-balance gate, Penedo et al. 2023): keep at most
+    CAP_MAX_ROWS documents per language, survivors the lowest seeded
+    portable hash (a deterministic uniform sample-without-replacement
+    per group, stable on any cluster/partitioning). The probe runs the
+    ``tier='prefilter'`` SCALE path — per-group counts broadcast back,
+    hash-threshold prefilter bounding the ranking window to
+    ~max_rows*margin rows per group regardless of group size (the
+    head-domain killer at 100 TB), with the loud per-group guarantee
+    check — against the exact-window DuckDB twin, so the driver row
+    verifies the 100-TB tier bit-for-bit, not just the textbook
+    window. Replaces `dedup_exact_representatives` in the catalog (its
+    digest-keyed agg shape stays fully hash-checked in test_queries.py
+    — the dedup_simhash rotation precedent — and its bench line
+    continues via bench.extra_queries); the md5-digest-groupBy surface
+    also remains in-catalog via curate_documents' dedup stage."""
+    from gus_spark.operators.mixing import cap_per_group
+
+    d = table(spark, sf_dir, "documents")
+    return cap_per_group(
+        d,
+        group_col=CAP_GROUP_COL,
+        max_rows=CAP_MAX_ROWS,
+        tier="prefilter",
+    )
+
+
 @register("train_split_shards", oracle=_split_shards_oracle())
 def train_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus→loader handoff (operators/splits.py, new

@@ -28,20 +28,28 @@ from gus_spark.queries import register, table
 JACCARD_THRESHOLD = 0.8
 
 
-@register(
-    "dedup_exact_representatives",
-    oracle="""
+# Rotated out of the driver catalog round 11 (slot ->
+# cap_per_group_docs): the digest-keyed agg shape stays in-catalog via
+# curate_documents' dedup stage and the winnow probe's identical
+# md5-hash trick; full value parity against this SQL is still asserted
+# every run in tests/test_queries.py, and the bench line continues via
+# bench.extra_queries.
+DEDUP_EXACT_ORACLE = """
     SELECT md5(text) AS content_fp,
            MIN(doc_id) AS keep_doc_id,
            COUNT(*) AS n_copies
     FROM documents
     GROUP BY md5(text)
-    """,
-)
+    """
+
+
 def dedup_exact_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by content digest, keep the lowest doc_id.
     At scale this is one hash shuffle on the digest (uniformly
-    distributed — no skew) with map-side partial aggregation."""
+    distributed — no skew) with map-side partial aggregation.
+    Rotated out of the driver catalog round 11 (slot →
+    cap_per_group_docs); DEDUP_EXACT_ORACLE above keeps the parity
+    check alive in tests/test_queries.py."""
     d = table(spark, sf_dir, "documents")
     return (
         d.groupBy(F.md5(F.col("text")).alias("content_fp"))

@@ -136,6 +136,21 @@ def test_dedup_simhash_matches_oracle(spark, duck):
     assert frame_key(sdf) == frame_key(odf)
 
 
+def test_dedup_exact_representatives_matches_oracle(spark, duck):
+    """dedup_exact_representatives rotated out of the catalog (r11,
+    slot -> cap_per_group_docs) but keeps full value coverage here:
+    every (digest, representative, copy count) vs the DuckDB
+    md5-groupBy twin."""
+    from gus_spark.queries.dedup import (
+        DEDUP_EXACT_ORACLE,
+        dedup_exact_representatives,
+    )
+
+    sdf = dedup_exact_representatives(spark, SF_DIR_ORACLE).toPandas()
+    odf = duck.execute(DEDUP_EXACT_ORACLE).df()
+    assert frame_key(sdf) == frame_key(odf)
+
+
 def test_profile_orders_columns_matches_oracle(spark, duck):
     """profile_orders_columns rotated out of the catalog (r7, slot ->
     dsir_select_documents) but keeps full value coverage here: the

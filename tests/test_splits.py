@@ -263,6 +263,44 @@ class TestLoaderBoundary:
         assert all(s > 5 or (s == 5 and p > 3) for s, p in got)
         assert sum(1 for s, _p in got if s == 5) == n5 - 3
 
+    def test_verify_modes_emit_identical_manifests(
+        self, ids, dest, tmp_path_factory
+    ):
+        """verify=False (footer counts, no data re-read) must emit the
+        exact manifest verify=True (full decode recount) does on a
+        clean write — the documented contract of the knob."""
+        from gus_spark.operators.splits import write_training_shards
+
+        dest, manifest = dest  # the class fixture wrote verify=True
+        d2 = str(tmp_path_factory.mktemp("shards_noverify"))
+        m2 = write_training_shards(
+            ids, d2, shards=self.SHARDS, weights=self.WEIGHTS,
+            verify=False,
+        )
+        assert m2 == manifest
+
+    def test_fragmented_shard_dir_is_loud(
+        self, spark, ids, tmp_path_factory
+    ):
+        """A session config that splits one (split, shard) directory
+        into multiple files (here spark.sql.files.maxRecordsPerFile)
+        voids iter_training_order's cross-file order — the writer must
+        detect it from the directory tree and raise, in BOTH verify
+        modes (the recount alone cannot see fragmentation)."""
+        from gus_spark.operators.splits import write_training_shards
+
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "10")
+        try:
+            for verify in (True, False):
+                d = str(tmp_path_factory.mktemp(f"frag_{verify}"))
+                with pytest.raises(ValueError, match="exactly ONE"):
+                    write_training_shards(
+                        ids, d, shards=2, weights=self.WEIGHTS,
+                        verify=verify,
+                    )
+        finally:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
     def test_epoch_reseed_reorders(self, spark, ids, tmp_path_factory):
         from gus_spark.operators.splits import (
             iter_training_order,
