@@ -251,6 +251,53 @@ def bpe_fit(
     return merges
 
 
+def _enc_word(word: str, rk: dict) -> list[str]:
+    """Rank-greedy merge loop for one word — shared by the string and
+    token-id encoders so they can never drift."""
+    syms = _word_symbols(word)
+    while len(syms) >= 2:
+        best, best_rank = None, None
+        for i in range(len(syms) - 1):
+            r = rk.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        # merge EVERY occurrence of that pair left-to-right,
+        # mirroring the fit's full-array merge pass
+        a, b = syms[best], syms[best + 1]
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _enc_text(t: str | None, rk: dict) -> list[str] | None:
+    if t is None:
+        return None
+    import re
+
+    toks = []
+    # ASCII \s+ split + empty filter mirrors the fit's JVM
+    # trim+split+filter exactly: Java \s == re.ASCII \s
+    # ([ \t\n\x0B\f\r]), and NOT calling Python str.strip()
+    # matters — strip() removes Unicode whitespace (U+00A0,
+    # U+2028, ...) that the JVM pipeline keeps inside words,
+    # so stripping would tokenize boundary words differently
+    # from the vocabulary the fit counted (ADVICE r6).
+    for w in re.split(r"\s+", t, flags=re.ASCII):
+        if w:
+            toks.extend(_enc_word(w, rk))
+    return toks
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -269,51 +316,7 @@ def bpe_encode(
         import pandas as pd
 
         rk = bc.value
-
-        def enc_word(word):
-            syms = _word_symbols(word)
-            while len(syms) >= 2:
-                best, best_rank = None, None
-                for i in range(len(syms) - 1):
-                    r = rk.get((syms[i], syms[i + 1]))
-                    if r is not None and (best_rank is None or r < best_rank):
-                        best, best_rank = i, r
-                if best is None:
-                    break
-                # merge EVERY occurrence of that pair left-to-right,
-                # mirroring the fit's full-array merge pass
-                a, b = syms[best], syms[best + 1]
-                out = []
-                i = 0
-                while i < len(syms):
-                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                        out.append(a + b)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-            return syms
-
-        def enc_text(t):
-            if t is None:
-                return None
-            import re
-
-            toks = []
-            # ASCII \s+ split + empty filter mirrors the fit's JVM
-            # trim+split+filter exactly: Java \s == re.ASCII \s
-            # ([ \t\n\x0B\f\r]), and NOT calling Python str.strip()
-            # matters — strip() removes Unicode whitespace (U+00A0,
-            # U+2028, ...) that the JVM pipeline keeps inside words,
-            # so stripping would tokenize boundary words differently
-            # from the vocabulary the fit counted (ADVICE r6).
-            for w in re.split(r"\s+", t, flags=re.ASCII):
-                if w:
-                    toks.extend(enc_word(w))
-            return toks
-
-        return pd.Series([enc_text(t) for t in texts])
+        return pd.Series([_enc_text(t, rk) for t in texts])
 
     live = df.filter(F.col(text_col).isNotNull())
     return live.select(
@@ -322,3 +325,131 @@ def bpe_encode(
     ).select(
         id_col, "tokens", F.size("tokens").cast("long").alias("n_tokens")
     )
+
+
+# ------------------------------------------------------ token-id surface
+
+#: id 0 — the out-of-vocabulary token. Present in every bpe_vocab, so
+#: encoders can always emit SOMETHING for an unseen symbol (and the
+#: n_unk column makes doing so loud rather than silent).
+UNK = "<unk>"
+
+
+def bpe_base_symbols(df: DataFrame, text_col: str = "text") -> list[str]:
+    """Sorted distinct SEED symbols of the corpus — each word's
+    characters with the end-of-word sentinel on the last (exactly what
+    `bpe_fit` seeds its vocab frame with, via the same helper). One
+    explode + distinct over the word-count frame; the result is
+    alphabet-sized (bounded at any corpus scale), so the collect is a
+    handful of rows."""
+    import pandas as pd
+
+    @F.pandas_udf("array<string>")
+    def to_syms(words):
+        return pd.Series([_word_symbols(w) for w in words])
+
+    rows = (
+        word_counts(df, text_col)
+        .select(F.explode(to_syms("word")).alias("sym"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["sym"] for r in rows)
+
+
+def bpe_vocab(
+    merges: list[tuple[str, str]], base_syms: list[str]
+) -> dict[str, int]:
+    """token string → integer id, deterministically: UNK gets 0, the
+    sorted base symbols follow, then merge OUTPUTS in rank order
+    (first occurrence wins — two merge paths can produce the same
+    string, e.g. ('a','bc') and ('ab','c') both yield 'abc'). The
+    mapping is a pure function of (merges, base symbols), so any
+    engine/run reproduces identical ids."""
+    vocab = {UNK: 0}
+    for s in sorted(set(base_syms)):
+        if s not in vocab:
+            vocab[s] = len(vocab)
+    for a, b in merges:
+        out = a + b
+        if out not in vocab:
+            vocab[out] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, token_ids array<int>, n_tokens, n_unk) — the trainer-ready
+    form of `bpe_encode`: the identical rank-greedy tokenization
+    (shared `_enc_text` kernel — the two encoders cannot drift) with
+    each token mapped through the broadcast ``vocab``. Symbols outside
+    the vocab become UNK's id with ``n_unk`` counting them per row, so
+    out-of-alphabet text is observable, never silently mangled.
+    Distributed and Arrow-batched like every encoder here — at 100 TB
+    tokenization rides the corpus scan, one Python kernel pass, no
+    shuffle."""
+    if UNK not in vocab:
+        raise ValueError(
+            f"vocab must map the UNK sentinel {UNK!r} (use bpe_vocab)"
+        )
+    ranks = {pair: r for r, pair in enumerate(merges)}
+    unk_id = vocab[UNK]
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((ranks, dict(vocab)))
+
+    @F.pandas_udf("array<int>")
+    def encode_ids(texts):
+        import pandas as pd
+
+        rk, vc = bc.value
+
+        def one(t):
+            toks = _enc_text(t, rk)
+            if toks is None:
+                return None
+            return [vc.get(s, unk_id) for s in toks]
+
+        return pd.Series([one(t) for t in texts])
+
+    live = df.filter(F.col(text_col).isNotNull())
+    return live.select(
+        F.col(id_col), encode_ids(F.col(text_col)).alias("token_ids")
+    ).select(
+        id_col,
+        "token_ids",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        F.size(
+            F.filter("token_ids", lambda x: x == F.lit(unk_id))
+        ).cast("long").alias("n_unk"),
+    )
+
+
+def bpe_decode_ids(token_ids, vocab: dict[str, int]) -> str:
+    """Host-side inverse of `bpe_encode_ids` for one sequence: ids →
+    token strings → whitespace-normalized text (words are delimited by
+    the end-of-word sentinel each word's final token carries; they
+    rejoin with single spaces — BPE encoding normalizes whitespace by
+    construction, so the round trip returns ``' '.join(words)`` of the
+    original, asserted in tests). Raises on an id outside the vocab
+    and on UNK (an unk holds no recoverable text). Caveat: raw text
+    that itself contains the literal sentinel string decodes with
+    extra word breaks — the standard BPE sentinel ambiguity."""
+    inv = {i: s for s, i in vocab.items()}
+    syms = []
+    for i in token_ids:
+        s = inv.get(i)
+        if s is None or s == UNK:
+            raise ValueError(
+                f"token id {i} is not decodable "
+                f"({'unk' if s == UNK else 'outside the vocab'})"
+            )
+        syms.append(s)
+    words = "".join(syms).split(EOW)
+    if words and words[-1] == "":
+        words.pop()
+    return " ".join(words)

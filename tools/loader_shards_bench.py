@@ -66,6 +66,47 @@ def bench(spark, sf_dir: str) -> dict:
             for b, _c in iter_training_order(dest, "train", cursor=cut)
         )
         resume_s = round(time.time() - t0, 3)
+
+        # token-id variant (r11): the same boundary fed trainer input
+        # — each stage timed separately so the encode cost is
+        # ATTRIBUTED, not folded into the write. The encode is
+        # materialized via a noop sink (full kernel, no driver
+        # serialization), then the shard write re-runs it inside the
+        # one exchange — write_tok_s minus encode_s is the marginal
+        # shard cost of carrying ids instead of text.
+        from gus_spark.operators.bpe import (
+            bpe_base_symbols,
+            bpe_encode_ids,
+            bpe_fit,
+            bpe_vocab,
+        )
+
+        t0 = time.time()
+        merges = bpe_fit(docs, num_merges=64)
+        vocab = bpe_vocab(merges, bpe_base_symbols(docs))
+        fit_s = round(time.time() - t0, 2)
+
+        enc = bpe_encode_ids(docs, merges, vocab)
+        t0 = time.time()
+        enc.write.mode("overwrite").format("noop").save()
+        encode_s = round(time.time() - t0, 2)
+
+        dest_tok = tempfile.mkdtemp(prefix="lsb_tok_")
+        try:
+            t0 = time.time()
+            m_tok = write_training_shards(
+                enc, dest_tok, shards=SHARDS, verify=False
+            )
+            write_tok_s = round(time.time() - t0, 2)
+            t0 = time.time()
+            tok_rows = sum(
+                b.num_rows
+                for b, _c in iter_training_order(dest_tok, "train")
+            )
+            read_tok_s = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(dest_tok, ignore_errors=True)
+
         return {
             "n_rows": manifest["total_rows"],
             "write_s": write_s,
@@ -73,6 +114,12 @@ def bench(spark, sf_dir: str) -> dict:
             "read_rows_per_s": round(rows / read_s) if read_s else None,
             "resume_p90_s": resume_s,
             "resume_rows": tail_rows,
+            "bpe_fit_s": fit_s,
+            "encode_s": encode_s,
+            "write_tok_s": write_tok_s,
+            "read_tok_s": read_tok_s,
+            "tok_rows": tok_rows,
+            "tok_rows_total": m_tok["total_rows"],
         }
     finally:
         shutil.rmtree(dest, ignore_errors=True)

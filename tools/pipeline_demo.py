@@ -474,13 +474,18 @@ def run_pipeline(
     )
     mark("chunk_pack")
 
-    # 8. the loader boundary (late r10): assemble each packed sequence
-    # into one training example and materialize the split + seeded
-    # global order as pos-ordered shard files with a resume cursor —
-    # the pipeline now ends at the contract a training loader actually
-    # reads. (pack's own shard/seq columns are packing-internal; the
-    # writer derives loader shards from the sequence uid.)
-    from gus_spark.operators.splits import write_training_shards
+    # 8. the loader boundary (late r10; token ids r11): assemble each
+    # packed sequence into one training example, ENCODE it to token-id
+    # arrays under the stage-6 tokenizer, and materialize the split +
+    # seeded global order as pos-ordered shard files with a resume
+    # cursor — the pipeline now ends at genuine trainer input: the
+    # loader's batches carry array<int> tensors, not text. (pack's own
+    # shard/seq columns are packing-internal; the writer derives
+    # loader shards from the sequence uid.)
+    from gus_spark.operators.splits import (
+        iter_training_order,
+        write_training_shards,
+    )
 
     seq_rows = packed.groupBy("shard", "seq_id").agg(
         F.array_join(
@@ -504,18 +509,56 @@ def run_pipeline(
             + F.col("seq_id")
         ).alias("seq_uid"),
         "text",
+    ).localCheckpoint()
+
+    # token ids: the vocab derives from the FIT corpus (base symbols +
+    # merge outputs), so encoding the mixture — whose text is drawn
+    # from that corpus — must produce zero unks; the n_unk sum makes
+    # that loud in the stats rather than assumed.
+    from gus_spark.operators.bpe import (
+        bpe_base_symbols,
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_vocab,
     )
+
+    vocab = bpe_vocab(merges, bpe_base_symbols(redacted))
+    enc = bpe_encode_ids(
+        seq_rows, merges, vocab, id_col="seq_uid"
+    ).localCheckpoint()
+    stats["loader_vocab"] = len(vocab)
+    stats["loader_unk_tokens"] = int(
+        enc.agg(F.sum("n_unk")).first()[0] or 0
+    )
+    mark("loader_encode")
+
+    shards_dir = os.path.join(out_dir, "train_shards")
     manifest = write_training_shards(
-        seq_rows,
-        os.path.join(out_dir, "train_shards"),
-        shards=pack_shards,
-        id_col="seq_uid",
+        enc, shards_dir, shards=pack_shards, id_col="seq_uid"
     )
     stats["loader_rows"] = manifest["total_rows"]
     stats["loader_split_rows"] = {
         split: sum(counts.values())
         for split, counts in sorted(manifest["shard_rows"].items())
     }
+    # trainer-input receipt: the first training-order batch decodes
+    # back to its packed text (whitespace-normalized — BPE's contract)
+    import re as _re
+
+    batch, _cur = next(
+        iter_training_order(shards_dir, "train", batch_rows=1)
+    )
+    row = batch.to_pylist()[0]
+    packed_text = seq_rows.filter(
+        F.col("seq_uid") == row["seq_uid"]
+    ).first()["text"]
+    want = " ".join(
+        w for w in _re.split(r"\s+", packed_text, flags=_re.ASCII) if w
+    )
+    assert bpe_decode_ids(row["token_ids"], vocab) == want, (
+        "loader round-trip broke: decode(token_ids) != packed text"
+    )
+    stats["loader_roundtrip_ok"] = True
     mark("loader_shards")
     stats["stage_secs"] = stage_secs
     stats["total_secs"] = round(sum(stage_secs.values()), 3)
