@@ -915,6 +915,16 @@ class MinHashIndex:
             if bands is None:
                 out["occupancy"] = None
             else:
+                # mirror add_and_find: candidate generation anti-joins
+                # live tombstones from the corpus bands, so the probe
+                # must too — between a delete and the next fold, raw
+                # band counts would overstate what candidates actually
+                # pay (ADVICE r10)
+                tombs = self._live_tombstones()
+                if tombs is not None:
+                    bands = bands.join(
+                        F.broadcast(tombs), self.id_col, "left_anti"
+                    )
                 row = (
                     bands.groupBy("band_id", "band_hash")
                     .agg(F.count("*").alias("c"))

@@ -739,6 +739,70 @@ class PostingIndex:
         return self.stats()
 
     # ----------------------------------------------------------- info
+    def health(self, occupancy: bool = False) -> dict:
+        """Layout health from the manifest alone; ``occupancy=True``
+        additionally reports the TERM-BUCKET occupancy regime — the
+        MinHashIndex.health(occupancy=True) contract (r10) carried to
+        the sparse tier (VERDICT r10 ask #4). The serving path's whole
+        scale story is bucket pruning (query terms' buckets only), so
+        the regime to catch is postings concentrating in few buckets —
+        a degenerate tokenization (one dominant term) makes every
+        query's "pruned" scan pay the corpus, and nothing in topk says
+        so.
+
+        Live postings (base + deltas, minus live-tombstoned docs —
+        mirroring what the serving snapshot actually scans) aggregate
+        per TERM first (the vocab-sized frame), then per bucket via
+        Spark's own bucket function (pmod(hash(w), n_buckets) — the
+        bucketBy layout identity), so the second exchange moves vocab
+        rows, not postings. Read ``occupied_buckets`` << n_buckets or
+        ``max_term_df`` ≈ n_docs as 'this corpus does not separate
+        under the current tokenization'."""
+        meta = self._read_meta()
+        out = {
+            "gen": meta["gen"],
+            "n_deltas": len(meta["deltas"]),
+            "n_tombs": len(meta["tombs"]),
+        }
+        if not occupancy:
+            return out
+        paths = [self._base_path(meta["gen"])] + [
+            self._delta_path(k) for k in meta["deltas"]
+        ]
+        post = self.spark.read.parquet(*paths)
+        tombs = self._live_tombstones(meta)
+        if tombs is not None:
+            post = post.join(
+                F.broadcast(tombs), meta["id_col"], "left_anti"
+            )
+        n_buckets = meta["n_buckets"]
+        per_term = post.groupBy("w").agg(F.count("*").alias("df"))
+        row = (
+            per_term.groupBy(
+                F.pmod(F.hash("w"), F.lit(n_buckets)).alias("b")
+            )
+            .agg(F.sum("df").alias("c"), F.max("df").alias("mx"))
+            .agg(
+                F.count("*").alias("occupied"),
+                F.sum("c").alias("rows"),
+                F.max("c").alias("max_bucket"),
+                F.max("mx").alias("max_df"),
+            )
+            .first()
+        )
+        if not row["occupied"]:
+            out["occupancy"] = None
+            return out
+        out["occupancy"] = {
+            "posting_rows": row["rows"],
+            "n_buckets": n_buckets,
+            "occupied_buckets": row["occupied"],
+            "mean_bucket_rows": round(row["rows"] / row["occupied"], 4),
+            "max_bucket_rows": row["max_bucket"],
+            "max_term_df": row["max_df"],
+        }
+        return out
+
     def stats(self) -> dict:
         meta = self._read_meta()
         n_docs = meta["n_docs"] + sum(

@@ -283,6 +283,69 @@ def _grouped_topk_matmul(
     )
 
 
+def lsh_bucket_occupancy(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int | None = None,
+    bucket_cap: int = 256,
+) -> dict:
+    """Bucket-occupancy health probe for the ANN LSH tier — the
+    MinHashIndex.health(occupancy=True) contract (r10) carried to the
+    dense banded tier (VERDICT r10 ask #4): the signal that catches a
+    degenerate bucketing regime (e.g. near-identical embeddings, or a
+    plane count far off the corpus size) at BUILD time instead of in a
+    blown-up scoring stage.
+
+    One aggregation over HOME-bucket assignments (the candidate side
+    of ann_lsh_topk; multi-probe multiplies the probe-side read volume
+    ~(nprobe+1)× but never this histogram). Healthy: mean occupancy ≈
+    TARGET_BUCKET_ROWS (the adaptive plane count aims exactly there)
+    and ``capped_candidate_rows`` ≈ rows × TARGET_BUCKET_ROWS.
+    Degenerate: one bucket holds the corpus — mean ≈ n,
+    ``candidate_pairs`` ≈ n²/2 (though the operator's ``bucket_cap``
+    bounds what scoring actually admits, reported as
+    ``capped_candidate_rows`` = Σ c·min(c, cap): recall silently
+    collapses in that regime even when cost doesn't). Uses the same
+    plane derivation and the JVM signature definition the operator's
+    engines are bit-parity-tested against."""
+    df = df.filter(F.col(vec_col).isNotNull())
+    num_planes = (
+        num_planes
+        if num_planes is not None
+        else planes_for_corpus(df.count())
+    )
+    planes = _plane_matrix(num_planes, DIM)
+    sig = bucket_signature(_as_double(F.col(vec_col)), planes)
+    row = (
+        df.select(sig.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").alias("buckets"),
+            F.sum("c").alias("rows"),
+            F.max("c").alias("max_bucket"),
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("cand"),
+            F.sum(
+                F.col("c") * F.least(F.col("c"), F.lit(bucket_cap))
+            ).alias("capped"),
+        )
+        .first()
+    )
+    if not row["buckets"]:
+        return {"planes": num_planes, "occupancy": None}
+    return {
+        "planes": num_planes,
+        "occupancy": {
+            "rows": row["rows"],
+            "buckets": row["buckets"],
+            "mean_occupancy": round(row["rows"] / row["buckets"], 4),
+            "max_bucket": row["max_bucket"],
+            "candidate_pairs": int(row["cand"]),
+            "capped_candidate_rows": int(row["capped"]),
+        },
+    }
+
+
 def ann_lsh_topk(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -176,3 +176,94 @@ def test_minhash_occupancy_health_flags_degenerate_shingles(
     # empty index: probe reports None rather than failing
     empty = MinHashIndex(spark, str(tmp_path / "mh_empty"))
     assert empty.health(occupancy=True)["occupancy"] is None
+
+
+def test_minhash_occupancy_excludes_live_tombstones(spark, tmp_path):
+    """ADVICE r10: between a delete and the next fold, the occupancy
+    probe must describe what candidate generation will actually pay —
+    add_and_find anti-joins live tombstones from the corpus bands, so
+    health(occupancy=True) must too."""
+    from gus_spark.operators.dedup import MinHashIndex
+
+    docs = table(spark, SF_DIR, "documents").limit(40)
+    idx = MinHashIndex(spark, str(tmp_path / "mh_tomb"), ngram=3)
+    idx.add_and_find(docs, batch_key="b0").count()
+    before = idx.health(occupancy=True)["occupancy"]
+    assert before["band_rows"] == 32 * 40
+    dead = [r.doc_id for r in docs.limit(15).collect()]
+    assert idx.delete(dead, batch_key="d0") == 15
+    # no fold has run — the band files still hold all 40 docs' rows,
+    # but the probe reports the LIVE view the serving path scans
+    after = idx.health(occupancy=True)["occupancy"]
+    assert after["band_rows"] == 32 * 25
+    assert after["candidate_pairs"] <= before["candidate_pairs"]
+
+
+def test_lsh_occupancy_flags_degenerate_embeddings(spark, embeddings):
+    """lsh_bucket_occupancy (r11, VERDICT r10 ask #4): the ANN LSH
+    twin of the MinHash band probe — healthy random-ish embeddings
+    spread near TARGET_BUCKET_ROWS per bucket; a collapsed embedding
+    column (every vector identical up to sign) lands the corpus in ONE
+    bucket with ~n²/2 candidate pairs, and the probe says so before a
+    scoring stage pays it."""
+    from gus_spark.operators.similarity import (
+        TARGET_BUCKET_ROWS,
+        lsh_bucket_occupancy,
+    )
+
+    n = embeddings.count()
+    healthy = lsh_bucket_occupancy(embeddings)["occupancy"]
+    assert healthy["rows"] == n
+    assert healthy["buckets"] > n / (4 * TARGET_BUCKET_ROWS)
+    assert healthy["mean_occupancy"] < 4 * TARGET_BUCKET_ROWS
+    assert healthy["candidate_pairs"] < n * n / 8
+
+    collapsed = embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> 1.0)").alias("embedding"),
+    )
+    degen = lsh_bucket_occupancy(collapsed)["occupancy"]
+    assert degen["buckets"] == 1
+    assert degen["mean_occupancy"] == float(n)
+    assert degen["candidate_pairs"] == n * (n - 1) // 2
+    # the cap bounds what scoring admits — the probe reports both
+    assert degen["capped_candidate_rows"] == n * min(n, 256)
+
+    # empty input: probe reports None rather than failing
+    none = lsh_bucket_occupancy(embeddings.limit(0))
+    assert none["occupancy"] is None
+
+
+def test_posting_occupancy_flags_degenerate_vocabulary(spark, tmp_path):
+    """PostingIndex.health(occupancy=True) (r11, VERDICT r10 ask #4):
+    a real vocabulary spreads postings across (nearly) every term
+    bucket; a one-term corpus concentrates them in exactly one bucket
+    with max_term_df == n_docs — the regime where 'bucket-pruned'
+    serving scans the corpus — and the probe separates the two. The
+    live view excludes tombstoned docs (the add_and_find mirror)."""
+    from gus_spark.operators.posting_index import PostingIndex
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = PostingIndex(spark, str(tmp_path / "pidx"))
+    idx.build(docs, name=f"occ_h_{os.getpid()}", n_buckets=8)
+    assert idx.health() == {"gen": 0, "n_deltas": 0, "n_tombs": 0}
+    healthy = idx.health(occupancy=True)["occupancy"]
+    assert healthy["n_buckets"] == 8
+    assert healthy["occupied_buckets"] == 8  # vocab >> buckets
+    assert healthy["max_term_df"] < docs.count()
+    assert healthy["max_bucket_rows"] < healthy["posting_rows"]
+
+    mono = spark.createDataFrame(
+        [(i, "aaa aaa aaa") for i in range(50)], "doc_id long, text string"
+    )
+    idx2 = PostingIndex(spark, str(tmp_path / "pidx_mono"))
+    idx2.build(mono, name=f"occ_d_{os.getpid()}", n_buckets=8)
+    degen = idx2.health(occupancy=True)["occupancy"]
+    assert degen["occupied_buckets"] == 1
+    assert degen["max_term_df"] == 50
+    assert degen["posting_rows"] == 50  # one distinct (term, doc) each
+
+    # tombstones leave the live view before any fold
+    idx2.delete(list(range(10)), batch_key="d0")
+    after = idx2.health(occupancy=True)["occupancy"]
+    assert after["max_term_df"] == 40 and after["posting_rows"] == 40
