@@ -565,9 +565,10 @@ def remove_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg (single countDistinct — no Expand) and one doc-keyed
     sort_array rebuild; the flagged set is heavy-lines-only, so AQE
     broadcasts it onto the line table. Replaces `dedup_simhash`
-    (digest-keyed agg shape retained by dedup_exact_representatives;
-    the simhash md5-mirror parity stays asserted in
-    tests/test_queries.py)."""
+    (digest-keyed agg shape retained in-catalog by curate_documents'
+    dedup stage and, tests-side, by dedup_exact_representatives'
+    full-value parity after its own r11 rotation; the simhash
+    md5-mirror parity stays asserted in tests/test_queries.py)."""
     from gus_spark.operators.boilerplate import remove_boilerplate
 
     d = table(spark, sf_dir, "documents")

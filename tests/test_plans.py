@@ -370,6 +370,53 @@ def test_mixture_sample_one_count_exchange(spark):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_cap_per_group_prefilter_plan_shape(spark):
+    """cap_per_group tier='prefilter' (the r11 catalog probe): the
+    per-group counts join back via an explicit BROADCAST (a
+    SortMergeJoin here would shuffle the corpus on the group key —
+    exactly what the prefilter exists to avoid paying twice), and the
+    returned frame's ranking window reads the localCheckpoint of the
+    prefiltered survivors, NOT a re-derived scan+join lineage — so the
+    guarantee check and the final window share one materialization
+    (ADVICE r10)."""
+    plan = plan_of(spark, "cap_per_group_docs", mode="simple")
+    assert "ExistingRDD" in plan, plan
+    # the checkpoint IS the input: no parquet re-scan, no join survives
+    # in the post-checkpoint plan — the residual cost is exactly ONE
+    # group-key exchange for the ranking window and nothing else
+    assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan, plan
+    hash_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_ex) == 1 and "lang" in hash_ex[0], plan
+    # and the pre-checkpoint lineage joined via BROADCAST: pin it on
+    # the operator itself by capturing the join plan before the
+    # checkpoint boundary (margin generous so the probe corpus passes)
+    from unittest.mock import patch
+
+    from gus_spark.operators.mixing import cap_per_group
+    from gus_spark.queries import table
+
+    d = table(spark, SF_DIR, "documents")
+    # Spark 4: instances are pyspark.sql.classic.dataframe.DataFrame,
+    # which overrides the abstract base — patch the concrete class
+    cls = type(d)
+    captured: list[str] = []
+    orig = cls.localCheckpoint
+
+    def spy(self, eager=True):
+        captured.append(plan_of(spark, self, mode="simple"))
+        return orig(self, eager=eager)
+
+    with patch.object(cls, "localCheckpoint", spy):
+        cap_per_group(
+            d, group_col="lang", max_rows=100, tier="prefilter"
+        ).count()
+    assert captured and "BroadcastHashJoin" in captured[0], captured[0]
+    assert "SortMergeJoin" not in captured[0]
+
+
 def test_phrase_match_pushes_terms_no_cartesian(spark):
     """phrase_match_docs (r8): the phrase-term filter runs BELOW the
     (w, id) posting aggregation's exchange (only phrase-term token
