@@ -383,6 +383,7 @@ def bpe_encode_ids(
     vocab: dict[str, int],
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, token_ids array<int>, n_tokens, n_unk) — the trainer-ready
     form of `bpe_encode`: the identical rank-greedy tokenization
@@ -390,9 +391,12 @@ def bpe_encode_ids(
     each token mapped through the broadcast ``vocab``. Symbols outside
     the vocab become UNK's id with ``n_unk`` counting them per row, so
     out-of-alphabet text is observable, never silently mangled.
-    Distributed and Arrow-batched like every encoder here — at 100 TB
-    tokenization rides the corpus scan, one Python kernel pass, no
-    shuffle."""
+    ``carry_cols`` pass through unchanged (the dsir_select
+    convention) so callers keying on composite identities — e.g. the
+    packer's (shard, seq_id, chunk_index) — don't need a join to get
+    them back. Distributed and Arrow-batched like every encoder here
+    — at 100 TB tokenization rides the corpus scan, one Python kernel
+    pass, no shuffle."""
     if UNK not in vocab:
         raise ValueError(
             f"vocab must map the UNK sentinel {UNK!r} (use bpe_vocab)"
@@ -417,10 +421,14 @@ def bpe_encode_ids(
         return pd.Series([one(t) for t in texts])
 
     live = df.filter(F.col(text_col).isNotNull())
+    carry = [F.col(c) for c in carry_cols]
     return live.select(
-        F.col(id_col), encode_ids(F.col(text_col)).alias("token_ids")
+        F.col(id_col),
+        *carry,
+        encode_ids(F.col(text_col)).alias("token_ids"),
     ).select(
         id_col,
+        *carry_cols,
         "token_ids",
         F.size("token_ids").cast("long").alias("n_tokens"),
         F.size(

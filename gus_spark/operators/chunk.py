@@ -156,3 +156,130 @@ def pack_sequences(
         for f in sharded.schema.fields
     ) + ", seq_id long, seq_tokens long"
     return sharded.groupBy("shard").applyInPandas(_pack, schema)
+
+
+def assemble_token_sequences(
+    packed: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    id_col: str = "doc_id",
+    index_col: str = "chunk_index",
+    text_col: str = "chunk_text",
+    include_text: bool = False,
+) -> DataFrame:
+    """Packed chunks → trainer-ready sequences with attention-mask
+    metadata: one row per (shard, seq_id) holding
+
+    - ``seq_uid``   — shard in the high 23 bits, seq_id below
+      (collision-free to 2^40 sequences/shard; a decimal multiplier
+      would wrap at 10M and silently merge two training examples);
+    - ``token_ids`` — the sequence's BPE token-id tensor: each chunk
+      encoded by `bpe_encode_ids` (the shared rank-greedy kernel) and
+      concatenated in (id, chunk_index) order. Bit-identical to
+      encoding the space-joined sequence text, because chunks join on
+      a single space and BPE tokenizes per whitespace word — no word
+      ever straddles a chunk seam (asserted in tests);
+    - ``doc_spans`` — array<struct<id, chunk_index, start, len>> of
+      1-based token-id offsets tiling the sequence exactly: the
+      boundaries a trainer masks so attention never crosses documents
+      (packed sequences hold unrelated docs), nor overlapping windows
+      of the same doc (with overlap > 0 adjacent chunks repeat
+      tokens — attending across them would let a position see its own
+      copy). Same-doc span merging is the trainer's choice; the spans
+      carry (id, chunk_index) so either policy is one filter away;
+    - ``n_tokens`` / ``n_unk`` — totals (unks loud, never silent);
+    - ``text`` — the assembled sequence text, only when
+      ``include_text=True`` (receipts/debugging; production shards
+      carry ids).
+
+    Scale shape: the chunk encode rides the packer's output scan (one
+    Arrow pass, no shuffle), then ONE exchange on (shard, seq_id) for
+    the assembly agg; spans are a JVM `aggregate` fold over the
+    collected chunk structs — per-sequence arrays, bounded by the pack
+    budget, never corpus-scaled."""
+    from gus_spark.operators.bpe import bpe_encode_ids
+
+    id_type = dict(packed.dtypes)[id_col]
+    idx_type = dict(packed.dtypes)[index_col]
+    carry = ("shard", "seq_id", index_col) + (
+        (text_col,) if include_text else ()
+    )
+    enc = bpe_encode_ids(
+        packed,
+        merges,
+        vocab,
+        id_col=id_col,
+        text_col=text_col,
+        carry_cols=carry,
+    )
+    # struct field order IS the sort order: (id, chunk_index) leads,
+    # and the pair is unique per sequence, so the tail fields never
+    # participate in comparisons
+    chunk_struct = [
+        F.col(id_col),
+        F.col(index_col),
+        F.col("token_ids"),
+        F.col("n_unk"),
+    ]
+    if include_text:
+        chunk_struct.append(F.col(text_col))
+    agg = enc.groupBy("shard", "seq_id").agg(
+        F.array_sort(F.collect_list(F.struct(*chunk_struct))).alias(
+            "_cs"
+        )
+    )
+    span_type = (
+        f"array<struct<{id_col}:{id_type},{index_col}:{idx_type},"
+        "start:bigint,len:bigint>>"
+    )
+    spans = F.aggregate(
+        F.col("_cs"),
+        F.struct(
+            F.lit(0).cast("long").alias("off"),
+            F.array().cast(span_type).alias("sp"),
+        ),
+        lambda acc, c: F.struct(
+            (acc["off"] + F.size(c["token_ids"])).alias("off"),
+            F.concat(
+                acc["sp"],
+                F.array(
+                    F.struct(
+                        c[id_col].alias(id_col),
+                        c[index_col].alias(index_col),
+                        (acc["off"] + 1).alias("start"),
+                        F.size(c["token_ids"]).cast("long").alias("len"),
+                    )
+                ),
+            ).alias("sp"),
+        ),
+        lambda acc: acc["sp"],
+    )
+    cols = [
+        (
+            F.shiftleft(F.col("shard").cast("long"), 40)
+            + F.col("seq_id")
+        ).alias("seq_uid"),
+        F.flatten(
+            F.transform(F.col("_cs"), lambda c: c["token_ids"])
+        ).alias("token_ids"),
+        spans.alias("doc_spans"),
+        F.aggregate(
+            F.col("_cs"),
+            F.lit(0).cast("long"),
+            lambda a, c: a + c["n_unk"],
+        ).alias("n_unk"),
+    ]
+    if include_text:
+        cols.append(
+            F.array_join(
+                F.transform(F.col("_cs"), lambda c: c[text_col]), " "
+            ).alias("text")
+        )
+    return agg.select(*cols).select(
+        "seq_uid",
+        "token_ids",
+        "doc_spans",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        "n_unk",
+        *(["text"] if include_text else []),
+    )

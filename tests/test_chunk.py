@@ -231,3 +231,123 @@ def test_pack_sequences_rejects_oversized_and_bad_params(spark):
         pack_sequences(frame, budget=0)
     with pytest.raises(ValueError, match="shards"):
         pack_sequences(frame, shards=0)
+
+
+class TestAssembleTokenSequences:
+    """assemble_token_sequences (r11): packed chunks → trainer
+    sequences with token-id tensors and doc-boundary spans. Claims:
+    spans tile the sequence exactly (1-based, gap-free, len sums to
+    n_tokens); per-chunk encode concatenated == whole-text encode
+    (chunks join on a single space, BPE is per whitespace word); each
+    span's id slice decodes back to its chunk's text; n_unk sums."""
+
+    TEXTS = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "one two three four five six"),
+        (2, "alpha beta alpha beta alpha beta"),
+        (3, "solo"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def fitted(self, spark):
+        from gus_spark.operators.bpe import (
+            bpe_base_symbols,
+            bpe_fit,
+            bpe_vocab,
+        )
+
+        df = spark.createDataFrame(
+            self.TEXTS, "doc_id long, text string"
+        )
+        merges = bpe_fit(df, num_merges=8, merge_batch=1)
+        vocab = bpe_vocab(merges, bpe_base_symbols(df))
+        return df, merges, vocab
+
+    @pytest.fixture(scope="class")
+    def sequences(self, spark, fitted):
+        from gus_spark.operators.chunk import (
+            assemble_token_sequences,
+            pack_sequences,
+        )
+
+        df, merges, vocab = fitted
+        chunks = chunk_documents(df, max_tokens=4, overlap=1)
+        packed = pack_sequences(chunks, budget=8, shards=2)
+        return assemble_token_sequences(
+            packed, merges, vocab, include_text=True
+        ).collect()
+
+    def test_spans_tile_exactly(self, sequences):
+        assert sequences
+        for r in sequences:
+            spans = sorted(r.doc_spans, key=lambda s: s.start)
+            assert spans[0].start == 1
+            off = 1
+            for s in spans:
+                assert s.start == off and s.len > 0, r
+                off += s.len
+            assert off - 1 == r.n_tokens == len(r.token_ids), r
+
+    def test_concat_equals_whole_text_encode(self, spark, fitted, sequences):
+        from gus_spark.operators.bpe import bpe_encode_ids
+
+        _df, merges, vocab = fitted
+        texts = spark.createDataFrame(
+            [(r.seq_uid, r.text) for r in sequences],
+            "seq_uid long, text string",
+        )
+        whole = {
+            r.seq_uid: list(r.token_ids)
+            for r in bpe_encode_ids(
+                texts, merges, vocab, id_col="seq_uid"
+            ).collect()
+        }
+        for r in sequences:
+            assert list(r.token_ids) == whole[r.seq_uid], r.seq_uid
+
+    def test_each_span_decodes_to_its_chunk(self, spark, fitted, sequences):
+        from gus_spark.operators.bpe import bpe_decode_ids
+        from gus_spark.operators.chunk import pack_sequences
+
+        df, _merges, vocab = fitted
+        chunks = {
+            (r.doc_id, r.chunk_index): r.chunk_text
+            for r in chunk_documents(df, max_tokens=4, overlap=1)
+            .collect()
+        }
+        for r in sequences:
+            ids = list(r.token_ids)
+            for s in r.doc_spans:
+                got = bpe_decode_ids(
+                    ids[s.start - 1 : s.start - 1 + s.len], vocab
+                )
+                assert got == chunks[(s.doc_id, s.chunk_index)], s
+
+    def test_overlap_windows_get_separate_spans(self, sequences):
+        """With overlap > 0 adjacent chunks of one doc repeat tokens —
+        they must stay separate spans (attending across them would
+        leak a position its own copy), distinguished by chunk_index."""
+        per_doc = {}
+        for r in sequences:
+            for s in r.doc_spans:
+                per_doc.setdefault(s.doc_id, set()).add(s.chunk_index)
+        # doc 0 has 8 tokens, max_tokens=4, overlap=1 -> 3 chunks
+        assert per_doc[0] == {0, 1, 2}
+
+    def test_n_unk_sums_and_zero_here(self, sequences):
+        assert all(r.n_unk == 0 for r in sequences)
+
+    def test_without_text_column(self, spark, fitted):
+        from gus_spark.operators.chunk import (
+            assemble_token_sequences,
+            pack_sequences,
+        )
+
+        df, merges, vocab = fitted
+        chunks = chunk_documents(df, max_tokens=4, overlap=1)
+        packed = pack_sequences(chunks, budget=8, shards=2)
+        out = assemble_token_sequences(packed, merges, vocab)
+        assert out.columns == [
+            "seq_uid", "token_ids", "doc_spans", "n_tokens", "n_unk"
+        ]
+        assert out.count() > 0

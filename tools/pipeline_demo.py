@@ -487,69 +487,50 @@ def run_pipeline(
         write_training_shards,
     )
 
-    seq_rows = packed.groupBy("shard", "seq_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("doc_id", "chunk_index", "chunk_text")
-                    )
-                ),
-                lambda s: s["chunk_text"],
-            ),
-            " ",
-        ).alias("text")
-    ).select(
-        # shard in the high 23 bits, seq_id below: collision-free up
-        # to 2^40 sequences per shard (a plain decimal multiplier
-        # would wrap at 10M sequences/shard and silently merge two
-        # training examples under one loader id)
-        (
-            F.shiftleft(F.col("shard").cast("long"), 40)
-            + F.col("seq_id")
-        ).alias("seq_uid"),
-        "text",
-    ).localCheckpoint()
-
-    # token ids: the vocab derives from the FIT corpus (base symbols +
-    # merge outputs), so encoding the mixture — whose text is drawn
-    # from that corpus — must produce zero unks; the n_unk sum makes
-    # that loud in the stats rather than assumed.
+    # token ids + doc-boundary spans: the vocab derives from the FIT
+    # corpus (base symbols + merge outputs), so encoding the mixture —
+    # whose text is drawn from that corpus — must produce zero unks;
+    # the n_unk sum makes that loud in the stats rather than assumed.
     from gus_spark.operators.bpe import (
         bpe_base_symbols,
         bpe_decode_ids,
-        bpe_encode_ids,
         bpe_vocab,
     )
+    from gus_spark.operators.chunk import assemble_token_sequences
 
     vocab = bpe_vocab(merges, bpe_base_symbols(redacted))
-    enc = bpe_encode_ids(
-        seq_rows, merges, vocab, id_col="seq_uid"
+    seqs = assemble_token_sequences(
+        packed, merges, vocab, include_text=True
     ).localCheckpoint()
     stats["loader_vocab"] = len(vocab)
     stats["loader_unk_tokens"] = int(
-        enc.agg(F.sum("n_unk")).first()[0] or 0
+        seqs.agg(F.sum("n_unk")).first()[0] or 0
     )
     mark("loader_encode")
 
     shards_dir = os.path.join(out_dir, "train_shards")
     manifest = write_training_shards(
-        enc, shards_dir, shards=pack_shards, id_col="seq_uid"
+        seqs.drop("text"),  # production shards carry ids + spans
+        shards_dir,
+        shards=pack_shards,
+        id_col="seq_uid",
     )
     stats["loader_rows"] = manifest["total_rows"]
     stats["loader_split_rows"] = {
         split: sum(counts.values())
         for split, counts in sorted(manifest["shard_rows"].items())
     }
-    # trainer-input receipt: the first training-order batch decodes
-    # back to its packed text (whitespace-normalized — BPE's contract)
+    # trainer-input receipt on the first training-order batch: the
+    # token ids decode back to the packed text (whitespace-normalized
+    # — BPE's contract) AND the doc spans tile the sequence exactly
+    # (1-based, gap-free) — the mask metadata a trainer consumes
     import re as _re
 
     batch, _cur = next(
         iter_training_order(shards_dir, "train", batch_rows=1)
     )
     row = batch.to_pylist()[0]
-    packed_text = seq_rows.filter(
+    packed_text = seqs.filter(
         F.col("seq_uid") == row["seq_uid"]
     ).first()["text"]
     want = " ".join(
@@ -558,6 +539,11 @@ def run_pipeline(
     assert bpe_decode_ids(row["token_ids"], vocab) == want, (
         "loader round-trip broke: decode(token_ids) != packed text"
     )
+    off = 1
+    for s in sorted(row["doc_spans"], key=lambda s: s["start"]):
+        assert s["start"] == off and s["len"] > 0, row["doc_spans"]
+        off += s["len"]
+    assert off - 1 == len(row["token_ids"])
     stats["loader_roundtrip_ok"] = True
     mark("loader_shards")
     stats["stage_secs"] = stage_secs
