@@ -437,6 +437,68 @@ def bpe_encode_ids(
     )
 
 
+def bpe_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    by: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer health per ``by`` group — the corpus metric that
+    catches a mis-fit tokenizer BEFORE a training run pays for it
+    (e.g. a vocab fit on English encoding another language near
+    character level): one row per group with
+
+    - ``fertility``        — BPE tokens per whitespace word (the
+      standard metric; 1.0 = every word is one token, → word length
+      as the fit degrades toward characters);
+    - ``chars_per_token``  — compression (text chars, as Spark
+      length(), per emitted token);
+    - ``unk_rate``         — UNK tokens per token (out-of-alphabet
+      text; nonzero means the BASE symbols don't cover the group);
+    - ``n_docs`` / ``n_words`` / ``n_tokens`` — the denominators.
+
+    Word denominator is the 'words' tokenize variant (non-empty),
+    matching the encoder's own per-word loop exactly. Scale shape:
+    the encode rides the corpus scan (one Arrow pass, no shuffle);
+    the only exchange is the per-group agg — a row per group."""
+    from gus_spark.functions.tokenize import tokenize as _tok
+
+    prepped = df.withColumn(
+        "_nw", F.size(_tok(F.col(text_col), "words")).cast("long")
+    ).withColumn("_nc", F.length(text_col).cast("long"))
+    enc = bpe_encode_ids(
+        prepped,
+        merges,
+        vocab,
+        id_col=id_col,
+        text_col=text_col,
+        carry_cols=(by, "_nw", "_nc"),
+    )
+    return (
+        enc.groupBy(by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nw").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("_nc").alias("_chars"),
+            F.sum("n_unk").alias("_unks"),
+        )
+        .select(
+            by,
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            (F.col("n_tokens") / F.col("n_words")).alias("fertility"),
+            (F.col("_chars") / F.col("n_tokens")).alias(
+                "chars_per_token"
+            ),
+            (F.col("_unks") / F.col("n_tokens")).alias("unk_rate"),
+        )
+    )
+
+
 def bpe_decode_ids(token_ids, vocab: dict[str, int]) -> str:
     """Host-side inverse of `bpe_encode_ids` for one sequence: ids →
     token strings → whitespace-normalized text (words are delimited by

@@ -8,6 +8,8 @@ import re
 import sys
 from collections import Counter
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gus_spark.operators.bpe import EOW, bpe_encode, bpe_fit, word_counts
@@ -514,3 +516,91 @@ class TestTokenIds:
                 assert row["n_tokens"] == len(row["token_ids"])
                 seen += 1
         assert seen == len(self.TEXTS)
+
+
+class TestFertility:
+    """bpe_fertility (r11): per-group tokenizer health vs a pure-Python
+    twin (the shared _enc_text kernel run host-side), and the signal —
+    a vocab fit on one group encodes a disjoint-alphabet group near
+    character level with a loud unk_rate."""
+
+    def test_matches_python_twin(self, spark):
+        from gus_spark.operators.bpe import (
+            UNK,
+            _enc_text,
+            bpe_base_symbols,
+            bpe_fertility,
+            bpe_fit,
+            bpe_vocab,
+        )
+
+        rows = [
+            (0, "en", "low lower lowest low low"),
+            (1, "en", "new newer newest"),
+            (2, "de", "niedrig niedriger am niedrigsten"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        merges = bpe_fit(df, num_merges=6, merge_batch=1)
+        vocab = bpe_vocab(merges, bpe_base_symbols(df))
+        got = {
+            r.lang: r.asDict()
+            for r in bpe_fertility(df, merges, vocab).collect()
+        }
+        rk = {p: i for i, p in enumerate(merges)}
+        want: dict[str, dict] = {}
+        for _i, lang, t in rows:
+            toks = _enc_text(t, rk)
+            words = [w for w in t.split() if w]
+            d = want.setdefault(
+                lang, {"docs": 0, "words": 0, "tokens": 0, "chars": 0,
+                       "unks": 0}
+            )
+            d["docs"] += 1
+            d["words"] += len(words)
+            d["tokens"] += len(toks)
+            d["chars"] += len(t)
+            d["unks"] += sum(1 for s in toks if s not in vocab)
+        for lang, w in want.items():
+            g = got[lang]
+            assert g["n_docs"] == w["docs"]
+            assert g["n_words"] == w["words"]
+            assert g["n_tokens"] == w["tokens"]
+            assert g["fertility"] == pytest.approx(
+                w["tokens"] / w["words"]
+            )
+            assert g["chars_per_token"] == pytest.approx(
+                w["chars"] / w["tokens"]
+            )
+            assert g["unk_rate"] == pytest.approx(
+                w["unks"] / w["tokens"]
+            )
+
+    def test_flags_out_of_alphabet_group(self, spark):
+        from gus_spark.operators.bpe import (
+            bpe_base_symbols,
+            bpe_fertility,
+            bpe_fit,
+            bpe_vocab,
+        )
+
+        en = spark.createDataFrame(
+            [(i, "en", "the lower the better the lowest the best")
+             for i in range(6)],
+            "doc_id long, lang string, text string",
+        )
+        zh = spark.createDataFrame(
+            [(100 + i, "zh", "好 好的 更好 最好") for i in range(6)],
+            "doc_id long, lang string, text string",
+        )
+        merges = bpe_fit(en, num_merges=16, merge_batch=1)
+        vocab = bpe_vocab(merges, bpe_base_symbols(en))  # EN-only fit
+        stats = {
+            r.lang: r.asDict()
+            for r in bpe_fertility(en.unionByName(zh), merges, vocab)
+            .collect()
+        }
+        # the fitted group compresses; the alien group is all-unk and
+        # near character level — both signals loud
+        assert stats["en"]["unk_rate"] == 0.0
+        assert stats["en"]["fertility"] < stats["zh"]["fertility"]
+        assert stats["zh"]["unk_rate"] == 1.0

@@ -439,7 +439,13 @@ def run_pipeline(
     # DEDUPLICATED survivors, not the weighted mixture — repeats would
     # just re-count the same pairs); report the MIXTURE's token budget
     # under that tokenizer
-    from gus_spark.operators.bpe import bpe_encode, bpe_fit
+    from gus_spark.operators.bpe import (
+        bpe_base_symbols,
+        bpe_encode,
+        bpe_fertility,
+        bpe_fit,
+        bpe_vocab,
+    )
 
     merges = bpe_fit(redacted, num_merges=64)
     stats["bpe_merges"] = len(merges)
@@ -449,6 +455,18 @@ def run_pipeline(
             merges,
         ).agg(F.sum("n_tokens")).first()[0]
     )
+    # tokenizer health per language (r11): fertility near word level
+    # and zero unks say the fit covers every surviving language —
+    # a language encoding near character level here would be the
+    # cheapest possible warning before a training run pays for it
+    vocab = bpe_vocab(merges, bpe_base_symbols(redacted))
+    stats["tokenizer_fertility"] = {
+        r[0]: {
+            "fertility": round(r["fertility"], 3),
+            "unk_rate": round(r["unk_rate"], 6),
+        }
+        for r in bpe_fertility(redacted, merges, vocab).collect()
+    }
     mark("bpe")
 
     # 7. chunk + pack (over the mixture: epoch passes pack as distinct
@@ -491,14 +509,11 @@ def run_pipeline(
     # corpus (base symbols + merge outputs), so encoding the mixture —
     # whose text is drawn from that corpus — must produce zero unks;
     # the n_unk sum makes that loud in the stats rather than assumed.
-    from gus_spark.operators.bpe import (
-        bpe_base_symbols,
-        bpe_decode_ids,
-        bpe_vocab,
-    )
+    from gus_spark.operators.bpe import bpe_decode_ids
     from gus_spark.operators.chunk import assemble_token_sequences
 
-    vocab = bpe_vocab(merges, bpe_base_symbols(redacted))
+    # vocab fit in stage 6 (base symbols + merge outputs of the fit
+    # corpus) — encoding the mixture must produce zero unks
     seqs = assemble_token_sequences(
         packed, merges, vocab, include_text=True
     ).localCheckpoint()
