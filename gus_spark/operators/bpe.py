@@ -465,6 +465,12 @@ def bpe_fertility(
     the only exchange is the per-group agg — a row per group."""
     from gus_spark.functions.tokenize import tokenize as _tok
 
+    clobbered = {"_nw", "_nc"} & set(df.columns)
+    if clobbered:  # the cap_per_group loud-collision convention
+        raise ValueError(
+            f"input already carries {sorted(clobbered)} — bpe_fertility "
+            "derives these internally; rename or drop them first"
+        )
     prepped = df.withColumn(
         "_nw", F.size(_tok(F.col(text_col), "words")).cast("long")
     ).withColumn("_nc", F.length(text_col).cast("long"))
