@@ -273,7 +273,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "protocol": (
-            "fresh_jvm_per_query_min_of_%d" % bench_reps()
+            "fresh_jvm_per_query_min_of_%d_fastline%d_under_%.1fs"
+            % (bench_reps(), FAST_LINE_REPS, FAST_LINE_SEC)
             if mode != "sweep" else "shared_session_sweep"
         ),
     }

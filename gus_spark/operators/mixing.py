@@ -278,9 +278,14 @@ def cap_per_group(
 
     # loud on derived-name collisions (the write_training_shards
     # pattern): a silent overwrite-then-drop would discard a caller
-    # column; prefilter additionally equi-joins on _ng/_thr, where a
-    # duplicate name would make the filter ambiguous.
-    derived = {"_rnk"} if tier == "exact" else {"_rnk", "_b", "_ng", "_thr"}
+    # column; prefilter additionally equi-joins on _ng/_thr (duplicate
+    # name -> ambiguous filter) and renames the counts key to _cg
+    # (duplicate name -> AMBIGUOUS_REFERENCE at the drop).
+    derived = (
+        {"_rnk"}
+        if tier == "exact"
+        else {"_rnk", "_b", "_ng", "_thr", "_cg"}
+    )
     clobbered = derived & set(df.columns)
     if clobbered:
         raise ValueError(
@@ -323,7 +328,13 @@ def cap_per_group(
             .cast("long") + 1,
         ),
     ).otherwise(F.lit(space))
-    counts = counts.withColumn("_thr", thr)
+    # counts is consumed TWICE with non-identical plans (the broadcast
+    # side renames the key to _cg; the guarantee check filters it
+    # as-is), so ReuseExchange can't dedupe them — without this
+    # boundary the check's collect would re-aggregate the whole input
+    # a third time. One row per group: the cheapest checkpoint in the
+    # plan, and it makes the two-scans claim below actually true.
+    counts = counts.withColumn("_thr", thr).localCheckpoint(eager=False)
     # null-safe: a NULL group is a legitimate group (the exact tier
     # windows it); a plain equi-join would silently drop its rows
     pre = (
@@ -339,14 +350,14 @@ def cap_per_group(
     )
     # the guarantee check below and the final ranking window both
     # consume `pre`; without a materialization boundary each would
-    # re-run the full scan + hash + broadcast join (three passes over
-    # the input on the tier aimed at the 100-TB shape). localCheckpoint
+    # re-run the full scan + hash + broadcast join. localCheckpoint
     # truncates the lineage and stores the (bounded: over-cap groups
     # contribute ~max_rows*margin rows each; under-cap groups pass
     # whole, exactly the rows the result keeps anyway) survivor set on
-    # executor memory-and-disk, so the input is scanned twice total —
-    # once for counts, once to build `pre` — not three times. Lazy:
-    # the check's collect() is the materializing action.
+    # executor memory-and-disk. With the counts checkpoint above, the
+    # input is scanned exactly twice total — once for the group
+    # counts, once to build `pre` — instead of four times (pre twice +
+    # counts twice). Lazy: the check's collect() materializes both.
     pre = pre.localCheckpoint(eager=False)
     # loud guarantee check: every group that HAS max_rows+ rows must
     # still have >= max_rows after the prefilter. Aggregate kept

@@ -276,13 +276,21 @@ def write_training_shards(
     # layout receipt (both modes): walk the directory tree, assert the
     # one-file-per-(split, shard) invariant, and take footer counts —
     # metadata only, |splits| x shards footers, no data read.
+    # Partition DIRECTORY names are Spark-escaped (escapePathName
+    # %XX-encodes ':', '=', '#', '%', control chars...), while the
+    # manifest — and the verify recount — key by the split VALUE:
+    # unquote restores it (Spark's escape is exactly %XX hex), so a
+    # split named 'train:v2' doesn't fail verification on a clean
+    # write or emit a key no consumer can look up.
+    from urllib.parse import unquote
+
     import pyarrow.parquet as pq
 
     shard_rows: dict[str, dict[str, int]] = {}
     for split_dir in sorted(os.listdir(data_dir)):
         if not split_dir.startswith(f"{split_col}="):
             continue
-        sname = split_dir.split("=", 1)[1]
+        sname = unquote(split_dir.split("=", 1)[1])
         for shard_dir in sorted(
             os.listdir(os.path.join(data_dir, split_dir))
         ):

@@ -367,6 +367,23 @@ class TestCapPerGroup:
                 priority_col="p",
             )
 
+    def test_derived_name_collisions_are_loud(self, spark, docs):
+        """Caller columns named like the tiers' internals must raise
+        the guard's ValueError, never a silent overwrite-then-drop or
+        an opaque AMBIGUOUS_REFERENCE (r11 review: '_cg' slipped the
+        guard and died in the analyzer)."""
+        from gus_spark.operators.mixing import cap_per_group
+
+        base = docs.select("doc_id", "source")
+        for col in ("_rnk",):
+            with pytest.raises(ValueError, match="derives"):
+                cap_per_group(base.withColumn(col, F.lit(1)))
+        for col in ("_rnk", "_b", "_ng", "_thr", "_cg"):
+            with pytest.raises(ValueError, match="derives"):
+                cap_per_group(
+                    base.withColumn(col, F.lit(1)), tier="prefilter"
+                )
+
     def test_null_group_is_capped_not_dropped(self, spark, docs):
         from gus_spark.operators.mixing import cap_per_group
 

@@ -413,8 +413,14 @@ def test_cap_per_group_prefilter_plan_shape(spark):
         cap_per_group(
             d, group_col="lang", max_rows=100, tier="prefilter"
         ).count()
-    assert captured and "BroadcastHashJoin" in captured[0], captured[0]
-    assert "SortMergeJoin" not in captured[0]
+    # two checkpoints by design: the per-group counts (shared by the
+    # broadcast side and the guarantee check — one input scan) and the
+    # prefiltered survivors; the survivor plan joins via BROADCAST
+    assert len(captured) == 2, len(captured)
+    counts_plan, pre_plan = captured
+    assert "BroadcastHashJoin" not in counts_plan  # it's the agg side
+    assert "BroadcastHashJoin" in pre_plan, pre_plan
+    assert all("SortMergeJoin" not in p for p in captured)
 
 
 def test_phrase_match_pushes_terms_no_cartesian(spark):

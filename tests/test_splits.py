@@ -301,6 +301,23 @@ class TestLoaderBoundary:
         finally:
             spark.conf.unset("spark.sql.files.maxRecordsPerFile")
 
+    def test_escaped_split_names_verify_clean(
+        self, spark, ids, tmp_path_factory
+    ):
+        """Split names Spark escapes in partition paths (':' ->
+        '%3A') must verify clean and land UNESCAPED in the manifest —
+        the footer walk decodes directory names before keying
+        (r11 review: verify=True spuriously failed on 'train:v2')."""
+        from gus_spark.operators.splits import write_training_shards
+
+        weights = {"train:v2": 0.5, "held out": 0.5}
+        for verify in (True, False):
+            d = str(tmp_path_factory.mktemp(f"esc_{verify}"))
+            m = write_training_shards(
+                ids, d, shards=2, weights=weights, verify=verify
+            )
+            assert set(m["shard_rows"]) == set(weights), m["shard_rows"]
+
     def test_epoch_reseed_reorders(self, spark, ids, tmp_path_factory):
         from gus_spark.operators.splits import (
             iter_training_order,

@@ -441,6 +441,7 @@ def run_pipeline(
     # under that tokenizer
     from gus_spark.operators.bpe import (
         bpe_base_symbols,
+        bpe_decode_ids,
         bpe_encode,
         bpe_fertility,
         bpe_fit,
@@ -461,9 +462,18 @@ def run_pipeline(
     # cheapest possible warning before a training run pays for it
     vocab = bpe_vocab(merges, bpe_base_symbols(redacted))
     stats["tokenizer_fertility"] = {
+        # NULL-safe: a group of whitespace-only survivors aggregates
+        # 0 words / 0 tokens -> NULL ratios; report the degenerate
+        # group rather than crashing the stats step on round(None)
         r[0]: {
-            "fertility": round(r["fertility"], 3),
-            "unk_rate": round(r["unk_rate"], 6),
+            "fertility": (
+                round(r["fertility"], 3)
+                if r["fertility"] is not None else None
+            ),
+            "unk_rate": (
+                round(r["unk_rate"], 6)
+                if r["unk_rate"] is not None else None
+            ),
         }
         for r in bpe_fertility(redacted, merges, vocab).collect()
     }
@@ -505,15 +515,11 @@ def run_pipeline(
         write_training_shards,
     )
 
-    # token ids + doc-boundary spans: the vocab derives from the FIT
-    # corpus (base symbols + merge outputs), so encoding the mixture —
-    # whose text is drawn from that corpus — must produce zero unks;
-    # the n_unk sum makes that loud in the stats rather than assumed.
-    from gus_spark.operators.bpe import bpe_decode_ids
     from gus_spark.operators.chunk import assemble_token_sequences
 
-    # vocab fit in stage 6 (base symbols + merge outputs of the fit
-    # corpus) — encoding the mixture must produce zero unks
+    # vocab fit in stage 6 over the FIT corpus; the mixture's text is
+    # drawn from it, so encoding must produce zero unks — the n_unk
+    # sum makes that loud in the stats rather than assumed
     seqs = assemble_token_sequences(
         packed, merges, vocab, include_text=True
     ).localCheckpoint()
