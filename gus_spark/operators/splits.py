@@ -407,18 +407,28 @@ def iter_training_order(
     streamed a row group at a time, so host footprint is independent
     of corpus size."""
     import os
+    from urllib.parse import unquote
 
     import pyarrow.dataset as pa_ds
 
     manifest = read_manifest(dest)
     split_col = manifest["split_col"]
     data_dir = os.path.join(dest, "data")
-    split_dir = os.path.join(data_dir, f"{split_col}={split}")
-    if not os.path.isdir(split_dir):
+    # match by the split VALUE: partition dir names are Spark-escaped
+    # (the writer's footer walk decodes the same way), so a literal
+    # f"{split_col}={split}" path would miss e.g. 'train:v2'
+    prefix = f"{split_col}="
+    by_value = {
+        unquote(d[len(prefix):]): d
+        for d in os.listdir(data_dir)
+        if d.startswith(prefix)
+    }
+    if split not in by_value:
         raise ValueError(
             f"no split {split!r} under {data_dir} "
-            f"(have: {sorted(os.listdir(data_dir))})"
+            f"(have: {sorted(by_value)})"
         )
+    split_dir = os.path.join(data_dir, by_value[split])
     start_shard, start_pos = cursor if cursor is not None else (-1, 0)
     shard_ids = sorted(
         int(d.split("=", 1)[1])

@@ -310,6 +310,8 @@ class TestLoaderBoundary:
         (r11 review: verify=True spuriously failed on 'train:v2')."""
         from gus_spark.operators.splits import write_training_shards
 
+        from gus_spark.operators.splits import iter_training_order
+
         weights = {"train:v2": 0.5, "held out": 0.5}
         for verify in (True, False):
             d = str(tmp_path_factory.mktemp(f"esc_{verify}"))
@@ -317,6 +319,11 @@ class TestLoaderBoundary:
                 ids, d, shards=2, weights=weights, verify=verify
             )
             assert set(m["shard_rows"]) == set(weights), m["shard_rows"]
+        # the reader resolves the VALUE against escaped dirs too
+        n = sum(
+            b.num_rows for b, _c in iter_training_order(d, "train:v2")
+        )
+        assert n == sum(m["shard_rows"]["train:v2"].values())
 
     def test_epoch_reseed_reorders(self, spark, ids, tmp_path_factory):
         from gus_spark.operators.splits import (
