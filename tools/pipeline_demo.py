@@ -281,7 +281,14 @@ def run_pipeline(
 
     if stats["after_quality_gate"]:
         lm = fit_ngram_lm(quality, order=3)
-        ppl = perplexity_score(quality, lm, order=3)
+        # ppl is consumed TWICE (the p50 agg and the CCNet-buckets
+        # chain below); without this boundary each consumer re-runs
+        # the whole LM fit + scoring lineage — measured at sf10:
+        # 275 s for the stage vs ~140 s with the checkpoint (the r10
+        # decade table's 128 s predates the buckets chain, so the
+        # doubling was invisible until the r11 re-run). One narrow
+        # row per doc — the cheap end of the checkpoint trade.
+        ppl = perplexity_score(quality, lm, order=3).localCheckpoint()
         p50 = ppl.agg(
             F.percentile_approx("log10_ppl", 0.5).alias("p")
         ).first()["p"]
