@@ -314,27 +314,16 @@ def cap_per_group(
             "threshold — use tier='exact' (or rank your priority "
             "into a uniform key first)"
         )
-    if margin is None:
-        margin = 1.0 + 6.0 / (max_rows ** 0.5)
-    space = _CAP_SPACE
-    counts = df.groupBy(group_col).agg(F.count("*").alias("_ng"))
-    # threshold: admit ~max_rows*margin of each over-cap group;
-    # under-cap groups pass whole (threshold >= space)
-    thr = F.when(
-        F.col("_ng") > max_rows,
-        F.least(
-            F.lit(space),
-            (F.lit(float(space) * max_rows * margin) / F.col("_ng"))
-            .cast("long") + 1,
-        ),
-    ).otherwise(F.lit(space))
+    margin = _cap_margin(max_rows, margin)
     # counts is consumed TWICE with non-identical plans (the broadcast
     # side renames the key to _cg; the guarantee check filters it
     # as-is), so ReuseExchange can't dedupe them — without this
     # boundary the check's collect would re-aggregate the whole input
     # a third time. One row per group: the cheapest checkpoint in the
     # plan, and it makes the two-scans claim below actually true.
-    counts = counts.withColumn("_thr", thr).localCheckpoint(eager=False)
+    counts = cap_thresholds(
+        df, group_col=group_col, max_rows=max_rows, margin=margin
+    ).localCheckpoint(eager=False)
     # null-safe: a NULL group is a legitimate group (the exact tier
     # windows it); a plain equi-join would silently drop its rows
     pre = (
@@ -391,6 +380,92 @@ def cap_per_group(
         pre.withColumn("_rnk", F.row_number().over(w_pre))
         .filter(F.col("_rnk") <= max_rows)
         .drop("_rnk", "_b", "_ng", "_thr")
+    )
+
+
+def _cap_margin(max_rows: int, margin: float | None) -> float:
+    """Default admission margin: +6σ of the binomial draw — see
+    cap_per_group's tier docs."""
+    return (
+        margin if margin is not None else 1.0 + 6.0 / (max_rows ** 0.5)
+    )
+
+
+def cap_thresholds(
+    df: DataFrame,
+    group_col: str = "source",
+    max_rows: int = 1000,
+    margin: float | None = None,
+) -> DataFrame:
+    """The per-group cap as a FIT-ONCE artifact (the CCNet
+    perplexity_thresholds precedent from operators/lm.py): one row per
+    group — (group, _ng, _thr) — where ``_thr`` is the 60-bit-space
+    admission threshold the prefilter tier uses: over-cap groups admit
+    ~max_rows × margin of their rows by seeded hash; under-cap groups
+    get the full space (pass whole). Integer arithmetic identical to
+    ``cap_per_group(tier='prefilter')`` — the two can never drift
+    (the prefilter tier calls this). Persist the frame and apply it to
+    arriving data with `apply_cap_thresholds` — the streaming form of
+    the cap."""
+    if max_rows < 1:
+        raise ValueError(f"max_rows must be >= 1, got {max_rows}")
+    margin = _cap_margin(max_rows, margin)
+    space = _CAP_SPACE
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_ng"))
+    # threshold: admit ~max_rows*margin of each over-cap group;
+    # under-cap groups pass whole (threshold >= space)
+    thr = F.when(
+        F.col("_ng") > max_rows,
+        F.least(
+            F.lit(space),
+            (F.lit(float(space) * max_rows * margin) / F.col("_ng"))
+            .cast("long") + 1,
+        ),
+    ).otherwise(F.lit(space))
+    return counts.withColumn("_thr", thr)
+
+
+def apply_cap_thresholds(
+    df: DataFrame,
+    thresholds: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "cap-v1",
+) -> DataFrame:
+    """Label rows against FROZEN cap thresholds — a pure broadcast map
+    (no window, no state, no sort at any scale): the input columns
+    plus ``keep`` — true/false for fitted groups (seeded hash below /
+    at-or-above the group's threshold), NULL for groups absent from
+    the fit (loud-by-NULL, the assign_buckets convention: a brand-new
+    head domain arriving after the fit is a refit signal, not a row to
+    silently pass or drop). Deterministic per (seed, id): a streaming
+    foreachBatch labels bit-identically to the batch map (asserted in
+    tests), and re-deliveries label the same way.
+
+    Semantics vs the batch cap: against a FROZEN fit this is a RATE
+    cap — each over-cap group keeps ~(max_rows × margin / n_g) of its
+    arriving rows, i.e. ~max_rows × margin per reference-corpus
+    volume. It does NOT re-rank or bound the absolute count as the
+    corpus grows past the fit (that requires the batch tiers);
+    refit cadence is the deployment knob, exactly as CCNet's offline
+    threshold fit."""
+    derived = {"_b", "_tg", "_thr", "keep"} & set(df.columns)
+    if derived:
+        raise ValueError(
+            f"input already carries {sorted(derived)} — "
+            "apply_cap_thresholds derives these internally; rename or "
+            "drop them first"
+        )
+    t = F.broadcast(
+        thresholds.select(
+            F.col(group_col).alias("_tg"), "_thr"
+        )
+    )
+    return (
+        df.withColumn("_b", _cap_bucket(F.col(id_col), seed))
+        .join(t, F.col(group_col).eqNullSafe(F.col("_tg")), "left")
+        .withColumn("keep", F.col("_b") < F.col("_thr"))
+        .drop("_b", "_tg", "_thr")
     )
 
 

@@ -417,3 +417,124 @@ class TestCapPerGroup:
             cap_per_group(
                 one, max_rows=1, tier="prefilter", margin=1e-12
             )
+
+
+class TestCapThresholds:
+    """cap_thresholds / apply_cap_thresholds (r11 — the CCNet
+    frozen-threshold decomposition applied to the cap): the artifact
+    is identical to the prefilter tier's internals; applying it to
+    the fit corpus reproduces the prefilter admission exactly; unseen
+    groups are loud-by-NULL; a streaming micro-batch labels
+    bit-identically to the batch map."""
+
+    CAP = 10
+
+    def test_apply_reproduces_prefilter_admission(self, spark, docs):
+        from gus_spark.operators.mixing import (
+            apply_cap_thresholds,
+            cap_per_group,
+            cap_thresholds,
+        )
+        from gus_spark.operators.splits import _SPACE
+
+        # group by lang: every group (64-218 docs) exceeds
+        # CAP x margin (~29), so every threshold BINDS — with groups
+        # under that product the prefilter correctly admits whole
+        # groups (threshold = space) and the window does the capping
+        d = docs.select("doc_id", "lang")
+        thr = cap_thresholds(d, group_col="lang", max_rows=self.CAP)
+        rows = {r["lang"]: (r["_ng"], r["_thr"]) for r in thr.collect()}
+        assert all(t < _SPACE for _n, t in rows.values()), rows
+        labeled = apply_cap_thresholds(d, thr, group_col="lang")
+        kept = {r.doc_id for r in labeled.collect() if r.keep}
+        # the margin guarantee carries over on the fit corpus: every
+        # group admits >= CAP rows, and the EXACT capped output is a
+        # subset of the admission (the prefilter's own contract)
+        per_group = {}
+        for r in labeled.collect():
+            if r.keep:
+                per_group[r.lang] = per_group.get(r.lang, 0) + 1
+        assert all(n >= self.CAP for n in per_group.values()), per_group
+        assert any(  # and it genuinely drops rows (a real rate cap)
+            n < rows[g][0] for g, n in per_group.items()
+        ), per_group
+        exact = {
+            r.doc_id
+            for r in cap_per_group(
+                d, group_col="lang", max_rows=self.CAP
+            ).collect()
+        }
+        assert exact <= kept
+
+    def test_under_cap_groups_keep_everything(self, spark, docs):
+        from gus_spark.operators.mixing import (
+            apply_cap_thresholds,
+            cap_thresholds,
+        )
+
+        d = docs.select("doc_id", "source")
+        thr = cap_thresholds(d, max_rows=10_000)
+        labeled = apply_cap_thresholds(d, thr)
+        assert labeled.filter(~F.col("keep")).count() == 0
+        assert labeled.filter(F.col("keep")).count() == d.count()
+
+    def test_unseen_group_is_null_not_silent(self, spark, docs):
+        from gus_spark.operators.mixing import (
+            apply_cap_thresholds,
+            cap_thresholds,
+        )
+
+        d = docs.select("doc_id", "source")
+        thr = cap_thresholds(d, max_rows=self.CAP)
+        alien = spark.createDataFrame(
+            [(10_000_000, "srcNEW")], "doc_id long, source string"
+        )
+        out = apply_cap_thresholds(d.unionByName(alien), thr)
+        r = out.filter(F.col("doc_id") == 10_000_000).first()
+        assert r.keep is None
+        assert out.filter(F.col("keep").isNull()).count() == 1
+
+    def test_stream_labels_bit_identically(self, spark, docs, tmp_path):
+        from gus_spark.operators.mixing import (
+            apply_cap_thresholds,
+            cap_thresholds,
+        )
+
+        d = docs.select("doc_id", "source")
+        src = str(tmp_path / "cap_src")
+        d.coalesce(2).write.parquet(src)
+        thr = cap_thresholds(d, max_rows=self.CAP)
+        thr.cache().count()  # freeze: don't recompute per micro-batch
+        stream = spark.readStream.schema(d.schema).parquet(src)
+        q = (
+            apply_cap_thresholds(stream, thr)
+            .writeStream.format("memory")
+            .queryName("cap_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.doc_id, r.keep)
+            for r in spark.sql("SELECT doc_id, keep FROM cap_stream").collect()
+        }
+        want = {
+            (r.doc_id, r.keep)
+            for r in apply_cap_thresholds(d, thr).collect()
+        }
+        thr.unpersist()
+        assert got == want and got
+
+    def test_derived_collisions_loud(self, spark, docs):
+        from gus_spark.operators.mixing import (
+            apply_cap_thresholds,
+            cap_thresholds,
+        )
+
+        d = docs.select("doc_id", "source")
+        thr = cap_thresholds(d, max_rows=self.CAP)
+        with pytest.raises(ValueError, match="derives"):
+            apply_cap_thresholds(d.withColumn("keep", F.lit(True)), thr)
+        with pytest.raises(ValueError, match="max_rows"):
+            cap_thresholds(d, max_rows=0)
