@@ -496,11 +496,15 @@ def bpe_fertility(
             "n_docs",
             "n_words",
             "n_tokens",
-            (F.col("n_tokens") / F.col("n_words")).alias("fertility"),
-            (F.col("_chars") / F.col("n_tokens")).alias(
+            # try_divide: a group of whitespace-only docs legitimately
+            # aggregates 0 words / 0 tokens — report NULL ratios for
+            # the degenerate group instead of raising DIVIDE_BY_ZERO
+            # under ANSI mode (the session default)
+            F.try_divide("n_tokens", "n_words").alias("fertility"),
+            F.try_divide("_chars", "n_tokens").alias(
                 "chars_per_token"
             ),
-            (F.col("_unks") / F.col("n_tokens")).alias("unk_rate"),
+            F.try_divide("_unks", "n_tokens").alias("unk_rate"),
         )
     )
 

@@ -604,3 +604,33 @@ class TestFertility:
         assert stats["en"]["unk_rate"] == 0.0
         assert stats["en"]["fertility"] < stats["zh"]["fertility"]
         assert stats["zh"]["unk_rate"] == 1.0
+
+    def test_degenerate_group_reports_null_not_divide_by_zero(self, spark):
+        """A group whose only docs are whitespace-only aggregates 0
+        words / 0 tokens: under ANSI mode the ratios must come back
+        NULL (try_divide), never a DIVIDE_BY_ZERO job failure."""
+        from gus_spark.operators.bpe import (
+            bpe_base_symbols,
+            bpe_fertility,
+            bpe_fit,
+            bpe_vocab,
+        )
+
+        fit_df = spark.createDataFrame(
+            [(0, "en", "low lower lowest")],
+            "doc_id long, lang string, text string",
+        )
+        merges = bpe_fit(fit_df, num_merges=4, merge_batch=1)
+        vocab = bpe_vocab(merges, bpe_base_symbols(fit_df))
+        mixed = spark.createDataFrame(
+            [(0, "en", "low lower lowest"), (1, "xx", "   ")],
+            "doc_id long, lang string, text string",
+        )
+        rows = {
+            r.lang: r.asDict()
+            for r in bpe_fertility(mixed, merges, vocab).collect()
+        }
+        assert rows["xx"]["n_words"] == 0 and rows["xx"]["n_tokens"] == 0
+        assert rows["xx"]["fertility"] is None
+        assert rows["xx"]["unk_rate"] is None
+        assert rows["en"]["fertility"] is not None

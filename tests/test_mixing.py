@@ -538,3 +538,14 @@ class TestCapThresholds:
             apply_cap_thresholds(d.withColumn("keep", F.lit(True)), thr)
         with pytest.raises(ValueError, match="max_rows"):
             cap_thresholds(d, max_rows=0)
+
+    def test_duplicated_artifact_is_loud(self, spark, docs):
+        from gus_spark.operators.mixing import (
+            apply_cap_thresholds,
+            cap_thresholds,
+        )
+
+        d = docs.select("doc_id", "source")
+        thr = cap_thresholds(d, max_rows=self.CAP)
+        with pytest.raises(ValueError, match="one row per group"):
+            apply_cap_thresholds(d, thr.unionByName(thr))
