@@ -351,3 +351,57 @@ class TestAssembleTokenSequences:
             "seq_uid", "token_ids", "doc_spans", "n_tokens", "n_unk"
         ]
         assert out.count() > 0
+
+
+@pytest.mark.parametrize(
+    "max_tokens,overlap,budget",
+    [(3, 0, 7), (5, 2, 11), (4, 1, 4)],
+)
+def test_spans_tile_under_parameter_sweep(spark, max_tokens, overlap, budget):
+    """Span arithmetic holds across chunk/pack parameter shapes,
+    including budget == max_tokens (every chunk its own sequence):
+    1-based gap-free tiling, concat == whole-text encode, totals."""
+    from gus_spark.operators.bpe import (
+        bpe_base_symbols,
+        bpe_encode_ids,
+        bpe_fit,
+        bpe_vocab,
+    )
+    from gus_spark.operators.chunk import (
+        assemble_token_sequences,
+        pack_sequences,
+    )
+
+    texts = [
+        (i, " ".join(f"w{j % 7}x{(i + j) % 5}" for j in range(3 + i * 2)))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    merges = bpe_fit(df, num_merges=6, merge_batch=2)
+    vocab = bpe_vocab(merges, bpe_base_symbols(df))
+    chunks = chunk_documents(df, max_tokens=max_tokens, overlap=overlap)
+    packed = pack_sequences(chunks, budget=budget, shards=2)
+    seqs = assemble_token_sequences(
+        packed, merges, vocab, include_text=True
+    ).collect()
+    assert seqs
+    whole = {
+        r.seq_uid: list(r.token_ids)
+        for r in bpe_encode_ids(
+            spark.createDataFrame(
+                [(r.seq_uid, r.text) for r in seqs],
+                "seq_uid long, text string",
+            ),
+            merges,
+            vocab,
+            id_col="seq_uid",
+        ).collect()
+    }
+    for r in seqs:
+        spans = sorted(r.doc_spans, key=lambda s: s.start)
+        off = 1
+        for s in spans:
+            assert s.start == off and s.len > 0
+            off += s.len
+        assert off - 1 == r.n_tokens == len(r.token_ids)
+        assert list(r.token_ids) == whole[r.seq_uid]

@@ -549,3 +549,28 @@ class TestCapThresholds:
         thr = cap_thresholds(d, max_rows=self.CAP)
         with pytest.raises(ValueError, match="one row per group"):
             apply_cap_thresholds(d, thr.unionByName(thr))
+
+    def test_artifact_round_trips_through_parquet(
+        self, spark, docs, tmp_path
+    ):
+        """The fit-once artifact persists and reloads without label
+        drift — the deployment shape the docstring recommends."""
+        from gus_spark.operators.mixing import (
+            apply_cap_thresholds,
+            cap_thresholds,
+        )
+
+        d = docs.select("doc_id", "source")
+        thr = cap_thresholds(d, max_rows=self.CAP)
+        dest = str(tmp_path / "cap_artifact")
+        thr.write.parquet(dest)
+        reloaded = spark.read.parquet(dest)
+        want = {
+            (r.doc_id, r.keep)
+            for r in apply_cap_thresholds(d, thr).collect()
+        }
+        got = {
+            (r.doc_id, r.keep)
+            for r in apply_cap_thresholds(d, reloaded).collect()
+        }
+        assert got == want and got
