@@ -487,6 +487,49 @@ def apply_cap_thresholds(
     )
 
 
+def sql_cap_thresholds(
+    table: str = "documents",
+    group_col: str = "source",
+    max_rows: int = 1000,
+    margin: float | None = None,
+) -> str:
+    """DuckDB twin of `cap_thresholds` — identical integer-threshold
+    arithmetic (FLOOR of the double division, matching Spark's
+    toward-zero long cast on the positive operand), so a persisted
+    artifact is engine-portable bit-for-bit."""
+    margin = _cap_margin(max_rows, margin)
+    space = _CAP_SPACE
+    return f"""
+    SELECT {group_col}, _ng,
+           CASE WHEN _ng > {max_rows}
+             THEN LEAST(CAST({space} AS BIGINT),
+                        CAST(FLOOR({float(space) * max_rows * margin!r}
+                                   / _ng) AS BIGINT) + 1)
+             ELSE CAST({space} AS BIGINT) END AS _thr
+    FROM (SELECT {group_col}, COUNT(*) AS _ng
+          FROM {table} GROUP BY {group_col})
+    """
+
+
+def sql_apply_cap_thresholds(
+    table: str = "documents",
+    thresholds: str = "thresholds",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "cap-v1",
+) -> str:
+    """DuckDB twin of `apply_cap_thresholds`: the same portable
+    md5-prefix bucket compared against the joined threshold; unfitted
+    groups yield NULL keep (LEFT JOIN), null-safe on the group key."""
+    b = _sql_cap_bucket(id_col, seed)
+    return f"""
+    SELECT d.*, {b} < t._thr AS keep
+    FROM {table} d
+    LEFT JOIN {thresholds} t
+      ON d.{group_col} IS NOT DISTINCT FROM t.{group_col}
+    """
+
+
 def sql_cap_per_group(
     table: str = "documents",
     group_col: str = "source",

@@ -574,3 +574,38 @@ class TestCapThresholds:
             for r in apply_cap_thresholds(d, reloaded).collect()
         }
         assert got == want and got
+
+    def test_artifact_and_apply_match_duckdb_twins(self, spark, docs):
+        """Engine portability of the persisted artifact: thresholds
+        AND keep labels hash-match a DuckDB twin computing the same
+        integer arithmetic over the same md5-prefix bucket."""
+        import duckdb
+
+        from gus_spark.operators.mixing import (
+            apply_cap_thresholds,
+            cap_thresholds,
+            sql_apply_cap_thresholds,
+            sql_cap_thresholds,
+        )
+        from oracle_harness import frame_key
+
+        d = docs.select("doc_id", "lang")
+        thr = cap_thresholds(d, group_col="lang", max_rows=self.CAP)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW d AS SELECT doc_id, lang FROM "
+            f"'{SF_DIR_ORACLE}/documents.parquet'"
+        )
+        want_thr = con.execute(
+            sql_cap_thresholds("d", group_col="lang", max_rows=self.CAP)
+        ).df()
+        assert frame_key(thr.toPandas()) == frame_key(want_thr)
+        con.execute(
+            "CREATE VIEW thr AS "
+            + sql_cap_thresholds("d", group_col="lang", max_rows=self.CAP)
+        )
+        want_keep = con.execute(
+            sql_apply_cap_thresholds("d", "thr", group_col="lang")
+        ).df()
+        got_keep = apply_cap_thresholds(d, thr, group_col="lang").toPandas()
+        assert frame_key(got_keep) == frame_key(want_keep)
