@@ -753,6 +753,49 @@ def test_streaming_pipeline_end_to_end_kill_and_resume(spark, tmp_path):
     assert packed_rows(pa) == want
     assert packed_totals(pa) == want_totals
 
+    # ---- loader handoff from the STREAMED tier (r11): sequences are
+    # held open in pack state across batches, so the token-id loader
+    # materialization is a BATCH job over the drained packed tier by
+    # design — and it must produce token tensors + doc spans
+    # bit-identical to assembling the batch twin's pack (the packed
+    # rows are row-identical, asserted above; this pins the whole
+    # downstream chain through encode + span fold).
+    from gus_spark.operators.bpe import (
+        bpe_base_symbols,
+        bpe_fit,
+        bpe_vocab,
+    )
+    from gus_spark.operators.chunk import assemble_token_sequences
+
+    merges = bpe_fit(clean_b, num_merges=8, merge_batch=2)
+    vocab = bpe_vocab(merges, bpe_base_symbols(clean_b))
+
+    def seq_key(df):
+        return {
+            r.seq_uid: (
+                list(r.token_ids),
+                sorted(
+                    (s.doc_id, s.chunk_index, s.start, s.len)
+                    for s in r.doc_spans
+                ),
+                r.n_tokens,
+                r.n_unk,
+            )
+            for r in df.collect()
+        }
+
+    from_stream = seq_key(
+        assemble_token_sequences(
+            spark.read.parquet(pa.packed), merges, vocab
+        )
+    )
+    from_batch = seq_key(
+        assemble_token_sequences(
+            pack_sequences(chunks_b, budget=48, shards=4), merges, vocab
+        )
+    )
+    assert from_stream == from_batch and from_stream
+
     # ---- (b) incremental arrival + crash + resume
     src_b = str(tmp_path / "src_b")
     docs.filter(F.col("doc_id") < 250).coalesce(1).write.mode(
