@@ -423,7 +423,44 @@ def test_cap_per_group_prefilter_plan_shape(spark):
     assert all("SortMergeJoin" not in p for p in captured)
 
 
-def test_phrase_match_pushes_terms_no_cartesian(spark):
+def test_assemble_token_sequences_single_exchange(spark):
+    """assemble_token_sequences (r11): the chunk encode rides the
+    input scan (one Arrow eval, pre-shuffle) and the ONLY exchange is
+    the (shard, seq_id) assembly aggregation — spans/tensor folds are
+    expression-level over the collected structs, adding no shuffle,
+    no window, no second Python pass."""
+    from gus_spark.operators.bpe import (
+        bpe_base_symbols,
+        bpe_fit,
+        bpe_vocab,
+    )
+    from gus_spark.operators.chunk import assemble_token_sequences
+    from gus_spark.queries import table
+
+    d = table(spark, SF_DIR, "documents").limit(50)
+    merges = bpe_fit(d, num_merges=4, merge_batch=2)
+    vocab = bpe_vocab(merges, bpe_base_symbols(d))
+    packed = spark.createDataFrame(
+        [
+            (i, 0, f"tok{i} tok{(i + 1) % 5}", 2, i % 2, i // 2)
+            for i in range(12)
+        ],
+        "doc_id long, chunk_index int, chunk_text string, "
+        "n_chunk_tokens long, shard long, seq_id long",
+    )
+    plan = plan_of(
+        spark,
+        assemble_token_sequences(packed, merges, vocab),
+        mode="simple",
+    )
+    hash_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_ex) == 1, plan
+    assert "shard" in hash_ex[0] and "seq_id" in hash_ex[0], plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "Window" not in plan, plan
     """phrase_match_docs (r8): the phrase-term filter runs BELOW the
     (w, id) posting aggregation's exchange (only phrase-term token
     occurrences ever shuffle — w is a derived column, so the filter
