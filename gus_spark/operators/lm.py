@@ -358,7 +358,19 @@ def assign_buckets(
     sort, no window, no state at any scale. NULL scores get a NULL
     bucket; a language absent from the thresholds labels NULL too
     (scored-after-fit languages have no defined distribution — a
-    loud-by-NULL outcome rather than a silent guess)."""
+    loud-by-NULL outcome rather than a silent guess). The artifact's
+    one-row-per-language invariant is checked loudly up front
+    (language-cardinality-bounded — a duplicated refit appended next
+    to the old artifact would otherwise silently multiply every
+    scored row through the join with conflicting cuts; r11, the
+    shared checked_artifact contract with the cap applier)."""
+    from gus_spark.operators.util import checked_artifact
+
+    thresholds = checked_artifact(
+        thresholds.select(lang_col, "_cuts"),
+        lang_col,
+        "perplexity thresholds artifact",
+    )
     live = scored.filter(F.col(ppl_col).isNotNull())
     dead = scored.filter(F.col(ppl_col).isNull()).withColumn(
         "bucket", F.lit(None).cast("string")

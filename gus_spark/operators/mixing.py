@@ -456,28 +456,19 @@ def apply_cap_thresholds(
             "apply_cap_thresholds derives these internally; rename or "
             "drop them first"
         )
-    # one-row-per-group invariant, checked loudly: a duplicated fit
-    # artifact (e.g. an appended refit written next to the old one)
-    # would otherwise MULTIPLY input rows through the join with
-    # conflicting labels. Bounded: the artifact is one row per group.
-    dup = (
-        thresholds.groupBy(group_col)
-        .agg(F.count("*").alias("_c"))
-        .filter(F.col("_c") > 1)
-        .limit(1)
-        .collect()
+    # one-row-per-group invariant checked loudly, and the narrow
+    # artifact checkpointed so the check and the broadcast share ONE
+    # evaluation (a live cap_thresholds plan is a corpus agg — the
+    # check must not re-run it)
+    from gus_spark.operators.util import checked_artifact
+
+    art = checked_artifact(
+        thresholds.select(group_col, "_thr"),
+        group_col,
+        "cap thresholds artifact",
     )
-    if dup:
-        raise ValueError(
-            f"thresholds frame holds {dup[0]['_c']} rows for group "
-            f"{dup[0][group_col]!r} — one row per group required "
-            "(did a refit get appended next to the old artifact? "
-            "read only the latest fit)"
-        )
     t = F.broadcast(
-        thresholds.select(
-            F.col(group_col).alias("_tg"), "_thr"
-        )
+        art.select(F.col(group_col).alias("_tg"), "_thr")
     )
     return (
         df.withColumn("_b", _cap_bucket(F.col(id_col), seed))

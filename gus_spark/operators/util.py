@@ -21,6 +21,39 @@ def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     return df
 
 
+def checked_artifact(
+    df: DataFrame, key_col: str, what: str
+) -> DataFrame:
+    """Validate a frozen broadcast artifact's one-row-per-key
+    invariant LOUDLY and return the frame behind a lazy
+    localCheckpoint so the check and the downstream broadcast share
+    ONE evaluation (the artifact is key-cardinality-bounded — the
+    cheapest checkpoint in any plan that uses it). A duplicated
+    artifact — e.g. a refit appended next to the old one on disk —
+    would otherwise silently MULTIPLY every input row through the
+    apply join with conflicting labels. Shared by every
+    frozen-threshold applier (cap thresholds, CCNet buckets), so the
+    invariant can't be enforced on one and forgotten on another."""
+    from pyspark.sql import functions as F
+
+    df = df.localCheckpoint(eager=False)
+    dup = (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"{what} holds {dup[0]['_c']} rows for "
+            f"{key_col}={dup[0][key_col]!r} — one row per key "
+            "required (did a refit get appended next to the old "
+            "artifact? read only the latest fit)"
+        )
+    return df
+
+
 def parquet_row_count(path: str, max_footer_files: int = 256) -> int | None:
     """Exact row count of a parquet table from its file footers, read
     driver-side with no Spark job — the same count a table format

@@ -297,10 +297,14 @@ class TestPerplexityBuckets:
         p_exact = plan_of(perplexity_buckets(scored, tier="exact"))
         assert len(_re.findall(r"\(\d+\) Exchange\b", p_exact)) == 1
         p_approx = plan_of(perplexity_buckets(scored, tier="approx"))
-        # the scale tier never sorts: thresholds are one agg exchange,
-        # assignment a broadcast-joined pure map
+        # the scale tier never sorts: thresholds pay their one agg
+        # exchange ONCE at artifact build (checked_artifact's
+        # checkpoint, r11 — the labeling plan reads the materialized
+        # artifact as an ExistingRDD), so the assignment plan itself
+        # is a broadcast-joined pure map with ZERO exchanges
         assert "Sort" not in p_approx, p_approx
-        assert len(_re.findall(r"\(\d+\) Exchange\b", p_approx)) == 1
+        assert len(_re.findall(r"\(\d+\) Exchange\b", p_approx)) == 0
+        assert "ExistingRDD" in p_approx, p_approx
 
     def test_cut_spec_validation(self, spark):
         import pytest as _pytest
@@ -414,3 +418,23 @@ class TestPerplexityBuckets:
             for r in spark.read.parquet(out_dir).collect()
         }
         assert got == want
+
+
+def test_assign_buckets_duplicated_artifact_is_loud(spark):
+    """A duplicated thresholds artifact (e.g. a refit appended next
+    to the old one) must raise, never silently multiply scored rows
+    through the broadcast join (r11, shared checked_artifact)."""
+    import pytest
+
+    from gus_spark.operators.lm import (
+        assign_buckets,
+        perplexity_thresholds,
+    )
+
+    scored = spark.createDataFrame(
+        [(i, "en", 2.0 + i / 10.0) for i in range(30)],
+        "doc_id long, lang string, log10_ppl double",
+    )
+    thr = perplexity_thresholds(scored)
+    with pytest.raises(ValueError, match="one row per key"):
+        assign_buckets(scored, thr.unionByName(thr)).collect()

@@ -547,7 +547,7 @@ class TestCapThresholds:
 
         d = docs.select("doc_id", "source")
         thr = cap_thresholds(d, max_rows=self.CAP)
-        with pytest.raises(ValueError, match="one row per group"):
+        with pytest.raises(ValueError, match="one row per key"):
             apply_cap_thresholds(d, thr.unionByName(thr))
 
     def test_artifact_round_trips_through_parquet(

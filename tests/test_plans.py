@@ -461,6 +461,9 @@ def test_assemble_token_sequences_single_exchange(spark):
     assert "shard" in hash_ex[0] and "seq_id" in hash_ex[0], plan
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "Window" not in plan, plan
+
+
+def test_phrase_match_pushes_terms_no_cartesian(spark):
     """phrase_match_docs (r8): the phrase-term filter runs BELOW the
     (w, id) posting aggregation's exchange (only phrase-term token
     occurrences ever shuffle — w is a derived column, so the filter
