@@ -52,6 +52,15 @@ per-stage state machinery (fingerprinted markers, keyed-overwrite
 publish, checkpointed packing state) is trigger-agnostic, `run()`
 and `run_live()` are interchangeable against the same work_dir —
 including crash-resume from either mode.
+
+Optional rate-cap (r11, ``cap_thresholds=`` path): a persisted
+`operators.mixing.cap_thresholds` artifact gates the curated stream
+between curation and decontamination — a pure broadcast map
+(deterministic per id, replay-safe, NO state/markers/checkpoint of
+its own), the RefinedWeb keep-N-per-domain discipline in its frozen
+streaming form. Packed output with the gate is row-identical to the
+batch composition applying the same artifact (asserted in
+tests/test_streaming.py).
 """
 
 from __future__ import annotations
@@ -61,6 +70,7 @@ import sys
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from gus_spark.operators.chunk import chunk_documents
@@ -114,6 +124,10 @@ class CurationPipelineStream:
         index_buckets: int = 32,
         index_max_deltas: int = 16,
         index_positional: bool = False,
+        cap_thresholds: str | None = None,
+        cap_group_col: str = "source",
+        cap_id_col: str = "doc_id",
+        cap_seed: str = "cap-v1",
     ) -> None:
         self.spark = spark
         self.src_path = src_path
@@ -145,6 +159,14 @@ class CurationPipelineStream:
         self.index_buckets = index_buckets
         self.index_max_deltas = index_max_deltas
         self.index_positional = index_positional
+        # optional RefinedWeb rate-cap between curation and
+        # decontamination: path to a PERSISTED cap_thresholds artifact
+        # (fit offline, the CCNet frozen-threshold discipline)
+        self.cap_thresholds = cap_thresholds
+        self.cap_group_col = cap_group_col
+        self.cap_id_col = cap_id_col
+        self.cap_seed = cap_seed
+        self._cap_art = None
 
     def _ensure_index(self):
         """The live PostingIndex under index_root, built (empty) on
@@ -198,6 +220,37 @@ class CurationPipelineStream:
             r = r.option("maxFilesPerTrigger", self.max_files)
         return r.parquet(path)
 
+    def _cap_gate(self, df: DataFrame) -> DataFrame:
+        """Optional rate-cap on the curated stream (r11): rows of
+        over-represented groups are admitted by the FROZEN persisted
+        thresholds artifact — apply_cap_thresholds is a pure broadcast
+        map, deterministic per (seed, id), so the gate is replay-safe
+        with NO state, markers, or checkpoint of its own (it rides the
+        decontamination stage's plan; same rows on any re-delivery).
+        Groups ABSENT from the fit pass whole (keep IS NULL — no basis
+        to cap a group the fit never saw; the NULL is the refit
+        signal, and a periodic refit is the deployment knob, exactly
+        the CCNet frozen-threshold discipline). No-op when
+        cap_thresholds is unset."""
+        if self.cap_thresholds is None:
+            return df
+        from gus_spark.operators.mixing import apply_cap_thresholds
+
+        if self._cap_art is None:
+            self._cap_art = self.spark.read.parquet(
+                self.cap_thresholds
+            )
+        out = apply_cap_thresholds(
+            df,
+            self._cap_art,
+            group_col=self.cap_group_col,
+            id_col=self.cap_id_col,
+            seed=self.cap_seed,
+        )
+        return out.filter(
+            F.col("keep").isNull() | F.col("keep")
+        ).drop("keep")
+
     def run_curate(self) -> None:
         """Stage 1: gates + exact dedup, text carried for downstream."""
         stream = self._reader(self.src_path, self.src_schema)
@@ -222,7 +275,7 @@ class CurationPipelineStream:
             return
         stream = self._reader(self.curated, self._curated_schema())
         decontaminate_stream(
-            stream.drop("batch"),
+            self._cap_gate(stream.drop("batch")),
             self.bench,
             os.path.join(self.work, "state2"),
             self.clean,
@@ -371,7 +424,7 @@ class CurationPipelineStream:
     def _start_decontaminate_live(self, processing_time: str):
         stream = self._reader(self.curated, self._curated_schema())
         return decontaminate_stream(
-            stream.drop("batch"),
+            self._cap_gate(stream.drop("batch")),
             self.bench,
             os.path.join(self.work, "state2"),
             self.clean,

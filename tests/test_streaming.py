@@ -1369,3 +1369,84 @@ def test_stage_outputs_respect_batch_width(spark, tmp_path):
     clean_batches = parquet_files_per_batch(clean)
     assert len(clean_batches) == 2, clean_batches
     assert all(n == 1 for n in clean_batches.values()), clean_batches
+
+
+def test_streaming_pipeline_cap_gate_matches_batch(spark, tmp_path):
+    """Optional cap gate (r11): a CurationPipelineStream built with a
+    persisted cap_thresholds artifact rate-caps the curated stream
+    between curation and decontamination — packed output must be
+    row-identical to the batch composition applying the same frozen
+    gate, the gate must genuinely drop rows vs the uncapped pipeline,
+    and groups absent from the fit must pass whole."""
+    from pyspark.sql import Window
+
+    from gus_spark.operators.chunk import chunk_documents, pack_sequences
+    from gus_spark.operators.decontaminate import decontaminate
+    from gus_spark.operators.mixing import (
+        apply_cap_thresholds,
+        cap_thresholds,
+    )
+    from gus_spark.queries.curation import VAL_RESIDUE, profile_and_gate
+    from gus_spark.streaming import CurationPipelineStream
+
+    docs = table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 3).select("doc_id", "text")
+    params = dict(
+        ngram=13, min_hits=1,
+        chunk_tokens=16, chunk_overlap=4, seq_budget=48, pack_shards=4,
+    )
+    CAP = 20  # binds on lang (en >> 20 x margin); sources wouldn't
+
+    # batch twin WITH the frozen gate between curation and decon
+    w = Window.partitionBy("content_fp").orderBy("doc_id")
+    curated_b = (
+        profile_and_gate(docs)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id", "lang", "text",
+            F.when(F.col("doc_id") % 20 == VAL_RESIDUE, "val")
+            .otherwise("train").alias("split"),
+        )
+    )
+    thr = cap_thresholds(curated_b, group_col="lang", max_rows=CAP)
+    art_path = str(tmp_path / "cap_art")
+    thr.write.parquet(art_path)
+    gated_b = (
+        apply_cap_thresholds(
+            curated_b, spark.read.parquet(art_path), group_col="lang"
+        )
+        .filter(F.col("keep").isNull() | F.col("keep"))
+        .drop("keep")
+    )
+    assert gated_b.count() < curated_b.count()  # the gate bites
+    clean_b = decontaminate(
+        gated_b.select("doc_id", "text"), bench, n=13, min_hits=1
+    )
+    chunks_b = chunk_documents(clean_b, max_tokens=16, overlap=4)
+    want = {
+        (r.doc_id, r.chunk_index): (r.chunk_text, r.shard, r.seq_id)
+        for r in pack_sequences(chunks_b, budget=48, shards=4).collect()
+    }
+    assert want
+
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    p = CurationPipelineStream(
+        spark, src, docs.schema, bench, str(tmp_path / "work"),
+        cap_thresholds=art_path, cap_group_col="lang", **params,
+    )
+    p.run()
+    got = {
+        (r.doc_id, r.chunk_index): (r.chunk_text, r.shard, r.seq_id)
+        for r in spark.read.parquet(p.packed).collect()
+    }
+    assert got == want
+
+    # uncapped pipeline over the same source packs strictly more rows
+    p0 = CurationPipelineStream(
+        spark, src, docs.schema, bench, str(tmp_path / "work0"),
+        **params,
+    )
+    p0.run()
+    assert spark.read.parquet(p0.packed).count() > len(got)
