@@ -166,6 +166,7 @@ def assemble_token_sequences(
     index_col: str = "chunk_index",
     text_col: str = "chunk_text",
     include_text: bool = False,
+    merge_same_doc: bool = False,
 ) -> DataFrame:
     """Packed chunks → trainer-ready sequences with attention-mask
     metadata: one row per (shard, seq_id) holding
@@ -185,8 +186,13 @@ def assemble_token_sequences(
       (packed sequences hold unrelated docs), nor overlapping windows
       of the same doc (with overlap > 0 adjacent chunks repeat
       tokens — attending across them would let a position see its own
-      copy). Same-doc span merging is the trainer's choice; the spans
-      carry (id, chunk_index) so either policy is one filter away;
+      copy). ``merge_same_doc=True`` folds CONSECUTIVE spans of one
+      document into a single per-document span (chunk_index = the
+      run's first) — the right mask for overlap=0 packing, where
+      intra-document attention is desirable and windows are disjoint;
+      it is WRONG for overlap > 0 (a position would attend to its own
+      repeated tokens), which is why per-chunk spans stay the
+      default;
     - ``n_tokens`` / ``n_unk`` — totals (unks loud, never silent);
     - ``text`` — the assembled sequence text, only when
       ``include_text=True`` (receipts/debugging; production shards
@@ -254,6 +260,36 @@ def assemble_token_sequences(
         ),
         lambda acc: acc["sp"],
     )
+    if merge_same_doc:
+        # second expression fold over the (already in-order) per-chunk
+        # spans: a span whose doc matches the running last span extends
+        # it (start kept, len summed, chunk_index = the run's first);
+        # same-doc chunks are consecutive by the (id, chunk_index) sort
+        spans = F.aggregate(
+            spans,
+            F.array().cast(span_type),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1)[id_col] == s[id_col]),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)[id_col].alias(id_col),
+                            F.element_at(acc, -1)[index_col].alias(
+                                index_col
+                            ),
+                            F.element_at(acc, -1)["start"].alias(
+                                "start"
+                            ),
+                            (
+                                F.element_at(acc, -1)["len"] + s["len"]
+                            ).alias("len"),
+                        )
+                    ),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
     cols = [
         (
             F.shiftleft(F.col("shard").cast("long"), 40)

@@ -405,3 +405,52 @@ def test_spans_tile_under_parameter_sweep(spark, max_tokens, overlap, budget):
             off += s.len
         assert off - 1 == r.n_tokens == len(r.token_ids)
         assert list(r.token_ids) == whole[r.seq_uid]
+
+
+def test_merge_same_doc_spans(spark):
+    """merge_same_doc=True (overlap=0 packing): consecutive spans of a
+    document fold into one per-doc span — tiling preserved, lens sum,
+    chunk_index is the run's first — while single-chunk docs and the
+    default per-chunk form are untouched."""
+    from gus_spark.operators.bpe import (
+        bpe_base_symbols,
+        bpe_fit,
+        bpe_vocab,
+    )
+    from gus_spark.operators.chunk import (
+        assemble_token_sequences,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a1 a2 a3 a4 a5 a6"),   # 3 chunks of 2 at max_tokens=2
+            (1, "b1 b2"),               # 1 chunk
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_fit(df, num_merges=4, merge_batch=1)
+    vocab = bpe_vocab(merges, bpe_base_symbols(df))
+    chunks = chunk_documents(df, max_tokens=2, overlap=0)
+    packed = pack_sequences(chunks, budget=100, shards=1)
+    plain = assemble_token_sequences(packed, merges, vocab).collect()
+    merged = assemble_token_sequences(
+        packed, merges, vocab, merge_same_doc=True
+    ).collect()
+    assert len(plain) == len(merged) == 1
+    p, m = plain[0], merged[0]
+    assert list(p.token_ids) == list(m.token_ids)
+    # per-chunk: 3 spans for doc 0 + 1 for doc 1; merged: one each
+    assert sorted(s.doc_id for s in p.doc_spans) == [0, 0, 0, 1]
+    assert sorted(s.doc_id for s in m.doc_spans) == [0, 1]
+    by_doc = {s.doc_id: s for s in m.doc_spans}
+    assert by_doc[0].chunk_index == 0  # the run's first
+    assert by_doc[0].len == sum(
+        s.len for s in p.doc_spans if s.doc_id == 0
+    )
+    # tiling holds after the merge
+    off = 1
+    for s in sorted(m.doc_spans, key=lambda s: s.start):
+        assert s.start == off and s.len > 0
+        off += s.len
+    assert off - 1 == m.n_tokens
