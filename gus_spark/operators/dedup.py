@@ -961,6 +961,7 @@ class MinHashIndex:
         target_files: int = 4,
         pairs_retain: int = 8,
         max_tomb_frac: float = 0.2,
+        occupancy: bool = False,
     ) -> dict:
         """Compact the per-batch band/shingle deltas once either table
         exceeds ``max_files`` parquet files — each streamed micro-batch
@@ -1057,8 +1058,13 @@ class MinHashIndex:
             for d in deltas[: max(0, len(deltas) - pairs_retain)]:
                 shutil.rmtree(os.path.join(pairs_dir, d))
                 pruned += 1
+        # occupancy=True: the post-maintain report carries the bucket
+        # regime (r11 — makes the r10 ngram-degeneracy class visible
+        # in the maintenance loop's own output, not just on explicit
+        # probe calls); opt-in because it costs one aggregation
         return {"before": health, "compacted": compacted,
-                "pairs_pruned": pruned, "after": self.health()}
+                "pairs_pruned": pruned,
+                "after": self.health(occupancy=occupancy)}
 
 
 def _bucket_pairs(bands: DataFrame, id_col: str) -> DataFrame:

@@ -717,7 +717,10 @@ class PostingIndex:
         return self.stats()
 
     def maintain(
-        self, max_deltas: int = 16, max_tomb_frac: float = 0.2
+        self,
+        max_deltas: int = 16,
+        max_tomb_frac: float = 0.2,
+        occupancy: bool = False,
     ) -> dict:
         """Compact when the live delta + tombstone TIER COUNT exceeds
         ``max_deltas`` (the VectorIndex.maintain policy — each live
@@ -729,14 +732,22 @@ class PostingIndex:
         scans/anti-joins ghost postings the fold would remove."""
         meta = self._read_meta()
         if len(meta["deltas"]) + len(meta["tombs"]) > max_deltas:
-            return self.compact()
-        live = meta["n_docs"] + sum(
-            d["n_docs"] for d in meta["deltas"].values()
-        )
-        dead = sum(t["n_docs"] for t in meta["tombs"].values())
-        if live > 0 and dead / live > max_tomb_frac:
-            return self.compact()
-        return self.stats()
+            report = self.compact()
+        else:
+            live = meta["n_docs"] + sum(
+                d["n_docs"] for d in meta["deltas"].values()
+            )
+            dead = sum(t["n_docs"] for t in meta["tombs"].values())
+            if live > 0 and dead / live > max_tomb_frac:
+                report = self.compact()
+            else:
+                report = self.stats()
+        if occupancy:  # opt-in: the probe costs one aggregation (r11)
+            report = dict(
+                report,
+                occupancy=self.health(occupancy=True)["occupancy"],
+            )
+        return report
 
     # ----------------------------------------------------------- info
     def health(self, occupancy: bool = False) -> dict:

@@ -435,6 +435,7 @@ class VectorIndex:
         max_files: int = 16,
         target_files: int = 4,
         max_tomb_frac: float = 0.2,
+        occupancy: bool = False,
     ) -> dict:
         """Compact the per-add code deltas once they exceed
         ``max_files`` — streaming ingest appends one delta per
@@ -460,8 +461,15 @@ class VectorIndex:
         )
         if trigger:
             self.compact(target_files)
-        return {"before": health, "compacted": trigger,
-                "after": self.health()}
+        report = {"before": health, "compacted": trigger,
+                  "after": self.health()}
+        if occupancy:
+            # the IVF tier's occupancy regime IS the per-cell spread
+            # stats() reports (cells play the bucket role) — included
+            # opt-in for the same reason as the banded tiers' probes
+            # (one aggregation; r11 uniform maintain contract)
+            report["occupancy"] = self.stats()
+        return report
 
     def stats(self) -> dict:
         """Index health: LIVE rows (tombstones excluded — occupancy

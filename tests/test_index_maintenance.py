@@ -267,3 +267,37 @@ def test_posting_occupancy_flags_degenerate_vocabulary(spark, tmp_path):
     idx2.delete(list(range(10)), batch_key="d0")
     after = idx2.health(occupancy=True)["occupancy"]
     assert after["max_term_df"] == 40 and after["posting_rows"] == 40
+
+
+def test_maintain_occupancy_knob_uniform(spark, embeddings, tmp_path):
+    """maintain(occupancy=True) carries the tier's occupancy regime in
+    the maintenance report on ALL THREE index families (r11 — the ops
+    loop sees degeneracy without a separate probe call); default stays
+    probe-free."""
+    from gus_spark.operators.dedup import MinHashIndex
+    from gus_spark.operators.posting_index import PostingIndex
+    from gus_spark.operators.vector_index import VectorIndex
+
+    docs = table(spark, SF_DIR, "documents").limit(30).select(
+        "doc_id", "text"
+    )
+
+    mh = MinHashIndex(spark, str(tmp_path / "mh"), ngram=3)
+    mh.add_and_find(docs, batch_key="b0").count()
+    rep = mh.maintain(occupancy=True)
+    assert rep["after"]["occupancy"]["band_rows"] == 32 * 30
+    assert "occupancy" not in mh.maintain()["after"]
+
+    pi = PostingIndex(spark, str(tmp_path / "pi"))
+    pi.build(docs, name=f"occm_{os.getpid()}", n_buckets=4)
+    rep = pi.maintain(occupancy=True)
+    assert rep["occupancy"]["n_buckets"] == 4
+    assert "occupancy" not in pi.maintain()
+
+    vi = VectorIndex(spark, str(tmp_path / "vi"), m=16, iters=2)
+    vi.fit(embeddings)
+    vi.add(embeddings.limit(50), batch_key="b0")
+    rep = vi.maintain(occupancy=True)
+    assert rep["occupancy"]["n_rows"] == 50
+    assert rep["occupancy"]["n_cells"] >= 1
+    assert "occupancy" not in vi.maintain()
