@@ -177,7 +177,15 @@ def bench_reps() -> int:
 #: to consume regression-analysis time every round. Such lines take
 #: extra reps (to min-of-FAST_LINE_REPS total) inside the same warm
 #: JVM; the marginal cost is a few hundred ms per fast line.
-FAST_LINE_SEC = 1.5
+#: Floor raised 1.5 → 3.0 in round 12 (VERDICT r11 "What's wrong #2"):
+#: the 2-3 s headline lines (dedup_minhash_lsh, similarity_ann_lsh)
+#: were the last rung still reading ±10-20% round-to-round on
+#: untouched code — at ~2.5 s/rep the two extra reps cost ~10 s of
+#: bench wall total, far cheaper than another round of false-
+#: regression analysis. Cross-round note: r12 slow-line minima can
+#: read lower than r11 from the protocol alone; the series is
+#: re-based from r12 on for lines in [1.5, 3.0).
+FAST_LINE_SEC = 3.0
 FAST_LINE_REPS = 5
 
 

@@ -124,8 +124,14 @@ def pack_sequences(
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
-    if shards < 1:
-        raise ValueError(f"shards must be >= 1, got {shards}")
+    if not 1 <= shards <= 1 << 23:
+        # assemble_token_sequences composes seq_uid = shard << 40 |
+        # seq_id; a shard at or past 2^23 would overflow into the
+        # sign bit and collide loader ids (ADVICE r11 #2)
+        raise ValueError(
+            f"shards must be in [1, 2^23] (seq_uid packs shard into "
+            f"23 high bits), got {shards}"
+        )
     sharded = chunks.withColumn(
         "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
     )
@@ -290,11 +296,35 @@ def assemble_token_sequences(
                 ),
             ).otherwise(F.concat(acc, F.array(s))),
         )
+    # seq_uid bit-packing is only collision-free inside its field
+    # widths; `packed` is caller-shaped (not necessarily from
+    # pack_sequences, which validates shards itself), so the bounds
+    # are asserted expression-level — a row outside them raises at
+    # action time instead of silently aliasing two training examples
+    # (ADVICE r11 #2)
+    uid_ok = (
+        (F.col("shard") >= 0)
+        & (F.col("shard") < F.lit(1 << 23))
+        & (F.col("seq_id") >= 0)
+        & (F.col("seq_id") < F.lit(1 << 40))
+    )
     cols = [
-        (
+        F.when(
+            uid_ok,
             F.shiftleft(F.col("shard").cast("long"), 40)
-            + F.col("seq_id")
-        ).alias("seq_uid"),
+            + F.col("seq_id"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "seq_uid overflow: (shard=%s, seq_id=%s) outside "
+                    "[0, 2^23) x [0, 2^40)",
+                    F.col("shard").cast("string"),
+                    F.col("seq_id").cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("seq_uid"),
         F.flatten(
             F.transform(F.col("_cs"), lambda c: c["token_ids"])
         ).alias("token_ids"),

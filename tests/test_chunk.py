@@ -231,6 +231,43 @@ def test_pack_sequences_rejects_oversized_and_bad_params(spark):
         pack_sequences(frame, budget=0)
     with pytest.raises(ValueError, match="shards"):
         pack_sequences(frame, shards=0)
+    # seq_uid packs shard into 23 high bits (ADVICE r11 #2)
+    with pytest.raises(ValueError, match="2\\^23"):
+        pack_sequences(frame, shards=(1 << 23) + 1)
+
+
+def test_seq_uid_overflow_is_loud(spark):
+    """assemble_token_sequences consumes caller-shaped frames, so the
+    seq_uid field bounds (shard < 2^23, seq_id < 2^40) are asserted
+    expression-level: an out-of-range row raises at action time
+    instead of silently aliasing two training examples (ADVICE r11
+    #2). In-range rows on the same plan still compute."""
+    from gus_spark.operators.bpe import (
+        bpe_base_symbols,
+        bpe_fit,
+        bpe_vocab,
+    )
+    from gus_spark.operators.chunk import assemble_token_sequences
+
+    fit_df = spark.createDataFrame(
+        [(0, "alpha beta")], "doc_id long, text string"
+    )
+    merges = bpe_fit(fit_df, num_merges=2)
+    vocab = bpe_vocab(merges, bpe_base_symbols(fit_df))
+    packed = spark.createDataFrame(
+        [
+            (0, 0, "alpha beta", 1, 0),
+            (1, 0, "alpha beta", 1 << 23, 0),  # shard out of range
+        ],
+        "doc_id long, chunk_index int, chunk_text string, "
+        "shard long, seq_id long",
+    )
+    ok = assemble_token_sequences(
+        packed.filter("shard = 1"), merges, vocab
+    ).collect()
+    assert ok[0]["seq_uid"] == (1 << 40)
+    with pytest.raises(Exception, match="seq_uid overflow"):
+        assemble_token_sequences(packed, merges, vocab).collect()
 
 
 class TestAssembleTokenSequences:
