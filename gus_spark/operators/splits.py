@@ -249,9 +249,28 @@ def write_training_shards(
     tree (cheap metadata walk) and violations raise — e.g. a session
     with ``spark.sql.files.maxRecordsPerFile`` set would otherwise
     silently fragment directories and void the loader's read order.
+
+    Filesystem contract: ``dest`` must be a LOCAL (POSIX-visible)
+    path — the receipt walk, the manifest write, and the consuming
+    ``iter_training_order`` all read it through ``os``/pyarrow, by
+    design: this is the host-side trainer boundary, not a Spark
+    surface. At the 100-TB design point that means a mounted
+    filesystem (NFS/FUSE/Lustre) over whatever object store holds the
+    shards; a raw scheme URI (``s3://…``, ``hdfs://…``) fails fast
+    here rather than half-writing (the Spark write would accept it;
+    the receipts could not). See SCALING.md §loader.
     """
     import json
     import os
+
+    if "://" in dest:
+        raise ValueError(
+            f"dest {dest!r} is a filesystem-scheme URI — the loader "
+            "boundary (receipt walk, manifest, iter_training_order) "
+            "is host-side and reads dest via the local filesystem; "
+            "use a mounted path (NFS/FUSE) instead of a raw "
+            "object-store URI (see docstring)"
+        )
 
     clobbered = {split_col, "shard", "pos"} & set(df.columns)
     if clobbered:
@@ -318,15 +337,31 @@ def write_training_shards(
                 shard_dir.split("=", 1)[1]
             ] = n
     if verify:  # full decode recount, cross-checked against footers
-        counts = (
-            spark.read.parquet(data_dir)
-            .groupBy(split_col, "shard")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        )  # bounded: |splits| x shards rows
+        # partition-column TYPE INFERENCE off for the recount read:
+        # the footer walk keys by the directory VALUE STRING, and a
+        # split set whose names all parse numerically (weights =
+        # {'0': .., '1': ..}) would otherwise come back as ints —
+        # str(0) == '0' papers over most of it, but '00' -> 0 -> '0'
+        # would still spuriously fail a clean write (ADVICE r11 #1)
+        infer_key = (
+            "spark.sql.sources.partitionColumnTypeInference.enabled"
+        )
+        infer_was = spark.conf.get(infer_key, "true")
+        spark.conf.set(infer_key, "false")
+        try:
+            counts = (
+                spark.read.parquet(data_dir)
+                .groupBy(split_col, "shard")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )  # bounded: |splits| x shards rows
+        finally:
+            spark.conf.set(infer_key, infer_was)
         decoded: dict[str, dict[str, int]] = {}
         for r in counts:
-            decoded.setdefault(r[split_col], {})[str(r["shard"])] = r["n"]
+            decoded.setdefault(str(r[split_col]), {})[
+                str(r["shard"])
+            ] = r["n"]
         if decoded != shard_rows:
             raise ValueError(
                 "write verification failed: decoded row counts differ "
@@ -388,31 +423,108 @@ def read_training_shards(
     return df
 
 
+def _epoch_perm(items, key: str) -> list:
+    """Deterministic seeded permutation of ``items`` — one
+    ``random.Random(key)`` Fisher–Yates per call. The seed is a string
+    (version-2 seeding hashes it with sha512), so the permutation is a
+    pure function of the key: identical across runs, hosts, and
+    processes — the property every epoch/rank coverage test pins."""
+    import random
+
+    out = list(items)
+    random.Random(key).shuffle(out)
+    return out
+
+
+def _shard_file(split_dir: str, shard: int) -> str:
+    """THE parquet file of one (split, shard) directory — the writer's
+    layout walk guarantees exactly one; a fragmented directory (layout
+    mutated after the write) raises rather than voiding the order."""
+    import os
+
+    d = os.path.join(split_dir, f"shard={shard}")
+    files = [
+        f
+        for f in os.listdir(d)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    if len(files) != 1:
+        raise ValueError(
+            f"{d} holds {len(files)} parquet files — the written "
+            "shard set is not a valid training order (was the "
+            "directory modified after write_training_shards?)"
+        )
+    return os.path.join(d, files[0])
+
+
 def iter_training_order(
     dest: str,
     split: str = "train",
     cursor: tuple[int, int] | None = None,
     batch_rows: int = 4096,
+    epoch: int = 0,
+    rank: int = 0,
+    world_size: int = 1,
 ):
     """The loader itself: yield ``(batch, (shard, pos))`` pairs in the
-    exact global order — pyarrow record batches read shard-file by
+    epoch's global order — pyarrow record batches read shard-file by
     shard-file on the consuming host (this is deliberately NOT a Spark
     job: a training loader is a sequential reader, and the writer
-    already materialized the order). The yielded cursor names the last
-    row of the batch; persist it and pass it back to resume mid-epoch
-    after a crash — resumption skips whole shard directories and never
-    re-reads consumed rows (exactly-once delivery per epoch).
+    already materialized the base order). The yielded cursor names the
+    LAST row of the batch; persist it and pass it back to resume
+    mid-epoch after a crash — resumption recomputes the same
+    deterministic order and continues strictly after that row, never
+    re-reading consumed rows (exactly-once delivery per epoch).
 
-    Memory is one record batch (``batch_rows`` rows); shard files are
-    streamed a row group at a time, so host footprint is independent
-    of corpus size."""
+    ``epoch`` reshuffles WITHOUT rewriting the corpus (a reseeded
+    ``write_training_shards`` run costs a full read+shuffle+write —
+    100 TB per epoch; this costs exactly one read):
+
+    - epoch 0 is the materialized base order bit-for-bit (ascending
+      shards, ``pos`` order inside each — what the writer verified);
+    - epoch e > 0 permutes three deterministic levels, each keyed on
+      (manifest seed, epoch): the SHARD visit order, the ROW-GROUP
+      visit order inside each shard file, and the row order inside
+      each row group (the buffered block shuffle — the buffer is one
+      parquet row group, so host memory stays one row group + one
+      batch regardless of corpus size). Every (shard, pos) of the
+      split appears exactly once per epoch; orders across epochs are
+      decorrelated but each is a pure function of (seed, epoch).
+
+    ``rank``/``world_size`` shard the epoch across a distributed
+    trainer: rank r visits positions r, r+w, r+2w … of the epoch's
+    shard visit order — per-rank streams are DISJOINT and their union
+    is exactly the split (shards are hash-range uniform, so the
+    assignment is row-balanced). Each rank keeps its OWN cursor; a
+    cursor is only meaningful under the same (split, epoch, rank,
+    world_size) — resuming one under different settings raises when
+    the cursor shard falls outside the rank's assignment (and is
+    otherwise the caller's contract to keep paired, exactly like the
+    seed itself).
+
+    Filesystem contract: ``dest`` is read via ``os``/pyarrow — a
+    local (POSIX-mounted) path, per ``write_training_shards``'s
+    docstring (see SCALING.md §loader)."""
     import os
     from urllib.parse import unquote
 
+    import pyarrow as pa
     import pyarrow.dataset as pa_ds
+    import pyarrow.parquet as pq
 
+    if epoch < 0:
+        raise ValueError(f"epoch must be >= 0, got {epoch}")
+    if world_size < 1:
+        raise ValueError(
+            f"world_size must be >= 1, got {world_size}"
+        )
+    if not 0 <= rank < world_size:
+        raise ValueError(
+            f"rank must be in [0, world_size={world_size}), got {rank}"
+        )
     manifest = read_manifest(dest)
     split_col = manifest["split_col"]
+    seed = manifest["seed"]
     data_dir = os.path.join(dest, "data")
     # match by the split VALUE: partition dir names are Spark-escaped
     # (the writer's footer walk decodes the same way), so a literal
@@ -429,31 +541,108 @@ def iter_training_order(
             f"(have: {sorted(by_value)})"
         )
     split_dir = os.path.join(data_dir, by_value[split])
-    start_shard, start_pos = cursor if cursor is not None else (-1, 0)
     shard_ids = sorted(
         int(d.split("=", 1)[1])
         for d in os.listdir(split_dir)
         if d.startswith("shard=")
     )
-    for shard in shard_ids:
-        if shard < start_shard:
+    # the epoch's shard visit order (identity for epoch 0), then this
+    # rank's round-robin slice of it — disjoint across ranks, union =
+    # the split, balanced because shards are hash-range uniform
+    visit = (
+        shard_ids
+        if epoch == 0
+        else _epoch_perm(shard_ids, f"{seed}|epoch={epoch}|shards")
+    )
+    mine = visit[rank::world_size]
+    if cursor is None:
+        start_idx, start_pos = 0, None
+    else:
+        c_shard, c_pos = cursor
+        if c_shard not in mine:
+            raise ValueError(
+                f"cursor shard {c_shard} is not assigned to rank "
+                f"{rank}/{world_size} in epoch {epoch} — cursors are "
+                "only valid under the (split, epoch, rank, world_size)"
+                " they were yielded from"
+            )
+        start_idx, start_pos = mine.index(c_shard), c_pos
+
+    for idx in range(start_idx, len(mine)):
+        shard = mine[idx]
+        after_pos = start_pos if idx == start_idx else None
+        if epoch == 0:
+            ds = pa_ds.dataset(
+                os.path.join(split_dir, f"shard={shard}"),
+                format="parquet",
+            )
+            # rows are pos-ordered on disk; a mid-shard resume
+            # filters (idempotent if partially read). Single-threaded
+            # scan: threads may interleave row groups, and the order
+            # IS the contract here.
+            flt = (
+                (pa_ds.field("pos") > after_pos)
+                if after_pos is not None
+                else None
+            )
+            for batch in ds.scanner(
+                filter=flt, batch_size=batch_rows, use_threads=False
+            ).to_batches():
+                if batch.num_rows == 0:
+                    continue
+                last = batch.column("pos")[batch.num_rows - 1].as_py()
+                yield batch, (shard, last)
             continue
-        ds = pa_ds.dataset(
-            os.path.join(split_dir, f"shard={shard}"), format="parquet"
+        # epoch > 0: permuted row-group visit + in-row-group shuffle.
+        # pos is dense 1..n in file order, so row group g covers the
+        # half-open pos range (cum[g], cum[g+1]] — the cursor's row
+        # group is recomputable from footer metadata alone.
+        pf = pq.ParquetFile(_shard_file(split_dir, shard))
+        counts = [
+            pf.metadata.row_group(g).num_rows
+            for g in range(pf.num_row_groups)
+        ]
+        cum = [0]
+        for n in counts:
+            cum.append(cum[-1] + n)
+        rg_visit = _epoch_perm(
+            range(pf.num_row_groups),
+            f"{seed}|epoch={epoch}|shard={shard}|rgs",
         )
-        # rows are pos-ordered on disk; a mid-shard resume still
-        # filters (idempotent if the cursor shard was partially read)
-        flt = (
-            (pa_ds.field("pos") > start_pos)
-            if shard == start_shard
-            else None
-        )
-        # single-threaded scan: to_batches with threads may interleave
-        # row groups, and the order IS the contract here
-        for batch in ds.scanner(
-            filter=flt, batch_size=batch_rows, use_threads=False
-        ).to_batches():
-            if batch.num_rows == 0:
-                continue
-            last_pos = batch.column("pos")[batch.num_rows - 1].as_py()
-            yield batch, (shard, last_pos)
+        start_rg_idx = 0
+        if after_pos is not None:
+            # locate the cursor row's group in THIS epoch's rg order
+            g = next(
+                g for g in range(len(counts)) if cum[g + 1] >= after_pos
+            )
+            start_rg_idx = rg_visit.index(g)
+        for rg_i in range(start_rg_idx, len(rg_visit)):
+            g = rg_visit[rg_i]
+            tbl = pf.read_row_group(g)
+            perm = _epoch_perm(
+                range(tbl.num_rows),
+                f"{seed}|epoch={epoch}|shard={shard}|rg={g}",
+            )
+            tbl = tbl.take(pa.array(perm, type=pa.int64()))
+            if rg_i == start_rg_idx and after_pos is not None:
+                # skip rows up to AND INCLUDING the cursor row, in the
+                # recomputed within-group order (exactly-once resume)
+                poss = tbl.column("pos").to_pylist()
+                try:
+                    k = poss.index(after_pos)
+                except ValueError:
+                    raise ValueError(
+                        f"cursor pos {after_pos} not found in shard "
+                        f"{shard} row group {g} — the cursor does not "
+                        "belong to this shard set"
+                    ) from None
+                tbl = tbl.slice(k + 1)
+                if tbl.num_rows == 0:
+                    continue
+            for batch in tbl.combine_chunks().to_batches(
+                max_chunksize=batch_rows
+            ):
+                if batch.num_rows == 0:
+                    continue
+                last = batch.column("pos")[batch.num_rows - 1].as_py()
+                yield batch, (shard, last)

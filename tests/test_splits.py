@@ -325,6 +325,37 @@ class TestLoaderBoundary:
         )
         assert n == sum(m["shard_rows"]["train:v2"].values())
 
+    def test_numeric_split_names_verify_clean(
+        self, spark, ids, tmp_path_factory
+    ):
+        """Split names that all parse numerically ('0', '1') must
+        verify clean: the recount read disables partition-column type
+        inference so decoded keys stay the directory VALUE STRINGS the
+        footer walk uses (ADVICE r11 #1 — inference would return int
+        keys and spuriously fail a clean write)."""
+        from gus_spark.operators.splits import write_training_shards
+
+        d = str(tmp_path_factory.mktemp("numeric_splits"))
+        m = write_training_shards(
+            ids, d, shards=2, weights={"0": 0.5, "1": 0.5},
+            verify=True,
+        )
+        assert set(m["shard_rows"]) == {"0", "1"}
+        # the session conf is restored after the recount
+        assert spark.conf.get(
+            "spark.sql.sources.partitionColumnTypeInference.enabled",
+            "true",
+        ) == "true"
+
+    def test_uri_dest_fails_fast(self, ids):
+        """The loader boundary is host-side: a raw object-store URI
+        fails BEFORE the Spark write, not in the receipt walk
+        (ADVICE r11 #3)."""
+        from gus_spark.operators.splits import write_training_shards
+
+        with pytest.raises(ValueError, match="host-side"):
+            write_training_shards(ids, "s3://bucket/shards")
+
     def test_epoch_reseed_reorders(self, spark, ids, tmp_path_factory):
         from gus_spark.operators.splits import (
             iter_training_order,
@@ -353,6 +384,185 @@ class TestLoaderBoundary:
         ]
         assert sorted(order1) == sorted(order2)
         assert order1 != order2
+
+
+class TestEpochRankLoader:
+    """iter_training_order ``epoch=`` / ``rank=`` / ``world_size=``
+    (r12): a new epoch costs one read, never a corpus rewrite, and a
+    distributed trainer gets disjoint per-rank streams. Claims pinned:
+
+    - epoch 0 IS the materialized base order (ascending shard, pos);
+    - every epoch is a permutation of exactly the split's (shard, pos)
+      set; distinct epochs decorrelate at every level (shard visit
+      order AND within-shard row order);
+    - epoch order is deterministic across re-iteration and
+      independent of batch_rows;
+    - the (shard, pos) cursor resumes ANY epoch exactly-once,
+      including mid-row-group;
+    - rank streams are pairwise disjoint, their union is exactly the
+      split, per-rank resume works, and a cursor presented to the
+      wrong rank raises.
+
+    The fixture forces MULTIPLE parquet row groups per shard file
+    (small parquet.block.size) so the permuted row-group visit and the
+    in-row-group shuffle paths are genuinely exercised."""
+
+    @pytest.fixture(scope="class")
+    def dest(self, spark, tmp_path_factory):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from gus_spark.operators.splits import write_training_shards
+
+        docs = table(spark, SF_DIR_ORACLE, "documents").select(
+            "doc_id", "text"
+        )
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        before = hconf.get("parquet.block.size")
+        hconf.set("parquet.block.size", "8192")
+        try:
+            dest = str(tmp_path_factory.mktemp("epoch_shards"))
+            write_training_shards(
+                dest=dest, df=docs, shards=4, weights={"train": 1.0}
+            )
+        finally:
+            if before is None:
+                hconf.unset("parquet.block.size")
+            else:
+                hconf.set("parquet.block.size", before)
+        rgs = [
+            pq.ParquetFile(f).num_row_groups
+            for f in glob.glob(
+                os.path.join(dest, "data", "*", "*", "*.parquet")
+            )
+        ]
+        assert rgs and max(rgs) > 1, (
+            f"fixture must produce multi-row-group shards, got {rgs}"
+        )
+        return dest
+
+    @staticmethod
+    def _order(dest, **kw):
+        from gus_spark.operators.splits import iter_training_order
+
+        out = []
+        for b, cur in iter_training_order(dest, "train", **kw):
+            out.extend((cur[0], p) for p in b.column("pos").to_pylist())
+        return out
+
+    def test_epoch_coverage_and_decorrelation(self, dest):
+        e0 = self._order(dest)
+        orders = {e: self._order(dest, epoch=e) for e in (1, 2, 3)}
+        assert e0 == sorted(e0)  # epoch 0 == the materialized order
+        for e, order in orders.items():
+            # a permutation of exactly the split's (shard, pos) set
+            assert sorted(order) == e0, e
+            assert order != e0, e
+            # the within-shard row order is genuinely shuffled, not
+            # just the shard visit order
+            by_shard: dict[int, list[int]] = {}
+            for s, p in order:
+                by_shard.setdefault(s, []).append(p)
+            assert any(
+                ps != sorted(ps) for ps in by_shard.values()
+            ), e
+        assert orders[1] != orders[2] != orders[3]
+
+    def test_epoch_deterministic_and_batchsize_free(self, dest):
+        a = self._order(dest, epoch=2, batch_rows=37)
+        b = self._order(dest, epoch=2, batch_rows=37)
+        c = self._order(dest, epoch=2, batch_rows=503)
+        assert a == b == c
+
+    def test_epoch_resume_exactly_once(self, dest):
+        from gus_spark.operators.splits import iter_training_order
+
+        full = []
+        cursors = []
+        for b, cur in iter_training_order(
+            dest, "train", epoch=1, batch_rows=37
+        ):
+            full.extend(
+                (cur[0], p) for p in b.column("pos").to_pylist()
+            )
+            cursors.append((cur, len(full)))
+        assert len(cursors) > 8  # several mid-row-group checkpoints
+        for cur, consumed in cursors[::3]:
+            resumed = []
+            for b, c in iter_training_order(
+                dest, "train", cursor=cur, epoch=1, batch_rows=37
+            ):
+                resumed.extend(
+                    (c[0], p) for p in b.column("pos").to_pylist()
+                )
+            assert resumed == full[consumed:], cur
+
+    @pytest.mark.parametrize("world_size", [1, 2, 3, 5])
+    @pytest.mark.parametrize("epoch", [0, 1])
+    def test_rank_streams_partition_the_split(
+        self, dest, world_size, epoch
+    ):
+        parts = [
+            self._order(
+                dest, epoch=epoch, rank=r, world_size=world_size
+            )
+            for r in range(world_size)
+        ]
+        seen: set = set()
+        for part in parts:
+            as_set = set(part)
+            assert len(as_set) == len(part)  # no dup within a rank
+            assert not (seen & as_set)       # disjoint across ranks
+            seen |= as_set
+        assert sorted(seen) == self._order(dest)  # union == the split
+
+    def test_rank_resume_and_wrong_rank_cursor(self, dest):
+        from gus_spark.operators.splits import iter_training_order
+
+        full = []
+        cursors = []
+        for b, cur in iter_training_order(
+            dest, "train", epoch=1, rank=1, world_size=2,
+            batch_rows=41,
+        ):
+            full.extend(
+                (cur[0], p) for p in b.column("pos").to_pylist()
+            )
+            cursors.append((cur, len(full)))
+        cur, consumed = cursors[len(cursors) // 2]
+        resumed = []
+        for b, c in iter_training_order(
+            dest, "train", cursor=cur, epoch=1, rank=1, world_size=2,
+            batch_rows=41,
+        ):
+            resumed.extend(
+                (c[0], p) for p in b.column("pos").to_pylist()
+            )
+        assert resumed == full[consumed:]
+        # the same cursor under the OTHER rank names a shard outside
+        # that rank's assignment — loud, not silently re-shuffled
+        with pytest.raises(ValueError, match="not assigned to rank"):
+            next(
+                iter(
+                    iter_training_order(
+                        dest, "train", cursor=cur, epoch=1, rank=0,
+                        world_size=2,
+                    )
+                )
+            )
+
+    def test_epoch_rank_validation(self, dest):
+        from gus_spark.operators.splits import iter_training_order
+
+        for kw in (
+            {"epoch": -1},
+            {"world_size": 0},
+            {"rank": 2, "world_size": 2},
+            {"rank": -1},
+        ):
+            with pytest.raises(ValueError):
+                next(iter(iter_training_order(dest, "train", **kw)))
 
 
 def test_validation_errors(ids):

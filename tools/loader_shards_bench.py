@@ -67,6 +67,19 @@ def bench(spark, sf_dir: str) -> dict:
         )
         resume_s = round(time.time() - t0, 3)
 
+        # epoch reshuffle (r12): a NEW epoch read over the SAME shard
+        # set — the claim is that it costs a read (plus the host-side
+        # permutation work), never the write_s-deep rewrite a reseeded
+        # write_training_shards run would cost; compare epoch1_read_s
+        # against read_s (same-order) and write_s (the avoided cost)
+        t0 = time.time()
+        e1_rows = sum(
+            b.num_rows
+            for b, _c in iter_training_order(dest, "train", epoch=1)
+        )
+        epoch1_read_s = round(time.time() - t0, 3)
+        assert e1_rows == rows, (e1_rows, rows)
+
         # token-id variant (r11): the same boundary fed trainer input
         # — each stage timed separately so the encode cost is
         # ATTRIBUTED, not folded into the write. The encode is
@@ -114,6 +127,10 @@ def bench(spark, sf_dir: str) -> dict:
             "read_rows_per_s": round(rows / read_s) if read_s else None,
             "resume_p90_s": resume_s,
             "resume_rows": tail_rows,
+            "epoch1_read_s": epoch1_read_s,
+            "epoch1_rows_per_s": (
+                round(rows / epoch1_read_s) if epoch1_read_s else None
+            ),
             "bpe_fit_s": fit_s,
             "encode_s": encode_s,
             "write_tok_s": write_tok_s,
