@@ -334,6 +334,36 @@ def bpe_encode(
 #: n_unk column makes doing so loud rather than silent).
 UNK = "<unk>"
 
+#: byte-fallback alphabet (SentencePiece's convention: ``<0x00>`` …
+#: ``<0xFF>``) — with ``bpe_vocab(byte_fallback=True)`` these occupy
+#: ids 1..256 and any symbol outside the fitted vocab decomposes into
+#: its UTF-8 bytes instead of UNK, making encode TOTAL (zero UNK on
+#: any input) and decode never-raising on encoder output — the
+#: GPT-2/SentencePiece byte-fallback guarantee.
+_BYTE_TOKENS = tuple(f"<0x{i:02X}>" for i in range(256))
+
+#: id of byte value b under byte fallback: bytes sit right after UNK
+_BYTE_ID_BASE = 1
+
+
+def _vocab_byte_fallback(vocab: dict[str, int]) -> bool:
+    """Whether ``vocab`` carries the byte-fallback tier — all 256 byte
+    tokens at their reserved contiguous ids (1..256, the bpe_vocab
+    layout). A partial or displaced byte alphabet raises: encoders
+    map byte b to id 1+b arithmetically, so anything else would emit
+    ids that decode to the wrong bytes."""
+    ids = [vocab.get(t) for t in _BYTE_TOKENS]
+    if all(i is None for i in ids):
+        return False
+    if ids != list(range(_BYTE_ID_BASE, _BYTE_ID_BASE + 256)):
+        raise ValueError(
+            "vocab carries a partial or displaced byte-fallback "
+            "alphabet — byte tokens must be all 256 of "
+            "<0x00>..<0xFF> at contiguous ids 1..256 (use "
+            "bpe_vocab(byte_fallback=True))"
+        )
+    return True
+
 
 def bpe_base_symbols(df: DataFrame, text_col: str = "text") -> list[str]:
     """Sorted distinct SEED symbols of the corpus — each word's
@@ -358,15 +388,32 @@ def bpe_base_symbols(df: DataFrame, text_col: str = "text") -> list[str]:
 
 
 def bpe_vocab(
-    merges: list[tuple[str, str]], base_syms: list[str]
+    merges: list[tuple[str, str]],
+    base_syms: list[str],
+    byte_fallback: bool = False,
 ) -> dict[str, int]:
     """token string → integer id, deterministically: UNK gets 0, the
     sorted base symbols follow, then merge OUTPUTS in rank order
     (first occurrence wins — two merge paths can produce the same
     string, e.g. ('a','bc') and ('ab','c') both yield 'abc'). The
     mapping is a pure function of (merges, base symbols), so any
-    engine/run reproduces identical ids."""
+    engine/run reproduces identical ids.
+
+    ``byte_fallback=True`` reserves ids 1..256 for the byte alphabet
+    ``<0x00>``…``<0xFF>`` (base symbols and merge outputs follow from
+    257): `bpe_encode_ids` then decomposes any symbol outside the
+    fitted vocab into its UTF-8 bytes instead of UNK — encoding
+    becomes TOTAL (emoji/CJK against an English fit still encode, and
+    round-trip exactly through `bpe_decode_ids`), and `bpe_fertility`
+    ``unk_rate`` reads as the FALLBACK rate. The byte-token strings
+    are reserved: a merge output that happens to spell one (e.g. a
+    corpus that literally contains ``<0x41>``) gets NO text id — the
+    encoder byte-decomposes that symbol instead, so byte ids never
+    alias corpus text."""
     vocab = {UNK: 0}
+    if byte_fallback:
+        for t in _BYTE_TOKENS:
+            vocab[t] = len(vocab)
     for s in sorted(set(base_syms)):
         if s not in vocab:
             vocab[s] = len(vocab)
@@ -391,6 +438,17 @@ def bpe_encode_ids(
     each token mapped through the broadcast ``vocab``. Symbols outside
     the vocab become UNK's id with ``n_unk`` counting them per row, so
     out-of-alphabet text is observable, never silently mangled.
+
+    With a byte-fallback vocab (`bpe_vocab(byte_fallback=True)`) the
+    encoder is TOTAL: an out-of-vocab symbol decomposes into its
+    UTF-8 bytes (ids 1..256) instead of UNK — no input can fail to
+    encode, and `bpe_decode_ids` reassembles the exact text. ``n_unk``
+    then counts the emitted fallback-byte TOKENS (the fallback-rate
+    numerator `bpe_fertility` reports); UNK's id is never emitted.
+    The text lookup excludes the reserved byte-token strings, so a
+    corpus that literally contains ``<0x41>`` still round-trips (its
+    symbols byte-decompose rather than alias byte ids).
+
     ``carry_cols`` pass through unchanged (the dsir_select
     convention) so callers keying on composite identities — e.g. the
     packer's (shard, seq_id, chunk_index) — don't need a join to get
@@ -401,10 +459,16 @@ def bpe_encode_ids(
         raise ValueError(
             f"vocab must map the UNK sentinel {UNK!r} (use bpe_vocab)"
         )
+    fallback = _vocab_byte_fallback(vocab)
     ranks = {pair: r for r, pair in enumerate(merges)}
     unk_id = vocab[UNK]
+    # text-symbol lookup: under fallback the 256 byte-token strings
+    # (and UNK) are RESERVED — never valid text lookups — so a merge
+    # output spelling one falls through to byte decomposition
+    reserved = {UNK, *(_BYTE_TOKENS if fallback else ())}
+    text_vc = {s: i for s, i in vocab.items() if s not in reserved}
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast((ranks, dict(vocab)))
+    bc = spark.sparkContext.broadcast((ranks, text_vc))
 
     @F.pandas_udf("array<int>")
     def encode_ids(texts):
@@ -416,9 +480,31 @@ def bpe_encode_ids(
             toks = _enc_text(t, rk)
             if toks is None:
                 return None
-            return [vc.get(s, unk_id) for s in toks]
+            if not fallback:
+                return [vc.get(s, unk_id) for s in toks]
+            out = []
+            for s in toks:
+                i = vc.get(s)
+                if i is None:
+                    out.extend(
+                        _BYTE_ID_BASE + b for b in s.encode("utf-8")
+                    )
+                else:
+                    out.append(i)
+            return out
 
         return pd.Series([one(t) for t in texts])
+
+    # n_unk: UNK occurrences, or under fallback the byte-token id
+    # range [1, 256] (exclusively byte tokens — text ids start at 257)
+    if fallback:
+        def is_unkish(x):
+            return (x >= F.lit(_BYTE_ID_BASE)) & (
+                x < F.lit(_BYTE_ID_BASE + 256)
+            )
+    else:
+        def is_unkish(x):
+            return x == F.lit(unk_id)
 
     live = df.filter(F.col(text_col).isNotNull())
     carry = [F.col(c) for c in carry_cols]
@@ -432,7 +518,7 @@ def bpe_encode_ids(
         "token_ids",
         F.size("token_ids").cast("long").alias("n_tokens"),
         F.size(
-            F.filter("token_ids", lambda x: x == F.lit(unk_id))
+            F.filter("token_ids", is_unkish)
         ).cast("long").alias("n_unk"),
     )
 
@@ -456,7 +542,11 @@ def bpe_fertility(
     - ``chars_per_token``  — compression (text chars, as Spark
       length(), per emitted token);
     - ``unk_rate``         — UNK tokens per token (out-of-alphabet
-      text; nonzero means the BASE symbols don't cover the group);
+      text; nonzero means the BASE symbols don't cover the group).
+      Under a byte-fallback vocab this is the FALLBACK rate —
+      fallback-byte tokens per token — the same mis-fit signal with
+      total encoding (a zh group against an English fit reads near
+      1.0 either way, asserted in tests);
     - ``n_docs`` / ``n_words`` / ``n_tokens`` — the denominators.
 
     Word denominator is the 'words' tokenize variant (non-empty),
@@ -518,10 +608,30 @@ def bpe_decode_ids(token_ids, vocab: dict[str, int]) -> str:
     original, asserted in tests). Raises on an id outside the vocab
     and on UNK (an unk holds no recoverable text). Caveat: raw text
     that itself contains the literal sentinel string decodes with
-    extra word breaks — the standard BPE sentinel ambiguity."""
+    extra word breaks — the standard BPE sentinel ambiguity.
+
+    Under a byte-fallback vocab, ids 1..256 reassemble into bytes and
+    UTF-8-decode at the fallback-run boundaries — the encoder
+    decomposes whole symbols (sentinel included), so every run it
+    emits is valid UTF-8 and the round trip is exact on ANY input;
+    decode never raises on encoder output (UNK is never emitted, and
+    a hand-crafted invalid byte run decodes with U+FFFD replacement
+    rather than raising — corrupt ids outside the vocab still do)."""
+    fallback = _vocab_byte_fallback(vocab)
     inv = {i: s for s, i in vocab.items()}
-    syms = []
+    syms: list[str] = []
+    buf = bytearray()
+
+    def flush():
+        if buf:
+            syms.append(buf.decode("utf-8", errors="replace"))
+            buf.clear()
+
     for i in token_ids:
+        if fallback and _BYTE_ID_BASE <= i < _BYTE_ID_BASE + 256:
+            buf.append(i - _BYTE_ID_BASE)
+            continue
+        flush()
         s = inv.get(i)
         if s is None or s == UNK:
             raise ValueError(
@@ -529,6 +639,7 @@ def bpe_decode_ids(token_ids, vocab: dict[str, int]) -> str:
                 f"({'unk' if s == UNK else 'outside the vocab'})"
             )
         syms.append(s)
+    flush()
     words = "".join(syms).split(EOW)
     if words and words[-1] == "":
         words.pop()

@@ -518,6 +518,189 @@ class TestTokenIds:
         assert seen == len(self.TEXTS)
 
 
+class TestByteFallback:
+    """bpe_vocab(byte_fallback=True) (r12, VERDICT r11 ask #3): the
+    GPT-2/SentencePiece guarantee — encoding is TOTAL (any input,
+    zero UNK) and decode round-trips exactly, with ids 1..256 reserved
+    for the byte alphabet. unk_rate then reads as fallback rate."""
+
+    ALIEN_TEXTS = [
+        "low 日本語のテキスト lower",        # CJK against an EN fit
+        "emoji 🎉🚀 mixed",
+        "παράδειγμα ñandú Привет",
+        "tabs\tand  runs   of spaces",
+    ]
+
+    def _fit_fb(self, spark):
+        from gus_spark.operators.bpe import (
+            bpe_base_symbols,
+            bpe_vocab,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(TestTokenIds.TEXTS)],
+            "doc_id long, text string",
+        )
+        merges = bpe_fit(df, num_merges=8, merge_batch=1)
+        vocab = bpe_vocab(
+            merges, bpe_base_symbols(df), byte_fallback=True
+        )
+        return df, merges, vocab
+
+    def test_vocab_layout(self, spark):
+        from gus_spark.operators.bpe import (
+            _BYTE_TOKENS,
+            UNK,
+            bpe_vocab,
+        )
+
+        _df, merges, vocab = self._fit_fb(spark)
+        assert vocab[UNK] == 0
+        for b in range(256):
+            assert vocab[_BYTE_TOKENS[b]] == 1 + b
+        assert sorted(vocab.values()) == list(range(len(vocab)))
+        # text ids start past the byte block
+        assert min(
+            i for s, i in vocab.items()
+            if s != UNK and s not in _BYTE_TOKENS
+        ) == 257
+        # deterministic rebuild
+        _df2, merges2, vocab2 = self._fit_fb(spark)
+        assert merges2 == merges and vocab2 == vocab
+
+    def test_total_encode_round_trips_any_input(self, spark):
+        """Out-of-alphabet text (emoji/CJK/Greek against an English
+        fit) encodes with zero UNKs — n_unk counts fallback BYTES —
+        and decodes back to the whitespace-normalized original
+        exactly. The done-criterion of VERDICT r11 #3."""
+        from gus_spark.operators.bpe import (
+            bpe_decode_ids,
+            bpe_encode_ids,
+        )
+
+        _df, merges, vocab = self._fit_fb(spark)
+        alien = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.ALIEN_TEXTS)],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in bpe_encode_ids(alien, merges, vocab).collect()
+        }
+        for i, t in enumerate(self.ALIEN_TEXTS):
+            r = rows[i]
+            ids = list(r.token_ids)
+            assert 0 not in ids, i          # UNK never emitted
+            assert r.n_unk > 0, i           # fallback is loud
+            assert r.n_unk == sum(1 <= x <= 256 for x in ids), i
+            want = " ".join(
+                w for w in re.split(r"\s+", t, flags=re.ASCII) if w
+            )
+            assert bpe_decode_ids(ids, vocab) == want, i
+
+    def test_in_vocab_text_unaffected(self, spark):
+        """Covered text encodes to the same token STRINGS as the
+        non-fallback vocab (ids shift by the 256-slot byte block) with
+        n_unk == 0 — fallback only changes the out-of-vocab path."""
+        from gus_spark.operators.bpe import bpe_encode_ids
+
+        df, merges, vocab = self._fit_fb(spark)
+        strs = {
+            r.doc_id: list(r.tokens)
+            for r in bpe_encode(df, merges).collect()
+        }
+        for r in bpe_encode_ids(df, merges, vocab).collect():
+            assert list(r.token_ids) == [
+                vocab[t] for t in strs[r.doc_id]
+            ]
+            assert r.n_unk == 0
+
+    def test_reserved_byte_token_string_never_aliases(self, spark):
+        """A merge chain whose output spells a byte-token literal
+        ('<0x41>') gets NO text id: the encoder byte-decomposes that
+        symbol, so byte ids never alias corpus text and the round
+        trip stays exact."""
+        from gus_spark.operators.bpe import (
+            bpe_decode_ids,
+            bpe_encode_ids,
+            bpe_vocab,
+        )
+
+        merges = [
+            ("<", "0"), ("<0", "x"), ("<0x", "4"), ("<0x4", "1"),
+            ("<0x41", ">"),
+        ]
+        base = list("<0x41>z") + ["z</w>"]
+        vocab = bpe_vocab(merges, base, byte_fallback=True)
+        assert vocab["<0x41>"] == 1 + 0x41  # the BYTE token holds it
+        df = spark.createDataFrame(
+            [(0, "<0x41>z")], "doc_id long, text string"
+        )
+        r = bpe_encode_ids(df, merges, vocab).first()
+        ids = list(r.token_ids)
+        # the merged '<0x41>' symbol decomposed to ITS OWN bytes —
+        # the 'A' byte id (66) that the literal would alias is absent
+        assert (1 + 0x41) not in ids
+        assert bpe_decode_ids(ids, vocab) == "<0x41>z"
+
+    def test_partial_byte_alphabet_is_loud(self, spark):
+        from gus_spark.operators.bpe import (
+            _BYTE_TOKENS,
+            bpe_decode_ids,
+            bpe_encode_ids,
+        )
+
+        df, merges, vocab = self._fit_fb(spark)
+        broken = dict(vocab)
+        del broken[_BYTE_TOKENS[7]]
+        with pytest.raises(ValueError, match="byte-fallback"):
+            bpe_encode_ids(df, merges, broken)
+        with pytest.raises(ValueError, match="byte-fallback"):
+            bpe_decode_ids([1], broken)
+
+    def test_invalid_byte_run_replaces_not_raises(self, spark):
+        """decode is never-raising on byte runs: a hand-crafted
+        invalid UTF-8 run (lone 0xFF) decodes with U+FFFD replacement
+        (encoder output can never produce one — it decomposes whole
+        symbols — but a corrupt shard must not kill the loader)."""
+        from gus_spark.operators.bpe import bpe_decode_ids
+
+        _df, _merges, vocab = self._fit_fb(spark)
+        assert bpe_decode_ids([1 + 0xFF], vocab) == "�"
+
+    def test_fertility_unk_rate_reads_as_fallback_rate(self, spark):
+        """The EN-fit-on-zh degenerate signal survives fallback: the
+        zh group reads unk_rate 1.0 (every token is a fallback byte)
+        while en stays 0.0 — same mis-fit flag, total encoding."""
+        from gus_spark.operators.bpe import (
+            bpe_base_symbols,
+            bpe_fertility,
+            bpe_vocab,
+        )
+
+        en = spark.createDataFrame(
+            [(i, "en", t) for i, t in enumerate(TestTokenIds.TEXTS)],
+            "doc_id long, lang string, text string",
+        )
+        zh = spark.createDataFrame(
+            [(100, "zh", "日本語 テキスト"), (101, "zh", "中文 文本")],
+            "doc_id long, lang string, text string",
+        )
+        merges = bpe_fit(en, num_merges=8, merge_batch=1)
+        vocab = bpe_vocab(
+            merges, bpe_base_symbols(en), byte_fallback=True
+        )
+        stats = {
+            r["lang"]: r.asDict()
+            for r in bpe_fertility(
+                en.unionByName(zh), merges, vocab, by="lang"
+            ).collect()
+        }
+        assert stats["en"]["unk_rate"] == 0.0
+        assert stats["zh"]["unk_rate"] == 1.0
+        assert stats["en"]["fertility"] < stats["zh"]["fertility"]
+
+
 class TestFertility:
     """bpe_fertility (r11): per-group tokenizer health vs a pure-Python
     twin (the shared _enc_text kernel run host-side), and the signal —
