@@ -77,6 +77,10 @@ HEADLINE = [
     # ADDED r11 (no rotation): the RefinedWeb per-group cap, measured
     # on its prefilter scale tier (the catalog form) — additive line.
     "cap_per_group_docs",
+    # ADDED r12 (rotated into the catalog for dedup_winnow_pairs,
+    # which was never a headline line): URL/snapshot-tier exact dedup
+    # over the synthesized url column — additive line.
+    "dedup_url_docs",
 ]
 
 

@@ -1574,3 +1574,68 @@ def winnow_overlap_pairs(
         .agg(F.count("*").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+# ------------------------------------------------------- URL-tier dedup
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL for snapshot/URL-tier exact dedup — the cheapest
+    rung of the dedup ladder (used before any content hash: CCNet and
+    RefinedWeb both key their first dedup pass on the fetch URL).
+    Normalization, applied in order, all JVM regexp expressions (zero
+    Python, rides the scan):
+
+    1. lowercase (scheme/host case is insignificant per RFC 3986;
+       paths technically aren't, but crawl dedup conventionally folds
+       them — two case-variant fetches are the same page);
+    2. strip the ``http://`` / ``https://`` scheme (protocol-variant
+       refetches are duplicates);
+    3. strip one leading ``www.``;
+    4. drop the query string and fragment (``?…`` / ``#…`` — tracking
+       params and anchors don't change the fetched document);
+    5. trim trailing slashes.
+
+    The patterns use the regex subset this repo's PII tier already
+    pins as Java/RE2/Python-identical, so a DuckDB twin applies the
+    same five steps verbatim."""
+    c = F.lower(url)
+    c = F.regexp_replace(c, r"^https?://", "")
+    c = F.regexp_replace(c, r"^www\.", "")
+    c = F.regexp_replace(c, r"[?#].*$", "")
+    return F.regexp_replace(c, r"/+$", "")
+
+
+def dedup_by_url(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact URL-tier dedup: one row per `normalize_url` canonical —
+    (canonical_url, keep_doc_id = min id, n_dups = rows folded,
+    n_variants = distinct RAW spellings folded; n_variants > 1 is the
+    receipt that normalization did real work, not just grouping).
+
+    Scale shape: the normalization rides the scan (pure expressions),
+    then ONE shuffle on the canonical key with map-side partial
+    aggregation — identical physics to digest-keyed exact dedup, but
+    on a column that's ~100 bytes instead of the document, so the
+    exchange moves keys, not content. n_variants is
+    size(collect_set(url)), NOT count(distinct url): a distinct
+    aggregate would plan a SECOND exchange on (canonical, url), while
+    the set fold stays inside the one agg — safe because a duplicate
+    GROUP is small (a handful of spelling variants of one page) even
+    when the corpus is 100 TB; it is the group count that scales, not
+    group width. Canonical URLs are near-unique, so no skew at any
+    corpus size. One-exchange / zero-Python shape is plan-asserted in
+    tests/test_plans.py."""
+    return (
+        df.withColumn("canonical_url", normalize_url(F.col(url_col)))
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count("*").alias("n_dups"),
+            F.size(F.collect_set(F.col(url_col)))
+            .cast("long")
+            .alias("n_variants"),
+        )
+    )

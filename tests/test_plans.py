@@ -233,8 +233,11 @@ def test_winnow_match_step_is_equi_join(spark):
     """The MOSS match step must be a hash/merge EQUI-join on the
     fingerprint key — a CartesianProduct or BroadcastNestedLoopJoin
     here would mean the id_a < id_b predicate absorbed the equality
-    and the operator silently went O(n²)."""
-    plan = plan_of(spark, "dedup_winnow_pairs")
+    and the operator silently went O(n²). (Rotated out of the catalog
+    r12 — asserted on the function directly.)"""
+    from gus_spark.queries.dedup import dedup_winnow_pairs
+
+    plan = plan_of(spark, dedup_winnow_pairs(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
@@ -242,6 +245,20 @@ def test_winnow_match_step_is_equi_join(spark):
     )
     # and the aggregation keeps a map-side partial
     assert plan.count("HashAggregate") >= 2
+
+
+def test_dedup_url_one_exchange_pure_jvm(spark):
+    """URL-tier dedup (r12): the normalization must ride the scan as
+    pure JVM expressions (no Python stage) and the whole query must
+    cost exactly ONE hash exchange — the canonical-key agg with a
+    map-side partial."""
+    import re
+
+    plan = plan_of(spark, "dedup_url_docs")
+    ex = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(ex) == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
 
 
 def test_repetition_profile_no_keyed_shuffle(spark):

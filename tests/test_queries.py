@@ -23,7 +23,7 @@ SPOT_CHECK = [
     "window_orders_analytics",
     "events_sessionization",
     "text_repetition_profile",
-    "dedup_winnow_pairs",
+    "dedup_url_docs",
     "similarity_topk_for_vec0",
 ]
 
@@ -133,6 +133,17 @@ def test_dedup_simhash_matches_oracle(spark, duck):
 
     sdf = dedup_simhash(spark, SF_DIR_ORACLE).toPandas()
     odf = duck.execute(SIMHASH_ORACLE).df()
+    assert frame_key(sdf) == frame_key(odf)
+
+
+def test_dedup_winnow_pairs_matches_oracle(spark, duck):
+    """dedup_winnow_pairs rotated out of the catalog (r12, slot ->
+    dedup_url_docs) but keeps full value coverage here: every MOSS
+    fingerprint-pair count vs the DuckDB all-integer mirror."""
+    from gus_spark.queries.dedup import WINNOW_ORACLE, dedup_winnow_pairs
+
+    sdf = dedup_winnow_pairs(spark, SF_DIR_ORACLE).toPandas()
+    odf = duck.execute(WINNOW_ORACLE).df()
     assert frame_key(sdf) == frame_key(odf)
 
 
