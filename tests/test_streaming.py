@@ -1450,3 +1450,82 @@ def test_streaming_pipeline_cap_gate_matches_batch(spark, tmp_path):
     )
     p0.run()
     assert spark.read.parquet(p0.packed).count() > len(got)
+
+
+def test_cap_gate_refit_signal_is_observable(spark, tmp_path):
+    """r12 (VERDICT r11 ask #5): an unfitted group arriving mid-stream
+    is VISIBLE. Drain 1 carries only fitted groups (cap_summary shows
+    rows but zero unfitted); then a brand-new source lands and drain 2
+    (run_live — covering the live harvest path too) reports its rows
+    in stages.decon.cap while they still PASS downstream per the
+    documented keep-IS-NULL semantics. The cap_refit_warn_frac knob
+    then warns loudly on the cumulative fraction."""
+    import warnings as _warnings
+
+    from gus_spark.operators.mixing import cap_thresholds
+    from gus_spark.streaming import CurationPipelineStream
+
+    docs = table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 3).select(
+        "doc_id", "text"
+    )
+    thr = cap_thresholds(docs, group_col="source", max_rows=5)
+    art = str(tmp_path / "art")
+    thr.write.parquet(art)
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    p = CurationPipelineStream(
+        spark, src, docs.schema, bench, str(tmp_path / "work"),
+        cap_thresholds=art, cap_group_col="source",
+        cap_refit_warn_frac=1e-6,
+        ngram=13, min_hits=1,
+        chunk_tokens=16, chunk_overlap=4, seq_budget=48, pack_shards=4,
+    )
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # drain 1 must NOT warn
+        p.run()
+        s1 = p.cap_summary()
+    assert s1["rows_seen"] > 0
+    assert s1["unfitted_rows"] == 0 and s1["triggers_with_unfitted"] == 0
+    assert s1["dropped_rows"] > 0  # the fitted cap genuinely bites
+
+    # a brand-new head domain arrives mid-stream. Base texts come
+    # from drain 1's CLEAN tier (they passed every gate and the
+    # decon join once already); the per-id suffix makes each content
+    # fp unique (the documents table deliberately contains exact
+    # duplicates) and any 13-gram spanning it contains the unique id
+    # token, so no NEW bench overlap can appear — every fresh row
+    # must therefore reach the clean tier iff the cap gate admits it.
+    fresh_text = F.concat(
+        F.col("text"), F.lit(" freshly crawled "),
+        F.col("doc_id").cast("string"),
+    )
+    fresh = (
+        spark.read.parquet(p.clean)
+        .select("doc_id", "text", "lang")
+        .limit(8)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            fresh_text.alias("text"),
+            "lang",
+            F.lit("brand-new-domain").alias("source"),
+            F.length(fresh_text).cast("long").alias("n_chars"),
+        )
+    )
+    n_fresh = fresh.count()
+    assert n_fresh == 8
+    fresh.coalesce(1).write.mode("append").parquet(src)
+    snap = p.run_live(timeout=120.0)
+    cap = snap["stages"]["decon"]["cap"]
+    assert cap["unfitted_rows"] > 0
+    assert cap["triggers_with_unfitted"] >= 1
+    # the unfitted rows PASSED the gate (keep IS NULL admits):
+    clean_fresh = (
+        spark.read.parquet(p.clean)
+        .filter(F.col("doc_id") >= 1_000_000)
+        .count()
+    )
+    assert clean_fresh == n_fresh
+    # the loud knob: cumulative unfitted fraction now exceeds 1e-6
+    with pytest.warns(UserWarning, match="refit cap_thresholds"):
+        p.cap_summary()
