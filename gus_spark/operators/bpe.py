@@ -599,6 +599,94 @@ def bpe_fertility(
     )
 
 
+#: tokenizer artifact schema version
+_TOKENIZER_VERSION = 1
+
+
+def _check_vocab(vocab: dict[str, int]) -> bool:
+    """The invariants every (merges, vocab) consumer here relies on:
+    UNK at id 0, ids contiguous 0..n-1, and (when present) the full
+    byte-fallback block at 1..256. Returns the fallback flag."""
+    if vocab.get(UNK) != 0:
+        raise ValueError(
+            f"vocab must map the UNK sentinel {UNK!r} to id 0 "
+            "(use bpe_vocab)"
+        )
+    if sorted(vocab.values()) != list(range(len(vocab))):
+        raise ValueError(
+            "vocab ids must be contiguous 0..n-1 — a gapped or "
+            "duplicated id space silently misbinds token tensors"
+        )
+    return _vocab_byte_fallback(vocab)
+
+
+def save_tokenizer(
+    dest: str, merges: list[tuple[str, str]], vocab: dict[str, int]
+) -> dict:
+    """Persist the WHOLE tokenizer model as ``dest/tokenizer.json``
+    (tmp + atomic rename, the shard-manifest pattern): the ordered
+    merge list (rank = position — the model itself) and its id
+    binding. Written next to a `write_training_shards` manifest this
+    completes the trainer boundary — shards + tokenizer.json are the
+    full reproducible training input; a trainer (or a later decode
+    job) needs no live Spark fit to interpret the token-id tensors.
+    Invariants are checked at save AND load (`_check_vocab`), so a
+    hand-edited artifact fails loudly, never misbinds ids. Returns a
+    small receipt dict (vocab_size, n_merges, byte_fallback)."""
+    import json
+    import os
+
+    fallback = _check_vocab(vocab)
+    doc = {
+        "version": _TOKENIZER_VERSION,
+        "merges": [[a, b] for a, b in merges],
+        "vocab": dict(vocab),
+        "byte_fallback": fallback,
+    }
+    tmp = os.path.join(dest, "tokenizer.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, os.path.join(dest, "tokenizer.json"))
+    return {
+        "vocab_size": len(vocab),
+        "n_merges": len(merges),
+        "byte_fallback": fallback,
+    }
+
+
+def load_tokenizer(
+    dest: str,
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """Inverse of `save_tokenizer`: (merges, vocab) from
+    ``dest/tokenizer.json``, with the same invariant checks plus a
+    version gate and a byte-fallback flag cross-check (a stored flag
+    disagreeing with the vocab's actual byte block means the artifact
+    was edited — loud, not misbound)."""
+    import json
+    import os
+
+    with open(
+        os.path.join(dest, "tokenizer.json"), encoding="utf-8"
+    ) as fh:
+        doc = json.load(fh)
+    if doc.get("version") != _TOKENIZER_VERSION:
+        raise ValueError(
+            f"tokenizer.json version {doc.get('version')!r} != "
+            f"{_TOKENIZER_VERSION} — refit or migrate the artifact"
+        )
+    merges = [tuple(m) for m in doc["merges"]]
+    if not all(len(m) == 2 for m in merges):
+        raise ValueError("tokenizer.json merges must be string pairs")
+    vocab = {str(s): int(i) for s, i in doc["vocab"].items()}
+    fallback = _check_vocab(vocab)
+    if bool(doc.get("byte_fallback")) != fallback:
+        raise ValueError(
+            "tokenizer.json byte_fallback flag disagrees with the "
+            "vocab's byte block — the artifact was edited"
+        )
+    return merges, vocab
+
+
 def bpe_decode_ids(token_ids, vocab: dict[str, int]) -> str:
     """Host-side inverse of `bpe_encode_ids` for one sequence: ids →
     token strings → whitespace-normalized text (words are delimited by

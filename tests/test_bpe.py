@@ -701,6 +701,83 @@ class TestByteFallback:
         assert stats["en"]["fertility"] < stats["zh"]["fertility"]
 
 
+class TestTokenizerArtifact:
+    """save_tokenizer / load_tokenizer (r12): the tokenizer model
+    persisted next to the shard manifest completes the trainer
+    boundary — shards + tokenizer.json reconstruct the training input
+    with no live fit. Round trip is exact; invariant violations and
+    edits are loud."""
+
+    def test_round_trip_both_tiers(self, spark, tmp_path):
+        from gus_spark.operators.bpe import (
+            bpe_base_symbols,
+            bpe_vocab,
+            load_tokenizer,
+            save_tokenizer,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(TestTokenIds.TEXTS)],
+            "doc_id long, text string",
+        )
+        merges = bpe_fit(df, num_merges=8, merge_batch=1)
+        base = bpe_base_symbols(df)
+        for fb in (False, True):
+            vocab = bpe_vocab(merges, base, byte_fallback=fb)
+            d = str(tmp_path / f"tok_{fb}")
+            os.makedirs(d)
+            receipt = save_tokenizer(d, merges, vocab)
+            assert receipt == {
+                "vocab_size": len(vocab),
+                "n_merges": len(merges),
+                "byte_fallback": fb,
+            }
+            m2, v2 = load_tokenizer(d)
+            assert m2 == merges and v2 == vocab
+
+    def test_edited_artifacts_are_loud(self, spark, tmp_path):
+        import json
+
+        from gus_spark.operators.bpe import (
+            UNK,
+            bpe_base_symbols,
+            bpe_vocab,
+            load_tokenizer,
+            save_tokenizer,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "low lower")], "doc_id long, text string"
+        )
+        merges = bpe_fit(df, num_merges=2)
+        vocab = bpe_vocab(merges, bpe_base_symbols(df))
+        d = str(tmp_path / "tok")
+        os.makedirs(d)
+        save_tokenizer(d, merges, vocab)
+        path = os.path.join(d, "tokenizer.json")
+        good = json.load(open(path))
+
+        def write(doc):
+            json.dump(doc, open(path, "w"))
+
+        write({**good, "version": 99})
+        with pytest.raises(ValueError, match="version"):
+            load_tokenizer(d)
+        gapped = dict(good["vocab"])
+        some = next(s for s in gapped if s != UNK)
+        gapped[some] = len(gapped) + 5  # gap the id space
+        write({**good, "vocab": gapped})
+        with pytest.raises(ValueError, match="contiguous"):
+            load_tokenizer(d)
+        write({**good, "byte_fallback": True})  # flag vs actual vocab
+        with pytest.raises(ValueError, match="byte_fallback"):
+            load_tokenizer(d)
+        # save-side guard too: UNK displaced
+        bad = {s: i + 1 if s == UNK else i for s, i in vocab.items()}
+        with pytest.raises(ValueError, match="id 0"):
+            save_tokenizer(d, merges, bad)
+
+
 class TestFertility:
     """bpe_fertility (r11): per-group tokenizer health vs a pure-Python
     twin (the shared _enc_text kernel run host-side), and the signal —

@@ -466,8 +466,14 @@ def run_pipeline(
     # tokenizer health per language (r11): fertility near word level
     # and zero unks say the fit covers every surviving language —
     # a language encoding near character level here would be the
-    # cheapest possible warning before a training run pays for it
-    vocab = bpe_vocab(merges, bpe_base_symbols(redacted))
+    # cheapest possible warning before a training run pays for it.
+    # byte_fallback (r12): ids 1..256 reserve the UTF-8 byte alphabet
+    # so the shipped tokenizer is TOTAL — a late-arriving document in
+    # an unseen script still encodes (and round-trips), with unk_rate
+    # reading as fallback rate
+    vocab = bpe_vocab(
+        merges, bpe_base_symbols(redacted), byte_fallback=True
+    )
     stats["tokenizer_fertility"] = {
         # NULL-safe: a group of whitespace-only survivors aggregates
         # 0 words / 0 tokens -> NULL ratios; report the degenerate
@@ -543,6 +549,17 @@ def run_pipeline(
         shards=pack_shards,
         id_col="seq_uid",
     )
+    # persist the tokenizer NEXT TO the manifest (r12): shards +
+    # tokenizer.json are the complete reproducible training input —
+    # no live Spark fit needed to interpret the tensors. The decode
+    # receipt below deliberately uses the RELOADED artifact.
+    from gus_spark.operators.bpe import load_tokenizer, save_tokenizer
+
+    stats["tokenizer_artifact"] = save_tokenizer(
+        shards_dir, merges, vocab
+    )
+    merges_r, vocab_r = load_tokenizer(shards_dir)
+    assert (merges_r, vocab_r) == (merges, vocab)
     stats["loader_rows"] = manifest["total_rows"]
     stats["loader_split_rows"] = {
         split: sum(counts.values())
@@ -564,7 +581,7 @@ def run_pipeline(
     want = " ".join(
         w for w in _re.split(r"\s+", packed_text, flags=_re.ASCII) if w
     )
-    assert bpe_decode_ids(row["token_ids"], vocab) == want, (
+    assert bpe_decode_ids(row["token_ids"], vocab_r) == want, (
         "loader round-trip broke: decode(token_ids) != packed text"
     )
     off = 1
