@@ -10,6 +10,7 @@ from gus_spark.streaming.neardup import (  # noqa: F401
 )
 from gus_spark.streaming.packing import pack_stream  # noqa: F401
 from gus_spark.streaming.pipeline import CurationPipelineStream  # noqa: F401
+from gus_spark.streaming.urldedup import url_dedup_stream  # noqa: F401
 from gus_spark.streaming.vectors import (  # noqa: F401
     vector_index_stream,
     vector_tombstone_stream,

@@ -1529,3 +1529,77 @@ def test_cap_gate_refit_signal_is_observable(spark, tmp_path):
     # the loud knob: cumulative unfitted fraction now exceeds 1e-6
     with pytest.warns(UserWarning, match="refit cap_thresholds"):
         p.cap_summary()
+
+
+def test_url_dedup_stream_matches_batch_and_holds_state(spark, tmp_path):
+    """Streaming URL-tier dedup (r12): the ingest twin of
+    operators.dedup.dedup_by_url. Claims: a single-batch drain equals
+    the batch operator's representatives row-for-row; a multi-batch
+    drain emits each canonical exactly once with the canonical SET
+    identical to batch; and a LATER drain (fresh query, same
+    state/checkpoint) of nothing but re-spellings of already-served
+    canonicals emits zero survivors — the seen-canonical state
+    persists across restarts."""
+    from gus_spark.operators.dedup import dedup_by_url, normalize_url
+    from gus_spark.queries.dedup import _synth_urls
+    from gus_spark.streaming import url_dedup_stream
+
+    docs = table(spark, SF_DIR, "documents")
+    urls = _synth_urls(docs)  # (doc_id, url) with real variant groups
+    want_reps = {
+        (r.canonical_url, r.keep_doc_id)
+        for r in dedup_by_url(urls).collect()
+    }
+
+    def drain(src, work):
+        q = url_dedup_stream(
+            spark.readStream.schema("doc_id long, url string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            os.path.join(work, "state"),
+            os.path.join(work, "out"),
+            os.path.join(work, "ckpt"),
+        )
+        q.awaitTermination()
+        out = os.path.join(work, "out")
+        return (
+            spark.read.parquet(out)
+            if os.path.isdir(out)
+            else None
+        )
+
+    # A. all-in-one-batch drain == the batch operator exactly
+    src1 = str(tmp_path / "src1")
+    urls.coalesce(1).write.parquet(src1)
+    got = drain(src1, str(tmp_path / "w1"))
+    assert {
+        (r.canonical_url, r.doc_id) for r in got.collect()
+    } == want_reps
+
+    # B. two-batch drain: one row per canonical, set == batch
+    src2 = str(tmp_path / "src2")
+    half = docs.agg(F.max("doc_id")).first()[0] // 2
+    urls.filter(F.col("doc_id") <= half).coalesce(1).write.parquet(src2)
+    urls.filter(F.col("doc_id") > half).coalesce(1).write.mode(
+        "append"
+    ).parquet(src2)
+    w2 = str(tmp_path / "w2")
+    got2 = drain(src2, w2).collect()
+    canons = [r.canonical_url for r in got2]
+    assert len(canons) == len(set(canons))  # once each, across batches
+    assert set(canons) == {c for c, _ in want_reps}
+
+    # C. restart with ONLY re-spellings of served canonicals: the
+    # persisted state must anti-join them all away
+    respell = urls.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("https://www."),
+            normalize_url(F.col("url")),
+            F.lit("/?utm_medium=retry"),
+        ).alias("url"),
+    )
+    respell.coalesce(1).write.mode("append").parquet(src2)
+    got3 = drain(src2, w2)
+    assert got3.filter(F.col("doc_id") >= 10_000_000).count() == 0
+    assert got3.count() == len(got2)  # nothing new served
