@@ -1,6 +1,12 @@
 """The training-data pipeline as ONE composed micro-batch graph:
 
     raw document stream
+      [→ URL dedup]     (optional, r12: first-arrival-wins on the
+                         normalized fetch URL — the dedup ladder's
+                         cheapest rung runs FIRST, so re-fetched
+                         spelling variants never pay curation's
+                         profile/fingerprint work; persisted
+                         seen-canonical state; enabled by url_col)
       → curation        (gates + exact dedup; persisted fp state)
       → decontamination (13-gram eval-overlap; persisted bench grams)
       [→ fuzzy decontam.] (optional: MinHash near-dup match against
@@ -91,12 +97,16 @@ class CurationPipelineStream:
     """Wire the three streaming stages over a shared ``work_dir``.
 
     Layout (all under work_dir):
+      url_clean/ optional stage-0 output (URL-tier dedup survivors,
+                 batch=<id> partitions; present iff url_col is set —
+                 curation then reads this tier instead of the source)
       curated/   stage-1 output (batch=<id> partitions, text carried)
       clean/     stage-2 output (batch=<id> partitions)
       fuzzy_clean/  optional stage-2b output (batch=<id> partitions)
       packed/    stage-3 output (exactly-once parquet sink)
-      state1/ state2/ state2b/    persisted fp / bench-gram state
-      ckpt1/ ckpt2/ ckpt2b/ ckpt3/ ckpt4/  per-stage checkpoints
+      state0/ state1/ state2/ state2b/  persisted canonical / fp /
+                 bench-gram state
+      ckpt0/ ckpt1/ ckpt2/ ckpt2b/ ckpt3/ ckpt4/  per-stage checkpoints
 
     With ``index_root`` set, a live BM25 PostingIndex (its own
     directory, usually OUTSIDE work_dir) consumes the same final tier
@@ -134,6 +144,7 @@ class CurationPipelineStream:
         cap_id_col: str = "doc_id",
         cap_seed: str = "cap-v1",
         cap_refit_warn_frac: float | None = None,
+        url_col: str | None = None,
     ) -> None:
         self.spark = spark
         self.src_path = src_path
@@ -180,6 +191,16 @@ class CurationPipelineStream:
         #: every drain of THIS pipeline object (run() and run_live()
         #: both feed it); summarize with cap_summary()
         self.cap_stats: dict[int, dict] = {}
+        # optional URL/snapshot-tier dedup as STAGE 0 (r12): when the
+        # source carries a fetch-URL column, first-arrival-wins
+        # canonical dedup runs BEFORE curation — the cheapest gate
+        # first, so re-fetched spelling variants never pay the
+        # profile/fingerprint work. Curation then reads the url_clean
+        # tier instead of the raw source (same file-source handoff as
+        # every other stage boundary).
+        self.url_col = url_col
+        self.url_clean = os.path.join(work_dir, "url_clean")
+        self.curate_src = self.url_clean if url_col else src_path
 
     def _ensure_index(self):
         """The live PostingIndex under index_root, built (empty) on
@@ -342,9 +363,43 @@ class CurationPipelineStream:
             )
         return summary
 
-    def run_curate(self) -> None:
-        """Stage 1: gates + exact dedup, text carried for downstream."""
+    def run_urldedup(self) -> None:
+        """Stage 0 (optional): URL-tier first-arrival-wins dedup over
+        the raw source — survivors land in url_clean for curation to
+        consume. No-op when url_col is unset."""
+        if self.url_col is None:
+            return
+        from gus_spark.streaming.urldedup import url_dedup_stream
+
         stream = self._reader(self.src_path, self.src_schema)
+        url_dedup_stream(
+            stream,
+            os.path.join(self.work, "state0"),
+            self.url_clean,
+            os.path.join(self.work, "ckpt0"),
+            url_col=self.url_col,
+        ).awaitTermination()
+
+    def _curate_source(self):
+        """Stage 1's source stream: the raw source, or (with the URL
+        tier on) the url_clean hand-off minus its plumbing columns.
+        None when the upstream tier hasn't committed anything yet (a
+        parquet file source needs files before its schema exists)."""
+        if self.url_col is None:
+            return self._reader(self.src_path, self.src_schema)
+        if not os.path.isdir(self.url_clean):
+            return None
+        schema = self.spark.read.parquet(self.url_clean).schema
+        return self._reader(self.url_clean, schema).drop(
+            "batch", "canonical_url"
+        )
+
+    def run_curate(self) -> None:
+        """Stage 1: gates + exact dedup, text carried for downstream.
+        No-op until stage 0 committed anything (URL tier on only)."""
+        stream = self._curate_source()
+        if stream is None:
+            return
         curate_stream(
             stream,
             os.path.join(self.work, "state1"),
@@ -466,6 +521,7 @@ class CurationPipelineStream:
     def run(self) -> None:
         """Drain the whole pipeline once: each stage runs to completion
         (availableNow) before the next reads its committed files."""
+        self.run_urldedup()
         self.run_curate()
         self.run_decontaminate()
         self.run_fuzzy()
@@ -516,10 +572,23 @@ class CurationPipelineStream:
         }.get(m.group(2).lower().rstrip("s"))
         return None if scale is None else float(m.group(1)) * scale
 
-    def _start_curate_live(self, processing_time: str):
+    def _start_urldedup_live(self, processing_time: str):
+        from gus_spark.streaming.urldedup import url_dedup_stream
+
         stream = self._reader(self.src_path, self.src_schema)
-        return curate_stream(
+        return url_dedup_stream(
             stream,
+            os.path.join(self.work, "state0"),
+            self.url_clean,
+            os.path.join(self.work, "ckpt0"),
+            url_col=self.url_col,
+            processing_time=processing_time,
+        )
+
+    def _start_curate_live(self, processing_time: str):
+        return curate_stream(
+            self._curate_source(),  # callers gate on the tier having
+            # committed files, exactly like every lazy downstream start
             os.path.join(self.work, "state1"),
             self.curated,
             os.path.join(self.work, "ckpt1"),
@@ -618,9 +687,10 @@ class CurationPipelineStream:
         between two triggers with data still waiting.
 
         Downstream stages start LAZILY — a parquet file source needs
-        committed files before its schema exists, so stage 2 starts at
-        the first curated commit, the optional fuzzy stage at the
-        first clean commit, and the packer at the first commit of its
+        committed files before its schema exists, so (with the URL
+        tier on) curation starts at the first url_clean commit,
+        stage 2 at the first curated commit, the optional fuzzy stage
+        at the first clean commit, and the packer at the first commit of its
         actual source tier (fuzzy_clean when fuzzy is enabled, else
         clean — the same pack_src contract as run()) — a pipeline
         whose gates drop everything simply never starts them, and
@@ -639,10 +709,14 @@ class CurationPipelineStream:
         events).
         ``timeout=None`` removes the deadline (deployment mode: only
         an external stop ends the run)."""
-        # insertion order IS the graceful-stop order: fuzzy sits
-        # between decon (its upstream) and pack; the index stage is a
-        # SIBLING of pack over the same tier, stopped last
-        names = ["curate", "decon"]
+        # insertion order IS the graceful-stop order: the optional URL
+        # tier is the most-upstream stage; fuzzy sits between decon
+        # (its upstream) and pack; the index stage is a SIBLING of
+        # pack over the same tier, stopped last
+        names = []
+        if self.url_col is not None:
+            names.append("urldedup")
+        names += ["curate", "decon"]
         if self.fuzzy_ngram is not None:
             names.append("fuzzy")
         names.append("pack")
@@ -659,7 +733,17 @@ class CurationPipelineStream:
             idle_polls = max(
                 idle_polls, -int(-(2 * trigger_s) // poll)
             )
-        queries["curate"] = self._start_curate_live(processing_time)
+        # eager start = the most-upstream stage (its source schema is
+        # declared, not discovered); everything downstream starts
+        # lazily on its tier's first commit
+        if self.url_col is not None:
+            queries["urldedup"] = self._start_urldedup_live(
+                processing_time
+            )
+        else:
+            queries["curate"] = self._start_curate_live(
+                processing_time
+            )
         start = time.monotonic()
         idle_streak = 0
         polls = 0
@@ -714,6 +798,14 @@ class CurationPipelineStream:
             while True:
                 polls += 1
                 # lazy downstream starts, upstream-first
+                if (
+                    self.url_col is not None
+                    and queries["curate"] is None
+                    and self._has_parquet(self.url_clean)
+                ):
+                    queries["curate"] = self._start_curate_live(
+                        processing_time
+                    )
                 if queries["decon"] is None and self._has_parquet(
                     self.curated
                 ):
@@ -748,7 +840,10 @@ class CurationPipelineStream:
                 # quiesced = every started query idle AND no committed
                 # data is waiting on an unstarted downstream stage
                 pending_start = (
-                    (queries["decon"] is None
+                    (self.url_col is not None
+                     and queries["curate"] is None
+                     and self._has_parquet(self.url_clean))
+                    or (queries["decon"] is None
                      and self._has_parquet(self.curated))
                     or ("fuzzy" in queries
                         and queries["fuzzy"] is None

@@ -1603,3 +1603,83 @@ def test_url_dedup_stream_matches_batch_and_holds_state(spark, tmp_path):
     got3 = drain(src2, w2)
     assert got3.filter(F.col("doc_id") >= 10_000_000).count() == 0
     assert got3.count() == len(got2)  # nothing new served
+
+
+def test_pipeline_url_tier_matches_batch_composition(spark, tmp_path):
+    """URL tier composed as stage 0 of CurationPipelineStream (r12,
+    pre-empting the r13 roadmap item): with url_col set, the packed
+    output must be row-identical to the batch composition
+    dedup_by_url-survivors → curate → decontaminate → chunk → pack,
+    in BOTH modes — run() (sequential drains; curation is a lazy
+    no-op until stage 0 commits) and run_live() (concurrent, curation
+    starts lazily on the first url_clean commit)."""
+    from pyspark.sql import Window
+
+    from gus_spark.operators.chunk import chunk_documents, pack_sequences
+    from gus_spark.operators.decontaminate import decontaminate
+    from gus_spark.operators.dedup import dedup_by_url
+    from gus_spark.queries.curation import VAL_RESIDUE, profile_and_gate
+    from gus_spark.queries.dedup import _synth_urls
+    from gus_spark.streaming import CurationPipelineStream
+
+    docs = table(spark, SF_DIR, "documents")
+    with_url = docs.join(_synth_urls(docs), "doc_id")
+    bench = docs.filter(F.col("doc_id") % 97 == 3).select(
+        "doc_id", "text"
+    )
+    params = dict(
+        ngram=13, min_hits=1,
+        chunk_tokens=16, chunk_overlap=4, seq_budget=48, pack_shards=4,
+    )
+
+    # batch twin: URL survivors (min doc_id per canonical) first
+    reps = dedup_by_url(with_url).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    survivors = with_url.join(reps, "doc_id", "semi")
+    assert survivors.count() < with_url.count()  # the tier bites
+    w = Window.partitionBy("content_fp").orderBy("doc_id")
+    curated_b = (
+        profile_and_gate(survivors)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "text")
+    )
+    clean_b = decontaminate(curated_b, bench, n=13, min_hits=1)
+    chunks_b = chunk_documents(clean_b, max_tokens=16, overlap=4)
+    want = {
+        (r.doc_id, r.chunk_index): (r.chunk_text, r.shard, r.seq_id)
+        for r in pack_sequences(chunks_b, budget=48, shards=4).collect()
+    }
+    assert want
+
+    src = str(tmp_path / "src")
+    with_url.coalesce(1).write.parquet(src)
+
+    def packed_rows(p):
+        return {
+            (r.doc_id, r.chunk_index): (r.chunk_text, r.shard, r.seq_id)
+            for r in spark.read.parquet(p.packed).collect()
+        }
+
+    # run() mode
+    p = CurationPipelineStream(
+        spark, src, with_url.schema, bench, str(tmp_path / "work"),
+        url_col="url", **params,
+    )
+    p.run()
+    assert packed_rows(p) == want
+    # the hand-off tier exists and curation consumed it (not the src)
+    assert os.path.isdir(p.url_clean) and p.curate_src == p.url_clean
+
+    # run_live() mode: fresh work dir, concurrent stages, curation
+    # started lazily after stage 0's first commit
+    p2 = CurationPipelineStream(
+        spark, src, with_url.schema, bench, str(tmp_path / "work2"),
+        url_col="url", **params,
+    )
+    snap = p2.run_live(timeout=180.0)
+    assert not snap["timed_out"]
+    assert snap["stages"]["urldedup"]["batches"] >= 1
+    assert snap["stages"]["curate"]["started"]
+    assert packed_rows(p2) == want
