@@ -646,3 +646,51 @@ def iter_training_order(
                     continue
                 last = batch.column("pos")[batch.num_rows - 1].as_py()
                 yield batch, (shard, last)
+
+
+def iter_epochs(
+    dest: str,
+    split: str = "train",
+    cursor: tuple[int, int, int] | None = None,
+    batch_rows: int = 4096,
+    rank: int = 0,
+    world_size: int = 1,
+    epochs: int | None = None,
+):
+    """Multi-epoch training loop over `iter_training_order`: yield
+    ``(batch, (epoch, shard, pos))`` — the composite cursor a trainer
+    checkpoints ONCE, valid across epoch boundaries (the single-epoch
+    cursor is only meaningful inside its epoch; callers previously had
+    to bookkeep the epoch number themselves — README's old example).
+    Resume with the last yielded cursor and the stream continues
+    strictly after that row, finishing the cursor's epoch and then
+    moving on; epoch e ends exactly when its last assigned row is
+    yielded, so a resume AT an epoch's final row starts cleanly at
+    epoch e+1. ``epochs`` bounds the loop (None = run forever — the
+    deployment loop); each epoch's order, rank semantics, and
+    exactly-once guarantees are `iter_training_order`'s, unchanged.
+    Note rank assignment is PER EPOCH (the sliced visit order is the
+    epoch's permutation), so a rank sees different shards — and a
+    slightly different row count, within shard-size variance — each
+    epoch: deliberate, it decorrelates what each worker reads across
+    epochs; only the per-epoch UNION is invariant."""
+    if epochs is not None and epochs < 1:
+        raise ValueError(f"epochs must be >= 1 or None, got {epochs}")
+    if cursor is None:
+        epoch, inner = 0, None
+    else:
+        e, shard, pos = cursor
+        epoch, inner = e, (shard, pos)
+    while epochs is None or epoch < epochs:
+        for batch, (shard, pos) in iter_training_order(
+            dest,
+            split,
+            cursor=inner,
+            batch_rows=batch_rows,
+            epoch=epoch,
+            rank=rank,
+            world_size=world_size,
+        ):
+            yield batch, (epoch, shard, pos)
+        inner = None
+        epoch += 1

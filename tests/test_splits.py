@@ -552,6 +552,60 @@ class TestEpochRankLoader:
                 )
             )
 
+    def test_iter_epochs_composite_cursor(self, dest):
+        """iter_epochs (r12): one checkpointable (epoch, shard, pos)
+        cursor across epoch boundaries. The bounded stream is exactly
+        epoch-0 order ++ epoch-1 order, and resuming from ANY yielded
+        cursor — including the last row of an epoch, where the resume
+        must land cleanly at the next epoch's first row — replays
+        exactly the suffix."""
+        from gus_spark.operators.splits import (
+            iter_epochs,
+            iter_training_order,
+        )
+
+        full = []
+        cursors = []
+        for b, cur in iter_epochs(dest, epochs=2, batch_rows=101):
+            full.extend(
+                (cur[0], cur[1], p)
+                for p in b.column("pos").to_pylist()
+            )
+            cursors.append((cur, len(full)))
+        want = [
+            (e, s, p)
+            for e in (0, 1)
+            for b, (s, _last) in [
+                (bb, cc)
+                for bb, cc in iter_training_order(
+                    dest, epoch=e, batch_rows=101
+                )
+            ]
+            for p in b.column("pos").to_pylist()
+        ]
+        assert full == want
+        # resume points: every 4th checkpoint + the exact epoch seam
+        n_e0 = sum(1 for e, _s, _p in full if e == 0)
+        seam = next(
+            (cur, consumed)
+            for cur, consumed in cursors
+            if consumed >= n_e0
+        )
+        for cur, consumed in [*cursors[::4], seam, cursors[-1]]:
+            resumed = []
+            for b, c in iter_epochs(
+                dest, cursor=cur, epochs=2, batch_rows=101
+            ):
+                resumed.extend(
+                    (c[0], c[1], p)
+                    for p in b.column("pos").to_pylist()
+                )
+            assert resumed == full[consumed:], cur
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="epochs"):
+            next(iter(iter_epochs(dest, epochs=0)))
+
     def test_epoch_rank_validation(self, dest):
         from gus_spark.operators.splits import iter_training_order
 
