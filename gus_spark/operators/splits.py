@@ -221,9 +221,12 @@ def write_training_shards(
     emits one file per directory; the trailing sortWithinPartitions is
     satisfied by the window sort and costs nothing). At 100 TB the
     exchange is shard-keyed and uniform (60-bit hash range) — shards
-    is the loader's file-parallelism knob, NOT a skew risk. A new
-    epoch is a new ``seed`` (orders are materialized; reshuffling is a
-    rewrite by design — loaders need the bytes in order, not a plan).
+    is the loader's file-parallelism knob, NOT a skew risk. Neither
+    epochs nor corpus growth rewrite what this materialized: a new
+    epoch is ``iter_training_order(epoch=e)`` (r12 — a read, not a
+    rewrite), and new rows append as a fresh GENERATION of shard
+    directories via `append_training_shards` (r12 — existing files
+    stay byte-identical).
 
     Splits share the shard count; with the default 98/1/1 weights the
     validation/test shard files are proportionally small — harmless
@@ -292,15 +295,41 @@ def write_training_shards(
         .partitionBy(split_col, "shard")
         .parquet(data_dir)
     )
-    # layout receipt (both modes): walk the directory tree, assert the
-    # one-file-per-(split, shard) invariant, and take footer counts —
-    # metadata only, |splits| x shards footers, no data read.
-    # Partition DIRECTORY names are Spark-escaped (escapePathName
-    # %XX-encodes ':', '=', '#', '%', control chars...), while the
-    # manifest — and the verify recount — key by the split VALUE:
-    # unquote restores it (Spark's escape is exactly %XX hex), so a
-    # split named 'train:v2' doesn't fail verification on a clean
-    # write or emit a key no consumer can look up.
+    shard_rows = _layout_receipt(data_dir, split_col)
+    if verify:
+        _verify_recount(spark, data_dir, split_col, shard_rows)
+    manifest = {
+        "version": _MANIFEST_VERSION,
+        "shards": shards,
+        "seed": seed,
+        "split_seed": split_seed,
+        "id_col": id_col,
+        "split_col": split_col,
+        "weights": dict(DEFAULT_WEIGHTS if weights is None else weights),
+        "generations": 1,
+        "shard_rows": shard_rows,
+        "total_rows": sum(
+            n for per in shard_rows.values() for n in per.values()
+        ),
+    }
+    tmp = os.path.join(dest, "manifest.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(dest, "manifest.json"))
+    return manifest
+
+
+def _layout_receipt(data_dir: str, split_col: str) -> dict:
+    """Layout receipt (both verify modes): walk the directory tree,
+    assert the one-file-per-(split, shard) invariant, and take footer
+    counts — metadata only, |splits| x shards footers, no data read.
+    Partition DIRECTORY names are Spark-escaped (escapePathName
+    %XX-encodes ':', '=', '#', '%', control chars...), while the
+    manifest — and the verify recount — key by the split VALUE:
+    unquote restores it (Spark's escape is exactly %XX hex), so a
+    split named 'train:v2' doesn't fail verification on a clean
+    write or emit a key no consumer can look up."""
+    import os
     from urllib.parse import unquote
 
     import pyarrow.parquet as pq
@@ -336,47 +365,133 @@ def write_training_shards(
             shard_rows.setdefault(sname, {})[
                 shard_dir.split("=", 1)[1]
             ] = n
-    if verify:  # full decode recount, cross-checked against footers
-        # partition-column TYPE INFERENCE off for the recount read:
-        # the footer walk keys by the directory VALUE STRING, and a
-        # split set whose names all parse numerically (weights =
-        # {'0': .., '1': ..}) would otherwise come back as ints —
-        # str(0) == '0' papers over most of it, but '00' -> 0 -> '0'
-        # would still spuriously fail a clean write (ADVICE r11 #1)
-        infer_key = (
-            "spark.sql.sources.partitionColumnTypeInference.enabled"
+    return shard_rows
+
+
+def _verify_recount(
+    spark, data_dir: str, split_col: str, shard_rows: dict
+) -> None:
+    """Full decode recount, cross-checked against the footer walk.
+    Partition-column TYPE INFERENCE off for the recount read: the
+    footer walk keys by the directory VALUE STRING, and a split set
+    whose names all parse numerically (weights = {'0': .., '1': ..})
+    would otherwise come back as ints — str(0) == '0' papers over
+    most of it, but '00' -> 0 -> '0' would still spuriously fail a
+    clean write (ADVICE r11 #1)."""
+    infer_key = (
+        "spark.sql.sources.partitionColumnTypeInference.enabled"
+    )
+    infer_was = spark.conf.get(infer_key, "true")
+    spark.conf.set(infer_key, "false")
+    try:
+        counts = (
+            spark.read.parquet(data_dir)
+            .groupBy(split_col, "shard")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )  # bounded: |splits| x shards x generations rows
+    finally:
+        spark.conf.set(infer_key, infer_was)
+    decoded: dict[str, dict[str, int]] = {}
+    for r in counts:
+        decoded.setdefault(str(r[split_col]), {})[
+            str(r["shard"])
+        ] = r["n"]
+    if decoded != shard_rows:
+        raise ValueError(
+            "write verification failed: decoded row counts differ "
+            f"from parquet footers (footers {shard_rows}, decoded "
+            f"{decoded}) — the written data pages are corrupt or "
+            "the write was torn"
         )
-        infer_was = spark.conf.get(infer_key, "true")
-        spark.conf.set(infer_key, "false")
-        try:
-            counts = (
-                spark.read.parquet(data_dir)
-                .groupBy(split_col, "shard")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            )  # bounded: |splits| x shards rows
-        finally:
-            spark.conf.set(infer_key, infer_was)
-        decoded: dict[str, dict[str, int]] = {}
-        for r in counts:
-            decoded.setdefault(str(r[split_col]), {})[
-                str(r["shard"])
-            ] = r["n"]
-        if decoded != shard_rows:
-            raise ValueError(
-                "write verification failed: decoded row counts differ "
-                f"from parquet footers (footers {shard_rows}, decoded "
-                f"{decoded}) — the written data pages are corrupt or "
-                "the write was torn"
-            )
+
+
+def append_training_shards(
+    df: DataFrame, dest: str, verify: bool = True
+) -> dict:
+    """Grow a written shard set WITHOUT touching a byte of it: the new
+    rows land as a fresh GENERATION of shard directories — generation
+    g's shard k gets directory id ``g*shards + k`` — so existing files
+    stay byte-identical (tested) and `iter_training_order`,
+    `iter_epochs`, rank slicing, and every cursor inherit unchanged
+    (they enumerate shard dirs; a generation is just more of them).
+    Split assignment, seeds, and shard count come from the manifest —
+    the same (seed, id) hashes, so an id's split is exactly what a
+    fresh full write would assign (growth stability is `hash_split`'s
+    defining property). pos ranks within the new generation's shards
+    cost ONE exchange over ONLY the new rows — at 100 TB an append of
+    1 TB moves 1 TB, not 101.
+
+    Order semantics: epoch 0 visits generations in id order (old
+    corpus first, then the new rows' seeded order); epoch e > 0's
+    shard-visit permutation mixes generations freely — the reshuffle
+    a trainer runs anyway is what interleaves old and new data.
+
+    Caller contract: ``df`` holds ONLY rows not already in the shard
+    set. The writer cannot check that without reading every
+    generation back (the exact cost this operator exists to avoid);
+    an id appended twice WILL appear twice in the training order —
+    dedup upstream (this repo's exact/URL tiers) before appending.
+
+    The write uses dynamic partition overwrite scoped to the new
+    generation's directories, so a crashed append re-run overwrites
+    its own partial output and never touches prior generations.
+    ``verify=True`` recounts the WHOLE tree (all generations — it
+    re-verifies old data pages too, at the cost of a full read);
+    ``verify=False`` is the metadata-only footer receipt, as in
+    `write_training_shards`. Returns the updated manifest
+    (``generations`` incremented; ``shard_rows`` covers every
+    generation)."""
+    import json
+    import os
+
+    manifest = read_manifest(dest)
+    shards = manifest["shards"]
+    split_col = manifest["split_col"]
+    id_col = manifest["id_col"]
+    gen = manifest.get("generations", 1)
+    clobbered = {split_col, "shard", "pos"} & set(df.columns)
+    if clobbered:
+        raise ValueError(
+            f"input already carries {sorted(clobbered)} — this writer "
+            "derives split/shard/pos itself; rename or drop them first"
+        )
+    spark = df.sparkSession
+    labeled = hash_split(
+        df,
+        manifest["weights"],
+        manifest["split_seed"],
+        id_col,
+        split_col,
+    )
+    ordered = _ranked_shards(
+        labeled,
+        shards,
+        manifest["seed"],
+        id_col,
+        extra_partition_cols=(split_col,),
+    ).withColumn(
+        "shard", (F.col("shard") + gen * shards).cast("int")
+    )
+    data_dir = os.path.join(dest, "data")
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    mode_was = spark.conf.get(mode_key, "STATIC")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        (
+            ordered.sortWithinPartitions(split_col, "shard", "pos")
+            .write.mode("overwrite")
+            .partitionBy(split_col, "shard")
+            .parquet(data_dir)
+        )
+    finally:
+        spark.conf.set(mode_key, mode_was)
+    shard_rows = _layout_receipt(data_dir, split_col)
+    if verify:
+        _verify_recount(spark, data_dir, split_col, shard_rows)
     manifest = {
-        "version": _MANIFEST_VERSION,
-        "shards": shards,
-        "seed": seed,
-        "split_seed": split_seed,
-        "id_col": id_col,
-        "split_col": split_col,
-        "weights": dict(DEFAULT_WEIGHTS if weights is None else weights),
+        **manifest,
+        "generations": gen + 1,
         "shard_rows": shard_rows,
         "total_rows": sum(
             n for per in shard_rows.values() for n in per.values()

@@ -619,6 +619,166 @@ class TestEpochRankLoader:
                 next(iter(iter_training_order(dest, "train", **kw)))
 
 
+class TestGenerationAppend:
+    """append_training_shards (r12): corpus growth without touching a
+    byte of the existing shard set. Claims pinned:
+
+    - existing shard FILES are byte-identical after an append;
+    - the grown set is a valid training order: every (shard, pos)
+      exactly once, epoch 0 = old order ++ new generation's order,
+      and the loader/cursor/epoch/rank machinery works on it as-is;
+    - split MEMBERSHIP equals a fresh full write of the union (the
+      hash_split growth-stability property, now end-to-end);
+    - epoch > 0 interleaves generations (new shards are not a suffix
+      of the visit order);
+    - a second append (generation 2) composes."""
+
+    @pytest.fixture(scope="class")
+    def grown(self, spark, tmp_path_factory):
+        import glob
+        import hashlib
+
+        from gus_spark.operators.splits import (
+            append_training_shards,
+            write_training_shards,
+        )
+
+        docs = table(spark, SF_DIR_ORACLE, "documents").select("doc_id")
+        old = docs.filter(F.col("doc_id") % 3 != 0)
+        new = docs.filter(F.col("doc_id") % 3 == 0)
+        dest = str(tmp_path_factory.mktemp("gen_shards"))
+        m0 = write_training_shards(old, dest, shards=4)
+
+        def file_hashes():
+            return {
+                f: hashlib.md5(open(f, "rb").read()).hexdigest()
+                for f in glob.glob(
+                    os.path.join(dest, "data", "*", "*", "*.parquet")
+                )
+            }
+
+        before = file_hashes()
+        m1 = append_training_shards(new, dest)
+        after = file_hashes()
+        # every pre-existing file untouched, byte for byte
+        assert all(after[f] == h for f, h in before.items())
+        assert set(after) > set(before)  # new generation landed
+        return dest, m0, m1, old, new
+
+    def test_manifest_and_coverage(self, spark, grown):
+        from gus_spark.operators.splits import iter_training_order
+
+        dest, m0, m1, old, new = grown
+        assert m1["generations"] == 2
+        assert m1["total_rows"] == old.count() + new.count()
+        # epoch 0 == old order ++ new generation order, exactly once
+        rows = []
+        for b, cur in iter_training_order(dest, "train"):
+            rows.extend(
+                (cur[0], p) for p in b.column("pos").to_pylist()
+            )
+        assert len(rows) == len(set(rows))
+        assert rows == sorted(rows)
+        n_train = sum(m1["shard_rows"]["train"].values())
+        assert len(rows) == n_train
+        old_train = sum(m0["shard_rows"]["train"].values())
+        # the first old_train rows live in generation-0 shards (< 4)
+        assert all(s < 4 for s, _p in rows[:old_train])
+        assert all(s >= 4 for s, _p in rows[old_train:])
+
+    def test_split_membership_equals_fresh_write(
+        self, spark, grown, tmp_path_factory
+    ):
+        from gus_spark.operators.splits import (
+            iter_training_order,
+            write_training_shards,
+        )
+
+        dest, _m0, _m1, old, new = grown
+        fresh = str(tmp_path_factory.mktemp("fresh_full"))
+        write_training_shards(old.unionByName(new), fresh, shards=4)
+
+        def members(d, split):
+            return {
+                i
+                for b, _c in iter_training_order(d, split)
+                for i in b.column("doc_id").to_pylist()
+            }
+
+        for split in ("train", "validation", "test"):
+            assert members(dest, split) == members(fresh, split), split
+
+    def test_epochs_and_ranks_inherit(self, grown):
+        from gus_spark.operators.splits import iter_training_order
+
+        dest, _m0, m1, _old, _new = grown
+        base = []
+        for b, cur in iter_training_order(dest, "train"):
+            base.extend(
+                (cur[0], p) for p in b.column("pos").to_pylist()
+            )
+        # epoch 1: same multiset, generations interleaved in the
+        # shard visit order (a new-gen shard before an old-gen one)
+        e1 = []
+        visit = []
+        for b, cur in iter_training_order(dest, "train", epoch=1):
+            e1.extend((cur[0], p) for p in b.column("pos").to_pylist())
+            if not visit or visit[-1] != cur[0]:
+                visit.append(cur[0])
+        assert sorted(e1) == sorted(base) and e1 != base
+        first_new = min(i for i, s in enumerate(visit) if s >= 4)
+        assert any(s < 4 for s in visit[first_new:]), visit
+        # ranks partition the grown set
+        parts = [
+            {
+                (c[0], p)
+                for b, c in iter_training_order(
+                    dest, "train", epoch=1, rank=r, world_size=2
+                )
+                for p in b.column("pos").to_pylist()
+            }
+            for r in (0, 1)
+        ]
+        assert not (parts[0] & parts[1])
+        assert parts[0] | parts[1] == set(base)
+
+    def test_second_append_composes(
+        self, spark, grown, tmp_path_factory
+    ):
+        import shutil
+
+        from gus_spark.operators.splits import (
+            append_training_shards,
+            iter_training_order,
+        )
+
+        dest, _m0, m1, old, new = grown
+        d2 = str(tmp_path_factory.mktemp("gen3"))
+        shutil.copytree(dest, d2, dirs_exist_ok=True)
+        extra = spark.range(900000, 900050).select(
+            F.col("id").alias("doc_id")
+        )
+        m2 = append_training_shards(extra, d2, verify=False)
+        assert m2["generations"] == 3
+        assert m2["total_rows"] == m1["total_rows"] + 50
+        total = sum(
+            b.num_rows
+            for split in ("train", "validation", "test")
+            for b, _c in iter_training_order(d2, split)
+        )
+        assert total == m2["total_rows"]
+
+    def test_derived_columns_rejected(self, spark, grown):
+        from gus_spark.operators.splits import append_training_shards
+
+        dest, *_ = grown
+        bad = spark.range(5).select(
+            F.col("id").alias("doc_id"), F.lit(1).alias("pos")
+        )
+        with pytest.raises(ValueError, match="derives"):
+            append_training_shards(bad, dest)
+
+
 def test_validation_errors(ids):
     from gus_spark.operators.splits import write_training_shards
 
