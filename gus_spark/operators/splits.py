@@ -504,12 +504,37 @@ def append_training_shards(
     return manifest
 
 
-def read_manifest(dest: str) -> dict:
-    import json
-    import os
+def _loader_fs(filesystem):
+    """The pyarrow FileSystem the HOST-SIDE read path goes through —
+    LocalFileSystem by default; pass S3FileSystem/GcsFileSystem (or
+    any pyarrow.fs implementation) to stream shards straight off
+    object storage with no POSIX mount (r12 — the write side stays
+    Spark/POSIX; see write_training_shards)."""
+    import pyarrow.fs as pa_fs
 
-    with open(os.path.join(dest, "manifest.json"), encoding="utf-8") as fh:
-        return json.load(fh)
+    return pa_fs.LocalFileSystem() if filesystem is None else filesystem
+
+
+def _fs_ls(fs, path: str) -> list[str]:
+    """Sorted base names of a directory's entries via the filesystem
+    abstraction (never os.listdir — the path may not be POSIX)."""
+    import pyarrow.fs as pa_fs
+
+    return sorted(
+        info.base_name
+        for info in fs.get_file_info(pa_fs.FileSelector(path))
+    )
+
+
+def read_manifest(dest: str, filesystem=None) -> dict:
+    import json
+    import posixpath
+
+    fs = _loader_fs(filesystem)
+    with fs.open_input_file(
+        posixpath.join(dest, "manifest.json")
+    ) as fh:
+        return json.loads(fh.read().decode("utf-8"))
 
 
 def read_training_shards(
@@ -551,16 +576,16 @@ def _epoch_perm(items, key: str) -> list:
     return out
 
 
-def _shard_file(split_dir: str, shard: int) -> str:
+def _shard_file(fs, split_dir: str, shard: int) -> str:
     """THE parquet file of one (split, shard) directory — the writer's
     layout walk guarantees exactly one; a fragmented directory (layout
     mutated after the write) raises rather than voiding the order."""
-    import os
+    import posixpath
 
-    d = os.path.join(split_dir, f"shard={shard}")
+    d = posixpath.join(split_dir, f"shard={shard}")
     files = [
         f
-        for f in os.listdir(d)
+        for f in _fs_ls(fs, d)
         if f.endswith(".parquet") and not f.startswith((".", "_"))
     ]
     if len(files) != 1:
@@ -569,7 +594,7 @@ def _shard_file(split_dir: str, shard: int) -> str:
             "shard set is not a valid training order (was the "
             "directory modified after write_training_shards?)"
         )
-    return os.path.join(d, files[0])
+    return posixpath.join(d, files[0])
 
 
 def iter_training_order(
@@ -580,6 +605,7 @@ def iter_training_order(
     epoch: int = 0,
     rank: int = 0,
     world_size: int = 1,
+    filesystem=None,
 ):
     """The loader itself: yield ``(batch, (shard, pos))`` pairs in the
     epoch's global order — pyarrow record batches read shard-file by
@@ -617,10 +643,15 @@ def iter_training_order(
     otherwise the caller's contract to keep paired, exactly like the
     seed itself).
 
-    Filesystem contract: ``dest`` is read via ``os``/pyarrow — a
-    local (POSIX-mounted) path, per ``write_training_shards``'s
-    docstring (see SCALING.md §loader)."""
-    import os
+    Filesystem contract: every path this reader touches goes through
+    ``filesystem`` — a ``pyarrow.fs.FileSystem``, default
+    LocalFileSystem (the POSIX-mount deployment,
+    ``write_training_shards``'s write-side contract). Pass
+    ``pyarrow.fs.S3FileSystem()``/``GcsFileSystem()`` to stream
+    shards straight off object storage with no mount — the trainer
+    host needs only this reader, never Spark (see SCALING.md
+    §loader)."""
+    import posixpath
     from urllib.parse import unquote
 
     import pyarrow as pa
@@ -637,17 +668,18 @@ def iter_training_order(
         raise ValueError(
             f"rank must be in [0, world_size={world_size}), got {rank}"
         )
-    manifest = read_manifest(dest)
+    fs = _loader_fs(filesystem)
+    manifest = read_manifest(dest, filesystem)
     split_col = manifest["split_col"]
     seed = manifest["seed"]
-    data_dir = os.path.join(dest, "data")
+    data_dir = posixpath.join(dest, "data")
     # match by the split VALUE: partition dir names are Spark-escaped
     # (the writer's footer walk decodes the same way), so a literal
     # f"{split_col}={split}" path would miss e.g. 'train:v2'
     prefix = f"{split_col}="
     by_value = {
         unquote(d[len(prefix):]): d
-        for d in os.listdir(data_dir)
+        for d in _fs_ls(fs, data_dir)
         if d.startswith(prefix)
     }
     if split not in by_value:
@@ -655,10 +687,10 @@ def iter_training_order(
             f"no split {split!r} under {data_dir} "
             f"(have: {sorted(by_value)})"
         )
-    split_dir = os.path.join(data_dir, by_value[split])
+    split_dir = posixpath.join(data_dir, by_value[split])
     shard_ids = sorted(
         int(d.split("=", 1)[1])
-        for d in os.listdir(split_dir)
+        for d in _fs_ls(fs, split_dir)
         if d.startswith("shard=")
     )
     # the epoch's shard visit order (identity for epoch 0), then this
@@ -688,8 +720,9 @@ def iter_training_order(
         after_pos = start_pos if idx == start_idx else None
         if epoch == 0:
             ds = pa_ds.dataset(
-                os.path.join(split_dir, f"shard={shard}"),
+                posixpath.join(split_dir, f"shard={shard}"),
                 format="parquet",
+                filesystem=fs,
             )
             # rows are pos-ordered on disk; a mid-shard resume
             # filters (idempotent if partially read). Single-threaded
@@ -712,7 +745,9 @@ def iter_training_order(
         # pos is dense 1..n in file order, so row group g covers the
         # half-open pos range (cum[g], cum[g+1]] — the cursor's row
         # group is recomputable from footer metadata alone.
-        pf = pq.ParquetFile(_shard_file(split_dir, shard))
+        pf = pq.ParquetFile(
+            fs.open_input_file(_shard_file(fs, split_dir, shard))
+        )
         counts = [
             pf.metadata.row_group(g).num_rows
             for g in range(pf.num_row_groups)
@@ -771,6 +806,7 @@ def iter_epochs(
     rank: int = 0,
     world_size: int = 1,
     epochs: int | None = None,
+    filesystem=None,
 ):
     """Multi-epoch training loop over `iter_training_order`: yield
     ``(batch, (epoch, shard, pos))`` — the composite cursor a trainer
@@ -805,6 +841,7 @@ def iter_epochs(
             epoch=epoch,
             rank=rank,
             world_size=world_size,
+            filesystem=filesystem,
         ):
             yield batch, (epoch, shard, pos)
         inner = None

@@ -552,6 +552,45 @@ class TestEpochRankLoader:
                 )
             )
 
+    def test_reader_goes_through_the_filesystem_abstraction(self, dest):
+        """filesystem= (r12): every path the host-side reader touches
+        goes through the pyarrow FileSystem — proven with a
+        SubTreeFileSystem whose paths are NOT valid POSIX paths from
+        the process cwd (any stray os.listdir/open would fail), on
+        both the epoch-0 scanner path and the epoch>0 row-group path,
+        with a cursor resume through the abstraction too."""
+        import pyarrow.fs as pa_fs
+
+        from gus_spark.operators.splits import iter_training_order
+
+        parent, name = os.path.split(dest)
+        subfs = pa_fs.SubTreeFileSystem(parent, pa_fs.LocalFileSystem())
+        assert not os.path.isdir(name)  # relative name ≠ cwd path
+        for epoch in (0, 2):
+            assert self._order(
+                name, epoch=epoch, filesystem=subfs
+            ) == self._order(dest, epoch=epoch), epoch
+        # resume mid-stream through the abstraction
+        it = iter_training_order(
+            name, "train", epoch=2, batch_rows=64, filesystem=subfs
+        )
+        consumed = []
+        for b, cur in it:
+            consumed.extend(
+                (cur[0], p) for p in b.column("pos").to_pylist()
+            )
+            if len(consumed) > 150:
+                break
+        resumed = [
+            (c[0], p)
+            for b, c in iter_training_order(
+                name, "train", cursor=cur, epoch=2, batch_rows=64,
+                filesystem=subfs,
+            )
+            for p in b.column("pos").to_pylist()
+        ]
+        assert consumed + resumed == self._order(dest, epoch=2)
+
     def test_iter_epochs_composite_cursor(self, dest):
         """iter_epochs (r12): one checkpointable (epoch, shard, pos)
         cursor across epoch boundaries. The bounded stream is exactly
