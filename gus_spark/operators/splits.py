@@ -643,6 +643,11 @@ def iter_training_order(
     otherwise the caller's contract to keep paired, exactly like the
     seed itself).
 
+    Rows tombstoned via `tombstone_training_shards` are filtered out
+    of every batch (the read-side compliance-delete gate); cursors
+    track the position consumed, so tombstones never move or strand a
+    resume point.
+
     Filesystem contract: every path this reader touches goes through
     ``filesystem`` — a ``pyarrow.fs.FileSystem``, default
     LocalFileSystem (the POSIX-mount deployment,
@@ -672,6 +677,24 @@ def iter_training_order(
     manifest = read_manifest(dest, filesystem)
     split_col = manifest["split_col"]
     seed = manifest["seed"]
+    # retroactive removals (tombstone_training_shards): a read-side
+    # gate over every yielded batch. The CURSOR tracks the position
+    # CONSUMED (computed before the gate), so tombstones never move
+    # or strand a resume point — a batch emptied by the gate is
+    # simply not yielded and its region rides the next cursor.
+    tombstones = _load_tombstones(fs, dest)
+    id_col = manifest["id_col"]
+
+    def gate(batch):
+        if tombstones is None:
+            return batch
+        import pyarrow as _pa
+
+        mask = [
+            v not in tombstones
+            for v in batch.column(id_col).to_pylist()
+        ]
+        return batch if all(mask) else batch.filter(_pa.array(mask))
     data_dir = posixpath.join(dest, "data")
     # match by the split VALUE: partition dir names are Spark-escaped
     # (the writer's footer walk decodes the same way), so a literal
@@ -739,6 +762,9 @@ def iter_training_order(
                 if batch.num_rows == 0:
                     continue
                 last = batch.column("pos")[batch.num_rows - 1].as_py()
+                batch = gate(batch)
+                if batch.num_rows == 0:
+                    continue
                 yield batch, (shard, last)
             continue
         # epoch > 0: permuted row-group visit + in-row-group shuffle.
@@ -795,6 +821,9 @@ def iter_training_order(
                 if batch.num_rows == 0:
                     continue
                 last = batch.column("pos")[batch.num_rows - 1].as_py()
+                batch = gate(batch)
+                if batch.num_rows == 0:
+                    continue
                 yield batch, (shard, last)
 
 
@@ -846,3 +875,62 @@ def iter_epochs(
             yield batch, (epoch, shard, pos)
         inner = None
         epoch += 1
+
+
+def tombstone_training_shards(dest: str, ids) -> dict:
+    """Retroactively REMOVE rows from a materialized shard set without
+    rewriting a byte of it — the trainer-boundary form of this repo's
+    index delete tiers (PostingIndex/VectorIndex/MinHashIndex
+    tombstones): merge ``ids`` (values of the manifest's ``id_col``)
+    into ``dest/tombstones.parquet`` (tmp + atomic rename; repeat
+    calls union). `iter_training_order` then filters tombstoned rows
+    out of every batch — epoch order, cursors, rank slicing, and
+    resume semantics are untouched because positions never move (the
+    cursor tracks the position CONSUMED, not the rows yielded, so a
+    batch whose tail was tombstoned still advances past it).
+
+    This is the compliance-delete path: the set is read into host
+    memory by the loader, so it is sized for targeted removals
+    (opt-outs, contamination discoveries — thousands to millions of
+    ids), not corpus-scale filtering; bulk re-curation is a fresh
+    `write_training_shards` run by design. The removal is a READ-side
+    gate — the bytes remain on disk until the set is next rewritten;
+    for storage-level erasure, rewrite. Returns
+    ``{"tombstones": total, "added": newly added}``."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    manifest = read_manifest(dest)  # proves dest IS a shard set
+    new_ids = set(ids)
+    if not new_ids:
+        raise ValueError("ids is empty — nothing to tombstone")
+    path = os.path.join(dest, "tombstones.parquet")
+    existing: set = set()
+    if os.path.exists(path):
+        existing = set(pq.read_table(path).column("id").to_pylist())
+    merged = sorted(existing | new_ids)
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({"id": merged}), tmp)
+    os.replace(tmp, path)
+    return {
+        "id_col": manifest["id_col"],
+        "tombstones": len(merged),
+        "added": len(merged) - len(existing),
+    }
+
+
+def _load_tombstones(fs, dest: str):
+    """The tombstone id set (None when none exist) — read through the
+    loader's filesystem abstraction like everything else host-side."""
+    import posixpath
+
+    import pyarrow.fs as pa_fs
+    import pyarrow.parquet as pq
+
+    path = posixpath.join(dest, "tombstones.parquet")
+    if fs.get_file_info(path).type == pa_fs.FileType.NotFound:
+        return None
+    with fs.open_input_file(path) as fh:
+        return set(pq.ParquetFile(fh).read().column("id").to_pylist())

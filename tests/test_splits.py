@@ -818,6 +818,119 @@ class TestGenerationAppend:
             append_training_shards(bad, dest)
 
 
+class TestTombstones:
+    """tombstone_training_shards (r12): retroactive compliance deletes
+    from a materialized shard set — a read-side gate, no rewrite.
+    Claims: tombstoned ids vanish from every epoch/rank stream while
+    everything else is delivered exactly once; cursors (which track
+    the position CONSUMED) resume exactly-once even when the cursor
+    row itself is tombstoned; repeat calls union; shard files stay
+    byte-untouched (nothing is rewritten)."""
+
+    @pytest.fixture(scope="class")
+    def dest(self, spark, ids, tmp_path_factory):
+        from gus_spark.operators.splits import write_training_shards
+
+        dest = str(tmp_path_factory.mktemp("tomb_shards"))
+        write_training_shards(
+            ids, dest, shards=4, weights={"train": 1.0}
+        )
+        return dest
+
+    @staticmethod
+    def _docs(dest, **kw):
+        from gus_spark.operators.splits import iter_training_order
+
+        out = []
+        for b, _c in iter_training_order(dest, "train", **kw):
+            out.extend(b.column("doc_id").to_pylist())
+        return out
+
+    def test_gate_filters_every_path_exactly_once(self, dest):
+        import glob
+        import hashlib
+
+        from gus_spark.operators.splits import (
+            tombstone_training_shards,
+        )
+
+        base = self._docs(dest)
+        dead = set(base[::37])  # spread across shards and batches
+        files_before = {
+            f: hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in glob.glob(os.path.join(dest, "data", "*", "*", "*"))
+        }
+        receipt = tombstone_training_shards(dest, dead)
+        assert receipt["tombstones"] == receipt["added"] == len(dead)
+        for kw in (
+            {},
+            {"epoch": 2},
+            {"epoch": 1, "rank": 1, "world_size": 2},
+        ):
+            got = self._docs(dest, **kw)
+            assert not (set(got) & dead), kw
+            assert len(got) == len(set(got)), kw
+        assert sorted(self._docs(dest)) == sorted(set(base) - dead)
+        # union across ranks still exactly the (gated) split
+        r0 = set(self._docs(dest, epoch=1, rank=0, world_size=2))
+        r1 = set(self._docs(dest, epoch=1, rank=1, world_size=2))
+        assert not (r0 & r1)
+        assert r0 | r1 == set(base) - dead
+        # the gate is read-side: no file was rewritten
+        files_after = {
+            f: hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in glob.glob(os.path.join(dest, "data", "*", "*", "*"))
+        }
+        assert files_after == files_before
+
+    def test_cursor_resume_with_tombstoned_cursor_row(self, dest):
+        from gus_spark.operators.splits import (
+            iter_training_order,
+            tombstone_training_shards,
+        )
+
+        # consume one batch; tombstone ITS LAST ROW (the cursor row)
+        # plus a row from deeper in the stream, then resume: the
+        # suffix must be exact — the cursor names a consumed POSITION,
+        # which exists on disk whether or not its row is now gated
+        b0, cur0 = next(
+            iter(iter_training_order(dest, "train", batch_rows=41))
+        )
+        cursor_row = b0.column("doc_id")[b0.num_rows - 1].as_py()
+        receipt = tombstone_training_shards(dest, {cursor_row})
+        assert receipt["added"] >= 1  # unions with the earlier set
+        assert cursor_row not in self._docs(dest, batch_rows=41)
+        full = [
+            (c[0], p)
+            for b, c in iter_training_order(
+                dest, "train", batch_rows=41
+            )
+            for p in b.column("pos").to_pylist()
+        ]
+        resumed = [
+            (c[0], p)
+            for b, c in iter_training_order(
+                dest, "train", cursor=cur0, batch_rows=41
+            )
+            for p in b.column("pos").to_pylist()
+        ]
+        # epoch-0 order is ascending (shard, pos): the resume must be
+        # exactly the gated stream strictly past the consumed position
+        assert resumed == [
+            x
+            for x in full
+            if x[0] > cur0[0] or (x[0] == cur0[0] and x[1] > cur0[1])
+        ]
+
+    def test_empty_ids_raise(self, dest):
+        from gus_spark.operators.splits import (
+            tombstone_training_shards,
+        )
+
+        with pytest.raises(ValueError, match="empty"):
+            tombstone_training_shards(dest, [])
+
+
 def test_validation_errors(ids):
     from gus_spark.operators.splits import write_training_shards
 
