@@ -17,6 +17,12 @@
                           operators.decontaminate.calibrate_fuzzy_ngram
                           on a corpus sample first)
       → chunk + pack    (sliding windows → stateful next-fit packing)
+      → publish_shards  (post-drain, r12: closed sequences →
+                         token-id training examples, landed as
+                         shard-set GENERATIONS with per-shard seq-id
+                         watermarks and an intent log — the
+                         crawl→training-order loop, exactly-once
+                         across crashes)
 
 Stages chain through file-source handoff — each stage's parquet
 output directory IS the next stage's streaming source — which is the
@@ -527,6 +533,157 @@ class CurationPipelineStream:
         self.run_fuzzy()
         self.run_pack()
         self.run_index()
+
+    # ---- ingest → trainer loop ---------------------------------------
+
+    def publish_shards(
+        self,
+        shards_dir: str,
+        tokenizer_dir: str,
+        shards: int = 16,
+        verify: bool = False,
+        final: bool = False,
+    ) -> dict | None:
+        """Post-drain terminal step (r12): assemble the packed tier's
+        CLOSED sequences into token-id training examples
+        (`assemble_token_sequences` under the persisted tokenizer at
+        ``tokenizer_dir``) and land them in the shard set at
+        ``shards_dir`` — the first publish is a `write_training_shards`
+        run, every later one an `append_training_shards` GENERATION —
+        so the crawl→training-order path is one composed loop:
+        ``run()``/``run_live()``, then ``publish_shards()``, repeat;
+        `iter_epochs`' shard-visit permutation interleaves the
+        generations per epoch.
+
+        Closed-sequence discipline: next-fit packing emits each pack
+        shard's chunks in MONOTONE seq_id order and only the highest
+        seq_id per shard can still grow, so sequences below the
+        current per-shard max are complete and immutable. Each publish
+        takes exactly the window [watermark, max) per pack shard —
+        ``final=True`` includes the open tails (end-of-corpus
+        close-out; publish nothing after a final publish without
+        draining new data first). Watermarks persist in
+        ``work_dir/shards_published.json``.
+
+        Exactly-once across crashes: a publish writes an INTENT (the
+        window + the shard set's generation count) before touching the
+        shard set, and clears it only after the manifest advanced —
+        a crashed publish either redoes the same deterministic window
+        (generation unchanged; the writers' overwrite semantics absorb
+        the partial output) or just finalizes the watermarks
+        (generation already advanced). The window is recomputable
+        because chunk arrival per shard is monotone in seq_id: no row
+        of a below-watermark sequence can appear later.
+
+        Returns the shard-set manifest of this publish, or None when
+        no sequence closed since the last one. The tokenizer artifact
+        is persisted next to the shard manifest on first publish
+        (save_tokenizer — shards + tokenizer.json stay a complete
+        training input)."""
+        import json
+
+        from gus_spark.operators.bpe import (
+            load_tokenizer,
+            save_tokenizer,
+        )
+        from gus_spark.operators.chunk import assemble_token_sequences
+        from gus_spark.operators.splits import (
+            append_training_shards,
+            read_manifest,
+            write_training_shards,
+        )
+
+        if not self._has_parquet(self.packed):
+            return None
+        merges, vocab = load_tokenizer(tokenizer_dir)
+        state_path = os.path.join(self.work, "shards_published.json")
+        state = {"watermarks": {}, "intent": None}
+        if os.path.exists(state_path):
+            with open(state_path, encoding="utf-8") as fh:
+                state = json.load(fh)
+
+        def save_state() -> None:
+            tmp = state_path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(state, fh)
+            os.replace(tmp, state_path)
+
+        def current_generations() -> int:
+            try:
+                return read_manifest(shards_dir)["generations"]
+            except FileNotFoundError:
+                return 0
+
+        def do_window(lo: dict, hi: dict, gen_before: int) -> dict:
+            """Assemble + land exactly the [lo, hi) window."""
+            spark = self.spark
+            rng = spark.createDataFrame(
+                [
+                    (int(s), int(lo.get(s, 0)), int(h))
+                    for s, h in hi.items()
+                ],
+                "shard long, _lo long, _hi long",
+            )
+            window = (
+                spark.read.parquet(self.packed)
+                .join(F.broadcast(rng), "shard")
+                .filter(
+                    (F.col("seq_id") >= F.col("_lo"))
+                    & (F.col("seq_id") < F.col("_hi"))
+                )
+                .drop("_lo", "_hi")
+            )
+            seqs = assemble_token_sequences(window, merges, vocab)
+            if gen_before == 0:
+                manifest = write_training_shards(
+                    seqs,
+                    shards_dir,
+                    shards=shards,
+                    id_col="seq_uid",
+                    verify=verify,
+                )
+                save_tokenizer(shards_dir, merges, vocab)
+            else:
+                manifest = append_training_shards(
+                    seqs, shards_dir, verify=verify
+                )
+            return manifest
+
+        manifest = None
+        intent = state.get("intent")
+        if intent:  # reconcile a crashed publish first
+            if current_generations() == intent["gen_before"]:
+                manifest = do_window(
+                    intent["lo"], intent["hi"], intent["gen_before"]
+                )
+            # else: the land completed before the crash — finalize
+            state["watermarks"] = intent["hi"]
+            state["intent"] = None
+            save_state()
+
+        maxes = {
+            str(r["shard"]): int(r["hi"])
+            for r in self.spark.read.parquet(self.packed)
+            .groupBy("shard")
+            .agg(F.max("seq_id").alias("hi"))
+            .collect()  # bounded: pack_shards rows
+        }
+        lo = {str(k): int(v) for k, v in state["watermarks"].items()}
+        hi = {
+            s: (m + 1 if final else m)
+            for s, m in maxes.items()
+            if (m + 1 if final else m) > lo.get(s, 0)
+        }
+        if not hi:
+            return manifest
+        gen_before = current_generations()
+        state["intent"] = {"lo": lo, "hi": hi, "gen_before": gen_before}
+        save_state()
+        manifest = do_window(lo, hi, gen_before)
+        state["watermarks"] = {**lo, **hi}
+        state["intent"] = None
+        save_state()
+        return manifest
 
     # ---- live mode -------------------------------------------------
 

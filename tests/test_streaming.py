@@ -1683,3 +1683,118 @@ def test_pipeline_url_tier_matches_batch_composition(spark, tmp_path):
     assert snap["stages"]["urldedup"]["batches"] >= 1
     assert snap["stages"]["curate"]["started"]
     assert packed_rows(p2) == want
+
+
+def test_publish_shards_ingest_to_trainer_loop(spark, tmp_path):
+    """publish_shards (r12): the crawl→training-order loop. Drain →
+    publish, ingest more → drain → publish (a new GENERATION), final
+    close-out publish — the union of all generations' sequences must
+    equal assemble_token_sequences over the full packed tier, with no
+    duplicate seq_uid, the tokenizer persisted beside the manifest,
+    and a decode receipt through the reloaded artifact. Then crash
+    surgery: a publish that died between landing and finalizing its
+    watermarks must reconcile (finalize-only — no duplicate
+    generation) on the next call."""
+    import json
+
+    from gus_spark.operators.bpe import (
+        bpe_base_symbols,
+        bpe_decode_ids,
+        bpe_fit,
+        bpe_vocab,
+        load_tokenizer,
+        save_tokenizer,
+    )
+    from gus_spark.operators.chunk import assemble_token_sequences
+    from gus_spark.operators.splits import (
+        iter_training_order,
+        read_manifest,
+    )
+    from gus_spark.streaming import CurationPipelineStream
+
+    docs = table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 3).select(
+        "doc_id", "text"
+    )
+    merges = bpe_fit(docs.limit(100), num_merges=16)
+    vocab = bpe_vocab(
+        merges, bpe_base_symbols(docs.limit(100)), byte_fallback=True
+    )
+    tok_dir = str(tmp_path / "tok")
+    os.makedirs(tok_dir)
+    save_tokenizer(tok_dir, merges, vocab)
+
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    p = CurationPipelineStream(
+        spark, src, docs.schema, bench, str(tmp_path / "work"),
+        ngram=13, min_hits=1,
+        chunk_tokens=16, chunk_overlap=4, seq_budget=48, pack_shards=4,
+    )
+    shards_dir = str(tmp_path / "shards")
+
+    p.run()
+    m1 = p.publish_shards(shards_dir, tok_dir, shards=4)
+    assert m1 is not None and m1["generations"] == 1
+    # second wave → a new generation; final close-out → a third
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    p.run()
+    m2 = p.publish_shards(shards_dir, tok_dir, shards=4)
+    assert m2 is not None and m2["generations"] == 2
+    m3 = p.publish_shards(shards_dir, tok_dir, shards=4, final=True)
+    assert m3 is not None and m3["generations"] == 3
+    # nothing left to publish after a final close-out
+    assert p.publish_shards(shards_dir, tok_dir, final=True) is None
+
+    # union across generations == assemble over the FULL packed tier
+    want = {
+        r["seq_uid"]: (tuple(r["token_ids"]), r["n_tokens"])
+        for r in assemble_token_sequences(
+            spark.read.parquet(p.packed), merges, vocab
+        ).collect()
+    }
+    got = {}
+    for b, _c in iter_training_order(shards_dir, "train"):
+        for row in b.to_pylist():
+            assert row["seq_uid"] not in got  # no dup across gens
+            got[row["seq_uid"]] = (
+                tuple(row["token_ids"]), row["n_tokens"],
+            )
+    for split in ("validation", "test"):
+        for b, _c in iter_training_order(shards_dir, split):
+            for row in b.to_pylist():
+                assert row["seq_uid"] not in got
+                got[row["seq_uid"]] = (
+                    tuple(row["token_ids"]), row["n_tokens"],
+                )
+    assert got == want
+    # tokenizer artifact beside the manifest + decode receipt
+    m_r, v_r = load_tokenizer(shards_dir)
+    assert (m_r, v_r) == (merges, vocab)
+    some = next(iter(got.values()))[0]
+    assert isinstance(bpe_decode_ids(list(some), v_r), str)
+
+    # crash surgery: died between landing generation 3 and finalizing
+    state_path = os.path.join(str(tmp_path / "work"),
+                              "shards_published.json")
+    state = json.load(open(state_path))
+    assert state["intent"] is None
+    pre_final = {
+        s: v - 1 for s, v in state["watermarks"].items()
+    }  # the final publish added +1 per shard
+    state["intent"] = {
+        "lo": pre_final,
+        "hi": state["watermarks"],
+        "gen_before": 2,  # generation 3 already landed
+    }
+    state["watermarks"] = pre_final
+    json.dump(state, open(state_path, "w"))
+    assert p.publish_shards(shards_dir, tok_dir, final=True) is None
+    assert read_manifest(shards_dir)["generations"] == 3  # no dup gen
+    after = json.load(open(state_path))
+    assert after["intent"] is None
+    assert after["watermarks"] == {
+        s: v + 1 for s, v in pre_final.items()
+    }
