@@ -114,10 +114,11 @@ def _admit_batch(
 def bpe_fit(
     df: DataFrame,
     text_col: str = "text",
-    num_merges: int = 100,
+    num_merges: int | None = None,
     checkpoint_every: int = 8,
     merge_batch: int = 8,
     stats: dict | None = None,
+    vocab_size: int | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` merge rules from the corpus; returns the
     ordered merge list (the whole tokenizer model — rank = position).
@@ -141,9 +142,25 @@ def bpe_fit(
       makes the window a round count so the quadratic term shrinks
       too. Capped at 32 because large windows make the fit SLOWER.
 
+    Stopping (r12): ``num_merges`` bounds the merge count (the
+    classic knob); ``vocab_size`` bounds the resulting TEXT
+    vocabulary instead — the production knob ("fit a 32k tokenizer"):
+    the fit stops exactly when 1 (UNK) + |base symbols| + distinct
+    merge outputs reaches it, truncating the final batch mid-round if
+    needed, so ``len(bpe_vocab(merges, base))`` == vocab_size on any
+    corpus with enough repeating pairs (early pair exhaustion stops
+    below it, loudly countable via stats). A byte-fallback vocab adds
+    its 256 reserved ids ON TOP of this target. Give either knob or
+    both (both = whichever binds first); neither = the historical
+    default of 100 merges. The base-alphabet count costs one extra
+    alphabet-sized collect at fit start, only when vocab_size is set.
+
     Pass a dict as ``stats`` to receive ``{"rounds": R, "merges": M,
-    "batch_sizes": [...]}`` — rounds == driver round-trips."""
-    if num_merges < 1:
+    "batch_sizes": [...], "vocab_size": V}`` — rounds == driver
+    round-trips; V = the text-vocab size the merge list implies."""
+    if num_merges is None and vocab_size is None:
+        num_merges = 100
+    if num_merges is not None and num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
     if not 1 <= checkpoint_every <= 32:
         raise ValueError(
@@ -171,11 +188,39 @@ def bpe_fit(
         to_syms("word").alias("syms"), "count"
     ).localCheckpoint()
 
+    # vocab-size targeting: track every known token string (base
+    # symbols + merge outputs); text-vocab size = 1 (UNK) + |known|.
+    # The base collect is alphabet-sized — same bound bpe_base_symbols
+    # documents — and paid only when the knob is used.
+    known: set[str] | None = None
+    if vocab_size is not None:
+        known = {
+            r["sym"]
+            for r in cur.select(
+                F.explode("syms").alias("sym")
+            )
+            .distinct()
+            .collect()
+        }
+        floor = 1 + len(known)
+        if vocab_size <= floor:
+            raise ValueError(
+                "vocab_size must exceed UNK + the base alphabet "
+                f"({floor}), got {vocab_size}"
+            )
+
+    def want_more() -> bool:
+        if num_merges is not None and len(merges) >= num_merges:
+            return False
+        if known is not None and 1 + len(known) >= vocab_size:
+            return False
+        return True
+
     merges: list[tuple[str, str]] = []
     batch_sizes: list[int] = []
     rounds = 0  # EVERY pair-count collect, incl. the empty final one
     since_checkpoint = 0
-    while len(merges) < num_merges:
+    while want_more():
         pairs = (
             cur.select(
                 F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias(
@@ -199,12 +244,32 @@ def bpe_fit(
         rounds += 1
         if not top:
             break
-        batch = _admit_batch(
-            [(r["left"], r["right"], r["n"]) for r in top],
-            min(merge_batch, num_merges - len(merges)),
+        lim = (
+            merge_batch
+            if num_merges is None
+            else min(merge_batch, num_merges - len(merges))
         )
+        batch = _admit_batch(
+            [(r["left"], r["right"], r["n"]) for r in top], lim
+        )
+        if known is not None:
+            # truncate at the vocab boundary: a NEW output costs one
+            # vocab slot; a duplicate output (second merge path to an
+            # existing string) costs none and is kept
+            kept: list[tuple[str, str]] = []
+            for a, b in batch:
+                if (
+                    (a + b) not in known
+                    and 1 + len(known) >= vocab_size
+                ):
+                    break
+                kept.append((a, b))
+                known.add(a + b)
+            batch = kept
         merges.extend(batch)
         batch_sizes.append(len(batch))
+        if not batch:  # truncated to nothing: target reached exactly
+            break
 
         def make_apply(batch=batch):
             @F.pandas_udf("array<string>")
@@ -248,6 +313,8 @@ def bpe_fit(
         stats["rounds"] = rounds
         stats["merges"] = len(merges)
         stats["batch_sizes"] = batch_sizes
+        if known is not None:
+            stats["vocab_size"] = 1 + len(known)
     return merges
 
 

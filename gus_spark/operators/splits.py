@@ -934,3 +934,98 @@ def _load_tombstones(fs, dest: str):
         return None
     with fs.open_input_file(path) as fh:
         return set(pq.ParquetFile(fh).read().column("id").to_pylist())
+
+
+class TrainingShardSet:
+    """The trainer boundary as a DELETE TARGET under the same
+    duck-typed contract the serving indexes expose
+    (``delete(ids_df, batch_key=...)`` — PostingIndex / VectorIndex /
+    MinHashIndex), so `operators.decontaminate.decontaminate_index`
+    retroactively decontaminates a SHARD SET exactly the way it
+    tombstones a retrieval index: a benchmark that lands after the
+    corpus was materialized flags overlapping ids, and the flagged
+    ids become loader tombstones (`tombstone_training_shards`) — no
+    shard file rewritten, every epoch/rank/cursor untouched.
+
+    ``ids_df``'s single column must be in the manifest ``id_col``
+    domain. For a seq_uid-keyed set (the publish_shards output), map
+    document-level findings to sequences first with
+    `sequences_containing` — removing the WHOLE sequence is the
+    conservative correct action (packed neighbors of a contaminated
+    document share its attention context only across masked spans,
+    but the sequence is the delivery unit).
+
+    Batch-key idempotency mirrors the index contract: a replay of the
+    same key short-circuits to 0 (keys persist in
+    ``dest/tombstone_keys.json``); a new benchmark/key tombstones
+    only the not-yet-dead ids (`tombstone_training_shards` unions).
+    The flagged set is collected driver-side — bounded by
+    contamination volume, the same bound the tombstone gate itself
+    documents."""
+
+    def __init__(self, spark, dest: str) -> None:
+        self.spark = spark
+        self.dest = dest
+        self.id_col = read_manifest(dest)["id_col"]
+
+    def _keys_path(self) -> str:
+        import os
+
+        return os.path.join(self.dest, "tombstone_keys.json")
+
+    def delete(self, ids_df: DataFrame, batch_key: str) -> int:
+        import json
+        import os
+
+        path = self._keys_path()
+        keys: list[str] = []
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as fh:
+                keys = json.load(fh)
+        if batch_key in keys:
+            return 0
+        ids = [
+            r[0]
+            for r in ids_df.select(ids_df.columns[0])
+            .distinct()
+            .collect()
+        ]
+        added = 0
+        if ids:
+            added = tombstone_training_shards(self.dest, ids)["added"]
+        keys.append(batch_key)
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(keys, fh)
+        os.replace(tmp, path)
+        return added
+
+
+def sequences_containing(
+    spark,
+    dest: str,
+    doc_ids: DataFrame,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """seq_uids of every sequence in the shard set whose ``doc_spans``
+    include one of ``doc_ids`` — the document→sequence mapping for
+    retroactive removals from a publish_shards-style set. One scan of
+    the shard set (the honest minimum: span membership lives in the
+    rows) with a span explode + broadcast semi-join; output is
+    contamination-bounded. Feed the result to
+    ``TrainingShardSet.delete``."""
+    import os
+
+    id_col = read_manifest(dest)["id_col"]
+    rows = spark.read.parquet(os.path.join(dest, "data"))
+    return (
+        rows.select(id_col, F.explode("doc_spans").alias("_s"))
+        .select(id_col, F.col(f"_s.{doc_col}").alias(doc_col))
+        .join(
+            F.broadcast(doc_ids.select(doc_col).distinct()),
+            doc_col,
+            "semi",
+        )
+        .select(id_col)
+        .distinct()
+    )

@@ -701,6 +701,75 @@ class TestByteFallback:
         assert stats["en"]["fertility"] < stats["zh"]["fertility"]
 
 
+class TestVocabSizeTarget:
+    """bpe_fit(vocab_size=) (r12): the production knob — stop the fit
+    when the TEXT vocabulary (UNK + base symbols + merge outputs)
+    reaches a target, exactly."""
+
+    def _corpus(self, spark):
+        from gus_spark.queries import table
+
+        from conftest import SF_DIR_ORACLE
+
+        return (
+            table(spark, SF_DIR_ORACLE, "documents")
+            .select("doc_id", "text")
+            .limit(120)
+        )
+
+    def test_hits_the_target_exactly(self, spark):
+        from gus_spark.operators.bpe import (
+            bpe_base_symbols,
+            bpe_vocab,
+        )
+
+        df = self._corpus(spark)
+        base = bpe_base_symbols(df)
+        floor = 1 + len(base)
+        target = floor + 17
+        stats: dict = {}
+        merges = bpe_fit(df, vocab_size=target, stats=stats)
+        vocab = bpe_vocab(merges, base)
+        assert len(vocab) == target == stats["vocab_size"]
+        # byte fallback adds its 256 reserved ids ON TOP
+        assert len(
+            bpe_vocab(merges, base, byte_fallback=True)
+        ) == target + 256
+        # prefix property: the vocab_size-targeted merge list is a
+        # PREFIX of the pure-merge-count fit (same corpus, same
+        # admission order — the knob only changes where it stops)
+        full = bpe_fit(df, num_merges=len(merges) + 8)
+        assert full[: len(merges)] == merges
+
+    def test_both_knobs_whichever_binds(self, spark):
+        df = self._corpus(spark)
+        # merge cap binds first
+        m1 = bpe_fit(df, num_merges=3, vocab_size=10_000)
+        assert len(m1) == 3
+        # vocab cap binds first: merges < the generous merge cap
+        from gus_spark.operators.bpe import (
+            bpe_base_symbols,
+            bpe_vocab,
+        )
+
+        base = bpe_base_symbols(df)
+        m2 = bpe_fit(
+            df, num_merges=500, vocab_size=1 + len(base) + 5
+        )
+        assert len(bpe_vocab(m2, base)) == 1 + len(base) + 5
+        assert len(m2) < 500
+
+    def test_validation_and_default(self, spark):
+        from gus_spark.operators.bpe import bpe_base_symbols
+
+        df = self._corpus(spark)
+        floor = 1 + len(bpe_base_symbols(df))
+        with pytest.raises(ValueError, match="base alphabet"):
+            bpe_fit(df, vocab_size=floor)
+        with pytest.raises(ValueError, match="num_merges"):
+            bpe_fit(df, num_merges=0)
+
+
 class TestTokenizerArtifact:
     """save_tokenizer / load_tokenizer (r12): the tokenizer model
     persisted next to the shard manifest completes the trainer

@@ -931,6 +931,124 @@ class TestTombstones:
             tombstone_training_shards(dest, [])
 
 
+class TestRetroactiveDecontamination:
+    """TrainingShardSet (r12): the shard set under the serving
+    indexes' delete contract, so decontaminate_index tombstones the
+    TRAINER boundary the way it tombstones a retrieval index — a
+    late-arriving benchmark's overlaps vanish from the training order
+    with no rewrite, idempotently per benchmark key; and
+    sequences_containing maps document findings onto a seq_uid-keyed
+    set."""
+
+    def test_decontaminate_index_over_shard_set(self, spark, tmp_path):
+        from gus_spark.operators.decontaminate import (
+            decontaminate_index,
+            ngram_contamination,
+        )
+        from gus_spark.operators.splits import (
+            TrainingShardSet,
+            write_training_shards,
+        )
+        from gus_spark.queries import table
+
+        docs = table(spark, SF_DIR_ORACLE, "documents").select(
+            "doc_id", "text"
+        )
+        dest = str(tmp_path / "shards")
+        write_training_shards(
+            docs, dest, shards=4, weights={"train": 1.0}
+        )
+        # the benchmark lands AFTER the shards were materialized
+        bench = docs.filter(F.col("doc_id") % 41 == 7).select(
+            F.col("doc_id").alias("bid"), "text"
+        )
+        flagged = {
+            r["doc_id"]
+            for r in ngram_contamination(
+                docs, bench, bench_id_col="bid", n=13
+            )
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert flagged  # self-overlap guarantees hits
+        target = TrainingShardSet(spark, dest)
+        n = decontaminate_index(
+            target, docs, bench, bench_id_col="bid", n=13
+        )
+        assert n == len(flagged)
+        from gus_spark.operators.splits import iter_training_order
+
+        served = {
+            i
+            for b, _c in iter_training_order(dest, "train")
+            for i in b.column("doc_id").to_pylist()
+        }
+        assert not (served & flagged)
+        assert served == {
+            r["doc_id"] for r in docs.collect()
+        } - flagged
+        # same benchmark again: the key short-circuits to 0
+        assert decontaminate_index(
+            target, docs, bench, bench_id_col="bid", n=13
+        ) == 0
+
+    def test_sequences_containing_maps_docs_to_seq_uids(
+        self, spark, tmp_path
+    ):
+        from gus_spark.operators.bpe import (
+            bpe_base_symbols,
+            bpe_fit,
+            bpe_vocab,
+        )
+        from gus_spark.operators.chunk import (
+            assemble_token_sequences,
+            chunk_documents,
+            pack_sequences,
+        )
+        from gus_spark.operators.splits import (
+            TrainingShardSet,
+            iter_training_order,
+            sequences_containing,
+            write_training_shards,
+        )
+        from gus_spark.queries import table
+
+        docs = (
+            table(spark, SF_DIR_ORACLE, "documents")
+            .select("doc_id", "text")
+            .limit(60)
+        )
+        merges = bpe_fit(docs, num_merges=8)
+        vocab = bpe_vocab(merges, bpe_base_symbols(docs))
+        packed = pack_sequences(
+            chunk_documents(docs, max_tokens=16, overlap=0),
+            budget=48,
+            shards=4,
+        )
+        seqs = assemble_token_sequences(packed, merges, vocab)
+        dest = str(tmp_path / "seq_shards")
+        write_training_shards(
+            seqs, dest, shards=2, id_col="seq_uid",
+            weights={"train": 1.0},
+        )
+        dead_docs = docs.select("doc_id").limit(5)
+        dead_set = {r["doc_id"] for r in dead_docs.collect()}
+        hit = sequences_containing(spark, dest, dead_docs)
+        hit_uids = {r["seq_uid"] for r in hit.collect()}
+        assert hit_uids
+        TrainingShardSet(spark, dest).delete(
+            hit, batch_key="optout-1"
+        )
+        for b, _c in iter_training_order(dest, "train"):
+            for row in b.to_pylist():
+                assert row["seq_uid"] not in hit_uids
+                # no surviving sequence contains a dead doc
+                assert not (
+                    {s["doc_id"] for s in row["doc_spans"]} & dead_set
+                )
+
+
 def test_validation_errors(ids):
     from gus_spark.operators.splits import write_training_shards
 
