@@ -606,6 +606,7 @@ def iter_training_order(
     rank: int = 0,
     world_size: int = 1,
     filesystem=None,
+    prefetch_batches: int = 0,
 ):
     """The loader itself: yield ``(batch, (shard, pos))`` pairs in the
     epoch's global order — pyarrow record batches read shard-file by
@@ -643,6 +644,11 @@ def iter_training_order(
     otherwise the caller's contract to keep paired, exactly like the
     seed itself).
 
+    ``prefetch_batches > 0`` runs the read a bounded number of
+    batches ahead on a background thread (`_prefetched`) — IO/compute
+    overlap for object-store reads; order, cursors, and exactly-once
+    semantics are untouched (identical stream, asserted in tests).
+
     Rows tombstoned via `tombstone_training_shards` are filtered out
     of every batch (the read-side compliance-delete gate); cursors
     track the position consumed, so tombstones never move or strand a
@@ -663,6 +669,25 @@ def iter_training_order(
     import pyarrow.dataset as pa_ds
     import pyarrow.parquet as pq
 
+    if prefetch_batches < 0:
+        raise ValueError(
+            f"prefetch_batches must be >= 0, got {prefetch_batches}"
+        )
+    if prefetch_batches:
+        yield from _prefetched(
+            iter_training_order(
+                dest,
+                split,
+                cursor=cursor,
+                batch_rows=batch_rows,
+                epoch=epoch,
+                rank=rank,
+                world_size=world_size,
+                filesystem=filesystem,
+            ),
+            prefetch_batches,
+        )
+        return
     if epoch < 0:
         raise ValueError(f"epoch must be >= 0, got {epoch}")
     if world_size < 1:
@@ -836,6 +861,7 @@ def iter_epochs(
     world_size: int = 1,
     epochs: int | None = None,
     filesystem=None,
+    prefetch_batches: int = 0,
 ):
     """Multi-epoch training loop over `iter_training_order`: yield
     ``(batch, (epoch, shard, pos))`` — the composite cursor a trainer
@@ -871,6 +897,7 @@ def iter_epochs(
             rank=rank,
             world_size=world_size,
             filesystem=filesystem,
+            prefetch_batches=prefetch_batches,
         ):
             yield batch, (epoch, shard, pos)
         inner = None
@@ -1029,3 +1056,35 @@ def sequences_containing(
         .select(id_col)
         .distinct()
     )
+
+
+def _prefetched(gen, depth: int):
+    """Bounded background read-ahead over a loader generator: a
+    daemon thread advances ``gen`` up to ``depth`` items ahead while
+    the trainer consumes — pure IO/compute overlap, order and
+    exactly-once semantics untouched (one queue, one producer).
+    Exceptions re-raise at the consumer's position. The producer is a
+    daemon thread parked on the queue if the consumer abandons the
+    iterator mid-stream; it exits with the process."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def produce() -> None:
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(_END)
+        except BaseException as exc:  # noqa: BLE001 — re-raised below
+            q.put(exc)
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

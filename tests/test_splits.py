@@ -645,6 +645,41 @@ class TestEpochRankLoader:
         with _pytest.raises(ValueError, match="epochs"):
             next(iter(iter_epochs(dest, epochs=0)))
 
+    def test_prefetch_is_stream_identical(self, dest):
+        """prefetch_batches (r12): background read-ahead must yield
+        the IDENTICAL (rows, cursors) stream on every path — epoch 0,
+        epoch > 0, rank-sliced, and mid-stream resume — and a bad
+        depth is loud."""
+        from gus_spark.operators.splits import iter_training_order
+
+        def stream(**kw):
+            return [
+                (c, b.column("pos").to_pylist())
+                for b, c in iter_training_order(
+                    dest, "train", batch_rows=64, **kw
+                )
+            ]
+
+        for kw in (
+            {},
+            {"epoch": 2},
+            {"epoch": 1, "rank": 1, "world_size": 2},
+        ):
+            assert stream(**kw) == stream(prefetch_batches=4, **kw), kw
+        base = stream(epoch=2)
+        cur = base[len(base) // 2][0]
+        assert stream(epoch=2, cursor=cur) == stream(
+            epoch=2, cursor=cur, prefetch_batches=3
+        )
+        with pytest.raises(ValueError, match="prefetch"):
+            next(
+                iter(
+                    iter_training_order(
+                        dest, "train", prefetch_batches=-1
+                    )
+                )
+            )
+
     def test_epoch_rank_validation(self, dest):
         from gus_spark.operators.splits import iter_training_order
 

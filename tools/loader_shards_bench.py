@@ -80,6 +80,34 @@ def bench(spark, sf_dir: str) -> dict:
         epoch1_read_s = round(time.time() - t0, 3)
         assert e1_rows == rows, (e1_rows, rows)
 
+        # rank sharding (r12): per-rank read walls at world_size=4 —
+        # the multi-worker claim is that each rank's wall tracks its
+        # quarter of the rows (disjoint shard slices, no coordination)
+        t0 = time.time()
+        rank_rows = [
+            sum(
+                b.num_rows
+                for b, _c in iter_training_order(
+                    dest, "train", epoch=1, rank=r, world_size=4
+                )
+            )
+            for r in range(4)
+        ]
+        ranks4_read_s = round(time.time() - t0, 3)
+        assert sum(rank_rows) == rows, (rank_rows, rows)
+
+        # prefetch (r12): the same epoch-1 read with a 4-batch
+        # background read-ahead — IO/compute overlap; identical rows
+        t0 = time.time()
+        pf_rows = sum(
+            b.num_rows
+            for b, _c in iter_training_order(
+                dest, "train", epoch=1, prefetch_batches=4
+            )
+        )
+        prefetch_read_s = round(time.time() - t0, 3)
+        assert pf_rows == rows
+
         # token-id variant (r11): the same boundary fed trainer input
         # — each stage timed separately so the encode cost is
         # ATTRIBUTED, not folded into the write. The encode is
@@ -131,6 +159,9 @@ def bench(spark, sf_dir: str) -> dict:
             "epoch1_rows_per_s": (
                 round(rows / epoch1_read_s) if epoch1_read_s else None
             ),
+            "ranks4_read_s": ranks4_read_s,
+            "ranks4_rows": rank_rows,
+            "prefetch_read_s": prefetch_read_s,
             "bpe_fit_s": fit_s,
             "encode_s": encode_s,
             "write_tok_s": write_tok_s,
