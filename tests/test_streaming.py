@@ -1798,3 +1798,75 @@ def test_publish_shards_ingest_to_trainer_loop(spark, tmp_path):
     assert after["watermarks"] == {
         s: v + 1 for s, v in pre_final.items()
     }
+
+
+def test_run_live_auto_publish(spark, tmp_path):
+    """run_live(publish=...) (r12): shard generations land WHILE the
+    graph streams (watermark windows only take immutable sequences),
+    plus one drained-tail publish after the stop — after an explicit
+    final close-out, the shard set's sequences equal assembling the
+    full packed tier, exactly as in the post-drain flow."""
+    from gus_spark.operators.bpe import (
+        bpe_base_symbols,
+        bpe_fit,
+        bpe_vocab,
+        save_tokenizer,
+    )
+    from gus_spark.operators.chunk import assemble_token_sequences
+    from gus_spark.operators.splits import iter_training_order
+    from gus_spark.streaming import CurationPipelineStream
+
+    docs = table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 3).select(
+        "doc_id", "text"
+    )
+    merges = bpe_fit(docs.limit(100), num_merges=16)
+    vocab = bpe_vocab(merges, bpe_base_symbols(docs.limit(100)))
+    tok_dir = str(tmp_path / "tok")
+    os.makedirs(tok_dir)
+    save_tokenizer(tok_dir, merges, vocab)
+
+    src = str(tmp_path / "src")
+    # several source files -> several micro-batches to publish across
+    for k in range(3):
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    p = CurationPipelineStream(
+        spark, src, docs.schema, bench, str(tmp_path / "work"),
+        max_files_per_trigger=1,
+        ngram=13, min_hits=1,
+        chunk_tokens=16, chunk_overlap=4, seq_budget=48, pack_shards=4,
+    )
+    shards_dir = str(tmp_path / "shards")
+    snap = p.run_live(
+        timeout=180.0,
+        publish={
+            "shards_dir": shards_dir,
+            "tokenizer_dir": tok_dir,
+            "shards": 4,
+            "every_polls": 4,
+        },
+    )
+    assert not snap["timed_out"]
+    assert snap["publishes"] >= 1  # incl. the drained-tail publish
+    # explicit final close-out, then full parity
+    p.publish_shards(shards_dir, tok_dir, shards=4, final=True)
+    want = {
+        r["seq_uid"]: tuple(r["token_ids"])
+        for r in assemble_token_sequences(
+            spark.read.parquet(p.packed), merges, vocab
+        ).collect()
+    }
+    got = {}
+    for split in ("train", "validation", "test"):
+        for b, _c in iter_training_order(shards_dir, split):
+            for row in b.to_pylist():
+                assert row["seq_uid"] not in got
+                got[row["seq_uid"]] = tuple(row["token_ids"])
+    assert got == want
+    with pytest.raises(ValueError, match="every_polls"):
+        p.run_live(publish={
+            "shards_dir": shards_dir, "tokenizer_dir": tok_dir,
+            "every_polls": 0,
+        })
