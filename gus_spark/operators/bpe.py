@@ -119,6 +119,8 @@ def bpe_fit(
     merge_batch: int = 8,
     stats: dict | None = None,
     vocab_size: int | None = None,
+    fertility_stop: float | None = None,
+    fertility_sample: int = 256,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` merge rules from the corpus; returns the
     ordered merge list (the whole tokenizer model — rank = position).
@@ -155,9 +157,22 @@ def bpe_fit(
     default of 100 merges. The base-alphabet count costs one extra
     alphabet-sized collect at fit start, only when vocab_size is set.
 
+    ``fertility_stop`` (r12, the data-driven stop): after each round,
+    re-encode a fixed held-out probe (``fertility_sample`` documents,
+    hash-ordered so the sample is deterministic across partitionings;
+    collected ONCE, re-encoded host-side through the shared
+    `_enc_word` kernel — no extra Spark jobs per round) and stop when
+    the round's relative tokens-per-word improvement falls below the
+    threshold — merges that no longer compress the corpus aren't
+    worth vocab slots. Composes with the other knobs (whichever binds
+    first); the probe history lands in ``stats["fertility"]``.
+
     Pass a dict as ``stats`` to receive ``{"rounds": R, "merges": M,
-    "batch_sizes": [...], "vocab_size": V}`` — rounds == driver
-    round-trips; V = the text-vocab size the merge list implies."""
+    "batch_sizes": [...], "vocab_size": V, "fertility": [...],
+    "stopped_by": "merges" | "vocab_size" | "fertility" | "pairs"}``
+    — rounds == driver round-trips; V = the text-vocab size the merge
+    list implies (vocab_size knob only); fertility/stopped_by appear
+    with their knobs."""
     if num_merges is None and vocab_size is None:
         num_merges = 100
     if num_merges is not None and num_merges < 1:
@@ -209,10 +224,46 @@ def bpe_fit(
                 f"({floor}), got {vocab_size}"
             )
 
+    # fertility probe: one deterministic sample collect up front,
+    # then a host-side re-encode per round through the shared kernel
+    probe_words: list[str] | None = None
+    fert_hist: list[float] = []
+    if fertility_stop is not None:
+        if not 0 < fertility_stop < 1:
+            raise ValueError(
+                "fertility_stop is a relative improvement threshold "
+                f"in (0, 1), got {fertility_stop}"
+            )
+        import re as _re
+
+        sample = (
+            df.filter(F.col(text_col).isNotNull())
+            .select(F.col(text_col).alias("_t"))
+            .orderBy(F.md5(F.col("_t")), F.col("_t"))
+            .limit(fertility_sample)
+            .collect()
+        )
+        probe_words = [
+            w
+            for r in sample
+            for w in _re.split(r"\s+", r["_t"], flags=_re.ASCII)
+            if w
+        ]
+        if not probe_words:
+            raise ValueError(
+                "fertility probe sample holds no words — corpus "
+                "empty or whitespace-only"
+            )
+
+    stopped_by: str | None = None
+
     def want_more() -> bool:
+        nonlocal stopped_by
         if num_merges is not None and len(merges) >= num_merges:
+            stopped_by = "merges"
             return False
         if known is not None and 1 + len(known) >= vocab_size:
+            stopped_by = "vocab_size"
             return False
         return True
 
@@ -243,6 +294,7 @@ def bpe_fit(
         ).limit(4 * merge_batch).collect()
         rounds += 1
         if not top:
+            stopped_by = "pairs"
             break
         lim = (
             merge_batch
@@ -269,6 +321,7 @@ def bpe_fit(
         merges.extend(batch)
         batch_sizes.append(len(batch))
         if not batch:  # truncated to nothing: target reached exactly
+            stopped_by = "vocab_size"
             break
 
         def make_apply(batch=batch):
@@ -309,12 +362,29 @@ def bpe_fit(
         if since_checkpoint >= checkpoint_every:
             cur = cur.localCheckpoint()
             since_checkpoint = 0
+        if probe_words is not None:
+            rk = {pair: r for r, pair in enumerate(merges)}
+            toks = sum(len(_enc_word(w, rk)) for w in probe_words)
+            fert = toks / len(probe_words)
+            gain = (
+                (fert_hist[-1] - fert) / fert_hist[-1]
+                if fert_hist and fert_hist[-1] > 0
+                else None
+            )
+            fert_hist.append(fert)
+            if gain is not None and gain < fertility_stop:
+                stopped_by = "fertility"
+                break
     if stats is not None:
         stats["rounds"] = rounds
         stats["merges"] = len(merges)
         stats["batch_sizes"] = batch_sizes
         if known is not None:
             stats["vocab_size"] = 1 + len(known)
+        if probe_words is not None:
+            stats["fertility"] = fert_hist
+        if stopped_by is not None:
+            stats["stopped_by"] = stopped_by
     return merges
 
 

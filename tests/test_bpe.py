@@ -769,6 +769,37 @@ class TestVocabSizeTarget:
         with pytest.raises(ValueError, match="num_merges"):
             bpe_fit(df, num_merges=0)
 
+    def test_fertility_stop(self, spark):
+        """fertility_stop (r12): the fit halts when a round's relative
+        tokens/word improvement on the held-out probe falls below the
+        threshold — before a generous merge budget; the history is
+        monotone non-increasing; the merge list stays a prefix of the
+        unrestricted fit; an impossible threshold stops after round 1
+        (the first measurable gain)."""
+        df = self._corpus(spark)
+        stats: dict = {}
+        # threshold calibrated to the salted testdata's gain profile:
+        # per-round gains run ~9-15% while the small core vocabulary
+        # merges, dipping under 5% just before pair exhaustion — 0.05
+        # stops there; a lower floor would hit "pairs" first
+        merges = bpe_fit(
+            df, num_merges=400, fertility_stop=0.05, stats=stats,
+        )
+        assert stats["stopped_by"] == "fertility"
+        assert len(merges) < 400
+        hist = stats["fertility"]
+        assert len(hist) >= 2
+        assert all(a >= b for a, b in zip(hist, hist[1:]))
+        full = bpe_fit(df, num_merges=len(merges) + 8)
+        assert full[: len(merges)] == merges
+        # threshold no round can beat -> stops at the second probe
+        s2: dict = {}
+        bpe_fit(df, num_merges=400, fertility_stop=0.999, stats=s2)
+        assert s2["stopped_by"] == "fertility"
+        assert len(s2["fertility"]) == 2
+        with pytest.raises(ValueError, match="fertility_stop"):
+            bpe_fit(df, fertility_stop=0.0)
+
 
 class TestTokenizerArtifact:
     """save_tokenizer / load_tokenizer (r12): the tokenizer model
