@@ -486,12 +486,21 @@ _BYTE_ID_BASE = 1
 def _vocab_byte_fallback(vocab: dict[str, int]) -> bool:
     """Whether ``vocab`` carries the byte-fallback tier — all 256 byte
     tokens at their reserved contiguous ids (1..256, the bpe_vocab
-    layout). A partial or displaced byte alphabet raises: encoders
-    map byte b to id 1+b arithmetically, so anything else would emit
-    ids that decode to the wrong bytes."""
-    ids = [vocab.get(t) for t in _BYTE_TOKENS]
-    if all(i is None for i in ids):
+    layout). The discriminator is the RESERVED ID RANGE, not the mere
+    presence of byte-token-shaped strings (ADVICE r12 #2): a plain
+    vocab fit on a hexdump/code corpus can legitimately contain a
+    merge output spelling the literal text ``<0x41>`` at some
+    ordinary text id — that is corpus text, not a fallback alphabet.
+    Only when ``<0x00>`` sits at the reserved base id (bpe_vocab
+    places it there and nothing else can: id 1 is the first base
+    symbol, always a single character, never a 6-char byte-token
+    string) is the vocab treated as fallback, and THEN the full
+    contiguous block is validated — encoders map byte b to id 1+b
+    arithmetically, so a partial or displaced block would emit ids
+    that decode to the wrong bytes, and raises."""
+    if vocab.get(_BYTE_TOKENS[0]) != _BYTE_ID_BASE:
         return False
+    ids = [vocab.get(t) for t in _BYTE_TOKENS]
     if ids != list(range(_BYTE_ID_BASE, _BYTE_ID_BASE + 256)):
         raise ValueError(
             "vocab carries a partial or displaced byte-fallback "

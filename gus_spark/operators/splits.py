@@ -600,7 +600,7 @@ def _shard_file(fs, split_dir: str, shard: int) -> str:
 def iter_training_order(
     dest: str,
     split: str = "train",
-    cursor: tuple[int, int] | None = None,
+    cursor: tuple | None = None,
     batch_rows: int = 4096,
     epoch: int = 0,
     rank: int = 0,
@@ -608,7 +608,8 @@ def iter_training_order(
     filesystem=None,
     prefetch_batches: int = 0,
 ):
-    """The loader itself: yield ``(batch, (shard, pos))`` pairs in the
+    """The loader itself: yield ``(batch, (shard, pos,
+    generations))`` pairs in the
     epoch's global order — pyarrow record batches read shard-file by
     shard-file on the consuming host (this is deliberately NOT a Spark
     job: a training loader is a sequential reader, and the writer
@@ -643,6 +644,18 @@ def iter_training_order(
     the cursor shard falls outside the rank's assignment (and is
     otherwise the caller's contract to keep paired, exactly like the
     seed itself).
+
+    Cursors are ``(shard, pos, generations)`` (r13): the manifest's
+    generation count rides every yielded cursor, and a resume raises
+    when the shard set GREW in between — `append_training_shards`
+    changes the epoch's shard-visit permutation and the rank slices
+    (both enumerate shard dirs), so silently resuming a pre-append
+    cursor would skip appended shards that permuted ahead of the
+    resume point and, under world_size > 1, double- or under-deliver
+    rows across ranks. The loud path: finish the epoch under the OLD
+    shard set before appending, or restart the epoch (a read, not a
+    rewrite) after one. Legacy ``(shard, pos)`` 2-tuples are still
+    accepted and resume WITHOUT the generation check.
 
     ``prefetch_batches > 0`` runs the read a bounded number of
     batches ahead on a background thread (`_prefetched`) — IO/compute
@@ -702,6 +715,7 @@ def iter_training_order(
     manifest = read_manifest(dest, filesystem)
     split_col = manifest["split_col"]
     seed = manifest["seed"]
+    generations = manifest.get("generations", 1)
     # retroactive removals (tombstone_training_shards): a read-side
     # gate over every yielded batch. The CURSOR tracks the position
     # CONSUMED (computed before the gate), so tombstones never move
@@ -753,7 +767,20 @@ def iter_training_order(
     if cursor is None:
         start_idx, start_pos = 0, None
     else:
-        c_shard, c_pos = cursor
+        if len(cursor) == 3:
+            c_shard, c_pos, c_gen = cursor
+            if c_gen != generations:
+                raise ValueError(
+                    f"cursor was yielded at generation count {c_gen} "
+                    f"but the shard set now has {generations} — an "
+                    "append between checkpoint and resume changes "
+                    "the epoch's shard-visit permutation and rank "
+                    "slices, so resuming would silently skip or "
+                    "re-deliver rows; restart the epoch (a read) or "
+                    "finish it before appending"
+                )
+        else:  # legacy (shard, pos) 2-tuple: resume unchecked
+            c_shard, c_pos = cursor
         if c_shard not in mine:
             raise ValueError(
                 f"cursor shard {c_shard} is not assigned to rank "
@@ -790,72 +817,94 @@ def iter_training_order(
                 batch = gate(batch)
                 if batch.num_rows == 0:
                     continue
-                yield batch, (shard, last)
+                yield batch, (shard, last, generations)
             continue
         # epoch > 0: permuted row-group visit + in-row-group shuffle.
         # pos is dense 1..n in file order, so row group g covers the
         # half-open pos range (cum[g], cum[g+1]] — the cursor's row
         # group is recomputable from footer metadata alone.
-        pf = pq.ParquetFile(
-            fs.open_input_file(_shard_file(fs, split_dir, shard))
-        )
-        counts = [
-            pf.metadata.row_group(g).num_rows
-            for g in range(pf.num_row_groups)
-        ]
-        cum = [0]
-        for n in counts:
-            cum.append(cum[-1] + n)
-        rg_visit = _epoch_perm(
-            range(pf.num_row_groups),
-            f"{seed}|epoch={epoch}|shard={shard}|rgs",
-        )
-        start_rg_idx = 0
-        if after_pos is not None:
-            # locate the cursor row's group in THIS epoch's rg order
-            g = next(
-                g for g in range(len(counts)) if cum[g + 1] >= after_pos
+        # Close BOTH the ParquetFile and the input stream it wraps
+        # per shard (ADVICE r12 #4): a long multi-epoch run
+        # (iter_epochs epochs=None) over S3/GCS would otherwise leak
+        # one open object-store stream per shard per epoch.
+        handle = fs.open_input_file(_shard_file(fs, split_dir, shard))
+        pf = pq.ParquetFile(handle)
+        try:
+            yield from _iter_shard_permuted(
+                pf, shard, after_pos, seed, epoch, batch_rows, gate,
+                pa, generations,
             )
-            start_rg_idx = rg_visit.index(g)
-        for rg_i in range(start_rg_idx, len(rg_visit)):
-            g = rg_visit[rg_i]
-            tbl = pf.read_row_group(g)
-            perm = _epoch_perm(
-                range(tbl.num_rows),
-                f"{seed}|epoch={epoch}|shard={shard}|rg={g}",
-            )
-            tbl = tbl.take(pa.array(perm, type=pa.int64()))
-            if rg_i == start_rg_idx and after_pos is not None:
-                # skip rows up to AND INCLUDING the cursor row, in the
-                # recomputed within-group order (exactly-once resume)
-                poss = tbl.column("pos").to_pylist()
-                try:
-                    k = poss.index(after_pos)
-                except ValueError:
-                    raise ValueError(
-                        f"cursor pos {after_pos} not found in shard "
-                        f"{shard} row group {g} — the cursor does not "
-                        "belong to this shard set"
-                    ) from None
-                tbl = tbl.slice(k + 1)
-                if tbl.num_rows == 0:
-                    continue
-            for batch in tbl.combine_chunks().to_batches(
-                max_chunksize=batch_rows
-            ):
-                if batch.num_rows == 0:
-                    continue
-                last = batch.column("pos")[batch.num_rows - 1].as_py()
-                batch = gate(batch)
-                if batch.num_rows == 0:
-                    continue
-                yield batch, (shard, last)
+        finally:
+            pf.close()
+            if not handle.closed:
+                handle.close()
+
+
+def _iter_shard_permuted(
+    pf, shard, after_pos, seed, epoch, batch_rows, gate, pa,
+    generations,
+):
+    """One shard's epoch>0 stream: permuted row-group visit +
+    in-row-group shuffle, resuming strictly after ``after_pos`` when
+    given (see iter_training_order — split out so the caller can
+    close the file handle deterministically per shard)."""
+    counts = [
+        pf.metadata.row_group(g).num_rows
+        for g in range(pf.num_row_groups)
+    ]
+    cum = [0]
+    for n in counts:
+        cum.append(cum[-1] + n)
+    rg_visit = _epoch_perm(
+        range(pf.num_row_groups),
+        f"{seed}|epoch={epoch}|shard={shard}|rgs",
+    )
+    start_rg_idx = 0
+    if after_pos is not None:
+        # locate the cursor row's group in THIS epoch's rg order
+        g = next(
+            g for g in range(len(counts)) if cum[g + 1] >= after_pos
+        )
+        start_rg_idx = rg_visit.index(g)
+    for rg_i in range(start_rg_idx, len(rg_visit)):
+        g = rg_visit[rg_i]
+        tbl = pf.read_row_group(g)
+        perm = _epoch_perm(
+            range(tbl.num_rows),
+            f"{seed}|epoch={epoch}|shard={shard}|rg={g}",
+        )
+        tbl = tbl.take(pa.array(perm, type=pa.int64()))
+        if rg_i == start_rg_idx and after_pos is not None:
+            # skip rows up to AND INCLUDING the cursor row, in the
+            # recomputed within-group order (exactly-once resume)
+            poss = tbl.column("pos").to_pylist()
+            try:
+                k = poss.index(after_pos)
+            except ValueError:
+                raise ValueError(
+                    f"cursor pos {after_pos} not found in shard "
+                    f"{shard} row group {g} — the cursor does not "
+                    "belong to this shard set"
+                ) from None
+            tbl = tbl.slice(k + 1)
+            if tbl.num_rows == 0:
+                continue
+        for batch in tbl.combine_chunks().to_batches(
+            max_chunksize=batch_rows
+        ):
+            if batch.num_rows == 0:
+                continue
+            last = batch.column("pos")[batch.num_rows - 1].as_py()
+            batch = gate(batch)
+            if batch.num_rows == 0:
+                continue
+            yield batch, (shard, last, generations)
 
 
 def iter_epochs(
     dest: str,
     split: str = "train",
-    cursor: tuple[int, int, int] | None = None,
+    cursor: tuple | None = None,
     batch_rows: int = 4096,
     rank: int = 0,
     world_size: int = 1,
@@ -864,7 +913,8 @@ def iter_epochs(
     prefetch_batches: int = 0,
 ):
     """Multi-epoch training loop over `iter_training_order`: yield
-    ``(batch, (epoch, shard, pos))`` — the composite cursor a trainer
+    ``(batch, (epoch, shard, pos, generations))`` — the composite
+    cursor a trainer
     checkpoints ONCE, valid across epoch boundaries (the single-epoch
     cursor is only meaningful inside its epoch; callers previously had
     to bookkeep the epoch number themselves — README's old example).
@@ -879,16 +929,25 @@ def iter_epochs(
     epoch's permutation), so a rank sees different shards — and a
     slightly different row count, within shard-size variance — each
     epoch: deliberate, it decorrelates what each worker reads across
-    epochs; only the per-epoch UNION is invariant."""
+    epochs; only the per-epoch UNION is invariant.
+
+    Cursors are ``(epoch, shard, pos, generations)`` (r13) — the
+    single-epoch generation binding composed through: a resume after
+    an `append_training_shards` raises instead of silently skipping
+    appended shards (see iter_training_order). Legacy
+    ``(epoch, shard, pos)`` 3-tuples resume without the check."""
     if epochs is not None and epochs < 1:
         raise ValueError(f"epochs must be >= 1 or None, got {epochs}")
     if cursor is None:
         epoch, inner = 0, None
-    else:
+    elif len(cursor) == 4:
+        e, shard, pos, gen = cursor
+        epoch, inner = e, (shard, pos, gen)
+    else:  # legacy (epoch, shard, pos): resume unchecked
         e, shard, pos = cursor
         epoch, inner = e, (shard, pos)
     while epochs is None or epoch < epochs:
-        for batch, (shard, pos) in iter_training_order(
+        for batch, (shard, pos, gen) in iter_training_order(
             dest,
             split,
             cursor=inner,
@@ -899,7 +958,7 @@ def iter_epochs(
             filesystem=filesystem,
             prefetch_batches=prefetch_batches,
         ):
-            yield batch, (epoch, shard, pos)
+            yield batch, (epoch, shard, pos, gen)
         inner = None
         epoch += 1
 

@@ -437,9 +437,20 @@ class CurationPipelineStream:
             n=self.ngram,
             min_hits=self.min_hits,
         )
-        q.awaitTermination()
-        if self.cap_thresholds is not None:
+        if self.cap_thresholds is None:
+            q.awaitTermination()
+            return
+        # harvest DURING the drain, not once after it (ADVICE r12 #5):
+        # Spark retains only the last ~100 progress updates
+        # (spark.sql.streaming.numRecentProgressUpdates), so a single
+        # post-termination read of recentProgress silently loses the
+        # earliest triggers of a long availableNow drain and
+        # cap_summary under-reports rows/unfitted. _harvest_cap folds
+        # by batchId (re-harvest-idempotent), so polling every 0.5 s
+        # is free and loses nothing at any drain length.
+        while not q.awaitTermination(0.5):
             self._harvest_cap(q.recentProgress, self.cap_stats)
+        self._harvest_cap(q.recentProgress, self.cap_stats)
 
     def cap_summary(self) -> dict:
         """Cumulative cap-gate stats over everything this pipeline
@@ -577,9 +588,19 @@ class CurationPipelineStream:
 
         Returns the shard-set manifest of this publish, or None when
         no sequence closed since the last one. The tokenizer artifact
-        is persisted next to the shard manifest on first publish
-        (save_tokenizer — shards + tokenizer.json stay a complete
-        training input)."""
+        is persisted next to the shard manifest (save_tokenizer —
+        shards + tokenizer.json stay a complete training input),
+        BEFORE the first manifest advance so no crash window can
+        leave a shard set without it, and its IDENTITY is guarded on
+        every later publish: if the artifact at ``tokenizer_dir`` was
+        refit between publishes (different merges or vocab), the
+        publish raises instead of landing a generation whose token
+        ids ``shards_dir/tokenizer.json`` would misinterpret — the
+        only silent-corruption path in the loop, now loud. To migrate
+        to a refit tokenizer, re-tokenize: publish into a FRESH
+        shards_dir under the new artifact (the packed tier is the
+        durable source of truth; token-id shards are derived data),
+        or keep publishing this set under the original artifact."""
         import json
 
         from gus_spark.operators.bpe import (
@@ -614,6 +635,40 @@ class CurationPipelineStream:
             except FileNotFoundError:
                 return 0
 
+        tok_art = os.path.join(shards_dir, "tokenizer.json")
+
+        def guard_tokenizer() -> None:
+            """Tokenizer-identity guard (r13): every publish after the
+            first verifies the artifact persisted beside the manifest
+            still IS the tokenizer at ``tokenizer_dir`` — a refit in
+            between would land generations bound to a different vocab
+            than the one consumers load, silently. Also repairs the
+            pre-r13 crash gap (manifest advanced before the artifact
+            was saved) by persisting it now — the only state in which
+            generations exist without tokenizer.json."""
+            if os.path.exists(tok_art):
+                art_merges, art_vocab = load_tokenizer(shards_dir)
+                if (
+                    art_merges != [tuple(m) for m in merges]
+                    or art_vocab != dict(vocab)
+                ):
+                    raise ValueError(
+                        f"tokenizer at {tokenizer_dir!r} does not "
+                        "match the artifact this shard set was "
+                        f"published under ({tok_art!r}) — it was "
+                        "refit between publishes; landing a "
+                        "generation now would bind token ids to a "
+                        "vocab the persisted tokenizer misinterprets. "
+                        "Re-tokenize into a FRESH shards_dir under "
+                        "the new artifact (the packed tier is the "
+                        "durable source), or publish this set under "
+                        "the original artifact."
+                    )
+            elif current_generations() > 0:
+                save_tokenizer(shards_dir, merges, vocab)
+
+        guard_tokenizer()
+
         def do_window(lo: dict, hi: dict, gen_before: int) -> dict:
             """Assemble + land exactly the [lo, hi) window."""
             spark = self.spark
@@ -635,6 +690,15 @@ class CurationPipelineStream:
             )
             seqs = assemble_token_sequences(window, merges, vocab)
             if gen_before == 0:
+                # persist the tokenizer BEFORE the manifest can
+                # advance (r13): a crash in the old write-then-save
+                # gap left a shard set whose generations existed
+                # without the artifact that interprets them. Saving
+                # first is safe — a crash after it leaves a
+                # tokenizer.json and zero generations, and the next
+                # publish's guard_tokenizer verifies identity.
+                os.makedirs(shards_dir, exist_ok=True)
+                save_tokenizer(shards_dir, merges, vocab)
                 manifest = write_training_shards(
                     seqs,
                     shards_dir,
@@ -642,7 +706,6 @@ class CurationPipelineStream:
                     id_col="seq_uid",
                     verify=verify,
                 )
-                save_tokenizer(shards_dir, merges, vocab)
             else:
                 manifest = append_training_shards(
                     seqs, shards_dir, verify=verify
@@ -656,8 +719,14 @@ class CurationPipelineStream:
                 manifest = do_window(
                     intent["lo"], intent["hi"], intent["gen_before"]
                 )
-            # else: the land completed before the crash — finalize
-            state["watermarks"] = intent["hi"]
+            # else: the land completed before the crash — finalize.
+            # Merge lo AND hi (mirroring the normal path): hi only
+            # names pack shards with new closed sequences in the
+            # crashed window, so taking it alone would silently drop
+            # every idle shard's watermark and the next publish would
+            # re-append their whole already-published windows as a
+            # duplicate generation (ADVICE r12 #1).
+            state["watermarks"] = {**intent["lo"], **intent["hi"]}
             state["intent"] = None
             save_state()
 

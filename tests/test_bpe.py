@@ -658,6 +658,43 @@ class TestByteFallback:
         with pytest.raises(ValueError, match="byte-fallback"):
             bpe_decode_ids([1], broken)
 
+    def test_plain_vocab_with_byte_token_text_not_fallback(
+        self, spark, tmp_path
+    ):
+        """r13 (ADVICE r12 #2): a PLAIN vocab fit on a hexdump/code
+        corpus can legitimately contain a merge output spelling the
+        literal text '<0x41>' at an ordinary text id — that is corpus
+        text, not a fallback alphabet. The discriminator is the
+        reserved id range ('<0x00>' at id 1), so such a vocab must
+        encode/decode/save as a plain vocab, not raise 'partial or
+        displaced byte-fallback alphabet'."""
+        from gus_spark.operators.bpe import (
+            bpe_decode_ids,
+            bpe_encode_ids,
+            bpe_vocab,
+            load_tokenizer,
+            save_tokenizer,
+        )
+
+        merges = [
+            ("<", "0"), ("<0", "x"), ("<0x", "4"), ("<0x4", "1"),
+            ("<0x41", ">"),
+        ]
+        base = list("<0x41>z") + ["z</w>"]
+        vocab = bpe_vocab(merges, base)  # NO byte_fallback
+        assert "<0x41>" in vocab and vocab.get("<0x00>") is None
+        df = spark.createDataFrame(
+            [(0, "<0x41>z")], "doc_id long, text string"
+        )
+        r = bpe_encode_ids(df, merges, vocab).first()
+        ids = list(r.token_ids)
+        assert r.n_unk == 0  # the literal encodes via its TEXT id
+        assert vocab["<0x41>"] in ids
+        assert bpe_decode_ids(ids, vocab) == "<0x41>z"
+        save_tokenizer(str(tmp_path), merges, vocab)
+        m2, v2 = load_tokenizer(str(tmp_path))
+        assert (m2, v2) == (merges, vocab)
+
     def test_invalid_byte_run_replaces_not_raises(self, spark):
         """decode is never-raising on byte runs: a hand-crafted
         invalid UTF-8 run (lone 0xFF) decodes with U+FFFD replacement

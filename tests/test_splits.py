@@ -614,7 +614,7 @@ class TestEpochRankLoader:
         want = [
             (e, s, p)
             for e in (0, 1)
-            for b, (s, _last) in [
+            for b, (s, _last, _gen) in [
                 (bb, cc)
                 for bb, cc in iter_training_order(
                     dest, epoch=e, batch_rows=101
@@ -1106,3 +1106,164 @@ def test_validation_errors(ids):
     bounds = split_thresholds(DEFAULT_WEIGHTS)
     assert bounds[-1][1] == 16**15
     assert [b for _n, b in bounds] == sorted(b for _n, b in bounds)
+
+
+class TestCursorGenerationBinding:
+    """r13 (VERDICT r12 #4): cursors carry the manifest's generation
+    count, and a resume after `append_training_shards` raises instead
+    of silently skipping appended shards — the append changes the
+    epoch's shard-visit permutation and the rank slices (both
+    enumerate shard dirs), so a pre-append cursor no longer names a
+    valid position in the new order. Legacy (shard, pos) / (epoch,
+    shard, pos) cursors still resume, unchecked (documented)."""
+
+    @pytest.fixture()
+    def dest(self, spark, tmp_path):
+        from gus_spark.operators.splits import write_training_shards
+
+        ids = spark.range(400).select(F.col("id").alias("doc_id"))
+        d = str(tmp_path / "genbind")
+        write_training_shards(
+            ids, d, shards=3, weights={"train": 1.0}
+        )
+        return d
+
+    def _append(self, spark, dest):
+        from gus_spark.operators.splits import append_training_shards
+
+        extra = spark.range(1000, 1080).select(
+            F.col("id").alias("doc_id")
+        )
+        return append_training_shards(extra, dest, verify=False)
+
+    def test_resume_after_append_raises(self, spark, dest):
+        from gus_spark.operators.splits import iter_training_order
+
+        _b, cur = next(
+            iter(
+                iter_training_order(
+                    dest, "train", epoch=1, batch_rows=29
+                )
+            )
+        )
+        assert len(cur) == 3 and cur[2] == 1  # (shard, pos, gens)
+        self._append(spark, dest)
+        with pytest.raises(ValueError, match="generation"):
+            next(
+                iter(
+                    iter_training_order(
+                        dest, "train", cursor=cur, epoch=1,
+                        batch_rows=29,
+                    )
+                )
+            )
+        # a FRESH iteration over the grown set works and yields
+        # cursors bound to the new count
+        _b2, cur2 = next(
+            iter(
+                iter_training_order(
+                    dest, "train", epoch=1, batch_rows=29
+                )
+            )
+        )
+        assert cur2[2] == 2
+
+    def test_legacy_two_tuple_resumes_unchecked(self, spark, dest):
+        from gus_spark.operators.splits import iter_training_order
+
+        full = []
+        cursors = []
+        for b, cur in iter_training_order(
+            dest, "train", batch_rows=29
+        ):
+            full.extend(b.column("doc_id").to_pylist())
+            cursors.append((cur, len(full)))
+        cur, consumed = cursors[len(cursors) // 2]
+        resumed = [
+            i
+            for b, _c in iter_training_order(
+                dest, "train", cursor=(cur[0], cur[1]), batch_rows=29
+            )
+            for i in b.column("doc_id").to_pylist()
+        ]
+        assert resumed == full[consumed:]
+
+    def test_iter_epochs_cursor_binds_generations(self, spark, dest):
+        from gus_spark.operators.splits import iter_epochs
+
+        _b, cur = next(iter(iter_epochs(dest, epochs=2, batch_rows=29)))
+        assert len(cur) == 4 and cur[3] == 1
+        self._append(spark, dest)
+        with pytest.raises(ValueError, match="generation"):
+            next(
+                iter(
+                    iter_epochs(
+                        dest, cursor=cur, epochs=2, batch_rows=29
+                    )
+                )
+            )
+
+
+class TestLoaderHandleClose:
+    """r13 (ADVICE r12 #4): the epoch>0 read path closes BOTH the
+    ParquetFile and the filesystem input stream it wraps, per shard —
+    deterministically (not by GC), including when the consumer
+    abandons the stream mid-shard. Over S3/GCS a multi-epoch run
+    (iter_epochs epochs=None) would otherwise accumulate one open
+    object-store stream per shard per epoch."""
+
+    class _RecordingFS:
+        def __init__(self, inner):
+            self._inner = inner
+            self.handles = []
+
+        def open_input_file(self, path):
+            h = self._inner.open_input_file(path)
+            self.handles.append((path, h))
+            return h
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    @pytest.fixture()
+    def dest(self, spark, tmp_path):
+        from gus_spark.operators.splits import write_training_shards
+
+        ids = spark.range(500).select(F.col("id").alias("doc_id"))
+        d = str(tmp_path / "handles")
+        write_training_shards(
+            ids, d, shards=4, weights={"train": 1.0}
+        )
+        return d
+
+    def test_full_epoch_closes_every_handle(self, dest):
+        import pyarrow.fs as pa_fs
+
+        from gus_spark.operators.splits import iter_training_order
+
+        fs = self._RecordingFS(pa_fs.LocalFileSystem())
+        n = sum(
+            b.num_rows
+            for b, _c in iter_training_order(
+                dest, "train", epoch=1, filesystem=fs, batch_rows=64
+            )
+        )
+        assert n == 500
+        shard_handles = [
+            h for p, h in fs.handles if "shard=" in p
+        ]
+        assert len(shard_handles) == 4  # one per shard, not more
+        assert all(h.closed for _p, h in fs.handles)
+
+    def test_abandoned_stream_closes_handle(self, dest):
+        import pyarrow.fs as pa_fs
+
+        from gus_spark.operators.splits import iter_training_order
+
+        fs = self._RecordingFS(pa_fs.LocalFileSystem())
+        it = iter_training_order(
+            dest, "train", epoch=1, filesystem=fs, batch_rows=16
+        )
+        next(it)  # mid-shard
+        it.close()  # GeneratorExit → finally must run
+        assert all(h.closed for _p, h in fs.handles)

@@ -1870,3 +1870,166 @@ def test_run_live_auto_publish(spark, tmp_path):
             "shards_dir": shards_dir, "tokenizer_dir": tok_dir,
             "every_polls": 0,
         })
+
+
+def test_publish_reconcile_preserves_idle_watermarks(spark, tmp_path):
+    """r13 (ADVICE r12 #1): a crashed publish whose window touched
+    only SOME pack shards (the others idle) must reconcile without
+    losing the idle shards' watermarks — the finalize branch merges
+    {**lo, **hi}, mirroring the normal path. Pre-fix it kept hi
+    alone, so the next publish recomputed lo=0 for every idle shard
+    and re-appended their entire already-published windows as a
+    duplicate generation (duplicate seq_uids in the training order).
+    Wave 2 is engineered to hash into ONE pack shard
+    (pmod(xxhash64(doc_id), 4) == 0) so the crashed intent's hi
+    genuinely omits idle shards."""
+    import json
+
+    from gus_spark.operators.bpe import (
+        bpe_base_symbols,
+        bpe_fit,
+        bpe_vocab,
+        save_tokenizer,
+    )
+    from gus_spark.operators.splits import (
+        iter_training_order,
+        read_manifest,
+    )
+    from gus_spark.streaming import CurationPipelineStream
+
+    docs = table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 3).select(
+        "doc_id", "text"
+    )
+    merges = bpe_fit(docs.limit(100), num_merges=16)
+    vocab = bpe_vocab(merges, bpe_base_symbols(docs.limit(100)))
+    tok_dir = str(tmp_path / "tok")
+    os.makedirs(tok_dir)
+    save_tokenizer(tok_dir, merges, vocab)
+
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    p = CurationPipelineStream(
+        spark, src, docs.schema, bench, str(tmp_path / "work"),
+        ngram=13, min_hits=1,
+        chunk_tokens=16, chunk_overlap=4, seq_budget=48, pack_shards=4,
+    )
+    shards_dir = str(tmp_path / "shards")
+    p.run()
+    m1 = p.publish_shards(shards_dir, tok_dir, shards=4)
+    assert m1 is not None and m1["generations"] == 1
+    state_path = os.path.join(
+        str(tmp_path / "work"), "shards_published.json"
+    )
+    w1 = json.load(open(state_path))["watermarks"]
+    assert len(w1) > 1  # several shards watermarked
+
+    # wave 2: odd docs that all hash into pack shard 0
+    wave2 = docs.filter(
+        (F.col("doc_id") % 2 == 1)
+        & (F.pmod(F.xxhash64(F.col("doc_id")), 4) == 0)
+    ).limit(40)
+    assert wave2.count() > 10
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    p.run()
+    m2 = p.publish_shards(shards_dir, tok_dir, shards=4)
+    assert m2 is not None and m2["generations"] == 2
+    w2 = json.load(open(state_path))["watermarks"]
+    hi = {s: v for s, v in w2.items() if v != w1.get(s)}
+    # precondition for the regression: the window left ≥1 shard idle
+    assert hi and set(w1) - set(hi), (w1, w2)
+
+    baseline = {}
+    for split in ("train", "validation", "test"):
+        for b, _c in iter_training_order(shards_dir, split):
+            for u in b.column("seq_uid").to_pylist():
+                assert u not in baseline
+                baseline[u] = split
+
+    # rewind state to mid-crash: generation 2 landed, watermarks not
+    # finalized — exactly what the real intent recorded
+    state = {
+        "watermarks": w1,
+        "intent": {"lo": w1, "hi": hi, "gen_before": 1},
+    }
+    json.dump(state, open(state_path, "w"))
+    assert p.publish_shards(shards_dir, tok_dir) is None  # finalize
+    after = json.load(open(state_path))
+    assert after["intent"] is None
+    assert after["watermarks"] == w2  # idle shards' marks preserved
+    assert read_manifest(shards_dir)["generations"] == 2  # no dup gen
+    got = {}
+    for split in ("train", "validation", "test"):
+        for b, _c in iter_training_order(shards_dir, split):
+            for u in b.column("seq_uid").to_pylist():
+                assert u not in got  # no duplicate seq_uids
+                got[u] = split
+    assert got == baseline
+
+
+def test_publish_tokenizer_identity_guard(spark, tmp_path):
+    """r13 (VERDICT r12 #1 + ADVICE r12 #3): publish_shards guards
+    tokenizer identity across generations — a refit at tokenizer_dir
+    between publishes raises loudly instead of landing a generation
+    whose token ids shards_dir/tokenizer.json misinterprets. And the
+    artifact persists BEFORE the first manifest advance (no crash gap
+    can leave generations without it); a pre-guard set missing the
+    artifact is repaired on the next publish."""
+    from gus_spark.operators.bpe import (
+        bpe_base_symbols,
+        bpe_fit,
+        bpe_vocab,
+        load_tokenizer,
+        save_tokenizer,
+    )
+    from gus_spark.streaming import CurationPipelineStream
+
+    docs = table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 3).select(
+        "doc_id", "text"
+    )
+    base = docs.limit(100)
+    merges = bpe_fit(base, num_merges=16)
+    vocab = bpe_vocab(merges, bpe_base_symbols(base))
+    tok_dir = str(tmp_path / "tok")
+    os.makedirs(tok_dir)
+    save_tokenizer(tok_dir, merges, vocab)
+
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    p = CurationPipelineStream(
+        spark, src, docs.schema, bench, str(tmp_path / "work"),
+        ngram=13, min_hits=1,
+        chunk_tokens=16, chunk_overlap=4, seq_budget=48, pack_shards=4,
+    )
+    shards_dir = str(tmp_path / "shards")
+    p.run()
+    m1 = p.publish_shards(shards_dir, tok_dir, shards=4)
+    assert m1 is not None and m1["generations"] == 1
+    assert os.path.exists(os.path.join(shards_dir, "tokenizer.json"))
+
+    # refit between publishes (more merges → different artifact)
+    refit = bpe_fit(base, num_merges=24)
+    save_tokenizer(tok_dir, refit, bpe_vocab(refit, bpe_base_symbols(base)))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    p.run()
+    with pytest.raises(ValueError, match="refit"):
+        p.publish_shards(shards_dir, tok_dir, shards=4)
+    # the guard fired BEFORE anything landed
+    from gus_spark.operators.splits import read_manifest
+
+    assert read_manifest(shards_dir)["generations"] == 1
+
+    # restoring the original artifact unblocks the publish
+    save_tokenizer(tok_dir, merges, vocab)
+    m2 = p.publish_shards(shards_dir, tok_dir, shards=4)
+    assert m2 is not None and m2["generations"] == 2
+
+    # crash-gap repair: a pre-guard crash could leave generations
+    # with no artifact — the next publish (even a no-op one)
+    # persists it
+    os.remove(os.path.join(shards_dir, "tokenizer.json"))
+    assert p.publish_shards(shards_dir, tok_dir) is None  # no new data
+    assert load_tokenizer(shards_dir) == (merges, vocab)
