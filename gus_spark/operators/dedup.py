@@ -1578,11 +1578,22 @@ def winnow_overlap_pairs(
 
 # ------------------------------------------------------- URL-tier dedup
 
-def normalize_url(url: Column) -> Column:
+#: query params that never route content — the classic click/campaign
+#: trackers (utm_* per Google's canonical list, Facebook fbclid,
+#: Google gclid, Microsoft msclkid, and the bare referrer tag `ref`).
+#: A param is dropped when its KEY matches; everything else is
+#: content-routing until proven otherwise (watch?v=…, article?id=…,
+#: page=…) and is KEPT — crawl-dedup practice (CCNet keys on the raw
+#: URL; RefinedWeb strips known trackers only), because folding
+#: query-routed URLs deletes genuinely distinct documents.
+TRACKER_PARAM_RE = r"^(utm_[^=&]*|fbclid|gclid|msclkid|ref)(=.*)?$"
+
+
+def normalize_url(url: Column, drop_query: bool = False) -> Column:
     """Canonical URL for snapshot/URL-tier exact dedup — the cheapest
     rung of the dedup ladder (used before any content hash: CCNet and
     RefinedWeb both key their first dedup pass on the fetch URL).
-    Normalization, applied in order, all JVM regexp expressions (zero
+    Normalization, applied in order, all JVM expressions (zero
     Python, rides the scan):
 
     1. lowercase (scheme/host case is insignificant per RFC 3986;
@@ -1591,29 +1602,66 @@ def normalize_url(url: Column) -> Column:
     2. strip the ``http://`` / ``https://`` scheme (protocol-variant
        refetches are duplicates);
     3. strip one leading ``www.``;
-    4. drop the query string and fragment (``?…`` / ``#…`` — tracking
-       params and anchors don't change the fetched document);
-    5. trim trailing slashes.
+    4. drop the fragment (``#…`` — anchors never change the fetched
+       document);
+    5. trim trailing slashes off the PATH;
+    6. the query string KEEPS its content-routing params (r13 —
+       VERDICT r12 #2: ``watch?v=…`` and ``article?id=…`` are
+       different documents; the old drop-everything default deleted
+       all but one): params whose key matches `TRACKER_PARAM_RE`
+       (utm_*, fbclid, gclid, msclkid, ref) are stripped, the
+       remainder is SORTED (param order is transport noise) and
+       re-joined; an emptied query drops its ``?``.
 
-    The patterns use the regex subset this repo's PII tier already
-    pins as Java/RE2/Python-identical, so a DuckDB twin applies the
-    same five steps verbatim."""
+    ``drop_query=True`` restores the aggressive snapshot-tier fold
+    (the whole query string goes — for corpora whose URLs are known
+    not to route content by query, e.g. a single site's static
+    snapshot mirror).
+
+    The regexps use the subset this repo's PII tier pins as
+    Java/RE2/Python-identical, and the param fold uses only
+    order-stable operations (split / filter / array_sort /
+    array_join), so a DuckDB twin applies the same steps verbatim."""
     c = F.lower(url)
     c = F.regexp_replace(c, r"^https?://", "")
     c = F.regexp_replace(c, r"^www\.", "")
-    c = F.regexp_replace(c, r"[?#].*$", "")
-    return F.regexp_replace(c, r"/+$", "")
+    c = F.regexp_replace(c, r"#.*$", "")
+    if drop_query:
+        c = F.regexp_replace(c, r"\?.*$", "")
+        return F.regexp_replace(c, r"/+$", "")
+    path = F.regexp_replace(
+        F.regexp_replace(c, r"\?.*$", ""), r"/+$", ""
+    )
+    qs = F.when(
+        c.contains("?"), F.regexp_replace(c, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKER_PARAM_RE),
+        )
+    )
+    return F.concat(
+        path,
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(params, "&")),
+        ).otherwise(F.lit("")),
+    )
 
 
 def dedup_by_url(
     df: DataFrame,
     url_col: str = "url",
     id_col: str = "doc_id",
+    drop_query: bool = False,
 ) -> DataFrame:
     """Exact URL-tier dedup: one row per `normalize_url` canonical —
     (canonical_url, keep_doc_id = min id, n_dups = rows folded,
     n_variants = distinct RAW spellings folded; n_variants > 1 is the
     receipt that normalization did real work, not just grouping).
+    ``drop_query`` passes through to `normalize_url` (default keeps
+    content-routing query params — see its docstring).
 
     Scale shape: the normalization rides the scan (pure expressions),
     then ONE shuffle on the canonical key with map-side partial
@@ -1629,7 +1677,10 @@ def dedup_by_url(
     corpus size. One-exchange / zero-Python shape is plan-asserted in
     tests/test_plans.py."""
     return (
-        df.withColumn("canonical_url", normalize_url(F.col(url_col)))
+        df.withColumn(
+            "canonical_url",
+            normalize_url(F.col(url_col), drop_query=drop_query),
+        )
         .groupBy("canonical_url")
         .agg(
             F.min(id_col).alias("keep_doc_id"),

@@ -134,10 +134,13 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: TESTDATA has no url field, so one is CONSTRUCTED identically in
 #: both engines and the dedup semantics are verified on it). The
 #: variants deliberately exercise every normalization step: scheme
-#: http/https, case, a leading www., a trailing slash, and a tracking
-#: query + fragment. The canonical identity underneath is
-#: (source, lang, doc_id % 100) — so real duplicate groups exist at
-#: every sf and grow with the corpus.
+#: http/https, case, a leading www., a trailing slash, a tracking
+#: query + fragment (must FOLD with the bare path), a content-routing
+#: ``?page=N`` query (must NOT fold — r13, VERDICT r12 #2), and a
+#: page query wrapped in trackers with shuffled param order (must
+#: fold with the bare ``?page=N`` spelling). The canonical identity
+#: underneath is (source, lang, doc_id % 100, kept query) — so real
+#: duplicate groups exist at every sf and grow with the corpus.
 _URL_SQL = """
     WITH urls AS (
       SELECT doc_id,
@@ -146,9 +149,12 @@ _URL_SQL = """
                 WHEN 2 THEN 'https://www.' ELSE 'HTTP://WWW.' END)
              || source || '.example.org/' || lang || '/page-'
              || CAST(doc_id % 100 AS VARCHAR)
-             || (CASE (doc_id * 5 + n_chars) % 3
+             || (CASE (doc_id * 5 + n_chars) % 5
                    WHEN 0 THEN '' WHEN 1 THEN '/'
-                   ELSE '?utm_source=rss&ref=feed#frag' END) AS url
+                   WHEN 2 THEN '?utm_source=rss&ref=feed#frag'
+                   WHEN 3 THEN '?page=' || CAST(doc_id % 3 AS VARCHAR)
+                   ELSE '?gclid=x&page=' || CAST(doc_id % 3 AS VARCHAR)
+                        || '&utm_medium=m#top' END) AS url
       FROM documents
     )
 """
@@ -158,7 +164,8 @@ def _synth_urls(d: DataFrame) -> DataFrame:
     """Spark twin of _URL_SQL's urls CTE — same arithmetic, same
     literals, bit-identical strings."""
     v1 = (F.col("doc_id") * 3 + F.col("n_chars")) % 4
-    v2 = (F.col("doc_id") * 5 + F.col("n_chars")) % 3
+    v2 = (F.col("doc_id") * 5 + F.col("n_chars")) % 5
+    page = (F.col("doc_id") % 3).cast("string")
     scheme = (
         F.when(v1 == 0, F.lit("http://"))
         .when(v1 == 1, F.lit("https://"))
@@ -168,7 +175,13 @@ def _synth_urls(d: DataFrame) -> DataFrame:
     tail = (
         F.when(v2 == 0, F.lit(""))
         .when(v2 == 1, F.lit("/"))
-        .otherwise(F.lit("?utm_source=rss&ref=feed#frag"))
+        .when(v2 == 2, F.lit("?utm_source=rss&ref=feed#frag"))
+        .when(v2 == 3, F.concat(F.lit("?page="), page))
+        .otherwise(
+            F.concat(
+                F.lit("?gclid=x&page="), page, F.lit("&utm_medium=m#top")
+            )
+        )
     )
     return d.select(
         "doc_id",
@@ -186,26 +199,51 @@ def _synth_urls(d: DataFrame) -> DataFrame:
 
 @register(
     "dedup_url_docs",
-    # DuckDB twin: the identical synthesized urls CTE + the SAME five
-    # normalization steps as operators.dedup.normalize_url (the regex
-    # subset the PII tier pins as Java/RE2-identical), then the
-    # min/count/count-distinct fold. n_variants > 1 rows prove the
-    # normalization folded genuinely different raw spellings.
+    # DuckDB twin: the identical synthesized urls CTE + the SAME
+    # normalization steps as operators.dedup.normalize_url (r13:
+    # fragment stripped, path slashes trimmed, tracker params
+    # filtered by the identical key regex, survivors SORTED and
+    # re-joined — content-routing params are canonical identity),
+    # then the min/count/count-distinct fold. n_variants > 1 rows
+    # prove the normalization folded genuinely different raw
+    # spellings; distinct ?page= canonicals prove query-routed
+    # documents did NOT fold.
     oracle=_URL_SQL
     + """
-    , norm AS (
+    , pre AS (
       SELECT doc_id, url,
              regexp_replace(regexp_replace(regexp_replace(
-               regexp_replace(lower(url), '^https?://', ''),
-               '^www\\.', ''), '[?#].*$', ''), '/+$', '')
-               AS canonical_url
+               lower(url), '^https?://', ''), '^www\\.', ''),
+               '#.*$', '') AS s
       FROM urls
+    ),
+    split AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(s, '\\?.*$', ''),
+                            '/+$', '') AS path,
+             CASE WHEN strpos(s, '?') > 0
+                  THEN regexp_replace(s, '^[^?]*\\?', '')
+                  ELSE '' END AS q
+      FROM pre
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             path || CASE WHEN len(kept) > 0
+                          THEN '?' || array_to_string(kept, '&')
+                          ELSE '' END AS canonical_url
+      FROM (
+        SELECT doc_id, url, path,
+               list_sort(list_filter(string_split(q, '&'),
+                 x -> x <> '' AND NOT regexp_matches(x,
+                   '^(utm_[^=&]*|fbclid|gclid|msclkid|ref)(=.*)?$')))
+                 AS kept
+        FROM split)
     )
     SELECT canonical_url,
            MIN(doc_id) AS keep_doc_id,
            COUNT(*) AS n_dups,
            COUNT(DISTINCT url) AS n_variants
-    FROM norm
+    FROM canon
     GROUP BY canonical_url
     """,
 )
@@ -213,9 +251,11 @@ def dedup_url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/snapshot-tier exact dedup (the first rung of the CCNet /
     RefinedWeb dedup ladder — fetch-URL identity before any content
     hash): normalize the raw URL (lowercase, scheme + leading www.
-    stripped, query/fragment dropped, trailing slashes trimmed) and
-    keep one document per canonical — min doc_id, with the folded row
-    count and the distinct raw-spelling count as receipts.
+    stripped, fragment dropped, path slashes trimmed, tracker query
+    params stripped with the CONTENT-ROUTING remainder kept sorted —
+    r13: ?page=N variants stay distinct documents) and keep one
+    document per canonical — min doc_id, with the folded row count
+    and the distinct raw-spelling count as receipts.
 
     TESTDATA carries no url column, so one is synthesized with
     deterministic integer arithmetic over (doc_id, n_chars, source,

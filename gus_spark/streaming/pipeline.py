@@ -151,6 +151,7 @@ class CurationPipelineStream:
         cap_seed: str = "cap-v1",
         cap_refit_warn_frac: float | None = None,
         url_col: str | None = None,
+        url_drop_query: bool = False,
     ) -> None:
         self.spark = spark
         self.src_path = src_path
@@ -205,6 +206,11 @@ class CurationPipelineStream:
         # tier instead of the raw source (same file-source handoff as
         # every other stage boundary).
         self.url_col = url_col
+        # normalize_url's drop_query knob for stage 0 (r13): default
+        # KEEPS content-routing query params; True restores the
+        # aggressive snapshot-tier fold. Changing it against existing
+        # stage-0 state changes the canonical identity — fresh work dir.
+        self.url_drop_query = url_drop_query
         self.url_clean = os.path.join(work_dir, "url_clean")
         self.curate_src = self.url_clean if url_col else src_path
 
@@ -384,6 +390,7 @@ class CurationPipelineStream:
             self.url_clean,
             os.path.join(self.work, "ckpt0"),
             url_col=self.url_col,
+            drop_query=self.url_drop_query,
         ).awaitTermination()
 
     def _curate_source(self):
@@ -809,6 +816,7 @@ class CurationPipelineStream:
             os.path.join(self.work, "ckpt0"),
             url_col=self.url_col,
             processing_time=processing_time,
+            drop_query=self.url_drop_query,
         )
 
     def _start_curate_live(self, processing_time: str):

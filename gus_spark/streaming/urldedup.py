@@ -73,13 +73,18 @@ def url_dedup_stream(
     url_col: str = "url",
     id_col: str = "doc_id",
     processing_time: str | None = None,
+    drop_query: bool = False,
 ) -> StreamingQuery:
     """Start deduplicating ``docs_stream`` by canonical URL: survivors
     (the input columns + ``canonical_url``) append to ``out_path`` as
     batch-keyed parquet; the seen-canonical state persists under
     ``state_dir``. ``processing_time`` switches from the drain trigger
     (availableNow) to a live cadence, as everywhere in this package —
-    the marker/state machinery is trigger-agnostic."""
+    the marker/state machinery is trigger-agnostic. ``drop_query``
+    passes through to `normalize_url` (default keeps content-routing
+    query params, r13 — a stream that folded watch?v=… variants
+    would DELETE distinct documents); changing it against existing
+    state changes the canonical identity — rebuild the state dir."""
     if "canonical_url" in docs_stream.columns:
         raise ValueError(
             "input already carries 'canonical_url' — this stage "
@@ -98,7 +103,8 @@ def url_dedup_stream(
             return
         spark = batch_df.sparkSession
         canon = batch_df.withColumn(
-            "canonical_url", normalize_url(F.col(url_col))
+            "canonical_url",
+            normalize_url(F.col(url_col), drop_query=drop_query),
         )
         w = Window.partitionBy("canonical_url").orderBy(id_col)
         kept = (

@@ -1591,12 +1591,18 @@ def test_url_dedup_stream_matches_batch_and_holds_state(spark, tmp_path):
 
     # C. restart with ONLY re-spellings of served canonicals: the
     # persisted state must anti-join them all away
+    # r13: canonicals may carry a kept query string, so the re-spell
+    # appends its tracker noise as an extra param there (and as a
+    # fresh tracker-only query on bare-path canonicals)
+    canon = normalize_url(F.col("url"))
     respell = urls.select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"),
         F.concat(
             F.lit("https://www."),
-            normalize_url(F.col("url")),
-            F.lit("/?utm_medium=retry"),
+            canon,
+            F.when(
+                canon.contains("?"), F.lit("&gclid=retry")
+            ).otherwise(F.lit("/?utm_medium=retry")),
         ).alias("url"),
     )
     respell.coalesce(1).write.mode("append").parquet(src2)
