@@ -1267,3 +1267,224 @@ class TestLoaderHandleClose:
         next(it)  # mid-shard
         it.close()  # GeneratorExit → finally must run
         assert all(h.closed for _p, h in fs.handles)
+
+
+class TestCompactGenerations:
+    """compact_generations (r13 — VERDICT r12 'missing' #1): fold
+    accumulated publish generations back down so loader file counts
+    stop growing with publish cadence. Claims pinned:
+
+    - fold to 1: same doc set per split, valid training order (one
+      file per dir, dense pos), epoch/rank machinery intact, dir
+      count back to `shards` per split;
+    - partial fold (max_generations=2): kept newest generation's
+      files BYTE-IDENTICAL, only renumbered;
+    - tombstoned rows are PHYSICALLY dropped from the folded region
+      (storage-level erasure) while kept-region tombstones remain a
+      read-side gate;
+    - crash mid-phase-2 completes idempotently on the next call,
+      receipt-checked;
+    - appends compose after a compact; pre-compact cursors raise;
+    - no-op below the threshold."""
+
+    def _build(self, spark, tmp_path, name, appends=2):
+        from gus_spark.operators.splits import (
+            append_training_shards,
+            write_training_shards,
+        )
+
+        d = str(tmp_path / name)
+        base = spark.range(300).select(F.col("id").alias("doc_id"))
+        write_training_shards(base, d, shards=4)
+        for a in range(appends):
+            extra = spark.range(
+                1000 * (a + 1), 1000 * (a + 1) + 120
+            ).select(F.col("id").alias("doc_id"))
+            append_training_shards(extra, d, verify=False)
+        return d
+
+    @staticmethod
+    def _docs(dest, split="train", **kw):
+        from gus_spark.operators.splits import iter_training_order
+
+        out = []
+        for b, _c in iter_training_order(dest, split, **kw):
+            out.extend(b.column("doc_id").to_pylist())
+        return out
+
+    def test_fold_to_one_generation(self, spark, tmp_path):
+        from gus_spark.operators.splits import (
+            compact_generations,
+            read_manifest,
+        )
+
+        d = self._build(spark, tmp_path, "fold1")
+        assert read_manifest(d)["generations"] == 3
+        before = {
+            s: sorted(self._docs(d, s))
+            for s in ("train", "validation", "test")
+        }
+        m = compact_generations(spark, d, max_generations=1)
+        assert m["generations"] == 1
+        assert not os.path.exists(os.path.join(d, "compact_intent.json"))
+        assert not os.path.isdir(os.path.join(d, "_compact_tmp"))
+        for s in ("train", "validation", "test"):
+            assert sorted(self._docs(d, s)) == before[s], s
+        # dir count collapsed back to `shards`
+        train_dir = os.path.join(d, "data", "split=train")
+        assert (
+            len([x for x in os.listdir(train_dir) if x.startswith("shard=")])
+            == 4
+        )
+        # epoch/rank machinery intact on the folded set
+        r0 = set(self._docs(d, epoch=1, rank=0, world_size=2))
+        r1 = set(self._docs(d, epoch=1, rank=1, world_size=2))
+        assert not (r0 & r1) and r0 | r1 == set(before["train"])
+
+    def test_partial_fold_keeps_newest_bytes(self, spark, tmp_path):
+        import glob
+        import hashlib
+
+        from gus_spark.operators.splits import (
+            compact_generations,
+            read_manifest,
+        )
+
+        d = self._build(spark, tmp_path, "fold2")  # gens 0,1,2
+
+        def hashes(lo, hi):
+            out = {}
+            for f in glob.glob(
+                os.path.join(d, "data", "*", "shard=*", "*.parquet")
+            ):
+                k = int(f.split("shard=")[1].split(os.sep)[0])
+                if lo <= k < hi:
+                    rel = os.path.relpath(f, d).replace(
+                        f"shard={k}", f"shard={k % 4}"
+                    )
+                    out[rel] = hashlib.md5(
+                        open(f, "rb").read()
+                    ).hexdigest()
+            return out
+
+        newest_before = hashes(8, 12)  # generation 2's dirs
+        before = sorted(self._docs(d))
+        m = compact_generations(spark, d, max_generations=2)
+        assert m["generations"] == 2
+        assert read_manifest(d)["generations"] == 2
+        newest_after = hashes(4, 8)  # renumbered to generation 1
+        assert newest_after == newest_before  # byte-identical files
+        assert sorted(self._docs(d)) == before
+
+    def test_tombstones_physically_dropped_in_fold(
+        self, spark, tmp_path
+    ):
+        from gus_spark.operators.splits import (
+            compact_generations,
+            tombstone_training_shards,
+        )
+
+        d = self._build(spark, tmp_path, "foldtomb")  # gens 0,1,2
+        base = [
+            i
+            for s in ("train", "validation", "test")
+            for i in self._docs(d, s)
+        ]
+        # ids < 1000 live in generation 0 (folded); >= 2000 in gen 2
+        dead_folded = [i for i in base if i < 300][::23]
+        dead_kept = [i for i in base if i >= 2000][:3]
+        tombstone_training_shards(d, dead_folded + dead_kept)
+        compact_generations(spark, d, max_generations=2)
+        on_disk = set(
+            r.doc_id
+            for r in spark.read.parquet(os.path.join(d, "data"))
+            .select("doc_id")
+            .collect()
+        )
+        assert not (on_disk & set(dead_folded))  # physically erased
+        assert set(dead_kept) <= on_disk  # kept region: read-side gate
+        got = set(self._docs(d)) | set(
+            self._docs(d, "validation")
+        ) | set(self._docs(d, "test"))
+        assert got == set(base) - set(dead_folded) - set(dead_kept)
+
+    def test_crash_mid_phase2_completes_idempotently(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from gus_spark.operators.splits import (
+            compact_generations,
+            read_manifest,
+        )
+
+        d = self._build(spark, tmp_path, "foldcrash")
+        before = sorted(self._docs(d))
+        real_rename = os.rename
+        calls = {"n": 0}
+
+        def flaky(src, dst):
+            if "shard=" in str(src):
+                calls["n"] += 1
+                if calls["n"] == 3:
+                    raise OSError("injected crash mid-rename")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(os, "rename", flaky)
+        with pytest.raises(OSError, match="injected"):
+            compact_generations(spark, d, max_generations=2)
+        monkeypatch.setattr(os, "rename", real_rename)
+        assert os.path.exists(os.path.join(d, "compact_intent.json"))
+        m = compact_generations(spark, d, max_generations=2)
+        assert m["generations"] == 2
+        assert read_manifest(d)["generations"] == 2
+        assert sorted(self._docs(d)) == before
+        assert not os.path.exists(os.path.join(d, "compact_intent.json"))
+
+    def test_append_composes_and_cursors_invalidate(
+        self, spark, tmp_path
+    ):
+        from gus_spark.operators.splits import (
+            append_training_shards,
+            compact_generations,
+            iter_training_order,
+        )
+
+        d = self._build(spark, tmp_path, "foldgrow")
+        _b, cur = next(
+            iter(iter_training_order(d, "train", batch_rows=31))
+        )
+        assert cur[2] == 3
+        before = {
+            i
+            for s in ("train", "validation", "test")
+            for i in self._docs(d, s)
+        }
+        compact_generations(spark, d, max_generations=1)
+        with pytest.raises(ValueError, match="generation"):
+            next(
+                iter(
+                    iter_training_order(
+                        d, "train", cursor=cur, batch_rows=31
+                    )
+                )
+            )
+        extra = spark.range(5000, 5060).select(
+            F.col("id").alias("doc_id")
+        )
+        m = append_training_shards(extra, d, verify=False)
+        assert m["generations"] == 2
+        total = set()
+        for s in ("train", "validation", "test"):
+            total |= set(self._docs(d, s))
+        assert before <= total and len(total) == len(before) + 60
+
+    def test_noop_below_threshold(self, spark, tmp_path):
+        from gus_spark.operators.splits import (
+            compact_generations,
+            read_manifest,
+        )
+
+        d = self._build(spark, tmp_path, "foldnoop", appends=0)
+        m0 = read_manifest(d)
+        assert compact_generations(spark, d, max_generations=2) == m0
+        with pytest.raises(ValueError, match="max_generations"):
+            compact_generations(spark, d, max_generations=0)

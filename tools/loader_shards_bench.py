@@ -108,6 +108,48 @@ def bench(spark, sf_dir: str) -> dict:
         prefetch_read_s = round(time.time() - t0, 3)
         assert pf_rows == rows
 
+        # generation compaction (r13): grow the set to 9 generations
+        # of appends (the run_live(publish=...) steady state), read —
+        # the per-file open cost the accumulation adds — then
+        # compact_generations back to 1 and read again. The claim:
+        # the compacted read recovers the single-generation wall
+        # (fragmented_read_s > compacted_read_s at any sf where the
+        # per-file overhead is visible), and compact_s is bounded by
+        # the folded bytes (~ write_s, never more).
+        from gus_spark.operators.splits import (
+            append_training_shards,
+            compact_generations,
+        )
+
+        n_gens = 8
+        slices = docs.select("doc_id").randomSplit(
+            [1.0] * n_gens, seed=7
+        )
+        for k, extra in enumerate(slices):
+            # offset into a disjoint id range: the append contract is
+            # rows NOT already in the set
+            tagged = extra.selectExpr(
+                f"doc_id + {(k + 1) * 10**10}L as doc_id"
+            )
+            append_training_shards(tagged, dest, verify=False)
+        t0 = time.time()
+        frag_rows = sum(
+            b.num_rows
+            for b, _c in iter_training_order(dest, "train")
+        )
+        fragmented_read_s = round(time.time() - t0, 3)
+        t0 = time.time()
+        compact_generations(spark, dest, max_generations=1,
+                            verify=False)
+        compact_s = round(time.time() - t0, 2)
+        t0 = time.time()
+        comp_rows = sum(
+            b.num_rows
+            for b, _c in iter_training_order(dest, "train")
+        )
+        compacted_read_s = round(time.time() - t0, 3)
+        assert comp_rows == frag_rows, (comp_rows, frag_rows)
+
         # token-id variant (r11): the same boundary fed trainer input
         # — each stage timed separately so the encode cost is
         # ATTRIBUTED, not folded into the write. The encode is
@@ -162,6 +204,10 @@ def bench(spark, sf_dir: str) -> dict:
             "ranks4_read_s": ranks4_read_s,
             "ranks4_rows": rank_rows,
             "prefetch_read_s": prefetch_read_s,
+            "gens9_read_s": fragmented_read_s,
+            "gens9_rows": frag_rows,
+            "compact_s": compact_s,
+            "compacted_read_s": compacted_read_s,
             "bpe_fit_s": fit_s,
             "encode_s": encode_s,
             "write_tok_s": write_tok_s,
