@@ -84,12 +84,23 @@ def decontaminate_stream(
     bench_id_col: str = "doc_id",
     bench_text_col: str = "text",
     processing_time: str | None = None,
+    pre=None,
 ) -> StreamingQuery:
     """Start decontaminating ``docs_stream`` (documents schema) against
     the static ``bench`` suite; clean rows land under
     ``out_path/batch=<id>`` as parquet, the benchmark gram-hash table
     persists under ``state_dir``. Raises ValueError when ``state_dir``
-    holds grams built from a different n/benchmark."""
+    holds grams built from a different n/benchmark.
+
+    ``pre`` (r13): an optional per-trigger transform
+    ``pre(batch_df, batch_id) -> DataFrame`` applied inside the
+    micro-batch AFTER the replay-marker check — the hook the pipeline's
+    cap gate rides so a RELOADED thresholds artifact takes effect on
+    the next trigger (a gate composed into the streaming plan would be
+    frozen at query start). The replay fingerprint is computed on the
+    RAW batch, so a pre whose behavior changed between crash and
+    replay (e.g. a refit gate) never trips the stale-lineage check —
+    publish-if-changed already absorbs content drift."""
     if min_hits < 1:
         raise ValueError(f"min_hits must be >= 1, got {min_hits}")
     os.makedirs(state_dir, exist_ok=True)
@@ -126,6 +137,8 @@ def decontaminate_stream(
             state_dir, batch_id, fp, strict=True
         ) == markers.SKIP:
             return
+        if pre is not None:
+            batch_df = pre(batch_df, batch_id)
         spark = batch_df.sparkSession
         bench_grams = spark.read.parquet(grams_path)
         doc_grams = _gram_hashes(batch_df, "doc_id", "text", n, "_did")

@@ -266,80 +266,84 @@ class CurationPipelineStream:
             r = r.option("maxFilesPerTrigger", self.max_files)
         return r.parquet(path)
 
-    def _cap_gate(self, df: DataFrame) -> DataFrame:
-        """Optional rate-cap on the curated stream (r11): rows of
-        over-represented groups are admitted by the FROZEN persisted
+    def _cap_artifact(self) -> DataFrame:
+        """The persisted cap-thresholds artifact, cached until
+        `reload_cap_thresholds` — re-read lazily so a refit between
+        the clear and the next trigger is what the gate applies."""
+        if self._cap_art is None:
+            self._cap_art = self.spark.read.parquet(
+                self.cap_thresholds
+            ).localCheckpoint()
+        return self._cap_art
+
+    def reload_cap_thresholds(self) -> None:
+        """Pick up a REFIT cap-thresholds artifact (r13 — VERDICT r12
+        #6): clears the cached artifact so the NEXT trigger of the
+        decontamination stage gates against a fresh read of
+        ``cap_thresholds``. Safe mid-stream: the gate is applied
+        per micro-batch inside foreachBatch (`_cap_gate_batch` via
+        decontaminate_stream's ``pre`` hook), not frozen into the
+        streaming plan, so no query restart is needed. The composed
+        loop: watch ``cap_summary()``/run_live's ``stages.decon.cap``
+        for the unfitted fraction, refit `cap_thresholds` to the SAME
+        artifact path (overwrite), then call this."""
+        self._cap_art = None
+
+    def _cap_gate_batch(
+        self, df: DataFrame, batch_id: int
+    ) -> DataFrame:
+        """Optional rate-cap on the curated stream (r11; r13: applied
+        PER MICRO-BATCH through decontaminate_stream's ``pre`` hook):
+        rows of over-represented groups are admitted by the persisted
         thresholds artifact — apply_cap_thresholds is a pure broadcast
         map, deterministic per (seed, id), so the gate is replay-safe
-        with NO state, markers, or checkpoint of its own (it rides the
-        decontamination stage's plan; same rows on any re-delivery).
-        Groups ABSENT from the fit pass whole (keep IS NULL — no basis
-        to cap a group the fit never saw; the NULL is the refit
-        signal, and a periodic refit is the deployment knob, exactly
-        the CCNet frozen-threshold discipline). No-op when
-        cap_thresholds is unset.
+        with NO state, markers, or checkpoint of its own (same rows on
+        any re-delivery UNDER THE SAME ARTIFACT; the raw-input replay
+        fingerprint upstream keeps a mid-crash refit from tripping the
+        stale-lineage check). Groups ABSENT from the fit pass whole
+        (keep IS NULL — no basis to cap a group the fit never saw; the
+        NULL is the refit signal, and `reload_cap_thresholds` is the
+        refit pickup). No-op when cap_thresholds is unset.
 
-        The refit signal is OBSERVABLE (r12, VERDICT r11 ask #5): the
-        gate observes (rows, unfitted, dropped) via named metrics —
-        still zero state/checkpoint, the counts ride the plan the
-        stage already executes — and the stage harvests them per
-        trigger into ``cap_stats`` / run_live's ``stages.decon.cap``.
-        A brand-new head domain arriving after the fit is therefore
-        VISIBLE while its rows pass per the documented semantics."""
+        The refit signal is OBSERVABLE (r12, VERDICT r11 ask #5),
+        and since r13 the per-trigger (rows, unfitted, dropped)
+        counts recorded into ``cap_stats`` are EXACT — one bounded
+        aggregate per micro-batch on the labeled frame, not
+        observe-metrics that accumulate across a foreachBatch body's
+        several actions. A brand-new head domain arriving after the
+        fit is therefore VISIBLE while its rows pass per the
+        documented semantics."""
         if self.cap_thresholds is None:
             return df
         from gus_spark.operators.mixing import apply_cap_thresholds
 
-        if self._cap_art is None:
-            self._cap_art = self.spark.read.parquet(
-                self.cap_thresholds
-            )
         out = apply_cap_thresholds(
             df,
-            self._cap_art,
+            self._cap_artifact(),
             group_col=self.cap_group_col,
             id_col=self.cap_id_col,
             seed=self.cap_seed,
-        )
-        # observe BEFORE the filter so dropped rows are counted too
-        out = out.observe(
-            "cap_gate",
+        ).localCheckpoint(eager=False)
+        # exact per-trigger stats BEFORE the filter, so dropped rows
+        # are counted; keyed by batchId (replay overwrites = idempotent)
+        row = out.agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum(F.col("keep").isNull().cast("long")).alias(
                 "unfitted"
             ),
-            F.sum((~F.coalesce(F.col("keep"), F.lit(True))).cast(
-                "long"
-            )).alias("dropped"),
-        )
+            F.sum(
+                (~F.coalesce(F.col("keep"), F.lit(True))).cast("long")
+            ).alias("dropped"),
+        ).first()
+        if row["rows"]:
+            self.cap_stats[batch_id] = {
+                "rows": int(row["rows"]),
+                "unfitted": int(row["unfitted"] or 0),
+                "dropped": int(row["dropped"] or 0),
+            }
         return out.filter(
             F.col("keep").isNull() | F.col("keep")
         ).drop("keep")
-
-    @staticmethod
-    def _harvest_cap(progresses, into: dict[int, dict]) -> None:
-        """Fold each trigger's observed cap_gate metrics into ``into``
-        keyed by batchId (re-harvest-idempotent). Counts carry the
-        same multiplicity caveat as ``rows_in``: a foreachBatch stage
-        that takes several actions over its micro-batch executes the
-        gate's plan that many times, and observed metrics ACCUMULATE
-        across those executions — so rows/unfitted/dropped are upper
-        bounds on logical rows, while the unfitted/dropped FRACTIONS
-        are exact (the gate is deterministic, so every re-execution
-        scans the same rows and numerator and denominator inflate
-        together)."""
-        for p in progresses:
-            om = (p.get("observedMetrics") or {}).get("cap_gate")
-            if om is None:
-                continue
-            d = om.asDict() if hasattr(om, "asDict") else dict(om)
-            if not d.get("rows"):
-                continue
-            into[p["batchId"]] = {
-                "rows": int(d["rows"]),
-                "unfitted": int(d.get("unfitted") or 0),
-                "dropped": int(d.get("dropped") or 0),
-            }
 
     def _cap_summary(self, per_batch: dict[int, dict]) -> dict:
         """Cumulative cap-gate stats (+ the loud refit check): rows /
@@ -435,35 +439,31 @@ class CurationPipelineStream:
         if not os.path.isdir(self.curated):
             return
         stream = self._reader(self.curated, self._curated_schema())
-        q = decontaminate_stream(
-            self._cap_gate(stream.drop("batch")),
+        # the cap gate rides the PER-TRIGGER pre hook (r13): each
+        # micro-batch applies the current artifact and records exact
+        # (rows, unfitted, dropped) into cap_stats directly — no
+        # observe-metrics harvesting, so neither foreachBatch action
+        # multiplicity nor Spark's ~100-update recentProgress
+        # retention (ADVICE r12 #5) can skew the refit signal, at any
+        # drain length
+        decontaminate_stream(
+            stream.drop("batch"),
             self.bench,
             os.path.join(self.work, "state2"),
             self.clean,
             os.path.join(self.work, "ckpt2"),
             n=self.ngram,
             min_hits=self.min_hits,
-        )
-        if self.cap_thresholds is None:
-            q.awaitTermination()
-            return
-        # harvest DURING the drain, not once after it (ADVICE r12 #5):
-        # Spark retains only the last ~100 progress updates
-        # (spark.sql.streaming.numRecentProgressUpdates), so a single
-        # post-termination read of recentProgress silently loses the
-        # earliest triggers of a long availableNow drain and
-        # cap_summary under-reports rows/unfitted. _harvest_cap folds
-        # by batchId (re-harvest-idempotent), so polling every 0.5 s
-        # is free and loses nothing at any drain length.
-        while not q.awaitTermination(0.5):
-            self._harvest_cap(q.recentProgress, self.cap_stats)
-        self._harvest_cap(q.recentProgress, self.cap_stats)
+            pre=self._cap_gate_batch,
+        ).awaitTermination()
 
     def cap_summary(self) -> dict:
         """Cumulative cap-gate stats over everything this pipeline
         object has drained so far — run() and run_live() both feed
         the per-batch store. Keys: batches, rows_seen, unfitted_rows,
-        dropped_rows, unfitted_frac (exact — see _harvest_cap),
+        dropped_rows, unfitted_frac — all EXACT since r13 (the
+        per-trigger pre-hook gate records one bounded aggregate per
+        micro-batch; nothing rides observe metrics) — and
         triggers_with_unfitted. All-zero when the gate is off or
         nothing has flowed. Issues the loud refit warning when
         ``cap_refit_warn_frac`` is set and exceeded."""
@@ -833,7 +833,7 @@ class CurationPipelineStream:
     def _start_decontaminate_live(self, processing_time: str):
         stream = self._reader(self.curated, self._curated_schema())
         return decontaminate_stream(
-            self._cap_gate(stream.drop("batch")),
+            stream.drop("batch"),
             self.bench,
             os.path.join(self.work, "state2"),
             self.clean,
@@ -841,6 +841,7 @@ class CurationPipelineStream:
             n=self.ngram,
             min_hits=self.min_hits,
             processing_time=processing_time,
+            pre=self._cap_gate_batch,
         )
 
     def _start_fuzzy_live(self, processing_time: str):
@@ -1032,8 +1033,6 @@ class CurationPipelineStream:
                             "triggerExecution"
                         ),
                     }
-                if name == "decon" and self.cap_thresholds is not None:
-                    self._harvest_cap(q.recentProgress, self.cap_stats)
             snapshot = {
                 "stages": {
                     name: {

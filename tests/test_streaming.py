@@ -2039,3 +2039,116 @@ def test_publish_tokenizer_identity_guard(spark, tmp_path):
     os.remove(os.path.join(shards_dir, "tokenizer.json"))
     assert p.publish_shards(shards_dir, tok_dir) is None  # no new data
     assert load_tokenizer(shards_dir) == (merges, vocab)
+
+
+def test_cap_gate_mid_stream_refit_reload(spark, tmp_path):
+    """r13 (VERDICT r12 #6): the composed refit loop. The gate rides
+    decontaminate_stream's per-trigger pre hook, so
+    reload_cap_thresholds() makes a REFIT artifact take effect on the
+    next trigger of a LIVE stream — no query restart. Wave 1
+    ('alpha') is gated by the v1 fit; mid-stream the operator refits
+    onto the arriving 'beta' domain (overwriting the SAME artifact
+    path), reloads, and appends wave 2 — whose rows must be capped by
+    v2 (under the stale v1 they are unfitted and would ALL pass).
+    Expected survivors computed by applying each artifact to the
+    pipeline's own curated tier (the exact batch twin)."""
+    from gus_spark.operators.mixing import (
+        apply_cap_thresholds,
+        cap_thresholds,
+    )
+    from gus_spark.streaming import CurationPipelineStream
+
+    docs = table(spark, SF_DIR, "documents")
+    # unique text per row (the corpus holds exact dups) so curation's
+    # fp-dedup keeps every row and the wave sizes stay meaningful
+    uniq = F.concat(
+        F.col("text"), F.lit(" uniq "), F.col("doc_id").cast("string")
+    )
+    base = docs.select(
+        "doc_id", uniq.alias("text"), "lang",
+        F.length(uniq).cast("long").alias("n_chars"),
+    )
+    wave1 = base.filter(F.col("doc_id") % 7 == 0).limit(60).select(
+        "doc_id", "text", "lang", F.lit("alpha").alias("source"),
+        "n_chars",
+    )
+    wave2 = base.filter(F.col("doc_id") % 7 == 1).limit(60).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text", "lang",
+        F.lit("beta").alias("source"), "n_chars",
+    )
+    # a benchmark that cannot overlap any document 13-gram
+    bench = spark.createDataFrame(
+        [(1, " ".join(f"zq{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    art = str(tmp_path / "cap_art")
+    thr1 = cap_thresholds(wave1, group_col="source", max_rows=5)
+    thr1_rows = thr1.collect()
+    thr1.write.parquet(art)
+
+    src = str(tmp_path / "src")
+    schema = wave1.schema
+    wave1.coalesce(1).write.parquet(src)
+    p = CurationPipelineStream(
+        spark, src, schema, bench, str(tmp_path / "work"),
+        cap_thresholds=art, cap_group_col="source",
+        ngram=13, min_hits=1,
+        chunk_tokens=16, chunk_overlap=4, seq_budget=48, pack_shards=4,
+    )
+    state = {"phase": 0}
+
+    def on_progress(snapshot):
+        if (
+            state["phase"] == 0
+            and snapshot["stages"].get("decon", {}).get("batches", 0)
+            >= 1
+        ):
+            # the operator's refit: fit v2 on the arriving domain,
+            # overwrite the artifact path, reload, then wave 2 lands
+            thr2 = cap_thresholds(
+                wave2, group_col="source", max_rows=5
+            )
+            state["thr2"] = thr2.collect()
+            thr2.write.mode("overwrite").parquet(art)
+            p.reload_cap_thresholds()
+            wave2.coalesce(1).write.mode("append").parquet(src)
+            state["phase"] = 1
+
+    snap = p.run_live(timeout=240.0, on_progress=on_progress)
+    assert not snap["timed_out"] and state["phase"] == 1
+
+    def expected(curated, thr_rows):
+        thr = spark.createDataFrame(thr_rows, thr1.schema)
+        gated = apply_cap_thresholds(
+            curated, thr, group_col="source"
+        )
+        return {
+            r.doc_id
+            for r in gated.filter(
+                F.col("keep").isNull() | F.col("keep")
+            ).collect()
+        }
+
+    curated = spark.read.parquet(p.curated).select(
+        "doc_id", "source"
+    )
+    cur1 = curated.filter(F.col("source") == "alpha")
+    cur2 = curated.filter(F.col("source") == "beta")
+    assert cur2.count() > 10  # wave 2 genuinely flowed
+    want1 = expected(cur1, thr1_rows)
+    want2 = expected(cur2, state["thr2"])
+    # both gates genuinely bit — and v2 biting at all IS the reload
+    # (under stale v1, beta is unfitted: every row would pass)
+    assert len(want1) < cur1.count()
+    assert len(want2) < cur2.count()
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(p.clean).select("doc_id").collect()
+    }
+    assert got == want1 | want2
+    # the exact per-trigger stats recorded the v2 drops
+    s = p.cap_summary()
+    assert s["dropped_rows"] == (cur1.count() - len(want1)) + (
+        cur2.count() - len(want2)
+    )
+    assert s["unfitted_rows"] == 0  # every arriving group was fitted
