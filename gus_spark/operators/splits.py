@@ -899,7 +899,11 @@ def iter_training_order(
     Rows tombstoned via `tombstone_training_shards` are filtered out
     of every batch (the read-side compliance-delete gate); cursors
     track the position consumed, so tombstones never move or strand a
-    resume point.
+    resume point. When `mask_training_sequences` has recorded
+    doc-span masks, every batch additionally carries a
+    ``masked_spans`` column (list<struct<start, len>>, null for clean
+    rows) — the trainer zeroes those token ranges; rows still flow
+    (r13).
 
     Filesystem contract: every path this reader touches goes through
     ``filesystem`` — a ``pyarrow.fs.FileSystem``, default
@@ -956,18 +960,27 @@ def iter_training_order(
     # or strand a resume point — a batch emptied by the gate is
     # simply not yielded and its region rides the next cursor.
     tombstones = _load_tombstones(fs, dest)
+    # doc-span masks (r13): when dest/masks.parquet exists, EVERY
+    # yielded batch carries a masked_spans column (null for clean
+    # rows — a stable schema per run, never per-batch); the trainer
+    # zeroes those token ranges out of the loss/attention. Rows still
+    # flow, so positions/cursors/epochs are untouched.
+    span_masks = _load_masks(fs, dest)
     id_col = manifest["id_col"]
 
     def gate(batch):
-        if tombstones is None:
-            return batch
-        import pyarrow as _pa
+        if tombstones is not None:
+            import pyarrow as _pa
 
-        mask = [
-            v not in tombstones
-            for v in batch.column(id_col).to_pylist()
-        ]
-        return batch if all(mask) else batch.filter(_pa.array(mask))
+            keep = [
+                v not in tombstones
+                for v in batch.column(id_col).to_pylist()
+            ]
+            if not all(keep):
+                batch = batch.filter(_pa.array(keep))
+        if span_masks is not None and batch.num_rows:
+            batch = _attach_masks(batch, span_masks, id_col)
+        return batch
     data_dir = posixpath.join(dest, "data")
     # match by the split VALUE: partition dir names are Spark-escaped
     # (the writer's footer walk decodes the same way), so a literal
@@ -1348,6 +1361,153 @@ def sequences_containing(
         )
         .select(id_col)
         .distinct()
+    )
+
+
+def mask_training_sequences(
+    spark,
+    dest: str,
+    doc_ids: DataFrame,
+    doc_col: str = "doc_id",
+) -> dict:
+    """Retention-optimizing alternative to whole-sequence removal
+    (r13 — VERDICT r12 #5: measured on the sf0.1-sf10 corpora, whole-
+    sequence removal at 2048-token pack budgets costs ~36x the
+    contaminated tokens — 3.6% of the corpus at 0.1% doc
+    contamination, 17% at 0.5% (SCALING.md §masking) — because a
+    sequence packs every neighbor of a contaminated document):
+    instead of tombstoning the seq_uids `sequences_containing`
+    flags, record the contaminated documents' EXACT token spans
+    (the ``doc_spans`` boundaries `assemble_token_sequences` already
+    materializes) in a ``dest/masks.parquet`` sidecar;
+    `iter_training_order` then attaches a ``masked_spans`` column —
+    the trainer zeroes those positions out of the loss/attention
+    (it already masks across doc_spans boundaries, so the plumbing
+    is one more span source) and every packed NEIGHBOR survives.
+
+    One scan of the shard set (span membership lives in the rows),
+    explode + broadcast join, output bounded by contamination volume
+    (the tombstone collect bound). Repeat calls MERGE per sequence
+    (span-set union — two benchmarks masking the same sequence
+    compose). Positions, cursors, epochs, ranks, and shard files are
+    untouched: masking is metadata the read path carries, the row
+    still flows.
+
+    Use `tombstone_training_shards` (via `sequences_containing` /
+    `TrainingShardSet.delete`) when the WHOLE sequence must go
+    (compliance deletes); use this when the goal is decontamination
+    with minimal retention loss. Returns
+    ``{"masked_sequences": total, "masked_spans": total spans}``."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    id_col = read_manifest(dest)["id_col"]
+    rows = spark.read.parquet(os.path.join(dest, "data"))
+    if "doc_spans" not in rows.columns:
+        raise ValueError(
+            f"shard set at {dest!r} carries no doc_spans column — "
+            "masking needs assemble_token_sequences-shaped rows "
+            "(publish_shards output); for plain document sets use "
+            "tombstone_training_shards"
+        )
+    dead = F.broadcast(
+        doc_ids.select(F.col(doc_col).alias("_dead")).distinct()
+    )
+    hits = (
+        rows.select(id_col, F.explode("doc_spans").alias("_s"))
+        .join(dead, F.col(f"_s.{doc_col}") == F.col("_dead"))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_set(
+                    F.struct(
+                        F.col("_s.start").alias("start"),
+                        F.col("_s.len").alias("len"),
+                    )
+                )
+            ).alias("spans")
+        )
+        .collect()  # bounded: contaminated sequences only
+    )
+    new = {
+        r[id_col]: {(s["start"], s["len"]) for s in r["spans"]}
+        for r in hits
+    }
+    path = os.path.join(dest, "masks.parquet")
+    merged: dict = {}
+    if os.path.exists(path):
+        t = pq.read_table(path)
+        for i, spans in zip(
+            t.column("id").to_pylist(), t.column("spans").to_pylist()
+        ):
+            merged[i] = {(s["start"], s["len"]) for s in spans}
+    for i, spans in new.items():
+        merged.setdefault(i, set()).update(spans)
+    ids = sorted(merged)
+    span_t = pa.list_(
+        pa.struct([("start", pa.int64()), ("len", pa.int64())])
+    )
+    tbl = pa.table(
+        {
+            "id": pa.array(ids),
+            "spans": pa.array(
+                [
+                    [
+                        {"start": s, "len": ln}
+                        for s, ln in sorted(merged[i])
+                    ]
+                    for i in ids
+                ],
+                type=span_t,
+            ),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return {
+        "id_col": id_col,
+        "masked_sequences": len(ids),
+        "masked_spans": sum(len(v) for v in merged.values()),
+    }
+
+
+def _load_masks(fs, dest: str):
+    """id → sorted [(start, len), …] masked spans (None when the
+    sidecar doesn't exist) — the read-side twin of _load_tombstones."""
+    import posixpath
+
+    import pyarrow.fs as pa_fs
+    import pyarrow.parquet as pq
+
+    path = posixpath.join(dest, "masks.parquet")
+    if fs.get_file_info(path).type == pa_fs.FileType.NotFound:
+        return None
+    with fs.open_input_file(path) as fh:
+        t = pq.ParquetFile(fh).read()
+    return dict(
+        zip(t.column("id").to_pylist(), t.column("spans").to_pylist())
+    )
+
+
+def _attach_masks(batch, masks: dict, id_col: str):
+    """Append the ``masked_spans`` column (list<struct<start,len>>,
+    null for unmasked rows) to a loader batch — pure pyarrow, no
+    Spark on the trainer host."""
+    import pyarrow as pa
+
+    span_t = pa.list_(
+        pa.struct([("start", pa.int64()), ("len", pa.int64())])
+    )
+    col = pa.array(
+        [masks.get(i) for i in batch.column(id_col).to_pylist()],
+        type=span_t,
+    )
+    return pa.RecordBatch.from_arrays(
+        [*batch.columns, col],
+        names=[*batch.schema.names, "masked_spans"],
     )
 
 

@@ -1488,3 +1488,196 @@ class TestCompactGenerations:
         assert compact_generations(spark, d, max_generations=2) == m0
         with pytest.raises(ValueError, match="max_generations"):
             compact_generations(spark, d, max_generations=0)
+
+
+class TestDocSpanMasking:
+    """mask_training_sequences (r13 — VERDICT r12 #5): the retention
+    measurement (SCALING.md §masking) showed whole-sequence removal
+    costs ~36x the contaminated tokens at 2048-token budgets, so the
+    doc-span mask is warranted. Claims pinned:
+
+    - the sidecar's spans are EXACTLY the contaminated documents'
+      doc_spans boundaries (the trainer's existing mask source);
+    - the loader attaches masked_spans to EVERY batch (stable
+      schema), null for clean rows; all rows still flow (positions,
+      cursors, counts untouched);
+    - repeat calls merge per sequence (span-set union) and are
+      idempotent;
+    - composition with tombstones: a tombstoned sequence is gone,
+      the rest stay masked;
+    - a doc_spans-less shard set raises."""
+
+    @pytest.fixture(scope="class")
+    def built(self, spark, tmp_path_factory):
+        from gus_spark.operators.bpe import (
+            bpe_base_symbols,
+            bpe_fit,
+            bpe_vocab,
+        )
+        from gus_spark.operators.chunk import (
+            assemble_token_sequences,
+            chunk_documents,
+            pack_sequences,
+        )
+        from gus_spark.operators.splits import write_training_shards
+
+        docs = table(spark, SF_DIR_ORACLE, "documents").select(
+            "doc_id", "text"
+        )
+        merges = bpe_fit(docs.limit(80), num_merges=12)
+        vocab = bpe_vocab(merges, bpe_base_symbols(docs.limit(80)))
+        chunks = chunk_documents(docs, max_tokens=16, overlap=4)
+        packed = pack_sequences(chunks, budget=48, shards=4)
+        seqs = assemble_token_sequences(packed, merges, vocab)
+        dest = str(tmp_path_factory.mktemp("mask_shards"))
+        write_training_shards(
+            seqs, dest, shards=4, id_col="seq_uid",
+            weights={"train": 1.0}, verify=False,
+        )
+        rows = {
+            r.seq_uid: [
+                (s.doc_id, s.start, s.len) for s in r.doc_spans
+            ]
+            for r in seqs.collect()
+        }
+        return dest, rows
+
+    @staticmethod
+    def _loader_view(dest, **kw):
+        from gus_spark.operators.splits import iter_training_order
+
+        out = {}
+        for b, _c in iter_training_order(dest, "train", **kw):
+            assert "masked_spans" in b.schema.names
+            for row in b.to_pylist():
+                out[row["seq_uid"]] = row["masked_spans"]
+        return out
+
+    def test_masks_are_exact_doc_spans_and_rows_flow(
+        self, spark, built
+    ):
+        from gus_spark.operators.splits import (
+            mask_training_sequences,
+        )
+
+        dest, rows = built
+        all_docs = {d for spans in rows.values() for d, _s, _l in spans}
+        dirty = sorted(all_docs)[::17]
+        receipt = mask_training_sequences(
+            spark, dest,
+            spark.createDataFrame([(d,) for d in dirty], "doc_id long"),
+        )
+        want = {
+            uid: sorted(
+                {(s, ln) for d, s, ln in spans if d in set(dirty)}
+            )
+            for uid, spans in rows.items()
+            if any(d in set(dirty) for d, _s, _l in spans)
+        }
+        assert receipt["masked_sequences"] == len(want) > 0
+        got = self._loader_view(dest)
+        assert set(got) == set(rows)  # every sequence still delivered
+        for uid, spans in got.items():
+            if uid in want:
+                assert [
+                    (s["start"], s["len"]) for s in spans
+                ] == want[uid], uid
+            else:
+                assert spans is None, uid
+        # epoch>0 path carries the column too
+        got_e1 = self._loader_view(dest, epoch=1)
+        assert {
+            u: (
+                tuple((s["start"], s["len"]) for s in v)
+                if v is not None
+                else None
+            )
+            for u, v in got_e1.items()
+        } == {
+            u: (
+                tuple((s["start"], s["len"]) for s in v)
+                if v is not None
+                else None
+            )
+            for u, v in got.items()
+        }
+        # retention: masking keeps every neighbor token that
+        # whole-sequence removal would destroy
+        masked_tok = sum(
+            ln for spans in want.values() for _s, ln in spans
+        )
+        whole_tok = sum(
+            ln
+            for uid in want
+            for _d, _s, ln in rows[uid]
+        )
+        assert masked_tok < whole_tok
+
+    def test_merge_and_idempotence(self, spark, built):
+        import pyarrow.parquet as pq
+
+        from gus_spark.operators.splits import (
+            mask_training_sequences,
+        )
+
+        dest, rows = built
+        before = pq.read_table(
+            os.path.join(dest, "masks.parquet")
+        ).to_pylist()
+        all_docs = {d for spans in rows.values() for d, _s, _l in spans}
+        dirty = sorted(all_docs)[::17]
+        # same benchmark again: byte-stable sidecar
+        mask_training_sequences(
+            spark, dest,
+            spark.createDataFrame([(d,) for d in dirty], "doc_id long"),
+        )
+        assert (
+            pq.read_table(
+                os.path.join(dest, "masks.parquet")
+            ).to_pylist()
+            == before
+        )
+        # a second benchmark unions per sequence
+        more = sorted(all_docs)[3::29]
+        mask_training_sequences(
+            spark, dest,
+            spark.createDataFrame([(d,) for d in more], "doc_id long"),
+        )
+        got = self._loader_view(dest)
+        dirty2 = set(dirty) | set(more)
+        for uid, spans in rows.items():
+            want = sorted({(s, ln) for d, s, ln in spans if d in dirty2})
+            if want:
+                assert [
+                    (s["start"], s["len"]) for s in got[uid]
+                ] == want, uid
+
+    def test_composes_with_tombstones(self, spark, built):
+        from gus_spark.operators.splits import (
+            tombstone_training_shards,
+        )
+
+        dest, rows = built
+        got = self._loader_view(dest)
+        victim = next(u for u, v in got.items() if v is not None)
+        tombstone_training_shards(dest, {victim})
+        after = self._loader_view(dest)
+        assert victim not in after
+        assert {u: v for u, v in got.items() if u != victim} == after
+
+    def test_plain_document_set_raises(self, spark, built, tmp_path):
+        from gus_spark.operators.splits import (
+            mask_training_sequences,
+            write_training_shards,
+        )
+
+        d = str(tmp_path / "plain")
+        write_training_shards(
+            spark.range(50).select(F.col("id").alias("doc_id")),
+            d, shards=2, weights={"train": 1.0},
+        )
+        with pytest.raises(ValueError, match="doc_spans"):
+            mask_training_sequences(
+                spark, d,
+                spark.createDataFrame([(1,)], "doc_id long"),
+            )
