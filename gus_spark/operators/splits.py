@@ -1284,9 +1284,10 @@ class TrainingShardSet:
     domain. For a seq_uid-keyed set (the publish_shards output), map
     document-level findings to sequences first with
     `sequences_containing` — removing the WHOLE sequence is the
-    conservative correct action (packed neighbors of a contaminated
-    document share its attention context only across masked spans,
-    but the sequence is the delivery unit).
+    conservative compliance action (the sequence is the delivery
+    unit). When the goal is decontamination with minimal retention
+    loss, use `mask` instead (r13): it takes DOCUMENT ids directly
+    and records doc-span masks, keeping every packed neighbor.
 
     Batch-key idempotency mirrors the index contract: a replay of the
     same key short-circuits to 0 (keys persist in
@@ -1332,6 +1333,44 @@ class TrainingShardSet:
             json.dump(keys, fh)
         os.replace(tmp, path)
         return added
+
+    def mask(
+        self,
+        doc_ids_df: DataFrame,
+        batch_key: str,
+        doc_col: str = "doc_id",
+    ) -> int:
+        """Retention-preserving twin of `delete` (r13): record the
+        contaminated DOCUMENTS' doc-span masks
+        (`mask_training_sequences`) instead of tombstoning whole
+        sequences — packed neighbors keep training (SCALING.md
+        §masking: whole-sequence removal costs ~36x the contaminated
+        tokens at 2048-token budgets). Takes DOCUMENT ids (the
+        finding's natural key — no `sequences_containing` mapping
+        step), idempotent per ``batch_key`` via ``mask_keys.json``
+        (the delete ledger pattern; the two ledgers are separate —
+        the same benchmark may first mask, later escalate to
+        delete). Returns the number of sequences whose mask set
+        GREW (0 on a replayed key)."""
+        import json
+        import os
+
+        path = os.path.join(self.dest, "mask_keys.json")
+        keys: list[str] = []
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as fh:
+                keys = json.load(fh)
+        if batch_key in keys:
+            return 0
+        receipt = mask_training_sequences(
+            self.spark, self.dest, doc_ids_df, doc_col=doc_col
+        )
+        keys.append(batch_key)
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(keys, fh)
+        os.replace(tmp, path)
+        return receipt["changed"]
 
 
 def sequences_containing(
@@ -1443,8 +1482,12 @@ def mask_training_sequences(
             t.column("id").to_pylist(), t.column("spans").to_pylist()
         ):
             merged[i] = {(s["start"], s["len"]) for s in spans}
+    changed = 0
     for i, spans in new.items():
-        merged.setdefault(i, set()).update(spans)
+        have = merged.setdefault(i, set())
+        if spans - have:
+            changed += 1
+            have.update(spans)
     ids = sorted(merged)
     span_t = pa.list_(
         pa.struct([("start", pa.int64()), ("len", pa.int64())])
@@ -1471,6 +1514,7 @@ def mask_training_sequences(
         "id_col": id_col,
         "masked_sequences": len(ids),
         "masked_spans": sum(len(v) for v in merged.values()),
+        "changed": changed,
     }
 
 

@@ -561,6 +561,7 @@ class CurationPipelineStream:
         shards: int = 16,
         verify: bool = False,
         final: bool = False,
+        max_generations: int | None = None,
     ) -> dict | None:
         """Post-drain terminal step (r12): assemble the packed tier's
         CLOSED sequences into token-id training examples
@@ -607,7 +608,18 @@ class CurationPipelineStream:
         to a refit tokenizer, re-tokenize: publish into a FRESH
         shards_dir under the new artifact (the packed tier is the
         durable source of truth; token-id shards are derived data),
-        or keep publishing this set under the original artifact."""
+        or keep publishing this set under the original artifact.
+
+        ``max_generations`` (r13) bounds generation accumulation at
+        steady state: after each publish (and on every call, so a
+        crashed fold resumes), `compact_generations` folds the shard
+        set back down whenever the count exceeds the bound — a
+        run_live(publish=...) cadence then costs O(bound) loader file
+        opens forever instead of O(publish count). Compaction
+        invalidates outstanding loader cursors (the generation-count
+        binding makes resumes loud) — size the bound to your
+        checkpoint cadence, or leave None and compact between
+        training runs."""
         import json
 
         from gus_spark.operators.bpe import (
@@ -737,6 +749,21 @@ class CurationPipelineStream:
             state["intent"] = None
             save_state()
 
+        def maybe_compact(m: dict | None) -> dict | None:
+            """Steady-state generation bound (r13): fold when the
+            count exceeds max_generations — runs on EVERY call (a
+            crashed fold's intent resumes here too), strictly after
+            the publish state machine finalized, so the two
+            crash-recovery protocols never interleave."""
+            if max_generations is None or current_generations() == 0:
+                return m
+            from gus_spark.operators.splits import compact_generations
+
+            folded = compact_generations(
+                self.spark, shards_dir, max_generations, verify=verify
+            )
+            return folded if m is not None else None
+
         maxes = {
             str(r["shard"]): int(r["hi"])
             for r in self.spark.read.parquet(self.packed)
@@ -751,7 +778,7 @@ class CurationPipelineStream:
             if (m + 1 if final else m) > lo.get(s, 0)
         }
         if not hi:
-            return manifest
+            return maybe_compact(manifest)
         gen_before = current_generations()
         state["intent"] = {"lo": lo, "hi": hi, "gen_before": gen_before}
         save_state()
@@ -759,7 +786,7 @@ class CurationPipelineStream:
         state["watermarks"] = {**lo, **hi}
         state["intent"] = None
         save_state()
-        return manifest
+        return maybe_compact(manifest)
 
     # ---- live mode -------------------------------------------------
 

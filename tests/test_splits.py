@@ -1681,3 +1681,54 @@ class TestDocSpanMasking:
                 spark, d,
                 spark.createDataFrame([(1,)], "doc_id long"),
             )
+
+
+class TestShardSetMaskVerb:
+    """TrainingShardSet.mask (r13): the retention-preserving twin of
+    delete — document ids in, doc-span masks recorded, batch-key
+    idempotent via its OWN ledger (mask then a later delete
+    escalation compose)."""
+
+    def test_mask_is_batch_key_idempotent(self, spark, tmp_path):
+        from gus_spark.operators.bpe import (
+            bpe_base_symbols,
+            bpe_fit,
+            bpe_vocab,
+        )
+        from gus_spark.operators.chunk import (
+            assemble_token_sequences,
+            chunk_documents,
+            pack_sequences,
+        )
+        from gus_spark.operators.splits import (
+            TrainingShardSet,
+            write_training_shards,
+        )
+
+        docs = table(spark, SF_DIR_ORACLE, "documents").select(
+            "doc_id", "text"
+        ).limit(120)
+        merges = bpe_fit(docs, num_merges=8)
+        vocab = bpe_vocab(merges, bpe_base_symbols(docs))
+        seqs = assemble_token_sequences(
+            pack_sequences(
+                chunk_documents(docs, max_tokens=16, overlap=4),
+                budget=48, shards=4,
+            ),
+            merges, vocab,
+        )
+        dest = str(tmp_path / "shards")
+        write_training_shards(
+            seqs, dest, shards=4, id_col="seq_uid",
+            weights={"train": 1.0}, verify=False,
+        )
+        sset = TrainingShardSet(spark, dest)
+        dirty = docs.filter(F.col("doc_id") % 11 == 3).select("doc_id")
+        n = sset.mask(dirty, batch_key="bench-v1")
+        assert n > 0
+        assert sset.mask(dirty, batch_key="bench-v1") == 0  # replay
+        # a later escalation to delete uses its own ledger
+        from gus_spark.operators.splits import sequences_containing
+
+        uids = sequences_containing(spark, dest, dirty)
+        assert sset.delete(uids, batch_key="bench-v1") > 0

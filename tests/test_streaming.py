@@ -2152,3 +2152,74 @@ def test_cap_gate_mid_stream_refit_reload(spark, tmp_path):
         cur2.count() - len(want2)
     )
     assert s["unfitted_rows"] == 0  # every arriving group was fitted
+
+
+def test_publish_shards_bounded_generations(spark, tmp_path):
+    """r13: publish_shards(max_generations=1) keeps the shard set at
+    one generation across publishes (compact_generations runs after
+    each land), with the sequence union still equal to assembling the
+    full packed tier — the steady-state form a run_live publish
+    cadence needs so loader file counts stop growing."""
+    from gus_spark.operators.bpe import (
+        bpe_base_symbols,
+        bpe_fit,
+        bpe_vocab,
+        save_tokenizer,
+    )
+    from gus_spark.operators.chunk import assemble_token_sequences
+    from gus_spark.operators.splits import (
+        iter_training_order,
+        read_manifest,
+    )
+    from gus_spark.streaming import CurationPipelineStream
+
+    docs = table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 3).select(
+        "doc_id", "text"
+    )
+    merges = bpe_fit(docs.limit(100), num_merges=16)
+    vocab = bpe_vocab(merges, bpe_base_symbols(docs.limit(100)))
+    tok_dir = str(tmp_path / "tok")
+    os.makedirs(tok_dir)
+    save_tokenizer(tok_dir, merges, vocab)
+
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    p = CurationPipelineStream(
+        spark, src, docs.schema, bench, str(tmp_path / "work"),
+        ngram=13, min_hits=1,
+        chunk_tokens=16, chunk_overlap=4, seq_budget=48, pack_shards=4,
+    )
+    shards_dir = str(tmp_path / "shards")
+    p.run()
+    m1 = p.publish_shards(
+        shards_dir, tok_dir, shards=4, max_generations=1
+    )
+    assert m1["generations"] == 1
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    p.run()
+    m2 = p.publish_shards(
+        shards_dir, tok_dir, shards=4, max_generations=1, final=True
+    )
+    assert m2["generations"] == 1  # folded right after the land
+    assert read_manifest(shards_dir)["generations"] == 1
+    train_dir = os.path.join(shards_dir, "data", "split=train")
+    assert (
+        len([d for d in os.listdir(train_dir) if d.startswith("shard=")])
+        == 4
+    )
+    want = {
+        r["seq_uid"]: tuple(r["token_ids"])
+        for r in assemble_token_sequences(
+            spark.read.parquet(p.packed), merges, vocab
+        ).collect()
+    }
+    got = {}
+    for split in ("train", "validation", "test"):
+        for b, _c in iter_training_order(shards_dir, split):
+            for row in b.to_pylist():
+                assert row["seq_uid"] not in got
+                got[row["seq_uid"]] = tuple(row["token_ids"])
+    assert got == want
