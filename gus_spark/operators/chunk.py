@@ -90,6 +90,59 @@ def chunk_documents(
     )
 
 
+def reconstruct_documents(
+    chunks: DataFrame,
+    overlap: int,
+    id_col: str = "doc_id",
+    index_col: str = "chunk_index",
+    text_col: str = "chunk_text",
+) -> DataFrame:
+    """Inverse of `chunk_documents` (r13): (id, text) — the original
+    WHITESPACE-NORMALIZED document text reassembled from its chunk
+    windows, exact because the windows slide by (max_tokens −
+    overlap): every chunk after index 0 re-carries exactly ``overlap``
+    leading tokens of its predecessor, so dropping that prefix tiles
+    the token array (the final window is a plain tail slice, never
+    clamped backward, and always longer than ``overlap`` — see
+    chunk_documents' n_chunks arithmetic). Round-trip asserted in
+    tests for every (max_tokens, overlap) shape used in the repo.
+
+    The late-decontamination reader: a PACKED tier carries only
+    chunks, but a benchmark that lands after publishing needs
+    doc-level n-gram findings — reconstruct, then
+    `ngram_contamination`. One exchange on the doc id; per-doc lists
+    are document-bounded."""
+    if overlap < 0:
+        raise ValueError(f"overlap must be >= 0, got {overlap}")
+    toks = F.split(F.col(text_col), " ")
+    tail = F.when(
+        F.col(index_col) == 0, toks
+    ).otherwise(
+        F.slice(
+            toks,
+            F.lit(overlap + 1),
+            F.greatest(F.size(toks) - overlap, F.lit(0)),
+        )
+    )
+    return (
+        chunks.select(
+            F.col(id_col),
+            F.struct(
+                F.col(index_col).alias("i"),
+                F.array_join(tail, " ").alias("t"),
+            ).alias("_part"),
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("_part")).alias("_parts"))
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(F.col("_parts"), lambda s: s["t"]), " "
+            ).alias("text"),
+        )
+    )
+
+
 def pack_sequences(
     chunks: DataFrame,
     id_col: str = "doc_id",

@@ -788,6 +788,58 @@ class CurationPipelineStream:
         save_state()
         return maybe_compact(manifest)
 
+    def mask_published_shards(
+        self,
+        shards_dir: str,
+        bench: DataFrame,
+        batch_key: str,
+        bench_id_col: str = "doc_id",
+        bench_text_col: str = "text",
+    ) -> int:
+        """Late-benchmark decontamination of an ALREADY-PUBLISHED
+        shard set with minimal retention loss (r13): the streaming
+        decon stage protects NEW data against the benchmark it was
+        configured with, but a benchmark that lands after sequences
+        were published needs a retroactive remedy. This composes it
+        as one call: reconstruct the packed tier's document texts
+        from their chunk windows (`reconstruct_documents` — exact,
+        the windows tile), flag overlapping documents with the SAME
+        n-gram parameters the stream uses (`ngram_contamination`,
+        this pipeline's ngram/min_hits), and record their doc-span
+        masks (`TrainingShardSet.mask` — packed neighbors keep
+        training; SCALING.md §masking for why not whole-sequence
+        removal). Idempotent per ``batch_key``; returns the number of
+        sequences whose mask set grew. For compliance deletes (the
+        bytes must stop being served), use `sequences_containing` +
+        `TrainingShardSet.delete` instead."""
+        from gus_spark.operators.chunk import reconstruct_documents
+        from gus_spark.operators.decontaminate import (
+            ngram_contamination,
+        )
+        from gus_spark.operators.splits import TrainingShardSet
+
+        docs = reconstruct_documents(
+            self.spark.read.parquet(self.packed).select(
+                "doc_id", "chunk_index", "chunk_text"
+            ),
+            self.chunk_overlap,
+        )
+        flagged = (
+            ngram_contamination(
+                docs,
+                bench,
+                bench_id_col=bench_id_col,
+                bench_text_col=bench_text_col,
+                n=self.ngram,
+                min_hits=self.min_hits,
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        return TrainingShardSet(self.spark, shards_dir).mask(
+            flagged, batch_key
+        )
+
     # ---- live mode -------------------------------------------------
 
     @staticmethod

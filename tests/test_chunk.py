@@ -491,3 +491,45 @@ def test_merge_same_doc_spans(spark):
         assert s.start == off and s.len > 0
         off += s.len
     assert off - 1 == m.n_tokens
+
+
+def test_reconstruct_documents_round_trips(spark):
+    """reconstruct_documents (r13): chunk → reconstruct returns the
+    whitespace-normalized original for every window shape the repo
+    uses (incl. overlap 0 and a window wider than most docs), every
+    document, bit-for-bit."""
+    from conftest import SF_DIR_ORACLE
+
+    from pyspark.sql import functions as F
+
+    from gus_spark.functions.tokenize import tokenize
+    from gus_spark.operators.chunk import (
+        chunk_documents,
+        reconstruct_documents,
+    )
+    from gus_spark.queries import table
+
+    docs = table(spark, SF_DIR_ORACLE, "documents").select(
+        "doc_id", "text"
+    )
+    want = {
+        r.doc_id: r.norm
+        for r in docs.select(
+            "doc_id",
+            F.array_join(tokenize(F.col("text"), "words"), " ").alias(
+                "norm"
+            ),
+        ).collect()
+        if r.norm  # empty docs yield zero chunks by contract
+    }
+    for max_tokens, overlap in ((16, 4), (512, 64), (16, 0), (7, 6)):
+        got = {
+            r.doc_id: r.text
+            for r in reconstruct_documents(
+                chunk_documents(
+                    docs, max_tokens=max_tokens, overlap=overlap
+                ),
+                overlap,
+            ).collect()
+        }
+        assert got == want, (max_tokens, overlap)

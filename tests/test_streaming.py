@@ -2223,3 +2223,84 @@ def test_publish_shards_bounded_generations(spark, tmp_path):
                 assert row["seq_uid"] not in got
                 got[row["seq_uid"]] = tuple(row["token_ids"])
     assert got == want
+
+
+def test_mask_published_shards_late_benchmark(spark, tmp_path):
+    """r13: mask_published_shards — a benchmark landing AFTER
+    sequences were published decontaminates the shard set with
+    minimal retention loss, in one call: packed-tier docs
+    reconstructed from chunk windows, ngram-flagged with the
+    pipeline's own n/min_hits, doc-span masks recorded. Flagged
+    sequences carry masks exactly over the flagged docs' spans;
+    every sequence still flows; the call is batch-key idempotent."""
+    from gus_spark.operators.bpe import (
+        bpe_base_symbols,
+        bpe_fit,
+        bpe_vocab,
+        save_tokenizer,
+    )
+    from gus_spark.operators.splits import iter_training_order
+    from gus_spark.streaming import CurationPipelineStream
+
+    docs = table(spark, SF_DIR, "documents")
+    old_bench = docs.filter(F.col("doc_id") % 97 == 3).select(
+        "doc_id", "text"
+    )
+    merges = bpe_fit(docs.limit(100), num_merges=16)
+    vocab = bpe_vocab(merges, bpe_base_symbols(docs.limit(100)))
+    tok_dir = str(tmp_path / "tok")
+    os.makedirs(tok_dir)
+    save_tokenizer(tok_dir, merges, vocab)
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    p = CurationPipelineStream(
+        spark, src, docs.schema, old_bench, str(tmp_path / "work"),
+        ngram=13, min_hits=1,
+        chunk_tokens=16, chunk_overlap=4, seq_budget=48, pack_shards=4,
+    )
+    shards_dir = str(tmp_path / "shards")
+    p.run()
+    p.publish_shards(shards_dir, tok_dir, shards=4, final=True)
+
+    # the LATE benchmark: full texts of some already-published docs
+    packed_docs = spark.read.parquet(p.packed).select("doc_id").distinct()
+    late_ids = {r.doc_id for r in packed_docs.limit(7).collect()}
+    late_bench = docs.filter(
+        F.col("doc_id").isin(*late_ids)
+    ).select((F.col("doc_id") + 900).alias("doc_id"), "text")
+    n = p.mask_published_shards(shards_dir, late_bench, "late-v1")
+    assert n > 0
+    assert p.mask_published_shards(shards_dir, late_bench, "late-v1") == 0
+
+    # every sequence still flows; masks cover exactly the sequences
+    # whose doc_spans include a flagged doc (flagged ⊇ late_ids —
+    # exact duplicates of a late doc's text are flagged too)
+    total = 0
+    masked_uids = set()
+    spans_by_uid = {}
+    flagged_docs = set()
+    for split in ("train", "validation", "test"):
+        for b, _c in iter_training_order(shards_dir, split):
+            for row in b.to_pylist():
+                total += 1
+                spans_by_uid[row["seq_uid"]] = row["doc_spans"]
+                if row["masked_spans"] is not None:
+                    masked_uids.add(row["seq_uid"])
+                    for s in row["masked_spans"]:
+                        flagged_docs.update(
+                            d["doc_id"]
+                            for d in row["doc_spans"]
+                            if (d["start"], d["len"])
+                            == (s["start"], s["len"])
+                        )
+    n_seqs = spark.read.parquet(
+        os.path.join(shards_dir, "data")
+    ).count()
+    assert total == n_seqs  # nothing removed
+    assert late_ids <= flagged_docs  # the late bench docs are masked
+    want_masked = {
+        uid
+        for uid, spans in spans_by_uid.items()
+        if any(d["doc_id"] in flagged_docs for d in spans)
+    }
+    assert masked_uids == want_masked
