@@ -591,6 +591,42 @@ def run_pipeline(
     assert off - 1 == len(row["token_ids"])
     stats["loader_roundtrip_ok"] = True
     mark("loader_shards")
+
+    # 9. late-benchmark doc-span masking (r13): a benchmark landing
+    # AFTER the shards were materialized decontaminates them with
+    # minimal retention loss — the contaminated docs' exact doc_spans
+    # become loss masks; every packed neighbor keeps training. The
+    # stats contrast what whole-sequence removal would have cost
+    # (SCALING.md §masking: ~(k−1)·p collateral at k docs/sequence).
+    from gus_spark.operators.splits import mask_training_sequences
+
+    late_ids = [
+        r["doc_id"]
+        for r in packed.select("doc_id").distinct().limit(5).collect()
+    ]
+    receipt = mask_training_sequences(
+        spark,
+        shards_dir,
+        spark.createDataFrame([(i,) for i in late_ids], "doc_id long"),
+    )
+    total_tok = 0
+    masked_tok = 0
+    whole_seq_tok = 0
+    for b, _c in iter_training_order(shards_dir, "train"):
+        for r in b.to_pylist():
+            total_tok += r["n_tokens"]
+            if r["masked_spans"] is not None:
+                masked_tok += sum(s["len"] for s in r["masked_spans"])
+                whole_seq_tok += r["n_tokens"]
+    stats["mask_late_docs"] = len(late_ids)
+    stats["mask_sequences"] = receipt["masked_sequences"]
+    stats["mask_tokens_frac"] = (
+        round(masked_tok / total_tok, 4) if total_tok else None
+    )
+    stats["mask_whole_seq_frac"] = (
+        round(whole_seq_tok / total_tok, 4) if total_tok else None
+    )
+    mark("mask_late_bench")
     stats["stage_secs"] = stage_secs
     stats["total_secs"] = round(sum(stage_secs.values()), 3)
     return stats
