@@ -307,6 +307,7 @@ def write_training_shards(
         "split_col": split_col,
         "weights": dict(DEFAULT_WEIGHTS if weights is None else weights),
         "generations": 1,
+        "layout": 1,
         "shard_rows": shard_rows,
         "total_rows": sum(
             n for per in shard_rows.values() for n in per.values()
@@ -492,6 +493,11 @@ def append_training_shards(
     manifest = {
         **manifest,
         "generations": gen + 1,
+        # the layout stamp: bumped by EVERY structural change (append
+        # or compact) — the cursor-binding token (generation count
+        # alone regrows to the same value at a bounded-compaction
+        # steady state and would validate a stale cursor)
+        "layout": manifest.get("layout", gen) + 1,
         "shard_rows": shard_rows,
         "total_rows": sum(
             n for per in shard_rows.values() for n in per.values()
@@ -540,11 +546,11 @@ def compact_generations(
     Ordering semantics: the folded generation gets a fresh seeded
     epoch-0 order over its merged rows (deterministic — manifest
     seed); kept generations keep their internal order. OUTSTANDING
-    CURSORS ARE INVALID after a compact — the generation-count
-    binding makes a resume raise whenever the count changed; in the
-    pathological case where later appends regrow the count to exactly
-    its pre-compact value a stale cursor would validate, so restart
-    epochs after compacting (docstring contract, same as reseeding).
+    CURSORS ARE INVALID after a compact — the manifest's monotonic
+    LAYOUT STAMP bumps here (as on append), so any resume raises,
+    including at the bounded-compaction steady state where the
+    generation COUNT regrows to its pre-compact value every cycle
+    (asserted in TestLifecycleInterleave).
 
     Single-writer, like every maintain(): no concurrent loader reads
     or publishes during phase 2. Returns the rewritten manifest."""
@@ -645,6 +651,9 @@ def compact_generations(
         new_manifest = {
             **manifest,
             "generations": intent["max_generations"],
+            "layout": manifest.get(
+                "layout", manifest.get("generations", 1)
+            ) + 1,
             "shard_rows": shard_rows,
             "total_rows": sum(
                 n for per in shard_rows.values() for n in per.values()
@@ -843,7 +852,7 @@ def iter_training_order(
     prefetch_batches: int = 0,
 ):
     """The loader itself: yield ``(batch, (shard, pos,
-    generations))`` pairs in the
+    layout))`` pairs in the
     epoch's global order — pyarrow record batches read shard-file by
     shard-file on the consuming host (this is deliberately NOT a Spark
     job: a training loader is a sequential reader, and the writer
@@ -879,17 +888,20 @@ def iter_training_order(
     otherwise the caller's contract to keep paired, exactly like the
     seed itself).
 
-    Cursors are ``(shard, pos, generations)`` (r13): the manifest's
-    generation count rides every yielded cursor, and a resume raises
-    when the shard set GREW in between — `append_training_shards`
-    changes the epoch's shard-visit permutation and the rank slices
-    (both enumerate shard dirs), so silently resuming a pre-append
-    cursor would skip appended shards that permuted ahead of the
-    resume point and, under world_size > 1, double- or under-deliver
-    rows across ranks. The loud path: finish the epoch under the OLD
-    shard set before appending, or restart the epoch (a read, not a
-    rewrite) after one. Legacy ``(shard, pos)`` 2-tuples are still
-    accepted and resume WITHOUT the generation check.
+    Cursors are ``(shard, pos, layout)`` (r13): the manifest's
+    LAYOUT STAMP — bumped by every structural change
+    (`append_training_shards` and `compact_generations`) — rides
+    every yielded cursor, and a resume raises when the stamp moved in
+    between: a restructure changes the epoch's shard-visit
+    permutation and the rank slices (both enumerate shard dirs), so
+    silently resuming a stale cursor would skip or re-deliver rows
+    and, under world_size > 1, break rank disjointness. The stamp is
+    monotonic, so a bounded-compaction steady state whose GENERATION
+    COUNT returns to the same value still invalidates (the counter a
+    count-based binding would miss). The loud path: finish the epoch
+    under the old layout, or restart the epoch (a read, not a
+    rewrite). Legacy ``(shard, pos)`` 2-tuples are still accepted and
+    resume WITHOUT the check.
 
     ``prefetch_batches > 0`` runs the read a bounded number of
     batches ahead on a background thread (`_prefetched`) — IO/compute
@@ -954,6 +966,11 @@ def iter_training_order(
     split_col = manifest["split_col"]
     seed = manifest["seed"]
     generations = manifest.get("generations", 1)
+    # cursors bind to the LAYOUT STAMP: bumped on every append AND
+    # compact (pre-stamp manifests fall back to the generation count,
+    # which was a faithful stamp while appends were the only
+    # structural change)
+    layout = manifest.get("layout", generations)
     # retroactive removals (tombstone_training_shards): a read-side
     # gate over every yielded batch. The CURSOR tracks the position
     # CONSUMED (computed before the gate), so tombstones never move
@@ -1015,16 +1032,17 @@ def iter_training_order(
         start_idx, start_pos = 0, None
     else:
         if len(cursor) == 3:
-            c_shard, c_pos, c_gen = cursor
-            if c_gen != generations:
+            c_shard, c_pos, c_layout = cursor
+            if c_layout != layout:
                 raise ValueError(
-                    f"cursor was yielded at generation count {c_gen} "
-                    f"but the shard set now has {generations} — an "
-                    "append between checkpoint and resume changes "
-                    "the epoch's shard-visit permutation and rank "
-                    "slices, so resuming would silently skip or "
-                    "re-deliver rows; restart the epoch (a read) or "
-                    "finish it before appending"
+                    f"cursor was yielded at shard-set layout "
+                    f"{c_layout} but the set is now at layout "
+                    f"{layout} — an append or compaction between "
+                    "checkpoint and resume changes the epoch's "
+                    "shard-visit permutation and rank slices, so "
+                    "resuming would silently skip or re-deliver "
+                    "rows; restart the epoch (a read) or finish it "
+                    "before restructuring"
                 )
         else:  # legacy (shard, pos) 2-tuple: resume unchecked
             c_shard, c_pos = cursor
@@ -1064,7 +1082,7 @@ def iter_training_order(
                 batch = gate(batch)
                 if batch.num_rows == 0:
                     continue
-                yield batch, (shard, last, generations)
+                yield batch, (shard, last, layout)
             continue
         # epoch > 0: permuted row-group visit + in-row-group shuffle.
         # pos is dense 1..n in file order, so row group g covers the
@@ -1079,7 +1097,7 @@ def iter_training_order(
         try:
             yield from _iter_shard_permuted(
                 pf, shard, after_pos, seed, epoch, batch_rows, gate,
-                pa, generations,
+                pa, layout,
             )
         finally:
             pf.close()
@@ -1089,7 +1107,7 @@ def iter_training_order(
 
 def _iter_shard_permuted(
     pf, shard, after_pos, seed, epoch, batch_rows, gate, pa,
-    generations,
+    layout,
 ):
     """One shard's epoch>0 stream: permuted row-group visit +
     in-row-group shuffle, resuming strictly after ``after_pos`` when
@@ -1145,7 +1163,7 @@ def _iter_shard_permuted(
             batch = gate(batch)
             if batch.num_rows == 0:
                 continue
-            yield batch, (shard, last, generations)
+            yield batch, (shard, last, layout)
 
 
 def iter_epochs(
@@ -1160,7 +1178,7 @@ def iter_epochs(
     prefetch_batches: int = 0,
 ):
     """Multi-epoch training loop over `iter_training_order`: yield
-    ``(batch, (epoch, shard, pos, generations))`` — the composite
+    ``(batch, (epoch, shard, pos, layout))`` — the composite
     cursor a trainer
     checkpoints ONCE, valid across epoch boundaries (the single-epoch
     cursor is only meaningful inside its epoch; callers previously had
@@ -1178,23 +1196,24 @@ def iter_epochs(
     epoch: deliberate, it decorrelates what each worker reads across
     epochs; only the per-epoch UNION is invariant.
 
-    Cursors are ``(epoch, shard, pos, generations)`` (r13) — the
-    single-epoch generation binding composed through: a resume after
-    an `append_training_shards` raises instead of silently skipping
-    appended shards (see iter_training_order). Legacy
-    ``(epoch, shard, pos)`` 3-tuples resume without the check."""
+    Cursors are ``(epoch, shard, pos, layout)`` (r13) — the
+    single-epoch layout-stamp binding composed through: a resume
+    after an `append_training_shards`/`compact_generations` raises
+    instead of silently misreading the restructured set (see
+    iter_training_order). Legacy ``(epoch, shard, pos)`` 3-tuples
+    resume without the check."""
     if epochs is not None and epochs < 1:
         raise ValueError(f"epochs must be >= 1 or None, got {epochs}")
     if cursor is None:
         epoch, inner = 0, None
     elif len(cursor) == 4:
-        e, shard, pos, gen = cursor
-        epoch, inner = e, (shard, pos, gen)
+        e, shard, pos, layout = cursor
+        epoch, inner = e, (shard, pos, layout)
     else:  # legacy (epoch, shard, pos): resume unchecked
         e, shard, pos = cursor
         epoch, inner = e, (shard, pos)
     while epochs is None or epoch < epochs:
-        for batch, (shard, pos, gen) in iter_training_order(
+        for batch, (shard, pos, layout) in iter_training_order(
             dest,
             split,
             cursor=inner,
@@ -1205,7 +1224,7 @@ def iter_epochs(
             filesystem=filesystem,
             prefetch_batches=prefetch_batches,
         ):
-            yield batch, (epoch, shard, pos, gen)
+            yield batch, (epoch, shard, pos, layout)
         inner = None
         epoch += 1
 

@@ -1148,7 +1148,7 @@ class TestCursorGenerationBinding:
         )
         assert len(cur) == 3 and cur[2] == 1  # (shard, pos, gens)
         self._append(spark, dest)
-        with pytest.raises(ValueError, match="generation"):
+        with pytest.raises(ValueError, match="layout"):
             next(
                 iter(
                     iter_training_order(
@@ -1194,7 +1194,7 @@ class TestCursorGenerationBinding:
         _b, cur = next(iter(iter_epochs(dest, epochs=2, batch_rows=29)))
         assert len(cur) == 4 and cur[3] == 1
         self._append(spark, dest)
-        with pytest.raises(ValueError, match="generation"):
+        with pytest.raises(ValueError, match="layout"):
             next(
                 iter(
                     iter_epochs(
@@ -1459,7 +1459,7 @@ class TestCompactGenerations:
             for i in self._docs(d, s)
         }
         compact_generations(spark, d, max_generations=1)
-        with pytest.raises(ValueError, match="generation"):
+        with pytest.raises(ValueError, match="layout"):
             next(
                 iter(
                     iter_training_order(
@@ -1732,3 +1732,66 @@ class TestShardSetMaskVerb:
 
         uids = sequences_containing(spark, dest, dirty)
         assert sset.delete(uids, batch_key="bench-v1") > 0
+
+
+class TestLifecycleInterleave:
+    """r13: the grow→fold lifecycle under repetition — five
+    append/compact cycles at max_generations=2 (the run_live publish
+    steady state, serially, as the single-writer contract requires):
+    after EVERY cycle the union across splits is exactly the ids
+    written so far, the generation count stays bounded, cursors from
+    before the cycle raise, and the loader's per-split dir count
+    never exceeds bound*shards."""
+
+    def test_five_cycles_hold_parity(self, spark, tmp_path):
+        from gus_spark.operators.splits import (
+            append_training_shards,
+            compact_generations,
+            iter_training_order,
+            read_manifest,
+            write_training_shards,
+        )
+
+        d = str(tmp_path / "cycle")
+        write_training_shards(
+            spark.range(200).select(F.col("id").alias("doc_id")),
+            d, shards=3,
+        )
+        want = set(range(200))
+        for k in range(1, 6):
+            lo, hi = 1000 * k, 1000 * k + 80
+            _b, cur = next(
+                iter(iter_training_order(d, "train", batch_rows=37))
+            )
+            append_training_shards(
+                spark.range(lo, hi).select(F.col("id").alias("doc_id")),
+                d, verify=False,
+            )
+            m = compact_generations(spark, d, max_generations=2)
+            want |= set(range(lo, hi))
+            assert m["generations"] <= 2
+            got = set()
+            for split in ("train", "validation", "test"):
+                for b, _c in iter_training_order(d, split):
+                    got.update(b.column("doc_id").to_pylist())
+            assert got == want, k
+            with pytest.raises(ValueError, match="layout"):
+                next(
+                    iter(
+                        iter_training_order(
+                            d, "train", cursor=cur, batch_rows=37
+                        )
+                    )
+                )
+            train_dir = os.path.join(d, "data", "split=train")
+            assert (
+                len(
+                    [
+                        x
+                        for x in os.listdir(train_dir)
+                        if x.startswith("shard=")
+                    ]
+                )
+                <= 6
+            ), k
+        assert read_manifest(d)["total_rows"] == len(want)
