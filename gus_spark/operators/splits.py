@@ -790,15 +790,42 @@ def read_training_shards(
     ``cursor=(shard, pos)`` names the LAST CONSUMED row and the result
     holds strictly-later rows of the global order. Both filters prune
     physically — ``split``/``shard`` are partition directories, so a
-    resume deep into the corpus scans only the cursor shard onward."""
+    resume deep into the corpus scans only the cursor shard onward.
+    A 3-tuple cursor (the `iter_training_order` form) additionally
+    checks the layout stamp, raising on a resume across an
+    append/compact (r13). When `mask_training_sequences` has recorded
+    doc-span masks, the result carries the same ``masked_spans``
+    column the host loader attaches (null for clean rows) — Spark
+    reader and trainer loader agree on the contract."""
     import os
 
     manifest = read_manifest(dest)
     df = spark.read.parquet(os.path.join(dest, "data")).filter(
         F.col(manifest["split_col"]) == split
     )
+    masks_path = os.path.join(dest, "masks.parquet")
+    if os.path.exists(masks_path):
+        m = (
+            spark.read.parquet(masks_path)
+            .withColumnRenamed("id", manifest["id_col"])
+            .withColumnRenamed("spans", "masked_spans")
+        )
+        df = df.join(F.broadcast(m), manifest["id_col"], "left")
     if cursor is not None:
-        shard, pos = cursor
+        if len(cursor) == 3:
+            shard, pos, c_layout = cursor
+            layout = manifest.get(
+                "layout", manifest.get("generations", 1)
+            )
+            if c_layout != layout:
+                raise ValueError(
+                    f"cursor was yielded at shard-set layout "
+                    f"{c_layout} but the set is now at layout "
+                    f"{layout} — restart the read after an "
+                    "append/compact restructure"
+                )
+        else:
+            shard, pos = cursor
         df = df.filter(
             (F.col("shard") > shard)
             | ((F.col("shard") == shard) & (F.col("pos") > pos))

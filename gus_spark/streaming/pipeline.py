@@ -187,6 +187,10 @@ class CurationPipelineStream:
         # decontamination: path to a PERSISTED cap_thresholds artifact
         # (fit offline, the CCNet frozen-threshold discipline)
         self.cap_thresholds = cap_thresholds
+        # the CURRENT artifact path — run_live's auto-refit (r13)
+        # repoints this at freshly fitted versioned dirs instead of
+        # overwriting files a concurrent trigger may be reading
+        self._cap_path = cap_thresholds
         self.cap_group_col = cap_group_col
         self.cap_id_col = cap_id_col
         self.cap_seed = cap_seed
@@ -272,7 +276,7 @@ class CurationPipelineStream:
         the clear and the next trigger is what the gate applies."""
         if self._cap_art is None:
             self._cap_art = self.spark.read.parquet(
-                self.cap_thresholds
+                self._cap_path
             ).localCheckpoint()
         return self._cap_art
 
@@ -989,6 +993,7 @@ class CurationPipelineStream:
         timeout: float | None = 120.0,
         on_progress=None,
         publish: dict | None = None,
+        cap_refit: dict | None = None,
     ) -> dict:
         """Run every stage (curate → decon [→ fuzzy] → pack)
         CONCURRENTLY on processing-time triggers until the graph
@@ -1032,7 +1037,23 @@ class CurationPipelineStream:
         graph streams, plus one drained-tail publish after the
         graceful stop (final close-out stays an explicit caller
         call). The snapshot gains "publishes" (count of publishes
-        that landed a generation)."""
+        that landed a generation).
+
+        ``cap_refit`` (r13) turns on the AUTOMATED refit loop over
+        the observable refit signal: a dict
+        ({"max_rows", optional "margin", "frac" (unfitted-fraction
+        trigger, required), "every_polls" (default 10)}) — at the
+        cadence, when the fraction of rows belonging to UNFITTED
+        groups since the last refit exceeds ``frac``, the operator's
+        manual loop runs itself: `cap_thresholds` refits over the
+        accumulated curated tier, the artifact lands as a fresh
+        VERSIONED directory next to the original (``<path>_refitN``
+        — never an in-place overwrite a concurrent trigger could
+        half-read), and `reload_cap_thresholds` points the gate at it
+        for the next trigger. The snapshot gains "cap_refits". The
+        gate semantics are unchanged — frozen thresholds between
+        refits, exactly CCNet discipline, just on an observable
+        cadence instead of an offline one."""
         # insertion order IS the graceful-stop order: the optional URL
         # tier is the most-upstream stage; fuzzy sits between decon
         # (its upstream) and pack; the index stage is a SIBLING of
@@ -1086,6 +1107,57 @@ class CurationPipelineStream:
                 f"publish.every_polls must be >= 1, got {pub_every}"
             )
         publishes = 0
+        refit_cfg = dict(cap_refit) if cap_refit else None
+        refit_every = (
+            refit_cfg.pop("every_polls", 10) if refit_cfg else None
+        )
+        if refit_cfg is not None:
+            if self.cap_thresholds is None:
+                raise ValueError(
+                    "cap_refit needs the cap gate: construct the "
+                    "pipeline with cap_thresholds=<artifact path>"
+                )
+            if "frac" not in refit_cfg or "max_rows" not in refit_cfg:
+                raise ValueError(
+                    "cap_refit requires 'frac' (unfitted-fraction "
+                    "trigger) and 'max_rows' (the refit cap)"
+                )
+            if refit_every < 1:
+                raise ValueError(
+                    "cap_refit.every_polls must be >= 1, "
+                    f"got {refit_every}"
+                )
+        cap_refits = 0
+        refit_mark = {"rows": 0, "unfitted": 0}
+
+        def maybe_refit() -> None:
+            # the automated form of the manual refit loop: DELTA
+            # unfitted fraction since the last refit (cumulative
+            # history would re-trigger forever) against the
+            # threshold, then fit, versioned artifact, reload
+            nonlocal cap_refits
+            if refit_cfg is None or polls % refit_every:
+                return
+            rows = sum(b["rows"] for b in self.cap_stats.values())
+            unf = sum(b["unfitted"] for b in self.cap_stats.values())
+            d_rows = rows - refit_mark["rows"]
+            d_unf = unf - refit_mark["unfitted"]
+            if d_rows <= 0 or d_unf / d_rows <= refit_cfg["frac"]:
+                return
+            from gus_spark.operators.mixing import cap_thresholds
+
+            thr = cap_thresholds(
+                self.spark.read.parquet(self.curated),
+                group_col=self.cap_group_col,
+                max_rows=refit_cfg["max_rows"],
+                margin=refit_cfg.get("margin"),
+            )
+            cap_refits += 1
+            new_path = f"{self.cap_thresholds}_refit{cap_refits}"
+            thr.write.mode("overwrite").parquet(new_path)
+            self._cap_path = new_path
+            self.reload_cap_thresholds()
+            refit_mark.update(rows=rows, unfitted=unf)
 
         def maybe_publish(force: bool = False) -> None:
             nonlocal publishes
@@ -1130,6 +1202,7 @@ class CurationPipelineStream:
                 "timed_out": timed_out,
                 "polls": polls,
                 "publishes": publishes,
+                "cap_refits": cap_refits,
             }
             if self.cap_thresholds is not None:
                 # the refit signal, live (VERDICT r11 #5): unfitted
@@ -1188,6 +1261,7 @@ class CurationPipelineStream:
                 snapshot = harvest()
                 if on_progress is not None:
                     on_progress(snapshot)
+                maybe_refit()
                 maybe_publish()
                 # quiesced = every started query idle AND no committed
                 # data is waiting on an unstarted downstream stage

@@ -1795,3 +1795,88 @@ class TestLifecycleInterleave:
                 <= 6
             ), k
         assert read_manifest(d)["total_rows"] == len(want)
+
+
+class TestSparkReaderMaskParity:
+    """read_training_shards (r13): the Spark-side reader carries the
+    SAME masked_spans contract as the host loader (null for clean
+    rows, absent column when no sidecar), and its 3-tuple cursor
+    checks the layout stamp."""
+
+    def test_masked_spans_and_layout_cursor(self, spark, tmp_path):
+        from gus_spark.operators.bpe import (
+            bpe_base_symbols,
+            bpe_fit,
+            bpe_vocab,
+        )
+        from gus_spark.operators.chunk import (
+            assemble_token_sequences,
+            chunk_documents,
+            pack_sequences,
+        )
+        from gus_spark.operators.splits import (
+            append_training_shards,
+            iter_training_order,
+            mask_training_sequences,
+            read_training_shards,
+            write_training_shards,
+        )
+
+        docs = table(spark, SF_DIR_ORACLE, "documents").select(
+            "doc_id", "text"
+        ).limit(150)
+        merges = bpe_fit(docs, num_merges=8)
+        vocab = bpe_vocab(merges, bpe_base_symbols(docs))
+        seqs = assemble_token_sequences(
+            pack_sequences(
+                chunk_documents(docs, max_tokens=16, overlap=4),
+                budget=48, shards=4,
+            ),
+            merges, vocab,
+        )
+        dest = str(tmp_path / "shards")
+        write_training_shards(
+            seqs, dest, shards=4, id_col="seq_uid",
+            weights={"train": 1.0}, verify=False,
+        )
+        df0 = read_training_shards(spark, dest, "train")
+        assert "masked_spans" not in df0.columns  # no sidecar yet
+        dirty = docs.filter(F.col("doc_id") % 13 == 2).select("doc_id")
+        mask_training_sequences(spark, dest, dirty)
+        got = {
+            r.seq_uid: (
+                tuple((s.start, s.len) for s in r.masked_spans)
+                if r.masked_spans is not None
+                else None
+            )
+            for r in read_training_shards(spark, dest, "train")
+            .select("seq_uid", "masked_spans")
+            .collect()
+        }
+        want = {}
+        for b, _c in iter_training_order(dest, "train"):
+            for row in b.to_pylist():
+                want[row["seq_uid"]] = (
+                    tuple(
+                        (s["start"], s["len"])
+                        for s in row["masked_spans"]
+                    )
+                    if row["masked_spans"] is not None
+                    else None
+                )
+        assert got == want
+        assert any(v is not None for v in got.values())
+        # layout-stamp cursor: valid now, loud after an append
+        _b, cur = next(iter(iter_training_order(dest, "train")))
+        assert read_training_shards(
+            spark, dest, "train", cursor=cur
+        ).count() >= 0
+        append_training_shards(
+            seqs.limit(5).withColumn(
+                "seq_uid", F.col("seq_uid") + F.lit(1 << 50)
+            ),
+            dest,
+            verify=False,
+        )
+        with pytest.raises(ValueError, match="layout"):
+            read_training_shards(spark, dest, "train", cursor=cur)

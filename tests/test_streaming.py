@@ -2304,3 +2304,100 @@ def test_mask_published_shards_late_benchmark(spark, tmp_path):
         if any(d["doc_id"] in flagged_docs for d in spans)
     }
     assert masked_uids == want_masked
+
+
+def test_run_live_cap_auto_refit(spark, tmp_path):
+    """r13: run_live(cap_refit=...) closes the refit loop
+    automatically — an unfitted domain's delta fraction crosses the
+    trigger, the operator-refit runs itself (fit over the accumulated
+    curated tier, VERSIONED artifact dir, reload), and rows arriving
+    after are capped by the new thresholds while the pre-refit
+    unfitted rows passed per the frozen-threshold semantics."""
+    from gus_spark.operators.mixing import (
+        apply_cap_thresholds,
+        cap_thresholds,
+    )
+    from gus_spark.streaming import CurationPipelineStream
+
+    docs = table(spark, SF_DIR, "documents")
+    uniq = F.concat(
+        F.col("text"), F.lit(" uq "), F.col("doc_id").cast("string")
+    )
+    base = docs.select(
+        "doc_id", uniq.alias("text"), "lang",
+        F.length(uniq).cast("long").alias("n_chars"),
+    )
+
+    def wave(residue, offset, source):
+        return base.filter(F.col("doc_id") % 7 == residue).limit(
+            60
+        ).select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" w{offset}")).alias("text"),
+            "lang", F.lit(source).alias("source"), "n_chars",
+        )
+
+    wave1 = wave(0, 0, "alpha")
+    wave2 = wave(1, 500_000, "beta")
+    wave3 = wave(2, 900_000, "beta")
+    bench = spark.createDataFrame(
+        [(1, " ".join(f"zq{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    art = str(tmp_path / "cap_art")
+    cap_thresholds(wave1, group_col="source", max_rows=5).write.parquet(
+        art
+    )
+    src = str(tmp_path / "src")
+    wave1.coalesce(1).write.parquet(src)
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    p = CurationPipelineStream(
+        spark, src, wave1.schema, bench, str(tmp_path / "work"),
+        cap_thresholds=art, cap_group_col="source",
+        ngram=13, min_hits=1,
+        chunk_tokens=16, chunk_overlap=4, seq_budget=48, pack_shards=4,
+    )
+    state = {"appended": False}
+
+    def on_progress(snapshot):
+        if snapshot["cap_refits"] >= 1 and not state["appended"]:
+            wave3.coalesce(1).write.mode("append").parquet(src)
+            state["appended"] = True
+
+    snap = p.run_live(
+        timeout=240.0,
+        on_progress=on_progress,
+        cap_refit={"max_rows": 5, "frac": 0.01, "every_polls": 1},
+    )
+    assert not snap["timed_out"] and state["appended"]
+    assert snap["cap_refits"] == 1  # beta fitted by refit 1, no more
+
+    clean = spark.read.parquet(p.clean).select("doc_id")
+    # pre-refit beta (wave 2) passed whole: unfitted under v1
+    curated = spark.read.parquet(p.curated).select("doc_id", "source")
+    n_w2 = curated.filter(
+        (F.col("doc_id") >= 500_000) & (F.col("doc_id") < 900_000)
+    ).count()
+    assert n_w2 > 10
+    assert (
+        clean.filter(
+            (F.col("doc_id") >= 500_000) & (F.col("doc_id") < 900_000)
+        ).count()
+        == n_w2
+    )
+    # post-refit beta (wave 3) gated by the refit artifact, exactly
+    v2 = spark.read.parquet(f"{art}_refit1")
+    cur3 = curated.filter(F.col("doc_id") >= 900_000)
+    assert cur3.count() > 10
+    want3 = {
+        r.doc_id
+        for r in apply_cap_thresholds(cur3, v2, group_col="source")
+        .filter(F.col("keep").isNull() | F.col("keep"))
+        .collect()
+    }
+    got3 = {
+        r.doc_id
+        for r in clean.filter(F.col("doc_id") >= 900_000).collect()
+    }
+    assert got3 == want3
+    assert len(want3) < cur3.count()  # the refit gate genuinely bites
