@@ -43,26 +43,47 @@ from pyspark.sql.streaming import StreamingQuery
 from gus_spark.operators.dedup import normalize_url
 from gus_spark.streaming import markers
 
-#: state layout generation (the curate_stream discipline, started at
-#: its current generation: fingerprinted done-markers + batch-keyed
-#: canonical partition dirs)
-_STATE_LAYOUT = 1
+#: state layout generation (the curate_stream discipline:
+#: fingerprinted done-markers + batch-keyed canonical partition
+#: dirs). Bumped to 2 in r13: normalize_url's default changed
+#: (content-routing query params KEPT), so a layout-1 state dir's
+#: seen-canonical keys were computed under a DIFFERENT identity —
+#: anti-joining new canonicals against them would silently miss
+#: re-fetches; the version gate makes the rebuild loud instead.
+_STATE_LAYOUT = 2
 
 
-def _check_state_layout(state_dir: str) -> None:
+def _check_state_layout(state_dir: str, drop_query: bool) -> None:
+    """Layout + normalization-identity gate: the marker records the
+    ``drop_query`` knob too, because flipping it against existing
+    state changes the canonical identity the same way a normalization
+    change does (r13)."""
     marker = os.path.join(state_dir, "layout.json")
+    want = {"layout": _STATE_LAYOUT, "drop_query": bool(drop_query)}
     if os.path.exists(marker):
         with open(marker, encoding="utf-8") as fh:
-            found = json.load(fh).get("layout")
-        if found != _STATE_LAYOUT:
+            found = json.load(fh)
+        if found.get("layout") != _STATE_LAYOUT:
             raise ValueError(
-                f"url_dedup_stream state layout {found} at "
-                f"{state_dir!r} is incompatible with this version "
-                f"(layout {_STATE_LAYOUT}); rebuild the state dir"
+                f"url_dedup_stream state layout "
+                f"{found.get('layout')} at {state_dir!r} is "
+                f"incompatible with this version (layout "
+                f"{_STATE_LAYOUT}; r13 changed the canonical "
+                "identity itself — normalize_url keeps query "
+                "params); rebuild the state dir"
+            )
+        if found.get("drop_query") != want["drop_query"]:
+            raise ValueError(
+                f"url_dedup_stream state at {state_dir!r} was built "
+                f"with drop_query={found.get('drop_query')} but this "
+                f"stream was configured with drop_query="
+                f"{want['drop_query']} — the knob changes the "
+                "canonical identity; rebuild the state dir or match "
+                "the original setting"
             )
         return
     with open(marker, "w", encoding="utf-8") as fh:
-        json.dump({"layout": _STATE_LAYOUT}, fh)
+        json.dump(want, fh)
 
 
 def url_dedup_stream(
@@ -91,7 +112,7 @@ def url_dedup_stream(
             "derives it from the url column; rename or drop it first"
         )
     os.makedirs(state_dir, exist_ok=True)
-    _check_state_layout(state_dir)
+    _check_state_layout(state_dir, drop_query)
     seen_path = os.path.join(state_dir, "canonicals")
     out_cols = docs_stream.columns + ["canonical_url"]
 

@@ -2401,3 +2401,46 @@ def test_run_live_cap_auto_refit(spark, tmp_path):
     }
     assert got3 == want3
     assert len(want3) < cur3.count()  # the refit gate genuinely bites
+
+
+def test_url_dedup_state_identity_gate(spark, tmp_path):
+    """r13: a pre-r13 (layout-1) URL-dedup state dir raises instead
+    of silently anti-joining against canonicals computed under the
+    OLD normalization (r13 changed the identity: query params kept),
+    and flipping drop_query against existing state is equally loud."""
+    import json as _json
+
+    from gus_spark.streaming import url_dedup_stream
+
+    urls = spark.createDataFrame(
+        [(1, "https://a.org/x"), (2, "https://a.org/y")],
+        "doc_id long, url string",
+    )
+    src = str(tmp_path / "src")
+    urls.coalesce(1).write.parquet(src)
+
+    def start(work, **kw):
+        return url_dedup_stream(
+            spark.readStream.schema("doc_id long, url string")
+            .parquet(src),
+            os.path.join(work, "state"),
+            os.path.join(work, "out"),
+            os.path.join(work, "ckpt"),
+            **kw,
+        )
+
+    # legacy layout-1 marker → loud
+    w1 = str(tmp_path / "w1")
+    os.makedirs(os.path.join(w1, "state"))
+    _json.dump(
+        {"layout": 1},
+        open(os.path.join(w1, "state", "layout.json"), "w"),
+    )
+    with pytest.raises(ValueError, match="layout"):
+        start(w1)
+
+    # drop_query flip against existing state → loud
+    w2 = str(tmp_path / "w2")
+    start(w2, drop_query=False).awaitTermination()
+    with pytest.raises(ValueError, match="drop_query"):
+        start(w2, drop_query=True)
