@@ -1564,6 +1564,28 @@ def mask_training_sequences(
     }
 
 
+def mask_weights(n_tokens: int, masked_spans) -> list[int]:
+    """Host-side reference for consuming ``masked_spans``: the
+    per-token loss-weight vector (1 = train, 0 = masked) for one
+    sequence — pins the span arithmetic so trainers don't re-derive
+    it wrong (spans are 1-BASED and inclusive of ``start``, the
+    doc_spans convention). ``masked_spans`` is the loader column
+    value: None (clean row) or a list of {start, len} mappings.
+    Raises on a span outside [1, n_tokens] — a span from a different
+    tokenizer's offsets must never silently truncate."""
+    w = [1] * n_tokens
+    for s in masked_spans or ():
+        start, ln = int(s["start"]), int(s["len"])
+        if start < 1 or ln < 0 or start + ln - 1 > n_tokens:
+            raise ValueError(
+                f"masked span (start={start}, len={ln}) falls "
+                f"outside the {n_tokens}-token sequence — stale or "
+                "foreign mask sidecar?"
+            )
+        w[start - 1 : start - 1 + ln] = [0] * ln
+    return w
+
+
 def _load_masks(fs, dest: str):
     """id → sorted [(start, len), …] masked spans (None when the
     sidecar doesn't exist) — the read-side twin of _load_tombstones."""

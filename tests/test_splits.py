@@ -1880,3 +1880,23 @@ class TestSparkReaderMaskParity:
         )
         with pytest.raises(ValueError, match="layout"):
             read_training_shards(spark, dest, "train", cursor=cur)
+
+
+def test_mask_weights_reference():
+    """mask_weights (r13): the 1-based span arithmetic pinned — the
+    weight vector zeroes exactly the masked token positions, clean
+    rows (None) are all-ones, and out-of-range spans raise."""
+    from gus_spark.operators.splits import mask_weights
+
+    assert mask_weights(5, None) == [1, 1, 1, 1, 1]
+    assert mask_weights(5, [{"start": 2, "len": 2}]) == [1, 0, 0, 1, 1]
+    assert mask_weights(
+        4, [{"start": 1, "len": 1}, {"start": 4, "len": 1}]
+    ) == [0, 1, 1, 0]
+    assert mask_weights(3, [{"start": 1, "len": 3}]) == [0, 0, 0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="outside"):
+        mask_weights(3, [{"start": 3, "len": 2}])
+    with _pytest.raises(ValueError, match="outside"):
+        mask_weights(3, [{"start": 0, "len": 1}])
