@@ -516,48 +516,59 @@ def compact_generations(
     max_generations: int = 1,
     verify: bool = True,
 ) -> dict:
-    """Fold a shard set's accumulated generations back down to
-    ``max_generations`` (r13 — VERDICT r12 #1 'missing'): a
+    """Fold a shard set's accumulated generations back down to at
+    most ``max_generations`` (r13 — VERDICT r12 'missing' #1): a
     long-running ``run_live(publish=...)`` lands a generation per
     cadence, and every generation multiplies the per-(split, shard)
     file count — loader open cost rises, the epoch permutation
     degrades toward per-tiny-file seeks. This is the shard-set twin
-    of PostingIndex/VectorIndex ``maintain()``: the OLDEST
-    ``G - max_generations + 1`` generations re-rank into a single
-    generation 0 (one exchange over ONLY the folded bytes — the newest
-    generations, usually the bulk at steady state, are never read);
-    the kept newest generations RENUMBER by directory rename —
-    byte-identical files, pure metadata. Rows tombstoned via
-    `tombstone_training_shards` are physically dropped from the
-    folded region (the storage-level erasure path; the sidecar id set
-    stays — ids now absent are harmless no-ops at read).
+    of PostingIndex/VectorIndex ``maintain()``.
+
+    Fold policy (LSM-style, so the corpus is NOT rewritten per
+    cycle): the NEWEST suffix of generations folds into one, starting
+    at index ``max_generations − 1`` and extending DOWN one older
+    generation at a time only while the accumulated tail's bytes
+    outweigh that next older generation — so a small fresh tail never
+    drags the bulk into the rewrite, and when it has grown to bulk
+    size the two merge once. Each byte is rewritten O(log N) times
+    over a publish lifetime, never once per cycle (folding the OLDEST
+    prefix instead — the obvious policy — makes every cycle rewrite
+    the whole accumulated corpus, quadratic at 100 TB). Generations
+    older than the fold point keep their directories BYTE-IDENTICAL
+    at unchanged ids (no renames — age order is id order and the fold
+    lands at the suffix slot), so epoch-0 semantics ("old corpus
+    first") hold. Rows tombstoned via `tombstone_training_shards`
+    are physically dropped from the folded region (storage-level
+    erasure for the tail; the sidecar id set stays — absent ids are
+    harmless no-ops at read). Cost: one exchange over ONLY the folded
+    bytes.
 
     Crash safety (the publish_shards intent-log discipline): phase 1
     writes the folded layout under ``dest/_compact_tmp`` (invisible
     to every reader; a crash re-runs it). Phase 2 records an INTENT
     (``dest/compact_intent.json``: the fold boundary + the expected
-    final per-(split, shard) row counts), then removes folded dirs,
-    renames kept ones (ascending — a rename's target range is always
-    already vacated), moves the tmp dirs in, rewrites the manifest,
-    and clears the intent; every step is idempotent, so a crashed
-    phase 2 completes on the next call, and the final tree is
-    receipt-checked against the intent's expected counts.
+    final per-(split, shard) row counts) and advances a PHASE MARKER
+    between removals and moves — both land directories in the same id
+    range, so a marker-less replay could not tell an old folded dir
+    from a freshly moved-in one (and would delete it); with the
+    marker each step replays only itself and every op is idempotent
+    (remove: skip-if-absent; move: atomic, src-gone means done). The
+    final tree is receipt-checked against the intent's expected
+    counts.
 
-    Ordering semantics: the folded generation gets a fresh seeded
-    epoch-0 order over its merged rows (deterministic — manifest
-    seed); kept generations keep their internal order. OUTSTANDING
-    CURSORS ARE INVALID after a compact — the manifest's monotonic
-    LAYOUT STAMP bumps here (as on append), so any resume raises,
-    including at the bounded-compaction steady state where the
-    generation COUNT regrows to its pre-compact value every cycle
-    (asserted in TestLifecycleInterleave).
+    Ordering semantics: the folded suffix gets a fresh seeded epoch-0
+    order over its merged rows (deterministic — manifest seed); kept
+    generations keep their internal order. OUTSTANDING CURSORS ARE
+    INVALID after a compact — the manifest's monotonic LAYOUT STAMP
+    bumps here (as on append), so any resume raises, including at the
+    bounded-compaction steady state where the generation COUNT
+    regrows to the same value every cycle (TestLifecycleInterleave).
 
     Single-writer, like every maintain(): no concurrent loader reads
     or publishes during phase 2. Returns the rewritten manifest."""
     import json
     import os
     import shutil
-    from urllib.parse import unquote
 
     manifest = read_manifest(dest)
     shards = manifest["shards"]
@@ -586,47 +597,20 @@ def compact_generations(
         os.replace(tmp, intent_path)
 
     def finish(intent: dict) -> dict:
-        """Phase 2, idempotent via a PHASE MARKER advanced after each
-        step: removals, renames, and moves all land directories in
-        the same id ranges, so a marker-less replay could not tell an
-        old folded dir from a freshly moved-in one (and would delete
-        it). With the marker, each step only ever replays itself —
-        every individual op is then safely re-runnable (remove:
-        skip-if-absent while nothing new is in range; rename/move:
-        atomic, src-gone means done)."""
-        cut = intent["cut"]
+        lo, hi = intent["lo_gen"], intent["gen_before"]
         if intent.get("phase", "start") == "start":
-            # (a) remove ALL folded generation dirs — nothing has
-            # moved into [0, cut*shards) yet in this phase
+            # (a) remove every folded-suffix dir — nothing has moved
+            # into [lo*shards, hi*shards) yet in this phase
             for sd in list_split_dirs():
                 base = os.path.join(data_dir, sd)
-                for k in range(cut * shards):
+                for k in range(lo * shards, hi * shards):
                     p = os.path.join(base, f"shard={k}")
                     if os.path.isdir(p):
                         shutil.rmtree(p)
             intent["phase"] = "cleared"
             write_intent(intent)
-        if intent["phase"] == "cleared":
-            # (b) renumber kept generations, ascending: targets land
-            # in the cleared range or in a range a prior rename in
-            # this ascending order already vacated
-            for sd in list_split_dirs():
-                base = os.path.join(data_dir, sd)
-                for g in range(cut, intent["gen_before"]):
-                    n = g - cut + 1
-                    for j in range(shards):
-                        src = os.path.join(
-                            base, f"shard={g * shards + j}"
-                        )
-                        dst = os.path.join(
-                            base, f"shard={n * shards + j}"
-                        )
-                        if os.path.isdir(src):
-                            os.rename(src, dst)
-            intent["phase"] = "renamed"
-            write_intent(intent)
-        # (c) move the folded generation 0 in from tmp (src gone =
-        # already moved by a crashed attempt)
+        # (b) move the folded suffix in from tmp (src gone = already
+        # moved by a crashed attempt)
         if os.path.isdir(tmp_dir):
             for sd in sorted(os.listdir(tmp_dir)):
                 if not sd.startswith(f"{split_col}="):
@@ -650,7 +634,7 @@ def compact_generations(
             _verify_recount(spark, data_dir, split_col, shard_rows)
         new_manifest = {
             **manifest,
-            "generations": intent["max_generations"],
+            "generations": lo + 1,
             "layout": manifest.get(
                 "layout", manifest.get("generations", 1)
             ) + 1,
@@ -674,11 +658,32 @@ def compact_generations(
     if gens <= max_generations:
         return manifest
 
-    cut = gens - max_generations + 1
-    # phase 1: re-rank the folded generations into one, under the
-    # manifest seed, keeping the EXISTING split labels (identical to
-    # a re-hash by growth stability, without re-deriving them). One
-    # exchange over only the folded bytes.
+    # the fold boundary: per-generation on-disk bytes (pure metadata
+    # walk), then extend the suffix down while it outweighs the next
+    # older generation (the LSM merge rule)
+    size = [0] * gens
+    for sd in list_split_dirs():
+        base = os.path.join(data_dir, sd)
+        for d in os.listdir(base):
+            if not d.startswith("shard="):
+                continue
+            g = int(d.split("=", 1)[1]) // shards
+            p = os.path.join(base, d)
+            size[g] += sum(
+                e.stat().st_size
+                for e in os.scandir(p)
+                if e.is_file() and not e.name.startswith((".", "_"))
+            )
+    lo = max_generations - 1
+    tail = sum(size[lo:])
+    while lo > 0 and tail >= size[lo - 1]:
+        lo -= 1
+        tail += size[lo]
+
+    # phase 1: re-rank the folded suffix into ONE generation at slot
+    # lo, under the manifest seed, keeping the EXISTING split labels
+    # (identical to a re-hash by growth stability, without
+    # re-deriving them). One exchange over only the folded bytes.
     infer_key = (
         "spark.sql.sources.partitionColumnTypeInference.enabled"
     )
@@ -686,7 +691,7 @@ def compact_generations(
     spark.conf.set(infer_key, "false")
     try:
         folded = spark.read.parquet(data_dir).filter(
-            F.col("shard").cast("int") < cut * shards
+            F.col("shard").cast("int") >= lo * shards
         )
         tombs = _load_tombstones(_loader_fs(None), dest)
         if tombs is not None:
@@ -711,6 +716,8 @@ def compact_generations(
             manifest["seed"],
             id_col,
             extra_partition_cols=(split_col,),
+        ).withColumn(
+            "shard", (F.col("shard") + lo * shards).cast("int")
         )
         if os.path.isdir(tmp_dir):  # crashed phase 1: overwrite
             shutil.rmtree(tmp_dir)
@@ -722,28 +729,21 @@ def compact_generations(
         )
     finally:
         spark.conf.set(infer_key, infer_was)
-    # expected final receipt: tmp's folded gen 0 + the kept
-    # generations' manifest counts at their renumbered ids
+    # expected final receipt: the untouched older generations'
+    # manifest counts at their UNCHANGED ids + tmp's folded suffix
     expected: dict[str, dict[str, int]] = {}
-    for sname, per in _layout_receipt(tmp_dir, split_col).items():
-        expected.setdefault(sname, {}).update(per)
     for sname, per in manifest["shard_rows"].items():
         for k, n in per.items():
-            g, j = divmod(int(k), shards)
-            if g >= cut:
-                expected.setdefault(sname, {})[
-                    str((g - cut + 1) * shards + j)
-                ] = n
+            if int(k) < lo * shards:
+                expected.setdefault(sname, {})[k] = n
+    for sname, per in _layout_receipt(tmp_dir, split_col).items():
+        expected.setdefault(sname, {}).update(per)
     intent = {
-        "cut": cut,
+        "lo_gen": lo,
         "gen_before": gens,
-        "max_generations": max_generations,
         "expected_shard_rows": expected,
     }
-    tmp = intent_path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(intent, fh)
-    os.replace(tmp, intent_path)
+    write_intent(intent)
     return finish(intent)
 
 

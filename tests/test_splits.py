@@ -1277,8 +1277,10 @@ class TestCompactGenerations:
     - fold to 1: same doc set per split, valid training order (one
       file per dir, dense pos), epoch/rank machinery intact, dir
       count back to `shards` per split;
-    - partial fold (max_generations=2): kept newest generation's
-      files BYTE-IDENTICAL, only renumbered;
+    - partial fold (max_generations=2): the suffix-fold policy keeps
+      the OLDEST (bulk) generation's files BYTE-IDENTICAL at
+      unchanged ids and folds only the newer tail (the LSM rule — a
+      prefix fold would rewrite the accumulated corpus every cycle);
     - tombstoned rows are PHYSICALLY dropped from the folded region
       (storage-level erasure) while kept-region tombstones remain a
       read-side gate;
@@ -1294,12 +1296,22 @@ class TestCompactGenerations:
         )
 
         d = str(tmp_path / name)
-        base = spark.range(300).select(F.col("id").alias("doc_id"))
+        # the bulk generation carries a fat payload so its BYTES
+        # genuinely outweigh the appended tail (the suffix-fold
+        # policy decides by size; tiny fixtures are otherwise
+        # dominated by per-file parquet overhead)
+        base = spark.range(300).select(
+            F.col("id").alias("doc_id"),
+            F.repeat(F.lit("x"), 2000).alias("payload"),
+        )
         write_training_shards(base, d, shards=4)
         for a in range(appends):
             extra = spark.range(
                 1000 * (a + 1), 1000 * (a + 1) + 120
-            ).select(F.col("id").alias("doc_id"))
+            ).select(
+                F.col("id").alias("doc_id"),
+                F.lit("tail").alias("payload"),
+            )
             append_training_shards(extra, d, verify=False)
         return d
 
@@ -1341,7 +1353,7 @@ class TestCompactGenerations:
         r1 = set(self._docs(d, epoch=1, rank=1, world_size=2))
         assert not (r0 & r1) and r0 | r1 == set(before["train"])
 
-    def test_partial_fold_keeps_newest_bytes(self, spark, tmp_path):
+    def test_partial_fold_keeps_bulk_bytes(self, spark, tmp_path):
         import glob
         import hashlib
 
@@ -1351,6 +1363,8 @@ class TestCompactGenerations:
         )
 
         d = self._build(spark, tmp_path, "fold2")  # gens 0,1,2
+        # gen 0 (300 rows) outweighs the tail (2x120), so the LSM
+        # rule folds only [1, 3) and the bulk is untouched
 
         def hashes(lo, hi):
             out = {}
@@ -1359,21 +1373,21 @@ class TestCompactGenerations:
             ):
                 k = int(f.split("shard=")[1].split(os.sep)[0])
                 if lo <= k < hi:
-                    rel = os.path.relpath(f, d).replace(
-                        f"shard={k}", f"shard={k % 4}"
-                    )
-                    out[rel] = hashlib.md5(
+                    out[os.path.relpath(f, d)] = hashlib.md5(
                         open(f, "rb").read()
                     ).hexdigest()
             return out
 
-        newest_before = hashes(8, 12)  # generation 2's dirs
+        bulk_before = hashes(0, 4)  # generation 0's dirs
         before = sorted(self._docs(d))
         m = compact_generations(spark, d, max_generations=2)
         assert m["generations"] == 2
         assert read_manifest(d)["generations"] == 2
-        newest_after = hashes(4, 8)  # renumbered to generation 1
-        assert newest_after == newest_before  # byte-identical files
+        # the bulk: byte-identical, SAME paths (no renames at all)
+        assert hashes(0, 4) == bulk_before
+        # the folded tail landed at the suffix slot
+        assert hashes(8, 999) == {}
+        assert len(hashes(4, 8)) > 0
         assert sorted(self._docs(d)) == before
 
     def test_tombstones_physically_dropped_in_fold(
@@ -1390,9 +1404,10 @@ class TestCompactGenerations:
             for s in ("train", "validation", "test")
             for i in self._docs(d, s)
         ]
-        # ids < 1000 live in generation 0 (folded); >= 2000 in gen 2
-        dead_folded = [i for i in base if i < 300][::23]
-        dead_kept = [i for i in base if i >= 2000][:3]
+        # suffix fold: gens 1-2 (ids >= 1000) fold; gen 0 (< 300)
+        # is the kept bulk — its tombstones stay a read-side gate
+        dead_folded = [i for i in base if i >= 1000][::17]
+        dead_kept = [i for i in base if i < 300][:3]
         tombstone_training_shards(d, dead_folded + dead_kept)
         compact_generations(spark, d, max_generations=2)
         on_disk = set(
