@@ -755,10 +755,12 @@ class CurationPipelineStream:
 
         def maybe_compact(m: dict | None) -> dict | None:
             """Steady-state generation bound (r13): fold when the
-            count exceeds max_generations — runs on EVERY call (a
-            crashed fold's intent resumes here too), strictly after
-            the publish state machine finalized, so the two
-            crash-recovery protocols never interleave."""
+            count exceeds max_generations — runs on EVERY call,
+            BOTH before the window lands (resuming a crashed fold so
+            its receipt never sees a tree the fold didn't cover) and
+            after (the steady-state bound); always outside the
+            publish intent's own lifetime, so the two crash-recovery
+            protocols never interleave."""
             if max_generations is None or current_generations() == 0:
                 return m
             from gus_spark.operators.splits import compact_generations
@@ -767,6 +769,12 @@ class CurationPipelineStream:
                 self.spark, shards_dir, max_generations, verify=verify
             )
             return folded if m is not None else None
+
+        # resume a crashed fold BEFORE landing anything new: a
+        # pending compact intent's receipt covers the tree as it was
+        # at fold time, so appending a generation first would make
+        # its completion flag a spurious mismatch
+        maybe_compact(None)
 
         maxes = {
             str(r["shard"]): int(r["hi"])

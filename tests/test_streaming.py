@@ -2444,3 +2444,99 @@ def test_url_dedup_state_identity_gate(spark, tmp_path):
     start(w2, drop_query=False).awaitTermination()
     with pytest.raises(ValueError, match="drop_query"):
         start(w2, drop_query=True)
+
+
+def test_publish_resumes_crashed_compact_before_appending(
+    spark, tmp_path, monkeypatch
+):
+    """r13: a compact that crashed mid-fold leaves an intent whose
+    receipt covers the tree AS OF the fold — a publish that appended
+    a new generation first would complete the fold into a tree the
+    receipt doesn't expect (loud mismatch, manual recovery). The
+    publish loop therefore resumes any pending fold BEFORE landing
+    its window; this surgery test injects the crash inside the fold's
+    move step and asserts the next publish self-heals and full
+    sequence parity holds."""
+    from gus_spark.operators.bpe import (
+        bpe_base_symbols,
+        bpe_fit,
+        bpe_vocab,
+        save_tokenizer,
+    )
+    from gus_spark.operators.chunk import assemble_token_sequences
+    from gus_spark.operators.splits import (
+        iter_training_order,
+        read_manifest,
+    )
+    from gus_spark.streaming import CurationPipelineStream
+
+    docs = table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 3).select(
+        "doc_id", "text"
+    )
+    merges = bpe_fit(docs.limit(100), num_merges=16)
+    vocab = bpe_vocab(merges, bpe_base_symbols(docs.limit(100)))
+    tok_dir = str(tmp_path / "tok")
+    os.makedirs(tok_dir)
+    save_tokenizer(tok_dir, merges, vocab)
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.parquet(src)
+    p = CurationPipelineStream(
+        spark, src, docs.schema, bench, str(tmp_path / "work"),
+        ngram=13, min_hits=1,
+        chunk_tokens=16, chunk_overlap=4, seq_budget=48, pack_shards=4,
+    )
+    shards_dir = str(tmp_path / "shards")
+    p.run()
+    p.publish_shards(shards_dir, tok_dir, shards=4, max_generations=1)
+
+    # wave 2 → the publish appends gen 2 then folds; crash the fold
+    # mid-move (after the intent + removals)
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    p.run()
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def flaky(a, b):
+        if "shard=" in str(a) and "_compact_tmp" in str(a):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise OSError("injected crash mid-fold")
+        return real_rename(a, b)
+
+    monkeypatch.setattr(os, "rename", flaky)
+    with pytest.raises(OSError, match="injected"):
+        p.publish_shards(
+            shards_dir, tok_dir, shards=4, max_generations=1
+        )
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert os.path.exists(os.path.join(shards_dir, "compact_intent.json"))
+
+    # wave 3 → the next publish must resume the fold FIRST, then land
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    p.run()
+    m = p.publish_shards(
+        shards_dir, tok_dir, shards=4, max_generations=1, final=True
+    )
+    assert m["generations"] == 1
+    assert read_manifest(shards_dir)["generations"] == 1
+    assert not os.path.exists(
+        os.path.join(shards_dir, "compact_intent.json")
+    )
+    want = {
+        r["seq_uid"]: tuple(r["token_ids"])
+        for r in assemble_token_sequences(
+            spark.read.parquet(p.packed), merges, vocab
+        ).collect()
+    }
+    got = {}
+    for split in ("train", "validation", "test"):
+        for b, _c in iter_training_order(shards_dir, split):
+            for row in b.to_pylist():
+                assert row["seq_uid"] not in got
+                got[row["seq_uid"]] = tuple(row["token_ids"])
+    assert got == want
