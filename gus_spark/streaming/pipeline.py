@@ -1161,8 +1161,16 @@ class CurationPipelineStream:
                 margin=refit_cfg.get("margin"),
             )
             cap_refits += 1
-            new_path = f"{self.cap_thresholds}_refit{cap_refits}"
-            thr.write.mode("overwrite").parquet(new_path)
+            # version suffix counts EXISTING refit dirs, not this
+            # run's counter — a later run_live's first refit must not
+            # overwrite a directory the gate may still be reading
+            import glob as _glob
+
+            n = 1 + len(
+                _glob.glob(f"{self.cap_thresholds}_refit*")
+            )
+            new_path = f"{self.cap_thresholds}_refit{n}"
+            thr.write.mode("errorifexists").parquet(new_path)
             self._cap_path = new_path
             self.reload_cap_thresholds()
             refit_mark.update(rows=rows, unfitted=unf)
