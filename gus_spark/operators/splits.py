@@ -132,19 +132,40 @@ def _ranked_shards(
     seed: str,
     id_col: str,
     extra_partition_cols: tuple[str, ...] = (),
+    order_col: str | None = None,
+    order_desc: bool = False,
 ) -> DataFrame:
     """THE definition of the training-order contract — shard =
     60-bit-bucket % shards, pos = 1-based rank of (bucket, id) within
     each (*extra_partition_cols, shard) window — shared by
     `shuffled_shards` (no extra keys) and `write_training_shards`
-    (per-split ranking), so the two can never drift."""
+    (per-split ranking), so the two can never drift.
+
+    ``order_col`` (r13, the CURRICULUM knob): rank by the column's
+    value FIRST — (order, bucket, id), ``order_desc=True`` for
+    best-first — so epoch 0 reads each shard in e.g. quality order
+    (ties and the no-order default stay the seeded shuffle; NULL
+    order values sort first ascending / last descending,
+    deterministic). Still one exchange; still a pure function of
+    (values, seed, ids)."""
     if shards < 1:
         raise ValueError(f"shards must be >= 1, got {shards}")
     from pyspark.sql import Window
 
+    lead = []
+    if order_col is not None:
+        if order_col not in df.columns:
+            raise ValueError(
+                f"order_col {order_col!r} is not a column of the "
+                f"input (have: {df.columns})"
+            )
+        c = F.col(order_col)
+        lead = [
+            c.desc_nulls_last() if order_desc else c.asc_nulls_first()
+        ]
     b = _bucket(F.col(id_col), seed)
     w = Window.partitionBy(*extra_partition_cols, "shard").orderBy(
-        "_order_bucket", id_col
+        *lead, "_order_bucket", id_col
     )
     return (
         df.withColumn("_order_bucket", b)
@@ -159,6 +180,8 @@ def shuffled_shards(
     shards: int = 1024,
     seed: str = "shuffle-v1",
     id_col: str = "doc_id",
+    order_col: str | None = None,
+    order_desc: bool = False,
 ) -> DataFrame:
     """(…, shard, pos): the reproducible global training order. shard
     = hash-range bucket (uniform row counts by construction), pos =
@@ -168,8 +191,13 @@ def shuffled_shards(
     the minimal physical cost of materializing a global order — and
     the shard key is uniform, so no skew at any corpus size. Readers
     stream shards independently in (shard, pos) order; concatenated,
-    that IS the seeded permutation."""
-    return _ranked_shards(df, shards, seed, id_col)
+    that IS the seeded permutation. ``order_col``/``order_desc``
+    turn the base order into a per-shard CURRICULUM (see
+    _ranked_shards)."""
+    return _ranked_shards(
+        df, shards, seed, id_col,
+        order_col=order_col, order_desc=order_desc,
+    )
 
 
 def sql_shuffled_shards(
@@ -208,6 +236,8 @@ def write_training_shards(
     split_seed: str = "split-v1",
     split_col: str = "split",
     verify: bool = True,
+    order_col: str | None = None,
+    order_desc: bool = False,
 ) -> dict:
     """Materialize the training-loader contract: split + seeded global
     order as ``dest/data/split=<name>/shard=<k>/`` parquet with EXACTLY
@@ -253,6 +283,14 @@ def write_training_shards(
     with ``spark.sql.files.maxRecordsPerFile`` set would otherwise
     silently fragment directories and void the loader's read order.
 
+    ``order_col``/``order_desc`` (r13): the CURRICULUM knob — pos
+    ranks by (order value, seeded hash, id) per (split, shard), so
+    epoch 0 reads each shard in e.g. quality-descending order while
+    epochs > 0 reshuffle as always (the curriculum is the base
+    order, not a cage). Recorded in the manifest; appends and
+    compaction folds rank their generations by the same rule, so the
+    discipline survives the whole lifecycle.
+
     Filesystem contract: ``dest`` must be a LOCAL (POSIX-visible)
     path — the receipt walk, the manifest write, and the consuming
     ``iter_training_order`` all read it through ``os``/pyarrow, by
@@ -285,8 +323,13 @@ def write_training_shards(
         )
     spark = df.sparkSession
     labeled = hash_split(df, weights, split_seed, id_col, split_col)
+    # order_col (r13): epoch-0 curriculum — pos ranks by
+    # (order, bucket, id) per (split, shard); epochs > 0 reshuffle
+    # as always, so the curriculum is the BASE order, not a cage
     ordered = _ranked_shards(
-        labeled, shards, seed, id_col, extra_partition_cols=(split_col,)
+        labeled, shards, seed, id_col,
+        extra_partition_cols=(split_col,),
+        order_col=order_col, order_desc=order_desc,
     )
     data_dir = os.path.join(dest, "data")
     (
@@ -308,6 +351,8 @@ def write_training_shards(
         "weights": dict(DEFAULT_WEIGHTS if weights is None else weights),
         "generations": 1,
         "layout": 1,
+        "order_col": order_col,
+        "order_desc": bool(order_desc),
         "shard_rows": shard_rows,
         "total_rows": sum(
             n for per in shard_rows.values() for n in per.values()
@@ -471,6 +516,8 @@ def append_training_shards(
         manifest["seed"],
         id_col,
         extra_partition_cols=(split_col,),
+        order_col=manifest.get("order_col"),
+        order_desc=manifest.get("order_desc", False),
     ).withColumn(
         "shard", (F.col("shard") + gen * shards).cast("int")
     )
@@ -716,6 +763,8 @@ def compact_generations(
             manifest["seed"],
             id_col,
             extra_partition_cols=(split_col,),
+            order_col=manifest.get("order_col"),
+            order_desc=manifest.get("order_desc", False),
         ).withColumn(
             "shard", (F.col("shard") + lo * shards).cast("int")
         )
@@ -1630,6 +1679,8 @@ def retokenize_shard_set(
         split_seed=old["split_seed"],
         split_col=old["split_col"],
         verify=verify,
+        order_col=old.get("order_col"),
+        order_desc=old.get("order_desc", False),
     )
     id_col = old["id_col"]
     old_ids = spark.read.parquet(os.path.join(old_dest, "data")).select(

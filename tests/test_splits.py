@@ -2061,3 +2061,109 @@ class TestRetokenizeShardSet:
         with pytest.raises(ValueError, match="final"):
             retokenize_shard_set(spark, packed_dir, old, new, tok_b)
         assert not os.path.exists(new)  # nothing half-migrated
+
+
+class TestCurriculumOrder:
+    """order_col (r13): the curriculum knob on the training-order
+    writers — pos ranks by (order value, seeded hash, id) per
+    (split, shard). Claims: epoch 0 reads each shard in quality
+    order (desc_nulls_last honored); epoch > 0 still reshuffles;
+    appends and compaction folds rank their generations by the
+    manifest's recorded rule; a missing column raises; the default
+    stays the pure seeded shuffle (covered by every other test)."""
+
+    def _quality(self, spark, lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 19 == 0, F.lit(None)).otherwise(
+                (F.col("id") * 37 % 101).cast("double")
+            ).alias("quality"),
+        )
+
+    @staticmethod
+    def _per_shard_quality(dest, **kw):
+        from gus_spark.operators.splits import iter_training_order
+
+        out: dict[int, list] = {}
+        for b, cur in iter_training_order(dest, "train", **kw):
+            out.setdefault(cur[0], []).extend(
+                b.column("quality").to_pylist()
+            )
+        return out
+
+    @staticmethod
+    def _desc_nulls_last(vals):
+        seen_null = False
+        prev = None
+        for v in vals:
+            if v is None:
+                seen_null = True
+                continue
+            if seen_null:
+                return False  # a value after a null
+            if prev is not None and v > prev:
+                return False
+            prev = v
+        return True
+
+    def test_epoch0_is_curriculum_epoch1_reshuffles(
+        self, spark, tmp_path
+    ):
+        from gus_spark.operators.splits import write_training_shards
+
+        d = str(tmp_path / "cur")
+        m = write_training_shards(
+            self._quality(spark, 0, 400), d, shards=3,
+            weights={"train": 1.0}, order_col="quality",
+            order_desc=True,
+        )
+        assert m["order_col"] == "quality" and m["order_desc"]
+        per = self._per_shard_quality(d)
+        assert len(per) == 3
+        for shard, vals in per.items():
+            assert self._desc_nulls_last(vals), shard
+        e1 = self._per_shard_quality(d, epoch=1)
+        assert sorted(
+            v for vs in e1.values() for v in vs if v is not None
+        ) == sorted(
+            v for vs in per.values() for v in vs if v is not None
+        )
+        assert any(
+            not self._desc_nulls_last(vs) for vs in e1.values()
+        )  # the reshuffle genuinely breaks the curriculum
+
+    def test_append_and_fold_keep_the_rule(self, spark, tmp_path):
+        from gus_spark.operators.splits import (
+            append_training_shards,
+            compact_generations,
+            write_training_shards,
+        )
+
+        d = str(tmp_path / "curgrow")
+        write_training_shards(
+            self._quality(spark, 0, 300), d, shards=3,
+            weights={"train": 1.0}, order_col="quality",
+            order_desc=True,
+        )
+        append_training_shards(
+            self._quality(spark, 1000, 1200), d, verify=False
+        )
+        per = self._per_shard_quality(d)
+        assert set(per) == set(range(6))  # both generations
+        for shard, vals in per.items():
+            assert self._desc_nulls_last(vals), shard
+        compact_generations(spark, d, max_generations=1)
+        per2 = self._per_shard_quality(d)
+        assert set(per2) == set(range(3))
+        for shard, vals in per2.items():
+            assert self._desc_nulls_last(vals), shard
+
+    def test_missing_order_column_raises(self, spark, tmp_path):
+        from gus_spark.operators.splits import write_training_shards
+
+        with pytest.raises(ValueError, match="order_col"):
+            write_training_shards(
+                spark.range(10).select(F.col("id").alias("doc_id")),
+                str(tmp_path / "bad"),
+                order_col="nope",
+            )
