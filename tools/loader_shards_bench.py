@@ -150,6 +150,45 @@ def bench(spark, sf_dir: str) -> dict:
         compacted_read_s = round(time.time() - t0, 3)
         assert comp_rows == frag_rows, (comp_rows, frag_rows)
 
+        # masked-read attach cost (r13): a masks.parquet sidecar over
+        # ~1% of ids (written directly — the semantic path needs
+        # doc_spans rows; this probes the LOADER cost: one dict
+        # lookup + column append per batch). Claim: masked_read_s ≈
+        # compacted_read_s — masking is free at the read boundary.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        masked_ids = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(dest, "data"))
+            .select("doc_id")
+            .filter("doc_id % 97 = 0")
+            .distinct()
+            .collect()
+        )
+        span_t = pa.list_(
+            pa.struct([("start", pa.int64()), ("len", pa.int64())])
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(masked_ids),
+                    "spans": pa.array(
+                        [[{"start": 1, "len": 1}]] * len(masked_ids),
+                        type=span_t,
+                    ),
+                }
+            ),
+            os.path.join(dest, "masks.parquet"),
+        )
+        t0 = time.time()
+        got_masked = 0
+        for b, _c in iter_training_order(dest, "train"):
+            col = b.column("masked_spans")
+            got_masked += b.num_rows - col.null_count
+        masked_read_s = round(time.time() - t0, 3)
+        assert got_masked > 0
+
         # token-id variant (r11): the same boundary fed trainer input
         # — each stage timed separately so the encode cost is
         # ATTRIBUTED, not folded into the write. The encode is
@@ -208,6 +247,8 @@ def bench(spark, sf_dir: str) -> dict:
             "gens9_rows": frag_rows,
             "compact_s": compact_s,
             "compacted_read_s": compacted_read_s,
+            "masked_read_s": masked_read_s,
+            "masked_rows": got_masked,
             "bpe_fit_s": fit_s,
             "encode_s": encode_s,
             "write_tok_s": write_tok_s,
