@@ -73,11 +73,17 @@ its own), the RefinedWeb keep-N-per-domain discipline in its frozen
 streaming form. Packed output with the gate is row-identical to the
 batch composition applying the same artifact (asserted in
 tests/test_streaming.py). The gate's refit signal is observable
-(r12): it `observe`s (rows, unfitted, dropped) per trigger — still
-stateless — into ``cap_stats`` / ``cap_summary()`` and run_live's
-``stages.decon.cap``, with an optional ``cap_refit_warn_frac`` loud
-threshold; a brand-new head domain flowing uncapped is therefore a
-metric, not a silent behavior.
+(r12) and since r13 the whole refit LOOP is closed: the gate applies
+per micro-batch through decontaminate_stream's ``pre`` hook, each
+trigger records EXACT (rows, unfitted, dropped) into ``cap_stats`` /
+``cap_summary()`` / run_live's ``stages.decon.cap`` (one bounded agg
+per batch — no observe-metric multiplicity, no recentProgress
+retention loss), ``cap_refit_warn_frac`` stays the loud knob,
+`reload_cap_thresholds` picks a refit artifact up on the next
+trigger, and ``run_live(cap_refit=...)`` automates fit → versioned
+artifact → reload when the delta unfitted fraction crosses the
+trigger. A brand-new head domain flowing uncapped is therefore a
+metric with an automated remedy, never a silent behavior.
 """
 
 from __future__ import annotations
