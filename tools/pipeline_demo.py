@@ -542,12 +542,32 @@ def run_pipeline(
     )
     mark("loader_encode")
 
+    # curriculum (r13): each sequence's quality = mean of its
+    # constituent documents' distilled scores (stage 4's classifier),
+    # and the shard writer ranks pos by it — epoch 0 reads each shard
+    # best-first, epochs > 0 reshuffle as always
+    seq_q = (
+        packed.join(
+            scored.select("doc_id", "quality_prob"), "doc_id", "left"
+        )
+        .groupBy("shard", "seq_id")
+        .agg(F.avg("quality_prob").alias("seq_quality"))
+        .select(
+            (
+                F.shiftleft(F.col("shard").cast("long"), 40)
+                + F.col("seq_id").cast("long")
+            ).alias("seq_uid"),
+            "seq_quality",
+        )
+    )
     shards_dir = os.path.join(out_dir, "train_shards")
     manifest = write_training_shards(
-        seqs.drop("text"),  # production shards carry ids + spans
+        seqs.drop("text").join(seq_q, "seq_uid", "left"),
         shards_dir,
         shards=pack_shards,
         id_col="seq_uid",
+        order_col="seq_quality",
+        order_desc=True,
     )
     # persist the tokenizer NEXT TO the manifest (r12): shards +
     # tokenizer.json are the complete reproducible training input —
@@ -590,6 +610,27 @@ def run_pipeline(
         off += s["len"]
     assert off - 1 == len(row["token_ids"])
     stats["loader_roundtrip_ok"] = True
+    # curriculum receipt: epoch-0 pos order within each shard is
+    # quality non-increasing (nulls last — desc_nulls_last)
+    per_shard: dict[int, list] = {}
+    for b, cur in iter_training_order(shards_dir, "train"):
+        per_shard.setdefault(cur[0], []).extend(
+            b.column("seq_quality").to_pylist()
+        )
+    def _mono(vals):
+        prev, seen_null = None, False
+        for v in vals:
+            if v is None:
+                seen_null = True
+                continue
+            if seen_null or (prev is not None and v > prev + 1e-12):
+                return False
+            prev = v
+        return True
+    stats["curriculum_monotone"] = all(
+        _mono(v) for v in per_shard.values()
+    )
+    assert stats["curriculum_monotone"]
     mark("loader_shards")
 
     # 9. late-benchmark doc-span masking (r13): a benchmark landing
