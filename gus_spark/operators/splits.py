@@ -1312,6 +1312,203 @@ def iter_epochs(
         epoch += 1
 
 
+def iter_mixture(
+    components: dict,
+    split: str = "train",
+    cursor: dict | None = None,
+    batch_rows: int = 4096,
+    seed: str = "mix-v1",
+    rank: int = 0,
+    world_size: int = 1,
+    max_steps: int | None = None,
+    filesystem=None,
+    prefetch_batches: int = 0,
+):
+    """Weighted multi-corpus training stream: sample batches from
+    several materialized shard sets at READ time — the loader-side
+    complement of `mixture_plan`/`mixture_sample` (operators/
+    mixing.py), which bake a mixture into ONE corpus by rewriting it.
+    Every production pre-train mixes domains this way (GPT-3's
+    per-dataset weights with >1 epoch on the small high-quality sets,
+    Brown et al. 2020 table 2.2; The Pile's per-subset epochs, Gao
+    et al. 2020 table 1; LLaMA's sampling proportions, Touvron et al.
+    2023 table 1) — and tunes the weights BETWEEN runs, which must be
+    a loader-config change, not a 100-TB rewrite. Here each domain
+    stays its own shard set; re-weighting costs nothing.
+
+    ``components`` maps name -> (dest, weight): each dest a
+    `write_training_shards` set (every loader feature — epochs,
+    ranks, tombstones, masks, curriculum, generations — inherits
+    unchanged, component by component). Weights are normalized;
+    at step t the stream draws component c(t) with probability
+    w_c — a PURE function of (seed, t) (`random.Random(key)`, the
+    `_epoch_perm` convention), so the schedule needs no state and
+    any step is recomputable. Yields ``(name, batch, cursor)``.
+
+    Sampling is per BATCH. With a fixed ``batch_rows`` over packed
+    token sequences (constant tokens per row) that is per-TOKEN
+    weighting up to the short tail batch each shard/row-group
+    boundary emits — the deviation is O(components × shards /
+    steps) and vanishes over a training run.
+
+    Components CYCLE: when a component's epoch is exhausted it rolls
+    to the next epoch (`iter_training_order(epoch=e+1)` — a reseeded
+    read, never a rewrite), so small high-quality sets repeat while
+    big ones may not finish epoch 0 — exactly the >1-epoch regime the
+    published mixtures run. The per-component epoch counter rides the
+    cursor; a component whose current (split, rank) slice yields NO
+    rows raises instead of spinning (an all-tombstoned rank slice is
+    a restructure signal, not an idle loop).
+
+    The yielded ``cursor`` is one JSON-serializable checkpoint for
+    the whole mixture: ``{"step": t, "sig": …, "states": {name:
+    {"epoch": e, "cursor": [shard, pos, layout] | None}}}`` — resume
+    by passing it back; every component continues strictly after its
+    last consumed row and the schedule continues at step t+1
+    (exactly-once end to end, each component's layout stamp checked
+    by its own resume). ``sig`` fingerprints (seed, split, component
+    names, normalized weights, rank, world_size): resuming under ANY
+    change that would alter the schedule or the slices raises — the
+    wrong-rank-cursor precedent, composed.
+
+    ``rank``/``world_size`` shard every component's stream; all ranks
+    run the SAME schedule (same seed ⇒ same component at step t), so
+    the global mixture proportions are exactly the per-rank ones.
+    ``max_steps`` bounds the stream at a total step budget (indices
+    < max_steps, counted from stream start — a resumed run continues
+    toward the same budget). ``prefetch_batches`` applies per
+    component; with several components the background readers overlap
+    each other's consumption — the object-store design point."""
+    import hashlib
+    import math
+    import random
+
+    if not components:
+        raise ValueError("components must not be empty")
+    names = list(components)
+    dests, weights = {}, {}
+    for name in names:
+        dest, w = components[name]
+        w = float(w)
+        if not (w > 0 and math.isfinite(w)):
+            raise ValueError(
+                f"component {name!r} weight must be finite and > 0, "
+                f"got {w}"
+            )
+        dests[name], weights[name] = dest, w
+    total_w = sum(weights.values())
+    cum, acc = [], 0.0
+    for name in names:
+        acc += weights[name] / total_w
+        cum.append((acc, name))
+    cum[-1] = (1.0, names[-1])  # close the float-sum gap
+    sig = hashlib.md5(
+        repr(
+            (
+                seed,
+                split,
+                [(n, weights[n] / total_w) for n in names],
+                rank,
+                world_size,
+            )
+        ).encode()
+    ).hexdigest()[:16]
+
+    for name in names:
+        m = read_manifest(dests[name], filesystem)
+        rows = sum(m.get("shard_rows", {}).get(split, {}).values())
+        if rows == 0:
+            raise ValueError(
+                f"component {name!r} has no rows in split {split!r} "
+                f"({dests[name]}) — an empty component can never be "
+                "scheduled"
+            )
+
+    if cursor is None:
+        step = 0
+        states = {n: {"epoch": 0, "cursor": None} for n in names}
+    else:
+        if cursor.get("sig") != sig:
+            raise ValueError(
+                "mixture cursor was yielded under a different "
+                "(seed, split, components, weights, rank, world_size) "
+                "— the schedule or the rank slices would silently "
+                "change; cursors are only valid under the exact "
+                "mixture they were yielded from"
+            )
+        step = int(cursor["step"]) + 1
+        states = {
+            n: {
+                "epoch": int(s["epoch"]),
+                "cursor": tuple(s["cursor"]) if s["cursor"] else None,
+            }
+            for n, s in cursor["states"].items()
+        }
+
+    def fresh_iter(name):
+        st = states[name]
+        return iter_training_order(
+            dests[name],
+            split,
+            cursor=st["cursor"],
+            batch_rows=batch_rows,
+            epoch=st["epoch"],
+            rank=rank,
+            world_size=world_size,
+            filesystem=filesystem,
+            prefetch_batches=prefetch_batches,
+        )
+
+    its = {n: fresh_iter(n) for n in names}
+    # a mid-epoch resume proves the epoch yields; a fresh epoch must
+    # prove itself before it may roll over (no silent infinite spin)
+    fed = {n: states[n]["cursor"] is not None for n in names}
+
+    def pick(t: int) -> str:
+        u = random.Random(f"{seed}|step={t}").random()
+        for edge, name in cum:
+            if u < edge:
+                return name
+        return names[-1]
+
+    while max_steps is None or step < max_steps:
+        name = pick(step)
+        while True:
+            try:
+                batch, inner = next(its[name])
+                fed[name] = True
+                break
+            except StopIteration:
+                if not fed[name]:
+                    raise ValueError(
+                        f"component {name!r} yields no rows for "
+                        f"split={split!r} under rank {rank}/"
+                        f"{world_size} epoch "
+                        f"{states[name]['epoch']} — every scheduled "
+                        "component must produce data (empty rank "
+                        "slice or fully tombstoned shards?)"
+                    ) from None
+                states[name] = {
+                    "epoch": states[name]["epoch"] + 1,
+                    "cursor": None,
+                }
+                fed[name] = False
+                its[name] = fresh_iter(name)
+        states[name] = {"epoch": states[name]["epoch"], "cursor": inner}
+        yield name, batch, {
+            "step": step,
+            "sig": sig,
+            "states": {
+                n: {
+                    "epoch": s["epoch"],
+                    "cursor": list(s["cursor"]) if s["cursor"] else None,
+                }
+                for n, s in states.items()
+            },
+        }
+        step += 1
+
+
 def tombstone_training_shards(dest: str, ids) -> dict:
     """Retroactively REMOVE rows from a materialized shard set without
     rewriting a byte of it — the trainer-boundary form of this repo's

@@ -2167,3 +2167,174 @@ class TestCurriculumOrder:
                 str(tmp_path / "bad"),
                 order_col="nope",
             )
+
+
+class TestMixtureLoader:
+    """iter_mixture (r13): weighted multi-corpus sampling at READ
+    time — domains stay separate shard sets, re-weighting is a loader
+    config change, never a rewrite. Claims pinned:
+
+    - the schedule is a pure function of (seed, step): two runs yield
+      identical (name, rows) sequences, and realized proportions
+      track the normalized weights;
+    - components CYCLE epochs: over any prefix of the stream, each id
+      of a component appears either m or m+1 times (m = that
+      component's completed epochs), i.e. every cycle is a full
+      permutation before any repeat;
+    - ONE composite cursor resumes the whole mixture exactly-once at
+      any checkpoint, including across component epoch boundaries,
+      and toward an unchanged max_steps budget;
+    - a cursor under a different mixture (weights, seed, rank) raises
+      (the wrong-rank precedent, composed);
+    - an empty component — no rows in the split, or an empty rank
+      slice — raises loudly instead of spinning;
+    - ranks share the schedule (same component at every step) while
+      each component's per-epoch consumption stays disjoint across
+      ranks.
+    """
+
+    @pytest.fixture(scope="class")
+    def mix(self, spark, tmp_path_factory):
+        from gus_spark.operators.splits import write_training_shards
+
+        docs = table(spark, SF_DIR_ORACLE, "documents").select(
+            "doc_id", "text"
+        )
+        base = tmp_path_factory.mktemp("mixture")
+        a = str(base / "set_a")
+        b = str(base / "set_b")
+        write_training_shards(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            a, shards=2, weights={"train": 1.0},
+        )
+        write_training_shards(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            b, shards=2, weights={"train": 1.0},
+        )
+        return {"a": (a, 3.0), "b": (b, 1.0)}
+
+    @staticmethod
+    def _run(mix, steps, cursor=None, **kw):
+        from gus_spark.operators.splits import iter_mixture
+
+        out, last = [], None
+        for name, batch, cur in iter_mixture(
+            mix, "train", cursor=cursor, batch_rows=64,
+            max_steps=steps, **kw,
+        ):
+            out.append(
+                (
+                    name,
+                    cur["states"][name]["epoch"],
+                    tuple(batch.column("doc_id").to_pylist()),
+                )
+            )
+            last = cur
+        return out, last
+
+    def test_deterministic_and_proportions(self, mix):
+        run1, _ = self._run(mix, 200)
+        run2, _ = self._run(mix, 200)
+        assert run1 == run2
+        frac_a = sum(1 for n, _, _ in run1 if n == "a") / len(run1)
+        assert 0.75 - 0.09 <= frac_a <= 0.75 + 0.09, frac_a
+
+    def test_epochs_cycle_as_full_permutations(self, mix):
+        run, last = self._run(mix, 250)
+        for name in ("a", "b"):
+            by_epoch = {}
+            for n, e, ids in run:
+                if n == name:
+                    by_epoch.setdefault(e, []).extend(ids)
+            m = last["states"][name]["epoch"]
+            assert m >= 1, f"{name} never cycled — weaken the test"
+            # every COMPLETED epoch is one full permutation of the
+            # component: no id repeats inside an epoch, and all
+            # completed epochs cover the identical id set
+            full_sets = []
+            for e in range(m):
+                ids = by_epoch[e]
+                assert len(ids) == len(set(ids)), (name, e)
+                full_sets.append(set(ids))
+            assert all(s == full_sets[0] for s in full_sets), name
+            # the in-flight epoch is a duplicate-free prefix of it
+            tail = by_epoch.get(m, [])
+            assert len(tail) == len(set(tail)), name
+            assert set(tail) <= full_sets[0], name
+
+    def test_composite_cursor_resumes_exactly_once(self, mix):
+        full, _ = self._run(mix, 150)
+        for k in (1, 40, 75, 149):
+            head, cur = self._run(mix, k)
+            tail, _ = self._run(mix, 150, cursor=cur)
+            assert head + tail == full, k
+
+    def test_resume_honors_max_steps_budget(self, mix):
+        full, last_full = self._run(mix, 60)
+        head, cur = self._run(mix, 25)
+        tail, last = self._run(mix, 60, cursor=cur)
+        assert head + tail == full
+        assert last["step"] == last_full["step"] == 59
+
+    def test_foreign_cursor_raises(self, mix):
+        from gus_spark.operators.splits import iter_mixture
+
+        _, cur = self._run(mix, 10)
+        reweighted = {k: (d, 1.0) for k, (d, _) in mix.items()}
+        for kw in (
+            {"seed": "other"},
+            {"rank": 1, "world_size": 2},
+        ):
+            with pytest.raises(ValueError, match="different"):
+                next(iter_mixture(mix, "train", cursor=cur, **kw))
+        with pytest.raises(ValueError, match="different"):
+            next(iter_mixture(reweighted, "train", cursor=cur))
+
+    def test_empty_component_raises(self, mix, spark, tmp_path):
+        from gus_spark.operators.splits import iter_mixture
+
+        # no rows in the requested split: pre-checked from the
+        # manifest before any read
+        with pytest.raises(ValueError, match="no rows in split"):
+            next(iter_mixture(mix, "val"))
+        # an empty rank slice (world_size > shard dirs): loud on the
+        # first schedule hit, never an infinite spin
+        with pytest.raises(ValueError, match="yields no rows"):
+            self._run(mix, 50, rank=3, world_size=4)
+
+    def test_bad_weights_raise(self, mix):
+        from gus_spark.operators.splits import iter_mixture
+
+        (a, _), (b, _) = mix["a"], mix["b"]
+        for w in (0.0, -1.0, float("nan"), float("inf")):
+            with pytest.raises(ValueError, match="weight"):
+                next(iter_mixture({"a": (a, 3.0), "b": (b, w)}))
+        with pytest.raises(ValueError, match="empty"):
+            next(iter_mixture({}))
+
+    def test_ranks_share_schedule_consume_disjointly(self, mix):
+        runs = {}
+        for rank in (0, 1):
+            out, last = self._run(
+                mix, 120, rank=rank, world_size=2
+            )
+            runs[rank] = (out, last)
+        names0 = [n for n, _, _ in runs[0][0]]
+        names1 = [n for n, _, _ in runs[1][0]]
+        assert names0 == names1  # same schedule on every rank
+        # within the same (component, epoch), ranks never overlap
+        for name in ("a", "b"):
+            per_rank = {}
+            for rank in (0, 1):
+                by_epoch = {}
+                for n, e, ids in runs[rank][0]:
+                    if n == name:
+                        by_epoch.setdefault(e, set()).update(ids)
+                per_rank[rank] = by_epoch
+            overlapped = False
+            for e in set(per_rank[0]) & set(per_rank[1]):
+                assert not (per_rank[0][e] & per_rank[1][e]), (
+                    name, e,
+                )
+                overlapped = True
+            assert overlapped, f"{name}: no shared epoch exercised"

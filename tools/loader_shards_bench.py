@@ -189,6 +189,36 @@ def bench(spark, sf_dir: str) -> dict:
         masked_read_s = round(time.time() - t0, 3)
         assert got_masked > 0
 
+        # mixture read (r13): weighted two-component sampling via
+        # iter_mixture — the big set plus a small "high-quality"
+        # component drawn at 4:1, one corpus-pass-equivalent of
+        # steps. Claim: the mixture wall tracks the underlying
+        # sequential reads (the per-step schedule draw and cursor
+        # snapshot are O(components), invisible next to IO).
+        from gus_spark.operators.splits import iter_mixture
+
+        dest_hq = tempfile.mkdtemp(prefix="lsb_hq_")
+        try:
+            hq = docs.filter("doc_id % 10 = 0").selectExpr(
+                "doc_id + 50000000000000L as doc_id", "text"
+            )
+            write_training_shards(
+                hq, dest_hq, shards=4, weights={"train": 1.0},
+                verify=False,
+            )
+            steps = max(1, rows // 4096)
+            t0 = time.time()
+            mix_rows = 0
+            for _n, b, _cur in iter_mixture(
+                {"web": (dest, 4.0), "hq": (dest_hq, 1.0)},
+                "train",
+                max_steps=steps,
+            ):
+                mix_rows += b.num_rows
+            mixture_read_s = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(dest_hq, ignore_errors=True)
+
         # token-id variant (r11): the same boundary fed trainer input
         # — each stage timed separately so the encode cost is
         # ATTRIBUTED, not folded into the write. The encode is
@@ -249,6 +279,13 @@ def bench(spark, sf_dir: str) -> dict:
             "compacted_read_s": compacted_read_s,
             "masked_read_s": masked_read_s,
             "masked_rows": got_masked,
+            "mixture_read_s": mixture_read_s,
+            "mixture_rows": mix_rows,
+            "mixture_rows_per_s": (
+                round(mix_rows / mixture_read_s)
+                if mixture_read_s
+                else None
+            ),
             "bpe_fit_s": fit_s,
             "encode_s": encode_s,
             "write_tok_s": write_tok_s,
