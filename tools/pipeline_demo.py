@@ -546,9 +546,22 @@ def run_pipeline(
     # constituent documents' distilled scores (stage 4's classifier),
     # and the shard writer ranks pos by it — epoch 0 reads each shard
     # best-first, epochs > 0 reshuffle as always
+    # packed's doc_id is the mixture SURROGATE (mix_id = doc_id*100
+    # + epoch), so the classifier scores must be joined through the
+    # inverse map — joining on the raw column silently nulls every
+    # quality (the all-null frame still satisfies a naive
+    # monotonicity check, which is why the receipt below also
+    # asserts non-null coverage)
     seq_q = (
-        packed.join(
-            scored.select("doc_id", "quality_prob"), "doc_id", "left"
+        packed.withColumn(
+            "orig_doc_id", F.floor(F.col("doc_id") / 100)
+        )
+        .join(
+            scored.select(
+                F.col("doc_id").alias("orig_doc_id"), "quality_prob"
+            ),
+            "orig_doc_id",
+            "left",
         )
         .groupBy("shard", "seq_id")
         .agg(F.avg("quality_prob").alias("seq_quality"))
@@ -627,6 +640,14 @@ def run_pipeline(
                 return False
             prev = v
         return True
+    qual_vals = [
+        v for vals in per_shard.values() for v in vals
+        if v is not None
+    ]
+    stats["curriculum_scored_seqs"] = len(qual_vals)
+    # non-vacuous: an all-null quality column (e.g. a broken join)
+    # would satisfy _mono trivially — require real scores AND order
+    assert qual_vals, "no sequence carried a quality score"
     stats["curriculum_monotone"] = all(
         _mono(v) for v in per_shard.values()
     )
@@ -668,6 +689,55 @@ def run_pipeline(
         round(whole_seq_tok / total_tok, 4) if total_tok else None
     )
     mark("mask_late_bench")
+
+    # 10. mixture read (r13): the trainer draws from TWO components —
+    # the full shard set plus a small high-quality replay set (the
+    # top decile by the stage-4 distilled quality, upweighted past
+    # its size share) — via iter_mixture's pure-(seed, step)
+    # schedule. The receipt is the published-mixture regime itself:
+    # the small component's epoch counter outruns the base's (GPT-3's
+    # >1-epoch books/wiki move), realized draw proportions track the
+    # weights, and the base set's masked_spans ride every mixture
+    # batch unchanged.
+    from gus_spark.operators.splits import iter_mixture
+
+    train_df = seqs.drop("text").join(seq_q, "seq_uid", "left")
+    q90 = train_df.agg(
+        F.expr("percentile(seq_quality, 0.9)")
+    ).first()[0]
+    hq_dir = os.path.join(out_dir, "hq_replay_shards")
+    write_training_shards(
+        train_df.filter(F.col("seq_quality") >= q90),
+        hq_dir,
+        shards=2,
+        id_col="seq_uid",
+        weights={"train": 1.0},
+        order_col="seq_quality",
+        order_desc=True,
+    )
+    draws = {"base": 0, "hq_replay": 0}
+    mix_masked = 0
+    last_cur = None
+    for name, b, last_cur in iter_mixture(
+        {"base": (shards_dir, 0.7), "hq_replay": (hq_dir, 0.3)},
+        "train",
+        batch_rows=8,
+        max_steps=40,
+    ):
+        draws[name] += 1
+        if "masked_spans" in b.schema.names:
+            mix_masked += b.num_rows - b.column(
+                "masked_spans"
+            ).null_count
+    epochs = {
+        n: s["epoch"] for n, s in last_cur["states"].items()
+    }
+    stats["mixture_draws"] = draws
+    stats["mixture_epochs"] = epochs
+    stats["mixture_masked_rows"] = mix_masked
+    assert epochs["hq_replay"] > epochs["base"], epochs
+    assert mix_masked > 0  # stage-9 masks ride the mixture batches
+    mark("mixture_read")
     stats["stage_secs"] = stage_secs
     stats["total_secs"] = round(sum(stage_secs.values()), 3)
     return stats
