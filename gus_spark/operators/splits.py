@@ -1321,6 +1321,8 @@ def iter_mixture(
     rank: int = 0,
     world_size: int = 1,
     max_steps: int | None = None,
+    max_tokens: int | None = None,
+    tokens_col: str = "n_tokens",
     filesystem=None,
     prefetch_batches: int = 0,
 ):
@@ -1376,7 +1378,22 @@ def iter_mixture(
     the global mixture proportions are exactly the per-rank ones.
     ``max_steps`` bounds the stream at a total step budget (indices
     < max_steps, counted from stream start — a resumed run continues
-    toward the same budget). ``prefetch_batches`` applies per
+    toward the same budget). ``max_tokens`` bounds it at a TOKEN
+    budget — the unit training runs are actually planned in
+    (Chinchilla-style compute budgets): the stream stops once the
+    cumulative sum of ``tokens_col`` over yielded rows reaches the
+    budget, slicing the final batch at the crossing ROW (so the
+    overshoot is at most one row's tokens, and the yielded cursor
+    names exactly the last delivered row — resume semantics
+    unchanged). The cumulative count rides the cursor (``tokens``);
+    resuming a token-budgeted run therefore continues toward the
+    SAME budget, and a cursor that never tracked tokens is refused
+    under ``max_tokens`` (count-from-zero would silently over-train;
+    to grant "N more tokens" from such a checkpoint, set its
+    ``tokens`` key to 0 explicitly). Null ``tokens_col`` values
+    raise — a token budget over rows of unknown length is not a
+    budget. Single-corpus runs wanting a token budget: pass ONE
+    component. ``prefetch_batches`` applies per
     component; with several components the background readers overlap
     each other's consumption — the object-store design point."""
     import hashlib
@@ -1425,7 +1442,7 @@ def iter_mixture(
             )
 
     if cursor is None:
-        step = 0
+        step, tok = 0, 0
         states = {n: {"epoch": 0, "cursor": None} for n in names}
     else:
         if cursor.get("sig") != sig:
@@ -1437,6 +1454,15 @@ def iter_mixture(
                 "mixture they were yielded from"
             )
         step = int(cursor["step"]) + 1
+        if max_tokens is not None and "tokens" not in cursor:
+            raise ValueError(
+                "max_tokens is set but the cursor never tracked "
+                "tokens — resuming would count from zero and "
+                "silently over-train; resume the run that yielded "
+                "it without a budget, or set the cursor's 'tokens' "
+                "key explicitly to grant a fresh budget"
+            )
+        tok = int(cursor.get("tokens", 0))
         states = {
             n: {
                 "epoch": int(s["epoch"]),
@@ -1444,6 +1470,8 @@ def iter_mixture(
             }
             for n, s in cursor["states"].items()
         }
+    if max_tokens is not None and tok >= max_tokens:
+        return
 
     def fresh_iter(name):
         st = states[name]
@@ -1494,8 +1522,43 @@ def iter_mixture(
                 }
                 fed[name] = False
                 its[name] = fresh_iter(name)
+        done = False
+        if max_tokens is not None:
+            if tokens_col not in batch.schema.names:
+                raise ValueError(
+                    f"max_tokens needs a {tokens_col!r} column in "
+                    f"component {name!r}'s batches (token-id shard "
+                    "sets carry n_tokens; pass tokens_col= for "
+                    "another name)"
+                )
+            counts = batch.column(tokens_col)
+            if counts.null_count:
+                raise ValueError(
+                    f"{tokens_col!r} holds nulls in component "
+                    f"{name!r} — a token budget over rows of "
+                    "unknown length is not a budget"
+                )
+            import numpy as np
+
+            csum = np.cumsum(counts.to_numpy(zero_copy_only=False))
+            if tok + int(csum[-1]) >= max_tokens:
+                # slice at the crossing row; the cursor must name
+                # the LAST DELIVERED row, so rebind pos (the rest of
+                # this batch re-delivers on a post-budget resume)
+                k = int(np.searchsorted(csum, max_tokens - tok)) + 1
+                if k < batch.num_rows:
+                    batch = batch.slice(0, k)
+                    inner = (
+                        inner[0],
+                        batch.column("pos")[k - 1].as_py(),
+                        inner[2],
+                    )
+                done = True
+                tok += int(csum[min(k, len(csum)) - 1])
+            else:
+                tok += int(csum[-1])
         states[name] = {"epoch": states[name]["epoch"], "cursor": inner}
-        yield name, batch, {
+        snap = {
             "step": step,
             "sig": sig,
             "states": {
@@ -1506,6 +1569,11 @@ def iter_mixture(
                 for n, s in states.items()
             },
         }
+        if max_tokens is not None:
+            snap["tokens"] = tok
+        yield name, batch, snap
+        if done:
+            return
         step += 1
 
 

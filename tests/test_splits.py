@@ -2338,3 +2338,138 @@ class TestMixtureLoader:
                 )
                 overlapped = True
             assert overlapped, f"{name}: no shared epoch exercised"
+
+
+class TestMixtureTokenBudget:
+    """iter_mixture(max_tokens=): the stream stops at a TOKEN budget
+    — the unit training runs are planned in — slicing the final batch
+    at the crossing row. Claims pinned: the budget is reached with at
+    most one row of overshoot; the cumulative count rides the cursor
+    so a resumed run continues toward the SAME budget and a raised
+    budget continues exactly-once past the sliced row; cursors that
+    never tracked tokens are refused under a budget; a missing or
+    null tokens column raises."""
+
+    @pytest.fixture(scope="class")
+    def tok_mix(self, spark, tmp_path_factory):
+        from gus_spark.operators.splits import write_training_shards
+
+        base = tmp_path_factory.mktemp("tokmix")
+        out = {}
+        for name, lo, hi in (("a", 0, 400), ("b", 1000, 1200)):
+            df = spark.range(lo, hi).selectExpr(
+                "id as doc_id", "5 + id % 7 as n_tokens"
+            )
+            d = str(base / name)
+            write_training_shards(
+                df, d, shards=2, weights={"train": 1.0}
+            )
+            out[name] = (d, 1.0)
+        return out
+
+    @staticmethod
+    def _run(mix, cursor=None, **kw):
+        from gus_spark.operators.splits import iter_mixture
+
+        rows, toks, last = [], 0, None
+        for name, batch, cur in iter_mixture(
+            mix, "train", cursor=cursor, batch_rows=32, **kw
+        ):
+            ids = batch.column("doc_id").to_pylist()
+            rows.extend((name, i) for i in ids)
+            toks += sum(batch.column("n_tokens").to_pylist())
+            last = cur
+        return rows, toks, last
+
+    def test_budget_reached_with_row_overshoot(self, tok_mix):
+        rows, toks, last = self._run(tok_mix, max_tokens=777)
+        assert 777 <= toks < 777 + 12  # max row tokens = 5 + 6
+        assert last["tokens"] == toks
+        assert len(rows) == len(set(rows))  # exactly-once
+
+    def test_resume_continues_toward_same_budget(self, tok_mix):
+        full, full_toks, _ = self._run(tok_mix, max_tokens=900)
+        head, _, cur = self._run(tok_mix, max_tokens=900, max_steps=3)
+        tail, _, last = self._run(tok_mix, cursor=cur, max_tokens=900)
+        assert head + tail == full
+        assert last["tokens"] == full_toks
+
+    def test_raised_budget_resumes_past_the_slice(self, tok_mix):
+        # stop at T1 (sliced final batch), then grant T2 > T1: the
+        # union must equal a straight T2 run row-for-row per
+        # component (the sliced tail re-delivers, nothing repeats)
+        straight, straight_toks, _ = self._run(
+            tok_mix, max_tokens=2000
+        )
+        head, t1, cur = self._run(tok_mix, max_tokens=800)
+        tail, t2, _ = self._run(tok_mix, cursor=cur, max_tokens=2000)
+        assert t1 + t2 == straight_toks
+        # batch boundaries shift after a slice, so compare the
+        # per-component row sequences, not step tuples
+        def by_comp(rows):
+            out = {}
+            for n, i in rows:
+                out.setdefault(n, []).append(i)
+            return out
+        got, want = by_comp(head + tail), by_comp(straight)
+        assert got == want
+
+    def test_tokenless_cursor_refused_under_budget(self, tok_mix):
+        from gus_spark.operators.splits import iter_mixture
+
+        _, _, cur = self._run(tok_mix, max_steps=3)
+        assert "tokens" not in cur
+        with pytest.raises(ValueError, match="never tracked tokens"):
+            next(
+                iter_mixture(
+                    tok_mix, "train", cursor=cur, max_tokens=100
+                )
+            )
+        # explicit fresh grant: the documented escape hatch
+        cur["tokens"] = 0
+        rows, toks, _ = self._run(tok_mix, cursor=cur, max_tokens=60)
+        assert toks >= 60
+
+    def test_spent_budget_yields_nothing(self, tok_mix):
+        _, toks, cur = self._run(tok_mix, max_tokens=500)
+        again, _, _ = self._run(tok_mix, cursor=cur, max_tokens=500)
+        assert again == []
+
+    def test_missing_tokens_column_raises(self, spark, tmp_path_factory):
+        from gus_spark.operators.splits import (
+            iter_mixture,
+            write_training_shards,
+        )
+
+        d = str(tmp_path_factory.mktemp("notok") / "set")
+        write_training_shards(
+            spark.range(50).selectExpr("id as doc_id"),
+            d, shards=2, weights={"train": 1.0},
+        )
+        with pytest.raises(ValueError, match="n_tokens"):
+            next(
+                iter_mixture(
+                    {"x": (d, 1.0)}, "train", max_tokens=10
+                )
+            )
+
+    def test_null_tokens_raise(self, spark, tmp_path_factory):
+        from gus_spark.operators.splits import (
+            iter_mixture,
+            write_training_shards,
+        )
+
+        d = str(tmp_path_factory.mktemp("nulltok") / "set")
+        write_training_shards(
+            spark.range(50).selectExpr(
+                "id as doc_id",
+                "if(id % 9 = 0, NULL, 5L) as n_tokens",
+            ),
+            d, shards=2, weights={"train": 1.0},
+        )
+        with pytest.raises(ValueError, match="null"):
+            list(
+                iter_mixture(
+                    {"x": (d, 1.0)}, "train", max_tokens=10**6
+                )
+            )
