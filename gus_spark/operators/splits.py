@@ -1323,6 +1323,7 @@ def iter_mixture(
     max_steps: int | None = None,
     max_tokens: int | None = None,
     tokens_col: str = "n_tokens",
+    schedule: str = "stochastic",
     filesystem=None,
     prefetch_batches: int = 0,
 ):
@@ -1346,6 +1347,21 @@ def iter_mixture(
     w_c — a PURE function of (seed, t) (`random.Random(key)`, the
     `_epoch_perm` convention), so the schedule needs no state and
     any step is recomputable. Yields ``(name, batch, cursor)``.
+
+    ``schedule`` picks how draws track the weights:
+
+    - ``"stochastic"`` (default): the i.i.d. draw above — proportions
+      converge at the multinomial √t rate, adjacent runs of the same
+      component occur at their natural frequency (what an i.i.d.
+      sample of the merged corpus would look like).
+    - ``"exact"``: the greedy minimal-error interleave (the
+      Megatron-LM blendable-dataset rule): step t goes to the
+      component maximizing w_c·(t+1) − served_c, ties to the earlier
+      name, so every prefix's realized draw counts deviate from
+      w_c·t by less than 1 — short runs and expensive-step regimes
+      (big batches) hit the published weights exactly instead of
+      eventually. Deterministic with no RNG at all; the per-component
+      served counts ride the cursor (``served``).
 
     Sampling is per BATCH. With a fixed ``batch_rows`` over packed
     token sequences (constant tokens per row) that is per-TOKEN
@@ -1402,6 +1418,11 @@ def iter_mixture(
 
     if not components:
         raise ValueError("components must not be empty")
+    if schedule not in ("stochastic", "exact"):
+        raise ValueError(
+            f"schedule must be 'stochastic' or 'exact', "
+            f"got {schedule!r}"
+        )
     names = list(components)
     dests, weights = {}, {}
     for name in names:
@@ -1427,6 +1448,7 @@ def iter_mixture(
                 [(n, weights[n] / total_w) for n in names],
                 rank,
                 world_size,
+                schedule,
             )
         ).encode()
     ).hexdigest()[:16]
@@ -1441,6 +1463,7 @@ def iter_mixture(
                 "scheduled"
             )
 
+    served = {n: 0 for n in names}
     if cursor is None:
         step, tok = 0, 0
         states = {n: {"epoch": 0, "cursor": None} for n in names}
@@ -1463,6 +1486,10 @@ def iter_mixture(
                 "key explicitly to grant a fresh budget"
             )
         tok = int(cursor.get("tokens", 0))
+        if schedule == "exact":
+            # sig pins the schedule, so an exact-mode cursor always
+            # carries its served counts
+            served = {n: int(c) for n, c in cursor["served"].items()}
         states = {
             n: {
                 "epoch": int(s["epoch"]),
@@ -1493,6 +1520,15 @@ def iter_mixture(
     fed = {n: states[n]["cursor"] is not None for n in names}
 
     def pick(t: int) -> str:
+        if schedule == "exact":
+            # greedy minimal-error interleave: |served_c - w_c*t| < 1
+            # for every prefix; ties break to the earlier name
+            best, best_err = None, None
+            for n in names:
+                err = (weights[n] / total_w) * (t + 1) - served[n]
+                if best is None or err > best_err:
+                    best, best_err = n, err
+            return best
         u = random.Random(f"{seed}|step={t}").random()
         for edge, name in cum:
             if u < edge:
@@ -1557,6 +1593,7 @@ def iter_mixture(
                 tok += int(csum[min(k, len(csum)) - 1])
             else:
                 tok += int(csum[-1])
+        served[name] += 1
         states[name] = {"epoch": states[name]["epoch"], "cursor": inner}
         snap = {
             "step": step,
@@ -1571,6 +1608,8 @@ def iter_mixture(
         }
         if max_tokens is not None:
             snap["tokens"] = tok
+        if schedule == "exact":
+            snap["served"] = dict(served)
         yield name, batch, snap
         if done:
             return

@@ -2473,3 +2473,97 @@ class TestMixtureTokenBudget:
                     {"x": (d, 1.0)}, "train", max_tokens=10**6
                 )
             )
+
+
+class TestMixtureExactSchedule:
+    """iter_mixture(schedule="exact"): the greedy minimal-error
+    interleave (the Megatron-LM blendable-dataset rule) — every
+    prefix's realized draw counts sit within 1 of w_c*t, with no RNG
+    anywhere. Claims pinned: the <1 deviation bound at every prefix;
+    determinism; exactly-once resume via the cursor's served counts;
+    schedule mode is part of the cursor sig (an exact cursor refuses
+    a stochastic resume and vice versa); composes with max_tokens."""
+
+    @pytest.fixture(scope="class")
+    def tok_mix(self, spark, tmp_path_factory):
+        from gus_spark.operators.splits import write_training_shards
+
+        base = tmp_path_factory.mktemp("exactmix")
+        out = {}
+        for name, lo, hi, w in (
+            ("a", 0, 400, 0.6180339887),
+            ("b", 1000, 1300, 0.25),
+            ("c", 2000, 2100, 0.1319660113),
+        ):
+            df = spark.range(lo, hi).selectExpr(
+                "id as doc_id", "5 + id % 7 as n_tokens"
+            )
+            d = str(base / name)
+            write_training_shards(
+                df, d, shards=2, weights={"train": 1.0}
+            )
+            out[name] = (d, w)
+        return out
+
+    @staticmethod
+    def _run(mix, steps=None, cursor=None, **kw):
+        from gus_spark.operators.splits import iter_mixture
+
+        out, last = [], None
+        for name, batch, cur in iter_mixture(
+            mix, "train", cursor=cursor, batch_rows=32,
+            max_steps=steps, schedule="exact", **kw,
+        ):
+            out.append(
+                (name, tuple(batch.column("doc_id").to_pylist()))
+            )
+            last = cur
+        return out, last
+
+    def test_prefix_deviation_bound(self, tok_mix):
+        run, last = self._run(tok_mix, steps=200)
+        total = sum(w for _d, w in tok_mix.values())
+        servedc = {n: 0 for n in tok_mix}
+        for t, (n, _ids) in enumerate(run, start=1):
+            servedc[n] += 1
+            for c, (_d, w) in tok_mix.items():
+                assert abs(servedc[c] - (w / total) * t) < 1.0, (t, c)
+        assert last["served"] == servedc
+
+    def test_deterministic_and_resumes(self, tok_mix):
+        full, _ = self._run(tok_mix, steps=120)
+        again, _ = self._run(tok_mix, steps=120)
+        assert full == again
+        for k in (1, 50, 119):
+            head, cur = self._run(tok_mix, steps=k)
+            tail, _ = self._run(tok_mix, steps=120, cursor=cur)
+            assert head + tail == full, k
+
+    def test_schedule_mode_rides_the_sig(self, tok_mix):
+        from gus_spark.operators.splits import iter_mixture
+
+        _, cur = self._run(tok_mix, steps=5)
+        with pytest.raises(ValueError, match="different"):
+            next(iter_mixture(tok_mix, "train", cursor=cur))
+
+    def test_composes_with_token_budget(self, tok_mix):
+        from gus_spark.operators.splits import iter_mixture
+
+        toks, last = 0, None
+        for _n, b, last in iter_mixture(
+            tok_mix, "train", batch_rows=32,
+            schedule="exact", max_tokens=700,
+        ):
+            toks += sum(b.column("n_tokens").to_pylist())
+        assert 700 <= toks < 712
+        assert last["tokens"] == toks and "served" in last
+        more, _ = self._run(tok_mix, cursor=last, max_tokens=700)
+        assert more == []
+
+    def test_bad_schedule_raises(self, tok_mix):
+        from gus_spark.operators.splits import iter_mixture
+
+        with pytest.raises(ValueError, match="schedule"):
+            next(
+                iter_mixture(tok_mix, "train", schedule="roundrobin")
+            )
