@@ -1616,6 +1616,51 @@ def iter_mixture(
         step += 1
 
 
+def mixture_token_counts(
+    spark,
+    components: dict,
+    split: str = "train",
+    tokens_col: str = "n_tokens",
+) -> dict:
+    """Per-component token totals over a mixture's shard sets — the
+    input `temperature_weights` (operators/mixing.py, the XLM-R
+    q_d ∝ p_d^alpha smoothing) needs to derive `iter_mixture`
+    weights from the corpora themselves:
+
+        counts  = mixture_token_counts(spark, {"web": web_dir, ...})
+        weights = temperature_weights(counts, alpha=0.5)
+        mix     = {n: (dirs[n], weights[n]) for n in dirs}
+
+    ``components`` maps name -> dest (bare dirs; (dest, weight)
+    tuples are also accepted so an existing mixture spec can be
+    re-counted). One Spark aggregation per set, partition-pruned to
+    the split — a handful of scans run ONCE before a training run,
+    never per step. Null token values raise (same contract as
+    ``max_tokens``)."""
+    import os
+
+    out = {}
+    for name, spec in components.items():
+        dest = spec[0] if isinstance(spec, (tuple, list)) else spec
+        manifest = read_manifest(dest)
+        df = spark.read.parquet(os.path.join(dest, "data")).filter(
+            F.col(manifest["split_col"]) == split
+        )
+        row = df.agg(
+            F.sum(tokens_col).alias("t"),
+            F.count("*").alias("n"),
+            F.count(tokens_col).alias("nn"),
+        ).first()
+        if row["n"] and row["nn"] != row["n"]:
+            raise ValueError(
+                f"{tokens_col!r} holds nulls in component {name!r} "
+                f"({dest}) — token totals over rows of unknown "
+                "length are not totals"
+            )
+        out[name] = int(row["t"] or 0)
+    return out
+
+
 def tombstone_training_shards(dest: str, ids) -> dict:
     """Retroactively REMOVE rows from a materialized shard set without
     rewriting a byte of it — the trainer-boundary form of this repo's

@@ -2567,3 +2567,78 @@ class TestMixtureExactSchedule:
             next(
                 iter_mixture(tok_mix, "train", schedule="roundrobin")
             )
+
+
+class TestMixtureTokenCounts:
+    """mixture_token_counts → temperature_weights → iter_mixture:
+    the weights-from-the-corpora bridge. Exact totals per component,
+    bare-dir and (dest, weight) specs both accepted, nulls loud."""
+
+    def test_counts_and_temperature_bridge(
+        self, spark, tmp_path_factory
+    ):
+        from gus_spark.operators.mixing import temperature_weights
+        from gus_spark.operators.splits import (
+            iter_mixture,
+            mixture_token_counts,
+            write_training_shards,
+        )
+
+        base = tmp_path_factory.mktemp("mixcounts")
+        dirs = {}
+        for name, lo, hi in (("big", 0, 300), ("small", 900, 1000)):
+            d = str(base / name)
+            write_training_shards(
+                spark.range(lo, hi).selectExpr(
+                    "id as doc_id", "3 + id % 5 as n_tokens"
+                ),
+                d, shards=2, weights={"train": 1.0},
+            )
+            dirs[name] = d
+        counts = mixture_token_counts(spark, dirs)
+        want = {
+            "big": sum(3 + i % 5 for i in range(0, 300)),
+            "small": sum(3 + i % 5 for i in range(900, 1000)),
+        }
+        assert counts == want
+        # tuple specs re-count identically
+        assert (
+            mixture_token_counts(
+                spark, {n: (d, 1.0) for n, d in dirs.items()}
+            )
+            == want
+        )
+        # the documented composition drives the loader end-to-end
+        w = temperature_weights(counts, alpha=0.5)
+        assert abs(sum(w.values()) - 1.0) < 1e-9
+        assert w["big"] > w["small"] > counts["small"] / sum(
+            counts.values()
+        )  # smoothing upweights the small set, order preserved
+        mix = {n: (dirs[n], w[n]) for n in dirs}
+        import collections
+
+        c = collections.Counter(
+            n
+            for n, _b, _c in iter_mixture(
+                mix, "train", batch_rows=16,
+                max_steps=60, schedule="exact",
+            )
+        )
+        assert abs(c["big"] / 60 - w["big"]) < 1 / 60 + 1e-9
+
+    def test_null_tokens_raise(self, spark, tmp_path):
+        from gus_spark.operators.splits import (
+            mixture_token_counts,
+            write_training_shards,
+        )
+
+        d = str(tmp_path / "nulls")
+        write_training_shards(
+            spark.range(40).selectExpr(
+                "id as doc_id",
+                "if(id % 7 = 0, NULL, 4L) as n_tokens",
+            ),
+            d, shards=2, weights={"train": 1.0},
+        )
+        with pytest.raises(ValueError, match="null"):
+            mixture_token_counts(spark, {"x": d})
