@@ -1401,9 +1401,13 @@ def iter_mixture(
     budget, slicing the final batch at the crossing ROW (so the
     overshoot is at most one row's tokens, and the yielded cursor
     names exactly the last delivered row — resume semantics
-    unchanged). The cumulative count rides the cursor (``tokens``);
-    resuming a token-budgeted run therefore continues toward the
-    SAME budget, and a cursor that never tracked tokens is refused
+    unchanged). The cumulative count rides the cursor (``tokens``)
+    and, once tracked, keeps accumulating even across a resumed leg
+    that sets NO budget — the spent total survives mixed budgeted/
+    unbudgeted legs, so a later ``max_tokens=`` resume counts
+    against the truth; resuming a token-budgeted run continues
+    toward the SAME budget, and a cursor that never tracked tokens
+    is refused
     under ``max_tokens`` (count-from-zero would silently over-train;
     to grant "N more tokens" from such a checkpoint, set its
     ``tokens`` key to 0 explicitly). Null ``tokens_col`` values
@@ -1440,6 +1444,34 @@ def iter_mixture(
         acc += weights[name] / total_w
         cum.append((acc, name))
     cum[-1] = (1.0, names[-1])  # close the float-sum gap
+    idents = []
+    for name in names:
+        m = read_manifest(dests[name], filesystem)
+        per_shard = m.get("shard_rows", {}).get(split, {})
+        if sum(per_shard.values()) == 0:
+            raise ValueError(
+                f"component {name!r} has no rows in split {split!r} "
+                f"({dests[name]}) — an empty component can never be "
+                "scheduled"
+            )
+        # the component's CONTENT identity (never its path — corpora
+        # move between mounts): seeds + split-level row layout. A
+        # rebuilt or swapped component under the same name almost
+        # always changes these, so a stale cursor raises at resume
+        # instead of epoch-0's pos-filter silently skipping or
+        # re-delivering rows against the wrong corpus. (Residual:
+        # two distinct corpora with identical seeds AND identical
+        # per-shard counts are indistinguishable here — content
+        # hashing the corpus per resume would cost a full read.)
+        idents.append(
+            (
+                name,
+                m.get("seed"),
+                m.get("split_seed"),
+                m.get("id_col"),
+                tuple(sorted((k, v) for k, v in per_shard.items())),
+            )
+        )
     sig = hashlib.md5(
         repr(
             (
@@ -1449,19 +1481,10 @@ def iter_mixture(
                 rank,
                 world_size,
                 schedule,
+                idents,
             )
         ).encode()
     ).hexdigest()[:16]
-
-    for name in names:
-        m = read_manifest(dests[name], filesystem)
-        rows = sum(m.get("shard_rows", {}).get(split, {}).values())
-        if rows == 0:
-            raise ValueError(
-                f"component {name!r} has no rows in split {split!r} "
-                f"({dests[name]}) — an empty component can never be "
-                "scheduled"
-            )
 
     served = {n: 0 for n in names}
     if cursor is None:
@@ -1471,10 +1494,15 @@ def iter_mixture(
         if cursor.get("sig") != sig:
             raise ValueError(
                 "mixture cursor was yielded under a different "
-                "(seed, split, components, weights, rank, world_size) "
-                "— the schedule or the rank slices would silently "
-                "change; cursors are only valid under the exact "
-                "mixture they were yielded from"
+                "mixture — (seed, split, components, weights, rank, "
+                "world_size, schedule) or a component's shard-set "
+                "identity (rebuilt / restructured / swapped dest) "
+                "changed; resuming would silently alter the "
+                "schedule, the rank slices, or what the per-"
+                "component cursors point into. Cursors are only "
+                "valid under the exact mixture they were yielded "
+                "from — after a component restructure, restart the "
+                "epoch (a read, never a rewrite)."
             )
         step = int(cursor["step"]) + 1
         if max_tokens is not None and "tokens" not in cursor:
@@ -1497,6 +1525,14 @@ def iter_mixture(
             }
             for n, s in cursor["states"].items()
         }
+    # once a stream tracks tokens, it tracks them FOREVER: a cursor
+    # that carries "tokens" keeps accumulating even when the resumed
+    # call sets no budget, so the spent count survives a budget-less
+    # leg and a later max_tokens= run resumes against the true total
+    # instead of refusing (or worse, restarting from zero)
+    track_tokens = max_tokens is not None or (
+        cursor is not None and "tokens" in cursor
+    )
     if max_tokens is not None and tok >= max_tokens:
         return
 
@@ -1535,85 +1571,108 @@ def iter_mixture(
                 return name
         return names[-1]
 
-    while max_steps is None or step < max_steps:
-        name = pick(step)
-        while True:
-            try:
-                batch, inner = next(its[name])
-                fed[name] = True
-                break
-            except StopIteration:
-                if not fed[name]:
+    try:
+        while max_steps is None or step < max_steps:
+            name = pick(step)
+            while True:
+                try:
+                    batch, inner = next(its[name])
+                    fed[name] = True
+                    break
+                except StopIteration:
+                    if not fed[name]:
+                        raise ValueError(
+                            f"component {name!r} yields no rows for "
+                            f"split={split!r} under rank {rank}/"
+                            f"{world_size} epoch "
+                            f"{states[name]['epoch']} — every "
+                            "scheduled component must produce data "
+                            "(empty rank slice or fully tombstoned "
+                            "shards?)"
+                        ) from None
+                    states[name] = {
+                        "epoch": states[name]["epoch"] + 1,
+                        "cursor": None,
+                    }
+                    fed[name] = False
+                    its[name] = fresh_iter(name)
+            done = False
+            if track_tokens:
+                if tokens_col not in batch.schema.names:
                     raise ValueError(
-                        f"component {name!r} yields no rows for "
-                        f"split={split!r} under rank {rank}/"
-                        f"{world_size} epoch "
-                        f"{states[name]['epoch']} — every scheduled "
-                        "component must produce data (empty rank "
-                        "slice or fully tombstoned shards?)"
-                    ) from None
-                states[name] = {
-                    "epoch": states[name]["epoch"] + 1,
-                    "cursor": None,
-                }
-                fed[name] = False
-                its[name] = fresh_iter(name)
-        done = False
-        if max_tokens is not None:
-            if tokens_col not in batch.schema.names:
-                raise ValueError(
-                    f"max_tokens needs a {tokens_col!r} column in "
-                    f"component {name!r}'s batches (token-id shard "
-                    "sets carry n_tokens; pass tokens_col= for "
-                    "another name)"
-                )
-            counts = batch.column(tokens_col)
-            if counts.null_count:
-                raise ValueError(
-                    f"{tokens_col!r} holds nulls in component "
-                    f"{name!r} — a token budget over rows of "
-                    "unknown length is not a budget"
-                )
-            import numpy as np
-
-            csum = np.cumsum(counts.to_numpy(zero_copy_only=False))
-            if tok + int(csum[-1]) >= max_tokens:
-                # slice at the crossing row; the cursor must name
-                # the LAST DELIVERED row, so rebind pos (the rest of
-                # this batch re-delivers on a post-budget resume)
-                k = int(np.searchsorted(csum, max_tokens - tok)) + 1
-                if k < batch.num_rows:
-                    batch = batch.slice(0, k)
-                    inner = (
-                        inner[0],
-                        batch.column("pos")[k - 1].as_py(),
-                        inner[2],
+                        f"token tracking needs a {tokens_col!r} "
+                        f"column in component {name!r}'s batches "
+                        "(token-id shard sets carry n_tokens; pass "
+                        "tokens_col= for another name)"
                     )
-                done = True
-                tok += int(csum[min(k, len(csum)) - 1])
-            else:
-                tok += int(csum[-1])
-        served[name] += 1
-        states[name] = {"epoch": states[name]["epoch"], "cursor": inner}
-        snap = {
-            "step": step,
-            "sig": sig,
-            "states": {
-                n: {
-                    "epoch": s["epoch"],
-                    "cursor": list(s["cursor"]) if s["cursor"] else None,
-                }
-                for n, s in states.items()
-            },
-        }
-        if max_tokens is not None:
-            snap["tokens"] = tok
-        if schedule == "exact":
-            snap["served"] = dict(served)
-        yield name, batch, snap
-        if done:
-            return
-        step += 1
+                counts = batch.column(tokens_col)
+                if counts.null_count:
+                    raise ValueError(
+                        f"{tokens_col!r} holds nulls in component "
+                        f"{name!r} — a token budget over rows of "
+                        "unknown length is not a budget"
+                    )
+                import numpy as np
+
+                csum = np.cumsum(
+                    counts.to_numpy(zero_copy_only=False)
+                )
+                if (
+                    max_tokens is not None
+                    and tok + int(csum[-1]) >= max_tokens
+                ):
+                    # slice at the crossing row; the cursor must
+                    # name the LAST DELIVERED row, so rebind pos
+                    # (the rest of this batch re-delivers on a
+                    # post-budget resume)
+                    k = (
+                        int(np.searchsorted(csum, max_tokens - tok))
+                        + 1
+                    )
+                    if k < batch.num_rows:
+                        batch = batch.slice(0, k)
+                        inner = (
+                            inner[0],
+                            batch.column("pos")[k - 1].as_py(),
+                            inner[2],
+                        )
+                    done = True
+                    tok += int(csum[k - 1])
+                else:
+                    tok += int(csum[-1])
+            served[name] += 1
+            states[name] = {
+                "epoch": states[name]["epoch"],
+                "cursor": inner,
+            }
+            snap = {
+                "step": step,
+                "sig": sig,
+                "states": {
+                    n: {
+                        "epoch": s["epoch"],
+                        "cursor": (
+                            list(s["cursor"]) if s["cursor"] else None
+                        ),
+                    }
+                    for n, s in states.items()
+                },
+            }
+            if track_tokens:
+                snap["tokens"] = tok
+            if schedule == "exact":
+                snap["served"] = dict(served)
+            yield name, batch, snap
+            if done:
+                return
+            step += 1
+    finally:
+        # deterministic teardown on EVERY exit (budget stop,
+        # max_steps, abandon, error): close each component's
+        # iterator so suspended shard handles and prefetch producers
+        # shut down now, not at GC/process exit
+        for it in its.values():
+            it.close()
 
 
 def mixture_token_counts(
@@ -1635,7 +1694,13 @@ def mixture_token_counts(
     tuples are also accepted so an existing mixture spec can be
     re-counted). One Spark aggregation per set, partition-pruned to
     the split — a handful of scans run ONCE before a training run,
-    never per step. Null token values raise (same contract as
+    never per step. Totals count exactly what `iter_mixture` will
+    serve: tombstoned rows are excluded (the loader's read-side
+    delete gate, applied here as a broadcast anti-join on the
+    sidecar — contamination-bounded, never corpus-sized), an empty
+    split raises the loader's own error instead of returning a 0
+    that `temperature_weights` would turn into an invalid weight,
+    and null token values raise (same contract as
     ``max_tokens``)."""
     import os
 
@@ -1646,18 +1711,32 @@ def mixture_token_counts(
         df = spark.read.parquet(os.path.join(dest, "data")).filter(
             F.col(manifest["split_col"]) == split
         )
+        tomb_path = os.path.join(dest, "tombstones.parquet")
+        if os.path.exists(tomb_path):
+            tomb = spark.read.parquet(tomb_path).select(
+                F.col("id").alias(manifest["id_col"])
+            )
+            df = df.join(
+                F.broadcast(tomb), manifest["id_col"], "left_anti"
+            )
         row = df.agg(
             F.sum(tokens_col).alias("t"),
             F.count("*").alias("n"),
             F.count(tokens_col).alias("nn"),
         ).first()
-        if row["n"] and row["nn"] != row["n"]:
+        if not row["n"]:
+            raise ValueError(
+                f"component {name!r} has no rows in split {split!r} "
+                f"({dest}) — an empty component can never be "
+                "scheduled"
+            )
+        if row["nn"] != row["n"]:
             raise ValueError(
                 f"{tokens_col!r} holds nulls in component {name!r} "
                 f"({dest}) — token totals over rows of unknown "
                 "length are not totals"
             )
-        out[name] = int(row["t"] or 0)
+        out[name] = int(row["t"])
     return out
 
 
@@ -2208,28 +2287,62 @@ def _prefetched(gen, depth: int):
     daemon thread advances ``gen`` up to ``depth`` items ahead while
     the trainer consumes — pure IO/compute overlap, order and
     exactly-once semantics untouched (one queue, one producer).
-    Exceptions re-raise at the consumer's position. The producer is a
-    daemon thread parked on the queue if the consumer abandons the
-    iterator mid-stream; it exits with the process."""
+    Exceptions re-raise at the consumer's position. Abandoning the
+    consumer mid-stream (generator close, `break`, a bounded
+    `iter_mixture` run ending) SHUTS THE PRODUCER DOWN
+    deterministically: the stop flag wakes it out of its bounded
+    put, it closes the inner generator in its own thread (the
+    generator is suspended between next() calls, so its finally
+    blocks — the per-shard file handles — run right then), and
+    exits. Without this, every abandoned prefetched stream parked a
+    daemon thread holding an open shard handle and ``depth``
+    buffered batches until process exit — the opposite of the
+    deterministic-handle-close contract, and a real leak for a
+    long-lived trainer process over object storage."""
     import queue
     import threading
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def produce() -> None:
         try:
             for item in gen:
-                q.put(item)
-            q.put(_END)
+                if not _put(item):
+                    return
+            _put(_END)
         except BaseException as exc:  # noqa: BLE001 — re-raised below
-            q.put(exc)
+            _put(exc)
+        finally:
+            # no-op if gen finished/raised; on abandon it is
+            # suspended, so close() runs its finally blocks here
+            gen.close()
 
-    threading.Thread(target=produce, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        try:  # drain so a producer parked in put() wakes promptly
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=10)

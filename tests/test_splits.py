@@ -2642,3 +2642,146 @@ class TestMixtureTokenCounts:
         )
         with pytest.raises(ValueError, match="null"):
             mixture_token_counts(spark, {"x": d})
+
+
+class TestMixtureReviewFixes:
+    """Regression pins for the r13 mixture review findings: token
+    tracking survives a budget-less resumed leg; a rebuilt component
+    invalidates cursors via the sig (content identity, not path);
+    mixture_token_counts excludes tombstoned rows and refuses empty
+    splits; an abandoned prefetched stream shuts its producer down
+    deterministically."""
+
+    @pytest.fixture()
+    def one_set(self, spark, tmp_path):
+        from gus_spark.operators.splits import write_training_shards
+
+        d = str(tmp_path / "set")
+        write_training_shards(
+            spark.range(200).selectExpr(
+                "id as doc_id", "5L as n_tokens"
+            ),
+            d, shards=2, weights={"train": 1.0},
+        )
+        return d
+
+    def test_token_tracking_survives_budgetless_leg(self, one_set):
+        from gus_spark.operators.splits import iter_mixture
+
+        mix = {"x": (one_set, 1.0)}
+        it = iter_mixture(mix, "train", batch_rows=16, max_tokens=10**9)
+        _n, b1, cur = next(it)
+        it.close()
+        spent = cur["tokens"]
+        assert spent == 16 * 5
+        # budget-less leg: the count must KEEP accumulating
+        it2 = iter_mixture(mix, "train", cursor=cur, batch_rows=16)
+        _n, b2, cur2 = next(it2)
+        it2.close()
+        assert cur2["tokens"] == spent + 16 * 5
+        # and a later budgeted resume counts against the truth
+        rows = sum(
+            b.num_rows
+            for _n, b, _c in iter_mixture(
+                mix, "train", cursor=cur2, batch_rows=16,
+                max_tokens=200 * 5,
+            )
+        )
+        assert rows == 200 - 32  # exactly the unconsumed remainder
+
+    def test_rebuilt_component_invalidates_cursor(
+        self, spark, tmp_path
+    ):
+        from gus_spark.operators.splits import (
+            iter_mixture,
+            write_training_shards,
+        )
+
+        d = str(tmp_path / "reb")
+        write_training_shards(
+            spark.range(100).selectExpr("id as doc_id"),
+            d, shards=2, weights={"train": 1.0},
+        )
+        it = iter_mixture({"x": (d, 1.0)}, "train", batch_rows=16)
+        _n, _b, cur = next(it)
+        it.close()
+        # rebuild IN PLACE with different contents (fresh layout
+        # stamp == the old one, so only the sig can catch this)
+        write_training_shards(
+            spark.range(500, 620).selectExpr("id as doc_id"),
+            d, shards=2, weights={"train": 1.0},
+        )
+        with pytest.raises(ValueError, match="different"):
+            next(
+                iter_mixture(
+                    {"x": (d, 1.0)}, "train", cursor=cur,
+                    batch_rows=16,
+                )
+            )
+
+    def test_token_counts_exclude_tombstones_and_refuse_empty(
+        self, spark, one_set
+    ):
+        from gus_spark.operators.splits import (
+            mixture_token_counts,
+            tombstone_training_shards,
+        )
+
+        before = mixture_token_counts(spark, {"x": one_set})["x"]
+        assert before == 200 * 5
+        tombstone_training_shards(one_set, range(0, 50))
+        after = mixture_token_counts(spark, {"x": one_set})["x"]
+        assert after == 150 * 5  # what iter_mixture will serve
+        with pytest.raises(ValueError, match="no rows in split"):
+            mixture_token_counts(spark, {"x": one_set}, split="val")
+
+    def test_abandoned_prefetch_shuts_down_producer(self, one_set):
+        import threading
+        import time
+
+        from gus_spark.operators.splits import iter_training_order
+
+        before = {t.ident for t in threading.enumerate()}
+        it = iter_training_order(
+            one_set, "train", batch_rows=16, prefetch_batches=2
+        )
+        next(it)
+        it.close()  # abandon mid-stream
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            extra = [
+                t
+                for t in threading.enumerate()
+                if t.ident not in before and t.is_alive()
+            ]
+            if not extra:
+                break
+            time.sleep(0.05)
+        assert not extra, f"prefetch producer leaked: {extra}"
+
+    def test_mixture_close_shuts_down_prefetch(self, one_set):
+        import threading
+        import time
+
+        from gus_spark.operators.splits import iter_mixture
+
+        before = {t.ident for t in threading.enumerate()}
+        rows = sum(
+            b.num_rows
+            for _n, b, _c in iter_mixture(
+                {"x": (one_set, 1.0)}, "train", batch_rows=16,
+                max_steps=2, prefetch_batches=3,
+            )
+        )
+        assert rows == 32
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            extra = [
+                t
+                for t in threading.enumerate()
+                if t.ident not in before and t.is_alive()
+            ]
+            if not extra:
+                break
+            time.sleep(0.05)
+        assert not extra, f"mixture left producers behind: {extra}"

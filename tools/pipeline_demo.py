@@ -706,7 +706,7 @@ def run_pipeline(
         F.expr("percentile(seq_quality, 0.9)")
     ).first()[0]
     hq_dir = os.path.join(out_dir, "hq_replay_shards")
-    write_training_shards(
+    hq_manifest = write_training_shards(
         train_df.filter(F.col("seq_quality") >= q90),
         hq_dir,
         shards=2,
@@ -715,14 +715,30 @@ def run_pipeline(
         order_col="seq_quality",
         order_desc=True,
     )
+    # the replay set is derived from the same packed tier, so the
+    # stage-9 benchmark contamination applies to it too — mask it
+    # under the SAME doc ids (idempotent; only sequences containing
+    # them gain spans). Skipping this would serve the contaminated
+    # spans unmasked through the replay component.
+    mask_training_sequences(
+        spark,
+        hq_dir,
+        spark.createDataFrame([(i,) for i in late_ids], "doc_id long"),
+    )
+    # one replay pass ≈ several hq epochs at ANY corpus size: size
+    # the leg from the hq manifest instead of constants (at 30% of
+    # draws × batch_rows rows each, steps covers the hq set ~3×)
+    hq_rows = hq_manifest["total_rows"]
+    mix_batch = max(8, hq_rows // 8)
+    mix_steps = max(40, int(3 * hq_rows / (0.3 * mix_batch)) + 1)
     draws = {"base": 0, "hq_replay": 0}
     mix_masked = 0
     last_cur = None
     for name, b, last_cur in iter_mixture(
         {"base": (shards_dir, 0.7), "hq_replay": (hq_dir, 0.3)},
         "train",
-        batch_rows=8,
-        max_steps=40,
+        batch_rows=mix_batch,
+        max_steps=mix_steps,
     ):
         draws[name] += 1
         if "masked_spans" in b.schema.names:
