@@ -1782,6 +1782,29 @@ def test_publish_shards_ingest_to_trainer_loop(spark, tmp_path):
     some = next(iter(got.values()))[0]
     assert isinstance(bpe_decode_ids(list(some), v_r), str)
 
+    # crawl→mixture receipt (r13): the published set is a standard
+    # shard set, so it drops straight into iter_mixture — exact
+    # schedule, token budget, no glue. (A multi-domain train = one
+    # pipeline per domain, each publishing its own set.)
+    from gus_spark.operators.splits import iter_mixture
+
+    train_uids = {
+        u
+        for b, _c in iter_training_order(shards_dir, "train")
+        for u in b.column("seq_uid").to_pylist()
+    }
+    budget = sum(want[u][1] for u in train_uids) // 2
+    mixed_toks, mixed_uids = 0, []
+    for _n, b, cur in iter_mixture(
+        {"crawl": (shards_dir, 1.0)}, "train",
+        batch_rows=8, schedule="exact", max_tokens=budget,
+    ):
+        mixed_toks += sum(b.column("n_tokens").to_pylist())
+        mixed_uids.extend(b.column("seq_uid").to_pylist())
+    assert mixed_toks >= budget and cur["tokens"] == mixed_toks
+    assert len(mixed_uids) == len(set(mixed_uids))
+    assert set(mixed_uids) <= train_uids
+
     # crash surgery: died between landing generation 3 and finalizing
     state_path = os.path.join(str(tmp_path / "work"),
                               "shards_published.json")
