@@ -1675,6 +1675,54 @@ def iter_mixture(
             it.close()
 
 
+def mixture_report(cursor: dict, components: dict | None = None) -> dict:
+    """Turn a composite `iter_mixture` cursor into the numbers an
+    operator actually pages through: total steps, spent tokens (when
+    tracked), and per component its epoch counter, in-epoch position,
+    and — under ``schedule="exact"`` (served counts ride the cursor)
+    — the realized draw share next to the target weight when
+    ``components`` (the same spec passed to `iter_mixture`) is given.
+    Pure dict formatting over state the cursor already carries; no
+    filesystem or Spark access, safe on any host that can read the
+    checkpoint."""
+    states = cursor.get("states", {})
+    served = cursor.get("served")
+    total_served = sum(served.values()) if served else None
+    target = None
+    if components is not None:
+        tw = sum(float(w) for _d, w in components.values())
+        target = {n: float(w) / tw for n, (_d, w) in components.items()}
+    out = {
+        "step": cursor.get("step"),
+        "tokens": cursor.get("tokens"),
+        "components": {},
+    }
+    for name, s in states.items():
+        row = {
+            "epoch": s.get("epoch"),
+            "position": (
+                None
+                if s.get("cursor") is None
+                else {
+                    "shard": s["cursor"][0],
+                    "pos": s["cursor"][1],
+                    "layout": s["cursor"][2],
+                }
+            ),
+        }
+        if served is not None:
+            row["draws"] = served.get(name, 0)
+            row["draw_share"] = (
+                round(served.get(name, 0) / total_served, 4)
+                if total_served
+                else None
+            )
+            if target is not None:
+                row["target_share"] = round(target.get(name, 0.0), 4)
+        out["components"][name] = row
+    return out
+
+
 def mixture_token_counts(
     spark,
     components: dict,

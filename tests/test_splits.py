@@ -2785,3 +2785,52 @@ class TestMixtureReviewFixes:
                 break
             time.sleep(0.05)
         assert not extra, f"mixture left producers behind: {extra}"
+
+
+class TestMixtureReport:
+    """mixture_report: cursor → operator-facing numbers, no IO."""
+
+    def test_report_over_exact_budgeted_cursor(
+        self, spark, tmp_path
+    ):
+        import json
+
+        from gus_spark.operators.splits import (
+            iter_mixture,
+            mixture_report,
+            write_training_shards,
+        )
+
+        base = tmp_path
+        mix = {}
+        for name, lo, hi, w in (("a", 0, 200, 3.0), ("b", 500, 600, 1.0)):
+            d = str(base / name)
+            write_training_shards(
+                spark.range(lo, hi).selectExpr(
+                    "id as doc_id", "4L as n_tokens"
+                ),
+                d, shards=2, weights={"train": 1.0},
+            )
+            mix[name] = (d, w)
+        last = None
+        for _n, _b, last in iter_mixture(
+            mix, "train", batch_rows=16,
+            schedule="exact", max_tokens=900,
+        ):
+            pass
+        rep = mixture_report(
+            json.loads(json.dumps(last)), mix
+        )  # checkpoint-shaped input
+        assert rep["tokens"] == last["tokens"] >= 900
+        a, b = rep["components"]["a"], rep["components"]["b"]
+        assert a["draws"] + b["draws"] == rep["step"] + 1
+        assert a["target_share"] == 0.75
+        assert abs(a["draw_share"] - 0.75) < 0.1
+        assert a["position"]["layout"] == 1
+        # stochastic cursors (no served counts) still report
+        it = iter_mixture(mix, "train", batch_rows=16)
+        _n, _b, cur = next(it)
+        it.close()
+        rep2 = mixture_report(cur)
+        assert "draws" not in rep2["components"]["a"]
+        assert rep2["tokens"] is None
