@@ -924,6 +924,7 @@ def iter_training_order(
     epoch: int = 0,
     rank: int = 0,
     world_size: int = 1,
+    consumed: dict | None = None,
     filesystem=None,
     prefetch_batches: int = 0,
 ):
@@ -979,6 +980,22 @@ def iter_training_order(
     rewrite). Legacy ``(shard, pos)`` 2-tuples are still accepted and
     resume WITHOUT the check.
 
+    ``consumed`` (r13) is the WORLD-SIZE MIGRATION map from
+    `migrate_cursors`: rows the OLD rank layout already delivered,
+    expressed per shard ("done" shards + partial shards' last pos).
+    It composes with, never replaces, this rank's own ``cursor``:
+    shards before the cursor shard in visit order are skipped as
+    always, the cursor shard resumes at the rank's OWN pos (the rank
+    started from the migrated point, so its progress strictly
+    contains it), and shards after it resume at the map's pos (or
+    skip when fully consumed). Valid only for the exact (epoch,
+    layout) it was derived at — mismatches raise. This works because
+    the within-shard order is a pure function of (seed, epoch,
+    shard) — never of rank or world_size — so whatever prefix an old
+    rank consumed of a shard is a prefix of the SAME order any new
+    rank reads; rescaling a trainer is therefore a cursor transform,
+    not an epoch restart.
+
     ``prefetch_batches > 0`` runs the read a bounded number of
     batches ahead on a background thread (`_prefetched`) — IO/compute
     overlap for object-store reads; order, cursors, and exactly-once
@@ -1022,6 +1039,7 @@ def iter_training_order(
                 epoch=epoch,
                 rank=rank,
                 world_size=world_size,
+                consumed=consumed,
                 filesystem=filesystem,
             ),
             prefetch_batches,
@@ -1138,9 +1156,36 @@ def iter_training_order(
             )
         start_idx, start_pos = mine.index(c_shard), c_pos
 
+    done_shards, partial = frozenset(), {}
+    if consumed is not None:
+        if (
+            int(consumed.get("epoch", -1)) != epoch
+            or int(consumed.get("layout", -1)) != layout
+        ):
+            raise ValueError(
+                f"consumed map was derived at epoch "
+                f"{consumed.get('epoch')} / layout "
+                f"{consumed.get('layout')} but this read is epoch "
+                f"{epoch} / layout {layout} — migration maps are "
+                "only valid for the exact epoch and shard-set "
+                "layout they were computed from"
+            )
+        done_shards = frozenset(int(s) for s in consumed.get("done", ()))
+        partial = {
+            int(s): int(p)
+            for s, p in consumed.get("partial", {}).items()
+        }
+
     for idx in range(start_idx, len(mine)):
         shard = mine[idx]
-        after_pos = start_pos if idx == start_idx else None
+        if idx == start_idx and start_pos is not None:
+            # the rank's own progress strictly contains the migrated
+            # point for its cursor shard — own pos wins
+            after_pos = start_pos
+        else:
+            if shard in done_shards:
+                continue  # fully delivered under the old layout
+            after_pos = partial.get(shard)
         if epoch == 0:
             ds = pa_ds.dataset(
                 posixpath.join(split_dir, f"shard={shard}"),
@@ -1673,6 +1718,137 @@ def iter_mixture(
         # shut down now, not at GC/process exit
         for it in its.values():
             it.close()
+
+
+def migrate_cursors(
+    dest: str,
+    cursors,
+    world_size: int,
+    split: str = "train",
+    epoch: int | None = None,
+    filesystem=None,
+) -> dict:
+    """Rescale a distributed trainer WITHOUT restarting the epoch:
+    turn the per-rank cursors of an old ``world_size`` into one
+    ``consumed`` map that any rank of a NEW world size passes to
+    `iter_training_order(consumed=)` — the union of the new ranks'
+    streams is then exactly the epoch's undelivered remainder, still
+    disjoint, still exactly-once.
+
+    Pure manifest arithmetic, no data read: the epoch's shard visit
+    order depends only on (manifest seed, epoch) and the
+    within-shard order only on (seed, epoch, shard) — world_size
+    merely SLICES the visit order — so an old rank's cursor
+    (shard, pos, layout) says precisely "every shard before `shard`
+    in my slice is fully delivered; `shard` is delivered up to
+    `pos` in the shared within-shard order". Collecting that across
+    ranks gives a per-shard done/partial map that is meaningful
+    under ANY slicing.
+
+    ``cursors`` is the old ranks' last checkpoints, indexed by rank
+    (a list/tuple of length ``world_size``; None for a rank that had
+    consumed nothing). 3-tuples need ``epoch=``; 4-tuple
+    `iter_epochs` cursors carry their epoch — all ranks must be IN
+    the same epoch (a mid-boundary fleet, with some ranks already
+    rolled over, has no single well-defined remainder: finish the
+    boundary first or restart the cheap read). Layout stamps must
+    be uniform and current — the append/compact protection composes
+    through migration unchanged."""
+    if len(cursors) != world_size:
+        raise ValueError(
+            f"need one cursor slot per old rank: got {len(cursors)} "
+            f"for world_size={world_size} (use None for a rank that "
+            "consumed nothing)"
+        )
+    manifest = read_manifest(dest, filesystem)
+    layout = manifest.get("layout", manifest.get("generations", 1))
+    norm = []
+    for r, cur in enumerate(cursors):
+        if cur is None:
+            norm.append(None)
+            continue
+        cur = tuple(cur)
+        if len(cur) == 4:
+            e, shard, pos, c_layout = cur
+            if epoch is None:
+                epoch = int(e)
+            elif int(e) != epoch:
+                raise ValueError(
+                    f"rank {r} cursor is in epoch {e} but the "
+                    f"migration is for epoch {epoch} — the fleet "
+                    "straddles an epoch boundary; finish it or "
+                    "restart the epoch read"
+                )
+        elif len(cur) == 3:
+            shard, pos, c_layout = cur
+        else:
+            raise ValueError(
+                f"rank {r} cursor has {len(cur)} fields — expected "
+                "(shard, pos, layout) or (epoch, shard, pos, layout)"
+            )
+        if c_layout != layout:
+            raise ValueError(
+                f"rank {r} cursor was yielded at shard-set layout "
+                f"{c_layout} but the set is now at layout {layout} "
+                "— migrate before restructuring, or restart the "
+                "epoch"
+            )
+        norm.append((int(shard), int(pos)))
+    if epoch is None:
+        raise ValueError(
+            "epoch= is required with (shard, pos, layout) cursors "
+            "(they do not carry it; it is part of their contract)"
+        )
+
+    import posixpath
+    from urllib.parse import unquote
+
+    fs = _loader_fs(filesystem)
+    data_dir = posixpath.join(dest, "data")
+    prefix = f"{manifest['split_col']}="
+    by_value = {
+        unquote(d[len(prefix):]): d
+        for d in _fs_ls(fs, data_dir)
+        if d.startswith(prefix)
+    }
+    if split not in by_value:
+        raise ValueError(
+            f"no split {split!r} under {data_dir} "
+            f"(have: {sorted(by_value)})"
+        )
+    split_dir = posixpath.join(data_dir, by_value[split])
+    shard_ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in _fs_ls(fs, split_dir)
+        if d.startswith("shard=")
+    )
+    visit = (
+        shard_ids
+        if epoch == 0
+        else _epoch_perm(shard_ids, f"{manifest['seed']}|epoch={epoch}|shards")
+    )
+    done, partial = set(), {}
+    for r, cur in enumerate(norm):
+        if cur is None:
+            continue
+        shard, pos = cur
+        mine = visit[r::world_size]
+        if shard not in mine:
+            raise ValueError(
+                f"rank {r} cursor shard {shard} is not assigned to "
+                f"rank {r}/{world_size} in epoch {epoch} — cursors "
+                "are only valid under the (split, epoch, rank, "
+                "world_size) they were yielded from"
+            )
+        idx = mine.index(shard)
+        done.update(mine[:idx])
+        partial[str(shard)] = pos
+    return {
+        "epoch": int(epoch),
+        "layout": int(layout),
+        "done": sorted(done),
+        "partial": partial,
+    }
 
 
 def mixture_report(cursor: dict, components: dict | None = None) -> dict:

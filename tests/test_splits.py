@@ -2834,3 +2834,191 @@ class TestMixtureReport:
         rep2 = mixture_report(cur)
         assert "draws" not in rep2["components"]["a"]
         assert rep2["tokens"] is None
+
+
+class TestWorldSizeMigration:
+    """migrate_cursors + iter_training_order(consumed=): rescaling a
+    distributed trainer is a cursor transform, not an epoch restart.
+    Claims pinned: for any old/new world-size pair and any per-rank
+    progress mix (untouched / mid-shard / mid-row-group), the union
+    of (rows the old fleet delivered) and (rows the new fleet's
+    streams deliver under the migration map) is EXACTLY the epoch's
+    row set with no overlap; a new rank's own cursor composes with
+    the map across checkpoints; stale maps (wrong epoch/layout) and
+    inconsistent cursor fleets raise."""
+
+    @pytest.fixture(scope="class")
+    def dest(self, spark, tmp_path_factory):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from gus_spark.operators.splits import write_training_shards
+
+        docs = table(spark, SF_DIR_ORACLE, "documents").select(
+            "doc_id", "text"
+        )
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        before = hconf.get("parquet.block.size")
+        hconf.set("parquet.block.size", "8192")
+        try:
+            dest = str(tmp_path_factory.mktemp("migrate"))
+            write_training_shards(
+                docs, dest, shards=6, weights={"train": 1.0}
+            )
+        finally:
+            if before is None:
+                hconf.unset("parquet.block.size")
+            else:
+                hconf.set("parquet.block.size", before)
+        rgs = [
+            pq.ParquetFile(f).num_row_groups
+            for f in glob.glob(
+                os.path.join(dest, "data", "*", "*", "*.parquet")
+            )
+        ]
+        assert max(rgs) > 1
+        return dest
+
+    @staticmethod
+    def _full_epoch(dest, epoch):
+        from gus_spark.operators.splits import iter_training_order
+
+        out = []
+        for b, cur in iter_training_order(dest, "train", epoch=epoch):
+            out.extend((cur[0], p) for p in b.column("pos").to_pylist())
+        return out
+
+    @staticmethod
+    def _consume(dest, epoch, rank, world, n_batches, consumed=None):
+        from gus_spark.operators.splits import iter_training_order
+
+        rows, cur = [], None
+        it = iter_training_order(
+            dest, "train", epoch=epoch, rank=rank,
+            world_size=world, batch_rows=16, consumed=consumed,
+        )
+        for _ in range(n_batches) if n_batches is not None else iter(
+            int, 1
+        ):
+            try:
+                b, cur = next(it)
+            except StopIteration:
+                break
+            rows.extend(
+                (cur[0], p) for p in b.column("pos").to_pylist()
+            )
+        it.close()
+        return rows, cur
+
+    @pytest.mark.parametrize("epoch", [0, 2])
+    @pytest.mark.parametrize("old_w,new_w", [(3, 2), (2, 1), (1, 4)])
+    def test_union_is_exactly_the_remainder(
+        self, dest, epoch, old_w, new_w
+    ):
+        from gus_spark.operators.splits import migrate_cursors
+
+        full = self._full_epoch(dest, epoch)
+        old_rows, cursors = [], []
+        # uneven progress: rank r consumes 3*r batches (rank 0 none)
+        for r in range(old_w):
+            rows, cur = self._consume(dest, epoch, r, old_w, 3 * r)
+            old_rows.extend(rows)
+            cursors.append(cur)
+        m = migrate_cursors(
+            dest, cursors, old_w, epoch=epoch
+        )
+        new_rows = []
+        for r in range(new_w):
+            rows, _cur = self._consume(
+                dest, epoch, r, new_w, None, consumed=m
+            )
+            new_rows.extend(rows)
+        assert not (set(old_rows) & set(new_rows))
+        assert sorted(old_rows + new_rows) == sorted(full)
+        assert len(old_rows) + len(new_rows) == len(full)
+
+    def test_new_rank_cursor_composes_with_map(self, dest):
+        from gus_spark.operators.splits import migrate_cursors
+
+        epoch, old_w, new_w = 2, 2, 3
+        cursors = []
+        old_rows = []
+        for r in range(old_w):
+            rows, cur = self._consume(dest, epoch, r, old_w, 2 + r)
+            old_rows.extend(rows)
+            cursors.append(cur)
+        m = migrate_cursors(dest, cursors, old_w, epoch=epoch)
+        # new rank 1: full stream vs consume-checkpoint-resume
+        want, _ = self._consume(dest, epoch, 1, new_w, None, consumed=m)
+        head, cur = self._consume(dest, epoch, 1, new_w, 3, consumed=m)
+        from gus_spark.operators.splits import iter_training_order
+
+        tail = []
+        for b, c in iter_training_order(
+            dest, "train", epoch=epoch, rank=1, world_size=new_w,
+            batch_rows=16, cursor=cur, consumed=m,
+        ):
+            tail.extend((c[0], p) for p in b.column("pos").to_pylist())
+        assert head + tail == want
+
+    def test_stale_or_inconsistent_inputs_raise(self, dest):
+        from gus_spark.operators.splits import (
+            iter_training_order,
+            migrate_cursors,
+        )
+
+        _rows, cur = self._consume(dest, 1, 0, 2, 2)
+        m = migrate_cursors(dest, [cur, None], 2, epoch=1)
+        # wrong epoch at read time
+        with pytest.raises(ValueError, match="epoch"):
+            next(
+                iter_training_order(
+                    dest, "train", epoch=2, consumed=m
+                )
+            )
+        # stale layout in the map
+        stale = dict(m, layout=m["layout"] + 1)
+        with pytest.raises(ValueError, match="layout"):
+            next(
+                iter_training_order(
+                    dest, "train", epoch=1, consumed=stale
+                )
+            )
+        # stale cursor layout into the migration itself
+        bad = (cur[0], cur[1], cur[2] + 1)
+        with pytest.raises(ValueError, match="layout"):
+            migrate_cursors(dest, [bad, None], 2, epoch=1)
+        # cursor under the wrong rank slot
+        with pytest.raises(ValueError, match="not assigned"):
+            migrate_cursors(dest, [None, cur], 2, epoch=1)
+        # 3-tuples need an explicit epoch
+        with pytest.raises(ValueError, match="epoch= is required"):
+            migrate_cursors(dest, [cur, None], 2)
+        # wrong fleet size
+        with pytest.raises(ValueError, match="one cursor slot"):
+            migrate_cursors(dest, [cur], 2, epoch=1)
+
+    def test_epoch_boundary_fleet_refused(self, dest):
+        from gus_spark.operators.splits import (
+            iter_epochs,
+            migrate_cursors,
+        )
+
+        curs = []
+        for r, take in ((0, 2), (1, 2)):
+            it = iter_epochs(
+                dest, "train", rank=r, world_size=2, batch_rows=16
+            )
+            cur = None
+            for _ in range(take):
+                _b, cur = next(it)
+            it.close()
+            curs.append(cur)
+        # 4-tuples carry their epoch: same epoch migrates fine
+        m = migrate_cursors(dest, curs, 2)
+        assert m["epoch"] == 0
+        # a fleet straddling a boundary is refused
+        mixed = [curs[0], (1, curs[1][1], curs[1][2], curs[1][3])]
+        with pytest.raises(ValueError, match="straddles"):
+            migrate_cursors(dest, mixed, 2)
