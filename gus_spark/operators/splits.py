@@ -1357,6 +1357,84 @@ def iter_epochs(
         epoch += 1
 
 
+def _mixture_spec(components: dict, schedule: str):
+    """Validate and normalize a mixture spec (shared by
+    `iter_mixture` and `rebase_mixture_cursor`)."""
+    import math
+
+    if not components:
+        raise ValueError("components must not be empty")
+    if schedule not in ("stochastic", "exact"):
+        raise ValueError(
+            f"schedule must be 'stochastic' or 'exact', "
+            f"got {schedule!r}"
+        )
+    names = list(components)
+    dests, weights = {}, {}
+    for name in names:
+        dest, w = components[name]
+        w = float(w)
+        if not (w > 0 and math.isfinite(w)):
+            raise ValueError(
+                f"component {name!r} weight must be finite and > 0, "
+                f"got {w}"
+            )
+        dests[name], weights[name] = dest, w
+    return names, dests, weights, sum(weights.values())
+
+
+def _mixture_sig(
+    names, dests, weights, total_w, split, seed, rank, world_size,
+    schedule, filesystem,
+):
+    """The mixture cursor fingerprint: everything whose change would
+    silently alter the schedule, the rank slices, or what the
+    per-component cursors point into — including each component's
+    shard-set CONTENT identity (never its path: corpora move between
+    mounts). A rebuilt or swapped component under the same name
+    almost always changes its seeds or split-level row layout, so a
+    stale cursor raises at resume instead of epoch-0's pos-filter
+    silently skipping or re-delivering rows against the wrong
+    corpus. (Residual: two distinct corpora with identical seeds AND
+    identical per-shard counts are indistinguishable — content
+    hashing per resume would cost a full read.) Also the
+    empty-component gate: a split with zero rows raises here."""
+    import hashlib
+
+    idents = []
+    for name in names:
+        m = read_manifest(dests[name], filesystem)
+        per_shard = m.get("shard_rows", {}).get(split, {})
+        if sum(per_shard.values()) == 0:
+            raise ValueError(
+                f"component {name!r} has no rows in split {split!r} "
+                f"({dests[name]}) — an empty component can never be "
+                "scheduled"
+            )
+        idents.append(
+            (
+                name,
+                m.get("seed"),
+                m.get("split_seed"),
+                m.get("id_col"),
+                tuple(sorted((k, v) for k, v in per_shard.items())),
+            )
+        )
+    return hashlib.md5(
+        repr(
+            (
+                seed,
+                split,
+                [(n, weights[n] / total_w) for n in names],
+                rank,
+                world_size,
+                schedule,
+                idents,
+            )
+        ).encode()
+    ).hexdigest()[:16]
+
+
 def iter_mixture(
     components: dict,
     split: str = "train",
@@ -1461,75 +1539,20 @@ def iter_mixture(
     component. ``prefetch_batches`` applies per
     component; with several components the background readers overlap
     each other's consumption — the object-store design point."""
-    import hashlib
-    import math
     import random
 
-    if not components:
-        raise ValueError("components must not be empty")
-    if schedule not in ("stochastic", "exact"):
-        raise ValueError(
-            f"schedule must be 'stochastic' or 'exact', "
-            f"got {schedule!r}"
-        )
-    names = list(components)
-    dests, weights = {}, {}
-    for name in names:
-        dest, w = components[name]
-        w = float(w)
-        if not (w > 0 and math.isfinite(w)):
-            raise ValueError(
-                f"component {name!r} weight must be finite and > 0, "
-                f"got {w}"
-            )
-        dests[name], weights[name] = dest, w
-    total_w = sum(weights.values())
+    names, dests, weights, total_w = _mixture_spec(
+        components, schedule
+    )
     cum, acc = [], 0.0
     for name in names:
         acc += weights[name] / total_w
         cum.append((acc, name))
     cum[-1] = (1.0, names[-1])  # close the float-sum gap
-    idents = []
-    for name in names:
-        m = read_manifest(dests[name], filesystem)
-        per_shard = m.get("shard_rows", {}).get(split, {})
-        if sum(per_shard.values()) == 0:
-            raise ValueError(
-                f"component {name!r} has no rows in split {split!r} "
-                f"({dests[name]}) — an empty component can never be "
-                "scheduled"
-            )
-        # the component's CONTENT identity (never its path — corpora
-        # move between mounts): seeds + split-level row layout. A
-        # rebuilt or swapped component under the same name almost
-        # always changes these, so a stale cursor raises at resume
-        # instead of epoch-0's pos-filter silently skipping or
-        # re-delivering rows against the wrong corpus. (Residual:
-        # two distinct corpora with identical seeds AND identical
-        # per-shard counts are indistinguishable here — content
-        # hashing the corpus per resume would cost a full read.)
-        idents.append(
-            (
-                name,
-                m.get("seed"),
-                m.get("split_seed"),
-                m.get("id_col"),
-                tuple(sorted((k, v) for k, v in per_shard.items())),
-            )
-        )
-    sig = hashlib.md5(
-        repr(
-            (
-                seed,
-                split,
-                [(n, weights[n] / total_w) for n in names],
-                rank,
-                world_size,
-                schedule,
-                idents,
-            )
-        ).encode()
-    ).hexdigest()[:16]
+    sig = _mixture_sig(
+        names, dests, weights, total_w, split, seed, rank,
+        world_size, schedule, filesystem,
+    )
 
     served = {n: 0 for n in names}
     if cursor is None:
@@ -1718,6 +1741,84 @@ def iter_mixture(
         # shut down now, not at GC/process exit
         for it in its.values():
             it.close()
+
+
+def rebase_mixture_cursor(
+    cursor: dict,
+    old_components: dict,
+    new_components: dict,
+    split: str = "train",
+    seed: str = "mix-v1",
+    rank: int = 0,
+    world_size: int = 1,
+    schedule: str = "stochastic",
+    filesystem=None,
+) -> dict:
+    """Retune a running mixture's WEIGHTS without losing position —
+    the DoReMi/online-mixing move (weights are revised from observed
+    signal mid-train), as a checkpoint transform instead of cursor
+    surgery. A mixture's per-component states (epoch counters, inner
+    shard cursors) stay exactly-once-valid when only the weights
+    change — it is the SCHEDULE that restarts — so this: verifies
+    ``cursor`` belongs to the mixture described by
+    ``old_components`` (+ the shared seed/split/rank/schedule args;
+    the same sig check a resume runs), requires ``new_components``
+    to keep the same component names over the same shard sets (only
+    weights may differ — repointing a name at different data is the
+    rebuild hazard the sig exists to catch), and returns a
+    stream-START checkpoint under the new weights whose components
+    are already mid-epoch: step restarts at 0, exact-mode served
+    counts reset (the new weights' <1-per-prefix bound starts
+    fresh), the spent-token total carries over (a later
+    ``max_tokens=`` still counts against the truth), and the sig is
+    recomputed so old and new cursors can never cross. Each rank
+    rebases its own cursor with its own ``rank=``."""
+    names, dests, weights, total_w = _mixture_spec(
+        old_components, schedule
+    )
+    old_sig = _mixture_sig(
+        names, dests, weights, total_w, split, seed, rank,
+        world_size, schedule, filesystem,
+    )
+    if cursor.get("sig") != old_sig:
+        raise ValueError(
+            "cursor does not belong to the mixture described by "
+            "old_components (+ seed/split/rank/world_size/schedule) "
+            "— rebase must start from the exact mixture the cursor "
+            "was yielded under"
+        )
+    n_names, n_dests, n_weights, n_total = _mixture_spec(
+        new_components, schedule
+    )
+    if list(n_names) != list(names) or any(
+        n_dests[n] != dests[n] for n in names
+    ):
+        raise ValueError(
+            "rebase changes only WEIGHTS: new_components must keep "
+            "the same component names over the same shard sets "
+            "(add/remove/repoint is a new mixture — start it fresh; "
+            "the carried positions would be meaningless)"
+        )
+    new_sig = _mixture_sig(
+        n_names, n_dests, n_weights, n_total, split, seed, rank,
+        world_size, schedule, filesystem,
+    )
+    out = {
+        "step": -1,  # resume adds 1: the new schedule starts at 0
+        "sig": new_sig,
+        "states": {
+            n: {
+                "epoch": s["epoch"],
+                "cursor": list(s["cursor"]) if s["cursor"] else None,
+            }
+            for n, s in cursor["states"].items()
+        },
+    }
+    if "tokens" in cursor:
+        out["tokens"] = int(cursor["tokens"])
+    if schedule == "exact":
+        out["served"] = {n: 0 for n in names}
+    return out
 
 
 def migrate_cursors(

@@ -3022,3 +3022,134 @@ class TestWorldSizeMigration:
         mixed = [curs[0], (1, curs[1][1], curs[1][2], curs[1][3])]
         with pytest.raises(ValueError, match="straddles"):
             migrate_cursors(dest, mixed, 2)
+
+
+class TestRebaseMixtureCursor:
+    """rebase_mixture_cursor: mid-train weight retune as a
+    checkpoint transform. Claims pinned: positions carry (no row
+    re-delivered or skipped across the retune), the new schedule
+    starts fresh at the new weights, spent tokens carry, sigs never
+    cross (old cursor refused by new stream and vice versa), and
+    anything other than a weights change is refused."""
+
+    @pytest.fixture(scope="class")
+    def sets(self, spark, tmp_path_factory):
+        from gus_spark.operators.splits import write_training_shards
+
+        base = tmp_path_factory.mktemp("rebase")
+        dirs = {}
+        for name, lo, hi in (("a", 0, 300), ("b", 900, 1100)):
+            d = str(base / name)
+            write_training_shards(
+                spark.range(lo, hi).selectExpr(
+                    "id as doc_id", "4L as n_tokens"
+                ),
+                d, shards=2, weights={"train": 1.0},
+            )
+            dirs[name] = d
+        return dirs
+
+    def test_retune_carries_positions_and_tokens(self, sets):
+        from gus_spark.operators.splits import (
+            iter_mixture,
+            rebase_mixture_cursor,
+        )
+
+        old = {"a": (sets["a"], 4.0), "b": (sets["b"], 1.0)}
+        new = {"a": (sets["a"], 1.0), "b": (sets["b"], 4.0)}
+        seen = {"a": [], "b": []}
+        cur = None
+        it = iter_mixture(
+            old, "train", batch_rows=16,
+            schedule="exact", max_tokens=10**9,
+        )
+        for _ in range(10):
+            n, b, cur = next(it)
+            seen[n].extend(b.column("doc_id").to_pylist())
+        it.close()
+        spent = cur["tokens"]
+        rebase_epochs = {
+            n: s["epoch"] for n, s in cur["states"].items()
+        }
+        reb = rebase_mixture_cursor(
+            cur, old, new, schedule="exact"
+        )
+        assert reb["tokens"] == spent and reb["step"] == -1
+        draws = {"a": 0, "b": 0}
+        delivered = 0
+        for n, b, cur2 in iter_mixture(
+            new, "train", cursor=reb, batch_rows=16,
+            schedule="exact", max_steps=20, max_tokens=10**9,
+        ):
+            draws[n] += 1
+            delivered += b.num_rows
+            ids = b.column("doc_id").to_pylist()
+            # exactly-once is PER EPOCH: while a component is still
+            # finishing the epoch it was rebased in, nothing the old
+            # stream delivered may reappear; once it rolls, a fresh
+            # epoch legitimately re-delivers everything
+            if cur2["states"][n]["epoch"] == rebase_epochs[n]:
+                assert not set(ids) & set(seen[n]), n
+            seen[n].extend(ids)
+        # fresh schedule at the NEW weights: 4:1 flipped to 1:4
+        assert draws == {"a": 4, "b": 16}, draws
+        # budget continuity: every delivered row's tokens (4 each)
+        # accumulate ON TOP of the carried pre-rebase total (batches
+        # at shard/epoch boundaries run short, so count rows)
+        assert cur2["tokens"] == spent + delivered * 4
+
+    def test_sigs_never_cross(self, sets):
+        from gus_spark.operators.splits import (
+            iter_mixture,
+            rebase_mixture_cursor,
+        )
+
+        old = {"a": (sets["a"], 4.0), "b": (sets["b"], 1.0)}
+        new = {"a": (sets["a"], 1.0), "b": (sets["b"], 4.0)}
+        it = iter_mixture(old, "train", batch_rows=16)
+        _n, _b, cur = next(it)
+        it.close()
+        reb = rebase_mixture_cursor(cur, old, new)
+        with pytest.raises(ValueError, match="different"):
+            next(iter_mixture(old, "train", cursor=reb))
+        with pytest.raises(ValueError, match="different"):
+            next(iter_mixture(new, "train", cursor=cur))
+        # and the rebased cursor resumes the NEW mixture cleanly
+        it = iter_mixture(new, "train", cursor=reb, batch_rows=16)
+        next(it)
+        it.close()
+
+    def test_only_weight_changes_allowed(self, spark, sets, tmp_path):
+        from gus_spark.operators.splits import (
+            iter_mixture,
+            rebase_mixture_cursor,
+            write_training_shards,
+        )
+
+        old = {"a": (sets["a"], 1.0), "b": (sets["b"], 1.0)}
+        it = iter_mixture(old, "train", batch_rows=16)
+        _n, _b, cur = next(it)
+        it.close()
+        # wrong old spec
+        with pytest.raises(ValueError, match="does not belong"):
+            rebase_mixture_cursor(
+                cur, {"a": (sets["a"], 9.0), "b": (sets["b"], 1.0)},
+                old,
+            )
+        # renamed component
+        with pytest.raises(ValueError, match="only WEIGHTS"):
+            rebase_mixture_cursor(
+                cur, old,
+                {"a": (sets["a"], 1.0), "c": (sets["b"], 2.0)},
+            )
+        # repointed dest
+        d2 = str(tmp_path / "other")
+        write_training_shards(
+            spark.range(50).selectExpr("id as doc_id"),
+            d2, shards=2, weights={"train": 1.0},
+        )
+        with pytest.raises(ValueError, match="only WEIGHTS"):
+            rebase_mixture_cursor(
+                cur, old,
+                {"a": (sets["a"], 1.0), "b": (d2, 2.0)},
+            )
