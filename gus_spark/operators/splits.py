@@ -1447,6 +1447,7 @@ def iter_mixture(
     max_tokens: int | None = None,
     tokens_col: str = "n_tokens",
     schedule: str = "stochastic",
+    consumed: dict | None = None,
     filesystem=None,
     prefetch_batches: int = 0,
 ):
@@ -1511,6 +1512,16 @@ def iter_mixture(
     names, normalized weights, rank, world_size): resuming under ANY
     change that would alter the schedule or the slices raises — the
     wrong-rank-cursor precedent, composed.
+
+    ``consumed`` (fleet rescale, from `migrate_mixture_cursors`)
+    maps component name -> the per-shard done/partial map
+    `iter_training_order(consumed=)` takes: each component's stream
+    starts from the OLD fleet's delivered frontier. A map applies
+    only while the component is still in the epoch it was derived
+    at — once the component rolls, fresh epochs read whole. A
+    component whose mapped epoch is already fully delivered rolls
+    over silently (that is a legitimate empty resume, not the
+    empty-component error).
 
     ``rank``/``world_size`` shard every component's stream; all ranks
     run the SAME schedule (same seed ⇒ same component at step t), so
@@ -1604,6 +1615,18 @@ def iter_mixture(
     if max_tokens is not None and tok >= max_tokens:
         return
 
+    def _map_for(name):
+        """The rescale map for this component, iff it still applies
+        (same epoch it was derived at)."""
+        if consumed is None:
+            return None
+        m = consumed.get(name)
+        if m is not None and int(m.get("epoch", -1)) == int(
+            states[name]["epoch"]
+        ):
+            return m
+        return None
+
     def fresh_iter(name):
         st = states[name]
         return iter_training_order(
@@ -1614,14 +1637,20 @@ def iter_mixture(
             epoch=st["epoch"],
             rank=rank,
             world_size=world_size,
+            consumed=_map_for(name),
             filesystem=filesystem,
             prefetch_batches=prefetch_batches,
         )
 
     its = {n: fresh_iter(n) for n in names}
     # a mid-epoch resume proves the epoch yields; a fresh epoch must
-    # prove itself before it may roll over (no silent infinite spin)
-    fed = {n: states[n]["cursor"] is not None for n in names}
+    # prove itself before it may roll over (no silent infinite spin).
+    # A rescale map counts as mid-epoch: its epoch may be fully
+    # delivered already, and rolling past it is legitimate.
+    fed = {
+        n: states[n]["cursor"] is not None or _map_for(n) is not None
+        for n in names
+    }
 
     def pick(t: int) -> str:
         if schedule == "exact":
@@ -1819,6 +1848,113 @@ def rebase_mixture_cursor(
     if schedule == "exact":
         out["served"] = {n: 0 for n in names}
     return out
+
+
+def migrate_mixture_cursors(
+    cursors,
+    components: dict,
+    world_size_new: int,
+    split: str = "train",
+    seed: str = "mix-v1",
+    schedule: str = "stochastic",
+    filesystem=None,
+) -> tuple:
+    """Rescale a MIXTURE fleet: compose `migrate_cursors` per
+    component with a schedule restart — the rank-rescale move and
+    the weight-retune move, unified. ``cursors`` is the old fleet's
+    composite mixture cursors indexed by rank (length = old world
+    size; None for a rank that consumed nothing); each is verified
+    against its own rank's fingerprint, so a cursor from a different
+    mixture (or slotted under the wrong rank) is refused. Every
+    component must sit in the SAME epoch on every old rank — near an
+    epoch boundary a synchronous fleet can briefly straddle (slices
+    exhaust at slightly different draws); take one more checkpoint
+    past the boundary or restart the epoch (a read).
+
+    Returns ``(new_cursors, consumed)``: per-new-rank stream-START
+    mixture cursors (schedule at step 0, exact-mode served counts
+    zeroed, components already mid-epoch) plus ONE shared
+    ``consumed`` bundle — component name -> per-shard done/partial
+    map — that every new rank passes as
+    ``iter_mixture(consumed=...)``. Union-exactness inherits from
+    `migrate_cursors` component by component: the new fleet's
+    streams deliver exactly each component's undelivered remainder
+    of its current epoch, then roll on as always.
+
+    Per-rank spent-token counters do NOT survive a rescale (they are
+    per-stream; dividing a fleet total across a different rank count
+    is budget policy, not bookkeeping) — the returned cursors carry
+    no ``tokens`` key; re-grant per-rank budgets from the trainer's
+    own ledger."""
+    world_size_old = len(cursors)
+    names, dests, weights, total_w = _mixture_spec(
+        components, schedule
+    )
+    live = [
+        (r, cur) for r, cur in enumerate(cursors) if cur is not None
+    ]
+    if not live:
+        raise ValueError(
+            "every old rank consumed nothing — there is nothing to "
+            "migrate; start the new fleet fresh"
+        )
+    for r, cur in live:
+        want = _mixture_sig(
+            names, dests, weights, total_w, split, seed, r,
+            world_size_old, schedule, filesystem,
+        )
+        if cur.get("sig") != want:
+            raise ValueError(
+                f"rank {r} cursor does not belong to this mixture "
+                f"at rank {r}/{world_size_old} — cursors must be "
+                "passed in rank order under the exact (components, "
+                "weights, seed, split, schedule) they were yielded "
+                "from"
+            )
+    epochs = {}
+    for n in names:
+        per_rank = {
+            r: int(cur["states"][n]["epoch"]) for r, cur in live
+        }
+        if len(set(per_rank.values())) != 1:
+            raise ValueError(
+                f"component {n!r} straddles an epoch boundary "
+                f"across the old fleet ({per_rank}) — checkpoint "
+                "once more past the boundary, or restart the epoch"
+            )
+        epochs[n] = next(iter(per_rank.values()))
+    consumed = {}
+    for n in names:
+        inners = [None] * world_size_old
+        for r, cur in live:
+            c = cur["states"][n]["cursor"]
+            inners[r] = tuple(c) if c else None
+        consumed[n] = migrate_cursors(
+            dests[n],
+            inners,
+            world_size_old,
+            split=split,
+            epoch=epochs[n],
+            filesystem=filesystem,
+        )
+    new_cursors = []
+    for r in range(world_size_new):
+        sig_r = _mixture_sig(
+            names, dests, weights, total_w, split, seed, r,
+            world_size_new, schedule, filesystem,
+        )
+        snap = {
+            "step": -1,  # resume adds 1: the schedule restarts
+            "sig": sig_r,
+            "states": {
+                n: {"epoch": epochs[n], "cursor": None}
+                for n in names
+            },
+        }
+        if schedule == "exact":
+            snap["served"] = {n: 0 for n in names}
+        new_cursors.append(snap)
+    return new_cursors, consumed
 
 
 def migrate_cursors(

@@ -3153,3 +3153,143 @@ class TestRebaseMixtureCursor:
                 cur, old,
                 {"a": (sets["a"], 1.0), "b": (d2, 2.0)},
             )
+
+
+class TestMixtureFleetRescale:
+    """migrate_mixture_cursors + iter_mixture(consumed=): rescaling
+    a multi-rank MIXTURE fleet composes the per-component world-size
+    migration with a schedule restart. Claims pinned: per component,
+    (rows the old fleet delivered in its current epoch) ∪ (rows the
+    new fleet delivers while still in that epoch) is EXACTLY the
+    component's epoch row set, disjoint; a new rank's own cursor
+    composes with the bundle across checkpoints; epoch-straddling
+    fleets and out-of-rank-order cursors are refused; token counters
+    do not survive (documented policy)."""
+
+    @pytest.fixture(scope="class")
+    def mix(self, spark, tmp_path_factory):
+        from gus_spark.operators.splits import write_training_shards
+
+        base = tmp_path_factory.mktemp("fleet")
+        out = {}
+        for name, lo, hi in (("a", 0, 300), ("b", 1000, 1100)):
+            d = str(base / name)
+            write_training_shards(
+                spark.range(lo, hi).selectExpr(
+                    "id as doc_id", "4L as n_tokens"
+                ),
+                d, shards=3, weights={"train": 1.0},
+            )
+            out[name] = (d, 1.0)
+        return out
+
+    @staticmethod
+    def _drive(mix, rank, world, steps, cursor=None, consumed=None):
+        """Run `steps` mixture steps, returning rows tagged with the
+        (component, epoch) they were delivered under + last cursor."""
+        from gus_spark.operators.splits import iter_mixture
+
+        rows, last = [], None
+        it = iter_mixture(
+            mix, "train", cursor=cursor, batch_rows=16,
+            rank=rank, world_size=world, schedule="exact",
+            consumed=consumed, max_steps=steps,
+        )
+        for n, b, last in it:
+            e = last["states"][n]["epoch"]
+            rows.extend(
+                (n, e, i) for i in b.column("doc_id").to_pylist()
+            )
+        return rows, last
+
+    def test_union_is_exactly_the_component_epochs(self, mix, spark):
+        from gus_spark.operators.splits import (
+            migrate_mixture_cursors,
+        )
+
+        full = {
+            n: set(
+                r["doc_id"]
+                for r in spark.read.parquet(
+                    os.path.join(d, "data")
+                ).collect()
+            )
+            for n, (d, _w) in mix.items()
+        }
+        old_rows, cursors = [], []
+        for r in range(2):  # synchronous fleet: equal steps
+            rows, cur = self._drive(mix, r, 2, steps=4)
+            old_rows.extend(rows)
+            cursors.append(cur)
+        new_cursors, consumed = migrate_mixture_cursors(
+            cursors, mix, 3, schedule="exact"
+        )
+        new_rows = []
+        for r in range(3):  # far past both components' epoch 0
+            rows, _ = self._drive(
+                mix, r, 3, steps=60,
+                cursor=new_cursors[r], consumed=consumed,
+            )
+            new_rows.extend(rows)
+        for n in mix:
+            e = consumed[n]["epoch"]
+            old_e = [i for c, ep, i in old_rows if c == n and ep == e]
+            new_e = [i for c, ep, i in new_rows if c == n and ep == e]
+            assert not (set(old_e) & set(new_e)), n
+            assert len(old_e) + len(new_e) == len(full[n]), n
+            assert set(old_e) | set(new_e) == full[n], n
+            # and the epoch AFTER the rescale epoch reads whole
+            nxt = [
+                i for c, ep, i in new_rows if c == n and ep == e + 1
+            ]
+            assert set(nxt) == full[n] and len(nxt) == len(full[n]), n
+
+    def test_new_rank_checkpoint_composes_with_bundle(self, mix):
+        from gus_spark.operators.splits import (
+            migrate_mixture_cursors,
+        )
+
+        cursors = []
+        for r in range(2):
+            _rows, cur = self._drive(mix, r, 2, steps=3)
+            cursors.append(cur)
+        new_cursors, consumed = migrate_mixture_cursors(
+            cursors, mix, 2, schedule="exact"
+        )
+        want, _ = self._drive(
+            mix, 0, 2, steps=30,
+            cursor=new_cursors[0], consumed=consumed,
+        )
+        head, mid = self._drive(
+            mix, 0, 2, steps=7,
+            cursor=new_cursors[0], consumed=consumed,
+        )
+        tail, _ = self._drive(
+            mix, 0, 2, steps=30, cursor=mid, consumed=consumed
+        )
+        assert head + tail == want
+        assert "tokens" not in new_cursors[0]  # documented policy
+
+    def test_straddling_and_misordered_fleets_refused(self, mix):
+        from gus_spark.operators.splits import (
+            migrate_mixture_cursors,
+        )
+
+        # rank 0 runs long enough to roll tiny component b; rank 1
+        # stays in epoch 0 → straddle
+        _r0, c0 = self._drive(mix, 0, 2, steps=30)
+        _r1, c1 = self._drive(mix, 1, 2, steps=2)
+        assert (
+            c0["states"]["b"]["epoch"] != c1["states"]["b"]["epoch"]
+        )
+        with pytest.raises(ValueError, match="straddles"):
+            migrate_mixture_cursors([c0, c1], mix, 3, schedule="exact")
+        # equal-epoch fleet, but cursors slotted under wrong ranks
+        _r1b, c1b = self._drive(mix, 1, 2, steps=2)
+        _r0b, c0b = self._drive(mix, 0, 2, steps=2)
+        with pytest.raises(ValueError, match="rank"):
+            migrate_mixture_cursors(
+                [c1b, c0b], mix, 3, schedule="exact"
+            )
+        with pytest.raises(ValueError, match="nothing to migrate"):
+            migrate_mixture_cursors([None, None], mix, 3)
