@@ -882,6 +882,44 @@ def read_training_shards(
     return df
 
 
+def _split_visit(fs, dest, split_col, split, seed, epoch):
+    """Resolve a split's directory and the epoch's SHARD VISIT ORDER
+    — the one place this arithmetic lives, shared by the loader and
+    `migrate_cursors` (a migration map is only correct if both sides
+    slice the identical order). Partition dir names are
+    Spark-escaped, so splits are matched by VALUE (a literal
+    f"{split_col}={split}" path would miss e.g. 'train:v2'); the
+    visit order is identity for epoch 0, else the (seed, epoch)
+    permutation."""
+    import posixpath
+    from urllib.parse import unquote
+
+    data_dir = posixpath.join(dest, "data")
+    prefix = f"{split_col}="
+    by_value = {
+        unquote(d[len(prefix):]): d
+        for d in _fs_ls(fs, data_dir)
+        if d.startswith(prefix)
+    }
+    if split not in by_value:
+        raise ValueError(
+            f"no split {split!r} under {data_dir} "
+            f"(have: {sorted(by_value)})"
+        )
+    split_dir = posixpath.join(data_dir, by_value[split])
+    shard_ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in _fs_ls(fs, split_dir)
+        if d.startswith("shard=")
+    )
+    visit = (
+        shard_ids
+        if epoch == 0
+        else _epoch_perm(shard_ids, f"{seed}|epoch={epoch}|shards")
+    )
+    return split_dir, visit
+
+
 def _epoch_perm(items, key: str) -> list:
     """Deterministic seeded permutation of ``items`` — one
     ``random.Random(key)`` Fisher–Yates per call. The seed is a string
@@ -1099,35 +1137,10 @@ def iter_training_order(
                 batch, span_masks, id_col, key_set=mask_keys
             )
         return batch
-    data_dir = posixpath.join(dest, "data")
-    # match by the split VALUE: partition dir names are Spark-escaped
-    # (the writer's footer walk decodes the same way), so a literal
-    # f"{split_col}={split}" path would miss e.g. 'train:v2'
-    prefix = f"{split_col}="
-    by_value = {
-        unquote(d[len(prefix):]): d
-        for d in _fs_ls(fs, data_dir)
-        if d.startswith(prefix)
-    }
-    if split not in by_value:
-        raise ValueError(
-            f"no split {split!r} under {data_dir} "
-            f"(have: {sorted(by_value)})"
-        )
-    split_dir = posixpath.join(data_dir, by_value[split])
-    shard_ids = sorted(
-        int(d.split("=", 1)[1])
-        for d in _fs_ls(fs, split_dir)
-        if d.startswith("shard=")
-    )
-    # the epoch's shard visit order (identity for epoch 0), then this
-    # rank's round-robin slice of it — disjoint across ranks, union =
-    # the split, balanced because shards are hash-range uniform
-    visit = (
-        shard_ids
-        if epoch == 0
-        else _epoch_perm(shard_ids, f"{seed}|epoch={epoch}|shards")
-    )
+    split_dir, visit = _split_visit(fs, dest, split_col, split, seed, epoch)
+    # this rank's round-robin slice of the visit order — disjoint
+    # across ranks, union = the split, balanced because shards are
+    # hash-range uniform
     mine = visit[rank::world_size]
     if cursor is None:
         start_idx, start_pos = 0, None
@@ -1302,6 +1315,7 @@ def iter_epochs(
     rank: int = 0,
     world_size: int = 1,
     epochs: int | None = None,
+    consumed: dict | None = None,
     filesystem=None,
     prefetch_batches: int = 0,
 ):
@@ -1329,7 +1343,17 @@ def iter_epochs(
     after an `append_training_shards`/`compact_generations` raises
     instead of silently misreading the restructured set (see
     iter_training_order). Legacy ``(epoch, shard, pos)`` 3-tuples
-    resume without the check."""
+    resume without the check.
+
+    ``consumed`` (r13) re-enters the multi-epoch loop after a
+    world-size migration: the `migrate_cursors` map applies to
+    exactly the epoch it was derived at (the one a 4-tuple fleet
+    cursor names) and is dropped the moment the loop rolls past it
+    — including the edge where the rank's mapped-epoch remainder is
+    EMPTY (every assigned shard done): the loop yields nothing for
+    that epoch and moves on, which a hand-driven
+    `iter_training_order(consumed=)` cannot do (no batch, no
+    cursor to re-enter with)."""
     if epochs is not None and epochs < 1:
         raise ValueError(f"epochs must be >= 1 or None, got {epochs}")
     if cursor is None:
@@ -1341,6 +1365,12 @@ def iter_epochs(
         e, shard, pos = cursor
         epoch, inner = e, (shard, pos)
     while epochs is None or epoch < epochs:
+        gate = (
+            consumed
+            if consumed is not None
+            and int(consumed.get("epoch", -1)) == epoch
+            else None
+        )
         for batch, (shard, pos, layout) in iter_training_order(
             dest,
             split,
@@ -1349,6 +1379,7 @@ def iter_epochs(
             epoch=epoch,
             rank=rank,
             world_size=world_size,
+            consumed=gate,
             filesystem=filesystem,
             prefetch_batches=prefetch_batches,
         ):
@@ -1383,24 +1414,18 @@ def _mixture_spec(components: dict, schedule: str):
     return names, dests, weights, sum(weights.values())
 
 
-def _mixture_sig(
-    names, dests, weights, total_w, split, seed, rank, world_size,
-    schedule, filesystem,
-):
-    """The mixture cursor fingerprint: everything whose change would
-    silently alter the schedule, the rank slices, or what the
-    per-component cursors point into — including each component's
-    shard-set CONTENT identity (never its path: corpora move between
-    mounts). A rebuilt or swapped component under the same name
-    almost always changes its seeds or split-level row layout, so a
-    stale cursor raises at resume instead of epoch-0's pos-filter
-    silently skipping or re-delivering rows against the wrong
-    corpus. (Residual: two distinct corpora with identical seeds AND
-    identical per-shard counts are indistinguishable — content
-    hashing per resume would cost a full read.) Also the
-    empty-component gate: a split with zero rows raises here."""
-    import hashlib
-
+def _mixture_idents(names, dests, split, filesystem):
+    """Each component's shard-set CONTENT identity (never its path:
+    corpora move between mounts) — seeds + split-level row layout. A
+    rebuilt or swapped component under the same name almost always
+    changes these, so a stale cursor raises at resume instead of
+    epoch-0's pos-filter silently skipping or re-delivering rows
+    against the wrong corpus. (Residual: two distinct corpora with
+    identical seeds AND identical per-shard counts are
+    indistinguishable — content hashing per resume would cost a full
+    read.) Also the empty-component gate: a split with zero rows
+    raises here. ONE manifest read per component — callers needing
+    several sigs (per-rank, old-and-new specs) reuse the result."""
     idents = []
     for name in names:
         m = read_manifest(dests[name], filesystem)
@@ -1420,6 +1445,18 @@ def _mixture_sig(
                 tuple(sorted((k, v) for k, v in per_shard.items())),
             )
         )
+    return idents
+
+
+def _mixture_sig(
+    names, weights, total_w, split, seed, rank, world_size,
+    schedule, idents,
+):
+    """The mixture cursor fingerprint: everything whose change would
+    silently alter the schedule, the rank slices, or what the
+    per-component cursors point into (see `_mixture_idents`)."""
+    import hashlib
+
     return hashlib.md5(
         repr(
             (
@@ -1561,8 +1598,9 @@ def iter_mixture(
         cum.append((acc, name))
     cum[-1] = (1.0, names[-1])  # close the float-sum gap
     sig = _mixture_sig(
-        names, dests, weights, total_w, split, seed, rank,
-        world_size, schedule, filesystem,
+        names, weights, total_w, split, seed, rank,
+        world_size, schedule,
+        _mixture_idents(names, dests, split, filesystem),
     )
 
     served = {n: 0 for n in names}
@@ -1582,6 +1620,18 @@ def iter_mixture(
                 "valid under the exact mixture they were yielded "
                 "from — after a component restructure, restart the "
                 "epoch (a read, never a rewrite)."
+            )
+        if "consumed_sig" in cursor and (
+            consumed is None
+            or _consumed_sig(consumed) != cursor["consumed_sig"]
+        ):
+            raise ValueError(
+                "this cursor depends on a rescale bundle "
+                "(consumed_sig) that was not passed (or does not "
+                "match) — resuming without it would silently "
+                "re-read rows the pre-rescale fleet already "
+                "delivered; pass the bundle returned by "
+                "migrate_mixture_cursors as consumed="
             )
         step = int(cursor["step"]) + 1
         if max_tokens is not None and "tokens" not in cursor:
@@ -1759,6 +1809,13 @@ def iter_mixture(
                 snap["tokens"] = tok
             if schedule == "exact":
                 snap["served"] = dict(served)
+            if consumed is not None and any(
+                _map_for(n) is not None for n in names
+            ):
+                # some component still needs the bundle to resume —
+                # bind it to the checkpoint; once every component
+                # rolls past its mapped epoch, cursors stand alone
+                snap["consumed_sig"] = _consumed_sig(consumed)
             yield name, batch, snap
             if done:
                 return
@@ -1805,9 +1862,10 @@ def rebase_mixture_cursor(
     names, dests, weights, total_w = _mixture_spec(
         old_components, schedule
     )
+    idents = _mixture_idents(names, dests, split, filesystem)
     old_sig = _mixture_sig(
-        names, dests, weights, total_w, split, seed, rank,
-        world_size, schedule, filesystem,
+        names, weights, total_w, split, seed, rank,
+        world_size, schedule, idents,
     )
     if cursor.get("sig") != old_sig:
         raise ValueError(
@@ -1829,8 +1887,8 @@ def rebase_mixture_cursor(
             "the carried positions would be meaningless)"
         )
     new_sig = _mixture_sig(
-        n_names, n_dests, n_weights, n_total, split, seed, rank,
-        world_size, schedule, filesystem,
+        n_names, n_weights, n_total, split, seed, rank,
+        world_size, schedule, idents,  # same sets: idents reuse
     )
     out = {
         "step": -1,  # resume adds 1: the new schedule starts at 0
@@ -1845,9 +1903,26 @@ def rebase_mixture_cursor(
     }
     if "tokens" in cursor:
         out["tokens"] = int(cursor["tokens"])
+    if "consumed_sig" in cursor:
+        # positions still depend on the rescale bundle — the retuned
+        # stream needs it just as much
+        out["consumed_sig"] = cursor["consumed_sig"]
     if schedule == "exact":
         out["served"] = {n: 0 for n in names}
     return out
+
+
+def _consumed_sig(bundle: dict) -> str:
+    """Fingerprint of a migration bundle (single map or per-component
+    dict) — stamped into the cursors that depend on it, so a resume
+    that forgets the bundle (or brings the wrong one) raises instead
+    of silently re-reading the old fleet's delivered prefixes."""
+    import hashlib
+    import json
+
+    return hashlib.md5(
+        json.dumps(bundle, sort_keys=True).encode()
+    ).hexdigest()[:16]
 
 
 def migrate_mixture_cursors(
@@ -1857,6 +1932,7 @@ def migrate_mixture_cursors(
     split: str = "train",
     seed: str = "mix-v1",
     schedule: str = "stochastic",
+    consumed: dict | None = None,
     filesystem=None,
 ) -> tuple:
     """Rescale a MIXTURE fleet: compose `migrate_cursors` per
@@ -1881,15 +1957,35 @@ def migrate_mixture_cursors(
     streams deliver exactly each component's undelivered remainder
     of its current epoch, then roll on as always.
 
+    The returned cursors are STAMPED with the bundle's fingerprint
+    (``consumed_sig``): resuming one without passing the bundle — or
+    with a different bundle — raises, because the bundle IS part of
+    the stream's definition until every component rolls past its
+    mapped epoch. Rescaling a fleet that was itself already rescaled
+    in the same epoch: pass the prior bundle as ``consumed`` so each
+    component's earlier frontier carries into the new maps
+    (`migrate_cursors`' chained-rescale merge, per component; a
+    component that rolled past its prior map drops it).
+
     Per-rank spent-token counters do NOT survive a rescale (they are
     per-stream; dividing a fleet total across a different rank count
     is budget policy, not bookkeeping) — the returned cursors carry
     no ``tokens`` key; re-grant per-rank budgets from the trainer's
     own ledger."""
     world_size_old = len(cursors)
+    if world_size_new < 1:
+        raise ValueError(
+            f"world_size_new must be >= 1, got {world_size_new} — "
+            "an empty new fleet would silently strand the epoch "
+            "remainder"
+        )
     names, dests, weights, total_w = _mixture_spec(
         components, schedule
     )
+    # ONE manifest read per component; every per-rank sig reuses it
+    # (a 512→1024-rank rescale is thousands of redundant reads
+    # otherwise)
+    idents = _mixture_idents(names, dests, split, filesystem)
     live = [
         (r, cur) for r, cur in enumerate(cursors) if cur is not None
     ]
@@ -1900,8 +1996,8 @@ def migrate_mixture_cursors(
         )
     for r, cur in live:
         want = _mixture_sig(
-            names, dests, weights, total_w, split, seed, r,
-            world_size_old, schedule, filesystem,
+            names, weights, total_w, split, seed, r,
+            world_size_old, schedule, idents,
         )
         if cur.get("sig") != want:
             raise ValueError(
@@ -1910,6 +2006,23 @@ def migrate_mixture_cursors(
                 "passed in rank order under the exact (components, "
                 "weights, seed, split, schedule) they were yielded "
                 "from"
+            )
+    needs_prior = {
+        cur["consumed_sig"] for _r, cur in live if "consumed_sig" in cur
+    }
+    if needs_prior:
+        if len(needs_prior) > 1:
+            raise ValueError(
+                "old cursors carry different rescale-bundle "
+                "fingerprints — they are not one fleet"
+            )
+        if consumed is None or _consumed_sig(consumed) not in needs_prior:
+            raise ValueError(
+                "the old fleet was itself running under a rescale "
+                "bundle (cursors carry consumed_sig) — pass that "
+                "bundle as consumed= so each component's earlier "
+                "frontier carries into the new maps; omitting it "
+                "would re-deliver the original fleet's rows"
             )
     epochs = {}
     for n in names:
@@ -1923,29 +2036,40 @@ def migrate_mixture_cursors(
                 "once more past the boundary, or restart the epoch"
             )
         epochs[n] = next(iter(per_rank.values()))
-    consumed = {}
+    bundle = {}
     for n in names:
         inners = [None] * world_size_old
         for r, cur in live:
             c = cur["states"][n]["cursor"]
             inners[r] = tuple(c) if c else None
-        consumed[n] = migrate_cursors(
+        prior = None
+        if consumed is not None:
+            prior = consumed.get(n)
+            if prior is not None and int(prior.get("epoch", -1)) != epochs[n]:
+                prior = None  # the component rolled past it
+        bundle[n] = migrate_cursors(
             dests[n],
             inners,
             world_size_old,
             split=split,
             epoch=epochs[n],
+            consumed=prior,
             filesystem=filesystem,
         )
+    bundle_sig = _consumed_sig(bundle)
     new_cursors = []
     for r in range(world_size_new):
         sig_r = _mixture_sig(
-            names, dests, weights, total_w, split, seed, r,
-            world_size_new, schedule, filesystem,
+            names, weights, total_w, split, seed, r,
+            world_size_new, schedule, idents,
         )
         snap = {
             "step": -1,  # resume adds 1: the schedule restarts
             "sig": sig_r,
+            # the bundle is part of these cursors' meaning: a resume
+            # without it (or with a different one) raises instead of
+            # silently re-reading the old fleet's delivered prefixes
+            "consumed_sig": bundle_sig,
             "states": {
                 n: {"epoch": epochs[n], "cursor": None}
                 for n in names
@@ -1954,7 +2078,7 @@ def migrate_mixture_cursors(
         if schedule == "exact":
             snap["served"] = {n: 0 for n in names}
         new_cursors.append(snap)
-    return new_cursors, consumed
+    return new_cursors, bundle
 
 
 def migrate_cursors(
@@ -1963,6 +2087,7 @@ def migrate_cursors(
     world_size: int,
     split: str = "train",
     epoch: int | None = None,
+    consumed: dict | None = None,
     filesystem=None,
 ) -> dict:
     """Rescale a distributed trainer WITHOUT restarting the epoch:
@@ -1990,7 +2115,18 @@ def migrate_cursors(
     rolled over, has no single well-defined remainder: finish the
     boundary first or restart the cheap read). Layout stamps must
     be uniform and current — the append/compact protection composes
-    through migration unchanged."""
+    through migration unchanged.
+
+    RESCALING A RESCALE: when the old fleet was itself running under
+    a migration map, pass that map as ``consumed`` — its frontier
+    for the shards the old fleet had NOT yet reached must carry into
+    the new map, or those shards' previously-delivered prefixes
+    would be silently re-read. The merge is per shard: the old
+    fleet's progress wins wherever it reached (it resumed FROM the
+    prior frontier, so it is strictly further); the prior map stands
+    everywhere else. The returned map is therefore always the
+    complete delivered frontier of the epoch, no matter how many
+    rescales preceded it."""
     if len(cursors) != world_size:
         raise ValueError(
             f"need one cursor slot per old rank: got {len(cursors)} "
@@ -2037,34 +2173,29 @@ def migrate_cursors(
             "(they do not carry it; it is part of their contract)"
         )
 
-    import posixpath
-    from urllib.parse import unquote
-
     fs = _loader_fs(filesystem)
-    data_dir = posixpath.join(dest, "data")
-    prefix = f"{manifest['split_col']}="
-    by_value = {
-        unquote(d[len(prefix):]): d
-        for d in _fs_ls(fs, data_dir)
-        if d.startswith(prefix)
-    }
-    if split not in by_value:
-        raise ValueError(
-            f"no split {split!r} under {data_dir} "
-            f"(have: {sorted(by_value)})"
-        )
-    split_dir = posixpath.join(data_dir, by_value[split])
-    shard_ids = sorted(
-        int(d.split("=", 1)[1])
-        for d in _fs_ls(fs, split_dir)
-        if d.startswith("shard=")
-    )
-    visit = (
-        shard_ids
-        if epoch == 0
-        else _epoch_perm(shard_ids, f"{manifest['seed']}|epoch={epoch}|shards")
+    _split_dir, visit = _split_visit(
+        fs, dest, manifest["split_col"], split, manifest["seed"], epoch
     )
     done, partial = set(), {}
+    if consumed is not None:
+        # chained rescale: start from the prior frontier — the old
+        # fleet ran ON TOP of it, so its progress supersedes the
+        # prior map only where it reached
+        if (
+            int(consumed.get("epoch", -1)) != epoch
+            or int(consumed.get("layout", -1)) != layout
+        ):
+            raise ValueError(
+                f"prior consumed map is for epoch "
+                f"{consumed.get('epoch')} / layout "
+                f"{consumed.get('layout')} but this migration is "
+                f"epoch {epoch} / layout {layout}"
+            )
+        done.update(int(s) for s in consumed.get("done", ()))
+        partial.update(
+            {int(s): int(p) for s, p in consumed.get("partial", {}).items()}
+        )
     for r, cur in enumerate(norm):
         if cur is None:
             continue
@@ -2078,13 +2209,20 @@ def migrate_cursors(
                 "world_size) they were yielded from"
             )
         idx = mine.index(shard)
+        # the fleet's progress supersedes any prior frontier where
+        # it reached: shards behind its cursor are done (drop a
+        # stale prior partial), its cursor shard moved to its pos
+        # (>= the prior pos it resumed from)
         done.update(mine[:idx])
-        partial[str(shard)] = pos
+        for s in mine[:idx]:
+            partial.pop(s, None)
+        partial[int(shard)] = int(pos)
+    partial = {s: p for s, p in partial.items() if s not in done}
     return {
         "epoch": int(epoch),
         "layout": int(layout),
         "done": sorted(done),
-        "partial": partial,
+        "partial": {str(s): p for s, p in partial.items()},
     }
 
 

@@ -3293,3 +3293,238 @@ class TestMixtureFleetRescale:
             )
         with pytest.raises(ValueError, match="nothing to migrate"):
             migrate_mixture_cursors([None, None], mix, 3)
+
+
+class TestRescaleChainingAndBundleBinding:
+    """Second-review regression pins: chained rescales merge the
+    prior frontier (no silent re-delivery); cursors that depend on a
+    rescale bundle are stamped and refuse a bare resume; iter_epochs
+    re-enters the multi-epoch loop through a migration map including
+    the empty-remainder edge; degenerate new fleets refused."""
+
+    @pytest.fixture(scope="class")
+    def dest(self, spark, tmp_path_factory):
+        from gus_spark.operators.splits import write_training_shards
+
+        d = str(tmp_path_factory.mktemp("chain") / "set")
+        write_training_shards(
+            spark.range(400).selectExpr("id as doc_id"),
+            d, shards=6, weights={"train": 1.0},
+        )
+        return d
+
+    @staticmethod
+    def _pull(dest, epoch, rank, world, n, cursor=None, consumed=None):
+        from gus_spark.operators.splits import iter_training_order
+
+        rows, cur = [], None
+        it = iter_training_order(
+            dest, "train", epoch=epoch, rank=rank, world_size=world,
+            batch_rows=16, cursor=cursor, consumed=consumed,
+        )
+        for _ in range(n) if n is not None else iter(int, 1):
+            try:
+                b, cur = next(it)
+            except StopIteration:
+                break
+            rows.extend(b.column("doc_id").to_pylist())
+        it.close()
+        return rows, cur
+
+    def test_chained_rescale_merges_prior_frontier(self, dest):
+        from gus_spark.operators.splits import migrate_cursors
+
+        epoch = 1
+        full, _ = self._pull(dest, epoch, 0, 1, None)
+        # fleet A (w=2): uneven progress — rank 1 runs deep enough
+        # that part of its frontier lies BEYOND where fleet B will
+        # reach, so an unmerged second migration genuinely loses it
+        rows_a, curs_a = [], []
+        for r in range(2):
+            rows, cur = self._pull(dest, epoch, r, 2, 2 + 5 * r)
+            rows_a.extend(rows)
+            curs_a.append(cur)
+        m1 = migrate_cursors(dest, curs_a, 2, epoch=epoch)
+        # fleet B (w=1) runs ON TOP of m1, stops early, migrates
+        # again WITH the prior map
+        rows_b, cur_b = self._pull(
+            dest, epoch, 0, 1, 3, consumed=m1
+        )
+        m2 = migrate_cursors(
+            dest, [cur_b], 1, epoch=epoch, consumed=m1
+        )
+        # fleet C (w=3) delivers exactly the remainder
+        rows_c = []
+        for r in range(3):
+            rows, _ = self._pull(
+                dest, epoch, r, 3, None, consumed=m2
+            )
+            rows_c.extend(rows)
+        everything = rows_a + rows_b + rows_c
+        assert len(everything) == len(set(everything))  # no re-read
+        assert sorted(everything) == sorted(full)
+        # the UNMERGED map would have re-delivered fleet A's rows
+        m2_bad = migrate_cursors(dest, [cur_b], 1, epoch=epoch)
+        rows_bad = []
+        for r in range(3):
+            rows, _ = self._pull(
+                dest, epoch, r, 3, None, consumed=m2_bad
+            )
+            rows_bad.extend(rows)
+        assert set(rows_bad) & set(rows_a)  # the hazard is real
+
+    def test_mixture_bundle_binding(self, spark, tmp_path):
+        from gus_spark.operators.splits import (
+            iter_mixture,
+            migrate_mixture_cursors,
+            rebase_mixture_cursor,
+            write_training_shards,
+        )
+
+        mix = {}
+        for n, lo in (("a", 0), ("b", 1000)):
+            d = str(tmp_path / n)
+            write_training_shards(
+                spark.range(lo, lo + 80).selectExpr("id as doc_id"),
+                d, shards=2, weights={"train": 1.0},
+            )
+            mix[n] = (d, 1.0)
+        curs = []
+        for r in range(2):
+            it = iter_mixture(
+                mix, "train", rank=r, world_size=2, batch_rows=16
+            )
+            _n, _b, cur = next(it)
+            it.close()
+            curs.append(cur)
+        new_curs, bundle = migrate_mixture_cursors(curs, mix, 1)
+        assert "consumed_sig" in new_curs[0]
+        # bare resume of a bundle-dependent cursor is LOUD
+        with pytest.raises(ValueError, match="consumed_sig"):
+            next(iter_mixture(mix, "train", cursor=new_curs[0]))
+        # wrong bundle is loud too
+        with pytest.raises(ValueError, match="consumed_sig"):
+            next(
+                iter_mixture(
+                    mix, "train", cursor=new_curs[0],
+                    consumed={"a": dict(bundle["a"], partial={})},
+                )
+            )
+        # with the bundle: runs; mid-rescale checkpoints stay
+        # stamped; once every component rolls past its mapped epoch
+        # the stamp drops and cursors stand alone
+        last_stamped = None
+        stand_alone = None
+        for _n, _b, c in iter_mixture(
+            mix, "train", cursor=new_curs[0], consumed=bundle,
+            max_steps=30,
+        ):
+            if "consumed_sig" in c:
+                last_stamped = c
+            elif stand_alone is None:
+                stand_alone = c
+        assert last_stamped is not None and stand_alone is not None
+        next(iter(iter_mixture(mix, "train", cursor=stand_alone)))
+        # a rebase of a stamped cursor carries the stamp
+        reweighted = {k: (d, 2.0 if k == "a" else 1.0) for k, (d, _w) in mix.items()}
+        reb = rebase_mixture_cursor(last_stamped, mix, reweighted)
+        assert reb["consumed_sig"] == last_stamped["consumed_sig"]
+        # chained FLEET rescale: stamped old cursors demand the
+        # prior bundle
+        mid = []
+        for r in range(1):
+            it = iter_mixture(
+                mix, "train", cursor=new_curs[r], consumed=bundle,
+                rank=r, world_size=1,
+            )
+            _n, _b, c = next(it)
+            it.close()
+            mid.append(c)
+        if "consumed_sig" in mid[0]:
+            with pytest.raises(ValueError, match="rescale bundle"):
+                migrate_mixture_cursors(mid, mix, 2)
+            nc2, _b2 = migrate_mixture_cursors(
+                mid, mix, 2, consumed=bundle
+            )
+            assert "consumed_sig" in nc2[0]
+
+    def test_iter_epochs_reenters_through_map(self, dest):
+        from gus_spark.operators.splits import (
+            iter_epochs,
+            migrate_cursors,
+        )
+
+        # old fleet of 2 via iter_epochs, both mid-epoch 0
+        curs, seen = [], []
+        for r in range(2):
+            it = iter_epochs(
+                dest, "train", rank=r, world_size=2, batch_rows=16
+            )
+            cur = None
+            for _ in range(2):
+                b, cur = next(it)
+                seen.extend(b.column("doc_id").to_pylist())
+            it.close()
+            curs.append(cur)
+        m = migrate_cursors(dest, curs, 2)
+        assert m["epoch"] == 0
+        # single new rank re-enters the MULTI-EPOCH loop through the
+        # map: epoch 0 completes (no overlap), epoch 1 reads whole
+        e0, e1 = [], []
+        it = iter_epochs(
+            dest, "train", world_size=1, batch_rows=16, consumed=m,
+            epochs=2,
+        )
+        for b, (e, *_rest) in it:
+            (e0 if e == 0 else e1).extend(
+                b.column("doc_id").to_pylist()
+            )
+        assert not (set(e0) & set(seen))
+        assert len(seen) + len(e0) == 400
+        assert sorted(e1) == list(range(400))
+
+    def test_iter_epochs_empty_mapped_remainder_rolls(self, dest):
+        from gus_spark.operators.splits import iter_epochs
+
+        # a map that marks EVERY shard done: the mapped epoch yields
+        # nothing and the loop rolls on — the dead-end a hand-driven
+        # iter_training_order cannot escape
+        from gus_spark.operators.splits import read_manifest
+
+        man = read_manifest(dest)
+        all_shards = sorted(
+            int(s)
+            for s in man["shard_rows"]["train"]
+        )
+        m = {
+            "epoch": 0,
+            "layout": man.get("layout", 1),
+            "done": all_shards,
+            "partial": {},
+        }
+        rows = []
+        for b, (e, *_r) in iter_epochs(
+            dest, "train", batch_rows=64, consumed=m, epochs=2
+        ):
+            rows.append((e, b.num_rows))
+        assert all(e == 1 for e, _n in rows)
+        assert sum(n for _e, n in rows) == 400
+
+    def test_degenerate_new_fleet_refused(self, spark, tmp_path):
+        from gus_spark.operators.splits import (
+            iter_mixture,
+            migrate_mixture_cursors,
+            write_training_shards,
+        )
+
+        d = str(tmp_path / "one")
+        write_training_shards(
+            spark.range(40).selectExpr("id as doc_id"),
+            d, shards=2, weights={"train": 1.0},
+        )
+        mix = {"x": (d, 1.0)}
+        it = iter_mixture(mix, "train", batch_rows=16)
+        _n, _b, cur = next(it)
+        it.close()
+        with pytest.raises(ValueError, match="world_size_new"):
+            migrate_mixture_cursors([cur], mix, 0)
