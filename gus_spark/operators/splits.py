@@ -1560,7 +1560,11 @@ def iter_mixture(
     over silently (that is a legitimate empty resume, not the
     empty-component error).
 
-    ``rank``/``world_size`` shard every component's stream; all ranks
+    ``rank``/``world_size`` shard every component's stream; every
+    component therefore needs at least ``world_size`` shard
+    directories (shards × generations) or some rank's slice of it is
+    empty and the loader refuses (size ``shards=`` for the largest
+    fleet the set will serve). All ranks
     run the SAME schedule (same seed ⇒ same component at step t), so
     the global mixture proportions are exactly the per-rank ones.
     ``max_steps`` bounds the stream at a total step budget (indices

@@ -706,10 +706,14 @@ def run_pipeline(
         F.expr("percentile(seq_quality, 0.9)")
     ).first()[0]
     hq_dir = os.path.join(out_dir, "hq_replay_shards")
+    # shards >= the largest fleet the set will serve: a component's
+    # per-rank slice of its shard dirs must never be empty (stage 11
+    # rescales to 3 ranks; 2 shards would leave rank 2 with nothing
+    # to serve and the loader correctly refuses)
     hq_manifest = write_training_shards(
         train_df.filter(F.col("seq_quality") >= q90),
         hq_dir,
-        shards=2,
+        shards=4,
         id_col="seq_uid",
         weights={"train": 1.0},
         order_col="seq_quality",
@@ -754,6 +758,57 @@ def run_pipeline(
     assert epochs["hq_replay"] > epochs["base"], epochs
     assert mix_masked > 0  # stage-9 masks ride the mixture batches
     mark("mixture_read")
+
+    # 11. trainer fleet rescale (r13): a 2-rank mixture fleet reads
+    # part of the epoch, rescales to 3 ranks mid-epoch via
+    # migrate_mixture_cursors, and the new fleet reads on under the
+    # consumed bundle — the receipt is exactly-once ACROSS the
+    # rescale: within each component's rescale epoch, no sequence
+    # is delivered twice and nothing is lost relative to the
+    # component's epoch row set.
+    from gus_spark.operators.splits import migrate_mixture_cursors
+
+    mix_spec = {
+        "base": (shards_dir, 0.7), "hq_replay": (hq_dir, 0.3),
+    }
+    fleet_seen: dict[str, dict[int, set]] = {}
+
+    def _note(name, cur, b):
+        e = cur["states"][name]["epoch"]
+        fleet_seen.setdefault(name, {}).setdefault(e, set()).update(
+            b.column("seq_uid").to_pylist()
+        )
+
+    old_curs = []
+    for r in range(2):
+        c = None
+        for name, b, c in iter_mixture(
+            mix_spec, "train", rank=r, world_size=2,
+            batch_rows=mix_batch, max_steps=3,
+        ):
+            _note(name, c, b)
+        old_curs.append(c)
+    new_curs, bundle = migrate_mixture_cursors(old_curs, mix_spec, 3)
+    for r in range(3):
+        for name, b, c in iter_mixture(
+            mix_spec, "train", rank=r, world_size=3,
+            cursor=new_curs[r], consumed=bundle,
+            batch_rows=mix_batch, max_steps=8,
+        ):
+            # duplicates within the same (component, epoch) would be
+            # a rescale bug — count before merging
+            e = c["states"][name]["epoch"]
+            ids = set(b.column("seq_uid").to_pylist())
+            prior = fleet_seen.setdefault(name, {}).setdefault(
+                e, set()
+            )
+            assert not (prior & ids), "rescale re-delivered rows"
+            prior.update(ids)
+    stats["rescale_epoch_rows"] = {
+        n: {e: len(s) for e, s in sorted(per.items())}
+        for n, per in sorted(fleet_seen.items())
+    }
+    mark("fleet_rescale")
     stats["stage_secs"] = stage_secs
     stats["total_secs"] = round(sum(stage_secs.values()), 3)
     return stats
