@@ -1388,6 +1388,24 @@ def iter_epochs(
         epoch += 1
 
 
+_MIXTURE_CURSOR_V = 1
+
+
+def _check_cursor_v(cursor: dict) -> None:
+    """Mixture-cursor schema gate: absent ``v`` reads as version 1
+    (every cursor this code ever wrote); a version from the future
+    refuses loudly instead of silently misreading keys it does not
+    know."""
+    v = int(cursor.get("v", 1))
+    if v > _MIXTURE_CURSOR_V:
+        raise ValueError(
+            f"mixture cursor is schema version {v} but this code "
+            f"reads up to {_MIXTURE_CURSOR_V} — it was written by a "
+            "newer release; resuming could silently drop state it "
+            "carries (upgrade, or restart the stream)"
+        )
+
+
 def _mixture_spec(components: dict, schedule: str):
     """Validate and normalize a mixture spec (shared by
     `iter_mixture` and `rebase_mixture_cursor`)."""
@@ -1540,8 +1558,11 @@ def iter_mixture(
     a restructure signal, not an idle loop).
 
     The yielded ``cursor`` is one JSON-serializable checkpoint for
-    the whole mixture: ``{"step": t, "sig": …, "states": {name:
-    {"epoch": e, "cursor": [shard, pos, layout] | None}}}`` — resume
+    the whole mixture: ``{"v": 1, "step": t, "sig": …, "states":
+    {name: {"epoch": e, "cursor": [shard, pos, layout] | None}}}``
+    (schema versioned — a deployment persists millions of these;
+    cursors without ``v`` read as version 1, a version this code
+    does not know refuses loudly instead of misreading) — resume
     by passing it back; every component continues strictly after its
     last consumed row and the schedule continues at step t+1
     (exactly-once end to end, each component's layout stamp checked
@@ -1612,6 +1633,7 @@ def iter_mixture(
         step, tok = 0, 0
         states = {n: {"epoch": 0, "cursor": None} for n in names}
     else:
+        _check_cursor_v(cursor)
         if cursor.get("sig") != sig:
             raise ValueError(
                 "mixture cursor was yielded under a different "
@@ -1797,6 +1819,7 @@ def iter_mixture(
                 "cursor": inner,
             }
             snap = {
+                "v": _MIXTURE_CURSOR_V,
                 "step": step,
                 "sig": sig,
                 "states": {
@@ -1871,6 +1894,7 @@ def rebase_mixture_cursor(
         names, weights, total_w, split, seed, rank,
         world_size, schedule, idents,
     )
+    _check_cursor_v(cursor)
     if cursor.get("sig") != old_sig:
         raise ValueError(
             "cursor does not belong to the mixture described by "
@@ -1895,6 +1919,7 @@ def rebase_mixture_cursor(
         world_size, schedule, idents,  # same sets: idents reuse
     )
     out = {
+        "v": _MIXTURE_CURSOR_V,
         "step": -1,  # resume adds 1: the new schedule starts at 0
         "sig": new_sig,
         "states": {
@@ -1999,6 +2024,7 @@ def migrate_mixture_cursors(
             "migrate; start the new fleet fresh"
         )
     for r, cur in live:
+        _check_cursor_v(cur)
         want = _mixture_sig(
             names, weights, total_w, split, seed, r,
             world_size_old, schedule, idents,
@@ -2068,6 +2094,7 @@ def migrate_mixture_cursors(
             world_size_new, schedule, idents,
         )
         snap = {
+            "v": _MIXTURE_CURSOR_V,
             "step": -1,  # resume adds 1: the schedule restarts
             "sig": sig_r,
             # the bundle is part of these cursors' meaning: a resume
@@ -2228,6 +2255,102 @@ def migrate_cursors(
         "done": sorted(done),
         "partial": {str(s): p for s, p in partial.items()},
     }
+
+
+class LoaderTelemetry:
+    """Rate and stall observability for any loader stream —
+    `mixture_report` formats POSITION; this measures RATE, which is
+    what a 3am stall hunt actually needs. Wrap a stream and read
+    `snapshot()` on any cadence:
+
+        tel = LoaderTelemetry()
+        for name, batch, cur in tel.wrap(iter_mixture(...)):
+            train_step(batch)          # consumer time, attributed
+        print(tel.snapshot())
+
+    Per component (mixture streams are keyed by their yielded name;
+    single-set streams land under "_"): batches, rows, loader-side
+    wall (time blocked inside the stream — IO, decode, the gates),
+    consumer-side wall (time between yields — the training step),
+    rows/s over the combined window, and ``io_wait_frac`` =
+    loader wall / total — ~0 means the trainer is compute-bound
+    (healthy), ~1 means it is starved by the read path (raise
+    ``prefetch_batches``, check the object store). Pure
+    perf_counter bookkeeping on the consuming host; the stream's
+    items, order, and cursors pass through untouched."""
+
+    def __init__(self) -> None:
+        self._per: dict = {}
+
+    def _acc(self, key: str, rows: int, wait_s: float, consume_s: float):
+        a = self._per.setdefault(
+            key,
+            {"batches": 0, "rows": 0, "wait_s": 0.0, "consume_s": 0.0},
+        )
+        a["batches"] += 1
+        a["rows"] += rows
+        a["wait_s"] += wait_s
+        a["consume_s"] += consume_s
+
+    def wrap(self, stream):
+        import time
+
+        it = iter(stream)
+        while True:
+            t0 = time.perf_counter()
+            try:
+                item = next(it)
+            except StopIteration:
+                return
+            wait = time.perf_counter() - t0
+            if (
+                isinstance(item, tuple)
+                and len(item) == 3
+                and isinstance(item[0], str)
+            ):  # mixture stream: (name, batch, cursor)
+                key, batch = item[0], item[1]
+            else:  # loader stream: (batch, cursor)
+                key, batch = "_", item[0]
+            t_yield = time.perf_counter()
+            yield item
+            # the consumer's work happens INSIDE the yield
+            # suspension — this resumes when it asks for the next
+            # batch (an abandoned stream skips the last accrual)
+            self._acc(
+                key,
+                batch.num_rows,
+                wait,
+                time.perf_counter() - t_yield,
+            )
+
+    def snapshot(self) -> dict:
+        out = {}
+        t_rows = t_wait = t_consume = 0.0
+        t_batches = 0
+        for key, a in sorted(self._per.items()):
+            total = a["wait_s"] + a["consume_s"]
+            out[key] = {
+                "batches": a["batches"],
+                "rows": a["rows"],
+                "loader_s": round(a["wait_s"], 4),
+                "consumer_s": round(a["consume_s"], 4),
+                "rows_per_s": round(a["rows"] / total) if total else None,
+                "io_wait_frac": (
+                    round(a["wait_s"] / total, 4) if total else None
+                ),
+            }
+            t_rows += a["rows"]
+            t_wait += a["wait_s"]
+            t_consume += a["consume_s"]
+            t_batches += a["batches"]
+        total = t_wait + t_consume
+        return {
+            "components": out,
+            "batches": t_batches,
+            "rows": int(t_rows),
+            "rows_per_s": round(t_rows / total) if total else None,
+            "io_wait_frac": round(t_wait / total, 4) if total else None,
+        }
 
 
 def mixture_report(cursor: dict, components: dict | None = None) -> dict:

@@ -3528,3 +3528,120 @@ class TestRescaleChainingAndBundleBinding:
         it.close()
         with pytest.raises(ValueError, match="world_size_new"):
             migrate_mixture_cursors([cur], mix, 0)
+
+
+class TestMixtureCursorVersioning:
+    """Mixture cursors carry a schema version: v stamps every
+    producer, absent-v reads as v1 (backward compatible with every
+    cursor this code ever wrote), and a future version refuses
+    loudly at every consumer instead of silently dropping state."""
+
+    def test_stamp_compat_and_future_refusal(self, spark, tmp_path):
+        from gus_spark.operators.splits import (
+            iter_mixture,
+            migrate_mixture_cursors,
+            rebase_mixture_cursor,
+            write_training_shards,
+        )
+
+        d = str(tmp_path / "set")
+        write_training_shards(
+            spark.range(120).selectExpr("id as doc_id"),
+            d, shards=2, weights={"train": 1.0},
+        )
+        mix = {"x": (d, 1.0)}
+        it = iter_mixture(mix, "train", batch_rows=16)
+        _n, _b, cur = next(it)
+        it.close()
+        assert cur["v"] == 1
+        # absent v == v1 (pre-versioning checkpoints keep resuming)
+        legacy = {k: v for k, v in cur.items() if k != "v"}
+        it = iter_mixture(mix, "train", cursor=legacy, batch_rows=16)
+        next(it)
+        it.close()
+        # a future version refuses at every consumer
+        future = dict(cur, v=2)
+        with pytest.raises(ValueError, match="newer"):
+            next(iter_mixture(mix, "train", cursor=future))
+        with pytest.raises(ValueError, match="newer"):
+            rebase_mixture_cursor(future, mix, mix)
+        with pytest.raises(ValueError, match="newer"):
+            migrate_mixture_cursors([future], mix, 2)
+        # transforms stamp their outputs too
+        reb = rebase_mixture_cursor(cur, mix, {"x": (d, 2.0)})
+        assert reb["v"] == 1
+        ncs, _bundle = migrate_mixture_cursors([cur], mix, 2)
+        assert all(c["v"] == 1 for c in ncs)
+
+
+class TestLoaderTelemetry:
+    """LoaderTelemetry: rate/stall attribution over loader streams.
+    Items, order, and cursors pass through untouched; a slow
+    CONSUMER reads as low io_wait_frac, a slow SOURCE as high; both
+    stream shapes (loader 2-tuples, mixture 3-tuples) key right."""
+
+    @staticmethod
+    def _fake_batches(n, rows=8, delay=0.0):
+        import time
+
+        import pyarrow as pa
+
+        for i in range(n):
+            if delay:
+                time.sleep(delay)
+            yield (
+                pa.RecordBatch.from_arrays(
+                    [pa.array(range(rows))], names=["doc_id"]
+                ),
+                (0, i, 1),
+            )
+
+    def test_passthrough_and_attribution(self):
+        import time
+
+        from gus_spark.operators.splits import LoaderTelemetry
+
+        # slow source, fast consumer → io-bound
+        tel = LoaderTelemetry()
+        items = list(tel.wrap(self._fake_batches(5, delay=0.03)))
+        assert [c for _b, c in items] == [(0, i, 1) for i in range(5)]
+        s = tel.snapshot()
+        assert s["components"]["_"]["batches"] == 5
+        assert s["rows"] == 40
+        assert s["io_wait_frac"] > 0.8, s
+        # fast source, slow consumer → compute-bound
+        tel2 = LoaderTelemetry()
+        for _b, _c in tel2.wrap(self._fake_batches(5)):
+            time.sleep(0.03)
+        s2 = tel2.snapshot()
+        assert s2["io_wait_frac"] < 0.2, s2
+
+    def test_mixture_shape_keys_by_component(self, spark, tmp_path):
+        from gus_spark.operators.splits import (
+            LoaderTelemetry,
+            iter_mixture,
+            write_training_shards,
+        )
+
+        mix = {}
+        for n, lo in (("a", 0), ("b", 500)):
+            d = str(tmp_path / n)
+            write_training_shards(
+                spark.range(lo, lo + 60).selectExpr("id as doc_id"),
+                d, shards=2, weights={"train": 1.0},
+            )
+            mix[n] = (d, 1.0)
+        tel = LoaderTelemetry()
+        names = [
+            n
+            for n, _b, _c in tel.wrap(
+                iter_mixture(mix, "train", batch_rows=16, max_steps=8)
+            )
+        ]
+        s = tel.snapshot()
+        assert set(s["components"]) == set(names) == {"a", "b"}
+        assert s["batches"] == 8
+        for key in ("a", "b"):
+            c = s["components"][key]
+            assert c["batches"] == names.count(key)
+            assert c["rows"] > 0 and c["io_wait_frac"] is not None
