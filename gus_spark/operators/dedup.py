@@ -419,12 +419,14 @@ def minhash_signature(
         th_df = live.select(
             F.col(id_col), token_hashes(F.col(text_col)).alias("th")
         )
-        return th_df.select(F.col(id_col), mh("th").alias("_mh")).select(
-            F.col(id_col),
-            *[
-                F.element_at(F.col("_mh"), k + 1).alias(f"mh_{k}")
-                for k in range(NUM_PERMS)
-            ],
+        # one selectExpr call instead of 128 element_at Column builds:
+        # the per-column py4j round trips were ~0.8 s of every build of
+        # this plan (r13 cProfile); `_mh[k]` (0-based getItem) is the
+        # same value as element_at(_mh, k+1) on these fixed-length
+        # non-null arrays, so signatures stay bit-identical.
+        return th_df.select(F.col(id_col), mh("th").alias("_mh")).selectExpr(
+            f"`{id_col}`",
+            *[f"_mh[{k}] AS mh_{k}" for k in range(NUM_PERMS)],
         )
     xs_df = live.select(
         F.col(id_col), token_hashes(F.col(text_col)).alias("th")
@@ -488,23 +490,47 @@ def minhash_lsh_pairs(
     # which costs more than hashing the corpus. The incremental path —
     # MinHashIndex.add_and_find — materializes candidates durably and
     # verifies only collided ids, which is the scale answer.)
+    #
+    # r13 (guide §2.4/§3): the former shape joined candidates against
+    # TWO aliases of toks. PythonUDF expressions never canonicalize
+    # equal, so neither ReusedExchange nor AQE stage reuse ever fired
+    # on the aliased branch — the corpus was scanned, token-hashed and
+    # set-built TWICE per run (measured: 3 ArrowEvalPython stages, 0
+    # ReusedExchange) — and the static planner picked the CORPUS side
+    # (toks, whose size estimate rides the small scan) as the
+    # broadcast build side. Melting each candidate pair into two
+    # (id_a, id_b, _vid) rows and joining toks ONCE removes the second
+    # kernel pass and makes the bounded pair list — never the corpus —
+    # the natural small side; the per-pair regroup shuffles only
+    # collided ids' sets (O(candidates), not O(corpus)). max() over
+    # the single non-null array per role re-attaches the sets
+    # deterministically; jaccard arithmetic is unchanged.
     toks = _shingle_sets(
         df.filter(F.col(text_col).isNotNull()),
         id_col, text_col, ngram, engine,
     )
-    ta, tb = toks.alias("ta"), toks.alias("tb")
-    inter = F.size(F.array_intersect(F.col("ta.ts"), F.col("tb.ts")))
-    union = F.size(F.col("ta.ts")) + F.size(F.col("tb.ts")) - inter
-    return (
-        candidates.join(ta, candidates.id_a == F.col(f"ta.{id_col}"))
-        .join(tb, candidates.id_b == F.col(f"tb.{id_col}"))
-        .select(
-            F.col("id_a").alias("doc_a"),
-            F.col("id_b").alias("doc_b"),
-            (inter.cast("double") / union).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    melted = candidates.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("_vid")
     )
+    per_pair = (
+        melted.join(toks, melted._vid == toks[id_col])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("_vid") == F.col("id_a"), F.col("ts"))).alias("ts_a"),
+            F.max(F.when(F.col("_vid") == F.col("id_b"), F.col("ts"))).alias("ts_b"),
+        )
+        # an inner join drops null-text ids from toks; a pair citing one
+        # keeps a NULL side and must not pass the threshold filter (the
+        # old double-join dropped such pairs via its inner joins)
+        .filter(F.col("ts_a").isNotNull() & F.col("ts_b").isNotNull())
+    )
+    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
+    union = F.size(F.col("ts_a")) + F.size(F.col("ts_b")) - inter
+    return per_pair.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        (inter.cast("double") / union).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 class MinHashIndex:
@@ -1100,26 +1126,26 @@ def _bucket_pairs(bands: DataFrame, id_col: str) -> DataFrame:
 
 
 def _band_rows(sig: DataFrame, id_col: str) -> DataFrame:
-    """(id, band_id, band_hash) rows from a minhash signature frame."""
-    return sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"mh_{b * ROWS_PER_BAND + r}")
-                                for r in range(ROWS_PER_BAND)
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(NUM_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
+    """(id, band_id, band_hash) rows from a minhash signature frame.
+
+    Built as ONE parsed SQL expression (r13): the per-Column py4j
+    round trips for 32 structs x 4-ary xxhash64 were ~1.0 s of every
+    build of this plan (cProfile, tools/bench_profile.py), vs
+    single-digit ms to parse the equivalent expression string in the
+    JVM. `inline` is explode-the-struct-array with the fields as
+    columns — identical Generate operator, identical band_hash VALUES
+    (same xxhash64 over the same mh_k longs), so persisted
+    MinHashIndex band tables stay byte-compatible."""
+    structs = ", ".join(
+        "named_struct('band_id', {b}, 'band_hash', xxhash64({cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(NUM_BANDS)
+    )
+    return sig.selectExpr(f"`{id_col}`", f"inline(array({structs}))")
 
 
 def simhash_signatures(

@@ -5,6 +5,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+#: ensure_parallelism partition-count memo, keyed on (JVM session id,
+#: analyzed-plan semanticHash, min_factor). The probe itself forces a
+#: full physical planning pass (~50-90 ms per FRESH DataFrame object
+#: even warm — measured r13, tools/bench_profile.py), and operator
+#: entry points re-run per bench rep / per driver call on identical
+#: plans, so the count is pure recomputation. A semanticHash collision
+#: could at worst mis-size parallelism for one plan — never wrong
+#: results. Bounded: distinct plans per session are bounded by the
+#: query surface.
+_PARALLELISM_MEMO: dict[tuple, int] = {}
+
+
 def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Repartition when the input has fewer partitions than the cluster
     has slots.
@@ -14,9 +26,27 @@ def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     single core. The shuffle moves only the raw input rows — cheap
     relative to the per-row work this guards. At scale, inputs already
     arrive with >= slots partitions and this is a no-op.
+
+    r13 (guide §1.2 per-task overhead): the partition probe goes
+    through the JVM directly (``_jdf.rdd()`` — skips Python RDD /
+    serializer ceremony) and is memoized per (session, semantic plan),
+    so repeated builds of the same query pay it once per session.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() < target:
+    try:
+        jdf = df._jdf
+        key = (
+            df.sparkSession._jsparkSession.hashCode(),
+            jdf.queryExecution().analyzed().semanticHash(),
+            min_factor,
+        )
+        n = _PARALLELISM_MEMO.get(key)
+        if n is None:
+            n = jdf.rdd().getNumPartitions()
+            _PARALLELISM_MEMO[key] = n
+    except Exception:  # non-classic DataFrame (e.g. connect): probe as before
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 
