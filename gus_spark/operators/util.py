@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame
 _PARALLELISM_MEMO: dict[tuple, int] = {}
 
 
-def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame,
+    min_factor: int = 1,
+    spread_cols: list[str] | None = None,
+) -> DataFrame:
     """Repartition when the input has fewer partitions than the cluster
     has slots.
 
@@ -31,6 +35,18 @@ def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     through the JVM directly (``_jdf.rdd()`` — skips Python RDD /
     serializer ceremony) and is memoized per (session, semantic plan),
     so repeated builds of the same query pay it once per session.
+
+    ``spread_cols`` (r13, guide §2.5): a keyless ``repartition(n)``
+    pays a LOCAL SORT of its input first (sortBeforeRepartition, on
+    since SPARK-23207 so retried map tasks reproduce the same
+    row-to-partition assignment). For row-heavy inputs that sort is
+    the dominant cost of the guard (lineitem at sf0.1: 0.80 s vs
+    0.57 s for the same aggregate). Passing high-cardinality columns
+    switches to hash partitioning on ``xxhash64(spread_cols)`` —
+    deterministic under retry BY VALUE (no sort needed, and no
+    SPARK-38388 rand() hazard), uniform because the 64-bit hash has
+    vastly more distinct values than partitions. Use columns the
+    query reads anyway so column pruning at the scan is unchanged.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
     try:
@@ -47,6 +63,12 @@ def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     except Exception:  # non-classic DataFrame (e.g. connect): probe as before
         n = df.rdd.getNumPartitions()
     if n < target:
+        if spread_cols:
+            from pyspark.sql import functions as F
+
+            return df.repartition(
+                target, F.xxhash64(*[F.col(c) for c in spread_cols])
+            )
         return df.repartition(target)
     return df
 

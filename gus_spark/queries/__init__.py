@@ -72,7 +72,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: parquet schema memo keyed on (path, mtime, nanosAsLong conf) — the
+#: schema-inference footer read costs ~0.15-0.2 s per spark.read call
+#: (r13, tools/bench_profile.py) and every query build re-reads the
+#: same immutable testdata footers; an explicit .schema() skips it.
+#: mtime guards rewritten temp tables in tests; the nanos conf changes
+#: what schema inference PRODUCES (TIMESTAMP(NANOS) -> bigint), so it
+#: is part of the key. Only the schema is memoized — never data.
+_SCHEMA_MEMO: dict[tuple, object] = {}
+
+
 def _read(spark: SparkSession, path: str) -> DataFrame:
+    import os
+
     from pyspark.sql import functions as F
 
     # engine contract: timestamps are UTC (the oracle is UTC-naive);
@@ -90,6 +102,21 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
     except Exception:
         pass  # conf absent on this Spark build — the cast below covers it
     try:
+        mtime = os.path.getmtime(path.removeprefix("file:"))
+    except OSError:
+        mtime = None
+    key = (
+        path,
+        mtime,
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None),
+    )
+    memo = _SCHEMA_MEMO.get(key) if mtime is not None else None
+    if memo is not None:
+        # the memoized schema was PRODUCED by inference under these
+        # exact confs, so supplying it reads identical values while
+        # skipping the footer read
+        return spark.read.schema(memo).parquet(path)
+    try:
         df = spark.read.parquet(path)
     except Exception:  # driver-owned session without the nanos flag
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -102,4 +129,8 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
     ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
+    if mtime is not None and not ntz:
+        # memoize only the plain-scan shape: the NTZ-cast fallback
+        # wraps the scan in projections whose schema is not the scan's
+        _SCHEMA_MEMO[key] = df.schema
     return df

@@ -97,7 +97,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard is a no-op (no extra shuffle)."""
     from gus_spark.operators.util import ensure_parallelism
 
-    li = ensure_parallelism(table(spark, sf_dir, "lineitem"))
+    # spread_cols (r13): hash-spread on read columns instead of the
+    # round-robin guard's hidden local sort — 600k rows made that sort
+    # the single biggest slice of this line (guide §2.5)
+    li = ensure_parallelism(
+        table(spark, sf_dir, "lineitem"),
+        spread_cols=["l_extendedprice", "l_shipdate", "l_quantity"],
+    )
     disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     charge = disc_price * (F.lit(1) + F.col("l_tax"))
     return (
