@@ -52,7 +52,8 @@ from gus_spark.operators.retrieval import (
 from gus_spark.operators.similarity import (
     _as_double,
     _dot_cols,
-    cosine_cols,
+    cosine_sql,
+    double_array_sql,
 )
 
 #: the standard RRF damping constant (SIGIR'09 uses 60 throughout)
@@ -157,13 +158,20 @@ def dense_topk(
     the final top-k. Output (id_col, cos_sim, rank). The fold-order
     dot is the DuckDB list_dot_product contract, so cos values are
     bit-identical to the SQL twin."""
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    v = vectors.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("nv")
+    # r13 (guide §1.2): the per-element F.lit loop + three HOF fold
+    # builds cost ~640 py4j round trips per build of this frame;
+    # the same trees parse in TWO selectExpr calls. cosine_sql /
+    # double_array_sql are the SQL-text twins of cosine_cols / the
+    # lit-array build, bit-parity-pinned in tests.
+    qv_sql = double_array_sql(query_vec)
+    v = vectors.selectExpr(
+        f"`{id_col}`",
+        f"transform(`{vec_col}`, x -> cast(x as double)) AS nv",
     )
     top = (
-        v.select(
-            F.col(id_col), cosine_cols(F.col("nv"), qv).alias("cos_sim")
+        v.selectExpr(
+            f"`{id_col}`",
+            f"{cosine_sql('nv', qv_sql)} AS cos_sim",
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)

@@ -321,6 +321,11 @@ def cap_per_group(
     # boundary the check's collect would re-aggregate the whole input
     # a third time. One row per group: the cheapest checkpoint in the
     # plan, and it makes the two-scans claim below actually true.
+    # (r13 note: a driver-side-collect variant — counts collected once,
+    # broadcast from a LocalRelation, guarantee checked as a dict walk
+    # — was built and A/B-measured under the bench protocol: no win
+    # (min 1.42 s vs 1.22 s here); the barrier savings drown in the
+    # collect/createDataFrame round trips. Kept as-is deliberately.)
     counts = cap_thresholds(
         df, group_col=group_col, max_rows=max_rows, margin=margin
     ).localCheckpoint(eager=False)

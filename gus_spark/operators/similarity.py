@@ -95,6 +95,51 @@ def cosine_cols(x: Column, y: Column) -> Column:
     )
 
 
+def dot_sql(x: str, y: str) -> str:
+    """``_dot_cols`` as SQL text — the SAME zip_with-product +
+    sequential-fold tree, built in ONE expression-parse py4j call
+    instead of one py4j round trip per Column op (r13, guide §1.2
+    driver-side build cost; the minhash `_band_rows` precedent).
+    Bit parity with `_dot_cols` is pinned in tests (the two parse /
+    build to the same resolved ArrayAggregate(ZipWith(..)) plan)."""
+    return (
+        f"aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0.0D, "
+        "(acc, t) -> acc + t)"
+    )
+
+
+def cosine_sql(x: str, y: str) -> str:
+    """``cosine_cols`` as SQL text — see `dot_sql`; same fold-order
+    dot over both norms, one parsed expression."""
+    return (
+        f"({dot_sql(x, y)} / "
+        f"(sqrt({dot_sql(x, x)}) * sqrt({dot_sql(y, y)})))"
+    )
+
+
+def double_array_sql(vals) -> str:
+    """A Python float list as ONE array<double> SQL literal.
+
+    ``repr(float)`` is the shortest round-trip decimal form, and
+    Spark's double-literal parse returns the nearest IEEE double of
+    that form — i.e. the exact same value ``F.lit`` would ship — so
+    the parsed literal is bit-identical to the per-element build it
+    replaces (pinned in tests over a tricky-value grid). Non-finite
+    values have no SQL literal form and raise loudly."""
+    import math
+
+    out = []
+    for v in vals:
+        v = float(v)
+        if not math.isfinite(v):
+            raise ValueError(
+                f"double_array_sql: non-finite value {v!r} has no SQL "
+                "double literal — filter or encode it explicitly"
+            )
+        out.append(repr(v) + "D")
+    return "array(" + ", ".join(out) + ")"
+
+
 def _dot_lit(vec: Column, plane: list[int]) -> Column:
     lit_plane = F.array(*[F.lit(float(s)) for s in plane])
     return _dot_cols(vec, lit_plane)
@@ -278,9 +323,21 @@ def _grouped_topk_matmul(
     pairs = grouped.groupBy(*group_cols).applyInPandas(
         _group_topk, "query_id bigint, neighbor_id bigint, cos_sim double"
     )
-    return pairs.groupBy("query_id", "neighbor_id").agg(
-        F.max("cos_sim").alias("cos_sim")
-    )
+    # r13 (guide §2.1): the collapse agg formerly shuffled on
+    # (query_id, neighbor_id), and every caller's final top-k window
+    # immediately re-shuffled the collapsed pairs on query_id — two
+    # exchanges over the same bounded (n_queries × groups_per_query
+    # × k) pair set. Distributing the kernel output by query_id ONCE
+    # satisfies both the collapse agg's clustered distribution
+    # (query_id is a subset of its grouping keys) and the callers'
+    # window distribution, so agg + window ride a single exchange
+    # (ann_lsh plan: 4 exchanges -> 3, asserted in tests). Pair
+    # volume is k-bounded per (query, group) — never corpus-scaled —
+    # so shuffling pre-collapse rows costs the same class of bytes
+    # the old partial aggregate shipped.
+    return pairs.repartition("query_id").groupBy(
+        "query_id", "neighbor_id"
+    ).agg(F.max("cos_sim").alias("cos_sim"))
 
 
 def lsh_bucket_occupancy(

@@ -63,6 +63,15 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4 wraps every DataFrame/Column op with call-site
+        # capture for error context; each wrapped op pays a conf read,
+        # a PySparkCurrentOrigin.set and a .clear — ~3 py4j round
+        # trips of pure debug bookkeeping per op (pyspark
+        # errors/utils.py:_with_origin). Off, a hybrid_rrf_topk build
+        # drops 3832 -> 1715 py4j calls (r13, guide §1.2 driver-side
+        # per-op overhead). Driver-side only — no effect on plans or
+        # results; error messages lose the Python call-site line.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if master.startswith("local"):
         # local profile: testdata parquet files are single small files;

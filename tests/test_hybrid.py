@@ -329,3 +329,53 @@ def test_degenerate_inputs(docs, emb, qvec):
         hybrid_rrf_topk(docs, emb, QUERY, qvec, 0)
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse({}, 5)
+
+
+def test_dense_topk_sql_text_build_bit_parity(spark, emb, qvec):
+    """r13: dense_topk builds its scoring projection as parsed SQL
+    text (cosine_sql / double_array_sql — one py4j parse call instead
+    of one round trip per Column op). The parsed trees must stay
+    bit-identical to the Column-API definitions they twin
+    (cosine_cols / the per-element F.lit array), or the cross-engine
+    cosine contract drifts silently."""
+    from gus_spark.operators.similarity import (
+        _as_double,
+        cosine_cols,
+        double_array_sql,
+    )
+
+    qv = F.array(*[F.lit(float(x)) for x in qvec])
+    v = emb.select(F.col("vec_id"), _as_double(F.col("embedding")).alias("nv"))
+    old = (
+        v.select(F.col("vec_id"), cosine_cols(F.col("nv"), qv).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(7)
+        .collect()
+    )
+    from gus_spark.operators.hybrid import dense_topk
+
+    new = dense_topk(emb, qvec, 7).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in new] == [
+        (r["vec_id"], r["cos_sim"]) for r in old
+    ]
+    # literal round-trip over a tricky-double grid: repr() is the
+    # shortest round-trip form; the SQL parse must return the exact
+    # same IEEE doubles F.lit ships (denormal min, max double, -0.0)
+    grid = [0.1, -3.5, 1e-20, 1e22, 5e-324,
+            1.7976931348623157e308, -0.0, 2.0]
+    row = (
+        spark.range(1)
+        .select(
+            F.array(*[F.lit(float(x)) for x in grid]).alias("a"),
+            F.expr(double_array_sql(grid)).alias("b"),
+        )
+        .selectExpr(
+            "a = b AS eq", "cast(a as string) = cast(b as string) AS seq"
+        )
+        .collect()[0]
+    )
+    assert row["eq"] and row["seq"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-finite"):
+        double_array_sql([1.0, float("nan")])

@@ -227,6 +227,17 @@ def test_ann_lsh_single_bucket_exchange(spark):
     assert len(bucket_ex) == 1, plan
     # and the signature/probe stage is the Arrow kernel, not HOF folds
     assert "MapInPandas" in plan or "mapInPandas" in plan, plan
+    # r13: the pair collapse and the final top-k window share ONE
+    # query_id exchange (_grouped_topk_matmul distributes its kernel
+    # output by query_id, which satisfies both the collapse agg's and
+    # the window's clustered distribution) — a second query_id-family
+    # exchange means the two-shuffle collapse-then-window shape is
+    # back
+    qid_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(query_id" in ln
+    ]
+    assert len(qid_ex) == 1, plan
 
 
 def test_winnow_match_step_is_equi_join(spark):
