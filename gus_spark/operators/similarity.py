@@ -186,15 +186,30 @@ def probe_buckets(
     return F.concat(F.array(sig), flipped)
 
 
-def _sig_probe_kernel(planes: list[list[int]], nprobe: int):
-    """Arrow-vectorized signature + multi-probe kernel: mapInPandas over
-    (id, v) emitting one candidate row (home bucket, is_probe=false)
-    plus ``nprobe+1`` probe rows (home + lowest-|margin| bit flips) per
-    vector. All plane dot products for a batch are ONE numpy matmul —
-    the JVM formulation evaluates each 64-element `aggregate(zip_with)`
-    fold interpreted (higher-order functions don't codegen), measured
-    ~15 µs per dot; the matmul does the same work in microseconds per
-    batch and the margins/bit-packing are vectorized alongside.
+def _sig_probe_udf(planes: list[list[int]], nprobe: int):
+    """Arrow-vectorized signature + multi-probe kernel as a SCALAR
+    pandas_udf over ``v`` returning ``struct<norm, buckets>`` where
+    ``buckets = [home, home, flip_1..flip_n]`` (candidate bucket +
+    the nprobe+1 probe buckets). All plane dot products for a batch
+    are ONE numpy matmul — the JVM formulation evaluates each
+    64-element `aggregate(zip_with)` fold interpreted (higher-order
+    functions don't codegen), measured ~15 µs per dot; the matmul
+    does the same work in microseconds per batch and the
+    margins/bit-packing are vectorized alongside.
+
+    r13 (guide §4.2 — pass/return only what the kernel needs): the
+    former mapInPandas form replicated the 64-double vector
+    ``nprobe+2`` times per input row INSIDE Python and shipped every
+    copy back over Arrow (~10x the input volume at nprobe=8). The
+    scalar form returns one (norm, buckets) struct per vector — the
+    vector itself never crosses back — and the row replication is a
+    JVM-side `explode` over the bucket list, pre-shuffle as before.
+    Decomposed rows are identical (parity-tested).
+
+    Null ``v`` rows (pre-filtered by ann_lsh_topk; guarded here for
+    direct use) return a null struct, and the caller's
+    explode(concat(..)) drops them — same rows as the old kernel's
+    row drop.
 
     Sign parity with the JVM expressions: float addition order differs
     (sequential fold vs blocked matmul), so a dot within rounding error
@@ -204,56 +219,58 @@ def _sig_probe_kernel(planes: list[list[int]], nprobe: int):
     the kernel is deterministic."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     pm = np.array(planes, dtype=np.float64)  # (planes, dim)
     n_planes = pm.shape[0]
     n_flip = min(nprobe, n_planes)
+    ret = StructType(
+        [
+            StructField("norm", DoubleType()),
+            StructField("buckets", ArrayType(LongType())),
+        ]
+    )
 
-    def emit(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            # a null embedding can't be bucketed or matched — drop the
-            # row (ann_lsh_topk also filters these upstream for both
-            # engines; this guard keeps the kernel total on direct use)
-            live = pdf["v"].notna().to_numpy()
-            if not live.all():
-                pdf = pdf[live]
-                if pdf.empty:
-                    continue
-            vm = np.stack(pdf["v"].to_numpy())  # (n, dim)
-            ids = pdf["id"].to_numpy()
-            norms = np.sqrt(np.einsum("ij,ij->i", vm, vm))
-            dots = vm @ pm.T  # (n, planes)
-            bits = (dots > 0).astype(np.int64)
-            sig = (bits << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
-            # lowest-|margin| planes first — stable ties on plane index
-            flip_idx = np.argsort(np.abs(dots), axis=1, kind="stable")[
-                :, :n_flip
-            ]
-            probe_sigs = np.concatenate(
-                [sig[:, None], sig[:, None] ^ (np.int64(1) << flip_idx)],
-                axis=1,
-            )  # (n, nprobe+1)
-            reps = n_flip + 2  # candidate row + home probe + flips
-            v_rep = pdf["v"].to_numpy().repeat(reps)
-            buckets = np.concatenate(
-                [sig[:, None], probe_sigs], axis=1
-            ).ravel()
-            is_probe = np.tile(
-                np.array([False] + [True] * (reps - 1)), len(ids)
-            )
-            yield pd.DataFrame(
-                {
-                    "id": ids.repeat(reps),
-                    "v": v_rep,
-                    "norm": norms.repeat(reps),
-                    "bucket": buckets,
-                    "is_probe": is_probe,
-                }
-            )
+    # NB: the file-wide `from __future__ import annotations` stringifies
+    # hints and `pd` is task-local here, so PySpark's hint inference
+    # can't resolve them — attach real type objects below instead.
+    def sig_probe(vs):
+        out = pd.DataFrame(
+            {"norm": pd.Series(np.nan, index=vs.index),
+             "buckets": pd.Series([None] * len(vs), index=vs.index)}
+        )
+        live = vs.notna()
+        if not live.any():
+            return out
+        lv = vs[live]
+        vm = np.stack(lv.to_numpy())  # (n, dim)
+        norms = np.sqrt(np.einsum("ij,ij->i", vm, vm))
+        dots = vm @ pm.T  # (n, planes)
+        bits = (dots > 0).astype(np.int64)
+        sig = (bits << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+        # lowest-|margin| planes first — stable ties on plane index
+        flip_idx = np.argsort(np.abs(dots), axis=1, kind="stable")[
+            :, :n_flip
+        ]
+        probe_sigs = np.concatenate(
+            [sig[:, None], sig[:, None] ^ (np.int64(1) << flip_idx)],
+            axis=1,
+        )  # (n, nprobe+1)
+        buckets = np.concatenate([sig[:, None], probe_sigs], axis=1)
+        out.loc[live, "norm"] = norms
+        out.loc[live, "buckets"] = pd.Series(
+            list(buckets), index=lv.index
+        )
+        return out
 
-    return emit
+    sig_probe.__annotations__ = {"vs": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(ret)(sig_probe)
 
 
 def _grouped_topk_matmul(
@@ -425,10 +442,11 @@ def ann_lsh_topk(
     bound skew. Within-probe pairs are ranked by exact cosine.
 
     ``engine='arrow'`` (default) computes signatures/probes in one
-    numpy mapInPandas pass (`_sig_probe_kernel`) and caps candidates
-    with a running-count window whose hashpartitioning(bucket) is
-    REUSED by the scoring groupBy — one shuffle of the probe/candidate
-    rows total. ``engine='jvm'`` keeps the all-expression formulation
+    numpy scalar-udf pass (`_sig_probe_udf` — the vector never
+    crosses back over Arrow; row fan-out is a JVM explode) and caps
+    candidates with a running-count window whose
+    hashpartitioning(bucket) is REUSED by the scoring groupBy — one
+    shuffle of the probe/candidate rows total. ``engine='jvm'`` keeps the all-expression formulation
     (interpreted HOF dot folds, two shuffles); same statistical
     behavior, borderline-margin bucket assignments may differ (see
     kernel docstring).
@@ -447,10 +465,23 @@ def ann_lsh_topk(
         vin = df.select(
             F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
         )
-        union = vin.mapInPandas(
-            _sig_probe_kernel(planes, nprobe),
-            "id bigint, v array<double>, norm double, "
-            "bucket bigint, is_probe boolean",
+        # one scalar-udf pass returns (norm, buckets) per vector; the
+        # candidate/probe row fan-out is a JVM explode over
+        # [(buckets[0], false)] ++ [(b, true) for b in buckets[1:]] —
+        # identical rows to the old mapInPandas replication with ~10x
+        # less Arrow return volume (the vector never crosses back)
+        base = vin.select("id", "v", _sig_probe_udf(planes, nprobe)("v").alias("sp"))
+        union = base.selectExpr(
+            "id",
+            "v",
+            "sp.norm AS norm",
+            "explode(concat("
+            "array(struct(sp.buckets[0] AS bucket, false AS is_probe)), "
+            "transform(slice(sp.buckets, 2, size(sp.buckets) - 1), "
+            "b -> struct(b AS bucket, true AS is_probe)))) AS be",
+        ).selectExpr(
+            "id", "v", "norm",
+            "be.bucket AS bucket", "be.is_probe AS is_probe",
         )
         # cap candidates per bucket WITHOUT a dedicated shuffle: order
         # candidates first (is_probe false < true), running-count them,

@@ -225,8 +225,13 @@ def test_ann_lsh_single_bucket_exchange(spark):
         if "Exchange hashpartitioning(bucket" in ln
     ]
     assert len(bucket_ex) == 1, plan
-    # and the signature/probe stage is the Arrow kernel, not HOF folds
-    assert "MapInPandas" in plan or "mapInPandas" in plan, plan
+    # and the signature/probe stage is the Arrow kernel, not HOF folds:
+    # r13 moved it from mapInPandas to a scalar pandas_udf
+    # (ArrowEvalPython) that returns only (norm, buckets) — the vector
+    # never crosses back over Arrow; row fan-out is a JVM explode.
+    # BatchEvalPython here would mean a row-at-a-time Python regression.
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
     # r13: the pair collapse and the final top-k window share ONE
     # query_id exchange (_grouped_topk_matmul distributes its kernel
     # output by query_id, which satisfies both the collapse agg's and
