@@ -142,10 +142,20 @@ def importance_scores(
     MODEL, so no is_target here. Inner join is lossless here because
     the model was fit on the same corpus (every token is in the
     vocabulary); a model fit elsewhere should LEFT-join and coalesce
-    llr_fp to the unseen-token smoothing value instead."""
+    llr_fp to the unseen-token smoothing value instead.
+
+    The model side carries an explicit broadcast hint (r13, guide
+    §3.1): unhinted, the static planner estimated the exploded corpus
+    token stream as the SMALLER side and built the broadcast hash
+    relation over it (measured in the r13 before-plan:
+    BroadcastExchange over Generate(explode(text)) of the full scan) —
+    the one side of this join that grows with the corpus. The log-ratio
+    model is vocabulary-bounded (one row per distinct token), which is
+    the side a 100-TB run can actually hold; join values are identical
+    either way (same inner equi-join on w)."""
     toks = _tokens(df, None, id_col, text_col, *carry_cols)
     return (
-        toks.join(logratios.select("w", "llr_fp"), "w")
+        toks.join(F.broadcast(logratios.select("w", "llr_fp")), "w")
         .groupBy(F.col("_id").alias(id_col), *carry_cols)
         .agg(
             F.count("*").alias("n_tokens"),
