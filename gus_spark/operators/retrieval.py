@@ -564,50 +564,59 @@ def _phrase_occurrences(
     phrase offset — is non-empty; the intersection size IS the number
     of distinct phrase start positions.
 
-    Shape: one id-keyed join per phrase position, each side pre-pruned
-    to a single term's postings (bucket-pruned on an indexed table),
-    with the running intersection filtered non-empty after every step
-    so dead candidates leave the pipeline as early as possible. Cost
-    follows docs CONTAINING the rarest prefix terms, never the corpus.
+    Shape (r13, guide §2.1/§3.1): ONE id-keyed aggregation collects
+    every offset's shifted position array (`any_value` of the
+    offset's conditional — `post` carries exactly one row per
+    (term, doc), the invariant the former join chain relied on too:
+    a duplicate posting row would have cross-multiplied its joins),
+    then the running intersection is pure column arithmetic above it.
+    The former per-offset join chain referenced `post` once per
+    offset, and because each offset's w-filter pushes BELOW the
+    posting aggregation the m subtrees were all DISTINCT — the ad-hoc
+    path re-tokenized and re-exploded the whole corpus once per
+    phrase term (3 scans for a 3-token phrase; no exchange reuse
+    possible) and then paid m-1 join stages on top. This form is one
+    pass over the postings and one id-keyed exchange regardless of m.
     Repeated terms in the phrase are handled per-offset (the phrase
-    "the cat the" joins the 'the' postings twice at offsets 0 and 2).
+    "the cat the" collects the 'the' postings twice, shifted by 0 and
+    2). Cost follows docs CONTAINING phrase terms, never the corpus.
 
-    COST MODEL / ROUTING: the chain pays one join STAGE per phrase
-    offset — m-1 stages for an m-token phrase. Past
-    LONG_PHRASE_OFFSET_JOINS tokens it routes to the single-exchange
-    coverage-count form automatically (same rows out, asserted at
-    m=13 in tests/test_retrieval.py); every caller — ad-hoc, indexed,
-    live PostingIndex — inherits the routing through this one
-    function."""
+    Past LONG_PHRASE_OFFSET_JOINS tokens it routes to the
+    coverage-count form (`_phrase_occurrences_folded`) automatically
+    (same rows out, asserted at m=13 in tests/test_retrieval.py) —
+    that form's exchange carries position VOTES (rows) instead of m
+    per-doc arrays (columns), the better trade once m is large;
+    every caller — ad-hoc, indexed, live PostingIndex — inherits the
+    routing through this one function."""
     if not phrase:
         raise ValueError("phrase must contain at least one token")
     if len(phrase) > LONG_PHRASE_OFFSET_JOINS:
         return _phrase_occurrences_folded(post, phrase, id_col)
-    acc = (
-        post.filter(F.col("w") == phrase[0])
-        .select(id_col, F.col("positions").alias("_starts"))
-    )
-    # closure factory, not a default-arg lambda: F.transform treats a
-    # TWO-parameter lambda as (element, array_index) — a `_j=j` default
-    # would silently receive the index column
-    def _shifted(j: int):
-        return F.transform("positions", lambda p: p - F.lit(j))
-
-    for j, term in enumerate(phrase[1:], start=1):
-        nxt = post.filter(F.col("w") == term).select(
-            id_col, _shifted(j).alias("_shift")
-        )
-        acc = (
-            acc.join(nxt, id_col)
-            .select(
-                id_col,
-                F.array_intersect("_starts", "_shift").alias("_starts"),
-            )
-            .filter(F.size("_starts") > 0)
-        )
-    return acc.select(
-        id_col, F.size("_starts").cast("long").alias("n_occurrences")
-    )
+    aggs = [
+        F.any_value(
+            F.when(
+                F.col("w") == F.lit(term),
+                # j interpolates as an int literal; the expr text
+                # sidesteps both the two-parameter-lambda footgun and
+                # the python-lambda build cost of F.transform
+                F.expr(f"transform(positions, p -> p - {j})")
+                if j
+                else F.col("positions"),
+            ),
+            True,
+        ).alias(f"_s{j}")
+        for j, term in enumerate(phrase)
+    ]
+    per_doc = post.groupBy(id_col).agg(*aggs)
+    starts = F.col("_s0")
+    for j in range(1, len(phrase)):
+        starts = F.array_intersect(starts, F.col(f"_s{j}"))
+    # a doc missing any offset term yields a null _sj -> null starts
+    # -> size null/-1 -> filtered, matching the chain's inner joins
+    return per_doc.select(
+        F.col(id_col),
+        F.size(starts).cast("long").alias("n_occurrences"),
+    ).filter(F.col("n_occurrences") > 0)
 
 
 def phrase_match(

@@ -104,9 +104,14 @@ ALLOWED_BROADCAST_HINTS = {
     "q11_important_stock": 5,
     "q9_product_type_profit": 2,  # 1-row count + nation
     "q12_shipping_modes": 0,      # orders row-scaled: no hints
-    # 1-row totals broadcast onto the vocabulary; the token join is
-    # row-scaled (vocabulary grows with the crawl): no hint, AQE decides
-    "dsir_select_documents": 1,
+    # 1-row totals broadcast onto the vocabulary, plus (r13) the
+    # log-ratio model onto the scoring join: unhinted, the static
+    # planner built the broadcast relation over the EXPLODED CORPUS
+    # token stream (the side that scales with the crawl); the model is
+    # one row per distinct token — sublinear (Heaps) and the smaller
+    # side by construction, and the fixed-B hashed tier remains the
+    # documented 100-TB path when even the vocabulary outgrows memory
+    "dsir_select_documents": 2,
 }
 
 
