@@ -74,10 +74,17 @@ _MIX_ROT = [0, 21, 42, 11, 53, 27, 7, 36]
 _MIX_MAX_N = len(_MIX_ROT)
 
 #: flush-group cap for the Arrow signature kernel: bounds the
-#: (128 × shingles) permutation intermediate (~128 MB at the default).
+#: (128 × shingles) permutation intermediate. 8k shingles keeps that
+#: matrix at 8 MB — inside a per-core L2/L3 share — where the original
+#: 128 MB bound streamed every mul/add/mod/min pass through DRAM: the
+#: kernel is memory-bandwidth-bound (numpy's scalar-divisor modulo is
+#: reciprocal-vectorized, so the division was never the cost), and the
+#: cache-resident chunk measured 4.5x faster on a 4000-doc batch with
+#: bit-identical output (r13, guide §1.2 per-task work; chunk size
+#: only regroups flushes — per-doc reduceat results are invariant).
 #: Module-level so tests can shrink it to exercise the oversized-doc
 #: chunked path cheaply.
-_CHUNK_SHINGLES = 128 * 1024
+_CHUNK_SHINGLES = 8 * 1024
 
 
 def tokenize(text: Column) -> Column:
