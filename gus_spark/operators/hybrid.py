@@ -62,11 +62,15 @@ RRF_K = 60
 
 def _contrib(rrf_k: int, weight: float) -> Column:
     # weight * (1.0/(60.0 + rank)): same literal types and op order as
-    # the DuckDB twin, so the doubles are bit-identical across engines
-    c = F.lit(1.0) / (
-        F.lit(float(rrf_k)) + F.col("rank").cast("double")
-    )
-    return c if weight == 1.0 else F.lit(float(weight)) * c
+    # the DuckDB twin, so the doubles are bit-identical across engines.
+    # Built as parsed SQL text (r13, guide §1.2 driver-side build
+    # cost): repr(float)+"D" is the double_array_sql round-trip
+    # convention — the parsed literal is the exact IEEE double F.lit
+    # would ship, so the expression tree is identical.
+    c = f"(1.0D / ({float(rrf_k)!r}D + CAST(rank AS DOUBLE)))"
+    if weight != 1.0:
+        c = f"({float(weight)!r}D * {c})"
+    return F.expr(c)
 
 
 def rrf_fuse(
@@ -108,20 +112,20 @@ def rrf_fuse(
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
+    # same sort_array/collect_list/aggregate trees as the Column-API
+    # build, parsed in two expressions (r13: the python-lambda
+    # F.aggregate build alone cost dozens of py4j round trips)
     fused = (
         u.groupBy(*keys)
         .agg(
-            F.sort_array(
-                F.collect_list(F.struct("src", "contrib"))
-            ).alias("cs")
+            F.expr("sort_array(collect_list(struct(src, contrib)))")
+            .alias("cs")
         )
         .select(
-            *keys,
-            F.size("cs").cast("long").alias("n_lists"),
-            F.aggregate(
-                F.col("cs"),
-                F.lit(0.0),
-                lambda acc, x: acc + x["contrib"],
+            *[F.col(c) for c in keys],
+            F.expr("CAST(size(cs) AS LONG)").alias("n_lists"),
+            F.expr(
+                "aggregate(cs, 0.0D, (acc, x) -> acc + x.contrib)"
             ).alias("rrf_score"),
         )
     )

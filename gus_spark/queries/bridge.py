@@ -125,10 +125,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # string-name join keys (r13, guide §1.2): `df.attr` column access
+    # resolves the frame's schema, which analyzes the whole subtree per
+    # build — `cheapest.ps_partkey` below re-analyzed the join+window
+    # tree on every bench rep. Every key name here is unique across
+    # both sides, so F.col resolves identically (parity-checked).
     eligible = (
-        ps.join(s, ps.ps_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        ps.join(s, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select(
             "ps_partkey", "ps_suppkey", "ps_supplycost",
             "s_name", "s_acctbal", "n_name",
@@ -140,7 +145,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("ps_supplycost") == F.col("min_cost_w"))
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
     return (
-        cheapest.join(p, cheapest.ps_partkey == p.p_partkey)
+        cheapest.join(p, F.col("ps_partkey") == F.col("p_partkey"))
         .orderBy(
             F.desc("s_acctbal"), "n_name", "s_name", "p_partkey",
             "ps_suppkey",
