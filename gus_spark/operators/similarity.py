@@ -278,10 +278,12 @@ def _grouped_topk_matmul(
     group_cols: list[str],
     k: int,
     num_partitions: int | None = None,
+    cap_candidates: int | None = None,
+    cap_order: list | None = None,
 ) -> DataFrame:
     """Exact-cosine top-k inside each candidate group as ONE BLAS
     matmul (probe matrix @ index matrixᵀ) per group, via an
-    Arrow-batched grouped map.
+    Arrow-batched map over group-contiguous partitions.
 
     Input: (*group_cols, id, v, norm, is_probe) — probe rows are the
     queries, non-probe rows the candidate index. A per-pair JVM fold
@@ -292,53 +294,124 @@ def _grouped_topk_matmul(
     collapsed by max (guards against BLAS blocking producing last-ulp
     differences between groups); callers apply the global top-k window
     — exact, because any global winner is within the top-k of its own
-    group."""
+    group.
 
-    def _group_topk(pdf):
+    r13 (guide §4.1): the scoring stage is ``mapInPandas`` over
+    hash-clustered, group-sorted partitions instead of the former
+    ``applyInPandas`` per-group map. applyInPandas frames ONE Python
+    call (its own Arrow batch + pandas construction, ~1-3 ms) per
+    GROUP — at the default occupancy that is hundreds of framing
+    round trips per task for microseconds of matmul each (measured:
+    the ann_lsh scoring stage spent ~0.5 s framing 256 bucket calls
+    on 20k rows at sf0.1). The map form pays one call per Arrow
+    BATCH; group boundaries are recovered from the sort (groups are
+    contiguous; the possibly-split trailing group of each batch is
+    carried into the next), so per-group matrices — and therefore
+    the scored values — are built from exactly the same rows in the
+    same order as the grouped map built them. Distribution/order are
+    established explicitly (repartition on the group key + local
+    sort), which is the same exchange+sort applyInPandas required
+    implicitly.
+
+    ``cap_candidates`` (r13) folds the caller's per-group candidate
+    cap into the kernel: keep only the first N non-probe rows of each
+    group in the arrival order established by ``cap_order`` — the
+    running-count-window-then-filter idiom without the window
+    operator. Callers that pass it MUST pass the cap's tie-break
+    columns as ``cap_order`` (sorted after the group key)."""
+
+    def _topk_kernel(batches):
         import numpy as np
         import pandas as pd
 
-        p = pdf[pdf["is_probe"].to_numpy()]
-        i = pdf[~pdf["is_probe"].to_numpy()]
-        if p.empty or i.empty:
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype="int64"),
-                 "neighbor_id": pd.Series(dtype="int64"),
-                 "cos_sim": pd.Series(dtype="float64")}
-            )
-        pm = np.stack(p["v"].to_numpy())
-        im = np.stack(i["v"].to_numpy())
-        sims = (pm @ im.T) / np.outer(p["norm"].to_numpy(), i["norm"].to_numpy())
-        pid = p["id"].to_numpy()
-        iid = i["id"].to_numpy()
-        sims[pid[:, None] == iid[None, :]] = -np.inf  # no self-pairs
-        kk = min(k, sims.shape[1])
-        # top-k with a DETERMINISTIC (-sim, neighbor_id) tie-break:
-        # argpartition would pick an arbitrary kk among equal-cosine
-        # candidates (exact duplicates produce whole ties at cos=1.0),
-        # which both breaks run-to-run determinism and loses recall
-        # against an id-tie-broken exact ground truth. lexsort's last
-        # key is primary. Buckets are cap-bounded, so the O(b log b)
-        # over argpartition's O(b) is noise.
-        iid_rows = np.broadcast_to(iid, sims.shape)
-        top = np.lexsort((iid_rows, -sims), axis=1)[:, :kk]
-        rows = np.repeat(np.arange(sims.shape[0]), kk)
-        cols = top.ravel()
-        keep = np.isfinite(sims[rows, cols])
-        return pd.DataFrame(
-            {"query_id": pid[rows[keep]],
-             "neighbor_id": iid[cols[keep]],
-             "cos_sim": sims[rows[keep], cols[keep]]}
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "neighbor_id": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")}
         )
 
-    grouped = union_df
+        def score_group(pdf):
+            # one complete group: same math, row order and dtypes the
+            # per-group applyInPandas kernel used (bit-identical sims)
+            mask = pdf["is_probe"].to_numpy()
+            p = pdf[mask]
+            i = pdf[~mask]
+            if cap_candidates is not None:
+                i = i.iloc[:cap_candidates]
+            if p.empty or i.empty:
+                return None
+            pm = np.stack(p["v"].to_numpy())
+            im = np.stack(i["v"].to_numpy())
+            sims = (pm @ im.T) / np.outer(
+                p["norm"].to_numpy(), i["norm"].to_numpy()
+            )
+            pid = p["id"].to_numpy()
+            iid = i["id"].to_numpy()
+            sims[pid[:, None] == iid[None, :]] = -np.inf  # no self-pairs
+            kk = min(k, sims.shape[1])
+            # top-k with a DETERMINISTIC (-sim, neighbor_id) tie-break:
+            # argpartition would pick an arbitrary kk among equal-cosine
+            # candidates (exact duplicates produce whole ties at
+            # cos=1.0), which both breaks run-to-run determinism and
+            # loses recall against an id-tie-broken exact ground truth.
+            # lexsort's last key is primary. Groups are cap-bounded, so
+            # the O(b log b) over argpartition's O(b) is noise.
+            iid_rows = np.broadcast_to(iid, sims.shape)
+            top = np.lexsort((iid_rows, -sims), axis=1)[:, :kk]
+            rows = np.repeat(np.arange(sims.shape[0]), kk)
+            cols = top.ravel()
+            keep = np.isfinite(sims[rows, cols])
+            return pd.DataFrame(
+                {"query_id": pid[rows[keep]],
+                 "neighbor_id": iid[cols[keep]],
+                 "cos_sim": sims[rows[keep], cols[keep]]}
+            )
+
+        def complete_groups(pdf):
+            out = [
+                r for _, g in pdf.groupby(group_cols, sort=False)
+                if (r := score_group(g)) is not None
+            ]
+            return pd.concat(out, ignore_index=True) if out else empty
+
+        pend = None
+        for pdf in batches:
+            if pend is not None:
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+                pend = None
+            if pdf.empty:
+                continue
+            # groups are contiguous (local sort on the group key): the
+            # trailing run sharing the last row's key may continue in
+            # the next batch — hold it back
+            same = np.ones(len(pdf), dtype=bool)
+            for c in group_cols:
+                col = pdf[c].to_numpy()
+                same &= col == col[-1]
+            tail_start = len(pdf) - int(
+                np.argmin(same[::-1]) or len(pdf)
+            )
+            pend = pdf.iloc[tail_start:]
+            head = pdf.iloc[:tail_start]
+            if not head.empty:
+                yield complete_groups(head)
+        if pend is not None and not pend.empty:
+            yield complete_groups(pend)
+
+    grouped = union_df.select(
+        *group_cols, "id", "v", "norm", "is_probe"
+    )
     if num_partitions is not None:
         # few/hot groups: AQE would byte-size-coalesce the tiny shuffle
         # input onto ~1 task and serialize the compute-heavy kernel; an
         # explicit count keeps groups × salt parallel tasks
         grouped = grouped.repartition(num_partitions, *group_cols)
-    pairs = grouped.groupBy(*group_cols).applyInPandas(
-        _group_topk, "query_id bigint, neighbor_id bigint, cos_sim double"
+    else:
+        grouped = grouped.repartition(*group_cols)
+    pairs = grouped.sortWithinPartitions(
+        *group_cols, *(cap_order or [])
+    ).mapInPandas(
+        _topk_kernel, "query_id bigint, neighbor_id bigint, cos_sim double"
     )
     # r13 (guide §2.1): the collapse agg formerly shuffled on
     # (query_id, neighbor_id), and every caller's final top-k window
@@ -456,7 +529,17 @@ def ann_lsh_topk(
     # null embeddings can't be bucketed or matched; dropped up front so
     # both engines agree (unfiltered, the jvm path would feed a None
     # vector to the scoring kernel's np.stack and fail the job)
-    df = ensure_parallelism(df).filter(F.col(vec_col).isNotNull())
+    #
+    # r13: the parallelism guard moved into the JVM branch. The arrow
+    # branch's per-row signature work is ONE 64×planes matvec inside a
+    # batched numpy matmul (~µs/row) and the bucket exchange
+    # redistributes rows immediately after — spreading the scan bought
+    # no compute overlap but paid ~8 ms of Python-task framing × slots
+    # per run (measured: the signature stage at 1 input partition
+    # 0.39 s vs 0.61 s at 32, sf0.1; identical rows). The jvm branch's
+    # interpreted HOF folds ARE per-row expensive, so it keeps the
+    # guard.
+    df = df.filter(F.col(vec_col).isNotNull())
     if num_planes is None:
         num_planes = planes_for_corpus(df.count())
     planes = _plane_matrix(num_planes, DIM)
@@ -483,20 +566,18 @@ def ann_lsh_topk(
             "id", "v", "norm",
             "be.bucket AS bucket", "be.is_probe AS is_probe",
         )
-        # cap candidates per bucket WITHOUT a dedicated shuffle: order
-        # candidates first (is_probe false < true), running-count them,
-        # and let the scoring groupBy reuse this window's
-        # hashpartitioning(bucket) exchange
-        w_cap = Window.partitionBy("bucket").orderBy(
-            "is_probe", F.xxhash64("id"), "id"
-        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        cand_rank = F.sum(
-            F.when(~F.col("is_probe"), 1).otherwise(0)
-        ).over(w_cap)
-        union = union.withColumn("_cr", cand_rank).filter(
-            F.col("is_probe") | (F.col("_cr") <= bucket_cap)
-        ).drop("_cr")
-        pairs = _grouped_topk_matmul(union, ["bucket"], k)
+        # cap candidates per bucket WITHOUT a dedicated operator (r13):
+        # the kernel keeps the first bucket_cap non-probe rows per
+        # bucket in (is_probe, xxhash64(id), id) order — the same rows
+        # the former running-count window kept — so the cap rides the
+        # scoring stage's one hashpartitioning(bucket) exchange and
+        # its local sort, and the window (its running sum over every
+        # probe/candidate row) disappears from the plan outright
+        pairs = _grouped_topk_matmul(
+            union, ["bucket"], k,
+            cap_candidates=bucket_cap,
+            cap_order=["is_probe", F.xxhash64("id"), "id"],
+        )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cos_sim"), "neighbor_id"
         )
@@ -514,6 +595,7 @@ def ann_lsh_topk(
     # dot(v,v) inside the join would redo the same 64-element reduction
     # hundreds of times (measured 10.9s -> norm hoisting cuts the pair
     # cost to one cross-dot + one multiply)
+    df = ensure_parallelism(df)  # interpreted HOF folds: per-row cost is real
     v = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("norm", F.sqrt(_dot_cols(F.col("v"), F.col("v"))))

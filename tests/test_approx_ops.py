@@ -1151,3 +1151,29 @@ class TestNormalizeUrl:
         # the aggressive tier folds them all
         folded = dedup_by_url(df, drop_query=True).collect()
         assert len(folded) == 1 and folded[0].n_dups == 5
+
+
+def test_grouped_topk_kernel_invariant_to_arrow_batch_splits(spark):
+    """r13: the scoring kernel is a mapInPandas whose group boundaries
+    are recovered from the local sort, carrying a batch's trailing
+    (possibly split) group into the next batch. Shrinking
+    arrow.maxRecordsPerBatch far below the group size forces every
+    group to straddle batch boundaries — the output must be
+    bit-identical to the default batching, or the carry logic is
+    losing cross-fragment probe/candidate pairs."""
+    e = table(spark, SF_DIR_ORACLE, "embeddings")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    base = sorted(
+        tuple(r)
+        for r in ann_lsh_topk(e, k=5, num_planes=8).collect()
+    )
+    try:
+        spark.conf.set(key, "7")
+        tiny = sorted(
+            tuple(r)
+            for r in ann_lsh_topk(e, k=5, num_planes=8).collect()
+        )
+    finally:
+        spark.conf.set(key, old)
+    assert tiny == base and len(base) > 0

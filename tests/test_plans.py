@@ -204,7 +204,12 @@ def test_ivf_kernel_keeps_explicit_salted_partitioning(spark):
     with contextlib.redirect_stdout(buf):
         df.explain(mode="extended")
     plan = buf.getvalue()
-    assert "FlatMapGroupsInPandas" in plan
+    # r13: the scoring kernel is a mapInPandas over group-contiguous
+    # partitions (one Python call per Arrow batch) — a per-group
+    # FlatMapGroupsInPandas here would be the per-group call-framing
+    # regression back
+    assert "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
     assert re.search(
         r"hashpartitioning\(cell#\d+, salt#\d+L?, 64\), REPARTITION_BY_NUM",
         plan,
