@@ -139,3 +139,36 @@ def parquet_row_count(path: str, max_footer_files: int = 256) -> int | None:
         return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     except Exception:
         return None
+
+
+def parquet_point_value(
+    path: str, key_col: str, key, value_col: str
+):
+    """One row's ``value_col`` from a LOCAL bare parquet file, read
+    driver-side with no Spark job — the point-lookup sibling of
+    `parquet_row_count`, for KNOWN bare table paths only (never a
+    transformed DataFrame). Returns None unless the path is a single
+    local parquet file holding exactly one row with ``key_col ==
+    key`` (caller falls back to the distributed point lookup).
+
+    Value parity with the Spark read: pyarrow's ``as_py`` widens
+    float32 exactly the way Spark's row collection does (binary
+    float->double is exact), so e.g. a query embedding fetched here is
+    element-for-element the same Python floats ``.first()`` returns —
+    pinned in tests/test_hybrid.py."""
+    import os
+
+    try:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        p = path.removeprefix("file:")
+        if not (os.path.isfile(p) and p.endswith(".parquet")):
+            return None
+        t = pq.ParquetFile(p).read(columns=[key_col, value_col])
+        m = t.filter(pc.equal(t[key_col], key))
+        if m.num_rows != 1:
+            return None
+        return m[value_col][0].as_py()
+    except Exception:
+        return None

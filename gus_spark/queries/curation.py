@@ -318,12 +318,22 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps that surface oracle-checked while giving the round-8
     flagship a driver CORRECTNESS row."""
     from gus_spark.operators.hybrid import hybrid_rrf_topk as hybrid_fused
+    from gus_spark.operators.util import parquet_point_value
 
     e = table(spark, sf_dir, "embeddings")
-    qvec = [
-        float(x)
-        for x in e.filter(F.col("vec_id") == 0).first()["embedding"]
-    ]
+    # r13 (guide §5 — the driver should do almost no data work): the
+    # probe vector is a point lookup on a KNOWN bare table path, so
+    # fetch it from the parquet file driver-side (the ann_lsh
+    # parquet_row_count precedent) instead of running a Spark job per
+    # build — .first() was ~0.3-0.4 s of every timed bench rep.
+    # float32 -> Python float is exact either way (parity pinned in
+    # tests/test_hybrid.py); any non-bare path falls back to the job.
+    raw = parquet_point_value(
+        f"{sf_dir}/embeddings.parquet", "vec_id", 0, "embedding"
+    )
+    if raw is None:
+        raw = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    qvec = [float(x) for x in raw]
     d = table(spark, sf_dir, "documents")
     return hybrid_fused(
         d,

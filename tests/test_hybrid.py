@@ -379,3 +379,27 @@ def test_dense_topk_sql_text_build_bit_parity(spark, emb, qvec):
 
     with _pytest.raises(ValueError, match="non-finite"):
         double_array_sql([1.0, float("nan")])
+
+
+def test_parquet_point_value_matches_spark_fetch(spark):
+    """r13: the catalog hybrid query fetches its probe vector with a
+    driver-side parquet point read instead of a Spark job. The floats
+    must be exactly the ones .first() returns (float32 widens to
+    double identically on both paths), or the baked-in query-vector
+    literals — and every fused score — drift from the oracle's scalar
+    subquery."""
+    import os
+
+    from conftest import SF_DIR_ORACLE
+
+    from gus_spark.operators.util import parquet_point_value
+    from gus_spark.queries import table
+
+    path = os.path.join(SF_DIR_ORACLE, "embeddings.parquet")
+    got = parquet_point_value(path, "vec_id", 0, "embedding")
+    e = table(spark, SF_DIR_ORACLE, "embeddings")
+    want = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    assert [float(x) for x in got] == [float(x) for x in want]
+    # non-bare / missing paths fall back loudly-by-None
+    assert parquet_point_value("/tmp/nope.parquet", "k", 0, "v") is None
+    assert parquet_point_value(path, "vec_id", -12345, "embedding") is None
