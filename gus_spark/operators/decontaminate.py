@@ -155,23 +155,18 @@ def fuzzy_contamination(
     at J >= 0.61, escape ~5e-8 at a 0.8 verify threshold.
     """
     from gus_spark.operators.dedup import (
-        _band_rows,
+        _bands_of,
         _shingle_sets,
-        minhash_signature,
     )
 
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     docs = ensure_parallelism(docs)
-    d_bands = _band_rows(
-        minhash_signature(docs, id_col, text_col, ngram, engine=engine),
-        id_col,
+    d_bands = _bands_of(
+        docs, id_col, text_col, ngram, engine
     ).withColumnRenamed(id_col, "_did")
-    b_bands = _band_rows(
-        minhash_signature(
-            bench, bench_id_col, bench_text_col, ngram, engine=engine
-        ),
-        bench_id_col,
+    b_bands = _bands_of(
+        bench, bench_id_col, bench_text_col, ngram, engine
     ).withColumnRenamed(bench_id_col, "_bid")
     candidates = (
         d_bands.join(b_bands, ["band_id", "band_hash"])

@@ -371,6 +371,30 @@ def _shingle_sets(
     )
 
 
+def _signature_array(
+    df: DataFrame, id_col: str, text_col: str, ngram: int
+) -> DataFrame:
+    """(id, _mh): the arrow kernel's 128-perm signature as ONE array
+    column — the width-2 schema internal compositions band/join on.
+
+    r13 (guide §1.2 driver-side cost): every DataFrame op re-analyzes
+    its whole subtree, and the analyzer's cost rides schema WIDTH —
+    compositions that unpacked the signature to 128 mh_k columns only
+    to immediately re-fold them (banding's xxhash64 over 4 at a time)
+    paid the wide-schema analysis on every downstream op of every
+    build. Band hashes computed from `_mh[k]` getItems are the same
+    xxhash64 over the same longs, so `_band_rows_arr(_signature_array
+    (..))` emits bit-identical band rows to
+    `_band_rows(minhash_signature(..))` (asserted in
+    tests/test_approx_ops.py). Callers that PERSIST signatures
+    (MinHashIndex) keep the unpacked public form."""
+    mh = _mh_perms_kernel(ngram)
+    th_df = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), token_hashes(F.col(text_col)).alias("th")
+    )
+    return th_df.select(F.col(id_col), mh("th").alias("_mh"))
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,
@@ -422,16 +446,12 @@ def minhash_signature(
     # expression into the filter — measured 6.5x slower.
     live = df.filter(F.col(text_col).isNotNull())
     if engine == "arrow":
-        mh = _mh_perms_kernel(ngram)
-        th_df = live.select(
-            F.col(id_col), token_hashes(F.col(text_col)).alias("th")
-        )
         # one selectExpr call instead of 128 element_at Column builds:
         # the per-column py4j round trips were ~0.8 s of every build of
         # this plan (r13 cProfile); `_mh[k]` (0-based getItem) is the
         # same value as element_at(_mh, k+1) on these fixed-length
         # non-null arrays, so signatures stay bit-identical.
-        return th_df.select(F.col(id_col), mh("th").alias("_mh")).selectExpr(
+        return _signature_array(live, id_col, text_col, ngram).selectExpr(
             f"`{id_col}`",
             *[f"_mh[{k}] AS mh_{k}" for k in range(NUM_PERMS)],
         )
@@ -481,8 +501,15 @@ def minhash_lsh_pairs(
     ``_MIX_ROT`` with any distinct rotations to lift it.
     """
     df = ensure_parallelism(df)  # both branches (signature + verify) share it
-    sig = minhash_signature(df, id_col, text_col, ngram, engine=engine)
-    bands = _band_rows(sig, id_col)
+    if engine == "arrow":
+        # array-form signature: no 128-column unpack in this plan
+        # (r13, see _signature_array — values identical)
+        bands = _band_rows_arr(
+            _signature_array(df, id_col, text_col, ngram), id_col
+        )
+    else:
+        sig = minhash_signature(df, id_col, text_col, ngram, engine=engine)
+        bands = _band_rows(sig, id_col)
     candidates = _bucket_pairs(bands, id_col)
 
     # verification uses the same shingle unit as candidate generation,
@@ -494,9 +521,15 @@ def minhash_lsh_pairs(
     # n-gram strings a second time.
     # (A semi-join prune of toks to collided ids was tried and reverted:
     # it duplicates the signature/banding lineage into the prune branch,
-    # which costs more than hashing the corpus. The incremental path —
+    # which costs more than hashing the corpus. r13 re-tried it with the
+    # lineage duplication FIXED via a lazy localCheckpoint of the
+    # bounded candidate list: still slower end-to-end (1.2 vs 1.6-2.0 s
+    # at sf0.1, A/B-measured both orders) — the prune's broadcast
+    # DEPENDS on the signature branch, serializing two stages that
+    # otherwise run concurrently, and the saved kernel work is smaller
+    # than the lost overlap at bench scale. The incremental path —
     # MinHashIndex.add_and_find — materializes candidates durably and
-    # verifies only collided ids, which is the scale answer.)
+    # verifies only collided ids, which remains the scale answer.)
     #
     # r13 (guide §2.4/§3): the former shape joined candidates against
     # TWO aliases of toks. PythonUDF expressions never canonicalize
@@ -1153,6 +1186,48 @@ def _band_rows(sig: DataFrame, id_col: str) -> DataFrame:
         for b in range(NUM_BANDS)
     )
     return sig.selectExpr(f"`{id_col}`", f"inline(array({structs}))")
+
+
+def _bands_of(
+    df: DataFrame, id_col: str, text_col: str, ngram: int, engine: str
+) -> DataFrame:
+    """(id, band_id, band_hash) straight from raw documents — THE
+    banding composition. For the arrow engine it rides the array-form
+    signature (no 128-column unpack in the plan — r13, see
+    _signature_array); the jvm engine keeps the column form. Same
+    ensure_parallelism guard minhash_signature applies, same band
+    values either way."""
+    if engine == "arrow":
+        return _band_rows_arr(
+            _signature_array(
+                ensure_parallelism(df), id_col, text_col, ngram
+            ),
+            id_col,
+        )
+    return _band_rows(
+        minhash_signature(df, id_col, text_col, ngram, engine=engine),
+        id_col,
+    )
+
+
+def _band_rows_arr(sig_arr: DataFrame, id_col: str) -> DataFrame:
+    """`_band_rows` over the ARRAY-form signature (`_signature_array`):
+    band hashes fold `_mh[k]` getItems directly, skipping the 128-
+    column unpack projection and its wide-schema analysis on every
+    downstream op (r13 — see _signature_array). Same xxhash64 over the
+    same longs → bit-identical (id, band_id, band_hash) rows,
+    asserted in tests/test_approx_ops.py."""
+    structs = ", ".join(
+        "named_struct('band_id', {b}, 'band_hash', xxhash64({cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"_mh[{b * ROWS_PER_BAND + r}]"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(NUM_BANDS)
+    )
+    return sig_arr.selectExpr(f"`{id_col}`", f"inline(array({structs}))")
 
 
 def simhash_signatures(

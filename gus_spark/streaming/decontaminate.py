@@ -207,9 +207,8 @@ def fuzzy_decontaminate_stream(
     pattern: fingerprinted markers + publish-if-changed batch deltas.
     """
     from gus_spark.operators.dedup import (
-        _band_rows,
+        _bands_of,
         _shingle_sets,
-        minhash_signature,
     )
 
     if not 0 < threshold <= 1:
@@ -219,11 +218,8 @@ def fuzzy_decontaminate_stream(
     sets_path = os.path.join(state_dir, "bench_sets")
     meta_path = os.path.join(state_dir, "fuzzy_meta.json")
     bench_nn = bench.filter(F.col(bench_text_col).isNotNull())
-    cur_bands = _band_rows(
-        minhash_signature(
-            bench_nn, bench_id_col, bench_text_col, ngram, engine=engine
-        ),
-        bench_id_col,
+    cur_bands = _bands_of(
+        bench_nn, bench_id_col, bench_text_col, ngram, engine
     ).withColumnRenamed(bench_id_col, "_bid").localCheckpoint()
     cur_sets = (
         _shingle_sets(bench_nn, bench_id_col, bench_text_col, ngram, engine)
@@ -270,10 +266,8 @@ def fuzzy_decontaminate_stream(
         bench_bands = spark.read.parquet(bands_path)
         bench_sets = spark.read.parquet(sets_path)
         batch_nn = batch_df.filter(F.col("text").isNotNull())
-        doc_bands = _band_rows(
-            minhash_signature(batch_nn, "doc_id", "text", ngram,
-                              engine=engine),
-            "doc_id",
+        doc_bands = _bands_of(
+            batch_nn, "doc_id", "text", ngram, engine
         ).withColumnRenamed("doc_id", "_did")
         candidates = (
             doc_bands.join(bench_bands, ["band_id", "band_hash"])

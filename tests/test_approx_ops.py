@@ -1177,3 +1177,24 @@ def test_grouped_topk_kernel_invariant_to_arrow_batch_splits(spark):
     finally:
         spark.conf.set(key, old)
     assert tiny == base and len(base) > 0
+
+
+def test_array_form_band_rows_bit_identical(spark, documents):
+    """r13: the pairs/decontaminate compositions band the ARRAY-form
+    signature (no 128-column unpack in the plan). Band rows must stay
+    bit-identical to the unpacked public form — persisted MinHashIndex
+    band tables and cross-corpus band joins interoperate only under
+    exact equality."""
+    from gus_spark.operators.dedup import (
+        _band_rows,
+        _bands_of,
+        minhash_signature,
+    )
+
+    old = _band_rows(
+        minhash_signature(documents, "doc_id", "text", 3), "doc_id"
+    )
+    new = _bands_of(documents, "doc_id", "text", 3, "arrow")
+    assert sorted(map(tuple, new.collect())) == sorted(
+        map(tuple, old.collect())
+    )
