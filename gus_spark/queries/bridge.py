@@ -269,18 +269,21 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").filter(
         F.col("p_name").like("%gear%")
     ).select("p_partkey")
-    # broadcast semi-join prune (r13, guide §3.2): the '%gear%' part
-    # filter keeps ~5% of parts, so 95% of lineitem rows can never
-    # match the bridge — drop them against the already-filtered part
-    # key list BEFORE lineitem enters the join tree. The filtered-p
-    # broadcast is shared with the ps⋈p join below (same subtree →
-    # ReusedExchange), and the relation built over lineitem shrinks
-    # ~20x. Identical rows (the inner joins dropped those rows anyway;
-    # A/B: 0.71-0.76 s vs 1.07-1.16 s warm min-of-5). At 100 TB this
-    # is the guide's reduce-the-big-side-before-it-moves pattern.
+    # semi-join prune (r13, guide §3.2): the '%gear%' part filter
+    # keeps ~5% of parts, so 95% of lineitem rows can never match the
+    # bridge — drop them against the already-filtered part key list
+    # BEFORE lineitem enters the join tree, shrinking the relation
+    # built over lineitem ~20x. Identical rows (the inner joins
+    # dropped those rows anyway; A/B: 0.71-0.76 s vs 1.07-1.16 s warm
+    # min-of-5). UNHINTED deliberately: the filtered part list is
+    # row-scaled (no forced broadcast on row-scaled sides — the plan
+    # guard in test_plans.py), so the planner broadcasts it while it
+    # fits and falls back to a shuffled semi whose extra shuffle
+    # carries only lineitem's join keys — worst case ~keys-width of
+    # one lineitem pass for a 20x cut in the rows every downstream
+    # join touches.
     li = li.join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"),
-        "leftsemi",
+        p, F.col("l_partkey") == F.col("p_partkey"), "leftsemi"
     )
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders")
