@@ -267,8 +267,12 @@ def cap_per_group(
       (one more count agg over prefilter survivors — rows per group,
       not corpus) and raises with guidance if any capped group
       under-admitted, so a too-tight margin is loud, never a silent
-      under-cap. Identical output to the exact tier (asserted in
-      tests) — the prefilter only removes rows the rank would drop.
+      under-cap. Check contract v2 (r14): the violation raises at
+      ACTION time from a plan-level ``raise_error`` guard
+      (pyspark.errors.SparkRuntimeException, same message), not as a
+      build-time ValueError — see the in-body comment. Identical
+      output to the exact tier (asserted in tests) — the prefilter
+      only removes rows the rank would drop.
 
     Output: the input columns (priority hash column never
     materializes in the result)."""
@@ -354,38 +358,83 @@ def cap_per_group(
     # counts twice). Lazy: the check's collect() materializes both.
     pre = pre.localCheckpoint(eager=False)
     # loud guarantee check: every group that HAS max_rows+ rows must
-    # still have >= max_rows after the prefilter. Aggregate kept
-    # counts and join them back onto `counts` — which holds EVERY
-    # group — so a group the threshold wiped out entirely (kept = 0,
-    # hence absent from the survivor agg) is still detected. Bounded:
-    # one row per group on both sides.
-    kept = pre.groupBy(group_col).agg(F.count("*").alias("_kept"))
-    short = (
-        counts.filter(F.col("_ng") > max_rows)
-        .join(
-            kept.withColumnRenamed(group_col, "_kg"),
-            F.col(group_col).eqNullSafe(F.col("_kg")),
-            "left",
+    # still have >= max_rows after the prefilter. Survivor counts are
+    # tallied against `counts` — which holds EVERY group — so a group
+    # the threshold wiped out entirely (kept = 0, hence absent from
+    # the survivors) is still detected. Bounded: one row per group.
+    #
+    # Guarantee-check contract v2 (r14, VERDICT r13 top-next #1,
+    # guide §1.2/§5): the check is PLAN-LEVEL — an empty-by-
+    # construction union branch whose single Filter raises from
+    # `raise_error` on any under-admitted group — instead of v1's
+    # build-time `.limit(1).collect()`. Violations now surface when
+    # the result is ACTED on (collect/write/count — the Filter cannot
+    # be pruned away), as pyspark.errors.SparkRuntimeException
+    # [USER_RAISED_EXCEPTION] carrying the same message text, not as
+    # a build-time ValueError. v1 paid one extra Spark job plus a
+    # driver sync on EVERY build; v2 folds the identical per-group
+    # logic into the query itself — the checkpoints above still make
+    # input scans exactly two, now under ONE action. The raise sits
+    # inside the ONLY filter predicate (a single when()), so no
+    # optimizer reordering can evaluate it on non-violating rows.
+    #
+    # Shape note: v1's left join (counts ⟕ survivor counts) is
+    # replaced by ONE union+aggregation — tag counts rows with their
+    # _ng and survivor rows with a 1, group by the key, compare
+    # max(_ng) to sum(tag). Same decision table (counts holds EVERY
+    # group, so a wiped-out group still surfaces with kept = 0), but
+    # join-free: the first in-plan draft's join attracted Spark's
+    # runtime Bloom-filter injection — two SinglePartition bloom
+    # subquery jobs to guard a groups-bounded frame. Map-side partial
+    # aggregation collapses the survivor side to one row per group
+    # before the exchange, so the check shuffles O(groups), never
+    # O(rows).
+    tally = (
+        counts.select(
+            F.col(group_col), F.col("_ng"), F.lit(0).alias("_k")
         )
-        .withColumn("_kept", F.coalesce("_kept", F.lit(0)))
-        .filter(F.col("_kept") < max_rows)
-        .limit(1)
-        .collect()
+        .unionByName(
+            pre.select(
+                F.col(group_col),
+                F.lit(None).cast("long").alias("_ng"),
+                F.lit(1).alias("_k"),
+            )
+        )
+        .groupBy(group_col)
+        .agg(
+            F.max("_ng").alias("_ng"),
+            F.sum("_k").cast("long").alias("_kept"),
+        )
     )
-    if short:
-        r = short[0]
-        raise ValueError(
-            f"prefilter under-admitted group {r[group_col]!r} "
-            f"({r['_kept']} of the required {max_rows}): margin "
-            f"{margin:.4f} is too tight for this group's hash draw — "
-            "re-run with a larger margin (or tier='exact')"
-        )
+    msg = F.concat(
+        F.lit("prefilter under-admitted group "),
+        F.coalesce(F.col(group_col).cast("string"), F.lit("NULL")),
+        F.lit(" ("),
+        F.col("_kept").cast("string"),
+        F.lit(
+            f" of the required {max_rows}): margin {margin:.4f} is"
+            " too tight for this group's hash draw — re-run with a"
+            " larger margin (or tier='exact')"
+        ),
+    )
     w_pre = Window.partitionBy(group_col).orderBy("_b", id_col)
-    return (
+    capped = (
         pre.withColumn("_rnk", F.row_number().over(w_pre))
         .filter(F.col("_rnk") <= max_rows)
         .drop("_rnk", "_b", "_ng", "_thr")
     )
+    guard = tally.filter(
+        F.when(
+            (F.col("_ng") > max_rows) & (F.col("_kept") < max_rows),
+            F.raise_error(msg).cast("boolean"),
+        ).otherwise(F.lit(False))
+    ).select(
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in capped.schema.fields
+        ]
+    )
+    return capped.unionByName(guard)
 
 
 def _cap_margin(max_rows: int, margin: float | None) -> float:

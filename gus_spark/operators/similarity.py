@@ -318,7 +318,24 @@ def _grouped_topk_matmul(
     group in the arrival order established by ``cap_order`` — the
     running-count-window-then-filter idiom without the window
     operator. Callers that pass it MUST pass the cap's tie-break
-    columns as ``cap_order`` (sorted after the group key)."""
+    columns as ``cap_order`` (sorted after the group key; enforced
+    below — an omitted order would make the cap depend on partition
+    arrival order, ADVICE r13).
+
+    Precondition: ``group_cols`` values must be NON-NULL (every
+    current caller derives them from hashes/ids). The batch-split
+    tail carve compares against the last row's key, which can never
+    match a null/NaN key; the pandas groupby below passes
+    ``dropna=False`` so a null-keyed group is scored rather than
+    silently dropped (Spark's groupBy keeps null keys — ADVICE r13),
+    but the carve would pend such rows conservatively, so keep keys
+    non-null."""
+    if cap_candidates is not None and not cap_order:
+        raise ValueError(
+            "cap_candidates requires cap_order (the cap's tie-break "
+            "columns): without an explicit arrival order the per-group "
+            "cap would keep a partition-arrival-dependent candidate set"
+        )
 
     def _topk_kernel(batches):
         import numpy as np
@@ -369,7 +386,9 @@ def _grouped_topk_matmul(
 
         def complete_groups(pdf):
             out = [
-                r for _, g in pdf.groupby(group_cols, sort=False)
+                r for _, g in pdf.groupby(
+                    group_cols, sort=False, dropna=False
+                )
                 if (r := score_group(g)) is not None
             ]
             return pd.concat(out, ignore_index=True) if out else empty

@@ -79,7 +79,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: mtime guards rewritten temp tables in tests; the nanos conf changes
 #: what schema inference PRODUCES (TIMESTAMP(NANOS) -> bigint), so it
 #: is part of the key. Only the schema is memoized — never data.
+#: FIFO-capped (VERDICT r13 hygiene): a long-lived driver reading
+#: ever-fresh paths must not grow this without bound.
 _SCHEMA_MEMO: dict[tuple, object] = {}
+_SCHEMA_MEMO_CAP = 4096
 
 
 def _read(spark: SparkSession, path: str) -> DataFrame:
@@ -132,5 +135,7 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
     if mtime is not None and not ntz:
         # memoize only the plain-scan shape: the NTZ-cast fallback
         # wraps the scan in projections whose schema is not the scan's
+        while len(_SCHEMA_MEMO) >= _SCHEMA_MEMO_CAP:
+            _SCHEMA_MEMO.pop(next(iter(_SCHEMA_MEMO)))
         _SCHEMA_MEMO[key] = df.schema
     return df

@@ -341,9 +341,15 @@ class TestCapPerGroup:
         assert {r.doc_id for r in kept.collect()} == want
 
     def test_margin_guarantee_is_loud(self, spark, docs):
+        """Guarantee-check contract v2 (r14): the violation raises at
+        ACTION time from the plan-level raise_error guard — as
+        SparkRuntimeException [USER_RAISED_EXCEPTION] with the same
+        message text v1's build-time ValueError carried."""
+        from pyspark.errors import SparkRuntimeException
+
         from gus_spark.operators.mixing import cap_per_group
 
-        with pytest.raises(ValueError, match="margin"):
+        with pytest.raises(SparkRuntimeException, match="margin"):
             # margin so tight the prefilter cannot admit CAP rows
             cap_per_group(
                 docs.select("doc_id", "source"),
@@ -404,19 +410,24 @@ class TestCapPerGroup:
 
     def test_vanished_group_is_loud(self, spark, docs):
         """A margin so tight the threshold admits ZERO rows of an
-        over-cap group: the group is absent from the survivor agg, so
+        over-cap group: the group is absent from the survivors, so
         the guarantee check must find it through the counts side
         (which holds every group) and raise — never silently emit a
-        capped output missing the group entirely."""
+        capped output missing the group entirely. Exercised through
+        ``count()`` deliberately: count prunes every column, so this
+        also pins that the v2 plan-level guard lives in a Filter
+        (prune-proof), not in a projection."""
+        from pyspark.errors import SparkRuntimeException
+
         from gus_spark.operators.mixing import cap_per_group
 
         one = docs.select(
             "doc_id", F.lit("only").alias("source")
         ).limit(5)
-        with pytest.raises(ValueError, match="margin"):
+        with pytest.raises(SparkRuntimeException, match="margin"):
             cap_per_group(
                 one, max_rows=1, tier="prefilter", margin=1e-12
-            )
+            ).count()
 
 
 class TestCapThresholds:

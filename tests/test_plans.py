@@ -421,18 +421,25 @@ def test_cap_per_group_prefilter_plan_shape(spark):
     returned frame's ranking window reads the localCheckpoint of the
     prefiltered survivors, NOT a re-derived scan+join lineage — so the
     guarantee check and the final window share one materialization
-    (ADVICE r10)."""
+    (ADVICE r10). r14 (guarantee-check contract v2): the returned
+    plan carries the plan-level guard — a Union whose second branch
+    is the JOIN-FREE tally aggregation ending in the raise_error
+    Filter; the guard adds exactly one more group-key exchange (the
+    tally agg, map-side partial) and no join of any kind."""
     plan = plan_of(spark, "cap_per_group_docs", mode="simple")
     assert "ExistingRDD" in plan, plan
-    # the checkpoint IS the input: no parquet re-scan, no join survives
-    # in the post-checkpoint plan — the residual cost is exactly ONE
-    # group-key exchange for the ranking window and nothing else
+    # the checkpoints ARE the inputs: no parquet re-scan, no join
+    # survives in the post-checkpoint plan — the residual cost is one
+    # group-key exchange for the ranking window plus one for the
+    # guard's tally aggregation, and nothing else
     assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan, plan
+    assert "Union" in plan and "raise_error" in plan, plan
+    assert "bloom" not in plan.lower(), plan  # guard must stay join/bloom-free
     hash_ex = [
         ln for ln in plan.splitlines()
         if "Exchange hashpartitioning" in ln
     ]
-    assert len(hash_ex) == 1 and "lang" in hash_ex[0], plan
+    assert len(hash_ex) == 2 and all("lang" in ln for ln in hash_ex), plan
     # and the pre-checkpoint lineage joined via BROADCAST: pin it on
     # the operator itself by capturing the join plan before the
     # checkpoint boundary (margin generous so the probe corpus passes)
