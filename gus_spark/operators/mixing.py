@@ -423,6 +423,10 @@ def cap_per_group(
         .filter(F.col("_rnk") <= max_rows)
         .drop("_rnk", "_b", "_ng", "_thr")
     )
+    # null-literal columns come from the INPUT's schema (already
+    # analyzed at the scan) — capped's columns are exactly df's by
+    # construction, and touching capped.schema would force a fresh
+    # analysis pass over the whole window plan just to read types
     guard = tally.filter(
         F.when(
             (F.col("_ng") > max_rows) & (F.col("_kept") < max_rows),
@@ -431,7 +435,7 @@ def cap_per_group(
     ).select(
         *[
             F.lit(None).cast(f.dataType).alias(f.name)
-            for f in capped.schema.fields
+            for f in df.schema.fields
         ]
     )
     return capped.unionByName(guard)

@@ -106,25 +106,37 @@ def _query_terms(query: list[str]) -> list[str]:
     return terms
 
 
-def _okapi_expr(k1: float, b: float) -> Column:
+def _okapi_expr(
+    k1: float,
+    b: float,
+    tf: Column | None = None,
+    dl: Column | None = None,
+    df: Column | None = None,
+    n_docs: Column | None = None,
+    avgdl: Column | None = None,
+) -> Column:
     """The Okapi idf * tf_norm expression over the joined posting
     columns (tf, dl, df, n_docs, avgdl) — ONE definition shared by
     every entry point (ad-hoc, indexed, batch), so the bit-exact
-    cross-path contracts cannot drift apart."""
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs").cast("double") - F.col("df").cast("double")
-           + F.lit(0.5))
-        / (F.col("df").cast("double") + F.lit(0.5))
+    cross-path contracts cannot drift apart. The optional column
+    overrides (r14) let the expression-form ad-hoc scorer bind its
+    per-term columns to the SAME tree — same casts, literals and op
+    order, so per-(doc, term) doubles stay bit-identical across
+    forms."""
+    tf_c = (tf if tf is not None else F.col("tf")).cast("double")
+    dl_c = (dl if dl is not None else F.col("dl")).cast("double")
+    df_c = (df if df is not None else F.col("df")).cast("double")
+    nd_c = (n_docs if n_docs is not None else F.col("n_docs")).cast(
+        "double"
     )
-    tf = F.col("tf").cast("double")
-    tf_norm = (tf * F.lit(k1 + 1.0)) / (
-        tf
+    av_c = avgdl if avgdl is not None else F.col("avgdl")
+    idf = F.log(
+        F.lit(1.0) + (nd_c - df_c + F.lit(0.5)) / (df_c + F.lit(0.5))
+    )
+    tf_norm = (tf_c * F.lit(k1 + 1.0)) / (
+        tf_c
         + F.lit(k1)
-        * (
-            F.lit(1.0 - b)
-            + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
-        )
+        * (F.lit(1.0 - b) + F.lit(b) * dl_c / av_c)
     )
     return idf * tf_norm
 
@@ -177,6 +189,26 @@ def _score_and_topk(
     return _score_postings(post, dfreq, stats, k, id_col, k1, b)
 
 
+#: Expression-form width bound for the ad-hoc scorers: each query term
+#: adds one array-filter tf column plus one okapi expression to the
+#: plan. A handful of terms (the ad-hoc regime) is far cheaper than
+#: the posting explode+aggregate it replaces; past this bound the
+#: codegen/analysis width cost grows while the posting form stays
+#: O(matching postings), so wide term sets route to the posting form
+#: (bm25_batch territory anyway).
+ADHOC_EXPR_MAX_TERMS = 32
+
+
+def _token_arrays(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(_id, _tk): the per-doc token array, one tokenize per doc."""
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        tokenize(F.col(text_col)).alias("_tk"),
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query: list[str],
@@ -189,16 +221,105 @@ def bm25_topk(
     """Top-k documents for `query` by BM25: (id, n_terms_hit, score_fp)
     ordered by (score_fp desc, id). Duplicate query terms are collapsed
     (BM25 treats the query as a term set; repeat-weighted queries
-    belong in a term-weight column, not here). Ad-hoc form: builds the
-    postings off the scan per query; a repeated-query deployment
-    materializes them once with `build_posting_index` and serves with
-    `bm25_topk_indexed` (bit-identical ranking, asserted in tests)."""
+    belong in a term-weight column, not here). Ad-hoc form; a
+    repeated-query deployment materializes a posting index once with
+    `build_posting_index` and serves with `bm25_topk_indexed`
+    (bit-identical ranking, asserted in tests).
+
+    r14 shape (guide §2.3/§2.4 — aggregate before you shuffle, then
+    remove the shuffle entirely): for ad-hoc term counts the scorer is
+    EXPRESSION-FORM — per-doc term frequencies via array `filter` over
+    the token array (no explode, no posting aggregation exchange), ONE
+    1-row aggregate for n_docs/avgdl/per-term df (replacing the
+    posting agg + dfreq agg + stats scan = two extra corpus passes and
+    three exchanges), broadcast back, and the per-doc score as a pure
+    column sum of the SAME quantized okapi expression the posting form
+    applies per posting row (quantized per term, summed as int64 —
+    order-free, so the scores are bit-identical; asserted against the
+    posting form in tests). The narrow per-doc (id, dl, tf…) frame
+    rides a lazy localCheckpoint so the stats aggregate and the score
+    pass share ONE tokenize of the corpus — the §8 move: decide with
+    small rows (a fixed-width lattice of longs, never the text).
+    Plan: one corpus scan + TakeOrderedAndProject; the only exchange
+    is the 1-row aggregate's. Wide term sets (> ADHOC_EXPR_MAX_TERMS)
+    keep the posting form."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
     terms = _query_terms(query)
-    post = posting_lists(df, id_col, text_col).filter(
-        F.col("w").isin(terms)
+    if len(terms) > ADHOC_EXPR_MAX_TERMS:
+        post = posting_lists(df, id_col, text_col).filter(
+            F.col("w").isin(terms)
+        )
+        stats = corpus_stats(df, id_col, text_col)
+        return _score_and_topk(post, stats, k, id_col, k1, b)
+    arr = _token_arrays(df, id_col, text_col)
+
+    def _eq(t: str):
+        # closure, not a default arg: PySpark reads HOF lambda arity
+        # from the signature, and a second parameter would flip the
+        # lambda into the (element, index) form
+        return lambda x: x == F.lit(t)
+
+    tf_cols = [
+        F.size(F.filter(F.col("_tk"), _eq(term)))
+        .cast("long")
+        .alias(f"_tf{j}")
+        for j, term in enumerate(terms)
+    ]
+    perdoc = arr.select(
+        "_id",
+        F.size("_tk").cast("long").alias("_dl"),
+        *tf_cols,
+    ).localCheckpoint(eager=False)
+    stats = perdoc.agg(
+        F.count("*").alias("_nd"),
+        (
+            F.sum("_dl").cast("double")
+            / F.count("*").cast("double")
+        ).alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{j}") > 0).cast("long")).alias(f"_df{j}")
+            for j in range(len(terms))
+        ],
     )
-    stats = corpus_stats(df, id_col, text_col)
-    return _score_and_topk(post, stats, k, id_col, k1, b)
+    per_term_fp = [
+        F.when(
+            F.col(f"_tf{j}") > 0,
+            _fp(
+                _okapi_expr(
+                    k1,
+                    b,
+                    tf=F.col(f"_tf{j}"),
+                    dl=F.col("_dl"),
+                    df=F.col(f"_df{j}"),
+                    n_docs=F.col("_nd"),
+                    avgdl=F.col("_avgdl"),
+                )
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(len(terms))
+    ]
+    hit_flags = [
+        (F.col(f"_tf{j}") > 0).cast("long")
+        for j in range(len(terms))
+    ]
+    score = per_term_fp[0]
+    for c in per_term_fp[1:]:
+        score = score + c
+    hits = hit_flags[0]
+    for c in hit_flags[1:]:
+        hits = hits + c
+    return (
+        perdoc.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("_id").alias(id_col),
+            hits.alias("n_terms_hit"),
+            score.alias("score_fp"),
+        )
+        .filter(F.col("n_terms_hit") > 0)
+        .orderBy(F.col("score_fp").desc(), F.col(id_col))
+        .limit(k)
+    )
 
 
 def build_posting_index(
@@ -626,14 +747,65 @@ def phrase_match(
     text_col: str = "text",
 ) -> DataFrame:
     """(id, n_occurrences) for every document containing the exact
-    token sequence ``phrase`` — ad-hoc form (positional postings built
-    off the scan, pre-filtered to the phrase's distinct terms so the
-    (w, id) aggregation only ever sees phrase-term occurrences)."""
-    terms = sorted(set(phrase))
-    post = posting_positions(df, id_col, text_col).filter(
-        F.col("w").isin(terms)
+    token sequence ``phrase`` — ad-hoc form.
+
+    r14 shape (guide §2.4 — remove the shuffle outright): for short
+    phrases the whole match is EXPRESSION-FORM over the token array —
+    each offset's term positions via `filter` over the index sequence
+    (ascending by construction, exactly the sorted positions the
+    posting aggregation collected), shifted back by the offset and
+    intersected, all per-doc column arithmetic. No posexplode, no
+    (w, id) aggregation, no exchange of any kind: one corpus scan,
+    and the occurrence count is exact integer arithmetic, so rows are
+    identical to the posting forms (asserted in tests). Long phrases
+    (> LONG_PHRASE_OFFSET_JOINS) keep the posting route, whose
+    coverage-count exchange carries rows instead of m per-doc
+    position-array columns."""
+    if not phrase:
+        raise ValueError("phrase must contain at least one token")
+    if len(phrase) > LONG_PHRASE_OFFSET_JOINS:
+        terms = sorted(set(phrase))
+        post = posting_positions(df, id_col, text_col).filter(
+            F.col("w").isin(terms)
+        )
+        return _phrase_occurrences(post, phrase, id_col)
+    arr = _token_arrays(df, id_col, text_col)
+
+    def _positions(term: str, shift: int):
+        # ascending 0-based positions of `term`, already shifted back
+        # by the phrase offset, via the (element, index) transform —
+        # the lambda iterates the token array DIRECTLY. (A first draft
+        # indexed with F.get(_tk, i) inside the lambda; CollapseProject
+        # inlines the tokenize split into the consumer, so every get
+        # re-ran the regex split per ELEMENT — measured 8.3 s vs
+        # 0.31 s for this form at sf0.1. The posting_lists
+        # Generate-boundary comment documents the same hazard class.)
+        # Sentinel -1-shift marks non-matches: legitimate shifted
+        # positions are i-shift >= -shift > -1-shift, so the remove
+        # can never delete a real position.
+        sentinel = -1 - shift
+
+        def lam(x, i):
+            pos = (i - F.lit(shift)) if shift else i
+            return F.when(x == F.lit(term), pos).otherwise(
+                F.lit(sentinel)
+            )
+
+        return F.array_remove(
+            F.transform(F.col("_tk"), lam), sentinel
+        )
+
+    starts = None
+    for j, term in enumerate(phrase):
+        pos = _positions(term, j)
+        starts = pos if not j else F.array_intersect(starts, pos)
+    return (
+        arr.select(
+            F.col("_id").alias(id_col),
+            F.size(starts).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") > 0)
     )
-    return _phrase_occurrences(post, phrase, id_col)
 
 
 def phrase_topk(

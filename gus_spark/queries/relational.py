@@ -326,42 +326,18 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15"))
     )
-    # semi-join prune (r14, the q9 precedent, guide §3.2): only ~4% of
-    # date-filtered lineitem rows survive the join (orders date filter
-    # ~19% × customer segment ~20%), so drop lineitem rows against the
-    # custkey-pruned orderkey list BEFORE lineitem enters the join
-    # tree. The prune source re-derives (filtered orders ⟕semi
-    # filtered custkeys → orderkey) rather than nesting the pruned
-    # orders into the main join — the main tree is unchanged and the
-    # source is two narrow pushed-filter scans. UNHINTED (the plan
-    # guard: no forced broadcast on row-scaled sides): locally the
-    # planner broadcasts the key list; at scale it falls back to a
-    # shuffled semi that leaves lineitem hash-partitioned on
-    # l_orderkey — exactly the distribution the main join needs, so
-    # the fallback adds only the key-list shuffle, never a second
-    # lineitem pass. Identical rows: the inner joins dropped every
-    # pruned row anyway.
-    # fresh scans for the prune source (new expression ids — the main
-    # tree re-joins the same base tables, and sharing lineage would
-    # trip the ambiguous-self-join analyzer check); the schema memo
-    # makes the re-read footer-free
-    o_keys = (
-        table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15")))
-        .join(
-            table(spark, sf_dir, "customer")
-            .filter(F.col("c_mktsegment") == "BUILDING")
-            .select("c_custkey"),
-            F.col("o_custkey") == F.col("c_custkey"),
-            "leftsemi",
-        )
-        .select("o_orderkey")
-    )
-    li = li.join(
-        o_keys,
-        li.l_orderkey == o_keys.o_orderkey,
-        "leftsemi",
-    )
+    # r14 NOTE (measured, reverted — the q9 semi-prune precedent does
+    # NOT transfer here): a left-semi prune of lineitem against the
+    # custkey-pruned orderkey list read 0.86-0.96 s across 6 fresh-JVM
+    # children vs 0.74-1.00 s unpruned interleaved on one host (min
+    # 0.858 vs 0.736) — the extra key-list scan + semi build is pure
+    # overhead at bench scale (the main join already broadcasts), and
+    # at shuffle scale it is NEUTRAL, not a win: the semi key IS the
+    # downstream join key, so the shuffled-semi fallback sorts/shuffles
+    # the full lineitem exactly once either way and only adds the
+    # key-list shuffle. q9 won because its semi key (partkey) differs
+    # from the downstream bridge key (partkey, suppkey) — the prune
+    # shrank a SECOND shuffle. No second lineitem shuffle exists here.
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
         li.join(o.join(c, o.o_custkey == c.c_custkey),
@@ -601,29 +577,13 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
     )
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    # semi-join prune (r14, the q9 precedent, guide §3.2): the orders
-    # date window keeps ~4% of orders, so ~96% of the returnflag-
-    # filtered lineitem rows can never match — drop them against the
-    # filtered orderkey list before the join tree. Source = one narrow
-    # pushed-filter orders scan. UNHINTED (plan guard): broadcast
-    # while the quarter's keys fit; the shuffled-semi fallback leaves
-    # lineitem partitioned on l_orderkey — the very distribution the
-    # next join needs — so it never costs a second lineitem pass.
-    # Identical rows: the inner join dropped every pruned row anyway.
-    # fresh scan for the prune source (new expression ids — sharing
-    # the main tree's `o` lineage trips the ambiguous-self-join
-    # analyzer check); the schema memo makes the re-read footer-free
-    o_keys = (
-        table(spark, sf_dir, "orders")
-        .filter(
-            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
-            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
-        )
-        .select("o_orderkey")
-    )
-    li = li.join(
-        o_keys, li.l_orderkey == o_keys.o_orderkey, "leftsemi"
-    )
+    # r14 NOTE (measured, reverted): a left-semi prune of lineitem
+    # against the quarter's orderkey list (the q9 precedent) read
+    # 0.65-1.00 s across 6 fresh-JVM children vs 0.62-0.65 s unpruned
+    # interleaved — overhead at bench scale (orders already
+    # broadcasts) and NEUTRAL at shuffle scale because the semi key is
+    # the downstream join key (one full lineitem shuffle either way;
+    # see the q3 note above for the full analysis).
     n = table(spark, sf_dir, "nation")
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (

@@ -117,6 +117,11 @@ def test_rare_term_dominates(docs, topk):
 
 
 def test_physical_shape(docs):
+    """r14 expression form (ad-hoc term counts): per-term tf via array
+    filter, one 1-row stats aggregate broadcast back, score as pure
+    column arithmetic — NO posting aggregation exchange, no explode,
+    no Python; the only exchanges are the stats aggregate's and the
+    broadcast."""
     df = bm25_topk(docs, QUERY, K)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -124,9 +129,27 @@ def test_physical_shape(docs):
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan, plan
     assert "Python" not in plan and "InPandas" not in plan, plan
-    # df-per-term and corpus stats reach the postings via broadcast
+    # the 1-row df/avgdl stats reach the per-doc scores via broadcast
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
-    # the IN-list filter must run BELOW the first keyed exchange:
+    # no posting shuffle, no explode: the corpus never leaves its scan
+    # partitioning before the top-k
+    assert "hashpartitioning(w" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
+def test_physical_shape_posting_route_wide_terms(docs):
+    """Past ADHOC_EXPR_MAX_TERMS the posting route serves (expression
+    width would grow per term): the IN-list filter must run BELOW the
+    first keyed exchange — the original posting-form scan claim."""
+    from gus_spark.operators.retrieval import ADHOC_EXPR_MAX_TERMS
+
+    wide = QUERY + [f"zz{i}" for i in range(ADHOC_EXPR_MAX_TERMS)]
+    df = bm25_topk(docs, wide, K)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, plan
     # formatted-plan ids number children first, so deeper = smaller
     filt = re.search(r"\((\d+)\) Filter\nInput.*?\nCondition :[^\n]*w#",
                      plan, re.S)
@@ -599,3 +622,54 @@ def test_long_phrase_routes_to_folded_form(spark, docs):
     assert len(rep_phrase) == 11 > LONG_PHRASE_OFFSET_JOINS
     rp = phrase_topk(rep_docs, rep_phrase, 10).toPandas()
     assert list(zip(rp["doc_id"], rp["n_occurrences"])) == [(1, 1), (2, 1)]
+
+
+def test_expression_forms_match_posting_forms(docs):
+    """r14: the ad-hoc scorers went expression-form (per-term tf via
+    array filter; per-offset positions via indexed transform). Pin the
+    FULL result sets — not just the top-k — bit-identical to the
+    posting forms they replaced, including a zero-match term, repeated
+    phrase terms, and a one-term phrase."""
+    from gus_spark.operators.retrieval import (
+        _phrase_occurrences,
+        _phrase_occurrences_folded,
+        _query_terms,
+        _score_and_topk,
+        phrase_match,
+        posting_positions,
+    )
+    from pyspark.sql import functions as F
+
+    for query in (QUERY, ["the"], ["zzznope", "spark"]):
+        terms = _query_terms(query)
+        post = posting_lists(docs).filter(F.col("w").isin(terms))
+        want = [
+            (r[0], r[1], r[2])
+            for r in _score_and_topk(
+                post, corpus_stats(docs), 10**6, "doc_id", K1, B
+            ).collect()
+        ]
+        got = [
+            (r[0], r[1], r[2])
+            for r in bm25_topk(docs, query, 10**6).collect()
+        ]
+        assert got == want, query
+
+    for phrase in (["row", "column", "sort"], ["the", "the"], ["dup"]):
+        post = posting_positions(docs).filter(
+            F.col("w").isin(sorted(set(phrase)))
+        )
+        want = sorted(
+            (r[0], r[1])
+            for r in _phrase_occurrences(post, phrase, "doc_id").collect()
+        )
+        wantf = sorted(
+            (r[0], r[1])
+            for r in _phrase_occurrences_folded(
+                post, phrase, "doc_id"
+            ).collect()
+        )
+        got = sorted(
+            (r[0], r[1]) for r in phrase_match(docs, phrase).collect()
+        )
+        assert got == want == wantf, phrase
