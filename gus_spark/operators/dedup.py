@@ -325,6 +325,93 @@ def _mh_perms_kernel(ngram: int = 1):
     return mh_perms
 
 
+def _mh_both_kernel(ngram: int = 1):
+    """One Arrow pass emitting BOTH per-doc outputs the stateless pair
+    pipeline needs: ``struct<_mh: array<long>, ts: array<long>>`` —
+    the 128-perm minhash signature AND the sorted distinct shingle-
+    hash set (r14, guide §2.4/§8). The signature branch and the
+    verify branch each consumed ``token_hashes`` separately, so the
+    corpus was tokenized, xxhash64-ed, Arrow-shipped and rotate-xor
+    mixed TWICE per run; this kernel shares all of that and differs
+    only in the tails (perm mins vs np.unique). Values are
+    bit-identical to `_mh_perms_kernel` / `_verify_sets_kernel` by
+    construction — the same `_mix_np`, the same mask, the same
+    chunked-flush permutation code — and pinned by a parity test.
+    Consumers share the output through ONE lazy localCheckpoint
+    (O(corpus shingle hashes) executor-local storage — the
+    write-once-vs-hash-twice trade; the incremental MinHashIndex
+    remains the at-scale path and keeps the single-output kernels)."""
+    import numpy as np
+    import pandas as pd
+
+    if ngram > _MIX_MAX_N:  # driver-side, mirroring _mh_perms_kernel
+        raise ValueError(f"ngram {ngram} exceeds mix support {_MIX_MAX_N}")
+    a = np.array(_PERM_A, dtype=np.uint64)
+    b = np.array(_PERM_B, dtype=np.uint64)
+    p = np.uint64(_MERSENNE_P)
+    mask32 = np.uint64(0xFFFFFFFF)
+    chunk_shingles = _CHUNK_SHINGLES
+
+    @F.pandas_udf("struct<_mh: array<long>, ts: array<long>>")
+    def mh_both(ths):
+        mixed = [
+            None
+            if t is None
+            else _mix_np(np.asarray(t, dtype=np.uint64), ngram)
+            for t in ths
+        ]
+        arrs = [None if m is None else (m & mask32) for m in mixed]
+        out = [None] * len(arrs)
+        group: list[int] = []
+        pending = 0
+
+        def sig_chunked(arr):
+            res = None
+            for s in range(0, len(arr), chunk_shingles):
+                m = arr[None, s : s + chunk_shingles] * a[:, None]
+                m += b[:, None]
+                m %= p
+                pm = m.min(axis=1)
+                res = pm if res is None else np.minimum(res, pm)
+            return res.astype(np.int64)
+
+        def flush():
+            nonlocal pending
+            if not group:
+                return
+            idx = [i for i in group if arrs[i] is not None and len(arrs[i])]
+            if idx:
+                lens = np.array([len(arrs[i]) for i in idx], dtype=np.int64)
+                flat = np.concatenate([arrs[i] for i in idx])
+                m = flat[None, :] * a[:, None]
+                m += b[:, None]
+                m %= p
+                offs = np.zeros(len(idx), dtype=np.int64)
+                np.cumsum(lens[:-1], out=offs[1:])
+                res = np.minimum.reduceat(m, offs, axis=1)
+                for j, i in enumerate(idx):
+                    out[i] = res[:, j].astype(np.int64)
+            group.clear()
+            pending = 0
+
+        for i, arr in enumerate(arrs):
+            if arr is not None and len(arr) > chunk_shingles:
+                out[i] = sig_chunked(arr)
+                continue
+            group.append(i)
+            pending += 0 if arr is None else len(arr)
+            if pending >= chunk_shingles:
+                flush()
+        flush()
+        sets = [
+            None if m is None else np.unique(m).astype(np.int64)
+            for m in mixed
+        ]
+        return pd.DataFrame({"_mh": out, "ts": sets})
+
+    return mh_both
+
+
 def _verify_sets_kernel(ngram: int = 1):
     """Arrow twin of ``array_distinct(shingle_hashes(...))``: token-hash
     array -> sorted DISTINCT 64-bit shingle-hash array (np.unique sorts
@@ -501,12 +588,34 @@ def minhash_lsh_pairs(
     ``_MIX_ROT`` with any distinct rotations to lift it.
     """
     df = ensure_parallelism(df)  # both branches (signature + verify) share it
+    both = None
     if engine == "arrow":
-        # array-form signature: no 128-column unpack in this plan
-        # (r13, see _signature_array — values identical)
-        bands = _band_rows_arr(
-            _signature_array(df, id_col, text_col, ngram), id_col
+        # r14: ONE Arrow pass computes signature AND verify set (the
+        # two branches shared tokenize + xxhash64 + Arrow transfer +
+        # shingle mix and differed only in their tails — see
+        # _mh_both_kernel); the lazy localCheckpoint is what lets both
+        # consumers read the single pass. Warm A/B at sf0.1:
+        # 1.23-1.30 s vs 1.42-1.56 s for the two-kernel form,
+        # bit-identical pairs. Array-form signature throughout — no
+        # 128-column unpack in this plan (r13, _signature_array).
+        kb = _mh_both_kernel(ngram)
+        both = (
+            # null text dropped BEFORE the kernel (the _signature_array
+            # contract): a null signature row would land every null-
+            # text doc in one (band_id, NULL) bucket downstream
+            df.filter(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col),
+                kb(token_hashes(F.col(text_col))).alias("_st"),
+            )
+            .select(
+                id_col,
+                F.col("_st._mh").alias("_mh"),
+                F.col("_st.ts").alias("ts"),
+            )
+            .localCheckpoint(eager=False)
         )
+        bands = _band_rows_arr(both.select(id_col, "_mh"), id_col)
     else:
         sig = minhash_signature(df, id_col, text_col, ngram, engine=engine)
         bands = _band_rows(sig, id_col)
@@ -545,10 +654,17 @@ def minhash_lsh_pairs(
     # collided ids' sets (O(candidates), not O(corpus)). max() over
     # the single non-null array per role re-attaches the sets
     # deterministically; jaccard arithmetic is unchanged.
-    toks = _shingle_sets(
-        df.filter(F.col(text_col).isNotNull()),
-        id_col, text_col, ngram, engine,
-    )
+    if both is not None:
+        # already text-filtered above — the defensive ts filter only
+        # mirrors the old inner-join's null-drop semantics
+        toks = both.select(id_col, "ts").filter(
+            F.col("ts").isNotNull()
+        )
+    else:
+        toks = _shingle_sets(
+            df.filter(F.col(text_col).isNotNull()),
+            id_col, text_col, ngram, engine,
+        )
     melted = candidates.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("_vid")
     )

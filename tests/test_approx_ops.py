@@ -1198,3 +1198,55 @@ def test_array_form_band_rows_bit_identical(spark, documents):
     assert sorted(map(tuple, new.collect())) == sorted(
         map(tuple, old.collect())
     )
+
+
+def test_combined_kernel_matches_single_kernels(spark, documents):
+    """r14: minhash_lsh_pairs' one-pass kernel (_mh_both_kernel) must
+    reproduce BOTH single-output kernels bit-for-bit — the signature
+    the banding consumes and the distinct shingle-hash set the
+    verifier intersects — on real docs plus empty/one-token edges
+    (null text is pre-filtered before the kernel, the
+    _signature_array contract the operator mirrors)."""
+    from pyspark.sql import functions as F
+
+    from gus_spark.operators.dedup import (
+        _mh_both_kernel,
+        _shingle_sets,
+        _signature_array,
+        token_hashes,
+    )
+
+    edge = spark.createDataFrame(
+        [("e0", "x y z w"), ("e1", None), ("e2", ""), ("e3", "a")],
+        ["doc_id", "text"],
+    )
+    for frame in (documents.limit(60), edge):
+        frame = frame.filter(F.col("text").isNotNull())
+        kb = _mh_both_kernel(3)
+        both = frame.select(
+            "doc_id", kb(token_hashes(F.col("text"))).alias("_st")
+        ).select(
+            "doc_id",
+            F.col("_st._mh").alias("_mh"),
+            F.col("_st.ts").alias("ts"),
+        ).collect()
+        got_sig = {
+            r["doc_id"]: None if r["_mh"] is None else tuple(r["_mh"])
+            for r in both
+        }
+        want_sig = {
+            r["doc_id"]: None if r["_mh"] is None else tuple(r["_mh"])
+            for r in _signature_array(frame, "doc_id", "text", 3).collect()
+        }
+        assert got_sig == want_sig
+        got_ts = {
+            r["doc_id"]: None if r["ts"] is None else tuple(r["ts"])
+            for r in both
+        }
+        want_ts = {
+            r["doc_id"]: tuple(r["ts"])
+            for r in _shingle_sets(
+                frame, "doc_id", "text", 3, "arrow"
+            ).collect()
+        }
+        assert got_ts == want_ts
