@@ -433,13 +433,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", F.col("doc_id")).alias("cluster_rep"),
         )
     )
-    sizes = lab.groupBy("cluster_rep").agg(
-        F.count("*").alias("cluster_size")
-    )
-    return lab.join(sizes, "cluster_rep").select(
+    # r14 (VERDICT r13 #3, guide §2.4): cluster_size as a WINDOW count
+    # over cluster_rep instead of a groupBy + self-join — the join form
+    # consumed `lab` twice, and since the label subtree (docs ⟕ CC
+    # labels, itself two outer joins) cannot be exchange-reused across
+    # differently-pruned consumers, the whole derivation was planned
+    # and executed TWICE (the r13 plan dump's 10 SortMergeJoins; now
+    # 3, one label attach per side gone plus the size join itself).
+    # Same rows: every lab row carries a non-null cluster_rep, so the
+    # inner size-join kept all rows — exactly what the window does.
+    from pyspark.sql import Window
+
+    return lab.select(
         "doc_id",
         "cluster_rep",
-        "cluster_size",
+        F.count("*")
+        .over(Window.partitionBy("cluster_rep"))
+        .alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_rep")).alias("keep"),
     )
 

