@@ -199,6 +199,39 @@ def _score_and_topk(
 ADHOC_EXPR_MAX_TERMS = 32
 
 
+def _sql_str(t: str) -> str:
+    """A Python string as a Spark SQL string literal (C-style escapes
+    are on by default: escapedStringLiterals=false)."""
+    return "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _fp_sql(expr: str) -> str:
+    """`fp_quantize` as SQL text — same floor(x*1e6 + 0.5) -> BIGINT
+    tree the Column build ships (repr+D literal convention)."""
+    return f"CAST(FLOOR(({expr}) * 1000000.0D + 0.5D) AS BIGINT)"
+
+
+def _okapi_sql(
+    k1: float, b: float, tf: str, dl: str, df: str, nd: str, avgdl: str
+) -> str:
+    """`_okapi_expr` as SQL text over the given column references —
+    the SAME casts, double literals (repr+D round-trips to the exact
+    IEEE double F.lit ships) and operator order, so the parsed tree
+    computes bit-identical doubles (pinned by the full-result parity
+    test against the posting form, which still builds via Columns)."""
+    idf = (
+        f"ln(1.0D + ((CAST({nd} AS DOUBLE) - CAST({df} AS DOUBLE))"
+        f" + 0.5D) / (CAST({df} AS DOUBLE) + 0.5D))"
+    )
+    tfd = f"CAST({tf} AS DOUBLE)"
+    tf_norm = (
+        f"(({tfd} * {float(k1 + 1.0)!r}D) / ({tfd} + {float(k1)!r}D"
+        f" * ({float(1.0 - b)!r}D + {float(b)!r}D"
+        f" * CAST({dl} AS DOUBLE) / {avgdl})))"
+    )
+    return f"({idf} * {tf_norm})"
+
+
 def _token_arrays(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -252,69 +285,49 @@ def bm25_topk(
         )
         stats = corpus_stats(df, id_col, text_col)
         return _score_and_topk(post, stats, k, id_col, k1, b)
+    # built as parsed SQL text throughout (r14, guide §1.2 — the
+    # per-Column okapi build alone was ~400 py4j round trips per
+    # build; the same trees parse in a handful of calls). The text is
+    # the structural twin of the Column build the posting form still
+    # uses — identical casts/literals/op order, full-result parity
+    # pinned in tests.
     arr = _token_arrays(df, id_col, text_col)
-
-    def _eq(t: str):
-        # closure, not a default arg: PySpark reads HOF lambda arity
-        # from the signature, and a second parameter would flip the
-        # lambda into the (element, index) form
-        return lambda x: x == F.lit(t)
-
-    tf_cols = [
-        F.size(F.filter(F.col("_tk"), _eq(term)))
-        .cast("long")
-        .alias(f"_tf{j}")
+    tf_exprs = [
+        f"CAST(size(filter(_tk, x -> x = {_sql_str(term)})) AS BIGINT)"
+        f" AS _tf{j}"
         for j, term in enumerate(terms)
     ]
-    perdoc = arr.select(
-        "_id",
-        F.size("_tk").cast("long").alias("_dl"),
-        *tf_cols,
+    perdoc = arr.selectExpr(
+        "_id", "CAST(size(_tk) AS BIGINT) AS _dl", *tf_exprs
     ).localCheckpoint(eager=False)
     stats = perdoc.agg(
-        F.count("*").alias("_nd"),
-        (
-            F.sum("_dl").cast("double")
-            / F.count("*").cast("double")
+        F.expr("count(*)").alias("_nd"),
+        F.expr(
+            "CAST(sum(_dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
         ).alias("_avgdl"),
         *[
-            F.sum((F.col(f"_tf{j}") > 0).cast("long")).alias(f"_df{j}")
+            F.expr(f"sum(CAST((_tf{j} > 0) AS BIGINT))").alias(f"_df{j}")
             for j in range(len(terms))
         ],
     )
     per_term_fp = [
-        F.when(
-            F.col(f"_tf{j}") > 0,
-            _fp(
-                _okapi_expr(
-                    k1,
-                    b,
-                    tf=F.col(f"_tf{j}"),
-                    dl=F.col("_dl"),
-                    df=F.col(f"_df{j}"),
-                    n_docs=F.col("_nd"),
-                    avgdl=F.col("_avgdl"),
-                )
-            ),
-        ).otherwise(F.lit(0).cast("long"))
+        f"CASE WHEN _tf{j} > 0 THEN "
+        + _fp_sql(
+            _okapi_sql(k1, b, f"_tf{j}", "_dl", f"_df{j}", "_nd", "_avgdl")
+        )
+        + " ELSE CAST(0 AS BIGINT) END"
         for j in range(len(terms))
     ]
-    hit_flags = [
-        (F.col(f"_tf{j}") > 0).cast("long")
-        for j in range(len(terms))
-    ]
-    score = per_term_fp[0]
-    for c in per_term_fp[1:]:
-        score = score + c
-    hits = hit_flags[0]
-    for c in hit_flags[1:]:
-        hits = hits + c
+    hits = " + ".join(
+        f"CAST((_tf{j} > 0) AS BIGINT)" for j in range(len(terms))
+    )
+    score = " + ".join(per_term_fp)
     return (
         perdoc.crossJoin(F.broadcast(stats))
-        .select(
-            F.col("_id").alias(id_col),
-            hits.alias("n_terms_hit"),
-            score.alias("score_fp"),
+        .selectExpr(
+            f"_id AS `{id_col}`",
+            f"({hits}) AS n_terms_hit",
+            f"({score}) AS score_fp",
         )
         .filter(F.col("n_terms_hit") > 0)
         .orderBy(F.col("score_fp").desc(), F.col(id_col))
@@ -771,7 +784,7 @@ def phrase_match(
         return _phrase_occurrences(post, phrase, id_col)
     arr = _token_arrays(df, id_col, text_col)
 
-    def _positions(term: str, shift: int):
+    def _positions(term: str, shift: int) -> str:
         # ascending 0-based positions of `term`, already shifted back
         # by the phrase offset, via the (element, index) transform —
         # the lambda iterates the token array DIRECTLY. (A first draft
@@ -782,27 +795,24 @@ def phrase_match(
         # Generate-boundary comment documents the same hazard class.)
         # Sentinel -1-shift marks non-matches: legitimate shifted
         # positions are i-shift >= -shift > -1-shift, so the remove
-        # can never delete a real position.
+        # can never delete a real position. Parsed SQL text (guide
+        # §1.2): one parse per offset instead of ~20 py4j-built ops.
         sentinel = -1 - shift
-
-        def lam(x, i):
-            pos = (i - F.lit(shift)) if shift else i
-            return F.when(x == F.lit(term), pos).otherwise(
-                F.lit(sentinel)
-            )
-
-        return F.array_remove(
-            F.transform(F.col("_tk"), lam), sentinel
+        pos = f"(i - {shift})" if shift else "i"
+        return (
+            f"array_remove(transform(_tk, (x, i) -> "
+            f"CASE WHEN x = {_sql_str(term)} THEN {pos}"
+            f" ELSE {sentinel} END), {sentinel})"
         )
 
     starts = None
     for j, term in enumerate(phrase):
         pos = _positions(term, j)
-        starts = pos if not j else F.array_intersect(starts, pos)
+        starts = pos if not j else f"array_intersect({starts}, {pos})"
     return (
-        arr.select(
-            F.col("_id").alias(id_col),
-            F.size(starts).cast("long").alias("n_occurrences"),
+        arr.selectExpr(
+            f"_id AS `{id_col}`",
+            f"CAST(size({starts}) AS BIGINT) AS n_occurrences",
         )
         .filter(F.col("n_occurrences") > 0)
     )
